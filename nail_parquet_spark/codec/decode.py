@@ -1,0 +1,136 @@
+"""Distributed decode stage: encoded-blocks DataFrame -> original table.
+
+Blocks of one (part_id, block_id) group are co-located by a hash
+repartition, ordered within the partition, then streamed through
+``mapInArrow``: each completed group decodes its per-column payloads back to
+Arrow arrays and emits a record batch of the original schema. Row order is
+not preserved across the round trip (verification joins on a key — per the
+north rule, byte-identical ``text`` per ``url``).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+from pyspark.sql import DataFrame, functions as F
+
+from nail_parquet_spark.codec.kernels import EncodedBlock, decode_array
+
+
+def blocks_arrow_schema(blocks: DataFrame, columns: list[str]) -> pa.Schema:
+    """Reconstruct the original Arrow schema from one header per column
+    (tiny driver-side metadata read, like a parquet footer fetch)."""
+    import json
+
+    from nail_parquet_spark.codec.kernels import _type_from_str
+
+    rows = (
+        blocks.select("column", "header")
+        .groupBy("column")
+        .agg(F.first("header").alias("header"))
+        .collect()
+    )
+    types = {r["column"]: _type_from_str(json.loads(r["header"])["type"]) for r in rows}
+    return pa.schema([(c, types[c]) for c in columns])
+
+
+def _spark_ddl_of(schema: pa.Schema) -> str:
+    from pyspark.sql.pandas.types import from_arrow_type
+
+    parts = []
+    for f in schema:
+        parts.append(f"`{f.name}` {from_arrow_type(f.type).simpleString()}")
+    return ", ".join(parts)
+
+
+def decode_table(blocks: DataFrame, columns: list[str] | None = None,
+                 num_partitions: int | None = None) -> DataFrame:
+    if columns is None:
+        columns = [r["column"] for r in blocks.select("column").distinct().collect()]
+    out_schema = blocks_arrow_schema(blocks, columns)
+    ddl = _spark_ddl_of(out_schema)
+    ncols = len(columns)
+
+    part = blocks.select("part_id", "block_id", "column", "header", "payload")
+    if num_partitions:
+        part = part.repartition(num_partitions, "part_id", "block_id")
+    else:
+        part = part.repartition("part_id", "block_id")
+    part = part.sortWithinPartitions("part_id", "block_id")
+
+    def dec(batches):
+        pending: dict[tuple[int, int], dict[str, tuple[str, bytes]]] = {}
+
+        def flush(key):
+            grp = pending.pop(key)
+            arrays = []
+            for c in columns:
+                hdr, payload = grp[c]
+                arrays.append(decode_array(EncodedBlock.from_parts(hdr, payload)))
+            return pa.record_batch(arrays, schema=out_schema)
+
+        for batch in batches:
+            pids = batch.column(0).to_pylist()
+            bids = batch.column(1).to_pylist()
+            cols_ = batch.column(2).to_pylist()
+            hdrs = batch.column(3).to_pylist()
+            pays = batch.column(4)
+            for i in range(batch.num_rows):
+                key = (pids[i], bids[i])
+                grp = pending.setdefault(key, {})
+                grp[cols_[i]] = (hdrs[i], pays[i].as_py())
+                if len(grp) == ncols:
+                    yield flush(key)
+        for key in list(pending):
+            # incomplete groups (column subset encodes) decode what exists
+            grp = pending[key]
+            missing = [c for c in columns if c not in grp]
+            if not missing:
+                yield flush(key)
+
+    return part.mapInArrow(dec, schema=ddl)
+
+
+def verify_roundtrip(source: DataFrame, decoded: DataFrame, key: str = "url",
+                     columns: list[str] | None = None) -> dict:
+    """Join on ``key`` and count per-column mismatches (bit-identity gate).
+
+    Uses md5 over a canonical binary rendering so arbitrarily wide values
+    compare cheaply and NULL is distinguished from empty.
+    """
+    cols = columns or [c for c in source.columns if c in decoded.columns]
+
+    def canon(df: DataFrame) -> DataFrame:
+        exprs = [F.col(key).alias("_k")]
+        for c in cols:
+            if c == key:
+                continue
+            dt = dict(df.dtypes)[c]
+            col = F.col(c)
+            if dt == "binary":
+                b = col
+            elif dt.startswith("timestamp"):
+                b = F.encode(F.date_format(col, "yyyy-MM-dd HH:mm:ss.SSSSSS"), "UTF-8")
+            else:
+                b = F.encode(col.cast("string"), "UTF-8")
+            exprs.append(
+                F.when(col.isNull(), F.lit("<NULL>")).otherwise(F.md5(b)).alias(f"h_{c}")
+            )
+        return df.select(*exprs)
+
+    s = canon(source)
+    d = canon(decoded)
+    j = s.alias("s").join(d.alias("d"), "_k", "full_outer")
+    agg = [F.count("*").alias("joined_rows")]
+    for c in cols:
+        if c == key:
+            continue
+        agg.append(
+            F.sum(
+                F.when(
+                    ~F.col(f"s.h_{c}").eqNullSafe(F.col(f"d.h_{c}")), 1
+                ).otherwise(0)
+            ).alias(f"mismatch_{c}")
+        )
+    row = j.agg(*agg).collect()[0].asDict()
+    row["total_mismatches"] = sum(v for k, v in row.items() if k.startswith("mismatch_"))
+    return row

@@ -1,0 +1,820 @@
+"""Vectorized per-column codec kernels (numpy + pyarrow only — no per-row
+Python anywhere).
+
+These run inside ``mapInArrow`` workers over Arrow record batches.  Every
+kernel is a pure function ``pa.Array -> EncodedBlock -> pa.Array`` with a
+bit-identity round-trip guarantee (the north-rule gate).
+
+Codecs
+------
+  plain        raw canonical buffers (ints→int64 LE, floats→raw, str/bin→
+               offsets+bytes), no compression
+  zstd         plain sections, each zstd-compressed (pyarrow C codec)
+  for_bitpack  frame-of-reference: min-subtract then bit-pack (ints/ts)
+  delta_bitpack zigzag(diff) then bit-pack — for sorted-ish ints/ts
+               (cf. warc_ts per-host crawl deltas, SURVEY.md §7.2 M2)
+  rle          run-length over values (ints) or dict codes (strings):
+               run codes bit-packed + run lengths bit-packed
+  dict         dictionary encode: distinct values (zstd) + bit-packed codes
+  fsst         FSST-style symbol-table compression for str/bin: up to 255
+               symbols of 1–8 bytes learned by sampled byte-pair merging,
+               escape code 255 for out-of-table bytes (Boncz et al.,
+               VLDB'20 — reimplemented from the paper idea in pure numpy)
+
+The reference (nail-parquet) only *configures* parquet-rs encodings and does
+not even wire them through (/root/reference/src/commands/optimize.rs:249-265);
+here the encodings are first-class, measurable, and selectable per column.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+ESCAPE = 255  # fsst escape code
+_ZSTD_LEVEL = 3
+
+# ---------------------------------------------------------------------------
+# block container
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class EncodedBlock:
+    """One encoded column chunk: JSON-serializable header + binary payload."""
+
+    header: dict  # codec, kind, n, null_count, params, sections=[(name, len)]
+    payload: bytes
+
+    def header_json(self) -> str:
+        return json.dumps(self.header, separators=(",", ":"))
+
+    @staticmethod
+    def from_parts(header_json: str, payload: bytes) -> "EncodedBlock":
+        return EncodedBlock(json.loads(header_json), payload)
+
+    def section(self, name: str) -> bytes:
+        off = 0
+        for sec_name, ln in self.header["sections"]:
+            if sec_name == name:
+                return self.payload[off : off + ln]
+            off += ln
+        raise KeyError(name)
+
+    def has_section(self, name: str) -> bool:
+        return any(s[0] == name for s in self.header["sections"])
+
+
+def _build(header: dict, sections: list[tuple[str, bytes]]) -> EncodedBlock:
+    header = dict(header)
+    header["sections"] = [[n, len(b)] for n, b in sections]
+    return EncodedBlock(header, b"".join(b for _, b in sections))
+
+
+# ---------------------------------------------------------------------------
+# primitives: zstd, bit-packing, validity
+# ---------------------------------------------------------------------------
+
+_zstd = pa.Codec("zstd", compression_level=_ZSTD_LEVEL)
+_zstd_d = pa.Codec("zstd")
+
+
+def zstd_compress(buf: bytes) -> bytes:
+    return _zstd.compress(buf, asbytes=True)
+
+
+def zstd_decompress(buf: bytes, raw_len: int) -> bytes:
+    if raw_len == 0:
+        return b""
+    return _zstd_d.decompress(buf, decompressed_size=raw_len, asbytes=True)
+
+
+def bit_width(max_val: int) -> int:
+    return int(max_val).bit_length()
+
+
+def pack_bits(vals: np.ndarray, width: int) -> bytes:
+    """Pack uint64 values (< 2**width) into a little-endian bitstream.
+
+    Two C passes: explode each value to a 64-bit row (unpackbits), slice the
+    low ``width`` columns, re-pack. No per-row Python, no 8x intermediates.
+    """
+    if width == 0 or len(vals) == 0:
+        return b""
+    n = len(vals)
+    v = np.ascontiguousarray(vals, dtype="<u8").view(np.uint8).reshape(n, 8)
+    bits = np.unpackbits(v, axis=1, bitorder="little")  # n x 64
+    return np.packbits(np.ascontiguousarray(bits[:, :width]).ravel(), bitorder="little").tobytes()
+
+
+def unpack_bits(buf: bytes, n: int, width: int) -> np.ndarray:
+    if width == 0 or n == 0:
+        return np.zeros(n, dtype=np.uint64)
+    bits = np.unpackbits(
+        np.frombuffer(buf, dtype=np.uint8), count=n * width, bitorder="little"
+    ).reshape(n, width)
+    full = np.zeros((n, 64), dtype=np.uint8)
+    full[:, :width] = bits
+    return np.packbits(full, axis=1, bitorder="little").view("<u8").reshape(n).astype(np.uint64, copy=False)
+
+
+def pack_validity(valid: np.ndarray | None) -> bytes:
+    if valid is None:
+        return b""
+    return np.packbits(valid.astype(np.uint8), bitorder="little").tobytes()
+
+
+def unpack_validity(buf: bytes, n: int) -> np.ndarray | None:
+    if not buf:
+        return None
+    return (
+        np.unpackbits(np.frombuffer(buf, dtype=np.uint8), count=n, bitorder="little")
+        .astype(bool)
+    )
+
+
+# ---------------------------------------------------------------------------
+# canonical extraction from pyarrow arrays
+# ---------------------------------------------------------------------------
+
+_INT_KINDS = {
+    pa.types.is_integer: "int",
+    pa.types.is_timestamp: "int",
+    pa.types.is_date: "int",
+    pa.types.is_boolean: "int",
+}
+
+
+def kind_of(typ: pa.DataType) -> str:
+    if (
+        pa.types.is_integer(typ)
+        or pa.types.is_timestamp(typ)
+        or pa.types.is_date32(typ)
+        or pa.types.is_date64(typ)
+        or pa.types.is_boolean(typ)
+        or pa.types.is_time(typ)
+    ):
+        return "int"
+    if pa.types.is_floating(typ):
+        return "float"
+    if pa.types.is_string(typ) or pa.types.is_large_string(typ):
+        return "str"
+    if pa.types.is_binary(typ) or pa.types.is_large_binary(typ):
+        return "bin"
+    if pa.types.is_decimal(typ):
+        return "other"
+    return "other"
+
+
+def _validity_of(arr: pa.Array) -> np.ndarray | None:
+    if arr.null_count == 0:
+        return None
+    return np.asarray(arr.is_valid())
+
+
+def _ints_of(arr: pa.Array) -> tuple[np.ndarray, np.ndarray | None]:
+    """Return (int64 values with nulls zero-filled, validity-or-None)."""
+    valid = _validity_of(arr)
+    typ = arr.type
+    if pa.types.is_boolean(typ):
+        np_vals = np.asarray(arr.fill_null(False)).astype(np.int64)
+    else:
+        if pa.types.is_date32(typ):
+            a64 = arr.cast(pa.int32()).cast(pa.int64())
+        else:
+            a64 = arr.cast(pa.int64())
+        np_vals = np.asarray(a64.fill_null(0), dtype=np.int64)
+    return np_vals, valid
+
+
+def _restore_int_array(
+    vals: np.ndarray, valid: np.ndarray | None, typ: pa.DataType
+) -> pa.Array:
+    mask = None if valid is None else ~valid
+    if pa.types.is_boolean(typ):
+        return pa.array(vals.astype(bool), type=pa.bool_(), mask=mask)
+    base = pa.array(vals, type=pa.int64(), mask=mask)
+    if pa.types.is_timestamp(typ):
+        return base.cast(typ)
+    if pa.types.is_date32(typ):
+        return base.cast(pa.int32()).cast(typ)
+    if pa.types.is_date64(typ) or pa.types.is_time(typ):
+        return base.cast(typ)
+    if not pa.types.is_int64(typ):
+        return base.cast(typ)
+    return base
+
+
+def _strbin_of(arr: pa.Array) -> tuple[np.ndarray, bytes, np.ndarray | None]:
+    """Return (int64 offsets len n+1, data bytes, validity). Nulls → empty."""
+    valid = _validity_of(arr)
+    if pa.types.is_string(arr.type):
+        a = arr.fill_null("").cast(pa.large_binary())
+    elif pa.types.is_large_string(arr.type):
+        a = arr.fill_null("").cast(pa.large_binary())
+    else:
+        a = arr.fill_null(b"").cast(pa.large_binary())
+    a = a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+    buffers = a.buffers()
+    offsets = np.frombuffer(buffers[1], dtype=np.int64, count=len(a) + 1, offset=a.offset * 8).copy()
+    data = buffers[2].to_pybytes() if buffers[2] is not None else b""
+    start, end = int(offsets[0]), int(offsets[-1])
+    data = data[start:end]
+    offsets = offsets - start
+    return offsets, data, valid
+
+
+def _restore_strbin_array(
+    offsets: np.ndarray, data: bytes, valid: np.ndarray | None, typ: pa.DataType
+) -> pa.Array:
+    n = len(offsets) - 1
+    lb = pa.LargeBinaryArray.from_buffers(
+        pa.large_binary(),
+        n,
+        [None, pa.py_buffer(offsets.astype(np.int64).tobytes()), pa.py_buffer(data)],
+    )
+    if valid is not None:
+        # re-null via mask: rebuild with take-based null injection
+        mask = pa.array(~valid)
+        lb = pc.if_else(mask, pa.scalar(None, type=pa.large_binary()), lb)
+    if pa.types.is_string(typ) or pa.types.is_large_string(typ):
+        return lb.cast(pa.large_string()).cast(typ)
+    return lb.cast(typ)
+
+
+# ---------------------------------------------------------------------------
+# integer codecs
+# ---------------------------------------------------------------------------
+
+
+def _enc_int_for(vals: np.ndarray) -> tuple[dict, list[tuple[str, bytes]]]:
+    if len(vals) == 0:
+        return {"ref": 0, "width": 0}, [("packed", b"")]
+    m = int(vals.min())
+    mu = np.array([m], dtype=np.int64).view(np.uint64)[0]
+    with np.errstate(over="ignore"):
+        deltas = np.ascontiguousarray(vals, dtype=np.int64).view(np.uint64) - mu
+    width = bit_width(int(deltas.max()))
+    return {"ref": m, "width": width}, [("packed", pack_bits(deltas, width))]
+
+
+def _dec_int_for(block: EncodedBlock, n: int) -> np.ndarray:
+    p = block.header["params"]
+    deltas = unpack_bits(block.section("packed"), n, p["width"])
+    mu = np.array([p["ref"]], dtype=np.int64).view(np.uint64)[0]
+    with np.errstate(over="ignore"):
+        return (deltas + mu).view(np.int64)
+
+
+def _zigzag(d: np.ndarray) -> np.ndarray:
+    return ((d << 1) ^ (d >> 63)).view(np.uint64)
+
+
+def _unzigzag(z: np.ndarray) -> np.ndarray:
+    z = z.astype(np.uint64, copy=False)
+    return ((z >> np.uint64(1)).view(np.int64)) ^ -((z & np.uint64(1)).view(np.int64))
+
+
+def _enc_int_delta(vals: np.ndarray) -> tuple[dict, list[tuple[str, bytes]]]:
+    if len(vals) == 0:
+        return {"first": 0, "width": 0}, [("packed", b"")]
+    first = int(vals[0])
+    with np.errstate(over="ignore"):
+        d = np.diff(vals.astype(np.int64))
+        z = _zigzag(d)
+    width = bit_width(int(z.max())) if len(z) else 0
+    return {"first": first, "width": width}, [("packed", pack_bits(z, width))]
+
+
+def _dec_int_delta(block: EncodedBlock, n: int) -> np.ndarray:
+    p = block.header["params"]
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    z = unpack_bits(block.section("packed"), n - 1, p["width"])
+    d = _unzigzag(z)
+    out = np.empty(n, dtype=np.int64)
+    out[0] = p["first"]
+    with np.errstate(over="ignore"):
+        np.cumsum(d, out=out[1:])
+        out[1:] += p["first"]
+    return out
+
+
+def _runs_of(codes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    n = len(codes)
+    if n == 0:
+        return codes[:0], np.zeros(0, dtype=np.int64)
+    starts = np.flatnonzero(np.concatenate(([True], codes[1:] != codes[:-1])))
+    run_vals = codes[starts]
+    run_lens = np.diff(np.append(starts, n)).astype(np.int64)
+    return run_vals, run_lens
+
+
+def _enc_int_rle(vals: np.ndarray) -> tuple[dict, list[tuple[str, bytes]]]:
+    run_vals, run_lens = _runs_of(vals)
+    vparams, vsec = _enc_int_for(run_vals)
+    lw = bit_width(int(run_lens.max())) if len(run_lens) else 0
+    return (
+        {"n_runs": len(run_vals), "vals": vparams, "len_width": lw},
+        [("run_vals", vsec[0][1]), ("run_lens", pack_bits(run_lens.view(np.uint64), lw))],
+    )
+
+
+def _dec_int_rle(block: EncodedBlock, n: int) -> np.ndarray:
+    p = block.header["params"]
+    nr = p["n_runs"]
+    sub = EncodedBlock(
+        {"params": p["vals"], "sections": [["packed", len(block.section("run_vals"))]]},
+        block.section("run_vals"),
+    )
+    run_vals = _dec_int_for(sub, nr)
+    run_lens = unpack_bits(block.section("run_lens"), nr, p["len_width"]).astype(np.int64)
+    return np.repeat(run_vals, run_lens)
+
+
+# ---------------------------------------------------------------------------
+# fsst (symbol-table) codec for byte data
+# ---------------------------------------------------------------------------
+
+
+def _keep_alternating(p: np.ndarray) -> np.ndarray:
+    """Among match positions p (sorted), drop matches overlapping a kept
+    predecessor: within each run of consecutive positions keep every other."""
+    if p.size <= 1:
+        return p
+    new_run = np.concatenate(([True], np.diff(p) != 1))
+    run_ids = np.cumsum(new_run) - 1
+    first_of_run = p[np.flatnonzero(new_run)]
+    rel = p - first_of_run[run_ids]
+    return p[rel % 2 == 0]
+
+
+def fsst_encode(
+    offsets: np.ndarray, data: bytes, sample_bytes: int = 1 << 16
+) -> tuple[dict, list[tuple[str, bytes]]]:
+    """Encode concatenated byte strings with a learned symbol table.
+
+    Output token stream is uint8 codes; code 255 escapes a literal byte.
+    """
+    n = len(offsets) - 1
+    raw = np.frombuffer(data, dtype=np.uint8)
+    if len(raw) == 0:
+        return (
+            {"n_syms": 0, "sym_lens": [], "tok_counts_width": 0, "n_base": 0, "pairs": []},
+            [("symbols", b""), ("tokens", b""), ("tok_counts", b"")],
+        )
+
+    # base symbols: frequent byte values get codes; rare ones are escaped
+    byte_counts = np.bincount(raw, minlength=256)
+    present = np.flatnonzero(byte_counts)
+    order = present[np.argsort(-byte_counts[present], kind="stable")]
+    base_bytes = order[: 254 - 64]  # leave >=64 codes for merged symbols
+    code_of_byte = np.full(256, -2, dtype=np.int16)  # -2 = escaped byte
+    code_of_byte[base_bytes] = np.arange(len(base_bytes), dtype=np.int16)
+    base_symbols = [bytes([b]) for b in base_bytes]
+    n_base = len(base_symbols)
+
+    # int16 token stream with -1 separators between strings, -2 escapes
+    toks = code_of_byte[raw]
+    esc_mask = toks == -2
+    if n > 1:
+        lens = np.diff(offsets)
+        str_of_byte = np.repeat(np.arange(n, dtype=np.int64), lens)
+        full = np.full(len(toks) + n - 1, -1, dtype=np.int16)
+        full[np.arange(len(toks), dtype=np.int64) + str_of_byte] = toks
+        stream = full
+    else:
+        stream = toks
+
+    # learn merge pairs on a sample, then replay them over the full stream
+    sample = stream[:sample_bytes].astype(np.int64)
+    symbols, pairs = _fsst_train_pairs(sample, base_symbols)
+
+    # replay: group pairs by dependency level (symbol length <= 8 bounds the
+    # depth), apply all pairs of one level in a single vectorized pass — the
+    # tokenization need not replicate training exactly, only expand correctly
+    levels = np.zeros(len(symbols), dtype=np.int64)
+    for k, (sa, sb) in enumerate(pairs):
+        levels[n_base + k] = max(levels[sa], levels[sb]) + 1
+    max_level = int(levels.max()) if len(pairs) else 0
+
+    t = stream
+    for lvl in range(1, max_level + 1):
+        if len(t) < 2:
+            break
+        pk = [(sa, sb, n_base + k) for k, (sa, sb) in enumerate(pairs) if levels[n_base + k] == lvl]
+        if not pk:
+            continue
+        # 64K-entry LUT: token ids <= 253, so keys from -1/-2 sentinels land
+        # in high-byte 0xFE/0xFF rows that no valid (a,b) pair can occupy
+        lut = np.full(1 << 16, -1, dtype=np.int16)
+        for sa, sb, nid in pk:
+            lut[(sa << 8) | sb] = nid
+        a, b = t[:-1], t[1:]
+        keys = (a.astype(np.uint16) << 8) | b.astype(np.uint16)
+        newid = lut[keys]
+        p = np.flatnonzero(newid >= 0)
+        p = _keep_alternating(p)  # disjoint length-2 matches
+        if p.size:
+            t[p] = newid[p]
+            mask = np.ones(len(t), dtype=bool)
+            mask[p + 1] = False
+            t = t[mask]
+
+    # now t contains: codes >=0, -1 separators, -2 escapes (literal bytes)
+    sep_positions = np.flatnonzero(t == -1)
+    tok_counts = np.diff(np.concatenate(([-1], sep_positions, [len(t)]))) - 1
+    keep = t != -1
+    t2 = t[keep]
+    esc_at = t2 == -2
+
+    # literal bytes for escapes, in order: bytes where code_of_byte<0, in raw order
+    literals = raw[esc_mask]
+
+    # output byte stream: normal codes 1 byte; escapes 2 bytes (255, literal)
+    out_len = len(t2) + int(esc_at.sum())
+    out = np.empty(out_len, dtype=np.uint8)
+    # positions of each token in output = index + cumulative escapes before it
+    esc_cum = np.cumsum(esc_at) - esc_at  # escapes strictly before
+    pos = np.arange(len(t2)) + esc_cum
+    out[pos[~esc_at]] = t2[~esc_at].astype(np.uint8)
+    out[pos[esc_at]] = ESCAPE
+    out[pos[esc_at] + 1] = literals
+    # per-string counts in output BYTES (tokens + escapes), safe for empties
+    bounds = np.concatenate(([0], np.cumsum(tok_counts))).astype(np.int64)
+    cesc = np.concatenate(([0], np.cumsum(esc_at))).astype(np.int64)
+    byte_counts_per_str = tok_counts + (cesc[bounds[1:]] - cesc[bounds[:-1]])
+
+    sym_lens = [len(s) for s in symbols]
+    symtab = b"".join(symbols)
+    cw = bit_width(int(byte_counts_per_str.max())) if n else 0
+    return (
+        {
+            "n_syms": len(symbols),
+            "sym_lens": sym_lens,
+            "tok_counts_width": cw,
+            "n_base": n_base,
+        },
+        [
+            ("symbols", symtab),
+            ("tokens", out.tobytes()),
+            ("tok_counts", pack_bits(byte_counts_per_str.view(np.uint64), cw)),
+        ],
+    )
+
+
+def _fsst_train_pairs(
+    sample_tokens: np.ndarray, base_symbols: list[bytes], max_symbols: int = 254,
+    min_gain_frac: float = 0.0005,
+) -> tuple[list[bytes], list[tuple[int, int]]]:
+    symbols = list(base_symbols)
+    pairs: list[tuple[int, int]] = []
+    lens = np.array([len(s) for s in symbols], dtype=np.int64)
+    t = sample_tokens.astype(np.int64, copy=True)
+    n0 = max(len(t), 1)
+    while len(symbols) < max_symbols:
+        if len(t) < 2:
+            break
+        a, b = t[:-1], t[1:]
+        ok = (a >= 0) & (b >= 0)
+        la = lens[np.clip(a, 0, None)]
+        lb_ = lens[np.clip(b, 0, None)]
+        ok &= (la + lb_) <= 8
+        if not ok.any():
+            break
+        keys = (a[ok] << 20) | b[ok]
+        uniq, counts = np.unique(keys, return_counts=True)
+        bi = int(np.argmax(counts))
+        cnt = int(counts[bi])
+        if cnt < max(4, int(min_gain_frac * n0)):
+            break
+        sa, sb = int(uniq[bi] >> 20), int(uniq[bi] & 0xFFFFF)
+        new_id = len(symbols)
+        symbols.append(symbols[sa] + symbols[sb])
+        lens = np.append(lens, lens[sa] + lens[sb])
+        pairs.append((sa, sb))
+        p = np.flatnonzero((a == sa) & (b == sb))
+        if sa == sb:
+            p = _keep_alternating(p)
+        t[p] = new_id
+        mask = np.ones(len(t), dtype=bool)
+        mask[p + 1] = False
+        t = t[mask]
+    return symbols, pairs
+
+
+def fsst_decode(block: EncodedBlock, n: int) -> tuple[np.ndarray, bytes]:
+    """Decode to (offsets int64 len n+1, data bytes)."""
+    p = block.header["params"]
+    sym_lens = np.array(p["sym_lens"], dtype=np.int64)
+    symtab = block.section("symbols")
+    toks = np.frombuffer(block.section("tokens"), dtype=np.uint8)
+    byte_counts = unpack_bits(block.section("tok_counts"), n, p["tok_counts_width"]).astype(np.int64)
+
+    if len(toks) == 0:
+        return np.zeros(n + 1, dtype=np.int64), b""
+
+    # classify escapes: a 255 is an escape-start iff it begins at a parse
+    # position; runs of 255 pair up (see run-parity argument in design notes)
+    is_ff = toks == ESCAPE
+    esc_start = np.zeros(len(toks), dtype=bool)
+    if is_ff.any():
+        ffpos = np.flatnonzero(is_ff)
+        runs_new = np.concatenate(([True], np.diff(ffpos) != 1))
+        run_first = ffpos[np.flatnonzero(runs_new)]
+        run_ids = np.cumsum(runs_new) - 1
+        rel = ffpos - run_first[run_ids]
+        esc_start[ffpos[rel % 2 == 0]] = True
+    literal_pos = np.flatnonzero(esc_start) + 1
+    is_literal = np.zeros(len(toks), dtype=bool)
+    is_literal[literal_pos[literal_pos < len(toks)]] = True
+
+    # per-position output length: symbol len for codes, 1 for literal, 0 for esc-start
+    sym_starts = np.concatenate(([0], np.cumsum(sym_lens))).astype(np.int64)
+    out_lens = np.zeros(len(toks), dtype=np.int64)
+    code_mask = ~esc_start & ~is_literal
+    codes = toks[code_mask].astype(np.int64)
+    out_lens[code_mask] = sym_lens[codes]
+    out_lens[is_literal] = 1
+
+    total = int(out_lens.sum())
+    out = np.empty(total, dtype=np.uint8)
+    out_starts = np.concatenate(([0], np.cumsum(out_lens)))[:-1]
+
+    # expand symbols: gather source ranges
+    symarr = np.frombuffer(symtab, dtype=np.uint8)
+    cpos = out_starts[code_mask]
+    clen = sym_lens[codes]
+    if len(codes):
+        src_start = sym_starts[codes]
+        rw = _ranges_within(clen)
+        seg = np.repeat(src_start, clen) + rw
+        dst = np.repeat(cpos, clen) + rw
+        out[dst] = symarr[seg]
+    out[out_starts[is_literal]] = toks[is_literal]
+
+    # per-string offsets: sum output lens over each string's byte-token span
+    tok_bounds = np.concatenate(([0], np.cumsum(byte_counts))).astype(np.int64)
+    cum_out = np.concatenate(([0], np.cumsum(out_lens))).astype(np.int64)
+    offsets = cum_out[tok_bounds]
+    return offsets, out.tobytes()
+
+
+def _ranges_within(lens: np.ndarray) -> np.ndarray:
+    """[0..l0-1, 0..l1-1, ...] for an int array of lengths (zeros allowed)."""
+    lens = lens[lens > 0]
+    if len(lens) == 0:
+        return np.zeros(0, dtype=np.int64)
+    total = int(lens.sum())
+    out = np.ones(total, dtype=np.int64)
+    out[0] = 0
+    if len(lens) > 1:
+        ends = np.cumsum(lens)[:-1]
+        out[ends] = -(lens[:-1] - 1)
+    return np.cumsum(out)
+
+
+# ---------------------------------------------------------------------------
+# top-level encode/decode per array
+# ---------------------------------------------------------------------------
+
+
+def encode_array(arr: pa.Array, codec: str) -> EncodedBlock:
+    """Encode one pyarrow array chunk with the named codec."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    typ = arr.type
+    kind = kind_of(typ)
+    n = len(arr)
+    header = {
+        "codec": codec,
+        "kind": kind,
+        "type": str(typ),
+        "n": n,
+        "null_count": arr.null_count,
+    }
+    valid = _validity_of(arr)
+    vsec = ("validity", pack_validity(valid))
+
+    if kind == "int":
+        vals, valid = _ints_of(arr)
+        if codec == "plain":
+            secs = [("values", vals.tobytes())]
+            params = {}
+        elif codec == "zstd":
+            raw = vals.tobytes()
+            secs = [("values", zstd_compress(raw))]
+            params = {"raw_len": len(raw)}
+        elif codec == "for_bitpack":
+            params, secs = _enc_int_for(vals)
+        elif codec == "delta_bitpack":
+            params, secs = _enc_int_delta(vals)
+        elif codec == "rle":
+            params, secs = _enc_int_rle(vals)
+        elif codec == "dict":
+            uniq, codes = np.unique(vals, return_inverse=True)
+            w = bit_width(len(uniq) - 1) if len(uniq) > 1 else 0
+            raw = uniq.tobytes()
+            params = {"n_dict": len(uniq), "width": w, "dict_raw_len": len(raw)}
+            secs = [
+                ("dict", zstd_compress(raw)),
+                ("codes", pack_bits(codes.astype(np.uint64), w)),
+            ]
+        else:
+            raise ValueError(f"codec {codec} not valid for int kind")
+        header["params"] = params
+        return _build(header, secs + [vsec])
+
+    if kind == "float":
+        fvals = np.asarray(arr.fill_null(0.0))
+        raw = fvals.tobytes()
+        if codec == "plain":
+            secs = [("values", raw)]
+            params = {"dtype": str(fvals.dtype)}
+        elif codec == "zstd":
+            secs = [("values", zstd_compress(raw))]
+            params = {"dtype": str(fvals.dtype), "raw_len": len(raw)}
+        elif codec == "dict":
+            uniq, codes = np.unique(fvals, return_inverse=True)
+            w = bit_width(len(uniq) - 1) if len(uniq) > 1 else 0
+            uraw = uniq.tobytes()
+            params = {
+                "dtype": str(fvals.dtype),
+                "n_dict": len(uniq),
+                "width": w,
+                "dict_raw_len": len(uraw),
+            }
+            secs = [("dict", zstd_compress(uraw)), ("codes", pack_bits(codes.astype(np.uint64), w))]
+        else:
+            raise ValueError(f"codec {codec} not valid for float kind")
+        header["params"] = params
+        return _build(header, secs + [vsec])
+
+    if kind in ("str", "bin"):
+        offsets, data, valid = _strbin_of(arr)
+        lens = np.diff(offsets)
+        lw = bit_width(int(lens.max())) if n and lens.size else 0
+        len_sec = ("lens", pack_bits(lens.view(np.uint64), lw))
+        if codec == "plain":
+            params = {"len_width": lw}
+            secs = [len_sec, ("data", data)]
+        elif codec == "zstd":
+            params = {"len_width": lw, "raw_len": len(data)}
+            secs = [len_sec, ("data", zstd_compress(data))]
+        elif codec == "fsst":
+            params, fsecs = fsst_encode(offsets, data)
+            params["len_width"] = lw  # unused but kept for inspect symmetry
+            secs = fsecs
+        elif codec in ("dict", "rle"):
+            denc = arr.dictionary_encode()
+            dcodes = np.asarray(denc.indices.fill_null(0), dtype=np.int64)
+            dvals = denc.dictionary
+            doff, ddata, _ = _strbin_of(dvals)
+            dlens = np.diff(doff)
+            dlw = bit_width(int(dlens.max())) if len(dlens) else 0
+            w = bit_width(len(dvals) - 1) if len(dvals) > 1 else 0
+            params = {
+                "n_dict": len(dvals),
+                "width": w,
+                "dict_len_width": dlw,
+                "dict_raw_len": len(ddata),
+            }
+            dict_secs = [
+                ("dict_lens", pack_bits(dlens.view(np.uint64), dlw)),
+                ("dict_data", zstd_compress(ddata)),
+            ]
+            if codec == "dict":
+                secs = dict_secs + [("codes", pack_bits(dcodes.astype(np.uint64), w))]
+            else:
+                rparams, rsecs = _enc_int_rle(dcodes)
+                params["rle"] = rparams
+                secs = dict_secs + [(f"rle_{nm}", bb) for nm, bb in rsecs]
+        else:
+            raise ValueError(f"codec {codec} not valid for {kind} kind")
+        header["params"] = params
+        return _build(header, secs + [vsec])
+
+    # fallback for exotic types: arrow IPC + zstd round-trip (still columnar)
+    sink = pa.BufferOutputStream()
+    with pa.ipc.new_stream(sink, pa.schema([("c", typ)])) as w:
+        w.write_batch(pa.record_batch([arr], names=["c"]))
+    raw = sink.getvalue().to_pybytes()
+    header["params"] = {"raw_len": len(raw)}
+    header["codec"] = "ipc_zstd"
+    return _build(header, [("ipc", zstd_compress(raw)), vsec])
+
+
+def decode_array(block: EncodedBlock) -> pa.Array:
+    h = block.header
+    codec, kind, n = h["codec"], h["kind"], h["n"]
+    typ = _type_from_str(h["type"])
+    valid = unpack_validity(block.section("validity"), n) if block.has_section("validity") else None
+    p = h.get("params", {})
+
+    if codec == "ipc_zstd":
+        raw = zstd_decompress(block.section("ipc"), p["raw_len"])
+        with pa.ipc.open_stream(pa.BufferReader(raw)) as r:
+            batch = r.read_all()
+        return batch.column("c").combine_chunks()
+
+    if kind == "int":
+        if codec == "plain":
+            vals = np.frombuffer(block.section("values"), dtype=np.int64)
+        elif codec == "zstd":
+            vals = np.frombuffer(zstd_decompress(block.section("values"), p["raw_len"]), dtype=np.int64)
+        elif codec == "for_bitpack":
+            vals = _dec_int_for(block, n)
+        elif codec == "delta_bitpack":
+            vals = _dec_int_delta(block, n)
+        elif codec == "rle":
+            vals = _dec_int_rle(block, n)
+        elif codec == "dict":
+            uniq = np.frombuffer(zstd_decompress(block.section("dict"), p["dict_raw_len"]), dtype=np.int64)
+            codes = unpack_bits(block.section("codes"), n, p["width"]).astype(np.int64)
+            vals = uniq[codes] if len(uniq) else np.zeros(n, dtype=np.int64)
+        else:
+            raise ValueError(codec)
+        return _restore_int_array(vals, valid, typ)
+
+    if kind == "float":
+        dtype = np.dtype(p["dtype"])
+        if codec == "plain":
+            fvals = np.frombuffer(block.section("values"), dtype=dtype)
+        elif codec == "zstd":
+            fvals = np.frombuffer(zstd_decompress(block.section("values"), p["raw_len"]), dtype=dtype)
+        elif codec == "dict":
+            uniq = np.frombuffer(zstd_decompress(block.section("dict"), p["dict_raw_len"]), dtype=dtype)
+            codes = unpack_bits(block.section("codes"), n, p["width"]).astype(np.int64)
+            fvals = uniq[codes] if len(uniq) else np.zeros(n, dtype=dtype)
+        else:
+            raise ValueError(codec)
+        mask = None if valid is None else ~valid
+        return pa.array(fvals, type=typ, mask=mask)
+
+    if kind in ("str", "bin"):
+        if codec in ("plain", "zstd"):
+            lens = unpack_bits(block.section("lens"), n, p["len_width"]).astype(np.int64)
+            offsets = np.concatenate(([0], np.cumsum(lens))).astype(np.int64)
+            data = block.section("data")
+            if codec == "zstd":
+                data = zstd_decompress(data, p["raw_len"])
+        elif codec == "fsst":
+            offsets, data = fsst_decode(block, n)
+        elif codec in ("dict", "rle"):
+            dlens = unpack_bits(block.section("dict_lens"), p["n_dict"], p["dict_len_width"]).astype(np.int64)
+            doff = np.concatenate(([0], np.cumsum(dlens))).astype(np.int64)
+            ddata = zstd_decompress(block.section("dict_data"), p["dict_raw_len"])
+            if codec == "dict":
+                codes = unpack_bits(block.section("codes"), n, p["width"]).astype(np.int64)
+            else:
+                sub_secs = [(nm[4:], block.section(nm)) for nm, _ in h["sections"] if nm.startswith("rle_")]
+                sub = _build({"params": p["rle"]}, sub_secs)
+                codes = _dec_int_rle(sub, n)
+            # gather dict entries by code: offsets/lens per row
+            row_lens = dlens[codes] if p["n_dict"] else np.zeros(n, dtype=np.int64)
+            offsets = np.concatenate(([0], np.cumsum(row_lens))).astype(np.int64)
+            src = np.frombuffer(ddata, dtype=np.uint8)
+            starts = doff[codes] if p["n_dict"] else np.zeros(n, dtype=np.int64)
+            seg = np.repeat(starts, row_lens) + _ranges_within(row_lens)
+            data = src[seg].tobytes()
+        else:
+            raise ValueError(codec)
+        return _restore_strbin_array(offsets, data, valid, typ)
+
+    raise ValueError(f"cannot decode kind {kind}")
+
+
+def _type_from_str(s: str) -> pa.DataType:
+    simple = {
+        "int8": pa.int8(), "int16": pa.int16(), "int32": pa.int32(), "int64": pa.int64(),
+        "uint8": pa.uint8(), "uint16": pa.uint16(), "uint32": pa.uint32(), "uint64": pa.uint64(),
+        "float": pa.float32(), "double": pa.float64(), "halffloat": pa.float16(),
+        "string": pa.string(), "large_string": pa.large_string(),
+        "binary": pa.binary(), "large_binary": pa.large_binary(),
+        "bool": pa.bool_(), "date32[day]": pa.date32(), "date64[ms]": pa.date64(),
+    }
+    if s in simple:
+        return simple[s]
+    if s.startswith("timestamp["):
+        inner = s[len("timestamp[") : -1]
+        if ", tz=" in inner:
+            unit, tz = inner.split(", tz=")
+            return pa.timestamp(unit, tz=tz)
+        return pa.timestamp(inner)
+    if s.startswith("time32["):
+        return pa.time32(s[7:-1])
+    if s.startswith("time64["):
+        return pa.time64(s[7:-1])
+    raise ValueError(f"unsupported type string {s}")
+
+
+VALID_CODECS = {
+    "int": ["plain", "zstd", "for_bitpack", "delta_bitpack", "rle", "dict"],
+    "float": ["plain", "zstd", "dict"],
+    "str": ["plain", "zstd", "fsst", "dict", "rle"],
+    "bin": ["plain", "zstd", "fsst", "dict", "rle"],
+}
