@@ -1,38 +1,849 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes the implemented operator surface (SURVEY.md §2 + the
+training-data ops) as (spark, sf_dir) -> DataFrame callables;
+``oracle_sql()`` gives the DuckDB-equivalent SQL for each. Column names and
+rounding are aligned on both sides so the driver's order-insensitive
+value-hash comparison is exact.
+
+Engine code lives in nail_parquet_spark/ — this file only wires it to the
+contract.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from nail_parquet_spark.functions.text import LANG_MARKERS
+
+SF001 = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _ts(col):
+    return F.date_format(col, "yyyy-MM-dd HH:mm:ss.SSSSSS")
+
+
+_TS_SQL = "strftime({c}, '%Y-%m-%d %H:%M:%S.%f')"
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: pricing summary on sf0.001 (TPC-H Q1 shape)."""
+    return q1_pricing_summary(spark, SF001)
+
+
+def q1_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                                AS sum_qty,
+       round(sum(l_extendedprice), 2)                           AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)        AS sum_disc_price,
+       round(avg(l_quantity), 4)                                AS avg_qty,
+       round(avg(l_discount), 4)                                AS avg_disc,
+       count(*)                                                 AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# projection / filter / sort surface
+# ---------------------------------------------------------------------------
+
+
+def q_select_columns(spark, sf_dir):
+    from nail_parquet_spark.operators import select_columns
+
+    return select_columns(_t(spark, sf_dir, "customer"), ["c_custkey", "c_name", "c_acctbal"])
+
+
+def q_drop_columns(spark, sf_dir):
+    from nail_parquet_spark.operators import drop_columns
+
+    return drop_columns(_t(spark, sf_dir, "part"), ["p_type", "p_brand"])
+
+
+def q_rename(spark, sf_dir):
+    from nail_parquet_spark.operators import rename_columns
+
+    return rename_columns(_t(spark, sf_dir, "region"), ["r_name=region_name"])
+
+
+def q_create_columns(spark, sf_dir):
+    from nail_parquet_spark.operators import create_columns
+
+    df = create_columns(
+        _t(spark, sf_dir, "orders"),
+        [
+            "price_band=CASE WHEN o_totalprice > 100000 THEN 'high' ELSE 'low' END",
+            "order_year=year(o_orderdate)",
+        ],
+    )
+    return df.select("o_orderkey", "price_band", F.col("order_year").cast("int").alias("order_year"))
+
+
+def q_filter_conditions(spark, sf_dir):
+    from nail_parquet_spark.operators import filter_conditions
+
+    return filter_conditions(
+        _t(spark, sf_dir, "lineitem"), "l_quantity>45,l_returnflag=A"
+    ).select("l_orderkey", "l_linenumber", "l_quantity")
+
+
+def q_filter_no_nan(spark, sf_dir):
+    from nail_parquet_spark.operators import filter_rows_mode
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "value", F.expr("nullif(value, 6.55)")
+    )
+    return filter_rows_mode(ev, "no-nan").select("event_id", "value")
+
+
+def q_search_value(spark, sf_dir):
+    from nail_parquet_spark.operators import search_value
+
+    return search_value(
+        _t(spark, sf_dir, "customer"), "12", columns=["c_name"]
+    ).select("c_custkey", "c_name")
+
+
+def q_sort_multi(spark, sf_dir):
+    from nail_parquet_spark.operators import sort_by
+
+    return (
+        sort_by(
+            _t(spark, sf_dir, "part"),
+            [{"col": "p_size", "desc": True}, {"col": "p_name"}, {"col": "p_partkey"}],
+        )
+        .limit(100)
+        .select("p_partkey", "p_size", "p_name")
+    )
+
+
+def q_head(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy("o_orderkey")
+        .limit(50)
+        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("total"),
+                _ts(F.col("o_orderdate")).alias("odate"))
+    )
+
+
+def q_tail(spark, sf_dir):
+    from nail_parquet_spark.operators import tail
+
+    return tail(_t(spark, sf_dir, "orders"), 50, order_col="o_orderkey").select(
+        "o_orderkey", "o_custkey"
+    )
+
+
+def q_id_column(spark, sf_dir):
+    from nail_parquet_spark.operators import add_id_column
+
+    return add_id_column(
+        _t(spark, sf_dir, "customer").orderBy("c_custkey"), name="row_id",
+        prefix="row_", order_col="c_custkey"
+    ).select("row_id", "c_custkey")
+
+
+def q_count(spark, sf_dir):
+    return _t(spark, sf_dir, "lineitem").agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# aggregation surface
+# ---------------------------------------------------------------------------
+
+
+def q_frequency(spark, sf_dir):
+    from nail_parquet_spark.operators import frequency
+
+    return frequency(_t(spark, sf_dir, "orders"), ["o_orderpriority"])
+
+
+def q_stats_exact(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("l_quantity").alias("count"),
+        F.round(F.avg("l_quantity"), 4).alias("mean"),
+        F.round(F.stddev("l_quantity"), 4).alias("std"),
+        F.min("l_quantity").alias("min"),
+        F.max("l_quantity").alias("max"),
+        F.countDistinct("l_quantity").cast("long").alias("distinct"),
+        (F.count("l_quantity") - F.countDistinct("l_quantity")).cast("long").alias("duplicates"),
+    )
+
+
+def q_pivot(spark, sf_dir):
+    from nail_parquet_spark.operators import pivot_table
+
+    p = pivot_table(
+        _t(spark, sf_dir, "lineitem"), ["l_returnflag"], "l_linestatus",
+        "l_quantity", agg="sum", pivot_values=["O", "F"],
+    )
+    return p.select("l_returnflag", F.round("O", 2).alias("O"), F.round("F", 2).alias("F"))
+
+
+def q_distinct_values(spark, sf_dir):
+    from nail_parquet_spark.operators import distinct_values
+
+    return distinct_values(_t(spark, sf_dir, "lineitem"), "l_returnflag")
+
+
+def q_corr_pearson(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.corr("l_discount", "l_tax"), 4).alias("corr_disc_tax"),
+    )
+
+
+def q_corr_spearman(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select("l_quantity", "l_extendedprice", "l_orderkey", "l_linenumber")
+    r1 = F.rank().over(Window.orderBy("l_quantity"))
+    r2 = F.rank().over(Window.orderBy("l_extendedprice"))
+    ranked = li.withColumn("ra", r1).withColumn("rb", r2)
+    return ranked.agg(F.round(F.corr("ra", "rb"), 4).alias("spearman"))
+
+
+def q_outliers_zscore(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    m, s = li.agg(F.avg("l_extendedprice"), F.stddev("l_extendedprice")).collect()[0]
+    return li.filter(F.abs((F.col("l_extendedprice") - m) / s) > 2.0).agg(
+        F.count(F.lit(1)).alias("n_outliers")
+    )
+
+
+def q_outliers_range_heuristic(spark, sf_dir):
+    # reference's "isolation forest" simplification (outliers.rs:561-567)
+    li = _t(spark, sf_dir, "lineitem")
+    mn, mx = li.agg(F.min("l_extendedprice"), F.max("l_extendedprice")).collect()[0]
+    rng = mx - mn
+    return li.filter(
+        (F.col("l_extendedprice") < mn + 0.1 * rng) | (F.col("l_extendedprice") > mx - 0.1 * rng)
+    ).agg(F.count(F.lit(1)).alias("n_outliers"))
+
+
+def q_binning(spark, sf_dir):
+    from nail_parquet_spark.operators import binning
+
+    b = binning(_t(spark, sf_dir, "lineitem"), "l_quantity", bins=5,
+                method="equal-width", labels="index")
+    return b.groupBy(F.col("l_quantity_bin").alias("bin")).agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_window_running_sum(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return o.select(
+        "o_orderkey", "o_custkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# join / set surface
+# ---------------------------------------------------------------------------
+
+
+def q_merge_inner(spark, sf_dir):
+    from nail_parquet_spark.operators import merge
+
+    j = merge(
+        _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "customer"),
+        "o_custkey=c_custkey", "inner", broadcast_right=True,
+    )
+    return j.select("o_orderkey", "o_custkey", "r_c_name", "r_c_mktsegment")
+
+
+def q_merge_left(spark, sf_dir):
+    from nail_parquet_spark.operators import merge
+
+    j = merge(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "nation"),
+        "c_nationkey=n_nationkey", "left", broadcast_right=True,
+    )
+    return j.select("c_custkey", "r_n_name")
+
+
+def q_append_union(spark, sf_dir):
+    from nail_parquet_spark.operators import append
+
+    r = _t(spark, sf_dir, "region")
+    return append([r, r])
+
+
+def q_append_ignore_schema(spark, sf_dir):
+    from nail_parquet_spark.operators import append
+
+    c = _t(spark, sf_dir, "customer")
+    a = c.select("c_custkey", "c_name", "c_acctbal").filter(F.col("c_custkey") % 2 == 0)
+    b = c.select("c_custkey", "c_name").filter(F.col("c_custkey") % 2 == 1)
+    return append([a, b], ignore_schema=True).select(
+        "c_custkey", "c_name", F.round("c_acctbal", 2).alias("c_acctbal")
+    )
+
+
+def q_dedup_keep_first(spark, sf_dir):
+    from nail_parquet_spark.operators import dedup_rows
+
+    return dedup_rows(
+        _t(spark, sf_dir, "orders"), subset=["o_custkey"], keep="first",
+        order_col="o_orderkey",
+    ).select("o_orderkey", "o_custkey")
+
+
+def q_sample_hash(spark, sf_dir):
+    # deterministic multiplicative-hash sample — same arithmetic both engines
+    o = _t(spark, sf_dir, "orders")
+    return o.filter((F.col("o_orderkey") * 2654435761) % 100 < 10).select("o_orderkey")
+
+
+def q_split_hash(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    bucket = (F.col("o_orderkey") * 2654435761) % 100
+    return o.filter(bucket < 80).select("o_orderkey")  # the 80% train slice
+
+
+def q_shuffle_content(spark, sf_dir):
+    from nail_parquet_spark.operators import shuffle_rows
+
+    return shuffle_rows(_t(spark, sf_dir, "region"), seed=42)
+
+
+def q_fill_value(spark, sf_dir):
+    from nail_parquet_spark.operators import fill_value
+
+    ev = _t(spark, sf_dir, "events").withColumn("value", F.expr("nullif(value, 6.55)"))
+    return fill_value(ev, ["value"], -1.0).select("event_id", "value")
+
+
+def q_fill_forward(spark, sf_dir):
+    from nail_parquet_spark.operators import fill_directional
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "value", F.when(F.col("event_type") == "error", None).otherwise(F.col("value"))
+    )
+    out = fill_directional(ev, ["value"], "forward", order_col="event_id",
+                           partition_by=["user_id"])
+    return out.select("event_id", "user_id", F.round("value", 2).alias("value"))
+
+
+def q_events_hourly(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis / dedup / similarity (documents, embeddings)
+# ---------------------------------------------------------------------------
+
+
+def q_text_tokens(spark, sf_dir):
+    from nail_parquet_spark.functions.text import token_count
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
+
+
+def q_text_quality(spark, sf_dir):
+    from nail_parquet_spark.functions.text import quality_metrics
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", *quality_metrics(F.col("text")))
+
+
+def q_lang_id(spark, sf_dir):
+    from nail_parquet_spark.functions.text import lang_id
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    from nail_parquet_spark.functions.text import doc_fingerprint
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", doc_fingerprint(F.col("text")).alias("fingerprint"))
+
+
+def _docs_with_dups(spark, sf_dir):
+    """documents ∪ mutated copy: ids+10000 exact dups, ids+20000 near dups."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    exact = d.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "text"
+    )
+    near = d.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 20000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra tail words")).alias("text"),
+    )
+    return d.unionAll(exact).unionAll(near)
+
+
+_DOCS_DUPS_SQL = """
+SELECT doc_id, text FROM documents
+UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id < 50
+UNION ALL SELECT doc_id + 20000, text || ' extra tail words' FROM documents WHERE doc_id < 50
+"""
+
+
+def q_dedup_exact_docs(spark, sf_dir):
+    from nail_parquet_spark.functions.dedup import exact_duplicates
+
+    return exact_duplicates(_docs_with_dups(spark, sf_dir), "doc_id", "text")
+
+
+def q_minhash_signatures(spark, sf_dir):
+    from nail_parquet_spark.functions.dedup import minhash_signatures
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return minhash_signatures(d, "doc_id", "text", num_hashes=4)
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    from nail_parquet_spark.functions.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs_with_dups(spark, sf_dir), "doc_id", "text",
+                               shingle_k=3, threshold=0.5)
+
+
+def q_simhash(spark, sf_dir):
+    from nail_parquet_spark.functions.dedup import simhash
+
+    return simhash(_t(spark, sf_dir, "documents"), "doc_id", "text", bits=16)
+
+
+def q_embedding_topk(spark, sf_dir):
+    from nail_parquet_spark.functions.similarity import cosine_topk_bruteforce
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    qs = e.filter(F.col("vec_id") < 5)
+    return cosine_topk_bruteforce(e, qs, "vec_id", "embedding", k=5)
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id"), F.col("embedding").cast("array<double>").alias("v")
+    )
+    from nail_parquet_spark.functions.similarity import _dot_expr, _norm_expr
+
+    a = e.alias("a")
+    b = e.alias("b")
+    cand = a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+    cos = _dot_expr(F.col("a.v"), F.col("b.v")) / (_norm_expr(F.col("a.v")) * _norm_expr(F.col("b.v")))
+    return (
+        cand.withColumn("cosine", F.round(cos, 4))
+        .filter(F.col("cosine") >= 0.8)
+        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"), "cosine")
+    )
+
+
+def q_multimodal_meta(spark, sf_dir):
+    from nail_parquet_spark.functions.multimodal import extract_media_features
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("blob")
+    )
+    out = extract_media_features(d, "doc_id", "blob", dim=8, fake=True)
+    return out.select("doc_id", "n_bytes", "content_hash")
+
+
+# ---------------------------------------------------------------------------
+# codec engine (non-SQL-expressible -> rows-only oracle)
+# ---------------------------------------------------------------------------
+
+
+def q_encode_manifest(spark, sf_dir):
+    from nail_parquet_spark.codec.encode import encode_table
+    from nail_parquet_spark.codec.inspect import metadata_summary
+
+    d = _t(spark, sf_dir, "documents").repartition(4)
+    blocks = encode_table(d, columns=["text", "lang", "source", "n_chars"], policy="ratio")
+    return metadata_summary(blocks).select("column", "n_values", "raw_bytes", "null_count")
+
+
+def q_encode_roundtrip(spark, sf_dir):
+    from nail_parquet_spark.codec.decode import decode_table, verify_roundtrip
+    from nail_parquet_spark.codec.encode import encode_table
+
+    d = _t(spark, sf_dir, "documents").repartition(4)
+    blocks = encode_table(d, policy="ratio")
+    dec = decode_table(blocks, columns=d.columns)
+    res = verify_roundtrip(d, dec, key="doc_id")
+    return spark.createDataFrame(
+        [(res["joined_rows"], res["total_mismatches"])],
+        "joined_rows long, total_mismatches long",
+    )
+
+
+def q_embedding_topk_lsh(spark, sf_dir):
+    from nail_parquet_spark.functions.similarity import cosine_topk_lsh
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    qs = e.filter(F.col("vec_id") < 5)
+    return cosine_topk_lsh(e, qs, "vec_id", "embedding", k=5, n_planes=12, seed=42)
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    from nail_parquet_spark.functions.dedup import (
+        jaccard_verify,
+        minhash_lsh_candidates,
+        minhash_signatures,
+    )
+
+    d = _docs_with_dups(spark, sf_dir)
+    sigs = minhash_signatures(d, "doc_id", "text", num_hashes=8)
+    cand = minhash_lsh_candidates(sigs, "doc_id", num_hashes=8, bands=4)
+    return jaccard_verify(d, cand, "doc_id", "text", threshold=0.5)
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "q1_pricing_summary": q1_pricing_summary,
+        "select_columns": q_select_columns,
+        "drop_columns": q_drop_columns,
+        "rename_columns": q_rename,
+        "create_columns": q_create_columns,
+        "filter_conditions": q_filter_conditions,
+        "filter_no_nan": q_filter_no_nan,
+        "search_value": q_search_value,
+        "sort_multi": q_sort_multi,
+        "head": q_head,
+        "tail": q_tail,
+        "id_column": q_id_column,
+        "count_rows": q_count,
+        "frequency": q_frequency,
+        "stats_exact": q_stats_exact,
+        "pivot": q_pivot,
+        "distinct_values": q_distinct_values,
+        "corr_pearson": q_corr_pearson,
+        "corr_spearman": q_corr_spearman,
+        "outliers_zscore": q_outliers_zscore,
+        "outliers_range_heuristic": q_outliers_range_heuristic,
+        "binning_equal_width": q_binning,
+        "window_running_sum": q_window_running_sum,
+        "merge_inner": q_merge_inner,
+        "merge_left": q_merge_left,
+        "append_union": q_append_union,
+        "append_ignore_schema": q_append_ignore_schema,
+        "dedup_keep_first": q_dedup_keep_first,
+        "sample_hash": q_sample_hash,
+        "split_hash": q_split_hash,
+        "shuffle_content": q_shuffle_content,
+        "fill_value": q_fill_value,
+        "fill_forward": q_fill_forward,
+        "events_hourly": q_events_hourly,
+        "text_tokens": q_text_tokens,
+        "text_quality": q_text_quality,
+        "lang_id": q_lang_id,
+        "doc_fingerprint": q_doc_fingerprint,
+        "dedup_exact_docs": q_dedup_exact_docs,
+        "minhash_signatures": q_minhash_signatures,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "simhash": q_simhash,
+        "embedding_topk": q_embedding_topk,
+        "embedding_near_dup": q_embedding_near_dup,
+        "multimodal_meta": q_multimodal_meta,
+        # non-SQL-expressible (rows-only oracle):
+        "encode_manifest": q_encode_manifest,
+        "encode_roundtrip": q_encode_roundtrip,
+        "embedding_topk_lsh": q_embedding_topk_lsh,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle SQL
+# ---------------------------------------------------------------------------
+
+
+def _lang_score_sql(lang: str) -> str:
+    terms = []
+    for m in LANG_MARKERS[lang]:
+        terms.append(
+            f"CAST((length(p) - length(replace(p, '{m}', ''))) / {len(m)} AS BIGINT)"
+        )
+    return " + ".join(terms)
+
+
+def _lang_id_sql() -> str:
+    scores = ", ".join(f"({_lang_score_sql(lg)}) AS s_{lg}" for lg in LANG_MARKERS)
+    langs = list(LANG_MARKERS)
+    g = "greatest(" + ", ".join(f"s_{lg}" for lg in langs) + ")"
+    case = f"CASE WHEN {g} <= 0 THEN 'und' "
+    for lg in langs:
+        case += f"WHEN s_{lg} = {g} THEN '{lg}' "
+    case += "END"
+    return f"""
+WITH padded AS (SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM documents),
+scored AS (SELECT doc_id, {scores} FROM padded)
+SELECT doc_id, {case} AS lang_pred FROM scored
+"""
+
+
+_SHINGLES_SQL = """
+words AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+  FROM dd WHERE trim(text) <> ''
+),
+sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+  FROM words, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+  WHERE len(w) >= 3
+)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sql = {
+        "q1_pricing_summary": _Q1_SQL,
+        "select_columns": "SELECT c_custkey, c_name, c_acctbal FROM customer",
+        "drop_columns": "SELECT p_partkey, p_name, p_size, p_retailprice FROM part",
+        "rename_columns": "SELECT r_regionkey, r_name AS region_name FROM region",
+        "create_columns": """
+            SELECT o_orderkey,
+                   CASE WHEN o_totalprice > 100000 THEN 'high' ELSE 'low' END AS price_band,
+                   CAST(year(o_orderdate) AS INT) AS order_year
+            FROM orders""",
+        "filter_conditions": """
+            SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+            WHERE l_quantity > 45 AND l_returnflag = 'A'""",
+        "filter_no_nan": """
+            SELECT event_id, nullif(value, 6.55) AS value FROM events
+            WHERE nullif(value, 6.55) IS NOT NULL""",
+        "search_value": "SELECT c_custkey, c_name FROM customer WHERE c_name LIKE '%12%'",
+        "sort_multi": """
+            SELECT p_partkey, p_size, p_name FROM part
+            ORDER BY p_size DESC, p_name, p_partkey LIMIT 100""",
+        "head": f"""
+            SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total,
+                   {_TS_SQL.format(c='o_orderdate')} AS odate
+            FROM orders ORDER BY o_orderkey LIMIT 50""",
+        "tail": """
+            SELECT o_orderkey, o_custkey FROM orders
+            ORDER BY o_orderkey DESC LIMIT 50""",
+        "id_column": """
+            SELECT 'row_' || CAST(row_number() OVER (ORDER BY c_custkey) AS VARCHAR) AS row_id,
+                   c_custkey
+            FROM customer""",
+        "count_rows": "SELECT count(*) AS n FROM lineitem",
+        "frequency": """
+            SELECT o_orderpriority, count(*) AS count,
+                   round(count(*) * 100.0 / (SELECT count(*) FROM orders), 2) AS percentage
+            FROM orders GROUP BY o_orderpriority
+            ORDER BY count DESC, o_orderpriority""",
+        "stats_exact": """
+            SELECT count(l_quantity) AS count,
+                   round(avg(l_quantity), 4) AS mean,
+                   round(stddev(l_quantity), 4) AS std,
+                   min(l_quantity) AS min, max(l_quantity) AS max,
+                   CAST(count(DISTINCT l_quantity) AS BIGINT) AS "distinct",
+                   CAST(count(l_quantity) - count(DISTINCT l_quantity) AS BIGINT) AS duplicates
+            FROM lineitem""",
+        "pivot": """
+            SELECT l_returnflag,
+                   round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS "O",
+                   round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS "F"
+            FROM lineitem GROUP BY l_returnflag""",
+        "distinct_values": "SELECT DISTINCT l_returnflag FROM lineitem",
+        "corr_pearson": """
+            SELECT round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+                   round(corr(l_discount, l_tax), 4) AS corr_disc_tax
+            FROM lineitem""",
+        "corr_spearman": """
+            SELECT round(corr(ra, rb), 4) AS spearman FROM (
+              SELECT rank() OVER (ORDER BY l_quantity) AS ra,
+                     rank() OVER (ORDER BY l_extendedprice) AS rb
+              FROM lineitem)""",
+        "outliers_zscore": """
+            WITH s AS (SELECT avg(l_extendedprice) m, stddev(l_extendedprice) sd FROM lineitem)
+            SELECT count(*) AS n_outliers FROM lineitem, s
+            WHERE abs((l_extendedprice - m) / sd) > 2.0""",
+        "outliers_range_heuristic": """
+            WITH s AS (SELECT min(l_extendedprice) mn, max(l_extendedprice) mx FROM lineitem)
+            SELECT count(*) AS n_outliers FROM lineitem, s
+            WHERE l_extendedprice < mn + 0.1 * (mx - mn)
+               OR l_extendedprice > mx - 0.1 * (mx - mn)""",
+        "binning_equal_width": """
+            WITH s AS (SELECT min(l_quantity) mn, max(l_quantity) mx FROM lineitem)
+            SELECT CASE
+                     WHEN l_quantity >= mn AND l_quantity < mn + (mx-mn)/5 THEN 'bin_1'
+                     WHEN l_quantity < mn + 2*(mx-mn)/5 THEN 'bin_2'
+                     WHEN l_quantity < mn + 3*(mx-mn)/5 THEN 'bin_3'
+                     WHEN l_quantity < mn + 4*(mx-mn)/5 THEN 'bin_4'
+                     WHEN l_quantity <= mx THEN 'bin_5'
+                   END AS bin, count(*) AS n
+            FROM lineitem, s GROUP BY 1""",
+        "window_running_sum": """
+            SELECT o_orderkey, o_custkey,
+                   round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+            FROM orders""",
+        "merge_inner": """
+            SELECT o_orderkey, o_custkey, c_name AS r_c_name, c_mktsegment AS r_c_mktsegment
+            FROM orders JOIN customer ON o_custkey = c_custkey""",
+        "merge_left": """
+            SELECT c_custkey, n_name AS r_n_name
+            FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey""",
+        "append_union": "SELECT * FROM region UNION ALL SELECT * FROM region",
+        "append_ignore_schema": """
+            SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal
+            FROM customer WHERE c_custkey % 2 = 0
+            UNION ALL
+            SELECT c_custkey, c_name, NULL FROM customer WHERE c_custkey % 2 = 1""",
+        "dedup_keep_first": """
+            SELECT o_orderkey, o_custkey FROM (
+              SELECT o_orderkey, o_custkey,
+                     row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn
+              FROM orders) WHERE rn = 1""",
+        "sample_hash": """
+            SELECT o_orderkey FROM orders WHERE (o_orderkey * 2654435761) % 100 < 10""",
+        "split_hash": """
+            SELECT o_orderkey FROM orders WHERE (o_orderkey * 2654435761) % 100 < 80""",
+        "shuffle_content": "SELECT * FROM region",
+        "fill_value": """
+            SELECT event_id, coalesce(nullif(value, 6.55), -1.0) AS value FROM events""",
+        "fill_forward": """
+            SELECT event_id, user_id,
+                   round(last_value(CASE WHEN event_type = 'error' THEN NULL ELSE value END IGNORE NULLS)
+                         OVER (PARTITION BY user_id ORDER BY event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS value
+            FROM events""",
+        "events_hourly": f"""
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+                   event_type, count(*) AS n, round(sum(value), 2) AS total_value
+            FROM events GROUP BY 1, 2""",
+        "text_tokens": r"""
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\s+')) END::BIGINT AS n_tokens
+            FROM documents""",
+        "text_quality": r"""
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\s+')) END::BIGINT AS n_tokens,
+                   CASE WHEN length(text) > 0 THEN round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) * 1.0 / length(text), 6) ELSE 0.0 END AS digit_ratio,
+                   CASE WHEN length(text) > 0 THEN round((length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g'))) * 1.0 / length(text), 6) ELSE 0.0 END AS punct_ratio,
+                   CASE WHEN length(text) > 0 THEN round((length(text) - length(regexp_replace(text, '\s', '', 'g'))) * 1.0 / length(text), 6) ELSE 0.0 END AS space_ratio,
+                   CASE WHEN (CASE WHEN trim(text) = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\s+')) END) > 0
+                        THEN round((length(text) - (length(text) - length(regexp_replace(text, '\s', '', 'g')))) * 1.0
+                                   / (CASE WHEN trim(text) = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\s+')) END), 6)
+                        ELSE 0.0 END AS mean_word_len
+            FROM documents""",
+        "lang_id": _lang_id_sql(),
+        "doc_fingerprint": "SELECT doc_id, md5(text) AS fingerprint FROM documents",
+        "dedup_exact_docs": f"""
+            WITH dd AS ({_DOCS_DUPS_SQL})
+            SELECT md5(text) AS fingerprint, count(*) AS n_docs, min(doc_id) AS keep_id
+            FROM dd GROUP BY 1 HAVING count(*) > 1""",
+        "minhash_signatures": f"""
+            WITH dd AS (SELECT doc_id, text FROM documents),
+            {_SHINGLES_SQL}
+            SELECT doc_id,
+                   min(md5('0|' || shingle)) AS mh_0, min(md5('1|' || shingle)) AS mh_1,
+                   min(md5('2|' || shingle)) AS mh_2, min(md5('3|' || shingle)) AS mh_3
+            FROM sh GROUP BY doc_id""",
+        "ngram_jaccard_pairs": f"""
+            WITH dd AS ({_DOCS_DUPS_SQL}),
+            {_SHINGLES_SQL},
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT id_a, id_b,
+                   round(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.5""",
+        "simhash": """
+            WITH words AS (
+              SELECT DISTINCT doc_id, w AS word
+              FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+                    FROM documents WHERE trim(text) <> '')),
+            hashed AS (
+              SELECT doc_id, ('0x' || substr(md5(word), 1, 15))::BIGINT AS h FROM words),
+            votes AS (
+              SELECT doc_id, j,
+                     sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+              FROM hashed, UNNEST(generate_series(0, 15)) AS t(j)
+              GROUP BY doc_id, j)
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
+            FROM votes GROUP BY doc_id""",
+        "embedding_topk": """
+            WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+            pairs AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     round(list_dot_product(q.v, c.v) /
+                           (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) AS cosine
+              FROM e q JOIN e c ON q.vec_id < 5 AND c.vec_id <> q.vec_id),
+            ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+              FROM pairs)
+            SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+            FROM ranked WHERE rank <= 5""",
+        "embedding_near_dup": """
+            WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_dot_product(a.v, b.v) /
+                         (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cosine
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE round(list_dot_product(a.v, b.v) /
+                        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.8""",
+        "multimodal_meta": """
+            SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   md5(text) AS content_hash
+            FROM documents""",
+    }
+    return sql

@@ -1,0 +1,110 @@
+"""Benchmark harness (driver contract): runs the headline query suite at
+$SPARK_GRAFT_SF_DIR (default sf0.1) on local[$SPARK_GRAFT_CPUS], plus the
+core encode-throughput job at two parallelism levels for the scaling-
+efficiency criterion (BASELINE.md §3.4), and prints ONE JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+ENCODE_ROWS = int(os.environ.get("BENCH_ENCODE_ROWS", "1000000"))
+SKIP_SCALING = os.environ.get("BENCH_SKIP_SCALING", "") == "1"
+
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "merge_inner",
+    "window_running_sum",
+    "dedup_keep_first",
+    "frequency",
+    "stats_exact",
+    "corr_pearson",
+    "binning_equal_width",
+    "events_hourly",
+    "fill_forward",
+    "text_tokens",
+    "text_quality",
+    "lang_id",
+    "doc_fingerprint",
+    "minhash_signatures",
+    "ngram_jaccard_pairs",
+    "simhash",
+    "embedding_topk",
+    "embedding_topk_lsh",
+    "multimodal_meta",
+    "encode_roundtrip",
+]
+
+
+def _force(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def run_suite() -> dict:
+    import __spark_entry__ as entry
+    from nail_parquet_spark.session import get_spark
+
+    spark = get_spark("bench-suite", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
+    qs = entry.queries()
+    times: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = qs[name]
+        t0 = time.time()
+        try:
+            _force(fn(spark, SF_DIR))
+            times[name] = round(time.time() - t0, 3)
+        except Exception as e:  # pragma: no cover
+            times[name] = -1.0
+            print(f"bench query {name} failed: {e}", file=sys.stderr)
+    spark.stop()
+    return times
+
+
+def run_encode_scaling() -> dict:
+    out = {}
+    env = dict(os.environ)
+    for cpus in (8, CPUS):
+        r = subprocess.run(
+            [sys.executable, "scripts/bench_encode.py", str(cpus), str(ENCODE_ROWS)],
+            capture_output=True, text=True, cwd="/root/repo", env=env, timeout=3600,
+        )
+        line = [ln for ln in r.stdout.splitlines() if ln.startswith("{")]
+        if not line:
+            print(f"encode bench cpus={cpus} failed: {r.stderr[-500:]}", file=sys.stderr)
+            continue
+        out[f"cpus_{cpus}"] = json.loads(line[-1])
+    if f"cpus_8" in out and f"cpus_{CPUS}" in out and CPUS != 8:
+        g8 = out["cpus_8"]["gbps"]
+        gN = out[f"cpus_{CPUS}"]["gbps"]
+        out["scaling_efficiency"] = round((gN / g8) / (CPUS / 8), 4)
+    return out
+
+
+def main():
+    t0 = time.time()
+    queries = run_suite()
+    suite_s = round(sum(v for v in queries.values() if v > 0), 3)
+    result = {
+        "metric": "headline suite wall-clock + encode throughput",
+        "value": suite_s,
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "cpus": CPUS,
+    }
+    if not SKIP_SCALING:
+        result["encode"] = run_encode_scaling()
+    result["total_bench_s"] = round(time.time() - t0, 1)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

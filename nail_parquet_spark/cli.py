@@ -1,0 +1,253 @@
+"""nail-compatible CLI over the Spark engine.
+
+Covers the reference's 31-subcommand surface (/root/reference/src/commands/
+mod.rs:51-148) with the same verbs and near-identical flags, executing on
+Spark instead of DataFusion. Output goes to a file (-o) or pretty-prints to
+the console like the reference's OutputHandler (utils/output.rs:15-30).
+
+Usage: python -m nail_parquet_spark.cli <command> <input> [options]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _spark(jobs: int | None = None):
+    from nail_parquet_spark.session import get_spark
+
+    master = f"local[{jobs}]" if jobs else None
+    return get_spark("nail-spark-cli", master=master)
+
+
+def _out(df, args, n: int = 20):
+    from nail_parquet_spark.sources.io import write_data
+
+    if getattr(args, "output", None):
+        write_data(df, args.output, getattr(args, "format", None))
+        print(f"wrote {args.output}")
+    else:
+        df.show(n=n, truncate=False)
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="nail-spark", description=__doc__)
+    p.add_argument("-j", "--jobs", type=int, default=None, help="parallelism (local[N])")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def add(name, *flags_specs, with_output=True):
+        sp = sub.add_parser(name)
+        sp.add_argument("input")
+        if with_output:
+            sp.add_argument("-o", "--output")
+            sp.add_argument("-f", "--format")
+        for flags, kw in flags_specs:
+            sp.add_argument(*flags, **kw)
+        return sp
+
+    add("head", (("-n",), {"type": int, "default": 10}))
+    add("tail", (("-n",), {"type": int, "default": 10}))
+    add("preview", (("-n",), {"type": int, "default": 10}), (("--random",), {"type": int, "default": None}))
+    add("count", with_output=False)
+    add("headers", (("--filter",), {"default": None}), with_output=False)
+    add("schema", with_output=False)
+    add("size", with_output=False)
+    add("select", (("-c", "--columns"), {"default": None}), (("-r", "--rows"), {"default": None}))
+    add("drop", (("-c", "--columns"), {"default": None}), (("-r", "--rows"), {"default": None}),
+        (("--conditions",), {"default": None}))
+    add("filter", (("-c", "--conditions"), {"default": None}), (("--rows",), {"default": None, "dest": "row_mode"}))
+    add("search", (("-v", "--value"), {"required": True}), (("-c", "--columns"), {"default": None}),
+        (("--ignore-case",), {"action": "store_true"}), (("--rows",), {"action": "store_true"}))
+    add("rename", (("-c", "--columns"), {"required": True}))
+    add("create", (("-c", "--columns"), {"required": True}), (("--filter",), {"default": None}))
+    add("id", (("--name",), {"default": "id"}), (("--prefix",), {"default": ""}))
+    add("sort", (("-c", "--columns"), {"required": True}), (("--nulls",), {"default": "last"}))
+    add("dedup", (("-c", "--columns"), {"default": None}), (("--row-wise",), {"action": "store_true"}),
+        (("--col-wise",), {"action": "store_true"}), (("--keep",), {"default": "first"}))
+    add("merge", (("--right",), {"required": True}), (("-k", "--key"), {"required": True}),
+        (("--type",), {"default": "inner", "dest": "join_type"}))
+    add("append", (("--others",), {"required": True}), (("--ignore-schema",), {"action": "store_true"}))
+    add("split", (("--ratios",), {"default": "0.8,0.2"}), (("--seed",), {"type": int, "default": None}),
+        (("--stratify-by",), {"default": None}))
+    add("sample", (("-n",), {"type": int, "default": 100}), (("--seed",), {"type": int, "default": None}),
+        (("--stratify-by",), {"default": None}))
+    add("shuffle", (("--seed",), {"type": int, "default": None}))
+    add("fill", (("-c", "--columns"), {"required": True}), (("--method",), {"default": "value"}),
+        (("--value",), {"default": None}))
+    add("stats", (("-c", "--columns"), {"default": None}), (("--stats-type",), {"default": "basic"}))
+    add("frequency", (("-c", "--columns"), {"required": True}), (("--limit",), {"type": int, "default": None}))
+    add("correlations", (("-c", "--columns"), {"default": None}), (("--method",), {"default": "pearson"}))
+    add("outliers", (("-c", "--columns"), {"default": None}), (("--method",), {"default": "iqr"}),
+        (("--remove",), {"action": "store_true"}))
+    add("binning", (("-c", "--column"), {"required": True}), (("--bins",), {"type": int, "default": 10}),
+        (("--method",), {"default": "equal-width"}))
+    add("pivot", (("--index",), {"required": True}), (("--pivot",), {"required": True, "dest": "pivot_col"}),
+        (("--value",), {"required": True}), (("--agg",), {"default": "sum"}))
+    add("convert")
+    add("optimize", (("--policy",), {"default": "balanced"}),
+        (("--codecs",), {"default": None, "help": 'JSON {"col": "codec"} overrides'}),
+        (("--sort-by",), {"default": None}), (("--validate",), {"action": "store_true"}))
+    add("metadata", with_output=False)
+    sub.add_parser("update")
+
+    args = p.parse_args(argv)
+    if args.cmd == "update":
+        from nail_parquet_spark import __version__
+
+        print(f"nail-spark {__version__} (self-update out of scope)")
+        return 0
+
+    from nail_parquet_spark import operators as ops
+    from nail_parquet_spark.sources.io import read_data
+
+    spark = _spark(args.jobs)
+    df = read_data(spark, args.input)
+    c = args.cmd
+
+    if c == "count":
+        print(ops.count_rows(df))
+    elif c == "headers":
+        print("\n".join(ops.headers(df, args.filter)))
+    elif c == "schema":
+        print(json.dumps(ops.schema_rows(df), indent=2))
+    elif c == "size":
+        from nail_parquet_spark.codec.encode import encode_table
+        from nail_parquet_spark.codec.inspect import size_summary
+
+        size_summary(encode_table(df, policy="ratio")).show(truncate=False)
+    elif c == "metadata":
+        from nail_parquet_spark.codec.encode import encode_table
+        from nail_parquet_spark.codec.inspect import encoding_usage, metadata_summary
+
+        blocks = encode_table(df, policy="ratio").cache()
+        metadata_summary(blocks).show(truncate=False)
+        encoding_usage(blocks).show(truncate=False)
+    elif c == "head":
+        _out(ops.head(df, args.n), args, args.n)
+    elif c == "tail":
+        _out(ops.tail(df, args.n), args, args.n)
+    elif c == "preview":
+        _out(ops.preview(df, args.n, args.random), args, args.n)
+    elif c == "select":
+        out = df
+        if args.columns:
+            out = ops.select_columns(out, args.columns.split(","))
+        if args.rows:
+            out = ops.select_rows(out, args.rows)
+        _out(out, args)
+    elif c == "drop":
+        out = df
+        if args.columns:
+            out = ops.drop_columns(out, args.columns.split(","))
+        if args.rows:
+            out = ops.drop_rows(out, args.rows)
+        if args.conditions:
+            out = ops.drop_rows_where(out, args.conditions)
+        _out(out, args)
+    elif c == "filter":
+        out = df
+        if args.conditions:
+            out = ops.filter_conditions(out, args.conditions)
+        if args.row_mode:
+            out = ops.filter_rows_mode(out, args.row_mode)
+        _out(out, args)
+    elif c == "search":
+        cols = args.columns.split(",") if args.columns else None
+        if args.rows:
+            out = ops.search_rows(df, args.value, cols, args.ignore_case)
+        else:
+            out = ops.search_value(df, args.value, cols, args.ignore_case)
+        _out(out, args)
+    elif c == "rename":
+        _out(ops.rename_columns(df, args.columns.split(",")), args)
+    elif c == "create":
+        _out(ops.create_columns(df, args.columns.split(","), args.filter), args)
+    elif c == "id":
+        _out(ops.add_id_column(df, args.name, args.prefix), args)
+    elif c == "sort":
+        specs = [{"col": s.lstrip("-"), "desc": s.startswith("-")} for s in args.columns.split(",")]
+        _out(ops.sort_by(df, specs, nulls=args.nulls), args)
+    elif c == "dedup":
+        if args.col_wise:
+            _out(ops.dedup_columns(df, args.keep), args)
+        else:
+            subset = args.columns.split(",") if args.columns else None
+            _out(ops.dedup_rows(df, subset, args.keep), args)
+    elif c == "merge":
+        right = read_data(spark, args.right)
+        _out(ops.merge(df, right, args.key, args.join_type), args)
+    elif c == "append":
+        others = [read_data(spark, pth) for pth in args.others.split(",")]
+        _out(ops.append([df] + others, args.ignore_schema), args)
+    elif c == "split":
+        ratios = [float(x) for x in args.ratios.split(",")]
+        parts = ops.split_by_ratio(df, ratios, args.seed, args.stratify_by)
+        base = args.output or "split_out"
+        from nail_parquet_spark.sources.io import write_data
+
+        for i, part in enumerate(parts):
+            write_data(part, f"{base.rsplit('.', 1)[0]}_part{i}.parquet")
+        print(f"wrote {len(parts)} splits")
+    elif c == "sample":
+        if args.stratify_by:
+            _out(ops.sample_stratified(df, args.stratify_by, args.n, args.seed), args)
+        else:
+            _out(ops.sample_random(df, args.n, args.seed), args)
+    elif c == "shuffle":
+        _out(ops.shuffle_rows(df, args.seed), args)
+    elif c == "fill":
+        cols = args.columns.split(",")
+        if args.method == "value":
+            out = ops.fill_value(df, cols, args.value)
+        elif args.method in ("mean", "median", "mode"):
+            out = ops.fill_stat(df, cols, args.method)
+        else:
+            out = ops.fill_directional(df, cols, args.method)
+        _out(out, args)
+    elif c == "stats":
+        cols = args.columns.split(",") if args.columns else None
+        _out(ops.stats(df, cols, args.stats_type), args, 50)
+    elif c == "frequency":
+        _out(ops.frequency(df, args.columns.split(","), args.limit), args, 50)
+    elif c == "correlations":
+        cols = args.columns.split(",") if args.columns else None
+        _out(ops.correlations(df, cols, args.method), args, 50)
+    elif c == "outliers":
+        cols = args.columns.split(",") if args.columns else None
+        _out(ops.outliers(df, cols, args.method, action="remove" if args.remove else "flag"), args)
+    elif c == "binning":
+        _out(ops.binning(df, args.column, args.bins, args.method), args)
+    elif c == "pivot":
+        _out(ops.pivot_table(df, args.index.split(","), args.pivot_col, args.value, args.agg), args)
+    elif c == "convert":
+        from nail_parquet_spark.sources.io import convert
+
+        info = convert(spark, args.input, args.output, None, args.format)
+        print(f"converted {info['rows']} rows x {info['cols']} cols -> {args.output}")
+    elif c == "optimize":
+        from nail_parquet_spark.codec.decode import decode_table, verify_roundtrip
+        from nail_parquet_spark.codec.encode import encode_table
+        from nail_parquet_spark.codec.inspect import size_summary
+
+        src = df
+        if args.sort_by:
+            src = src.sortWithinPartitions(*args.sort_by.split(","))
+        codecs = json.loads(args.codecs) if args.codecs else None
+        blocks = encode_table(src, codecs=codecs, policy=args.policy)
+        if args.output:
+            blocks.write.mode("overwrite").parquet(args.output)
+            blocks = spark.read.parquet(args.output)
+        size_summary(blocks).show(truncate=False)
+        if args.validate:
+            dec = decode_table(blocks, columns=df.columns)
+            n_src, n_dec = df.count(), dec.count()
+            print(f"validate: src_rows={n_src} decoded_rows={n_dec} match={n_src == n_dec}")
+    else:  # pragma: no cover
+        p.error(f"unknown command {c}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -30,6 +30,12 @@ def blocks_arrow_schema(blocks: DataFrame, columns: list[str]) -> pa.Schema:
         .collect()
     )
     types = {r["column"]: _type_from_str(json.loads(r["header"])["type"]) for r in rows}
+    # Spark's Arrow bridge rejects nanosecond timestamps (e.g. from INT96
+    # parquet read via pyarrow) — decode to micros instead, lossless for
+    # data that originated at micro precision
+    for c, t in types.items():
+        if pa.types.is_timestamp(t) and t.unit == "ns":
+            types[c] = pa.timestamp("us", tz=t.tz)
     return pa.schema([(c, types[c]) for c in columns])
 
 
@@ -63,9 +69,12 @@ def decode_table(blocks: DataFrame, columns: list[str] | None = None,
         def flush(key):
             grp = pending.pop(key)
             arrays = []
-            for c in columns:
+            for i, c in enumerate(columns):
                 hdr, payload = grp[c]
-                arrays.append(decode_array(EncodedBlock.from_parts(hdr, payload)))
+                arr = decode_array(EncodedBlock.from_parts(hdr, payload))
+                if arr.type != out_schema.field(i).type:
+                    arr = arr.cast(out_schema.field(i).type)
+                arrays.append(arr)
             return pa.record_batch(arrays, schema=out_schema)
 
         for batch in batches:

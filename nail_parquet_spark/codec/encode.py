@@ -49,6 +49,24 @@ def _stat_strings(arr: pa.Array) -> tuple[str | None, str | None, int]:
         return None, None, distinct
 
 
+def choose_codecs_for_df(
+    df: DataFrame, columns: list[str], policy: str = "balanced",
+    sample_rows: int = 8192,
+) -> dict[str, str]:
+    """One driver-side sampled selection pass -> codec decision table,
+    broadcast to all encoder tasks (SURVEY.md §4.3 'codec auto-selector').
+
+    Selecting once per job (not once per partition) keeps trial-encode cost
+    out of the hot path — at 1000 executors the alternative is 1000
+    redundant trial encodes per column."""
+    sample = df.select(*columns).limit(sample_rows).toArrow()
+    out = {}
+    for c in columns:
+        arr = sample.column(c).combine_chunks()
+        out[c] = choose_codec(arr, policy=policy)[0]
+    return out
+
+
 def encode_table(
     df: DataFrame,
     columns: list[str] | None = None,
@@ -60,7 +78,10 @@ def encode_table(
 ) -> DataFrame:
     """Encode selected columns of ``df`` into a blocks DataFrame."""
     cols = columns or df.columns
-    overrides = dict(codecs or {})
+    chosen = dict(codecs or {})
+    missing = [c for c in cols if c not in chosen]
+    if missing:
+        chosen.update(choose_codecs_for_df(df, missing, policy, sample_rows))
     proj = df.select(*cols)
 
     def enc(batches):
@@ -68,60 +89,155 @@ def encode_table(
 
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else 0
-        chosen: dict[str, str] = dict(overrides)
         block_id = 0
-        for batch in batches:
-            for off in range(0, batch.num_rows, block_rows):
-                chunk = batch.slice(off, min(block_rows, batch.num_rows - off))
-                out = {k: [] for k in (
-                    "part_id", "block_id", "column", "codec", "n_rows",
-                    "raw_bytes", "enc_bytes", "null_count", "min_val",
-                    "max_val", "distinct_est", "header", "payload")}
-                for cname in cols:
-                    arr = chunk.column(chunk.schema.get_field_index(cname))
-                    if isinstance(arr, pa.ChunkedArray):
-                        arr = arr.combine_chunks()
-                    if cname not in chosen:
-                        chosen[cname] = choose_codec(
-                            arr.slice(0, sample_rows), policy=policy
-                        )[0]
-                    blk = encode_array(arr, chosen[cname])
-                    if with_stats:
-                        mn, mx, dist = _stat_strings(arr)
+
+        def chunks():
+            # coalesce small scan batches into full blocks, slice big ones
+            pending: list[pa.RecordBatch] = []
+            n_pending = 0
+            for batch in batches:
+                pending.append(batch)
+                n_pending += batch.num_rows
+                if n_pending >= block_rows:
+                    tbl = pa.Table.from_batches(pending).combine_chunks()
+                    for off in range(0, tbl.num_rows - block_rows + 1, block_rows):
+                        yield tbl.slice(off, block_rows)
+                    rem = tbl.num_rows % block_rows
+                    if rem:
+                        tail = tbl.slice(tbl.num_rows - rem)
+                        pending = tail.to_batches()
+                        n_pending = rem
                     else:
-                        mn = mx = None
-                        dist = -1
-                    out["part_id"].append(pid)
-                    out["block_id"].append(block_id)
-                    out["column"].append(cname)
-                    out["codec"].append(blk.header["codec"])
-                    out["n_rows"].append(chunk.num_rows)
-                    out["raw_bytes"].append(raw_bytes_of(arr))
-                    out["enc_bytes"].append(len(blk.payload) + len(blk.header_json()))
-                    out["null_count"].append(arr.null_count)
-                    out["min_val"].append(mn)
-                    out["max_val"].append(mx)
-                    out["distinct_est"].append(dist)
-                    out["header"].append(blk.header_json())
-                    out["payload"].append(blk.payload)
-                yield pa.record_batch(
-                    [
-                        pa.array(out["part_id"], pa.int32()),
-                        pa.array(out["block_id"], pa.int64()),
-                        pa.array(out["column"], pa.string()),
-                        pa.array(out["codec"], pa.string()),
-                        pa.array(out["n_rows"], pa.int64()),
-                        pa.array(out["raw_bytes"], pa.int64()),
-                        pa.array(out["enc_bytes"], pa.int64()),
-                        pa.array(out["null_count"], pa.int64()),
-                        pa.array(out["min_val"], pa.string()),
-                        pa.array(out["max_val"], pa.string()),
-                        pa.array(out["distinct_est"], pa.int64()),
-                        pa.array(out["header"], pa.string()),
-                        pa.array(out["payload"], pa.binary()),
-                    ],
-                    names=list(out.keys()),
-                )
-                block_id += 1
+                        pending, n_pending = [], 0
+            if n_pending:
+                yield pa.Table.from_batches(pending).combine_chunks()
+
+        for chunk in chunks():
+            yield _encode_chunk(chunk, cols, chosen, with_stats, pid, block_id)
+            block_id += 1
 
     return proj.mapInArrow(enc, schema=BLOCKS_SCHEMA)
+
+
+def _encode_chunk(chunk, cols, chosen, with_stats, pid, block_id) -> pa.RecordBatch:
+    """Encode one row chunk (pa.Table or RecordBatch) into block rows."""
+    out = {k: [] for k in (
+        "part_id", "block_id", "column", "codec", "n_rows",
+        "raw_bytes", "enc_bytes", "null_count", "min_val",
+        "max_val", "distinct_est", "header", "payload")}
+    for cname in cols:
+        arr = chunk.column(chunk.schema.get_field_index(cname))
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        blk = encode_array(arr, chosen[cname])
+        if with_stats:
+            mn, mx, dist = _stat_strings(arr)
+        else:
+            mn = mx = None
+            dist = -1
+        out["part_id"].append(pid)
+        out["block_id"].append(block_id)
+        out["column"].append(cname)
+        out["codec"].append(blk.header["codec"])
+        out["n_rows"].append(chunk.num_rows)
+        out["raw_bytes"].append(raw_bytes_of(arr))
+        out["enc_bytes"].append(len(blk.payload) + len(blk.header_json()))
+        out["null_count"].append(arr.null_count)
+        out["min_val"].append(mn)
+        out["max_val"].append(mx)
+        out["distinct_est"].append(dist)
+        out["header"].append(blk.header_json())
+        out["payload"].append(blk.payload)
+    return pa.record_batch(
+        [
+            pa.array(out["part_id"], pa.int32()),
+            pa.array(out["block_id"], pa.int64()),
+            pa.array(out["column"], pa.string()),
+            pa.array(out["codec"], pa.string()),
+            pa.array(out["n_rows"], pa.int64()),
+            pa.array(out["raw_bytes"], pa.int64()),
+            pa.array(out["enc_bytes"], pa.int64()),
+            pa.array(out["null_count"], pa.int64()),
+            pa.array(out["min_val"], pa.string()),
+            pa.array(out["max_val"], pa.string()),
+            pa.array(out["distinct_est"], pa.int64()),
+            pa.array(out["header"], pa.string()),
+            pa.array(out["payload"], pa.binary()),
+        ],
+        names=list(out.keys()),
+    )
+
+
+def encode_parquet_files(
+    spark,
+    path: str | list[str],
+    columns: list[str] | None = None,
+    codecs: dict[str, str] | None = None,
+    policy: str = "balanced",
+    sample_rows: int = 8192,
+    block_rows: int = 65536,
+    with_stats: bool = True,
+) -> DataFrame:
+    """Scan-side encode: tasks read parquet ROW GROUPS directly with the
+    pyarrow C++ reader and encode in place.
+
+    Why this exists: ``encode_table`` pays the JVM columnar->Arrow->socket
+    conversion for every raw byte (measured ~5 MB/s/core on binary-heavy
+    columns — the pandas-UDF tax). For the encode pipeline the kernels
+    consume Arrow natively, so shipping raw data through the JVM buys
+    nothing. Here Spark schedules (path, row-group) work items (locality,
+    retries, speculation still apply); only the compact encoded blocks cross
+    the JVM boundary. This is the same pattern Petastorm/Ray datasets use,
+    and it's how the pipeline would front an Iceberg table at 100 TB: the
+    work items come from the table's file manifest.
+    """
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    paths = []
+    for p in [path] if isinstance(path, str) else list(path):
+        if _os.path.isdir(p):
+            paths.extend(sorted(_glob.glob(_os.path.join(p, "*.parquet"))))
+        else:
+            paths.append(p)
+    if not paths:
+        raise ValueError(f"no parquet files under {path}")
+
+    # work items: one per row group (bounded task size regardless of file size)
+    items = []
+    for p in paths:
+        md = _pq.ParquetFile(p).metadata
+        for rg in range(md.num_row_groups):
+            items.append((p, rg))
+
+    first = _pq.ParquetFile(paths[0])
+    all_cols = columns or [first.schema_arrow.field(i).name for i in range(len(first.schema_arrow))]
+    chosen = dict(codecs or {})
+    missing = [c for c in all_cols if c not in chosen]
+    if missing:
+        sample = first.read_row_group(0, columns=missing)
+        for c in missing:
+            arr = sample.column(c).combine_chunks()
+            chosen[c] = choose_codec(arr.slice(0, sample_rows), policy=policy)[0]
+
+    items_df = spark.createDataFrame(items, "path string, rg int").repartition(
+        min(len(items), spark.sparkContext.defaultParallelism * 4)
+    )
+
+    def enc(batches):
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        block_id = 0
+        for batch in batches:
+            for p, rg in zip(batch.column(0).to_pylist(), batch.column(1).to_pylist()):
+                tbl = _pq.ParquetFile(p).read_row_group(rg, columns=all_cols)
+                for off in range(0, tbl.num_rows, block_rows):
+                    chunk = tbl.slice(off, min(block_rows, tbl.num_rows - off))
+                    yield _encode_chunk(chunk, all_cols, chosen, with_stats, pid, block_id)
+                    block_id += 1
+
+    return items_df.mapInArrow(enc, schema=BLOCKS_SCHEMA)

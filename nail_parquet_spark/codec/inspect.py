@@ -40,11 +40,10 @@ def size_summary(blocks: DataFrame) -> DataFrame:
     """Table-level totals (nail size parity, exact instead of heuristic)."""
     return blocks.agg(
         F.countDistinct("part_id", "block_id").alias("n_blocks"),
-        F.sum(F.when(F.col("column") == F.first("column"), F.col("n_rows")).otherwise(0)).alias("_ignore"),
         F.sum("raw_bytes").alias("raw_bytes"),
         F.sum("enc_bytes").alias("enc_bytes"),
         F.round(F.sum("raw_bytes") / F.sum("enc_bytes"), 4).alias("ratio"),
-    ).drop("_ignore")
+    )
 
 
 def encoding_usage(blocks: DataFrame) -> DataFrame:

@@ -106,8 +106,8 @@ def pack_bits(vals: np.ndarray, width: int) -> bytes:
     if width == 0 or len(vals) == 0:
         return b""
     n = len(vals)
-    v = np.ascontiguousarray(vals, dtype="<u8").view(np.uint8).reshape(n, 8)
-    bits = np.unpackbits(v, axis=1, bitorder="little")  # n x 64
+    v = np.ascontiguousarray(vals, dtype="<u8").view(np.uint8)
+    bits = np.unpackbits(v, bitorder="little").reshape(n, 64)  # LE bytes => flat bit order
     return np.packbits(np.ascontiguousarray(bits[:, :width]).ravel(), bitorder="little").tobytes()
 
 
@@ -119,7 +119,9 @@ def unpack_bits(buf: bytes, n: int, width: int) -> np.ndarray:
     ).reshape(n, width)
     full = np.zeros((n, 64), dtype=np.uint8)
     full[:, :width] = bits
-    return np.packbits(full, axis=1, bitorder="little").view("<u8").reshape(n).astype(np.uint64, copy=False)
+    return (
+        np.packbits(full.ravel(), bitorder="little").view("<u8").astype(np.uint64, copy=False)
+    )
 
 
 def pack_validity(valid: np.ndarray | None) -> bytes:

@@ -141,13 +141,18 @@ def raw_bytes_of(arr: pa.Array) -> int:
 
 
 def choose_codec(
-    sample: pa.Array, policy: str = "balanced", min_mbps: float = 24.0
+    sample: pa.Array, policy: str = "balanced", min_mbps: float = 24.0,
+    trial_byte_budget: int = 1 << 21,
 ) -> tuple[str, ColumnStats]:
     """Pick a codec for a column given a sample of it."""
     kind = kind_of(sample.type)
     st = column_stats(sample)
     if st.n == 0:
         return "plain", st
+    # cap trial-encode cost: slow codecs (fsst) on wide columns (html) would
+    # otherwise dominate job setup
+    if st.avg_len and st.n * st.avg_len > trial_byte_budget:
+        sample = sample.slice(0, max(256, int(trial_byte_budget / st.avg_len)))
     cands = candidate_codecs(kind, st)
     raw = max(raw_bytes_of(sample), 1)
 

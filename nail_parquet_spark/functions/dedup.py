@@ -1,0 +1,206 @@
+"""Deduplication for training-data pipelines: exact, MinHash+LSH, SimHash,
+n-gram Jaccard, embedding-cosine near-dup.
+
+Scale design: every method is candidate-generation (cheap, distributed,
+bucket-join) followed by verification (exact measure on candidate pairs
+only) — never an O(n²) cross join. Hashes are md5-derived so the DuckDB
+oracle can reproduce them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from nail_parquet_spark.functions.text import doc_fingerprint, word_hash
+
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Groups of byte-identical texts: (fingerprint, n_docs, keep_id).
+    keep_id = min id; rows with n_docs > 1 are duplicate clusters."""
+    return (
+        df.select(F.col(id_col), doc_fingerprint(F.col(text_col)).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("keep_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep one row (min id) per distinct text."""
+    w_keep = (
+        df.select(F.col(id_col).alias("__id"), doc_fingerprint(F.col(text_col)).alias("__fp"))
+        .groupBy("__fp")
+        .agg(F.min("__id").alias("__keep"))
+    )
+    return (
+        df.join(w_keep, doc_fingerprint(F.col(text_col)) == F.col("__fp"))
+        .filter(F.col(id_col) == F.col("__keep"))
+        .drop("__fp", "__keep")
+    )
+
+
+def _words(text_col: str) -> F.Column:
+    t = F.trim(F.lower(F.col(text_col)))
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(F.split(t, r"\s+"))
+
+
+def word_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """(id, shingle) pairs: k-word shingles via posexplode + self-zip —
+    all JVM-side array ops."""
+    words = _words(text_col)
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    sh = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, k))
+    )
+    out = df.select(
+        F.col(id_col), F.explode(F.when(n >= k, sh).otherwise(F.array())).alias("shingle")
+    ).distinct()
+    return out
+
+
+def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
+                       num_hashes: int = 16, shingle_k: int = 3) -> DataFrame:
+    """MinHash signature per doc: h_i = min over shingles of md5(i || shingle).
+
+    md5-string min is a valid random-permutation proxy and is reproducible
+    in any SQL engine (ORACLE: min(md5(i::text || shingle))).
+    """
+    sh = word_shingles(df, id_col, text_col, k=shingle_k)
+    aggs = [
+        F.min(F.md5(F.encode(F.concat(F.lit(str(i) + "|"), F.col("shingle")), "UTF-8"))).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_candidates(sigs: DataFrame, id_col: str, num_hashes: int = 16,
+                           bands: int = 4) -> DataFrame:
+    """LSH banding: concat rows of each band, group, emit candidate pairs
+    (id_a < id_b). Pair extraction is a self-join per band bucket."""
+    rows_per = num_hashes // bands
+    parts = []
+    for b in range(bands):
+        cols = [F.col(f"mh_{b * rows_per + r}") for r in range(rows_per)]
+        parts.append(
+            sigs.select(
+                F.col(id_col),
+                F.concat_ws("|", F.lit(str(b)), *cols).alias("bucket"),
+            )
+        )
+    buckets = parts[0]
+    for p in parts[1:]:
+        buckets = buckets.unionAll(p)
+    a = buckets.alias("a")
+    b_ = buckets.alias("b")
+    return (
+        a.join(b_, (F.col("a.bucket") == F.col("b.bucket")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_verify(df: DataFrame, candidates: DataFrame, id_col: str, text_col: str,
+                   shingle_k: int = 3, threshold: float = 0.7) -> DataFrame:
+    """Exact shingle-set Jaccard on candidate pairs only."""
+    sh = word_shingles(df, id_col, text_col, k=shingle_k)
+    sa = sh.select(F.col(id_col).alias("id_a"), F.col("shingle"))
+    sb = sh.select(F.col(id_col).alias("__idb"), F.col("shingle").alias("__shb"))
+    inter = (
+        candidates.join(sa, "id_a")
+        .join(sb, (F.col("id_b") == F.col("__idb")) & (F.col("shingle") == F.col("__shb")), "inner")
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    out = (
+        inter.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+        .withColumn("jaccard", F.round(F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
+                        shingle_k: int = 3, threshold: float = 0.5) -> DataFrame:
+    """Direct n-gram Jaccard near-dup pairs: candidates = pairs sharing at
+    least one shingle (inverted-index join), then exact verify.
+
+    At 100 TB the shared-shingle join is bounded by dropping ubiquitous
+    shingles (document frequency cap) — the classic inverted-index trick."""
+    sh = word_shingles(df, id_col, text_col, k=shingle_k)
+    # df cap: drop shingles appearing in > 1000 docs (stopword shingles)
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df")).filter(F.col("__df") <= 1000)
+    sh2 = sh.join(freq.select("shingle"), "shingle")
+    a = sh2.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh2.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, ["shingle"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    return (
+        inter.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+        .withColumn("jaccard", F.round(F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
+    """SimHash per doc: sign of per-bit vote over word hashes.
+
+    bit_j(doc) = 1 iff sum over distinct words of (2*bit_j(h(w)) - 1) > 0,
+    with h = portable md5-derived 60-bit hash. Pure groupBy aggregation.
+    """
+    words = df.select(F.col(id_col), F.explode(_words(text_col)).alias("w")).distinct()
+    h = word_hash(F.col("w"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v_{j}")
+        for j in range(bits)
+    ]
+    agg = words.groupBy(id_col).agg(*votes)
+    sig = F.lit(0).cast("bigint")
+    for j in range(bits):
+        sig = sig + F.when(F.col(f"v_{j}") > 0, F.lit(1 << j).cast("bigint")).otherwise(0)
+    return agg.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_near_pairs(sig: DataFrame, id_col: str, bits: int = 32,
+                       max_hamming: int = 3, bands: int = 4) -> DataFrame:
+    """Near-dup candidates by banded simhash (pigeonhole: pairs within
+    max_hamming share at least one of `bands` exact band values), verified
+    by exact Hamming distance via bit_count(xor)."""
+    per = bits // bands
+    mask = (1 << per) - 1
+    parts = []
+    for b in range(bands):
+        parts.append(
+            sig.select(
+                F.col(id_col),
+                F.col("simhash"),
+                F.concat_ws(":", F.lit(str(b)),
+                            F.shiftright(F.col("simhash"), b * per).bitwiseAND(F.lit(mask)).cast("string")).alias("bucket"),
+            )
+        )
+    buckets = parts[0]
+    for p in parts[1:]:
+        buckets = buckets.unionAll(p)
+    a, b_ = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(b_, (F.col("a.bucket") == F.col("b.bucket")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .distinct()
+    )
+    return cand.filter(F.col("hamming") <= max_hamming)

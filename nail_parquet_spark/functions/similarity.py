@@ -1,0 +1,120 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k is the exact baseline (fully relational:
+posexplode + sum-of-products, so the DuckDB oracle can verify it). The
+scale path is LSH bucketing (random-hyperplane signs) that prunes the pair
+space before the exact rerank — the standard recipe when n² won't fit.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, functions as F
+
+
+def _dot_expr(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm_expr(a):
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
+
+
+def cosine_topk_bruteforce(df: DataFrame, queries: DataFrame, id_col: str,
+                           vec_col: str, k: int = 5) -> DataFrame:
+    """Exact top-k neighbors for each query vector.
+
+    queries: (query_id, vec). The query side is broadcast (it's small); the
+    corpus streams — one pass, no shuffle of the corpus. Ties broken by id
+    for determinism.
+    """
+    from pyspark.sql import Window
+
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+    c = df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    joined = c.crossJoin(F.broadcast(q)).filter(F.col("neighbor_id") != F.col("query_id"))
+    cos = _dot_expr(F.col("__qv"), F.col("__cv")) / (
+        _norm_expr(F.col("__qv")) * _norm_expr(F.col("__cv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        joined.withColumn("cosine", F.round(cos, 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def random_hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> list[list[float]]:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def lsh_bucket(df: DataFrame, vec_col: str, planes: list[list[float]]) -> DataFrame:
+    """Sign-of-projection LSH signature: one int bucket per row. Pure
+    relational expressions (no UDF), so codegen applies."""
+    sig = F.lit(0).cast("bigint")
+    for j, plane in enumerate(planes):
+        arr = F.array(*[F.lit(float(x)) for x in plane])
+        dot = _dot_expr(F.col(vec_col), arr)
+        sig = sig + F.when(dot > 0, F.lit(1 << j).cast("bigint")).otherwise(0)
+    return df.withColumn("lsh_bucket", sig)
+
+
+def cosine_topk_lsh(df: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
+                    k: int = 5, n_planes: int = 12, seed: int = 42,
+                    probe_hamming: int = 1) -> DataFrame:
+    """Approximate top-k: candidates share an LSH bucket (or a bucket within
+    `probe_hamming` bit flips — multiprobe), exact cosine rerank on the
+    pruned set. Recall/efficiency tradeoff is (n_planes, probe_hamming)."""
+    from pyspark.sql import Window
+
+    dim = len(df.select(vec_col).first()[0])
+    planes = random_hyperplanes(dim, n_planes, seed)
+    c = lsh_bucket(df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")), "__cv", planes)
+    q = lsh_bucket(queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")), "__qv", planes)
+    # multiprobe: expand each query into its bucket + single-bit-flip buckets
+    probes = [F.col("lsh_bucket")]
+    if probe_hamming >= 1:
+        probes += [F.col("lsh_bucket").bitwiseXOR(F.lit(1 << j)) for j in range(n_planes)]
+    q = q.withColumn("probe", F.explode(F.array(*probes))).drop("lsh_bucket")
+    joined = c.join(F.broadcast(q), c["lsh_bucket"] == q["probe"]).filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    cos = _dot_expr(F.col("__qv"), F.col("__cv")) / (
+        _norm_expr(F.col("__qv")) * _norm_expr(F.col("__cv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        joined.withColumn("cosine", F.round(cos, 6))
+        .select("query_id", "neighbor_id", "cosine")
+        .distinct()
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def embedding_near_duplicates(df: DataFrame, id_col: str, vec_col: str,
+                              threshold: float = 0.95, n_planes: int = 12,
+                              seed: int = 42) -> DataFrame:
+    """Embedding-cosine near-dup pairs via LSH bucket self-join + exact
+    verify — the embedding analogue of MinHash dedup."""
+    dim = len(df.select(vec_col).first()[0])
+    planes = random_hyperplanes(dim, n_planes, seed)
+    b = lsh_bucket(df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")), "__v", planes)
+    a, bb = b.alias("a"), b.alias("b")
+    cand = a.join(
+        bb, (F.col("a.lsh_bucket") == F.col("b.lsh_bucket")) & (F.col("a.__id") < F.col("b.__id"))
+    )
+    cos = _dot_expr(F.col("a.__v"), F.col("b.__v")) / (
+        _norm_expr(F.col("a.__v")) * _norm_expr(F.col("b.__v"))
+    )
+    return (
+        cand.withColumn("cosine", F.round(cos, 6))
+        .filter(F.col("cosine") >= threshold)
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"), "cosine")
+    )

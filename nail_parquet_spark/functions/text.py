@@ -1,0 +1,99 @@
+"""Text-analysis column expressions for training-data pipelines.
+
+All built from JVM-side ``pyspark.sql.functions`` (whole-stage codegen —
+no Python in the hot path) and chosen to have exact ANSI-SQL equivalents so
+the DuckDB oracle can verify them value-for-value at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# stopword markers per language for the n-gram/stopword language-ID heuristic
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": [" the ", " and ", " of ", " to ", " is "],
+    "de": [" der ", " die ", " und ", " das ", " ist "],
+    "fr": [" le ", " la ", " et ", " les ", " est "],
+    "es": [" el ", " la ", " los ", " que ", " es "],
+    "it": [" il ", " la ", " che ", " di ", " è "],
+}
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count; empty/blank string counts 0."""
+    t = F.trim(col)
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+"))).cast("long")
+
+
+def _count_occurrences(col: Column, needle: str) -> Column:
+    """Occurrences of a literal substring via length arithmetic — portable
+    to any SQL engine (length(x) - length(replace(x, n, ''))) / length(n)."""
+    return (
+        (F.length(col) - F.length(F.replace(col, F.lit(needle), F.lit(""))))
+        / F.lit(len(needle))
+    ).cast("long")
+
+
+def lang_scores(col: Column, langs: list[str] | None = None) -> list[Column]:
+    """Per-language stopword-hit scores (heuristic language ID). Padded with
+    spaces so boundary words count."""
+    padded = F.concat(F.lit(" "), F.lower(col), F.lit(" "))
+    out = []
+    for lang in langs or list(LANG_MARKERS):
+        score = None
+        for m in LANG_MARKERS[lang]:
+            c = _count_occurrences(padded, m)
+            score = c if score is None else score + c
+        out.append(score.alias(f"score_{lang}"))
+    return out
+
+
+def lang_id(col: Column, langs: list[str] | None = None) -> Column:
+    """argmax language by stopword score; 'und' (undetermined) when all 0."""
+    langs = langs or list(LANG_MARKERS)
+    padded = F.concat(F.lit(" "), F.lower(col), F.lit(" "))
+    scores = []
+    for lang in langs:
+        s = None
+        for m in LANG_MARKERS[lang]:
+            c = _count_occurrences(padded, m)
+            s = c if s is None else s + c
+        scores.append((lang, s))
+    best = F.lit("und")
+    best_score = F.lit(0).cast("long")
+    for lang, s in scores:  # strictly-greater keeps first-wins tie semantics
+        cond = s > best_score
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_score = F.when(cond, s).otherwise(best_score)
+    return best
+
+
+def quality_metrics(col: Column) -> list[Column]:
+    """Length / punctuation / digit / whitespace ratios and mean word length
+    — the usual web-text quality-filter features."""
+    n = F.length(col)
+    nonempty = n > 0
+    digits = F.length(col) - F.length(F.regexp_replace(col, r"[0-9]", ""))
+    punct = F.length(col) - F.length(F.regexp_replace(col, r"[^\w\s]", ""))
+    spaces = F.length(col) - F.length(F.regexp_replace(col, r"\s", ""))
+    toks = token_count(col)
+    return [
+        n.cast("long").alias("n_chars"),
+        toks.alias("n_tokens"),
+        F.when(nonempty, F.round(digits / n, 6)).otherwise(0.0).alias("digit_ratio"),
+        F.when(nonempty, F.round(punct / n, 6)).otherwise(0.0).alias("punct_ratio"),
+        F.when(nonempty, F.round(spaces / n, 6)).otherwise(0.0).alias("space_ratio"),
+        F.when(toks > 0, F.round((n - spaces) / toks, 6)).otherwise(0.0).alias("mean_word_len"),
+    ]
+
+
+def doc_fingerprint(col: Column) -> Column:
+    """Deterministic document fingerprint (md5 hex) — dedup key + portable
+    to every SQL engine for oracle checks."""
+    return F.md5(F.encode(col, "UTF-8"))
+
+
+def word_hash(col: Column) -> Column:
+    """Portable 60-bit word hash: first 15 hex chars of md5 as bigint.
+    Matches DuckDB's CAST('0x'||substr(md5(w),1,15) AS BIGINT)."""
+    return F.conv(F.substring(F.md5(F.encode(col, "UTF-8")), 1, 15), 16, 10).cast("bigint")

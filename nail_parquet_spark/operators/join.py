@@ -1,0 +1,124 @@
+"""Join / set operators: merge, append, dedup, distinct (SURVEY.md §2.4,
+§2.8). Catalyst picks broadcast vs sort-merge; small dimension sides get an
+explicit broadcast hint from the caller when known-small.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from nail_parquet_spark.rowid import ROW_ID, with_row_id
+
+
+def merge(left: DataFrame, right: DataFrame, key: str, join_type: str = "inner",
+          right_prefix: str = "r_", broadcast_right: bool = False) -> DataFrame:
+    """Equi-join with the reference's conventions (merge.rs:30-147):
+    inner/left/right only; key may be 'left_col=right_col'; key resolution is
+    case-insensitive; right-side columns get a prefix to avoid collisions."""
+    if join_type not in ("inner", "left", "right"):
+        raise ValueError(f"join type '{join_type}' not supported (merge.rs:44-52)")
+    if "=" in key:
+        lk, rk = key.split("=", 1)
+    else:
+        lk = rk = key
+
+    def resolve(df: DataFrame, name: str) -> str:
+        if name in df.columns:
+            return name
+        low = {c.lower(): c for c in df.columns}
+        if name.lower() in low:
+            return low[name.lower()]
+        raise ValueError(f"join key '{name}' not found in {df.columns}")
+
+    lk, rk = resolve(left, lk), resolve(right, rk)
+    r2 = right
+    for c in right.columns:
+        if c != rk:
+            r2 = r2.withColumnRenamed(c, f"{right_prefix}{c}")
+    if broadcast_right:
+        r2 = F.broadcast(r2)
+    joined = left.join(r2, left[lk] == r2[rk], join_type)
+    if lk == rk:
+        joined = joined.drop(r2[rk])
+    return joined
+
+
+def append(dfs: list[DataFrame], ignore_schema: bool = False) -> DataFrame:
+    """UNION ALL with strict schema check, or --ignore-schema projection onto
+    the base schema padding missing columns with typed NULLs
+    (append.rs:23-131)."""
+    base = dfs[0]
+    out = base
+    for other in dfs[1:]:
+        if ignore_schema:
+            proj = []
+            other_types = dict(other.dtypes)
+            for c, t in base.dtypes:
+                if c in other.columns:
+                    proj.append(F.col(c).cast(t).alias(c))
+                else:
+                    proj.append(F.lit(None).cast(t).alias(c))
+            out = out.union(other.select(*proj))
+        else:
+            if [(f.name, f.dataType) for f in base.schema.fields] != [
+                (f.name, f.dataType) for f in other.schema.fields
+            ]:
+                raise ValueError("schemas differ; pass ignore_schema=True (append.rs:41-46)")
+            out = out.union(other)
+    return out
+
+
+def dedup_rows(df: DataFrame, subset: list[str] | None = None, keep: str = "first",
+               order_col: str | None = None) -> DataFrame:
+    """Row dedup keep-first/keep-last by deterministic row order
+    (dedup.rs:67-136). keep='any' maps to dropDuplicates (cheapest)."""
+    cols = subset or df.columns
+    if keep == "any":
+        return df.dropDuplicates(cols)
+    base = with_row_id(df) if order_col is None else df
+    oc = order_col or ROW_ID
+    order = F.col(oc).asc() if keep == "first" else F.col(oc).desc()
+    w = Window.partitionBy(*cols).orderBy(order)
+    out = base.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+    if order_col is None:
+        out = out.orderBy(ROW_ID).drop(ROW_ID)
+    return out
+
+
+def dedup_columns(df: DataFrame, keep: str = "first") -> DataFrame:
+    """Drop value-identical columns, keeping first or last occurrence.
+
+    The reference compares collected batches pairwise O(cols² · rows)
+    (dedup.rs:138-281); here each column is reduced to one pair of
+    order-sensitive aggregate fingerprints in a single distributed pass,
+    and only fingerprint-equal columns are dropped.
+    """
+    cols = df.columns
+    base = with_row_id(df)
+    aggs = []
+    for c in cols:
+        canon = F.concat_ws("\x01", F.col(ROW_ID),
+                            F.coalesce(F.col(c).cast("string"), F.lit("\x00null")))
+        aggs.append(F.sum(F.xxhash64(canon)).alias(f"h1__{c}"))
+        aggs.append(F.sum(F.xxhash64(canon, F.lit(7))).alias(f"h2__{c}"))
+    row = base.agg(*aggs).collect()[0]
+    sig = {c: (row[f"h1__{c}"], row[f"h2__{c}"]) for c in cols}
+    seen: dict[tuple, str] = {}
+    keep_cols = []
+    order = cols if keep == "first" else list(reversed(cols))
+    for c in order:
+        if sig[c] in seen:
+            continue
+        seen[sig[c]] = c
+        keep_cols.append(c)
+    if keep == "last":
+        keep_cols = [c for c in cols if c in set(keep_cols)]
+    return df.select(*keep_cols)
+
+
+def intersect_rows(a: DataFrame, b: DataFrame) -> DataFrame:
+    return a.intersect(b)
+
+
+def except_rows(a: DataFrame, b: DataFrame) -> DataFrame:
+    return a.exceptAll(b)

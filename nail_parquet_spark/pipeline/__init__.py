@@ -1,0 +1,3 @@
+from nail_parquet_spark.pipeline.partition import salted_repartition_by_host  # noqa: F401
+from nail_parquet_spark.pipeline.manifest import partition_manifest  # noqa: F401
+from nail_parquet_spark.pipeline.checkpoint import encode_resumable  # noqa: F401

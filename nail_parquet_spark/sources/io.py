@@ -1,0 +1,67 @@
+"""Format-dispatched read/write (io.rs:14-34, utils/mod.rs:47-57 parity).
+
+Parquet/CSV/NDJSON are distributed scans/sinks; XLSX stays driver-side via
+pandas exactly like the reference (calamine/rust_xlsxwriter are
+single-process too, io.rs:36-322).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _fmt_of(path: str, fmt: str | None) -> str:
+    if fmt:
+        return fmt
+    ext = os.path.splitext(path)[1].lower().lstrip(".")
+    if ext in ("parquet", "pqt"):
+        return "parquet"
+    if ext == "csv":
+        return "csv"
+    if ext in ("json", "jsonl", "ndjson"):
+        return "json"
+    if ext in ("xlsx", "xls"):
+        return "xlsx"
+    raise ValueError(f"unsupported extension '.{ext}' (utils/mod.rs:47-57)")
+
+
+def read_data(spark: SparkSession, path: str, fmt: str | None = None) -> DataFrame:
+    fmt = _fmt_of(path, fmt)
+    if fmt == "parquet":
+        return spark.read.parquet(path)
+    if fmt == "csv":
+        return spark.read.csv(path, header=True, inferSchema=True)
+    if fmt == "json":
+        return spark.read.json(path)
+    if fmt == "xlsx":
+        import pandas as pd
+
+        return spark.createDataFrame(pd.read_excel(path))
+    raise ValueError(fmt)
+
+
+def write_data(df: DataFrame, path: str, fmt: str | None = None,
+               mode: str = "overwrite", single_file: bool = False) -> None:
+    fmt = _fmt_of(path, fmt)
+    out = df.coalesce(1) if single_file else df
+    if fmt == "parquet":
+        out.write.mode(mode).parquet(path)
+    elif fmt == "csv":
+        out.write.mode(mode).option("header", True).csv(path)
+    elif fmt == "json":
+        out.write.mode(mode).json(path)
+    elif fmt == "xlsx":
+        df.limit(1_048_575).toPandas().to_excel(path, index=False)
+    else:
+        raise ValueError(fmt)
+
+
+def convert(spark: SparkSession, src: str, dst: str,
+            src_fmt: str | None = None, dst_fmt: str | None = None) -> dict:
+    """Format conversion (convert.rs:30-57); returns rows/cols like the
+    reference logs."""
+    df = read_data(spark, src, src_fmt)
+    write_data(df, dst, dst_fmt)
+    return {"rows": df.count(), "cols": len(df.columns)}

@@ -1,0 +1,116 @@
+"""Codec kernel round-trip property tests (SURVEY.md §5 adopted strategy:
+encode->decode bit-identity on adversarial arrays)."""
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from nail_parquet_spark.codec import VALID_CODECS, decode_array, encode_array
+from nail_parquet_spark.codec.kernels import (
+    EncodedBlock,
+    kind_of,
+    pack_bits,
+    unpack_bits,
+)
+
+rng = np.random.default_rng(7)
+
+
+def roundtrip(arr: pa.Array, codec: str):
+    blk = encode_array(arr, codec)
+    blk2 = EncodedBlock.from_parts(blk.header_json(), blk.payload)
+    dec = decode_array(blk2)
+    if not dec.equals(arr):
+        a1, a2 = arr.to_pandas(), dec.to_pandas()
+        assert (a1.isna() == a2.isna()).all(), f"{codec}: null mask differs"
+        assert (a1.dropna() == a2.dropna()).all(), f"{codec}: values differ"
+
+
+INT_CASES = [
+    np.arange(1000, dtype=np.int64),
+    rng.integers(-(2**62), 2**62, 500),
+    np.repeat(rng.integers(0, 5, 50), rng.integers(1, 40, 50)),
+    np.zeros(100, dtype=np.int64),
+    np.array([], dtype=np.int64),
+    np.array([7], dtype=np.int64),
+    np.array([-(2**63), 2**63 - 1, 0, -1], dtype=np.int64),
+]
+
+
+@pytest.mark.parametrize("codec", VALID_CODECS["int"])
+def test_int_roundtrip(codec):
+    for v in INT_CASES:
+        roundtrip(pa.array(v, type=pa.int64()), codec)
+        if len(v):
+            mask = rng.random(len(v)) < 0.2
+            roundtrip(pa.array(v, type=pa.int64(), mask=mask), codec)
+
+
+@pytest.mark.parametrize("codec", VALID_CODECS["int"])
+def test_timestamp_bool_date_roundtrip(codec):
+    ts = pa.array(rng.integers(10**15, 2 * 10**15, 300), type=pa.int64()).cast(pa.timestamp("us"))
+    roundtrip(ts, codec)
+    roundtrip(pa.array(rng.random(200) < 0.5), codec)
+    roundtrip(pa.array(rng.integers(0, 20000, 100), type=pa.int32()).cast(pa.date32()), codec)
+
+
+@pytest.mark.parametrize("codec", VALID_CODECS["float"])
+def test_float_roundtrip(codec):
+    fv = rng.normal(size=400)
+    fv[::17] = np.nan
+    roundtrip(pa.array(fv), codec)
+    roundtrip(pa.array(fv, mask=rng.random(400) < 0.1), codec)
+    roundtrip(pa.array(fv.astype(np.float32), type=pa.float32()), codec)
+
+
+STR_CASES = None
+
+
+def _str_cases():
+    words = ["the", "quick", "https://example.com/", "日本語テキスト", "émoji 🎉", ""]
+    sv = ["".join(rng.choice(words, rng.integers(0, 12))) for _ in range(500)]
+    return [
+        pa.array(sv, type=pa.string()),
+        pa.array([None if rng.random() < 0.15 else s for s in sv], type=pa.string()),
+        pa.array([], type=pa.string()),
+        pa.array(["", "", ""], type=pa.string()),
+        pa.array(["x" * 10000], type=pa.string()),
+        pa.array(np.repeat(["en", "de", "fr"], 100).tolist()),
+        pa.array(sv[:50], type=pa.large_string()),
+    ]
+
+
+@pytest.mark.parametrize("codec", VALID_CODECS["str"])
+def test_string_roundtrip(codec):
+    for arr in _str_cases():
+        roundtrip(arr, codec)
+
+
+@pytest.mark.parametrize("codec", VALID_CODECS["bin"])
+def test_binary_roundtrip(codec):
+    bv = [bytes(rng.integers(0, 256, rng.integers(0, 300), dtype=np.uint8).tolist()) for _ in range(120)]
+    bv += [b"\xff" * 9, b"\xff\x00\xff", b"", b"\xfe\xff" * 50]  # escape-code stress
+    roundtrip(pa.array(bv, type=pa.binary()), codec)
+    roundtrip(pa.array([None if rng.random() < 0.2 else b for b in bv], type=pa.binary()), codec)
+
+
+def test_pack_bits_exact():
+    for width in [0, 1, 3, 7, 8, 13, 31, 43, 63, 64]:
+        hi = 2**width if width < 64 else 2**64
+        v = rng.integers(0, hi, 257, dtype=np.uint64, endpoint=False)
+        assert np.array_equal(unpack_bits(pack_bits(v, width), 257, width), v if width else np.zeros(257, np.uint64))
+
+
+def test_compression_actually_compresses():
+    lang = pa.array(np.repeat(rng.choice(["en", "de", "fr"], 100), 100).tolist())
+    raw = sum(len(x) for x in lang.to_pylist())
+    assert len(encode_array(lang, "rle").payload) < raw / 50
+    ts = pa.array(np.cumsum(rng.integers(0, 1000, 10000)) + 10**15, type=pa.int64())
+    assert len(encode_array(ts, "delta_bitpack").payload) < 8 * 10000 / 3
+
+
+def test_kind_dispatch():
+    assert kind_of(pa.int32()) == "int"
+    assert kind_of(pa.timestamp("us")) == "int"
+    assert kind_of(pa.float64()) == "float"
+    assert kind_of(pa.string()) == "str"
+    assert kind_of(pa.binary()) == "bin"

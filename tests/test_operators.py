@@ -1,0 +1,188 @@
+"""Operator-surface golden tests ported from the reference's CLI contract
+(/root/reference/tests/cli.rs; FIXTURES.md F2/F3)."""
+import pytest
+from pyspark.sql import functions as F
+
+from nail_parquet_spark import operators as ops
+
+
+def test_count_golden(sample):
+    assert ops.count_rows(sample) == 5  # cli.rs:73
+
+
+def test_headers_golden(sample):
+    assert ops.headers(sample) == ["id", "name", "value", "category"]  # cli.rs:95
+
+
+def test_filter_golden(sample):
+    # cli.rs:154-155: id>3 AND category=B -> exactly 1 row (David)
+    out = ops.filter_conditions(sample, "id>3,category=B")
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0]["name"] == "David"
+
+
+def test_select_rows_golden(sample):
+    # cli.rs:129-130: -r "1,3-4" -> 3 rows
+    out = ops.select_rows(sample, "1,3-4", order_col="id")
+    assert sorted(r["id"] for r in out.collect()) == [1, 3, 4]
+
+
+def test_drop_rows(sample):
+    out = ops.drop_rows(sample, "2,5", order_col="id")
+    assert sorted(r["id"] for r in out.collect()) == [1, 3, 4]
+
+
+def test_corr_golden(sample):
+    # cli.rs:405: corr(id, value) > 0.9
+    out = ops.correlations(sample, ["id", "value"], method="pearson")
+    c = {(r["column_a"], r["column_b"]): r["correlation"] for r in out.collect()}
+    assert c[("id", "value")] > 0.9
+
+
+def test_select_columns_patterns(sample):
+    assert ops.select_columns(sample, ["id", "name"]).columns == ["id", "name"]
+    assert ops.select_columns(sample, ["NAME"]).columns == ["name"]  # case-insensitive
+    assert ops.select_columns(sample, ["^c"]).columns == ["category"]  # regex
+    with pytest.raises(ValueError):
+        ops.select_columns(sample, ["nope"])
+
+
+def test_rename_validations(sample):
+    out = ops.rename_columns(sample, ["name=full_name"])
+    assert "full_name" in out.columns and "name" not in out.columns
+    with pytest.raises(ValueError):
+        ops.rename_columns(sample, ["missing=x"])
+    with pytest.raises(ValueError):
+        ops.rename_columns(sample, ["name=value"])  # conflict (rename.rs:60-70)
+    with pytest.raises(ValueError):
+        ops.rename_columns(sample, ["name=x", "value=x"])  # dup target
+
+
+def test_create_columns(sample):
+    out = ops.create_columns(sample, ["double_value=value * 2"])
+    row = out.filter(F.col("id") == 1).collect()[0]
+    assert row["double_value"] == 200.0
+
+
+def test_id_column(sample):
+    out = ops.add_id_column(sample, name="row_id", prefix="r_", order_col="id")
+    assert out.columns[0] == "row_id"
+    assert [r["row_id"] for r in out.orderBy("id").collect()] == [f"r_{i}" for i in range(1, 6)]
+    with pytest.raises(ValueError):
+        ops.add_id_column(sample, name="id")  # exists (id.rs:47-50)
+
+
+def test_merge_semantics(sample, sample2):
+    j = ops.merge(sample, sample2, "id=user_id", "inner", broadcast_right=True)
+    assert j.count() == 3
+    assert "r_score" in j.columns
+    left = ops.merge(sample, sample2, "id=user_id", "left")
+    assert left.count() == 5
+    with pytest.raises(ValueError):
+        ops.merge(sample, sample2, "id=user_id", "full")  # unsupported (merge.rs:44-52)
+
+
+def test_append_strict_and_ignore(sample):
+    assert ops.append([sample, sample]).count() == 10
+    other = sample.select("id", "name")
+    with pytest.raises(ValueError):
+        ops.append([sample, other])
+    padded = ops.append([sample, other], ignore_schema=True)
+    assert padded.count() == 10
+    assert padded.filter(F.col("value").isNull()).count() == 5
+
+
+def test_dedup_rows(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b"), (4, "b"), (5, "b")], "id long, k string"
+    )
+    first = ops.dedup_rows(df, ["k"], keep="first", order_col="id")
+    assert sorted(r["id"] for r in first.collect()) == [1, 3]
+    last = ops.dedup_rows(df, ["k"], keep="last", order_col="id")
+    assert sorted(r["id"] for r in last.collect()) == [2, 5]
+
+
+def test_dedup_columns(spark):
+    df = spark.createDataFrame(
+        [(1, 1, "x", "x"), (2, 2, "y", "y")], "a long, a_copy long, s string, s_copy string"
+    )
+    out = ops.dedup_columns(df, keep="first")
+    assert out.columns == ["a", "s"]
+    out_last = ops.dedup_columns(df, keep="last")
+    assert out_last.columns == ["a_copy", "s_copy"]
+
+
+def test_fill(with_nulls):
+    filled = ops.fill_value(with_nulls, ["v"], -1.0)
+    assert filled.filter(F.col("v") == -1.0).count() == 2
+    mean_filled = ops.fill_stat(with_nulls, ["v"], "mean")
+    got = {r["id"]: r["v"] for r in mean_filled.collect()}
+    assert got[2] == pytest.approx((1.0 + 3.0 + 4.0) / 3)
+    ff = ops.fill_directional(with_nulls, ["s"], "forward", order_col="id")
+    got = {r["id"]: r["s"] for r in ff.collect()}
+    assert got[2] == "a" and got[4] == "c"
+    bf = ops.fill_directional(with_nulls, ["s"], "backward", order_col="id")
+    got = {r["id"]: r["s"] for r in bf.collect()}
+    assert got[2] == "c" and got[4] == "e"
+
+
+def test_row_filter_modes(with_nulls):
+    assert ops.filter_rows_mode(with_nulls, "no-nan").count() == 2
+    assert ops.filter_rows_mode(with_nulls, "numeric-only").count() == 3
+
+
+def test_sample_shuffle_split(sample):
+    s = ops.sample_random(sample, 3, seed=11)
+    assert s.count() == 3
+    assert ops.sample_random(sample, 3, seed=11).collect() == s.collect()  # seeded determinism
+    assert sorted(ops.shuffle_rows(sample, seed=5).select("id").toPandas()["id"]) == [1, 2, 3, 4, 5]
+    parts = ops.split_by_ratio(sample, [0.6, 0.4], seed=3)
+    assert sum(p.count() for p in parts) == 5
+
+
+def test_stratified_split_covers_classes(spark):
+    rows = [(i, "A" if i < 40 else "B") for i in range(50)]
+    df = spark.createDataFrame(rows, "id long, cat string")
+    tr, te = ops.split_by_ratio(df, [0.8, 0.2], seed=1, stratify_by="cat")
+    trc = tr.groupBy("cat").count().collect()
+    got = {r["cat"]: r["count"] for r in trc}
+    assert got["A"] == 32 and got["B"] == 8  # exact stratified 80%
+
+
+def test_sort_strategies(spark):
+    df = spark.createDataFrame([("10",), ("9",), ("100",)], "s string")
+    alpha = [r["s"] for r in ops.sort_by(df, [{"col": "s", "strategy": "alphabetic"}]).collect()]
+    assert alpha == ["10", "100", "9"]
+    num = [r["s"] for r in ops.sort_by(df, [{"col": "s", "strategy": "numeric"}]).collect()]
+    assert num == ["9", "10", "100"]
+
+
+def test_stats_shapes(sample):
+    basic = ops.stats(sample, stats_type="basic").collect()
+    assert {r["column"] for r in basic} == set(sample.columns)
+    ex = ops.stats(sample, ["value"], stats_type="exhaustive").collect()[0]
+    assert ex["min"] == 100.0 and ex["max"] == 500.0
+    with pytest.raises(NotImplementedError):
+        ops.stats(sample, stats_type="hypothesis")  # reference parity (stats.rs:247-249)
+
+
+def test_binning_and_outliers(sample):
+    b = ops.binning(sample, "value", bins=2, labels="index")
+    assert set(r["value_bin"] for r in b.collect()) == {"bin_1", "bin_2"}
+    flagged = ops.outliers(sample, ["value"], method="zscore")
+    assert "is_outlier" in flagged.columns
+    removed = ops.outliers(sample, ["value"], method="isolation", action="remove")
+    assert removed.count() < 5  # range heuristic always flags extremes
+
+
+def test_search(sample):
+    assert ops.search_value(sample, "ali", case_insensitive=True).count() == 1
+    rows = ops.search_rows(sample, "a", columns=["name", "category"]).collect()
+    assert all(set(r["matched_columns"].split(",")) <= {"name", "category"} for r in rows)
+
+
+def test_frequency_and_pivot(sample):
+    f = ops.frequency(sample, ["category"]).collect()
+    assert f[0]["count"] == 2 and abs(f[0]["percentage"] - 40.0) < 1e-9
+    p = ops.pivot_table(sample, ["category"], "name", "value", "sum")
+    assert p.count() == 3

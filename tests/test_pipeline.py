@@ -1,0 +1,75 @@
+"""End-to-end codec pipeline tests on the synthetic web table (FIXTURES F1)."""
+import pyarrow as pa
+import pytest
+from pyspark.sql import functions as F
+
+from nail_parquet_spark.codec.decode import decode_table, verify_roundtrip
+from nail_parquet_spark.codec.encode import encode_table
+from nail_parquet_spark.codec.inspect import encoding_usage, metadata_summary, size_summary
+from nail_parquet_spark.codec.select import choose_codec, column_stats
+from nail_parquet_spark.synth import make_webpages_batch, webpages_spark
+
+
+@pytest.fixture(scope="module")
+def web(spark):
+    df = webpages_spark(spark, 20_000, seed=42, n_parts=4).cache()
+    df.count()
+    return df
+
+
+def test_synth_deterministic():
+    a = make_webpages_batch(42, 0, 1000)
+    b = make_webpages_batch(42, 0, 1000)
+    assert a.equals(b)
+    c = make_webpages_batch(43, 0, 1000)
+    assert not a.column("url").equals(c.column("url")) or not a.column("text").equals(c.column("text"))
+
+
+def test_roundtrip_bit_identity(spark, web):
+    blocks = encode_table(web, policy="balanced").cache()
+    dec = decode_table(blocks, columns=web.columns)
+    res = verify_roundtrip(web, dec, key="url")
+    assert res["joined_rows"] == 20_000
+    assert res["total_mismatches"] == 0
+
+
+def test_manifest_and_ratio(spark, web):
+    blocks = encode_table(web, policy="ratio").cache()
+    meta = {r["column"]: r.asDict() for r in metadata_summary(blocks).collect()}
+    assert set(meta) == {"url", "warc_ts", "html", "text", "lang"}
+    for c, m in meta.items():
+        assert m["n_values"] == 20_000
+        assert m["ratio"] > 1.0, f"{c} did not compress"
+    assert meta["lang"]["ratio"] > 2  # low cardinality compresses well even in 5k-row test blocks
+    tot = size_summary(blocks).collect()[0]
+    assert tot["enc_bytes"] < tot["raw_bytes"]
+    usage = encoding_usage(blocks).collect()
+    assert sum(u["pct_blocks"] for u in usage if u["column"] == "lang") == pytest.approx(100, abs=0.2)
+
+
+def test_forced_codecs(spark, web):
+    blocks = encode_table(web, columns=["lang", "warc_ts"],
+                          codecs={"lang": "rle", "warc_ts": "delta_bitpack"})
+    used = {r["column"]: r["codec"] for r in blocks.select("column", "codec").distinct().collect()}
+    assert used == {"lang": "rle", "warc_ts": "delta_bitpack"}
+    dec = decode_table(blocks, columns=["lang", "warc_ts"])
+    assert dec.count() == 20_000
+
+
+def test_selector_stats():
+    b = make_webpages_batch(42, 0, 5000)
+    st = column_stats(b.column("lang"))
+    assert st.distinct_ratio < 0.05
+    codec, _ = choose_codec(b.column("lang"), policy="ratio")
+    assert codec in ("dict", "rle", "zstd")
+    ts_codec, _ = choose_codec(b.column("warc_ts"), policy="ratio")
+    assert ts_codec in ("for_bitpack", "delta_bitpack", "zstd", "dict", "rle")
+
+
+def test_blocks_persist_roundtrip(spark, web, tmp_path):
+    out = str(tmp_path / "blocks")
+    encode_table(web, columns=["url", "lang"]).write.parquet(out)
+    blocks = spark.read.parquet(out)
+    dec = decode_table(blocks, columns=["url", "lang"])
+    res = verify_roundtrip(web.select("url", "lang"), dec, key="url")
+    assert res["total_mismatches"] == 0

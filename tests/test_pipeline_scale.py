@@ -1,0 +1,81 @@
+"""Scale-feature tests: salted repartition, manifests, resumable encode,
+scan-side (files-mode) encode."""
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from nail_parquet_spark.codec.decode import decode_table, verify_roundtrip
+from nail_parquet_spark.codec.encode import encode_parquet_files, encode_table
+from nail_parquet_spark.pipeline.checkpoint import encode_resumable, read_manifests
+from nail_parquet_spark.pipeline.manifest import metrics_rollup, partition_manifest
+from nail_parquet_spark.pipeline.partition import host_frequency, salted_repartition_by_host
+from nail_parquet_spark.synth import webpages_spark
+
+
+@pytest.fixture(scope="module")
+def web_parquet(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("web") / "pages")
+    webpages_spark(spark, 20_000, seed=42, n_parts=4).write.parquet(p)
+    return p
+
+
+def test_salted_repartition_bounds_skew(spark, web_parquet):
+    df = spark.read.parquet(web_parquet)
+    out = salted_repartition_by_host(df, n_partitions=16)
+    sizes = (
+        out.withColumn("p", F.spark_partition_id())
+        .groupBy("p").count().agg(F.max("count"), F.avg("count")).collect()[0]
+    )
+    mx, avg = sizes
+    # Zipf s=1.2 over 1000 hosts puts ~18% of rows on host0; salting must
+    # break that up: no partition may hold >3x the mean
+    assert mx < 3 * avg, f"partition skew survived salting: max={mx} avg={avg}"
+    assert out.count() == 20_000
+
+
+def test_host_frequency(spark, web_parquet):
+    df = spark.read.parquet(web_parquet)
+    top = host_frequency(df).orderBy(F.desc("n_rows")).first()
+    assert top["n_rows"] > 20_000 * 0.05  # hot host exists
+
+
+def test_files_mode_encode_matches_table_mode(spark, web_parquet):
+    codecs = {"url": "zstd", "warc_ts": "delta_bitpack", "html": "zstd",
+              "text": "zstd", "lang": "dict"}
+    fb = encode_parquet_files(spark, web_parquet, codecs=codecs)
+    dec = decode_table(fb, columns=["url", "warc_ts", "html", "text", "lang"])
+    src = spark.read.parquet(web_parquet)
+    res = verify_roundtrip(src, dec, key="url")
+    assert res["joined_rows"] == 20_000 and res["total_mismatches"] == 0
+
+
+def test_manifest_rollup(spark, web_parquet):
+    blocks = encode_table(spark.read.parquet(web_parquet), policy="ratio").cache()
+    m = partition_manifest(blocks, lineage={"job_id": "t1", "src": web_parquet})
+    rows = m.collect()
+    assert all(r["ratio"] > 1 for r in rows)
+    assert all(set(r["codec_map"].keys()) == {"url", "warc_ts", "html", "text", "lang"} for r in rows)
+    assert rows[0]["job_id"] == "t1"
+    roll = metrics_rollup(m).collect()[0]
+    assert roll["n_rows"] == 20_000
+
+
+def test_encode_resumable(spark, web_parquet, tmp_path):
+    out = str(tmp_path / "enc")
+    codecs = {"url": "zstd", "warc_ts": "delta_bitpack", "html": "zstd",
+              "text": "zstd", "lang": "dict"}
+    r1 = encode_resumable(spark, web_parquet, out, codecs=codecs, max_units=2)
+    assert r1["completed"] == 2 and r1["skipped"] == 0
+    r2 = encode_resumable(spark, web_parquet, out, codecs=codecs)
+    assert r2["skipped"] == 2
+    assert r2["completed"] == r2["total"] - 2
+    r3 = encode_resumable(spark, web_parquet, out, codecs=codecs)
+    assert r3["completed"] == 0 and r3["skipped"] == r3["total"]  # idempotent
+    mans = read_manifests(out)
+    assert len(mans) == r3["total"]
+    # decode everything that was committed and verify round trip
+    blocks = spark.read.parquet(os.path.join(out, "unit=*"))
+    dec = decode_table(blocks, columns=["url", "warc_ts", "html", "text", "lang"])
+    res = verify_roundtrip(spark.read.parquet(web_parquet), dec, key="url")
+    assert res["total_mismatches"] == 0 and res["joined_rows"] == 20_000

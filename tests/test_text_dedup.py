@@ -1,0 +1,106 @@
+"""Text analysis, dedup, and similarity tests."""
+import pytest
+from pyspark.sql import functions as F
+
+from nail_parquet_spark.functions.dedup import (
+    dedup_exact,
+    exact_duplicates,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_pairs,
+)
+from nail_parquet_spark.functions.similarity import (
+    cosine_topk_bruteforce,
+    cosine_topk_lsh,
+)
+from nail_parquet_spark.functions.text import lang_id, quality_metrics, token_count
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the cat sat on the mat and the dog barked at the cat loudly"),
+        (2, "the cat sat on the mat and the dog barked at the cat loudly"),  # exact dup of 1
+        (3, "the cat sat on the mat and the dog barked at the cat quietly"),  # near dup
+        (4, "der hund und die katze sind freunde und das ist gut so"),
+        (5, "completely different content about distributed query engines"),
+        (6, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_token_count(spark):
+    df = spark.createDataFrame([("a b  c",), ("",), ("  ",), ("one",)], "t string")
+    got = [r[0] for r in df.select(token_count(F.col("t"))).collect()]
+    assert got == [3, 0, 0, 1]
+
+
+def test_lang_id(docs):
+    got = {r["doc_id"]: r["lang"] for r in docs.select("doc_id", lang_id(F.col("text")).alias("lang")).collect()}
+    assert got[1] == "en" and got[4] == "de" and got[6] == "und"
+
+
+def test_quality_metrics(spark):
+    df = spark.createDataFrame([("ab 12!",)], "t string")
+    r = df.select(*quality_metrics(F.col("t"))).collect()[0]
+    assert r["n_chars"] == 6 and r["n_tokens"] == 2
+    assert r["digit_ratio"] == pytest.approx(2 / 6, abs=1e-6)
+    assert r["punct_ratio"] == pytest.approx(1 / 6, abs=1e-6)
+
+
+def test_exact_dedup(docs):
+    dups = exact_duplicates(docs, "doc_id", "text").collect()
+    assert len(dups) == 1 and dups[0]["keep_id"] == 1 and dups[0]["n_docs"] == 2
+    kept = dedup_exact(docs, "doc_id", "text")
+    assert kept.count() == 5
+    assert 2 not in {r["doc_id"] for r in kept.collect()}
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    sigs = minhash_signatures(docs, "doc_id", "text", num_hashes=8)
+    cand = minhash_lsh_candidates(sigs, "doc_id", num_hashes=8, bands=4)
+    pairs = {(r["id_a"], r["id_b"]) for r in cand.collect()}
+    assert (1, 2) in pairs  # exact dup must collide in every band
+    assert (1, 3) in pairs or (2, 3) in pairs  # near dup collides in some band
+
+
+def test_ngram_jaccard(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+             ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.4).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert any(k in pairs for k in [(1, 3), (2, 3)])
+    assert all(k[0] < 4 and k[1] < 4 for k in pairs)  # 4,5 unrelated
+
+
+def test_simhash_hamming(docs):
+    sig = simhash(docs, "doc_id", "text", bits=32)
+    near = simhash_near_pairs(sig, "doc_id", bits=32, max_hamming=6)
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in near.collect()}
+    assert got.get((1, 2)) == 0  # identical text -> identical simhash
+
+
+def test_cosine_topk(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.0, 0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    q = df.filter(F.col("vec_id") == 0)
+    top = cosine_topk_bruteforce(df, q, "vec_id", "v", k=2).collect()
+    assert [r["neighbor_id"] for r in top] == [1, 2]
+    lsh = cosine_topk_lsh(df, q, "vec_id", "v", k=1, n_planes=8, seed=1).collect()
+    assert lsh[0]["neighbor_id"] == 1  # nearest survives LSH pruning
+
+
+def test_multimodal_plumbing(spark):
+    from nail_parquet_spark.functions.multimodal import extract_media_features
+
+    df = spark.createDataFrame([(1, b"abc"), (2, None)], "doc_id long, blob binary")
+    out = extract_media_features(df, "doc_id", "blob", dim=4, fake=True)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[1]["n_bytes"] == 3 and len(rows[1]["features"]) == 4
+    assert rows[2]["n_bytes"] == 0 and rows[2]["content_hash"] is None
