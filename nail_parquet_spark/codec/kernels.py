@@ -79,12 +79,15 @@ def _build(header: dict, sections: list[tuple[str, bytes]]) -> EncodedBlock:
 # primitives: zstd, bit-packing, validity
 # ---------------------------------------------------------------------------
 
-_zstd = pa.Codec("zstd", compression_level=_ZSTD_LEVEL)
+_zstd_codecs: dict[int, pa.Codec] = {}
 _zstd_d = pa.Codec("zstd")
 
 
-def zstd_compress(buf: bytes) -> bytes:
-    return _zstd.compress(buf, asbytes=True)
+def zstd_compress(buf: bytes, level: int = _ZSTD_LEVEL) -> bytes:
+    codec = _zstd_codecs.get(level)
+    if codec is None:
+        codec = _zstd_codecs[level] = pa.Codec("zstd", compression_level=level)
+    return codec.compress(buf, asbytes=True)
 
 
 def zstd_decompress(buf: bytes, raw_len: int) -> bytes:
@@ -586,7 +589,14 @@ def _ranges_within(lens: np.ndarray) -> np.ndarray:
 
 
 def encode_array(arr: pa.Array, codec: str) -> EncodedBlock:
-    """Encode one pyarrow array chunk with the named codec."""
+    """Encode one pyarrow array chunk with the named codec.
+
+    ``zstd`` accepts a level suffix ("zstd:6"); the level only affects
+    encode (decode is level-agnostic)."""
+    level = _ZSTD_LEVEL
+    if codec.startswith("zstd:"):
+        level = int(codec.split(":", 1)[1])
+        codec = "zstd"
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     typ = arr.type
@@ -609,8 +619,8 @@ def encode_array(arr: pa.Array, codec: str) -> EncodedBlock:
             params = {}
         elif codec == "zstd":
             raw = vals.tobytes()
-            secs = [("values", zstd_compress(raw))]
-            params = {"raw_len": len(raw)}
+            secs = [("values", zstd_compress(raw, level))]
+            params = {"raw_len": len(raw), "level": level}
         elif codec == "for_bitpack":
             params, secs = _enc_int_for(vals)
         elif codec == "delta_bitpack":
@@ -638,8 +648,8 @@ def encode_array(arr: pa.Array, codec: str) -> EncodedBlock:
             secs = [("values", raw)]
             params = {"dtype": str(fvals.dtype)}
         elif codec == "zstd":
-            secs = [("values", zstd_compress(raw))]
-            params = {"dtype": str(fvals.dtype), "raw_len": len(raw)}
+            secs = [("values", zstd_compress(raw, level))]
+            params = {"dtype": str(fvals.dtype), "raw_len": len(raw), "level": level}
         elif codec == "dict":
             uniq, codes = np.unique(fvals, return_inverse=True)
             w = bit_width(len(uniq) - 1) if len(uniq) > 1 else 0
@@ -665,8 +675,8 @@ def encode_array(arr: pa.Array, codec: str) -> EncodedBlock:
             params = {"len_width": lw}
             secs = [len_sec, ("data", data)]
         elif codec == "zstd":
-            params = {"len_width": lw, "raw_len": len(data)}
-            secs = [len_sec, ("data", zstd_compress(data))]
+            params = {"len_width": lw, "raw_len": len(data), "level": level}
+            secs = [len_sec, ("data", zstd_compress(data, level))]
         elif codec == "fsst":
             params, fsecs = fsst_encode(offsets, data)
             params["len_width"] = lw  # unused but kept for inspect symmetry

@@ -13,7 +13,7 @@ even applies, see :253-257) with measured, per-column decisions.
 Policies:
   ratio    — smallest sample encoding wins, full stop
   balanced — smallest among candidates whose sample throughput >= floor
-             (default 24 MB/s/core); fall back to ratio if none qualify
+             (default 40 MB/s/core); fall back to ratio if none qualify
   speed    — fastest candidate within 1.3x of the smallest
 """
 
@@ -123,6 +123,8 @@ def candidate_codecs(kind: str, st: ColumnStats) -> list[str]:
         if st.byte_entropy <= 6.5 and st.avg_len >= 4:
             cands.append("fsst")
         cands.append("zstd")
+        cands.append("zstd:6")  # the reference's configured level (optimize.rs:22)
+        cands.append("zstd:9")
         if st.byte_entropy > 7.9:
             cands.append("plain")
     return cands
@@ -141,7 +143,7 @@ def raw_bytes_of(arr: pa.Array) -> int:
 
 
 def choose_codec(
-    sample: pa.Array, policy: str = "balanced", min_mbps: float = 24.0,
+    sample: pa.Array, policy: str = "balanced", min_mbps: float = 40.0,
     trial_byte_budget: int = 1 << 21,
 ) -> tuple[str, ColumnStats]:
     """Pick a codec for a column given a sample of it."""
