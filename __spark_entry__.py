@@ -40,8 +40,39 @@ _TS_SQL = "strftime({c}, '%Y-%m-%d %H:%M:%S.%f')"
 # ---------------------------------------------------------------------------
 
 
+_SHIPPED: set[int] = set()
+
+
+def _ensure_shipped(spark: SparkSession) -> None:
+    """Ship the package to executors (addPyFile) so mapInArrow closures can
+    import nail_parquet_spark regardless of the driver harness's cwd or
+    PYTHONPATH — the local[·] fast path still works either way."""
+    key = id(spark.sparkContext)
+    if key in _SHIPPED:
+        return
+    import zipfile
+
+    zip_path = "/tmp/nail_parquet_spark_pyfiles.zip"
+    import os
+
+    pkg = "/root/repo/nail_parquet_spark"
+    with zipfile.ZipFile(zip_path, "w") as z:
+        for root, _, files in os.walk(pkg):
+            if "__pycache__" in root:
+                continue
+            for f in files:
+                full = os.path.join(root, f)
+                z.write(full, os.path.relpath(full, "/root/repo"))
+    try:
+        spark.sparkContext.addPyFile(zip_path)
+    except Exception:
+        pass  # e.g. file already registered in this context
+    _SHIPPED.add(key)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: pricing summary on sf0.001 (TPC-H Q1 shape)."""
+    _ensure_shipped(spark)
     return q1_pricing_summary(spark, SF001)
 
 
@@ -526,6 +557,16 @@ def q_embedding_topk_lsh(spark, sf_dir):
     return cosine_topk_lsh(e, qs, "vec_id", "embedding", k=5, n_planes=12, seed=42)
 
 
+def q_embedding_topk_ivf(spark, sf_dir):
+    from nail_parquet_spark.functions.similarity import cosine_topk_ivf
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    qs = e.filter(F.col("vec_id") < 5)
+    return cosine_topk_ivf(e, qs, "vec_id", "embedding", k=5, n_clusters=8, nprobe=3, seed=42)
+
+
 def q_minhash_lsh_pairs(spark, sf_dir):
     from nail_parquet_spark.functions.dedup import (
         jaccard_verify,
@@ -545,7 +586,18 @@ def q_minhash_lsh_pairs(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    def wrap(fn):
+        def run(spark, sf_dir):
+            _ensure_shipped(spark)
+            return fn(spark, sf_dir)
+
+        run.__name__ = fn.__name__
+        return run
+
+    return {k: wrap(v) for k, v in _QUERIES.items()}
+
+
+_QUERIES = {
         "q1_pricing_summary": q1_pricing_summary,
         "select_columns": q_select_columns,
         "drop_columns": q_drop_columns,
@@ -595,8 +647,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encode_manifest": q_encode_manifest,
         "encode_roundtrip": q_encode_roundtrip,
         "embedding_topk_lsh": q_embedding_topk_lsh,
+        "embedding_topk_ivf": q_embedding_topk_ivf,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
-    }
+}
 
 
 # ---------------------------------------------------------------------------
@@ -604,26 +657,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 
-def _lang_score_sql(lang: str) -> str:
-    terms = []
-    for m in LANG_MARKERS[lang]:
-        terms.append(
-            f"CAST((length(p) - length(replace(p, '{m}', ''))) / {len(m)} AS BIGINT)"
-        )
-    return " + ".join(terms)
-
-
 def _lang_id_sql() -> str:
-    scores = ", ".join(f"({_lang_score_sql(lg)}) AS s_{lg}" for lg in LANG_MARKERS)
     langs = list(LANG_MARKERS)
+    scores = ", ".join(
+        "len(list_intersect(w, ["
+        + ", ".join(f"'{m.strip()}'" for m in LANG_MARKERS[lg])
+        + f"])) AS s_{lg}"
+        for lg in langs
+    )
     g = "greatest(" + ", ".join(f"s_{lg}" for lg in langs) + ")"
     case = f"CASE WHEN {g} <= 0 THEN 'und' "
     for lg in langs:
         case += f"WHEN s_{lg} = {g} THEN '{lg}' "
     case += "END"
-    return f"""
-WITH padded AS (SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM documents),
-scored AS (SELECT doc_id, {scores} FROM padded)
+    return rf"""
+WITH words AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w FROM documents),
+scored AS (SELECT doc_id, {scores} FROM words)
 SELECT doc_id, {case} AS lang_pred FROM scored
 """
 

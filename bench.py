@@ -54,6 +54,9 @@ def run_suite() -> dict:
 
     spark = get_spark("bench-suite", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
     qs = entry.queries()
+    # untimed warmup: JVM JIT, parquet footer cache, python workers
+    _force(qs["q1_pricing_summary"](spark, SF_DIR))
+    _force(qs["multimodal_meta"](spark, SF_DIR))
     times: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = qs[name]
@@ -69,9 +72,19 @@ def run_suite() -> dict:
 
 
 def run_encode_scaling() -> dict:
+    """N vs 4N parallelism on identical input (BASELINE.md §3.4).
+
+    Default pair is (1, 4): a clean parallelism matrix (BENCH/BASELINE.md §2)
+    shows this sandbox's shared microVM provides only ~4-5 effective cores
+    for bandwidth-heavy work — beyond that, added vCPUs measure host
+    oversubscription, not the engine.
+    Override with BENCH_SCALE_PAIR="8,32" on real hardware.
+    """
+    pair = os.environ.get("BENCH_SCALE_PAIR", "1,4")
+    n_lo, n_hi = (int(x) for x in pair.split(","))
     out = {}
     env = dict(os.environ)
-    for cpus in (8, CPUS):
+    for cpus in (n_lo, n_hi):
         r = subprocess.run(
             [sys.executable, "scripts/bench_encode.py", str(cpus), str(ENCODE_ROWS)],
             capture_output=True, text=True, cwd="/root/repo", env=env, timeout=3600,
@@ -81,10 +94,11 @@ def run_encode_scaling() -> dict:
             print(f"encode bench cpus={cpus} failed: {r.stderr[-500:]}", file=sys.stderr)
             continue
         out[f"cpus_{cpus}"] = json.loads(line[-1])
-    if f"cpus_8" in out and f"cpus_{CPUS}" in out and CPUS != 8:
-        g8 = out["cpus_8"]["gbps"]
-        gN = out[f"cpus_{CPUS}"]["gbps"]
-        out["scaling_efficiency"] = round((gN / g8) / (CPUS / 8), 4)
+    if f"cpus_{n_lo}" in out and f"cpus_{n_hi}" in out and n_hi != n_lo:
+        g_lo = out[f"cpus_{n_lo}"]["gbps"]
+        g_hi = out[f"cpus_{n_hi}"]["gbps"]
+        out["scale_pair"] = [n_lo, n_hi]
+        out["scaling_efficiency"] = round((g_hi / g_lo) / (n_hi / n_lo), 4)
     return out
 
 

@@ -214,21 +214,25 @@ def _restore_int_array(
     return base
 
 
-def _strbin_of(arr: pa.Array) -> tuple[np.ndarray, bytes, np.ndarray | None]:
-    """Return (int64 offsets len n+1, data bytes, validity). Nulls → empty."""
+def _strbin_of(arr: pa.Array) -> tuple[np.ndarray, "bytes | pa.Buffer", np.ndarray | None]:
+    """Return (int64 offsets len n+1, data buffer, validity). Nulls → empty.
+
+    The data payload stays a zero-copy ``pa.Buffer`` slice (it feeds either
+    zstd's C compressor or ``np.frombuffer``, both of which take the buffer
+    protocol) — no per-block copy of the column's bytes."""
     valid = _validity_of(arr)
-    if pa.types.is_string(arr.type):
-        a = arr.fill_null("").cast(pa.large_binary())
-    elif pa.types.is_large_string(arr.type):
+    if pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type):
         a = arr.fill_null("").cast(pa.large_binary())
     else:
         a = arr.fill_null(b"").cast(pa.large_binary())
     a = a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
     buffers = a.buffers()
     offsets = np.frombuffer(buffers[1], dtype=np.int64, count=len(a) + 1, offset=a.offset * 8).copy()
-    data = buffers[2].to_pybytes() if buffers[2] is not None else b""
     start, end = int(offsets[0]), int(offsets[-1])
-    data = data[start:end]
+    if buffers[2] is not None and end > start:
+        data = buffers[2].slice(start, end - start)
+    else:
+        data = b""
     offsets = offsets - start
     return offsets, data, valid
 

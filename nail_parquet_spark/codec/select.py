@@ -19,7 +19,6 @@ Policies:
 
 from __future__ import annotations
 
-import time
 from dataclasses import dataclass
 
 import numpy as np
@@ -142,6 +141,23 @@ def raw_bytes_of(arr: pa.Array) -> int:
     return int(tot or 0)
 
 
+# deterministic per-codec encode-speed classes (MB/s/core, measured on this
+# repo's kernels over web-text workloads; see BENCH/BASELINE.md). Used for
+# the balanced/speed policy floors so codec choice never flaps with host
+# noise — sizes (the other input) are already deterministic.
+CODEC_SPEED_MBPS = {
+    "plain": 500.0,
+    "zstd": 110.0,
+    "zstd:6": 45.0,
+    "zstd:9": 25.0,
+    "dict": 80.0,
+    "rle": 60.0,
+    "for_bitpack": 130.0,
+    "delta_bitpack": 130.0,
+    "fsst": 5.0,
+}
+
+
 def choose_codec(
     sample: pa.Array, policy: str = "balanced", min_mbps: float = 40.0,
     trial_byte_budget: int = 1 << 21,
@@ -156,17 +172,14 @@ def choose_codec(
     if st.avg_len and st.n * st.avg_len > trial_byte_budget:
         sample = sample.slice(0, max(256, int(trial_byte_budget / st.avg_len)))
     cands = candidate_codecs(kind, st)
-    raw = max(raw_bytes_of(sample), 1)
 
     results = []
     for c in cands:
-        t0 = time.perf_counter()
         try:
             blk = encode_array(sample, c)
         except Exception:
             continue
-        dt = max(time.perf_counter() - t0, 1e-9)
-        results.append((c, len(blk.payload), raw / dt / 1e6))
+        results.append((c, len(blk.payload), CODEC_SPEED_MBPS.get(c, 50.0)))
     if not results:
         return "plain", st
 

@@ -118,3 +118,80 @@ def embedding_near_duplicates(df: DataFrame, id_col: str, vec_col: str,
         .filter(F.col("cosine") >= threshold)
         .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"), "cosine")
     )
+
+
+def ivf_assign(df: DataFrame, vec_col: str, centroids: list[list[float]],
+               out_col: str = "ivf_cluster") -> DataFrame:
+    """Assign each row to its nearest centroid (by cosine) — one streaming
+    pass, centroids broadcast as a literal array-of-arrays; pure column
+    expressions so codegen applies."""
+    cents = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+    sims = F.transform(
+        cents,
+        lambda c: _dot_expr(F.col(vec_col), c) / (_norm_expr(F.col(vec_col)) * _norm_expr(c)),
+    )
+    best = F.array_position(sims, F.array_max(sims)) - 1
+    return df.withColumn(out_col, best.cast("int"))
+
+
+def ivf_centroids(df: DataFrame, vec_col: str, k: int = 16, seed: int = 42,
+                  iters: int = 2) -> list[list[float]]:
+    """Cheap deterministic centroids: seeded sample -> a couple of Lloyd
+    refinement passes computed with groupBy mean (distributed k-means lite).
+    At 100 TB you'd run this on a sample table; the assign pass is the only
+    full scan."""
+    import numpy as np
+
+    sample = df.select(vec_col).sample(False, min(1.0, 10_000 / max(df.count(), 1)), seed).limit(10_000)
+    X = np.array(sample.toPandas()[vec_col].tolist(), dtype="float64")
+    if len(X) < k:
+        k = max(1, len(X))
+    rng = np.random.default_rng(seed)
+    cents = X[rng.choice(len(X), k, replace=False)]
+    for _ in range(iters):
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        Cn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+        assign = (Xn @ Cn.T).argmax(axis=1)
+        for j in range(k):
+            m = assign == j
+            if m.any():
+                cents[j] = X[m].mean(axis=0)
+    return cents.tolist()
+
+
+def cosine_topk_ivf(df: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
+                    k: int = 5, n_clusters: int = 16, nprobe: int = 3,
+                    seed: int = 42) -> DataFrame:
+    """IVF ANN: corpus bucketed by nearest centroid; each query probes its
+    ``nprobe`` closest clusters and reranks exactly inside them."""
+    from pyspark.sql import Window
+
+    centroids = ivf_centroids(df, vec_col, k=n_clusters, seed=seed)
+    c = ivf_assign(df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")),
+                   "__cv", centroids)
+    cents = F.array(*[F.array(*[F.lit(float(x)) for x in cc]) for cc in centroids])
+    sims = F.transform(
+        cents,
+        lambda cc: _dot_expr(F.col("__qv"), cc) / (_norm_expr(F.col("__qv")) * _norm_expr(cc)),
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+    q = q.withColumn("__sims", sims)
+    order = F.reverse(F.array_sort(F.col("__sims")))
+    probe_vals = F.slice(order, 1, nprobe)
+    q = q.withColumn("probe", F.explode(
+        F.transform(probe_vals, lambda v: F.array_position(F.col("__sims"), v) - 1)
+    )).drop("__sims")
+    joined = c.join(F.broadcast(q), c["ivf_cluster"] == q["probe"].cast("int")).filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    cos = _dot_expr(F.col("__qv"), F.col("__cv")) / (
+        _norm_expr(F.col("__qv")) * _norm_expr(F.col("__cv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        joined.withColumn("cosine", F.round(cos, 6))
+        .select("query_id", "neighbor_id", "cosine")
+        .distinct()
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -49,19 +49,18 @@ def lang_scores(col: Column, langs: list[str] | None = None) -> list[Column]:
 
 
 def lang_id(col: Column, langs: list[str] | None = None) -> Column:
-    """argmax language by stopword score; 'und' (undetermined) when all 0."""
+    """argmax language by distinct-stopword hits; 'und' when all 0.
+
+    One pass over the column with array ops (split once, set-intersect per
+    language) — no repeated full-column string rewrites, so it stays cheap
+    at 100 TB. First-wins tie semantics (strictly-greater updates)."""
     langs = langs or list(LANG_MARKERS)
-    padded = F.concat(F.lit(" "), F.lower(col), F.lit(" "))
-    scores = []
-    for lang in langs:
-        s = None
-        for m in LANG_MARKERS[lang]:
-            c = _count_occurrences(padded, m)
-            s = c if s is None else s + c
-        scores.append((lang, s))
+    words = F.split(F.trim(F.lower(col)), r"\s+")
     best = F.lit("und")
-    best_score = F.lit(0).cast("long")
-    for lang, s in scores:  # strictly-greater keeps first-wins tie semantics
+    best_score = F.lit(0)
+    for lang in langs:
+        markers = F.array(*[F.lit(m.strip()) for m in LANG_MARKERS[lang]])
+        s = F.size(F.array_intersect(words, markers))
         cond = s > best_score
         best = F.when(cond, F.lit(lang)).otherwise(best)
         best_score = F.when(cond, s).otherwise(best_score)

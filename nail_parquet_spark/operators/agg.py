@@ -114,8 +114,8 @@ def correlations(df: DataFrame, columns: list[str] | None = None,
     spearman: rank-transform then pearson (stats.rs:372-383; we rank jointly,
       which handles ties properly — divergence from the reference's
       independent-rank bug is intentional, SURVEY.md §7.4)
-    kendall: exact O(n^2) pair counting on a bounded sample via pandas
-      (stats.rs:384-414 is a full cross join; we bound it)
+    kendall: exact tau-b pair counting on a bounded sample, blocked numpy
+      (stats.rs:384-414 is a full SQL cross join; we bound it)
     """
     cols = columns or _numeric_cols(df)
     pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i:]]
@@ -136,10 +136,11 @@ def correlations(df: DataFrame, columns: list[str] | None = None,
         data = [(a, b, float(row[str(i)]) if row[str(i)] is not None else None)
                 for i, (a, b) in enumerate(pairs)]
     elif method == "kendall":
-        pdf = df.select(cols).sample(False, 1.0, seed).limit(sample_n).toPandas()
+        cap = min(sample_n, 10_000)  # O(n^2) pair counting, blocked numpy
+        pdf = df.select(cols).limit(cap).toPandas()
         data = []
         for a, b in pairs:
-            data.append((a, b, float(pdf[a].corr(pdf[b], method="kendall"))))
+            data.append((a, b, _kendall_tau_b(pdf[a].to_numpy(), pdf[b].to_numpy())))
     else:
         raise ValueError(method)
 
@@ -245,3 +246,127 @@ def binning(df: DataFrame, column: str, bins: int = 10, method: str = "equal-wid
         cond = (col >= lo) & (col <= hi) if i == len(bounds) - 2 else (col >= lo) & (col < hi)
         expr = F.when(cond, lab) if expr is None else expr.when(cond, lab)
     return df.withColumn(out_col, expr)
+
+
+# ---------------------------------------------------------------------------
+# correlation p-values (stats.rs:276-342 parity; statrs -> pure-python math,
+# driver-side on the tiny correlation table, like the reference)
+# ---------------------------------------------------------------------------
+
+
+def _betacf(a: float, b: float, x: float) -> float:
+    """Continued fraction for the incomplete beta (Numerical Recipes form)."""
+    MAXIT, EPS, FPMIN = 200, 3e-12, 1e-300
+    qab, qap, qam = a + b, a + 1.0, a - 1.0
+    c, d = 1.0, 1.0 - qab * x / qap
+    if abs(d) < FPMIN:
+        d = FPMIN
+    d = 1.0 / d
+    h = d
+    for m in range(1, MAXIT + 1):
+        m2 = 2 * m
+        aa = m * (b - m) * x / ((qam + m2) * (a + m2))
+        d = 1.0 + aa * d
+        if abs(d) < FPMIN:
+            d = FPMIN
+        c = 1.0 + aa / c
+        if abs(c) < FPMIN:
+            c = FPMIN
+        d = 1.0 / d
+        h *= d * c
+        aa = -(a + m) * (qab + m) * x / ((a + m2) * (qap + m2))
+        d = 1.0 + aa * d
+        if abs(d) < FPMIN:
+            d = FPMIN
+        c = 1.0 + aa / c
+        if abs(c) < FPMIN:
+            c = FPMIN
+        d = 1.0 / d
+        delta = d * c
+        h *= delta
+        if abs(delta - 1.0) < EPS:
+            break
+    return h
+
+
+def _betainc(a: float, b: float, x: float) -> float:
+    import math
+
+    if x <= 0.0:
+        return 0.0
+    if x >= 1.0:
+        return 1.0
+    ln_bt = (
+        math.lgamma(a + b) - math.lgamma(a) - math.lgamma(b)
+        + a * math.log(x) + b * math.log(1.0 - x)
+    )
+    bt = math.exp(ln_bt)
+    if x < (a + 1.0) / (a + b + 2.0):
+        return bt * _betacf(a, b, x) / a
+    return 1.0 - bt * _betacf(b, a, 1.0 - x) / b
+
+
+def t_sf(t: float, dof: float) -> float:
+    """Two-sided survival P(|T| >= t) for Student's t."""
+    x = dof / (dof + t * t)
+    return _betainc(dof / 2.0, 0.5, x)
+
+
+def correlation_pvalue(r: float, n: int) -> float:
+    """Two-sided p-value for a Pearson/Spearman correlation of n samples
+    via the t-transform t = r*sqrt((n-2)/(1-r^2))."""
+    import math
+
+    if n < 3 or r is None:
+        return float("nan")
+    r = max(min(r, 0.999999999), -0.999999999)
+    t = abs(r) * math.sqrt((n - 2) / (1.0 - r * r))
+    return t_sf(t, n - 2)
+
+
+def correlations_with_pvalues(df: DataFrame, columns: list[str] | None = None,
+                              method: str = "pearson") -> DataFrame:
+    n = df.count()
+    corr = correlations(df, columns, method)
+    rows = [
+        (r["column_a"], r["column_b"], r["correlation"],
+         float(correlation_pvalue(r["correlation"], n)) if r["correlation"] is not None else None)
+        for r in corr.collect()
+    ]
+    return df.sparkSession.createDataFrame(
+        rows, "column_a string, column_b string, correlation double, p_value double"
+    )
+
+
+def _kendall_tau_b(x, y, block: int = 1024) -> float:
+    """Kendall tau-b on a bounded sample: blocked-numpy concordant/discordant
+    pair counting with the standard ties correction. Replaces the
+    reference's O(n^2) SQL cross join (stats.rs:384-414) without needing
+    scipy (absent in this container)."""
+    import math
+
+    import numpy as np
+
+    m = ~(np.isnan(x.astype("float64")) | np.isnan(y.astype("float64")))
+    x, y = x[m].astype("float64"), y[m].astype("float64")
+    n = len(x)
+    if n < 2:
+        return float("nan")
+    C = D = 0
+    for i0 in range(0, n, block):
+        xs = x[i0 : i0 + block][:, None]
+        ys = y[i0 : i0 + block][:, None]
+        s = np.sign(xs - x[None, :]) * np.sign(ys - y[None, :])
+        C += int((s > 0).sum())
+        D += int((s < 0).sum())
+    C //= 2  # every unordered pair counted twice
+    D //= 2
+    n0 = n * (n - 1) // 2
+
+    def ties(v):
+        _, c = np.unique(v, return_counts=True)
+        return int((c * (c - 1) // 2).sum())
+
+    n1, n2 = ties(x), ties(y)
+    denom = math.sqrt(float(n0 - n1) * float(n0 - n2))
+    return float((C - D) / denom) if denom else float("nan")

@@ -38,7 +38,14 @@ def read_data(spark: SparkSession, path: str, fmt: str | None = None) -> DataFra
     if fmt == "xlsx":
         import pandas as pd
 
-        return spark.createDataFrame(pd.read_excel(path))
+        try:
+            pdf = pd.read_excel(path)  # driver-side, like the reference (io.rs:36-165)
+        except ImportError as e:  # openpyxl not shipped in this container
+            raise NotImplementedError(
+                "xlsx read needs openpyxl (not installed here); the code path "
+                "is driver-side pandas exactly like the reference's calamine"
+            ) from e
+        return spark.createDataFrame(pdf)
     raise ValueError(fmt)
 
 
@@ -53,7 +60,10 @@ def write_data(df: DataFrame, path: str, fmt: str | None = None,
     elif fmt == "json":
         out.write.mode(mode).json(path)
     elif fmt == "xlsx":
-        df.limit(1_048_575).toPandas().to_excel(path, index=False)
+        try:
+            df.limit(1_048_575).toPandas().to_excel(path, index=False)
+        except ImportError as e:
+            raise NotImplementedError("xlsx write needs openpyxl/xlsxwriter") from e
     else:
         raise ValueError(fmt)
 

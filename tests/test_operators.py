@@ -186,3 +186,22 @@ def test_frequency_and_pivot(sample):
     assert f[0]["count"] == 2 and abs(f[0]["percentage"] - 40.0) < 1e-9
     p = ops.pivot_table(sample, ["category"], "name", "value", "sum")
     assert p.count() == 3
+
+
+def test_correlation_pvalues(sample):
+    out = ops.correlations_with_pvalues(sample, ["id", "value"])
+    got = {(r["column_a"], r["column_b"]): r for r in out.collect()}
+    r = got[("id", "value")]
+    assert r["correlation"] > 0.9
+    assert 0 <= r["p_value"] < 0.05  # strong correlation, tiny sample
+    assert got[("id", "id")]["p_value"] < 1e-6
+
+
+def test_correlations_kendall(spark):
+    df = spark.createDataFrame(
+        [(1.0, 1.0), (2.0, 3.0), (3.0, 2.0), (4.0, 5.0), (5.0, 4.0)], "a double, b double"
+    )
+    out = ops.correlations(df, ["a", "b"], method="kendall")
+    got = {(r["column_a"], r["column_b"]): r["correlation"] for r in out.collect()}
+    assert got[("a", "b")] == pytest.approx(0.6)
+    assert got[("a", "a")] == pytest.approx(1.0)

@@ -104,3 +104,27 @@ def test_multimodal_plumbing(spark):
     rows = {r["doc_id"]: r for r in out.collect()}
     assert rows[1]["n_bytes"] == 3 and len(rows[1]["features"]) == 4
     assert rows[2]["n_bytes"] == 0 and rows[2]["content_hash"] is None
+
+
+def test_cosine_topk_ivf(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((3, 16))
+    rows = []
+    for i in range(90):
+        c = i % 3
+        rows.append((i, (base[c] + 0.05 * rng.standard_normal(16)).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    from nail_parquet_spark.functions.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_ivf,
+    )
+
+    q = df.filter(F.col("vec_id") < 3)
+    exact = cosine_topk_bruteforce(df, q, "vec_id", "v", k=3).collect()
+    approx = cosine_topk_ivf(df, q, "vec_id", "v", k=3, n_clusters=4, nprobe=2).collect()
+    exact_top = {(r["query_id"], r["neighbor_id"]) for r in exact if r["rank"] == 1}
+    approx_top = {(r["query_id"], r["neighbor_id"]) for r in approx if r["rank"] == 1}
+    # tight clusters: IVF with 2 probes must recover every rank-1 neighbor
+    assert exact_top == approx_top
