@@ -74,6 +74,25 @@ def main():
         ).collect()[0]
         wall = min(wall, time.time() - t0)
     raw, enc = int(agg["raw"]), int(agg["enc"])
+
+    # decode throughput: blocks -> original table (includes the one shuffle
+    # that co-locates a block's columns) measured on materialized blocks
+    dec_gbps = None
+    if os.environ.get("BENCH_DECODE", "1") == "1":
+        import shutil
+
+        from nail_parquet_spark.codec.decode import decode_to_parquet
+
+        blocks_path = os.path.join(DATA, f"blocks_{ROWS}_{CPUS}")
+        build().write.mode("overwrite").parquet(blocks_path)
+        blocks = spark.read.parquet(blocks_path)
+        cols = [f.name for f in df.schema.fields]
+        dec_dir = os.path.join(DATA, f"decoded_{ROWS}_{CPUS}")
+        shutil.rmtree(dec_dir, ignore_errors=True)
+        t0 = time.time()
+        decode_to_parquet(blocks, dec_dir, columns=cols).collect()
+        dec_wall = time.time() - t0
+        dec_gbps = round(raw / dec_wall / 1e9, 4)
     print(
         json.dumps(
             {
@@ -87,6 +106,7 @@ def main():
                 "enc_bytes": enc,
                 "ratio": round(raw / enc, 4),
                 "gbps": round(raw / wall / 1e9, 4),
+                "decode_gbps": dec_gbps,
                 "n_blocks": int(agg["n_blocks"]),
             }
         )

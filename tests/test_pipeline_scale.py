@@ -79,3 +79,16 @@ def test_encode_resumable(spark, web_parquet, tmp_path):
     dec = decode_table(blocks, columns=["url", "warc_ts", "html", "text", "lang"])
     res = verify_roundtrip(spark.read.parquet(web_parquet), dec, key="url")
     assert res["total_mismatches"] == 0 and res["joined_rows"] == 20_000
+
+
+def test_decode_to_parquet_roundtrip(spark, web_parquet, tmp_path):
+    from nail_parquet_spark.codec.decode import decode_to_parquet
+
+    codecs = {"url": "zstd", "warc_ts": "delta_bitpack", "html": "zstd",
+              "text": "zstd", "lang": "dict"}
+    blocks = encode_parquet_files(spark, web_parquet, codecs=codecs)
+    out = str(tmp_path / "decoded")
+    man = decode_to_parquet(blocks, out, columns=["url", "warc_ts", "html", "text", "lang"])
+    assert man.agg({"n_rows": "sum"}).collect()[0][0] == 20_000
+    res = verify_roundtrip(spark.read.parquet(web_parquet), spark.read.parquet(out), key="url")
+    assert res["total_mismatches"] == 0 and res["joined_rows"] == 20_000
