@@ -204,3 +204,28 @@ def simhash_near_pairs(sig: DataFrame, id_col: str, bits: int = 32,
         .distinct()
     )
     return cand.filter(F.col("hamming") <= max_hamming)
+
+
+def dedup_near_duplicates(df: DataFrame, id_col: str, text_col: str,
+                          threshold: float = 0.7, num_hashes: int = 16,
+                          bands: int = 4, shingle_k: int = 3) -> DataFrame:
+    """One-call near-dedup: MinHash -> LSH candidates -> exact Jaccard
+    verify -> drop every doc that near-duplicates a lower-id survivor.
+
+    Connected near-dup clusters keep their minimum id (one union-find-free
+    pass: a row is dropped iff it appears as id_b of a confirmed pair —
+    conservative cluster collapse, standard for web-scale dedup)."""
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
+    cand = minhash_lsh_candidates(sigs, id_col, num_hashes, bands)
+    pairs = jaccard_verify(df, cand, id_col, text_col, shingle_k, threshold)
+    # also collapse exact duplicates (empty/trivial texts have no shingles)
+    exact = exact_duplicates(df, id_col, text_col)
+    exact_drop = (
+        df.select(F.col(id_col), doc_fingerprint(F.col(text_col)).alias("__fp"))
+        .join(exact.select("fingerprint", "keep_id"), F.col("__fp") == F.col("fingerprint"))
+        .filter(F.col(id_col) != F.col("keep_id"))
+        .select(F.col(id_col).alias("__drop"))
+    )
+    near_drop = pairs.select(F.col("id_b").alias("__drop"))
+    drops = near_drop.unionAll(exact_drop).distinct()
+    return df.join(drops, df[id_col] == drops["__drop"], "left_anti")

@@ -370,3 +370,30 @@ def _kendall_tau_b(x, y, block: int = 1024) -> float:
     n1, n2 = ties(x), ties(y)
     denom = math.sqrt(float(n0 - n1) * float(n0 - n2))
     return float((C - D) / denom) if denom else float("nan")
+
+
+def spearman_scalable(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Spearman correlation without a single-partition window.
+
+    The plain implementation ranks via Window.orderBy (one partition — fine
+    at test scale, a straggler at 10^12 rows). Here average ranks come from
+    a groupBy per distinct value + a running offset over the (small) sorted
+    distinct-value table, then a broadcast join back — every stage is a
+    normal shuffle."""
+    out_rows = []
+    ranked = df.select(col_a, col_b)
+    for c in (col_a, col_b):
+        counts = (
+            df.groupBy(F.col(c).alias("__v"))
+            .agg(F.count(F.lit(1)).alias("__n"))
+        )
+        w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, -1)
+        # the distinct-value table is small relative to the data; its window
+        # is over |distinct| rows, not |rows|
+        ranks = counts.withColumn("__before", F.coalesce(F.sum("__n").over(w), F.lit(0)))
+        ranks = ranks.withColumn("__avg_rank", F.col("__before") + (F.col("__n") + 1) / 2.0)
+        ranked = ranked.join(
+            F.broadcast(ranks.select(F.col("__v").alias(c), F.col("__avg_rank").alias(f"__rk_{c}"))),
+            c,
+        )
+    return ranked.agg(F.round(F.corr(f"__rk_{col_a}", f"__rk_{col_b}"), 4).alias("spearman"))

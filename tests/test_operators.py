@@ -205,3 +205,15 @@ def test_correlations_kendall(spark):
     got = {(r["column_a"], r["column_b"]): r["correlation"] for r in out.collect()}
     assert got[("a", "b")] == pytest.approx(0.6)
     assert got[("a", "a")] == pytest.approx(1.0)
+
+
+def test_spearman_scalable_matches_window(spark):
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    from nail_parquet_spark.operators.agg import spearman_scalable
+
+    got = spearman_scalable(li, "l_quantity", "l_extendedprice").collect()[0]["spearman"]
+    # window-rank reference value (rank() vs avg-rank differ only on tie
+    # handling; avg-rank is the textbook Spearman)
+    want = ops.correlations(li, ["l_quantity", "l_extendedprice"], method="spearman").collect()
+    w = {(r["column_a"], r["column_b"]): r["correlation"] for r in want}
+    assert got == pytest.approx(w[("l_quantity", "l_extendedprice")], abs=0.01)

@@ -128,3 +128,13 @@ def test_cosine_topk_ivf(spark):
     approx_top = {(r["query_id"], r["neighbor_id"]) for r in approx if r["rank"] == 1}
     # tight clusters: IVF with 2 probes must recover every rank-1 neighbor
     assert exact_top == approx_top
+
+
+def test_dedup_near_duplicates_onecall(docs):
+    from nail_parquet_spark.functions.dedup import dedup_near_duplicates
+
+    out = dedup_near_duplicates(docs, "doc_id", "text", threshold=0.6)
+    ids = {r["doc_id"] for r in out.collect()}
+    assert 1 in ids and 2 not in ids  # exact dup dropped
+    assert 3 not in ids  # near dup dropped
+    assert {4, 5, 6} <= ids  # distinct docs and the empty doc survive
