@@ -1,0 +1,91 @@
+"""CLI sweep — every subcommand runs against a small parquet fixture
+(mirrors the reference's runtime_tests/test_all_commands.sh, 400-line shell
+sweep). cli.main() reuses the session fixture via getOrCreate()."""
+import json
+import os
+
+import pytest
+
+from nail_parquet_spark.cli import main
+
+
+@pytest.fixture(scope="module")
+def data(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("cli") / "data.parquet")
+    spark.createDataFrame(
+        [(i, f"name{i}", float(i * 10), "AB"[i % 2], None if i == 3 else float(i))
+         for i in range(1, 21)],
+        "id long, name string, value double, category string, score double",
+    ).write.parquet(p)
+    return p
+
+
+@pytest.fixture(scope="module")
+def data2(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("cli") / "data2.parquet")
+    spark.createDataFrame(
+        [(i, i * 1.5) for i in range(1, 11)], "id long, bonus double"
+    ).write.parquet(p)
+    return p
+
+
+def run(*argv):
+    assert main(list(argv)) == 0
+
+
+def test_cli_inspection(data, capsys):
+    run("count", data)
+    assert capsys.readouterr().out.strip().endswith("20")
+    run("headers", data)
+    assert "category" in capsys.readouterr().out
+    run("schema", data)
+    assert json.loads(capsys.readouterr().out)[0]["column"] == "id"
+    run("head", data, "-n", "3")
+    run("tail", data, "-n", "3")
+    run("preview", data, "-n", "3", "--random", "7")
+
+
+def test_cli_transforms(data, tmp_path):
+    out = str(tmp_path / "o.parquet")
+    run("select", data, "-c", "id,name", "-o", out)
+    run("drop", data, "-c", "score", "-o", out)
+    run("filter", data, "-c", "value>100", "-o", out)
+    run("search", data, "-v", "name1", "-o", out)
+    run("rename", data, "-c", "name=label", "-o", out)
+    run("create", data, "-c", "double_value=value * 2", "-o", out)
+    run("id", data, "--name", "row_id", "--prefix", "r_", "-o", out)
+    run("sort", data, "--columns=-value,id", "-o", out)
+    run("dedup", data, "-c", "category", "--row-wise", "-o", out)
+    run("shuffle", data, "--seed", "42", "-o", out)
+    run("sample", data, "-n", "5", "--seed", "1", "-o", out)
+    run("sample", data, "-n", "6", "--seed", "1", "--stratify-by", "category", "-o", out)
+    run("fill", data, "-c", "score", "--method", "mean", "-o", out)
+    run("fill", data, "-c", "score", "--method", "forward", "-o", out)
+
+
+def test_cli_analytics(data, capsys):
+    run("stats", data, "--stats-type", "exhaustive")
+    run("frequency", data, "-c", "category")
+    run("correlations", data, "-c", "id,value", "--method", "pearson")
+    run("outliers", data, "-c", "value", "--method", "zscore")
+    run("binning", data, "-c", "value", "--bins", "4")
+    run("pivot", data, "--index", "category", "--pivot", "name", "--value", "value")
+    capsys.readouterr()
+
+
+def test_cli_multi_input(data, data2, tmp_path):
+    run("merge", data, "--right", data2, "-k", "id", "-o", str(tmp_path / "m.parquet"))
+    run("append", data, "--others", data, "-o", str(tmp_path / "a.parquet"))
+    run("split", data, "--ratios", "0.5,0.5", "--seed", "3", "-o", str(tmp_path / "s.parquet"))
+    assert os.path.exists(str(tmp_path / "s_part0.parquet"))
+
+
+def test_cli_encode_surface(data, tmp_path, capsys):
+    run("convert", data, "-o", str(tmp_path / "c.csv"))
+    run("size", data)
+    run("metadata", data)
+    run("optimize", data, "-o", str(tmp_path / "blocks"), "--validate",
+        "--codecs", '{"name": "fsst"}')
+    out = capsys.readouterr().out
+    assert "match=True" in out
+    run("update")
