@@ -92,3 +92,23 @@ def test_decode_to_parquet_roundtrip(spark, web_parquet, tmp_path):
     assert man.agg({"n_rows": "sum"}).collect()[0][0] == 20_000
     res = verify_roundtrip(spark.read.parquet(web_parquet), spark.read.parquet(out), key="url")
     assert res["total_mismatches"] == 0 and res["joined_rows"] == 20_000
+
+
+def test_encode_web_pipeline(spark, web_parquet):
+    from nail_parquet_spark.pipeline import encode_web_pipeline
+
+    df = spark.read.parquet(web_parquet)
+    blocks, manifest = encode_web_pipeline(df, n_partitions=8, policy="ratio",
+                                           lineage={"job_id": "w1"})
+    blocks = blocks.cache()
+    m = manifest.collect()
+    assert sum(r["n_rows"] for r in m) == 20_000
+    assert all(r["job_id"] == "w1" for r in m)
+    # host-sorted partitions must make lang cheap (runs) vs unsorted encode
+    lang_bytes = blocks.filter(F.col("column") == "lang").agg(F.sum("enc_bytes")).collect()[0][0]
+    base = encode_table(df.repartition(8), policy="ratio").filter(F.col("column") == "lang")
+    base_bytes = base.agg(F.sum("enc_bytes")).collect()[0][0]
+    assert lang_bytes < base_bytes
+    dec = decode_table(blocks, columns=df.columns)
+    res = verify_roundtrip(df, dec, key="url")
+    assert res["total_mismatches"] == 0
