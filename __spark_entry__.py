@@ -519,6 +519,70 @@ def q_multimodal_meta(spark, sf_dir):
     return out.select("doc_id", "n_bytes", "content_hash")
 
 
+def q_select_rows_spec(spark, sf_dir):
+    from nail_parquet_spark.operators import select_rows
+
+    return select_rows(
+        _t(spark, sf_dir, "customer").orderBy("c_custkey"), "1,3-5,100-110",
+        order_col="c_custkey",
+    ).select("c_custkey", "c_name")
+
+
+def q_drop_rows_cond(spark, sf_dir):
+    from nail_parquet_spark.operators import drop_rows_where
+
+    return drop_rows_where(_t(spark, sf_dir, "part"), "p_size>30,p_retailprice<1500").select(
+        "p_partkey", "p_size"
+    )
+
+
+def q_fill_backward(spark, sf_dir):
+    from nail_parquet_spark.operators import fill_directional
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "value", F.when(F.col("event_type") == "error", None).otherwise(F.col("value"))
+    )
+    out = fill_directional(ev, ["value"], "backward", order_col="event_id",
+                           partition_by=["user_id"])
+    return out.select("event_id", "user_id", F.round("value", 2).alias("value"))
+
+
+def q_merge_right(spark, sf_dir):
+    from nail_parquet_spark.operators import merge
+
+    j = merge(
+        _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "customer"),
+        "o_custkey=c_custkey", "right",
+    )
+    return j.select("o_orderkey", "c_custkey", "r_c_name")
+
+
+def q_except_rows(spark, sf_dir):
+    from nail_parquet_spark.operators import except_rows
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    sub = c.filter(F.col("c_custkey") % 3 == 0)
+    return except_rows(c, sub)
+
+
+def q_intersect_rows(spark, sf_dir):
+    from nail_parquet_spark.operators import intersect_rows
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    a = c.filter(F.col("c_custkey") % 2 == 0)
+    b = c.filter(F.col("c_custkey") % 3 == 0)
+    return intersect_rows(a, b)
+
+
+def q_dedup_keep_last(spark, sf_dir):
+    from nail_parquet_spark.operators import dedup_rows
+
+    return dedup_rows(
+        _t(spark, sf_dir, "orders"), subset=["o_custkey"], keep="last",
+        order_col="o_orderkey",
+    ).select("o_orderkey", "o_custkey")
+
+
 # ---------------------------------------------------------------------------
 # codec engine (non-SQL-expressible -> rows-only oracle)
 # ---------------------------------------------------------------------------
@@ -626,6 +690,13 @@ _QUERIES = {
         "append_union": q_append_union,
         "append_ignore_schema": q_append_ignore_schema,
         "dedup_keep_first": q_dedup_keep_first,
+        "dedup_keep_last": q_dedup_keep_last,
+        "select_rows_spec": q_select_rows_spec,
+        "drop_rows_cond": q_drop_rows_cond,
+        "fill_backward": q_fill_backward,
+        "merge_right": q_merge_right,
+        "except_rows": q_except_rows,
+        "intersect_rows": q_intersect_rows,
         "sample_hash": q_sample_hash,
         "split_hash": q_split_hash,
         "shuffle_content": q_shuffle_content,
@@ -793,6 +864,36 @@ def oracle_sql() -> dict[str, str]:
               SELECT o_orderkey, o_custkey,
                      row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn
               FROM orders) WHERE rn = 1""",
+        "dedup_keep_last": """
+            SELECT o_orderkey, o_custkey FROM (
+              SELECT o_orderkey, o_custkey,
+                     row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey DESC) AS rn
+              FROM orders) WHERE rn = 1""",
+        "select_rows_spec": """
+            SELECT c_custkey, c_name FROM (
+              SELECT c_custkey, c_name, row_number() OVER (ORDER BY c_custkey) AS rn
+              FROM customer)
+            WHERE rn = 1 OR rn BETWEEN 3 AND 5 OR rn BETWEEN 100 AND 110""",
+        "drop_rows_cond": """
+            SELECT p_partkey, p_size FROM part
+            WHERE NOT (p_size > 30 AND p_retailprice < 1500)""",
+        "fill_backward": """
+            SELECT event_id, user_id,
+                   round(first_value(CASE WHEN event_type = 'error' THEN NULL ELSE value END IGNORE NULLS)
+                         OVER (PARTITION BY user_id ORDER BY event_id
+                               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING), 2) AS value
+            FROM events""",
+        "merge_right": """
+            SELECT o_orderkey, c_custkey, c_name AS r_c_name
+            FROM orders RIGHT JOIN customer ON o_custkey = c_custkey""",
+        "except_rows": """
+            SELECT c_custkey, c_mktsegment FROM customer
+            EXCEPT ALL
+            SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 3 = 0""",
+        "intersect_rows": """
+            SELECT c_custkey FROM customer WHERE c_custkey % 2 = 0
+            INTERSECT
+            SELECT c_custkey FROM customer WHERE c_custkey % 3 = 0""",
         "sample_hash": """
             SELECT o_orderkey FROM orders WHERE (o_orderkey * 2654435761) % 100 < 10""",
         "split_hash": """
