@@ -24,6 +24,11 @@ Codecs
 The reference (nail-parquet) only *configures* parquet-rs encodings and does
 not even wire them through (/root/reference/src/commands/optimize.rs:249-265);
 here the encodings are first-class, measurable, and selectable per column.
+
+Float caveat: the ``dict`` codec canonicalizes -0.0 to 0.0 and collapses
+distinct NaN payloads (np.unique semantics) — value-equal, not always
+bit-equal; the selector only offers dict for floats at low cardinality,
+and zstd/plain are bit-exact.
 """
 
 from __future__ import annotations
