@@ -224,3 +224,75 @@ def decode_to_parquet(blocks: DataFrame, out_dir: str,
             )
 
     return part.mapInArrow(dec, schema="file string, n_rows bigint")
+
+
+def decode_parquet_dir(spark, blocks_dir: str, out_dir: str,
+                       columns: list[str] | None = None,
+                       compression: str = "snappy"):
+    """Shuffle-free decode: each task reads one block-parquet FILE with the
+    pyarrow C++ reader, decodes its (complete) groups, and writes decoded
+    parquet in place.
+
+    Valid whenever the blocks were written by this engine's encode (every
+    writer task emits whole groups into its own file), so no repartition is
+    needed to co-locate a block's columns — zero shuffle, C++ IO on both
+    ends. For arbitrary block layouts use ``decode_to_parquet``.
+    """
+    import glob
+    import os
+
+    files = sorted(glob.glob(os.path.join(blocks_dir, "**", "*.parquet"), recursive=True))
+    if not files:
+        raise ValueError(f"no block files under {blocks_dir}")
+    blocks = spark.read.parquet(blocks_dir)
+    if columns is None:
+        columns = [r["column"] for r in blocks.select("column").distinct().collect()]
+    out_schema = blocks_arrow_schema(blocks, columns)
+    ncols = len(columns)
+    os.makedirs(out_dir, exist_ok=True)
+
+    items = spark.createDataFrame([(f,) for f in files], "path string").repartition(len(files))
+
+    def dec(batches):
+        import pyarrow.parquet as _pq
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        tid = ctx.partitionId() if ctx is not None else 0
+        out_path = os.path.join(out_dir, f"part-{tid:05d}.parquet")
+        writer = None
+        n_rows = 0
+        for batch in batches:
+            for path in batch.column(0).to_pylist():
+                tbl = _pq.read_table(path, columns=["part_id", "block_id", "column", "header", "payload"])
+                pids = tbl.column("part_id").to_pylist()
+                bids = tbl.column("block_id").to_pylist()
+                cols_ = tbl.column("column").to_pylist()
+                hdrs = tbl.column("header").to_pylist()
+                pays = tbl.column("payload")
+                groups: dict[tuple[int, int], dict[str, tuple[str, bytes]]] = {}
+                for i in range(tbl.num_rows):
+                    groups.setdefault((pids[i], bids[i]), {})[cols_[i]] = (hdrs[i], pays[i].as_py())
+                for grp in groups.values():
+                    if len(grp) != ncols:
+                        continue
+                    arrays = []
+                    for j, c in enumerate(columns):
+                        hdr, payload = grp[c]
+                        arr = decode_array(EncodedBlock.from_parts(hdr, payload))
+                        if arr.type != out_schema.field(j).type:
+                            arr = arr.cast(out_schema.field(j).type)
+                        arrays.append(arr)
+                    rb = pa.record_batch(arrays, schema=out_schema)
+                    if writer is None:
+                        writer = _pq.ParquetWriter(out_path, out_schema, compression=compression)
+                    writer.write_batch(rb)
+                    n_rows += rb.num_rows
+        if writer is not None:
+            writer.close()
+            yield pa.record_batch(
+                [pa.array([out_path]), pa.array([n_rows], pa.int64())],
+                names=["file", "n_rows"],
+            )
+
+    return items.mapInArrow(dec, schema="file string, n_rows bigint")

@@ -81,16 +81,17 @@ def main():
     if os.environ.get("BENCH_DECODE", "1") == "1":
         import shutil
 
-        from nail_parquet_spark.codec.decode import decode_to_parquet
+        from nail_parquet_spark.codec.decode import decode_parquet_dir
 
         blocks_path = os.path.join(DATA, f"blocks_{ROWS}_{CPUS}")
         build().write.mode("overwrite").parquet(blocks_path)
-        blocks = spark.read.parquet(blocks_path)
         cols = [f.name for f in df.schema.fields]
         dec_dir = os.path.join(DATA, f"decoded_{ROWS}_{CPUS}")
         shutil.rmtree(dec_dir, ignore_errors=True)
+        decode_parquet_dir(spark, blocks_path, dec_dir, columns=cols).collect()  # warm
+        shutil.rmtree(dec_dir, ignore_errors=True)
         t0 = time.time()
-        decode_to_parquet(blocks, dec_dir, columns=cols).collect()
+        decode_parquet_dir(spark, blocks_path, dec_dir, columns=cols).collect()
         dec_wall = time.time() - t0
         dec_gbps = round(raw / dec_wall / 1e9, 4)
     print(

@@ -112,3 +112,18 @@ def test_encode_web_pipeline(spark, web_parquet):
     dec = decode_table(blocks, columns=df.columns)
     res = verify_roundtrip(df, dec, key="url")
     assert res["total_mismatches"] == 0
+
+
+def test_decode_parquet_dir_shuffle_free(spark, web_parquet, tmp_path):
+    from nail_parquet_spark.codec.decode import decode_parquet_dir
+
+    cols = ["url", "warc_ts", "html", "text", "lang"]
+    codecs = {"url": "zstd", "warc_ts": "delta_bitpack", "html": "zstd",
+              "text": "zstd", "lang": "dict"}
+    bdir = str(tmp_path / "blocks")
+    encode_parquet_files(spark, web_parquet, codecs=codecs).write.parquet(bdir)
+    out = str(tmp_path / "decoded")
+    man = decode_parquet_dir(spark, bdir, out, columns=cols)
+    assert man.agg({"n_rows": "sum"}).collect()[0][0] == 20_000
+    res = verify_roundtrip(spark.read.parquet(web_parquet), spark.read.parquet(out), key="url")
+    assert res["total_mismatches"] == 0
