@@ -84,7 +84,7 @@ def run_encode_scaling() -> dict:
     n_lo, n_hi = (int(x) for x in pair.split(","))
     out = {}
     env = dict(os.environ)
-    env.setdefault("BENCH_REPS", "5")  # more minima reps: host noise is 2-3x
+    env.setdefault("BENCH_REPS", "7")  # more minima reps: host noise is 2-3x
     for cpus in (n_lo, n_hi):
         r = subprocess.run(
             [sys.executable, "scripts/bench_encode.py", str(cpus), str(ENCODE_ROWS)],

@@ -37,7 +37,7 @@ def main():
     spark = get_spark(f"bench-encode-{CPUS}", master=f"local[{CPUS}]",
                       shuffle_partitions=CPUS)
     if not os.path.exists(marker):
-        webpages_spark(spark, ROWS, seed=42, n_parts=max(CPUS, 16)).write.mode(
+        webpages_spark(spark, ROWS, seed=42, n_parts=64).write.mode(
             "overwrite"
         ).parquet(path)
 
