@@ -952,7 +952,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_docs": f"""
             WITH dd AS ({_DOCS_DUPS_SQL})
             SELECT md5(text) AS fingerprint, count(*) AS n_docs, min(doc_id) AS keep_id
-            FROM dd GROUP BY 1 HAVING count(*) > 1""",
+            FROM dd WHERE text IS NOT NULL GROUP BY 1 HAVING count(*) > 1""",
         "minhash_signatures": f"""
             WITH dd AS (SELECT doc_id, text FROM documents),
             {_SHINGLES_SQL}

@@ -80,7 +80,9 @@ def main(argv: list[str] | None = None) -> int:
     add("frequency", (("-c", "--columns"), {"required": True}), (("--limit",), {"type": int, "default": None}))
     add("correlations", (("-c", "--columns"), {"default": None}), (("--method",), {"default": "pearson"}))
     add("outliers", (("-c", "--columns"), {"default": None}), (("--method",), {"default": "iqr"}),
-        (("--remove",), {"action": "store_true"}))
+        (("--remove",), {"action": "store_true"}),
+        (("--factor",), {"type": float, "default": 1.5, "help": "IQR fence multiplier"}),
+        (("--threshold",), {"type": float, "default": None, "help": "z / modified-z cutoff"}))
     add("binning", (("-c", "--column"), {"required": True}), (("--bins",), {"type": int, "default": 10}),
         (("--method",), {"default": "equal-width"}))
     add("pivot", (("--index",), {"required": True}), (("--pivot",), {"required": True, "dest": "pivot_col"}),
@@ -216,7 +218,9 @@ def main(argv: list[str] | None = None) -> int:
         _out(ops.correlations(df, cols, args.method), args, 50)
     elif c == "outliers":
         cols = args.columns.split(",") if args.columns else None
-        _out(ops.outliers(df, cols, args.method, action="remove" if args.remove else "flag"), args)
+        _out(ops.outliers(df, cols, args.method, factor=args.factor,
+                          action="remove" if args.remove else "flag",
+                          threshold=args.threshold), args)
     elif c == "binning":
         _out(ops.binning(df, args.column, args.bins, args.method), args)
     elif c == "pivot":

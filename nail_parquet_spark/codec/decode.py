@@ -56,7 +56,13 @@ def decode_table(blocks: DataFrame, columns: list[str] | None = None,
     ddl = _spark_ddl_of(out_schema)
     ncols = len(columns)
 
-    part = blocks.select("part_id", "block_id", "column", "header", "payload")
+    # Restrict to the requested columns BEFORE grouping: otherwise the
+    # group-complete test (len(grp) == ncols) counts blocks of columns the
+    # caller never asked for, firing early or never (column-subset decode).
+    part = (
+        blocks.select("part_id", "block_id", "column", "header", "payload")
+        .filter(F.col("column").isin(columns))
+    )
     if num_partitions:
         part = part.repartition(num_partitions, "part_id", "block_id")
     else:
@@ -89,12 +95,16 @@ def decode_table(blocks: DataFrame, columns: list[str] | None = None,
                 grp[cols_[i]] = (hdrs[i], pays[i].as_py())
                 if len(grp) == ncols:
                     yield flush(key)
-        for key in list(pending):
-            # incomplete groups (column subset encodes) decode what exists
-            grp = pending[key]
-            missing = [c for c in columns if c not in grp]
-            if not missing:
-                yield flush(key)
+        if pending:
+            # After the column filter every group must complete; a leftover
+            # means a block group is missing one of the requested columns —
+            # corrupt/partial input. Fail loudly rather than drop rows.
+            key = next(iter(pending))
+            missing = [c for c in columns if c not in pending[key]]
+            raise ValueError(
+                f"incomplete block group {key}: missing columns {missing} "
+                f"({len(pending)} incomplete groups in this partition)"
+            )
 
     return part.mapInArrow(dec, schema=ddl)
 
@@ -165,7 +175,12 @@ def decode_to_parquet(blocks: DataFrame, out_dir: str,
     ncols = len(columns)
     os.makedirs(out_dir, exist_ok=True)
 
-    part = blocks.select("part_id", "block_id", "column", "header", "payload")
+    # Same column-subset rule as decode_table: filter first so the
+    # group-complete test counts only requested columns.
+    part = (
+        blocks.select("part_id", "block_id", "column", "header", "payload")
+        .filter(F.col("column").isin(columns))
+    )
     if num_partitions:
         part = part.repartition(num_partitions, "part_id", "block_id")
     else:
@@ -209,13 +224,13 @@ def decode_to_parquet(blocks: DataFrame, out_dir: str,
                         writer = _pq.ParquetWriter(path, out_schema, compression=compression)
                     writer.write_batch(rb)
                     n_rows += rb.num_rows
-        for key in list(pending):
-            if len(pending[key]) == ncols:
-                rb = decode_group(pending.pop(key))
-                if writer is None:
-                    writer = _pq.ParquetWriter(path, out_schema, compression=compression)
-                writer.write_batch(rb)
-                n_rows += rb.num_rows
+        if pending:
+            key = next(iter(pending))
+            missing = [c for c in columns if c not in pending[key]]
+            raise ValueError(
+                f"incomplete block group {key}: missing columns {missing} "
+                f"({len(pending)} incomplete groups in this partition)"
+            )
         if writer is not None:
             writer.close()
             yield pa.record_batch(
@@ -262,6 +277,7 @@ def decode_parquet_dir(spark, blocks_dir: str, out_dir: str,
         out_path = os.path.join(out_dir, f"part-{tid:05d}.parquet")
         writer = None
         n_rows = 0
+        colset = set(columns)
         for batch in batches:
             for path in batch.column(0).to_pylist():
                 tbl = _pq.read_table(path, columns=["part_id", "block_id", "column", "header", "payload"])
@@ -272,10 +288,16 @@ def decode_parquet_dir(spark, blocks_dir: str, out_dir: str,
                 pays = tbl.column("payload")
                 groups: dict[tuple[int, int], dict[str, tuple[str, bytes]]] = {}
                 for i in range(tbl.num_rows):
+                    if cols_[i] not in colset:
+                        continue  # column-subset decode: ignore unrequested blocks
                     groups.setdefault((pids[i], bids[i]), {})[cols_[i]] = (hdrs[i], pays[i].as_py())
-                for grp in groups.values():
+                for key, grp in groups.items():
                     if len(grp) != ncols:
-                        continue
+                        missing = [c for c in columns if c not in grp]
+                        raise ValueError(
+                            f"incomplete block group {key} in {path}: "
+                            f"missing columns {missing}"
+                        )
                     arrays = []
                     for j, c in enumerate(columns):
                         hdr, payload = grp[c]

@@ -25,10 +25,9 @@ The reference (nail-parquet) only *configures* parquet-rs encodings and does
 not even wire them through (/root/reference/src/commands/optimize.rs:249-265);
 here the encodings are first-class, measurable, and selectable per column.
 
-Float caveat: the ``dict`` codec canonicalizes -0.0 to 0.0 and collapses
-distinct NaN payloads (np.unique semantics) — value-equal, not always
-bit-equal; the selector only offers dict for floats at low cardinality,
-and zstd/plain are bit-exact.
+All float codecs are bit-exact: ``dict`` dictionary-encodes the IEEE bit
+patterns (uint view), so -0.0 vs 0.0 and distinct NaN payloads survive the
+round trip; zstd/plain copy raw bytes.
 """
 
 from __future__ import annotations
@@ -660,7 +659,11 @@ def encode_array(arr: pa.Array, codec: str) -> EncodedBlock:
             secs = [("values", zstd_compress(raw, level))]
             params = {"dtype": str(fvals.dtype), "raw_len": len(raw), "level": level}
         elif codec == "dict":
-            uniq, codes = np.unique(fvals, return_inverse=True)
+            # dict over the IEEE bit patterns, not float values: preserves
+            # -0.0 vs 0.0 and distinct NaN payloads (np.unique on floats
+            # canonicalizes both), keeping the codec bit-identical
+            bits = fvals.view(np.dtype(f"u{fvals.dtype.itemsize}"))
+            uniq, codes = np.unique(bits, return_inverse=True)
             w = bit_width(len(uniq) - 1) if len(uniq) > 1 else 0
             uraw = uniq.tobytes()
             params = {
@@ -668,6 +671,7 @@ def encode_array(arr: pa.Array, codec: str) -> EncodedBlock:
                 "n_dict": len(uniq),
                 "width": w,
                 "dict_raw_len": len(uraw),
+                "bitdict": True,
             }
             secs = [("dict", zstd_compress(uraw)), ("codes", pack_bits(codes.astype(np.uint64), w))]
         else:
@@ -768,9 +772,12 @@ def decode_array(block: EncodedBlock) -> pa.Array:
         elif codec == "zstd":
             fvals = np.frombuffer(zstd_decompress(block.section("values"), p["raw_len"]), dtype=dtype)
         elif codec == "dict":
-            uniq = np.frombuffer(zstd_decompress(block.section("dict"), p["dict_raw_len"]), dtype=dtype)
+            # bitdict blocks store uint bit patterns (see encode); legacy
+            # blocks stored float values directly
+            ddt = np.dtype(f"u{dtype.itemsize}") if p.get("bitdict") else dtype
+            uniq = np.frombuffer(zstd_decompress(block.section("dict"), p["dict_raw_len"]), dtype=ddt)
             codes = unpack_bits(block.section("codes"), n, p["width"]).astype(np.int64)
-            fvals = uniq[codes] if len(uniq) else np.zeros(n, dtype=dtype)
+            fvals = (uniq[codes] if len(uniq) else np.zeros(n, dtype=ddt)).view(dtype)
         else:
             raise ValueError(codec)
         mask = None if valid is None else ~valid

@@ -110,7 +110,7 @@ def candidate_codecs(kind: str, st: ColumnStats) -> list[str]:
         cands.append("zstd")
     elif kind == "float":
         if st.distinct_ratio <= 0.2:
-            cands.append("dict")
+            cands.append("dict")  # bit-pattern dict: bit-exact (kernels.py)
         cands.append("zstd")
         if st.byte_entropy > 7.5:
             cands.append("plain")

@@ -16,9 +16,14 @@ from nail_parquet_spark.functions.text import doc_fingerprint, word_hash
 
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Groups of byte-identical texts: (fingerprint, n_docs, keep_id).
-    keep_id = min id; rows with n_docs > 1 are duplicate clusters."""
+    keep_id = min id; rows with n_docs > 1 are duplicate clusters.
+
+    NULL texts are excluded: absent content is not evidence of duplication,
+    so NULL-text rows never form (or join) a cluster.
+    """
     return (
         df.select(F.col(id_col), doc_fingerprint(F.col(text_col)).alias("fingerprint"))
+        .filter(F.col("fingerprint").isNotNull())
         .groupBy("fingerprint")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("keep_id"))
         .filter(F.col("n_docs") > 1)
@@ -26,15 +31,21 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Keep one row (min id) per distinct text."""
+    """Keep one row (min id) per distinct text.
+
+    NULL texts are passed through untouched (doc_fingerprint(NULL) is NULL;
+    such rows join nothing and are always kept) — previously they vanished
+    because the inner join on fingerprint equality never matches NULL.
+    """
     w_keep = (
         df.select(F.col(id_col).alias("__id"), doc_fingerprint(F.col(text_col)).alias("__fp"))
+        .filter(F.col("__fp").isNotNull())
         .groupBy("__fp")
         .agg(F.min("__id").alias("__keep"))
     )
     return (
-        df.join(w_keep, doc_fingerprint(F.col(text_col)) == F.col("__fp"))
-        .filter(F.col(id_col) == F.col("__keep"))
+        df.join(w_keep, doc_fingerprint(F.col(text_col)) == F.col("__fp"), "left")
+        .filter(F.col("__keep").isNull() | (F.col(id_col) == F.col("__keep")))
         .drop("__fp", "__keep")
     )
 
@@ -124,15 +135,22 @@ def jaccard_verify(df: DataFrame, candidates: DataFrame, id_col: str, text_col: 
 
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
-                        shingle_k: int = 3, threshold: float = 0.5) -> DataFrame:
+                        shingle_k: int = 3, threshold: float = 0.5,
+                        max_doc_freq: int = 1000) -> DataFrame:
     """Direct n-gram Jaccard near-dup pairs: candidates = pairs sharing at
     least one shingle (inverted-index join), then exact verify.
 
     At 100 TB the shared-shingle join is bounded by dropping ubiquitous
-    shingles (document frequency cap) — the classic inverted-index trick."""
+    shingles (document frequency cap) — the classic inverted-index trick.
+    ``max_doc_freq`` is that cap: shingles present in more docs are excluded
+    from candidate generation (NOT from the exact Jaccard denominator), so a
+    pair whose only shared shingles are all above the cap is missed — the
+    standard recall/cost trade; raise the cap for exactness."""
     sh = word_shingles(df, id_col, text_col, k=shingle_k)
-    # df cap: drop shingles appearing in > 1000 docs (stopword shingles)
-    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df")).filter(F.col("__df") <= 1000)
+    freq = (
+        sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") <= max_doc_freq)
+    )
     sh2 = sh.join(freq.select("shingle"), "shingle")
     a = sh2.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh2.select(F.col(id_col).alias("id_b"), "shingle")
@@ -178,6 +196,16 @@ def simhash_near_pairs(sig: DataFrame, id_col: str, bits: int = 32,
     """Near-dup candidates by banded simhash (pigeonhole: pairs within
     max_hamming share at least one of `bands` exact band values), verified
     by exact Hamming distance via bit_count(xor)."""
+    if bits % bands != 0:
+        raise ValueError(f"bits ({bits}) must be divisible by bands ({bands})")
+    if max_hamming >= bands:
+        # pigeonhole completeness requires fewer differing bits than bands;
+        # otherwise all differing bits can land in distinct bands and no
+        # band matches exactly -> silently incomplete candidate generation
+        raise ValueError(
+            f"max_hamming ({max_hamming}) must be < bands ({bands}) for the "
+            f"pigeonhole banding to be complete; raise bands"
+        )
     per = bits // bands
     mask = (1 << per) - 1
     parts = []

@@ -149,9 +149,15 @@ def correlations(df: DataFrame, columns: list[str] | None = None,
 
 
 def outliers(df: DataFrame, columns: list[str] | None = None, method: str = "iqr",
-             factor: float = 1.5, action: str = "flag") -> DataFrame:
+             factor: float = 1.5, action: str = "flag",
+             threshold: float | None = None) -> DataFrame:
     """IQR / z-score / modified-z / range-heuristic 'isolation' outliers
-    (outliers.rs:129-620). action: flag (adds is_outlier) or remove."""
+    (outliers.rs:129-620). action: flag (adds is_outlier) or remove.
+
+    ``factor`` applies to the IQR method (fence multiplier, default 1.5);
+    ``threshold`` applies to z-score (default 3.0) and modified-z-score
+    (default 3.5). Split APIs so an explicit z threshold of 1.5 is honored
+    rather than silently remapped."""
     cols = columns or _numeric_cols(df)
 
     if method == "iqr":
@@ -166,6 +172,7 @@ def outliers(df: DataFrame, columns: list[str] | None = None, method: str = "iqr
             lo, hi = q1 - factor * iqr, q3 + factor * iqr
             conds.append((F.col(c) < lo) | (F.col(c) > hi))
     elif method == "zscore":
+        zt = 3.0 if threshold is None else threshold
         aggs = [x for c in cols for x in (F.avg(c).alias(f"m__{c}"), F.stddev(c).alias(f"s__{c}"))]
         q = df.agg(*aggs).collect()[0]
         conds = []
@@ -174,7 +181,7 @@ def outliers(df: DataFrame, columns: list[str] | None = None, method: str = "iqr
             if not s:
                 conds.append(F.lit(False))
             else:
-                conds.append(F.abs((F.col(c) - m) / s) > factor if factor != 1.5 else F.abs((F.col(c) - m) / s) > 3.0)
+                conds.append(F.abs((F.col(c) - m) / s) > zt)
     elif method == "modified-zscore":
         med_aggs = [F.percentile_approx(c, 0.5).alias(f"md__{c}") for c in cols]
         meds = df.agg(*med_aggs).collect()[0]
@@ -189,7 +196,8 @@ def outliers(df: DataFrame, columns: list[str] | None = None, method: str = "iqr
             if not mad:
                 conds.append(F.lit(False))
             else:
-                conds.append(F.abs(0.6745 * (F.col(c) - med) / mad) > 3.5)
+                mzt = 3.5 if threshold is None else threshold
+                conds.append(F.abs(0.6745 * (F.col(c) - med) / mad) > mzt)
     elif method == "isolation":
         # reference's documented simplification: outer 10% of [min,max] range
         # (outliers.rs:561-567) — kept for parity, not a real forest

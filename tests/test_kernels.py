@@ -16,13 +16,22 @@ rng = np.random.default_rng(7)
 
 
 def roundtrip(arr: pa.Array, codec: str):
+    import pyarrow.compute as pc
+
     blk = encode_array(arr, codec)
     blk2 = EncodedBlock.from_parts(blk.header_json(), blk.payload)
     dec = decode_array(blk2)
-    if not dec.equals(arr):
-        a1, a2 = arr.to_pandas(), dec.to_pandas()
-        assert (a1.isna() == a2.isna()).all(), f"{codec}: null mask differs"
-        assert (a1.dropna() == a2.dropna()).all(), f"{codec}: values differ"
+    assert dec.type == arr.type, f"{codec}: type {dec.type} != {arr.type}"
+    assert pc.is_null(dec).equals(pc.is_null(arr)), f"{codec}: null mask differs"
+    if pa.types.is_floating(arr.type):
+        # bitwise: pa equality treats NaN != NaN, and value comparison would
+        # mask sign-of-zero / NaN-payload corruption
+        u = f"u{arr.type.bit_width // 8}"
+        a = np.asarray(arr.fill_null(0.0)).view(u)
+        d = np.asarray(dec.fill_null(0.0)).view(u)
+        assert np.array_equal(a, d), f"{codec}: float bit patterns differ"
+    else:
+        assert dec.equals(arr), f"{codec}: values differ"
 
 
 INT_CASES = [
@@ -60,6 +69,16 @@ def test_float_roundtrip(codec):
     roundtrip(pa.array(fv), codec)
     roundtrip(pa.array(fv, mask=rng.random(400) < 0.1), codec)
     roundtrip(pa.array(fv.astype(np.float32), type=pa.float32()), codec)
+
+
+def test_float_dict_bit_exact_special_values():
+    """-0.0 vs 0.0 and distinct NaN payloads must survive the dict codec
+    (dict is over IEEE bit patterns, not values)."""
+    nan1 = np.uint64(0x7FF8000000000001).view(np.float64)
+    nan2 = np.uint64(0x7FF8000000000002).view(np.float64)
+    fv = np.array([0.0, -0.0, nan1, nan2, 1.5, 1.5, -0.0, np.inf, -np.inf] * 10)
+    roundtrip(pa.array(fv), "dict")
+    roundtrip(pa.array(fv, mask=rng.random(len(fv)) < 0.2), "dict")
 
 
 STR_CASES = None

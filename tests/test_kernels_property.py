@@ -15,13 +15,21 @@ _SETTINGS = dict(
 
 
 def _roundtrip_all(arr: pa.Array, kind: str):
+    import pyarrow.compute as pc
+
     for codec in VALID_CODECS[kind]:
         blk = encode_array(arr, codec)
         dec = decode_array(EncodedBlock.from_parts(blk.header_json(), blk.payload))
-        if not dec.equals(arr):
-            a1, a2 = arr.to_pandas(), dec.to_pandas()
-            assert (a1.isna() == a2.isna()).all(), f"{codec}: null mask differs"
-            assert (a1.dropna() == a2.dropna()).all(), f"{codec}: values differ"
+        assert dec.type == arr.type, f"{codec}: type {dec.type} != {arr.type}"
+        assert pc.is_null(dec).equals(pc.is_null(arr)), f"{codec}: null mask differs"
+        if kind == "float":
+            # bitwise comparison: pa.Array.equals treats NaN != NaN, and a
+            # value fallback would mask sign-of-zero / NaN-payload corruption
+            a = np.asarray(arr.fill_null(0.0)).view("u8")
+            d = np.asarray(dec.fill_null(0.0)).view("u8")
+            assert np.array_equal(a, d), f"{codec}: float bit patterns differ"
+        else:
+            assert dec.equals(arr), f"{codec}: values differ"
 
 
 @settings(**_SETTINGS)

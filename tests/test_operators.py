@@ -175,6 +175,19 @@ def test_binning_and_outliers(sample):
     assert removed.count() < 5  # range heuristic always flags extremes
 
 
+def test_outliers_zscore_threshold_honored(sample):
+    """Regression: an explicit threshold of 1.5 must flag >= rows than 3.0
+    (the old API silently remapped factor=1.5 to 3.0)."""
+    n_tight = ops.outliers(sample, ["value"], method="zscore", threshold=1.5) \
+        .filter("is_outlier").count()
+    n_loose = ops.outliers(sample, ["value"], method="zscore", threshold=3.0) \
+        .filter("is_outlier").count()
+    n_tiny = ops.outliers(sample, ["value"], method="zscore", threshold=0.1) \
+        .filter("is_outlier").count()
+    assert n_tight >= n_loose
+    assert n_tiny > n_loose  # 0.1 sigma flags nearly everything
+
+
 def test_search(sample):
     assert ops.search_value(sample, "ali", case_insensitive=True).count() == 1
     rows = ops.search_rows(sample, "a", columns=["name", "category"]).collect()

@@ -66,6 +66,34 @@ def test_selector_stats():
     assert ts_codec in ("for_bitpack", "delta_bitpack", "zstd", "dict", "rle")
 
 
+def test_decode_column_subset_from_full_blocks(spark, web, tmp_path):
+    """Decoding a subset of columns from blocks that contain ALL columns
+    (regression: the group-complete test counted unrequested columns)."""
+    blocks = encode_table(web, policy="balanced").cache()
+    dec = decode_table(blocks, columns=["url", "lang"])
+    assert dec.columns == ["url", "lang"]
+    res = verify_roundtrip(web.select("url", "lang"), dec, key="url")
+    assert res["joined_rows"] == 20_000
+    assert res["total_mismatches"] == 0
+
+    from nail_parquet_spark.codec.decode import decode_parquet_dir, decode_to_parquet
+
+    out1 = str(tmp_path / "dec_subset")
+    decode_to_parquet(blocks, out1, columns=["url", "warc_ts"]).collect()
+    got = spark.read.parquet(out1)
+    assert set(got.columns) == {"url", "warc_ts"}
+    assert got.count() == 20_000
+
+    bdir = str(tmp_path / "blocks_full")
+    blocks.write.parquet(bdir)
+    out2 = str(tmp_path / "dec_subset2")
+    decode_parquet_dir(spark, bdir, out2, columns=["url", "text"]).collect()
+    got2 = spark.read.parquet(out2)
+    assert set(got2.columns) == {"url", "text"}
+    res2 = verify_roundtrip(web.select("url", "text"), got2, key="url")
+    assert res2["total_mismatches"] == 0
+
+
 def test_blocks_persist_roundtrip(spark, web, tmp_path):
     out = str(tmp_path / "blocks")
     encode_table(web, columns=["url", "lang"]).write.parquet(out)

@@ -58,6 +58,33 @@ def test_exact_dedup(docs):
     assert 2 not in {r["doc_id"] for r in kept.collect()}
 
 
+def test_exact_dedup_null_texts_pass_through(spark):
+    """NULL texts must survive dedup untouched and never form a dup cluster
+    (regression: inner join on fingerprint equality dropped them)."""
+    df = spark.createDataFrame(
+        [(1, "same"), (2, "same"), (3, None), (4, None), (5, "other")],
+        "doc_id long, text string",
+    )
+    kept = {r["doc_id"] for r in dedup_exact(df, "doc_id", "text").collect()}
+    assert kept == {1, 3, 4, 5}
+    dups = exact_duplicates(df, "doc_id", "text").collect()
+    assert len(dups) == 1 and dups[0]["keep_id"] == 1  # no NULL cluster
+
+
+def test_simhash_banding_guards(docs):
+    sig = simhash(docs, "doc_id", "text", bits=32)
+    with pytest.raises(ValueError, match="max_hamming"):
+        simhash_near_pairs(sig, "doc_id", bits=32, max_hamming=4, bands=4)
+    with pytest.raises(ValueError, match="divisible"):
+        simhash_near_pairs(sig, "doc_id", bits=32, max_hamming=2, bands=5)
+
+
+def test_ngram_doc_freq_cap_parameterized(docs):
+    # cap of 0 removes every shingle from candidate generation -> no pairs
+    assert ngram_jaccard_pairs(docs, "doc_id", "text", max_doc_freq=0).count() == 0
+    assert ngram_jaccard_pairs(docs, "doc_id", "text", max_doc_freq=1000).count() > 0
+
+
 def test_minhash_lsh_finds_near_dups(docs):
     sigs = minhash_signatures(docs, "doc_id", "text", num_hashes=8)
     cand = minhash_lsh_candidates(sigs, "doc_id", num_hashes=8, bands=4)
@@ -76,7 +103,8 @@ def test_ngram_jaccard(docs):
 
 def test_simhash_hamming(docs):
     sig = simhash(docs, "doc_id", "text", bits=32)
-    near = simhash_near_pairs(sig, "doc_id", bits=32, max_hamming=6)
+    # max_hamming=6 needs >6 bands for pigeonhole completeness
+    near = simhash_near_pairs(sig, "doc_id", bits=32, max_hamming=6, bands=8)
     got = {(r["id_a"], r["id_b"]): r["hamming"] for r in near.collect()}
     assert got.get((1, 2)) == 0  # identical text -> identical simhash
 
