@@ -260,11 +260,12 @@ def q_corr_pearson(spark, sf_dir):
 
 
 def q_corr_spearman(spark, sf_dir):
-    li = _t(spark, sf_dir, "lineitem").select("l_quantity", "l_extendedprice", "l_orderkey", "l_linenumber")
-    r1 = F.rank().over(Window.orderBy("l_quantity"))
-    r2 = F.rank().over(Window.orderBy("l_extendedprice"))
-    ranked = li.withColumn("ra", r1).withColumn("rb", r2)
-    return ranked.agg(F.round(F.corr("ra", "rb"), 4).alias("spearman"))
+    # shuffle-scalable ranks: groupBy per distinct value + broadcast rank
+    # table (agg.py spearman_scalable) — no Window over the full table
+    from nail_parquet_spark.operators.agg import spearman_scalable
+
+    li = _t(spark, sf_dir, "lineitem")
+    return spearman_scalable(li, "l_quantity", "l_extendedprice")
 
 
 def q_outliers_zscore(spark, sf_dir):
@@ -489,6 +490,28 @@ def q_simhash(spark, sf_dir):
     return simhash(_t(spark, sf_dir, "documents"), "doc_id", "text", bits=16)
 
 
+def q_simhash_near_pairs(spark, sf_dir):
+    """Banded near-dup pairs over simhash signatures. Pigeonhole banding is
+    complete for max_hamming < bands, so the result equals the exact
+    all-pairs Hamming filter — which is what the oracle computes."""
+    from nail_parquet_spark.functions.dedup import simhash, simhash_near_pairs
+
+    sig = simhash(_t(spark, sf_dir, "documents"), "doc_id", "text", bits=32)
+    return simhash_near_pairs(sig, "doc_id", bits=32, max_hamming=3, bands=4)
+
+
+def q_embedding_near_dup_lsh(spark, sf_dir):
+    """Production-scale near-dup path: LSH bucket self-join + exact cosine
+    verify (similarity.py embedding_near_duplicates). Rows-only oracle —
+    LSH recall is probabilistic, not SQL-reproducible."""
+    from nail_parquet_spark.functions.similarity import embedding_near_duplicates
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    return embedding_near_duplicates(e, "vec_id", "v", threshold=0.8)
+
+
 def q_embedding_topk(spark, sf_dir):
     from nail_parquet_spark.functions.similarity import cosine_topk_bruteforce
 
@@ -668,37 +691,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {k: wrap(v) for k, v in _QUERIES.items()}
 
 
+# Order matters: the round-1 driver recorded CORRECTNESS rows for only the
+# first 50 entries, so the ANN / multimodal / codec block (unchecked in r1)
+# and every query whose plan changed this round comes FIRST; the tail slots
+# hold queries that are (a) unchanged since r1 and (b) value-exact green in
+# CORRECTNESS_r01.json. scripts/check_oracle.py still verifies ALL entries.
 _QUERIES = {
-        "q1_pricing_summary": q1_pricing_summary,
-        "select_columns": q_select_columns,
-        "drop_columns": q_drop_columns,
-        "rename_columns": q_rename,
-        "create_columns": q_create_columns,
-        "filter_conditions": q_filter_conditions,
-        "filter_no_nan": q_filter_no_nan,
-        "search_value": q_search_value,
-        "sort_multi": q_sort_multi,
-        "head": q_head,
+        # -- previously unchecked (r1 driver cap) --
+        "embedding_topk": q_embedding_topk,
+        "embedding_near_dup": q_embedding_near_dup,
+        "multimodal_meta": q_multimodal_meta,
+        "encode_manifest": q_encode_manifest,           # rows-only oracle
+        "encode_roundtrip": q_encode_roundtrip,         # rows-only oracle
+        "embedding_topk_lsh": q_embedding_topk_lsh,     # rows-only oracle
+        "embedding_topk_ivf": q_embedding_topk_ivf,     # rows-only oracle
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,       # rows-only oracle
+        # -- new this round --
+        "simhash_near_pairs": q_simhash_near_pairs,
+        "embedding_near_dup_lsh": q_embedding_near_dup_lsh,  # rows-only oracle
+        # -- plans changed this round (need fresh rows) --
         "tail": q_tail,
         "id_column": q_id_column,
-        "count_rows": q_count,
+        "select_rows_spec": q_select_rows_spec,
+        "corr_spearman": q_corr_spearman,
+        "dedup_exact_docs": q_dedup_exact_docs,
+        "search_value": q_search_value,
+        # -- headline + remaining surface --
+        "q1_pricing_summary": q1_pricing_summary,
+        "sort_multi": q_sort_multi,
         "frequency": q_frequency,
         "stats_exact": q_stats_exact,
         "pivot": q_pivot,
-        "distinct_values": q_distinct_values,
         "corr_pearson": q_corr_pearson,
-        "corr_spearman": q_corr_spearman,
         "outliers_zscore": q_outliers_zscore,
         "outliers_range_heuristic": q_outliers_range_heuristic,
         "binning_equal_width": q_binning,
         "window_running_sum": q_window_running_sum,
         "merge_inner": q_merge_inner,
-        "merge_left": q_merge_left,
         "append_union": q_append_union,
         "append_ignore_schema": q_append_ignore_schema,
         "dedup_keep_first": q_dedup_keep_first,
         "dedup_keep_last": q_dedup_keep_last,
-        "select_rows_spec": q_select_rows_spec,
         "drop_rows_cond": q_drop_rows_cond,
         "fill_backward": q_fill_backward,
         "merge_right": q_merge_right,
@@ -707,7 +740,6 @@ _QUERIES = {
         "sample_hash": q_sample_hash,
         "split_hash": q_split_hash,
         "shuffle_content": q_shuffle_content,
-        "fill_value": q_fill_value,
         "fill_forward": q_fill_forward,
         "events_hourly": q_events_hourly,
         "events_sessionize": q_events_sessionize,
@@ -715,19 +747,21 @@ _QUERIES = {
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
-        "dedup_exact_docs": q_dedup_exact_docs,
         "minhash_signatures": q_minhash_signatures,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "simhash": q_simhash,
-        "embedding_topk": q_embedding_topk,
-        "embedding_near_dup": q_embedding_near_dup,
-        "multimodal_meta": q_multimodal_meta,
-        # non-SQL-expressible (rows-only oracle):
-        "encode_manifest": q_encode_manifest,
-        "encode_roundtrip": q_encode_roundtrip,
-        "embedding_topk_lsh": q_embedding_topk_lsh,
-        "embedding_topk_ivf": q_embedding_topk_ivf,
-        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        # -- tail: unchanged since r1 and green in CORRECTNESS_r01 --
+        "fill_value": q_fill_value,
+        "head": q_head,
+        "count_rows": q_count,
+        "select_columns": q_select_columns,
+        "drop_columns": q_drop_columns,
+        "rename_columns": q_rename,
+        "distinct_values": q_distinct_values,
+        "filter_no_nan": q_filter_no_nan,
+        "create_columns": q_create_columns,
+        "filter_conditions": q_filter_conditions,
+        "merge_left": q_merge_left,
 }
 
 
@@ -754,6 +788,25 @@ WITH words AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS
 scored AS (SELECT doc_id, {scores} FROM words)
 SELECT doc_id, {case} AS lang_pred FROM scored
 """
+
+
+def _simhash_sql(bits: int) -> str:
+    """simhash over md5-derived word hashes — mirrors functions/dedup.py."""
+    return f"""
+            WITH words AS (
+              SELECT DISTINCT doc_id, w AS word
+              FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+                    FROM documents WHERE trim(text) <> '')),
+            hashed AS (
+              SELECT doc_id, ('0x' || substr(md5(word), 1, 15))::BIGINT AS h FROM words),
+            votes AS (
+              SELECT doc_id, j,
+                     sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+              FROM hashed, UNNEST(generate_series(0, {bits - 1})) AS t(j)
+              GROUP BY doc_id, j)
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
+            FROM votes GROUP BY doc_id"""
 
 
 _SHINGLES_SQL = """
@@ -827,8 +880,10 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem""",
         "corr_spearman": """
             SELECT round(corr(ra, rb), 4) AS spearman FROM (
-              SELECT rank() OVER (ORDER BY l_quantity) AS ra,
-                     rank() OVER (ORDER BY l_extendedprice) AS rb
+              SELECT rank() OVER (ORDER BY l_quantity)
+                       + (count(*) OVER (PARTITION BY l_quantity) - 1) / 2.0 AS ra,
+                     rank() OVER (ORDER BY l_extendedprice)
+                       + (count(*) OVER (PARTITION BY l_extendedprice) - 1) / 2.0 AS rb
               FROM lineitem)""",
         "outliers_zscore": """
             WITH s AS (SELECT avg(l_extendedprice) m, stddev(l_extendedprice) sd FROM lineitem)
@@ -974,21 +1029,13 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = id_a
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.5""",
-        "simhash": """
-            WITH words AS (
-              SELECT DISTINCT doc_id, w AS word
-              FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
-                    FROM documents WHERE trim(text) <> '')),
-            hashed AS (
-              SELECT doc_id, ('0x' || substr(md5(word), 1, 15))::BIGINT AS h FROM words),
-            votes AS (
-              SELECT doc_id, j,
-                     sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS v
-              FROM hashed, UNNEST(generate_series(0, 15)) AS t(j)
-              GROUP BY doc_id, j)
-            SELECT doc_id,
-                   CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
-            FROM votes GROUP BY doc_id""",
+        "simhash": _simhash_sql(16),
+        "simhash_near_pairs": f"""
+            WITH sig AS ({_simhash_sql(32)})
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+            FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
         "embedding_topk": """
             WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
             pairs AS (

@@ -381,27 +381,26 @@ def _kendall_tau_b(x, y, block: int = 1024) -> float:
 
 
 def spearman_scalable(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
-    """Spearman correlation without a single-partition window.
+    """Spearman correlation with NO single-partition window anywhere.
 
-    The plain implementation ranks via Window.orderBy (one partition — fine
-    at test scale, a straggler at 10^12 rows). Here average ranks come from
-    a groupBy per distinct value + a running offset over the (small) sorted
-    distinct-value table, then a broadcast join back — every stage is a
-    normal shuffle."""
-    out_rows = []
+    Average ranks: rank(v) = (#rows with value < v) + (count(v)+1)/2. The
+    "#rows before" term is an exclusive prefix sum of per-value counts in
+    value order, computed via range-repartition + partition-offset prefix
+    sum (rowid.with_exclusive_prefix_sum) — works even when the column is
+    near-unique and the distinct-value table is as big as the data. The
+    join back is a plain shuffle join (AQE broadcasts it when small)."""
+    from nail_parquet_spark.rowid import with_exclusive_prefix_sum
+
     ranked = df.select(col_a, col_b)
     for c in (col_a, col_b):
         counts = (
             df.groupBy(F.col(c).alias("__v"))
             .agg(F.count(F.lit(1)).alias("__n"))
         )
-        w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, -1)
-        # the distinct-value table is small relative to the data; its window
-        # is over |distinct| rows, not |rows|
-        ranks = counts.withColumn("__before", F.coalesce(F.sum("__n").over(w), F.lit(0)))
+        ranks = with_exclusive_prefix_sum(counts, "__v", "__n", "__before")
         ranks = ranks.withColumn("__avg_rank", F.col("__before") + (F.col("__n") + 1) / 2.0)
         ranked = ranked.join(
-            F.broadcast(ranks.select(F.col("__v").alias(c), F.col("__avg_rank").alias(f"__rk_{c}"))),
+            ranks.select(F.col("__v").alias(c), F.col("__avg_rank").alias(f"__rk_{c}")),
             c,
         )
     return ranked.agg(F.round(F.corr(f"__rk_{col_a}", f"__rk_{col_b}"), 4).alias("spearman"))

@@ -11,7 +11,7 @@ import re
 
 from pyspark.sql import DataFrame, functions as F
 
-from nail_parquet_spark.rowid import ROW_ID, with_row_id
+from nail_parquet_spark.rowid import with_row_id, with_row_number_by
 
 
 def resolve_column_patterns(columns: list[str], patterns: list[str]) -> list[str]:
@@ -79,31 +79,30 @@ def _row_spec_cond(ranges: list[tuple[int, int]], col=None):
     return cond
 
 
+def _numbered(df: DataFrame, order_col: str | None) -> DataFrame:
+    """1-based global row numbers as __rn, never via a single-partition
+    window: _row_id is already contiguous in input order; an explicit
+    order_col goes through the range-repartition prefix-sum path."""
+    if order_col is None:
+        return with_row_id(df, "__rn")
+    return with_row_number_by(df, order_col, "__rn")
+
+
 def select_rows(df: DataFrame, spec: str, order_col: str | None = None) -> DataFrame:
     """Keep 1-based rows by spec, numbering rows deterministically."""
-    from pyspark.sql import Window
-
-    base = with_row_id(df) if order_col is None else df
-    oc = order_col or ROW_ID
-    w = Window.orderBy(F.col(oc))
-    out = base.withColumn("__rn", F.row_number().over(w)).filter(
-        _row_spec_cond(parse_row_spec(spec))
+    return (
+        _numbered(df, order_col)
+        .filter(_row_spec_cond(parse_row_spec(spec)))
+        .drop("__rn")
     )
-    drop = ["__rn"] + ([ROW_ID] if order_col is None else [])
-    return out.drop(*drop)
 
 
 def drop_rows(df: DataFrame, spec: str, order_col: str | None = None) -> DataFrame:
-    from pyspark.sql import Window
-
-    base = with_row_id(df) if order_col is None else df
-    oc = order_col or ROW_ID
-    w = Window.orderBy(F.col(oc))
-    out = base.withColumn("__rn", F.row_number().over(w)).filter(
-        ~_row_spec_cond(parse_row_spec(spec))
+    return (
+        _numbered(df, order_col)
+        .filter(~_row_spec_cond(parse_row_spec(spec)))
+        .drop("__rn")
     )
-    drop = ["__rn"] + ([ROW_ID] if order_col is None else [])
-    return out.drop(*drop)
 
 
 def rename_columns(df: DataFrame, specs: list[str] | dict[str, str]) -> DataFrame:
@@ -147,19 +146,13 @@ def add_id_column(df: DataFrame, name: str = "id", prefix: str = "",
                   order_col: str | None = None) -> DataFrame:
     """CONCAT(prefix, ROW_NUMBER()) prepended; errors if name exists
     (id.rs:41-74)."""
-    from pyspark.sql import Window
-
     if name in df.columns:
         raise ValueError(f"column '{name}' already exists")
-    base = with_row_id(df) if order_col is None else df
-    oc = order_col or ROW_ID
-    w = Window.orderBy(F.col(oc))
-    rn = F.row_number().over(w)
+    base = _numbered(df, order_col)
+    rn = F.col("__rn")
     idc = F.concat(F.lit(prefix), rn.cast("string")) if prefix else rn.cast("long")
     out = base.withColumn(name, idc)
-    cols = [name] + [c for c in df.columns if c != name]
-    out = out.select(*cols)
-    return out
+    return out.select(name, *[c for c in df.columns if c != name])
 
 
 def headers(df: DataFrame, pattern: str | None = None) -> list[str]:

@@ -117,9 +117,8 @@ def search_rows(df: DataFrame, value: str, columns: list[str] | None = None,
     (search.rs:136-233)."""
     cols = columns or df.columns
     dt = dict(df.dtypes)
-    base = with_row_id(df)
-    w = Window.orderBy(F.col(ROW_ID))
-    base = base.withColumn("row_number", F.row_number().over(w))
+    # _row_id is already the contiguous 1..N global number — no extra window
+    base = with_row_id(df).withColumn("row_number", F.col(ROW_ID))
     matches = []
     for c in cols:
         col = F.col(c)
@@ -148,24 +147,24 @@ def head(df: DataFrame, n: int) -> DataFrame:
 
 
 def tail(df: DataFrame, n: int, order_col: str | None = None) -> DataFrame:
-    """Last n rows in row-id order (tail.rs:17-78 uses total-count offset)."""
+    """Last n rows in row-id order (tail.rs:17-78 uses total-count offset).
+
+    ``orderBy(desc).limit(n)`` compiles to TakeOrderedAndProject —
+    per-partition top-n merged on the driver, no global window."""
     base = with_row_id(df) if order_col is None else df
     oc = order_col or ROW_ID
-    w = Window.orderBy(F.col(oc).desc())
-    out = base.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= n)
-    drop = ["__rn"] + ([ROW_ID] if order_col is None else [])
-    return out.orderBy(F.col(oc)).drop(*drop)
+    out = base.orderBy(F.col(oc).desc()).limit(n).orderBy(F.col(oc))
+    return out.drop(ROW_ID) if order_col is None else out
 
 
 def sample_random(df: DataFrame, n: int, seed: int | None = None) -> DataFrame:
-    """Exact-n seeded random sample, distributed: rank by rand(seed)
-    (replaces sample.rs:78-132's three size-dependent strategies)."""
-    w = Window.orderBy(F.rand(seed) if seed is not None else F.rand())
-    return (
-        df.withColumn("__r", F.row_number().over(w))
-        .filter(F.col("__r") <= n)
-        .drop("__r")
-    )
+    """Exact-n seeded random sample, distributed (replaces sample.rs:78-132's
+    three size-dependent strategies).
+
+    ``orderBy(rand).limit(n)`` compiles to TakeOrderedAndProject (per-
+    partition top-n, driver merge) — the previous row_number-over-global-
+    window plan funneled the whole table into one task."""
+    return df.orderBy(F.rand(seed) if seed is not None else F.rand()).limit(n)
 
 
 def sample_fraction(df: DataFrame, fraction: float, seed: int | None = None) -> DataFrame:

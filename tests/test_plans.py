@@ -6,9 +6,35 @@ bug at scale even when results are correct; these tests pin the plans.
 import pytest
 
 import __spark_entry__ as entry
-from nail_parquet_spark.plans.explain import assert_pushdown, plan_text
+from nail_parquet_spark.plans.explain import assert_pushdown, global_windows, plan_text
 
 SF = "/root/testdata/sf0.001"
+
+
+def test_no_single_partition_window_in_any_registered_query(spark):
+    """The 100-TB straggler gate: NO registered query's plan may contain a
+    Window with an empty partition spec. Row numbering goes through the
+    partition-offset prefix-sum (rowid.py); top/bottom-n through
+    orderBy+limit (TakeOrderedAndProject); ranks through groupBy+prefix-sum
+    (spearman_scalable)."""
+    offenders = {}
+    for name, fn in entry.queries().items():
+        df = fn(spark, SF)
+        gw = global_windows(df)
+        if gw:
+            offenders[name] = gw[0][:120]
+    assert not offenders, f"single-partition windows in: {offenders}"
+
+
+def test_sample_and_tail_compile_to_take_ordered(spark):
+    """sample_random / tail use per-partition top-n + driver merge, not a
+    global sort or window."""
+    from nail_parquet_spark.operators.rows import sample_random, tail
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    for df in (sample_random(li, 10, seed=1), tail(li, 10, order_col="l_orderkey")):
+        txt = plan_text(df, mode="simple")
+        assert "TakeOrderedAndProject" in txt, txt
 
 
 def test_filter_pushdown_reaches_scan(spark):
