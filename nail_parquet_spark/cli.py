@@ -22,6 +22,15 @@ def _spark(jobs: int | None = None):
     return get_spark("nail-spark-cli", master=master)
 
 
+def _is_parquet_input(path: str) -> bool:
+    import glob
+    import os
+
+    if path.endswith(".parquet"):
+        return True
+    return os.path.isdir(path) and bool(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
+
+
 def _out(df, args, n: int = 20):
     from nail_parquet_spark.sources.io import write_data
 
@@ -72,7 +81,9 @@ def main(argv: list[str] | None = None) -> int:
     add("split", (("--ratios",), {"default": "0.8,0.2"}), (("--seed",), {"type": int, "default": None}),
         (("--stratify-by",), {"default": None}))
     add("sample", (("-n",), {"type": int, "default": 100}), (("--seed",), {"type": int, "default": None}),
-        (("--stratify-by",), {"default": None}))
+        (("--stratify-by",), {"default": None}),
+        (("--method",), {"default": None, "choices": ["random", "stratified", "first", "last"],
+                         "help": "sample.rs:58-62 modes; default random (stratified if --stratify-by)"}))
     add("shuffle", (("--seed",), {"type": int, "default": None}))
     add("fill", (("-c", "--columns"), {"required": True}), (("--method",), {"default": "value"}),
         (("--value",), {"default": None}))
@@ -90,7 +101,10 @@ def main(argv: list[str] | None = None) -> int:
     add("convert")
     add("optimize", (("--policy",), {"default": "balanced"}),
         (("--codecs",), {"default": None, "help": 'JSON {"col": "codec"} overrides'}),
-        (("--sort-by",), {"default": None}), (("--validate",), {"action": "store_true"}))
+        (("--sort-by",), {"default": None}), (("--validate",), {"action": "store_true"}),
+        (("--compression",), {"default": None,
+                              "help": "plain parquet rewrite with this codec (snappy/gzip/zstd) instead of block-encode"}),
+        (("--compression-level",), {"type": int, "default": None, "help": "zstd level 1-9 (optimize.rs:119)"}))
     add("metadata", with_output=False)
     sub.add_parser("update")
 
@@ -99,6 +113,20 @@ def main(argv: list[str] | None = None) -> int:
         from nail_parquet_spark import __version__
 
         print(f"nail-spark {__version__} (self-update out of scope)")
+        return 0
+
+    if args.cmd in ("size", "metadata") and _is_parquet_input(args.input):
+        # footer read only — read-only inspection must never scan, encode,
+        # or even start a Spark session (metadata.rs/size.rs parity)
+        if args.cmd == "size":
+            from nail_parquet_spark.sources.footer import size_report
+
+            print(json.dumps(size_report(args.input), indent=2))
+        else:
+            from nail_parquet_spark.sources.footer import metadata_items
+
+            for k, v in metadata_items(args.input):
+                print(f"{k}: {v}")
         return 0
 
     from nail_parquet_spark import operators as ops
@@ -115,6 +143,8 @@ def main(argv: list[str] | None = None) -> int:
     elif c == "schema":
         print(json.dumps(ops.schema_rows(df), indent=2))
     elif c == "size":
+        # non-parquet inputs (parquet short-circuits to the footer path
+        # above): full encode analysis is the only size source
         from nail_parquet_spark.codec.encode import encode_table
         from nail_parquet_spark.codec.inspect import size_summary
 
@@ -193,8 +223,15 @@ def main(argv: list[str] | None = None) -> int:
             write_data(part, f"{base.rsplit('.', 1)[0]}_part{i}.parquet")
         print(f"wrote {len(parts)} splits")
     elif c == "sample":
-        if args.stratify_by:
+        method = args.method or ("stratified" if args.stratify_by else "random")
+        if method == "stratified":
+            if not args.stratify_by:
+                p.error("--stratify-by required for stratified sampling")
             _out(ops.sample_stratified(df, args.stratify_by, args.n, args.seed), args)
+        elif method == "first":
+            _out(ops.head(df, args.n), args)
+        elif method == "last":
+            _out(ops.tail(df, args.n), args)
         else:
             _out(ops.sample_random(df, args.n, args.seed), args)
     elif c == "shuffle":
@@ -238,6 +275,21 @@ def main(argv: list[str] | None = None) -> int:
         src = df
         if args.sort_by:
             src = src.sortWithinPartitions(*args.sort_by.split(","))
+        if args.compression:
+            # reference-mode optimize: plain parquet rewrite with the chosen
+            # codec/level (optimize.rs:47-135) — no block encode
+            if args.compression_level is not None and not 1 <= args.compression_level <= 9:
+                p.error("--compression-level must be 1-9")
+            if not args.output:
+                p.error("--compression requires -o/--output")
+            from nail_parquet_spark.sources.io import write_data
+
+            write_data(src, args.output, "parquet",
+                       compression=args.compression,
+                       compression_level=args.compression_level)
+            print(f"wrote {args.output} ({args.compression}"
+                  + (f":{args.compression_level}" if args.compression_level else "") + ")")
+            return 0
         codecs = json.loads(args.codecs) if args.codecs else None
         blocks = encode_table(src, codecs=codecs, policy=args.policy)
         if args.output:

@@ -50,15 +50,35 @@ def read_data(spark: SparkSession, path: str, fmt: str | None = None) -> DataFra
 
 
 def write_data(df: DataFrame, path: str, fmt: str | None = None,
-               mode: str = "overwrite", single_file: bool = False) -> None:
+               mode: str = "overwrite", single_file: bool = False,
+               compression: str | None = None,
+               compression_level: int | None = None) -> None:
+    """Write with an optional per-write parquet codec/level (the reference's
+    optimize compression menu, optimize.rs:47-108: snappy/gzip/zstd + level;
+    brotli needs a codec jar Spark doesn't ship). ``compression_level``
+    applies to zstd via the per-write parquet option — it does NOT touch the
+    session-wide default."""
     fmt = _fmt_of(path, fmt)
     out = df.coalesce(1) if single_file else df
     if fmt == "parquet":
-        out.write.mode(mode).parquet(path)
+        w = out.write.mode(mode)
+        if compression:
+            if compression == "brotli":
+                raise ValueError("brotli needs a parquet codec jar Spark does not ship; use zstd/gzip/snappy")
+            w = w.option("compression", compression)
+            if compression_level is not None and compression == "zstd":
+                w = w.option("parquet.compression.codec.zstd.level", str(compression_level))
+        w.parquet(path)
     elif fmt == "csv":
-        out.write.mode(mode).option("header", True).csv(path)
+        w = out.write.mode(mode).option("header", True)
+        if compression:
+            w = w.option("compression", compression)
+        w.csv(path)
     elif fmt == "json":
-        out.write.mode(mode).json(path)
+        w = out.write.mode(mode)
+        if compression:
+            w = w.option("compression", compression)
+        w.json(path)
     elif fmt == "xlsx":
         try:
             df.limit(1_048_575).toPandas().to_excel(path, index=False)

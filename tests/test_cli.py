@@ -80,10 +80,76 @@ def test_cli_multi_input(data, data2, tmp_path):
     assert os.path.exists(str(tmp_path / "s_part0.parquet"))
 
 
+def test_cli_sample_first_last(data, tmp_path, spark):
+    # "first"/"last" follow scan order (the reference's file order), which
+    # is deterministic for fixed files but unrelated to the id column
+    out1, out2 = str(tmp_path / "f.parquet"), str(tmp_path / "l.parquet")
+    run("sample", data, "-n", "4", "--method", "first", "-o", out1)
+    first = {r["id"] for r in spark.read.parquet(out1).collect()}
+    run("sample", data, "-n", "4", "--method", "last", "-o", out2)
+    last = {r["id"] for r in spark.read.parquet(out2).collect()}
+    assert len(first) == 4 and len(last) == 4
+    assert not first & last  # opposite ends of a 20-row table
+
+
+def test_cli_metadata_is_footer_native(data, capsys):
+    """metadata/size on parquet must read the footer, not scan+encode, and
+    the fields must match pyarrow ground truth (metadata.rs parity)."""
+    import pyarrow.parquet as pq
+
+    run("metadata", data)
+    out = capsys.readouterr().out
+    got = {}
+    for line in out.splitlines():
+        if ": " in line:
+            k, v = line.split(": ", 1)
+            got[k] = v
+    import glob
+
+    files = sorted(glob.glob(os.path.join(data, "**", "*.parquet"), recursive=True))
+    md = pq.ParquetFile(files[0]).metadata
+    multi = len(files) > 1
+    if multi:
+        assert int(got["total_rows"]) == 20
+        assert got["num_files"] == str(len(files))
+    else:
+        assert int(got["num_rows"]) == 20
+    pre = "file_0_" if multi else ""
+    assert got[pre + "created_by"] == (md.created_by or "")
+    assert got[pre + "num_row_groups"] == str(md.num_row_groups)
+    assert got[pre + "column_0_name"] == md.schema.column(0).name
+    assert got[pre + "rg_0_col_0_compression"] == md.row_group(0).column(0).compression
+    assert "encodings" in out and "compression_ratio" in out.replace("overall_", "")
+
+
+def test_cli_size_is_scan_free(data, capsys):
+    run("size", data)
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["rows"] == 20
+    assert rep["columns"] == 5
+    assert rep["file_size_bytes"] > 0
+    assert rep["est_memory_bytes"] >= 8 * 20  # at least the id column
+    names = {c["column"] for c in rep["per_column"]}
+    assert names == {"id", "name", "value", "category", "score"}
+
+
+def test_cli_optimize_compression_menu(data, tmp_path, spark):
+    out = str(tmp_path / "zstd7.parquet")
+    run("optimize", data, "-o", out, "--compression", "zstd", "--compression-level", "7")
+    import glob
+
+    import pyarrow.parquet as pq
+
+    f = glob.glob(os.path.join(out, "*.parquet"))[0]
+    md = pq.ParquetFile(f).metadata
+    assert md.row_group(0).column(0).compression == "ZSTD"
+    assert spark.read.parquet(out).count() == 20
+
+
 def test_cli_encode_surface(data, tmp_path, capsys):
     run("convert", data, "-o", str(tmp_path / "c.csv"))
-    run("size", data)
-    run("metadata", data)
+    run("size", str(tmp_path / "c.csv"))  # non-parquet -> encode-analysis path
+    capsys.readouterr()
     run("optimize", data, "-o", str(tmp_path / "blocks"), "--validate",
         "--codecs", '{"name": "fsst"}')
     out = capsys.readouterr().out
