@@ -74,33 +74,26 @@ def run_suite() -> dict:
 def run_encode_scaling() -> dict:
     """N vs 4N parallelism on identical input (BASELINE.md §3.4).
 
-    Default pair is (1, 4): a clean parallelism matrix (BENCH/BASELINE.md §2)
-    shows this sandbox's shared microVM provides only ~4-5 effective cores
-    for bandwidth-heavy work — beyond that, added vCPUs measure host
-    oversubscription, not the engine.
+    Paired-interleaved protocol (scripts/bench_encode.py): one JVM, job
+    parallelism pinned by work-item partitioning, lo/hi reps adjacent in
+    time, efficiency from the best pair. Default pair is (1, 4): a clean
+    parallelism matrix (BENCH/BASELINE.md §2) shows this sandbox's shared
+    microVM provides only ~4-5 effective cores for bandwidth-heavy work —
+    beyond that, added vCPUs measure host oversubscription, not the engine.
     Override with BENCH_SCALE_PAIR="8,32" on real hardware.
     """
     pair = os.environ.get("BENCH_SCALE_PAIR", "1,4")
-    n_lo, n_hi = (int(x) for x in pair.split(","))
-    out = {}
     env = dict(os.environ)
-    env.setdefault("BENCH_REPS", "7")  # more minima reps: host noise is 2-3x
-    for cpus in (n_lo, n_hi):
-        r = subprocess.run(
-            [sys.executable, "scripts/bench_encode.py", str(cpus), str(ENCODE_ROWS)],
-            capture_output=True, text=True, cwd="/root/repo", env=env, timeout=3600,
-        )
-        line = [ln for ln in r.stdout.splitlines() if ln.startswith("{")]
-        if not line:
-            print(f"encode bench cpus={cpus} failed: {r.stderr[-500:]}", file=sys.stderr)
-            continue
-        out[f"cpus_{cpus}"] = json.loads(line[-1])
-    if f"cpus_{n_lo}" in out and f"cpus_{n_hi}" in out and n_hi != n_lo:
-        g_lo = out[f"cpus_{n_lo}"]["gbps"]
-        g_hi = out[f"cpus_{n_hi}"]["gbps"]
-        out["scale_pair"] = [n_lo, n_hi]
-        out["scaling_efficiency"] = round((g_hi / g_lo) / (n_hi / n_lo), 4)
-    return out
+    env.setdefault("BENCH_REPS", "7")
+    r = subprocess.run(
+        [sys.executable, "scripts/bench_encode.py", pair, str(ENCODE_ROWS)],
+        capture_output=True, text=True, cwd="/root/repo", env=env, timeout=3600,
+    )
+    line = [ln for ln in r.stdout.splitlines() if ln.startswith("{")]
+    if not line:
+        print(f"encode bench pair={pair} failed: {r.stderr[-500:]}", file=sys.stderr)
+        return {}
+    return json.loads(line[-1])
 
 
 def main():

@@ -168,29 +168,11 @@ def _encode_chunk(chunk, cols, chosen, with_stats, pid, block_id) -> pa.RecordBa
     )
 
 
-def encode_parquet_files(
-    spark,
-    path: str | list[str],
-    columns: list[str] | None = None,
-    codecs: dict[str, str] | None = None,
-    policy: str = "balanced",
-    sample_rows: int = 8192,
-    block_rows: int = 65536,
-    with_stats: bool = True,
-) -> DataFrame:
-    """Scan-side encode: tasks read parquet ROW GROUPS directly with the
-    pyarrow C++ reader and encode in place.
-
-    Why this exists: ``encode_table`` pays the JVM columnar->Arrow->socket
-    conversion for every raw byte (measured ~5 MB/s/core on binary-heavy
-    columns — the pandas-UDF tax). For the encode pipeline the kernels
-    consume Arrow natively, so shipping raw data through the JVM buys
-    nothing. Here Spark schedules (path, row-group) work items (locality,
-    retries, speculation still apply); only the compact encoded blocks cross
-    the JVM boundary. This is the same pattern Petastorm/Ray datasets use,
-    and it's how the pipeline would front an Iceberg table at 100 TB: the
-    work items come from the table's file manifest.
-    """
+def _plan_parquet_encode(spark, path, columns, codecs, policy, sample_rows,
+                         num_partitions):
+    """Shared planning for the scan-side encode paths: enumerate
+    (file, row-group) work items, pick codecs from one sampled row group,
+    and build the work-items DataFrame."""
     import glob as _glob
     import os as _os
 
@@ -222,9 +204,46 @@ def encode_parquet_files(
             arr = sample.column(c).combine_chunks()
             chosen[c] = choose_codec(arr.slice(0, sample_rows), policy=policy)[0]
 
-    items_df = spark.createDataFrame(items, "path string, rg int").repartition(
-        min(len(items), spark.sparkContext.defaultParallelism * 4)
+    # num_partitions pins job parallelism (concurrent tasks) independently of
+    # the session master — the scaling bench uses it to run the same job at
+    # two parallelism levels inside one JVM. Round-robin the items across
+    # slices via parallelize (no repartition = no extra shuffle stage; a
+    # fixed per-job stage taxes the high-parallelism level relatively more).
+    n_parts = num_partitions or min(len(items), spark.sparkContext.defaultParallelism * 4)
+    slices = [items[i::n_parts] for i in range(min(n_parts, len(items)))]
+    rdd = spark.sparkContext.parallelize(slices, len(slices)).flatMap(lambda s: s)
+    items_df = spark.createDataFrame(rdd, "path string, rg int")
+    return items_df, all_cols, chosen
+
+
+def encode_parquet_files(
+    spark,
+    path: str | list[str],
+    columns: list[str] | None = None,
+    codecs: dict[str, str] | None = None,
+    policy: str = "balanced",
+    sample_rows: int = 8192,
+    block_rows: int = 65536,
+    with_stats: bool = True,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Scan-side encode: tasks read parquet ROW GROUPS directly with the
+    pyarrow C++ reader and encode in place.
+
+    Why this exists: ``encode_table`` pays the JVM columnar->Arrow->socket
+    conversion for every raw byte (measured ~5 MB/s/core on binary-heavy
+    columns — the pandas-UDF tax). For the encode pipeline the kernels
+    consume Arrow natively, so shipping raw data through the JVM buys
+    nothing. Here Spark schedules (path, row-group) work items (locality,
+    retries, speculation still apply); only the compact encoded blocks cross
+    the JVM boundary. This is the same pattern Petastorm/Ray datasets use,
+    and it's how the pipeline would front an Iceberg table at 100 TB: the
+    work items come from the table's file manifest.
+    """
+    items_df, all_cols, chosen = _plan_parquet_encode(
+        spark, path, columns, codecs, policy, sample_rows, num_partitions
     )
+    import pyarrow.parquet as _pq
 
     def enc(batches):
         from pyspark import TaskContext
@@ -234,10 +253,99 @@ def encode_parquet_files(
         block_id = 0
         for batch in batches:
             for p, rg in zip(batch.column(0).to_pylist(), batch.column(1).to_pylist()):
-                tbl = _pq.ParquetFile(p).read_row_group(rg, columns=all_cols)
+                # use_threads=False: a Spark task owns ONE core; pyarrow's
+                # default pool would oversubscribe the executor (and fake
+                # the 1-task baseline in scaling measurements)
+                tbl = _pq.ParquetFile(p).read_row_group(
+                    rg, columns=all_cols, use_threads=False
+                )
                 for off in range(0, tbl.num_rows, block_rows):
                     chunk = tbl.slice(off, min(block_rows, tbl.num_rows - off))
                     yield _encode_chunk(chunk, all_cols, chosen, with_stats, pid, block_id)
                     block_id += 1
 
     return items_df.mapInArrow(enc, schema=BLOCKS_SCHEMA)
+
+
+MANIFEST_SCHEMA = (
+    "file string, part_id int, n_blocks bigint, n_rows bigint, "
+    "raw_bytes bigint, enc_bytes bigint, columns string"
+)
+
+
+def encode_parquet_dir(
+    spark,
+    path: str | list[str],
+    out_dir: str,
+    columns: list[str] | None = None,
+    codecs: dict[str, str] | None = None,
+    policy: str = "balanced",
+    sample_rows: int = 8192,
+    block_rows: int = 65536,
+    with_stats: bool = True,
+    num_partitions: int | None = None,
+    compression: str = "none",
+) -> DataFrame:
+    """Scan-side encode with a PYTHON-side parquet sink, all in ONE task
+    function: each task reads its (file, row-group) work items with the C++
+    reader, encodes, and writes the block rows straight to its own parquet
+    file — the mirror of ``decode_parquet_dir``. Zero shuffle and zero raw
+    OR encoded bytes crossing the Python->JVM boundary: only a per-task
+    lineage manifest row (file, rows, bytes) returns. This is the production
+    sink path for the 100-TB pipeline; the per-task manifests are the
+    Iceberg-commit-shaped lineage records, and group-complete block files
+    feed the shuffle-free ``decode_parquet_dir``.
+
+    Container ``compression`` defaults to none: payloads are already
+    codec-compressed, so a container codec only burns CPU re-compressing
+    incompressible bytes."""
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    items_df, all_cols, chosen = _plan_parquet_encode(
+        spark, path, columns, codecs, policy, sample_rows, num_partitions
+    )
+    _os.makedirs(out_dir, exist_ok=True)
+
+    def enc_sink(batches):
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        tid = ctx.partitionId() if ctx is not None else 0
+        out_path = _os.path.join(out_dir, f"blocks-{tid:05d}.parquet")
+        writer = None
+        block_id = 0
+        n_blocks = n_rows = raw = enc_b = 0
+        for batch in batches:
+            for p, rg in zip(batch.column(0).to_pylist(), batch.column(1).to_pylist()):
+                tbl = _pq.ParquetFile(p).read_row_group(
+                    rg, columns=all_cols, use_threads=False
+                )
+                for off in range(0, tbl.num_rows, block_rows):
+                    chunk = tbl.slice(off, min(block_rows, tbl.num_rows - off))
+                    rb = _encode_chunk(chunk, all_cols, chosen, with_stats, tid, block_id)
+                    block_id += 1
+                    if writer is None:
+                        writer = _pq.ParquetWriter(out_path, rb.schema, compression=compression)
+                    writer.write_batch(rb)
+                    n_blocks += rb.num_rows
+                    n_rows += chunk.num_rows
+                    raw += sum(rb.column("raw_bytes").to_pylist())
+                    enc_b += sum(rb.column("enc_bytes").to_pylist())
+        if writer is not None:
+            writer.close()
+            yield pa.record_batch(
+                [
+                    pa.array([out_path]),
+                    pa.array([tid], pa.int32()),
+                    pa.array([n_blocks], pa.int64()),
+                    pa.array([n_rows], pa.int64()),
+                    pa.array([raw], pa.int64()),
+                    pa.array([enc_b], pa.int64()),
+                    pa.array([",".join(sorted(all_cols))]),
+                ],
+                names=["file", "part_id", "n_blocks", "n_rows", "raw_bytes", "enc_bytes", "columns"],
+            )
+
+    return items_df.mapInArrow(enc_sink, schema=MANIFEST_SCHEMA)

@@ -101,3 +101,23 @@ def test_blocks_persist_roundtrip(spark, web, tmp_path):
     dec = decode_table(blocks, columns=["url", "lang"])
     res = verify_roundtrip(web.select("url", "lang"), dec, key="url")
     assert res["total_mismatches"] == 0
+
+
+def test_encode_parquet_dir_sink_roundtrip(spark, web, tmp_path):
+    """Production sink path: scan->encode->python-side parquet writer with
+    lineage manifests; group-complete files feed the shuffle-free decode."""
+    from nail_parquet_spark.codec.decode import decode_parquet_dir
+    from nail_parquet_spark.codec.encode import encode_parquet_dir
+
+    src = str(tmp_path / "src")
+    web.write.parquet(src)
+    bdir = str(tmp_path / "blocks")
+    manifests = encode_parquet_dir(spark, src, bdir, num_partitions=4).collect()
+    assert sum(m["n_rows"] for m in manifests) == 20_000
+    assert all(m["raw_bytes"] > m["enc_bytes"] for m in manifests)
+    ddir = str(tmp_path / "dec")
+    decode_parquet_dir(spark, bdir, ddir, columns=web.columns).collect()
+    dec = spark.read.parquet(ddir)
+    res = verify_roundtrip(web, dec, key="url")
+    assert res["joined_rows"] == 20_000
+    assert res["total_mismatches"] == 0
