@@ -2,17 +2,28 @@
 
 No Iceberg catalog ships in this sandbox, so snapshot checkpointing is
 emulated with the same shape a catalog would give us (SURVEY.md §7.3):
-work is chunked by input unit (parquet file = Iceberg data file), each
-completed unit commits atomically (write to temp dir -> fsync -> marker
-rename), and a re-run skips committed units. Swap `_list_units` for an
-Iceberg snapshot's file manifest and this is the real thing.
+work is keyed by input unit (parquet file = Iceberg data file), each
+completed unit commits atomically (temp write -> fsync -> marker rename),
+and a re-run skips committed units. Swap `_list_units` for an Iceberg
+snapshot's file manifest and this is the real thing.
+
+Scale shape: pending units are grouped into batches of ``units_per_job``
+and each batch runs as ONE cluster-wide ``encode_parquet_dir`` job (tasks
+fan out over every row group of every file in the batch) — processing one
+file per job, as round 1 did, would starve a 1000-executor cluster.
+Commit granularity is the batch: markers are written only after the batch's
+sink files are fully on disk, and a retried batch overwrites its own
+``batch=<key>`` directory, so a crash mid-batch re-encodes at most one
+batch and never double-counts.
 """
 
 from __future__ import annotations
 
 import glob
+import hashlib
 import json
 import os
+import shutil
 import time
 
 from pyspark.sql import SparkSession
@@ -28,6 +39,15 @@ def _unit_key(path: str) -> str:
     return os.path.basename(path).replace(".parquet", "")
 
 
+def _atomic_json(path: str, obj: dict) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, path)  # atomic commit
+
+
 def encode_resumable(
     spark: SparkSession,
     src: str,
@@ -35,67 +55,72 @@ def encode_resumable(
     codecs: dict[str, str] | None = None,
     policy: str = "balanced",
     max_units: int | None = None,
+    units_per_job: int = 32,
 ) -> dict:
-    """Encode src parquet into out_dir, unit-at-a-time, resumably.
+    """Encode src parquet into out_dir, batch-of-units at a time, resumably.
 
-    Returns {completed, skipped, total} counts. Killing the job mid-way and
-    re-invoking continues where it left off; finished units are never
-    re-encoded (idempotence gate = the committed marker file).
-    """
-    from nail_parquet_spark.codec.encode import choose_codecs_for_df, encode_parquet_files
+    Returns {completed, skipped, total} unit counts. Killing the job midway
+    and re-invoking continues where it left off; committed units are never
+    re-encoded (idempotence gate = the per-unit marker file, written only
+    after the whole batch's output is durable)."""
+    from nail_parquet_spark.codec.encode import choose_codecs_for_df, encode_parquet_dir
 
     os.makedirs(out_dir, exist_ok=True)
     units = _list_units(src)
     done_dir = os.path.join(out_dir, "_manifests")
+    batch_dir = os.path.join(out_dir, "_manifests_batch")
     os.makedirs(done_dir, exist_ok=True)
+    os.makedirs(batch_dir, exist_ok=True)
 
     if codecs is None:
         df = spark.read.parquet(src)
         codecs = choose_codecs_for_df(df, df.columns, policy=policy)
 
-    completed = skipped = 0
-    for i, unit in enumerate(units):
-        key = _unit_key(unit)
-        marker = os.path.join(done_dir, f"{key}.json")
-        if os.path.exists(marker):
-            skipped += 1
-            continue
-        if max_units is not None and completed >= max_units:
-            break
-        t0 = time.time()
-        blocks = encode_parquet_files(spark, unit, codecs=codecs)
-        dest = os.path.join(out_dir, f"unit={key}")
-        blocks.write.mode("overwrite").parquet(dest)
-        # gather the manifest AFTER the write committed (Spark's commit
-        # protocol makes the parquet dir atomic; the marker commits the unit)
-        from pyspark.sql import functions as F
+    pending = [u for u in units if not os.path.exists(
+        os.path.join(done_dir, f"{_unit_key(u)}.json"))]
+    skipped = len(units) - len(pending)
+    if max_units is not None:
+        pending = pending[:max_units]
 
-        m = (
-            spark.read.parquet(dest)
-            .agg(F.sum("raw_bytes").alias("raw"), F.sum("enc_bytes").alias("enc"),
-                 F.max("n_rows").alias("rows"), F.count(F.lit(1)).alias("blocks"))
-            .collect()[0]
-        )
-        manifest = {
-            "unit": key,
-            "src": unit,
-            "raw_bytes": int(m["raw"] or 0),
-            "enc_bytes": int(m["enc"] or 0),
-            "n_blocks": int(m["blocks"]),
+    completed = 0
+    for i in range(0, len(pending), units_per_job):
+        batch = pending[i : i + units_per_job]
+        keys = [_unit_key(u) for u in batch]
+        bkey = hashlib.md5("|".join(keys).encode()).hexdigest()[:12]
+        dest = os.path.join(out_dir, f"batch={bkey}")
+        shutil.rmtree(dest, ignore_errors=True)  # retried batch overwrites itself
+        t0 = time.time()
+        mrows = encode_parquet_dir(spark, batch, dest, codecs=codecs).collect()
+        _atomic_json(os.path.join(batch_dir, f"{bkey}.json"), {
+            "batch": bkey,
+            "units": keys,
+            "files": sorted(r["file"] for r in mrows),
+            "n_blocks": int(sum(r["n_blocks"] for r in mrows)),
+            "n_rows": int(sum(r["n_rows"] for r in mrows)),
+            "raw_bytes": int(sum(r["raw_bytes"] for r in mrows)),
+            "enc_bytes": int(sum(r["enc_bytes"] for r in mrows)),
             "wall_s": round(time.time() - t0, 3),
             "codecs": codecs,
-        }
-        tmp = marker + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(manifest, f)
-            f.flush()
-            os.fsync(f.fileno())
-        os.rename(tmp, marker)  # atomic commit
-        completed += 1
+        })
+        # per-unit markers LAST: they are the idempotence gate
+        for key, u in zip(keys, batch):
+            _atomic_json(os.path.join(done_dir, f"{key}.json"),
+                         {"unit": key, "src": u, "batch": bkey})
+        completed += len(batch)
     return {"completed": completed, "skipped": skipped, "total": len(units)}
 
 
 def read_manifests(out_dir: str) -> list[dict]:
+    """Batch-level lineage manifests (totals sum correctly across batches)."""
+    out = []
+    for p in sorted(glob.glob(os.path.join(out_dir, "_manifests_batch", "*.json"))):
+        with open(p) as f:
+            out.append(json.load(f))
+    return out
+
+
+def read_unit_markers(out_dir: str) -> list[dict]:
+    """Per-unit commit markers (the idempotence gate)."""
     out = []
     for p in sorted(glob.glob(os.path.join(out_dir, "_manifests", "*.json"))):
         with open(p) as f:

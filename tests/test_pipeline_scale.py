@@ -65,17 +65,22 @@ def test_encode_resumable(spark, web_parquet, tmp_path):
     out = str(tmp_path / "enc")
     codecs = {"url": "zstd", "warc_ts": "delta_bitpack", "html": "zstd",
               "text": "zstd", "lang": "dict"}
-    r1 = encode_resumable(spark, web_parquet, out, codecs=codecs, max_units=2)
+    r1 = encode_resumable(spark, web_parquet, out, codecs=codecs, max_units=2,
+                          units_per_job=2)
     assert r1["completed"] == 2 and r1["skipped"] == 0
-    r2 = encode_resumable(spark, web_parquet, out, codecs=codecs)
+    r2 = encode_resumable(spark, web_parquet, out, codecs=codecs, units_per_job=2)
     assert r2["skipped"] == 2
     assert r2["completed"] == r2["total"] - 2
     r3 = encode_resumable(spark, web_parquet, out, codecs=codecs)
     assert r3["completed"] == 0 and r3["skipped"] == r3["total"]  # idempotent
+    from nail_parquet_spark.pipeline.checkpoint import read_unit_markers
+
+    assert len(read_unit_markers(out)) == r3["total"]
     mans = read_manifests(out)
-    assert len(mans) == r3["total"]
+    assert sum(len(m["units"]) for m in mans) == r3["total"]
+    assert all(m["raw_bytes"] > m["enc_bytes"] for m in mans)
     # decode everything that was committed and verify round trip
-    blocks = spark.read.parquet(os.path.join(out, "unit=*"))
+    blocks = spark.read.parquet(os.path.join(out, "batch=*"))
     dec = decode_table(blocks, columns=["url", "warc_ts", "html", "text", "lang"])
     res = verify_roundtrip(spark.read.parquet(web_parquet), dec, key="url")
     assert res["total_mismatches"] == 0 and res["joined_rows"] == 20_000
