@@ -89,7 +89,8 @@ def main(argv: list[str] | None = None) -> int:
         (("--value",), {"default": None}))
     add("stats", (("-c", "--columns"), {"default": None}), (("--stats-type",), {"default": "basic"}))
     add("frequency", (("-c", "--columns"), {"required": True}), (("--limit",), {"type": int, "default": None}))
-    add("correlations", (("-c", "--columns"), {"default": None}), (("--method",), {"default": "pearson"}))
+    add("correlations", (("-c", "--columns"), {"default": None}), (("--method",), {"default": "pearson"}),
+        (("--matrix",), {"action": "store_true", "help": "n x n wide matrix (stats.rs display shape)"}))
     add("outliers", (("-c", "--columns"), {"default": None}), (("--method",), {"default": "iqr"}),
         (("--remove",), {"action": "store_true"}),
         (("--factor",), {"type": float, "default": 1.5, "help": "IQR fence multiplier"}),
@@ -252,7 +253,10 @@ def main(argv: list[str] | None = None) -> int:
         _out(ops.frequency(df, args.columns.split(","), args.limit), args, 50)
     elif c == "correlations":
         cols = args.columns.split(",") if args.columns else None
-        _out(ops.correlations(df, cols, args.method), args, 50)
+        if args.matrix:
+            _out(ops.correlation_matrix(df, cols, args.method), args, 50)
+        else:
+            _out(ops.correlations(df, cols, args.method), args, 50)
     elif c == "outliers":
         cols = args.columns.split(",") if args.columns else None
         _out(ops.outliers(df, cols, args.method, factor=args.factor,

@@ -126,11 +126,20 @@ def correlations(df: DataFrame, columns: list[str] | None = None,
         data = [(a, b, float(row[str(i)]) if row[str(i)] is not None else None)
                 for i, (a, b) in enumerate(pairs)]
     elif method == "spearman":
+        # average ranks via groupBy + range-partitioned prefix sum (same
+        # machinery as spearman_scalable) — no single-partition window even
+        # for near-unique columns
+        from nail_parquet_spark.rowid import with_exclusive_prefix_sum
+
         ranked = df.select(cols)
         for c in cols:
-            ranked = ranked.withColumn(f"__rk_{c}", F.avg(
-                F.row_number().over(Window.orderBy(F.col(c)))
-            ).over(Window.partitionBy(F.col(c))))
+            counts = df.groupBy(F.col(c).alias("__v")).agg(F.count(F.lit(1)).alias("__n"))
+            rk = with_exclusive_prefix_sum(counts, "__v", "__n", "__before")
+            rk = rk.select(
+                F.col("__v").alias(c),
+                (F.col("__before") + (F.col("__n") + 1) / 2.0).alias(f"__rk_{c}"),
+            )
+            ranked = ranked.join(rk, c)
         aggs = [F.corr(f"__rk_{a}", f"__rk_{b}").alias(f"{i}") for i, (a, b) in enumerate(pairs)]
         row = ranked.agg(*aggs).collect()[0]
         data = [(a, b, float(row[str(i)]) if row[str(i)] is not None else None)
@@ -146,6 +155,26 @@ def correlations(df: DataFrame, columns: list[str] | None = None,
 
     spark = df.sparkSession
     return spark.createDataFrame(data, "column_a string, column_b string, correlation double")
+
+
+def correlation_matrix(df: DataFrame, columns: list[str] | None = None,
+                       method: str = "pearson", sample_n: int = 10_000,
+                       digits: int = 4) -> DataFrame:
+    """n x n wide correlation matrix (the reference's display shape,
+    stats.rs:344-475 + format.rs): one row per column, one column per
+    column, symmetric, diagonal 1.0. Each pair is computed ONCE (the
+    long-form pass) and mirrored driver-side — the matrix is O(n^2) scalars,
+    pure metadata."""
+    cols = columns or _numeric_cols(df)
+    long = correlations(df, cols, method, sample_n).collect()
+    vals = {}
+    for r in long:
+        v = None if r["correlation"] is None else round(r["correlation"], digits)
+        vals[(r["column_a"], r["column_b"])] = v
+        vals[(r["column_b"], r["column_a"])] = v
+    data = [tuple([a] + [vals.get((a, b)) for b in cols]) for a in cols]
+    schema = ", ".join(["column string"] + [f"`{c}` double" for c in cols])
+    return df.sparkSession.createDataFrame(data, schema)
 
 
 def outliers(df: DataFrame, columns: list[str] | None = None, method: str = "iqr",

@@ -230,3 +230,11 @@ def test_spearman_scalable_matches_window(spark):
     want = ops.correlations(li, ["l_quantity", "l_extendedprice"], method="spearman").collect()
     w = {(r["column_a"], r["column_b"]): r["correlation"] for r in want}
     assert got == pytest.approx(w[("l_quantity", "l_extendedprice")], abs=0.01)
+
+
+def test_correlation_matrix_wide(sample):
+    m = ops.correlation_matrix(sample, ["id", "value"], method="pearson")
+    rows = {r["column"]: r for r in m.collect()}
+    assert set(rows) == {"id", "value"}
+    assert rows["id"]["id"] == pytest.approx(1.0)
+    assert rows["id"]["value"] == rows["value"]["id"]  # symmetric, one compute
