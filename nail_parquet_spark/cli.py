@@ -106,6 +106,9 @@ def main(argv: list[str] | None = None) -> int:
         (("--compression",), {"default": None,
                               "help": "plain parquet rewrite with this codec (snappy/gzip/zstd) instead of block-encode"}),
         (("--compression-level",), {"type": int, "default": None, "help": "zstd level 1-9 (optimize.rs:119)"}))
+    add("decode", (("-c", "--columns"), {"default": None}),
+        (("--shuffle-free",), {"action": "store_true",
+                               "help": "block files are group-complete (written by this engine's sink) — decode in place, zero shuffle"}))
     add("metadata", with_output=False)
     sub.add_parser("update")
 
@@ -150,6 +153,18 @@ def main(argv: list[str] | None = None) -> int:
         from nail_parquet_spark.codec.inspect import size_summary
 
         size_summary(encode_table(df, policy="ratio")).show(truncate=False)
+    elif c == "decode":
+        from nail_parquet_spark.codec.decode import decode_parquet_dir, decode_to_parquet
+
+        if not args.output:
+            p.error("decode requires -o/--output")
+        cols = args.columns.split(",") if args.columns else None
+        if args.shuffle_free:
+            rows = decode_parquet_dir(spark, args.input, args.output, columns=cols).collect()
+        else:
+            rows = decode_to_parquet(df, args.output, columns=cols).collect()
+        n = sum(r["n_rows"] for r in rows)
+        print(f"decoded {n} rows -> {args.output}")
     elif c == "metadata":
         from nail_parquet_spark.codec.encode import encode_table
         from nail_parquet_spark.codec.inspect import encoding_usage, metadata_summary

@@ -24,6 +24,14 @@ def _fmt_of(path: str, fmt: str | None) -> str:
         return "json"
     if ext in ("xlsx", "xls"):
         return "xlsx"
+    if os.path.isdir(path):
+        # extensionless directory (a Spark/engine output dir): autodetect
+        # from the files inside
+        import glob
+
+        for inner_ext in ("parquet", "csv", "json"):
+            if glob.glob(os.path.join(path, f"*.{inner_ext}")):
+                return "parquet" if inner_ext == "parquet" else inner_ext
     raise ValueError(f"unsupported extension '.{ext}' (utils/mod.rs:47-57)")
 
 

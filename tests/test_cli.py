@@ -155,3 +155,19 @@ def test_cli_encode_surface(data, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "match=True" in out
     run("update")
+
+
+def test_cli_decode_roundtrip(data, tmp_path, spark, capsys):
+    blocks = str(tmp_path / "blk")
+    run("optimize", data, "-o", blocks)
+    capsys.readouterr()
+    out = str(tmp_path / "dec")
+    run("decode", blocks, "-o", out)
+    assert "decoded 20 rows" in capsys.readouterr().out
+    got = spark.read.parquet(out)
+    assert got.count() == 20
+    assert set(got.columns) == {"id", "name", "value", "category", "score"}
+    # column-subset decode
+    out2 = str(tmp_path / "dec2")
+    run("decode", blocks, "-o", out2, "-c", "id,name")
+    assert set(spark.read.parquet(out2).columns) == {"id", "name"}
