@@ -280,7 +280,12 @@ def decode_parquet_dir(spark, blocks_dir: str, out_dir: str,
         colset = set(columns)
         for batch in batches:
             for path in batch.column(0).to_pylist():
-                tbl = _pq.read_table(path, columns=["part_id", "block_id", "column", "header", "payload"])
+                # use_threads=False: a Spark task owns ONE core (see encode)
+                tbl = _pq.read_table(
+                    path,
+                    columns=["part_id", "block_id", "column", "header", "payload"],
+                    use_threads=False,
+                )
                 pids = tbl.column("part_id").to_pylist()
                 bids = tbl.column("block_id").to_pylist()
                 cols_ = tbl.column("column").to_pylist()

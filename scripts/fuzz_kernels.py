@@ -61,17 +61,25 @@ for name, arr in arrays():
     kind = kind_of(arr.type)
     for codec in VALID_CODECS.get(kind, []):
         try:
+            import pyarrow.compute as pc
+
             blk = encode_array(arr, codec)
             blk2 = type(blk).from_parts(blk.header_json(), blk.payload)
             dec = decode_array(blk2)
-            if not dec.equals(arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr):
-                # float NaN: arrow equals treats NaN != NaN → compare via pandas
-                import pandas as pd
-
-                a1, a2 = arr.to_pandas(), dec.to_pandas()
-                if not ((a1.isna() == a2.isna()).all() and (a1.dropna() == a2.dropna()).all()):
-                    print(f"FAIL value {name} {codec}")
-                    fails += 1
+            ok = dec.type == arr.type and pc.is_null(dec).equals(pc.is_null(arr))
+            if ok:
+                if pa.types.is_floating(arr.type):
+                    # bitwise: NaN payloads and -0.0 must survive exactly
+                    u = f"u{arr.type.bit_width // 8}"
+                    ok = np.array_equal(
+                        np.asarray(arr.fill_null(0.0)).view(u),
+                        np.asarray(dec.fill_null(0.0)).view(u),
+                    )
+                else:
+                    ok = dec.equals(arr)
+            if not ok:
+                print(f"FAIL value {name} {codec}")
+                fails += 1
         except Exception as e:
             print(f"FAIL exc   {name} {codec}: {type(e).__name__}: {e}")
             fails += 1
