@@ -30,6 +30,12 @@ def blocks_arrow_schema(blocks: DataFrame, columns: list[str]) -> pa.Schema:
         .collect()
     )
     types = {r["column"]: _type_from_str(json.loads(r["header"])["type"]) for r in rows}
+    unknown = [c for c in columns if c not in types]
+    if unknown:
+        raise ValueError(
+            f"columns {unknown} not present in the blocks table "
+            f"(encoded columns: {sorted(types)})"
+        )
     # Spark's Arrow bridge rejects nanosecond timestamps (e.g. from INT96
     # parquet read via pyarrow) — decode to micros instead, lossless for
     # data that originated at micro precision
