@@ -1,0 +1,47 @@
+"""Unit tests for the windowless row-numbering/prefix-sum machinery that
+select/drop rows, id columns, tail, and spearman ranks are built on."""
+import pytest
+from pyspark.sql import functions as F
+
+from nail_parquet_spark.rowid import (
+    with_exclusive_prefix_sum,
+    with_row_id,
+    with_row_number_by,
+)
+
+
+def test_row_id_contiguous_over_partitions(spark):
+    df = spark.range(0, 1000).repartition(7)
+    got = sorted(r["_row_id"] for r in with_row_id(df).collect())
+    assert got == list(range(1, 1001))
+
+
+def test_row_number_by_matches_sort_order(spark):
+    df = spark.createDataFrame(
+        [(x,) for x in [30, 10, 20, 50, 40, 20]], "v int"
+    ).repartition(3)
+    rows = with_row_number_by(df, "v").orderBy("__rn").collect()
+    assert [r["v"] for r in rows] == [10, 20, 20, 30, 40, 50]
+    assert [r["__rn"] for r in rows] == [1, 2, 3, 4, 5, 6]
+
+
+def test_row_number_by_large_no_gaps(spark):
+    df = spark.range(0, 5000).select((F.col("id") % 97).alias("k")).repartition(8)
+    out = with_row_number_by(df, "k")
+    ns = sorted(r["__rn"] for r in out.collect())
+    assert ns == list(range(1, 5001))
+
+
+def test_exclusive_prefix_sum(spark):
+    df = spark.createDataFrame(
+        [("b", 2), ("a", 5), ("c", 1), ("d", 10)], "k string, n int"
+    ).repartition(3)
+    got = {r["k"]: r["__before"] for r in
+           with_exclusive_prefix_sum(df, "k", "n").collect()}
+    assert got == {"a": 0, "b": 5, "c": 7, "d": 8}
+
+
+def test_empty_inputs(spark):
+    empty = spark.range(0).select(F.col("id").alias("v"))
+    assert with_row_id(empty).count() == 0
+    assert with_row_number_by(empty, "v").count() == 0
