@@ -137,6 +137,17 @@ def main(argv: list[str] | None = None) -> int:
     from nail_parquet_spark.sources.io import read_data
 
     spark = _spark(args.jobs)
+    if args.cmd == "decode" and getattr(args, "shuffle_free", False):
+        # decode_parquet_dir does its own recursive file discovery; no need
+        # to plan a read of the blocks table first
+        from nail_parquet_spark.codec.decode import decode_parquet_dir
+
+        if not args.output:
+            p.error("decode requires -o/--output")
+        cols = args.columns.split(",") if args.columns else None
+        rows = decode_parquet_dir(spark, args.input, args.output, columns=cols).collect()
+        print(f"decoded {sum(r['n_rows'] for r in rows)} rows -> {args.output}")
+        return 0
     df = read_data(spark, args.input)
     c = args.cmd
 
@@ -154,17 +165,13 @@ def main(argv: list[str] | None = None) -> int:
 
         size_summary(encode_table(df, policy="ratio")).show(truncate=False)
     elif c == "decode":
-        from nail_parquet_spark.codec.decode import decode_parquet_dir, decode_to_parquet
+        from nail_parquet_spark.codec.decode import decode_to_parquet
 
         if not args.output:
             p.error("decode requires -o/--output")
         cols = args.columns.split(",") if args.columns else None
-        if args.shuffle_free:
-            rows = decode_parquet_dir(spark, args.input, args.output, columns=cols).collect()
-        else:
-            rows = decode_to_parquet(df, args.output, columns=cols).collect()
-        n = sum(r["n_rows"] for r in rows)
-        print(f"decoded {n} rows -> {args.output}")
+        rows = decode_to_parquet(df, args.output, columns=cols).collect()
+        print(f"decoded {sum(r['n_rows'] for r in rows)} rows -> {args.output}")
     elif c == "metadata":
         from nail_parquet_spark.codec.encode import encode_table
         from nail_parquet_spark.codec.inspect import encoding_usage, metadata_summary

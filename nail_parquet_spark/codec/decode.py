@@ -199,7 +199,12 @@ def decode_to_parquet(blocks: DataFrame, out_dir: str,
 
         ctx = TaskContext.get()
         tid = ctx.partitionId() if ctx is not None else 0
+        att = ctx.attemptNumber() if ctx is not None else 0
         path = os.path.join(out_dir, f"part-{tid:05d}.parquet")
+        # attempt-unique temp + atomic rename: duplicate task attempts
+        # (speculation, zombie retries) must never interleave into the
+        # final file (see encode_parquet_dir)
+        tmp = os.path.join(out_dir, f".part-{tid:05d}.attempt-{att}.inprogress")
         writer = None
         n_rows = 0
         pending: dict[tuple[int, int], dict[str, tuple[str, bytes]]] = {}
@@ -227,7 +232,7 @@ def decode_to_parquet(blocks: DataFrame, out_dir: str,
                 if len(grp) == ncols:
                     rb = decode_group(pending.pop(key))
                     if writer is None:
-                        writer = _pq.ParquetWriter(path, out_schema, compression=compression)
+                        writer = _pq.ParquetWriter(tmp, out_schema, compression=compression)
                     writer.write_batch(rb)
                     n_rows += rb.num_rows
         if pending:
@@ -239,6 +244,7 @@ def decode_to_parquet(blocks: DataFrame, out_dir: str,
             )
         if writer is not None:
             writer.close()
+            os.replace(tmp, path)
             yield pa.record_batch(
                 [pa.array([path]), pa.array([n_rows], pa.int64())],
                 names=["file", "n_rows"],
@@ -280,7 +286,9 @@ def decode_parquet_dir(spark, blocks_dir: str, out_dir: str,
 
         ctx = TaskContext.get()
         tid = ctx.partitionId() if ctx is not None else 0
+        att = ctx.attemptNumber() if ctx is not None else 0
         out_path = os.path.join(out_dir, f"part-{tid:05d}.parquet")
+        tmp = os.path.join(out_dir, f".part-{tid:05d}.attempt-{att}.inprogress")  # atomic commit (see decode_to_parquet)
         writer = None
         n_rows = 0
         colset = set(columns)
@@ -318,11 +326,12 @@ def decode_parquet_dir(spark, blocks_dir: str, out_dir: str,
                         arrays.append(arr)
                     rb = pa.record_batch(arrays, schema=out_schema)
                     if writer is None:
-                        writer = _pq.ParquetWriter(out_path, out_schema, compression=compression)
+                        writer = _pq.ParquetWriter(tmp, out_schema, compression=compression)
                     writer.write_batch(rb)
                     n_rows += rb.num_rows
         if writer is not None:
             writer.close()
+            os.replace(tmp, out_path)
             yield pa.record_batch(
                 [pa.array([out_path]), pa.array([n_rows], pa.int64())],
                 names=["file", "n_rows"],

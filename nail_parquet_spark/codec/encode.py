@@ -313,7 +313,14 @@ def encode_parquet_dir(
 
         ctx = TaskContext.get()
         tid = ctx.partitionId() if ctx is not None else 0
+        att = ctx.attemptNumber() if ctx is not None else 0
         out_path = _os.path.join(out_dir, f"blocks-{tid:05d}.parquet")
+        # write to an attempt-unique temp name, rename on success: Spark's
+        # task-commit protocol doesn't cover files we write ourselves, so a
+        # speculative/zombie duplicate attempt must never interleave writes
+        # into the final file (os.replace is atomic; duplicate attempts
+        # produce identical content, last rename wins)
+        tmp_path = _os.path.join(out_dir, f".blocks-{tid:05d}.attempt-{att}.inprogress")
         writer = None
         block_id = 0
         n_blocks = n_rows = raw = enc_b = 0
@@ -327,7 +334,7 @@ def encode_parquet_dir(
                     rb = _encode_chunk(chunk, all_cols, chosen, with_stats, tid, block_id)
                     block_id += 1
                     if writer is None:
-                        writer = _pq.ParquetWriter(out_path, rb.schema, compression=compression)
+                        writer = _pq.ParquetWriter(tmp_path, rb.schema, compression=compression)
                     writer.write_batch(rb)
                     n_blocks += rb.num_rows
                     n_rows += chunk.num_rows
@@ -335,6 +342,7 @@ def encode_parquet_dir(
                     enc_b += sum(rb.column("enc_bytes").to_pylist())
         if writer is not None:
             writer.close()
+            _os.replace(tmp_path, out_path)
             yield pa.record_batch(
                 [
                     pa.array([out_path]),

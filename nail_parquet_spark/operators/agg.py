@@ -133,13 +133,20 @@ def correlations(df: DataFrame, columns: list[str] | None = None,
 
         ranked = df.select(cols)
         for c in cols:
-            counts = df.groupBy(F.col(c).alias("__v")).agg(F.count(F.lit(1)).alias("__n"))
+            # NULLs are excluded from ranking and LEFT-joined back with a
+            # null rank, so F.corr does pairwise (not listwise) deletion —
+            # a NULL in column c never drops the row from other pairs
+            counts = (
+                df.where(F.col(c).isNotNull())
+                .groupBy(F.col(c).alias("__v"))
+                .agg(F.count(F.lit(1)).alias("__n"))
+            )
             rk = with_exclusive_prefix_sum(counts, "__v", "__n", "__before")
             rk = rk.select(
-                F.col("__v").alias(c),
+                F.col("__v"),
                 (F.col("__before") + (F.col("__n") + 1) / 2.0).alias(f"__rk_{c}"),
             )
-            ranked = ranked.join(rk, c)
+            ranked = ranked.join(rk, F.col(c) == F.col("__v"), "left").drop("__v")
         aggs = [F.corr(f"__rk_{a}", f"__rk_{b}").alias(f"{i}") for i, (a, b) in enumerate(pairs)]
         row = ranked.agg(*aggs).collect()[0]
         data = [(a, b, float(row[str(i)]) if row[str(i)] is not None else None)
@@ -422,14 +429,18 @@ def spearman_scalable(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
 
     ranked = df.select(col_a, col_b)
     for c in (col_a, col_b):
+        # NULLs excluded from ranking, left-joined back with null rank:
+        # F.corr then skips those pairs (pairwise deletion)
         counts = (
-            df.groupBy(F.col(c).alias("__v"))
+            df.where(F.col(c).isNotNull())
+            .groupBy(F.col(c).alias("__v"))
             .agg(F.count(F.lit(1)).alias("__n"))
         )
         ranks = with_exclusive_prefix_sum(counts, "__v", "__n", "__before")
         ranks = ranks.withColumn("__avg_rank", F.col("__before") + (F.col("__n") + 1) / 2.0)
         ranked = ranked.join(
-            ranks.select(F.col("__v").alias(c), F.col("__avg_rank").alias(f"__rk_{c}")),
-            c,
-        )
+            ranks.select(F.col("__v"), F.col("__avg_rank").alias(f"__rk_{c}")),
+            F.col(c) == F.col("__v"),
+            "left",
+        ).drop("__v")
     return ranked.agg(F.round(F.corr(f"__rk_{col_a}", f"__rk_{col_b}"), 4).alias("spearman"))

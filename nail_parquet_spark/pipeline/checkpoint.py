@@ -76,19 +76,36 @@ def encode_resumable(
         df = spark.read.parquet(src)
         codecs = choose_codecs_for_df(df, df.columns, policy=policy)
 
-    pending = [u for u in units if not os.path.exists(
-        os.path.join(done_dir, f"{_unit_key(u)}.json"))]
-    skipped = len(units) - len(pending)
-    if max_units is not None:
-        pending = pending[:max_units]
+    # Batching is a deterministic function of the FULL sorted unit list, not
+    # of the pending set: a batch whose units are all marked is skipped; a
+    # batch with ANY unmarked unit is re-encoded WHOLE under its original
+    # key (its directory wiped first, every marker rewritten). Pending-set
+    # batching would hash a crash's leftover units into a NEW key and leave
+    # the old directory's blocks on disk twice. units_per_job is pinned on
+    # first run so reruns slice identically.
+    cfg_path = os.path.join(out_dir, "_resumable_config.json")
+    if os.path.exists(cfg_path):
+        with open(cfg_path) as f:
+            units_per_job = json.load(f)["units_per_job"]
+    else:
+        _atomic_json(cfg_path, {"units_per_job": units_per_job})
 
-    completed = 0
-    for i in range(0, len(pending), units_per_job):
-        batch = pending[i : i + units_per_job]
+    completed = skipped = 0
+    for i in range(0, len(units), units_per_job):
+        batch = units[i : i + units_per_job]
+        unmarked = [
+            u for u in batch
+            if not os.path.exists(os.path.join(done_dir, f"{_unit_key(u)}.json"))
+        ]
+        if not unmarked:
+            skipped += len(batch)
+            continue
+        if max_units is not None and completed >= max_units:
+            continue  # units stay pending for a later invocation
         keys = [_unit_key(u) for u in batch]
         bkey = hashlib.md5("|".join(keys).encode()).hexdigest()[:12]
         dest = os.path.join(out_dir, f"batch={bkey}")
-        shutil.rmtree(dest, ignore_errors=True)  # retried batch overwrites itself
+        shutil.rmtree(dest, ignore_errors=True)  # partial/retried batch overwrites itself
         t0 = time.time()
         mrows = encode_parquet_dir(spark, batch, dest, codecs=codecs).collect()
         _atomic_json(os.path.join(batch_dir, f"{bkey}.json"), {

@@ -7,12 +7,17 @@ stable file order. Spark has none, so we materialize ``_row_id`` explicitly:
 partition-local index + exclusive prefix sum of partition sizes. The result
 is deterministic for a fixed input layout (same files, same splits).
 
-The prefix sum is computed driver-side from the per-partition counts —
-O(#partitions) rows collected, the same metadata scale AQE ships to the
-driver — so NO stage anywhere uses a single-partition (global) window: the
-per-partition numbering window partitions by partition id, and the offsets
-arrive via a broadcast join. ``test_plans.py`` gates this property for every
-registered query.
+The prefix sum is computed driver-side from per-bucket counts —
+O(#buckets) rows collected, the same metadata scale AQE ships to the
+driver — so NO stage anywhere uses a single-partition (global) window.
+
+Determinism note: these helpers trigger TWO executions of the input plan
+(one for the counts, one for the numbered output), so every intermediate
+must be a PURE FUNCTION of the data. ``repartitionByRange`` is NOT — its
+range boundaries come from a sampler seeded by the RDD id, which differs
+between executions — so ordering-based numbering buckets rows with an
+explicit literal-boundary expression instead: boundary quality only affects
+balance, never correctness.
 """
 
 from __future__ import annotations
@@ -22,13 +27,14 @@ from pyspark.sql import DataFrame, Window, functions as F
 ROW_ID = "_row_id"
 
 
-def _offset_numbered(base: DataFrame, local_order, col: str) -> DataFrame:
-    """Number rows 1..N in (partition id, local_order) order.
-
-    base must already carry __pid and any ordering columns. Partition sizes
-    are collected to the driver (one long per partition) and joined back as
-    a broadcast exclusive prefix sum."""
-    w_local = Window.partitionBy("__pid").orderBy(*local_order)
+def with_row_id(df: DataFrame, col: str = ROW_ID) -> DataFrame:
+    """Stable 1-based row id in the input's partition/arrival order."""
+    if col in df.columns:
+        return df
+    base = df.withColumn("__pid", F.spark_partition_id()).withColumn(
+        "__mid", F.monotonically_increasing_id()
+    )
+    w_local = Window.partitionBy("__pid").orderBy("__mid")
     base = base.withColumn("__local", F.row_number().over(w_local))
     sizes = base.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n")).collect()
     off = 0
@@ -40,58 +46,95 @@ def _offset_numbered(base: DataFrame, local_order, col: str) -> DataFrame:
     odf = spark.createDataFrame(offsets or [(0, 0)], "__pid int, __off long")
     out = base.join(F.broadcast(odf), "__pid")
     return out.withColumn(col, (F.col("__off") + F.col("__local")).cast("long")).drop(
-        "__pid", "__local", "__off"
+        "__pid", "__mid", "__local", "__off"
     )
 
 
-def with_row_id(df: DataFrame, col: str = ROW_ID) -> DataFrame:
-    """Stable 1-based row id in the input's partition/arrival order."""
-    if col in df.columns:
-        return df
-    base = df.withColumn("__pid", F.spark_partition_id()).withColumn(
-        "__mid", F.monotonically_increasing_id()
-    )
-    return _offset_numbered(base, [F.col("__mid")], col).drop("__mid")
+def _range_boundaries(df: DataFrame, order_col: str, n_parts: int,
+                      sample_cap: int = 100_000) -> list:
+    """Literal split points for ``order_col`` from a bounded driver sample.
+
+    The boundaries are baked into the plan as literals, so bucketing is a
+    pure function of the value — identical across plan re-executions. A
+    biased sample only skews partition balance, never numbering."""
+    if n_parts <= 1:
+        return []
+    vals = [
+        r[0]
+        for r in df.select(order_col)
+        .where(F.col(order_col).isNotNull())
+        .limit(sample_cap)
+        .collect()
+    ]
+    if not vals:
+        return []
+    vals.sort()
+    step = len(vals) / n_parts
+    bounds: list = []
+    for i in range(1, n_parts):
+        b = vals[min(int(i * step), len(vals) - 1)]
+        if not bounds or b > bounds[-1]:
+            bounds.append(b)
+    return bounds
 
 
-def with_exclusive_prefix_sum(df: DataFrame, order_col: str, value_col: str,
-                              col: str = "__before") -> DataFrame:
-    """Exclusive running sum of ``value_col`` in ``order_col`` order, without
-    a single-partition window: range-repartition on the key, local running
-    sum per partition, plus driver-collected per-partition totals."""
-    base = (
-        df.repartitionByRange(F.col(order_col))
-        .sortWithinPartitions(order_col)
-        .withColumn("__pid", F.spark_partition_id())
-    )
-    w = (
-        Window.partitionBy("__pid")
-        .orderBy(order_col)
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    base = base.withColumn("__lcum", F.coalesce(F.sum(value_col).over(w), F.lit(0)))
-    totals = base.groupBy("__pid").agg(F.sum(value_col).alias("__t")).collect()
+def _bucket_expr(order_col: str, bounds: list) -> F.Column:
+    """0-based bucket index: #boundaries strictly below the value. NULLs
+    land in bucket 0 (Spark's default NULLS FIRST ascending order)."""
+    c = F.col(order_col)
+    if not bounds:
+        return F.lit(0)
+    e = F.lit(0)
+    for b in bounds:
+        e = e + F.when(c > F.lit(b), 1).otherwise(0)
+    return F.when(c.isNull(), F.lit(0)).otherwise(e)
+
+
+def _bucket_offset_numbered(df: DataFrame, order_col: str, col: str,
+                            value_col: str | None = None) -> DataFrame:
+    """Shared core: bucket by literal boundaries, number/sum locally within
+    each bucket (a PARTITIONED window), add the exclusive prefix over bucket
+    totals (driver-collected, O(#buckets)).
+
+    value_col=None -> global 1-based row_number in order_col order;
+    value_col=X    -> exclusive running sum of X in order_col order."""
+    spark = df.sparkSession
+    n_parts = spark.sparkContext.defaultParallelism
+    bounds = _range_boundaries(df, order_col, n_parts)
+    base = df.withColumn("__b", _bucket_expr(order_col, bounds))
+    w = Window.partitionBy("__b").orderBy(order_col)
+    if value_col is None:
+        base = base.withColumn("__local", F.row_number().over(w).cast("long"))
+        agg = F.count(F.lit(1)).alias("__n")
+    else:
+        wf = w.rowsBetween(Window.unboundedPreceding, -1)
+        base = base.withColumn(
+            "__local", F.coalesce(F.sum(value_col).over(wf), F.lit(0)).cast("long")
+        )
+        agg = F.sum(value_col).alias("__n")
+    sizes = base.groupBy("__b").agg(agg).collect()
     off = 0
     offsets = []
-    for r in sorted(totals, key=lambda r: r["__pid"]):
-        offsets.append((r["__pid"], off))
-        off += r["__t"] or 0
-    odf = base.sparkSession.createDataFrame(offsets or [(0, 0)], "__pid int, __off bigint")
-    out = base.join(F.broadcast(odf), "__pid")
-    return out.withColumn(col, F.col("__off") + F.col("__lcum")).drop(
-        "__pid", "__lcum", "__off"
+    for r in sorted(sizes, key=lambda r: r["__b"]):
+        offsets.append((r["__b"], off))
+        off += r["__n"] or 0
+    odf = spark.createDataFrame(offsets or [(0, 0)], "__b int, __off long")
+    out = base.join(F.broadcast(odf), "__b")
+    return out.withColumn(col, F.col("__off") + F.col("__local")).drop(
+        "__b", "__local", "__off"
     )
 
 
 def with_row_number_by(df: DataFrame, order_col: str, col: str = "__rn") -> DataFrame:
     """Global 1-based row_number ordered by ``order_col`` WITHOUT a
-    single-partition window: range-repartition on the key (range partitions
-    are totally ordered), sort within partitions, then apply the same
-    partition-offset prefix sum. Ties order arbitrarily, matching
-    row_number's nondeterministic tie-break."""
-    base = (
-        df.repartitionByRange(F.col(order_col))
-        .sortWithinPartitions(order_col)
-        .withColumn("__pid", F.spark_partition_id())
-    )
-    return _offset_numbered(base, [F.col(order_col)], col)
+    single-partition window. Ties order arbitrarily, matching row_number's
+    nondeterministic tie-break; NULLs number first (Spark sort default)."""
+    return _bucket_offset_numbered(df, order_col, col, value_col=None)
+
+
+def with_exclusive_prefix_sum(df: DataFrame, order_col: str, value_col: str,
+                              col: str = "__before") -> DataFrame:
+    """Exclusive running sum of ``value_col`` in ``order_col`` order, without
+    a single-partition window (range-bucketed partitioned windows + a
+    driver-collected per-bucket prefix)."""
+    return _bucket_offset_numbered(df, order_col, col, value_col=value_col)

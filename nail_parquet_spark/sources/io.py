@@ -26,11 +26,12 @@ def _fmt_of(path: str, fmt: str | None) -> str:
         return "xlsx"
     if os.path.isdir(path):
         # extensionless directory (a Spark/engine output dir): autodetect
-        # from the files inside
+        # from the files inside — recursive, so Hive-partitioned layouts
+        # (batch=*/part-*.parquet) resolve too
         import glob
 
         for inner_ext in ("parquet", "csv", "json"):
-            if glob.glob(os.path.join(path, f"*.{inner_ext}")):
+            if glob.glob(os.path.join(path, "**", f"*.{inner_ext}"), recursive=True):
                 return "parquet" if inner_ext == "parquet" else inner_ext
     raise ValueError(f"unsupported extension '.{ext}' (utils/mod.rs:47-57)")
 

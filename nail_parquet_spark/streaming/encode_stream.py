@@ -45,8 +45,12 @@ def encode_stream(
 
     def encode_batch(batch_df: DataFrame, batch_id: int) -> None:
         blocks = encode_table(batch_df, codecs=codecs)
+        # overwrite the batch-id directory: foreachBatch is at-least-once,
+        # so a micro-batch replayed after a crash must replace its own
+        # output, not append a second copy (this is what makes the pipeline
+        # effectively exactly-once)
         (
-            blocks.write.mode("append")
+            blocks.write.mode("overwrite")
             .parquet(f"{out_dir}/ingest_batch={batch_id}")
         )
 

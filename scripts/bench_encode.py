@@ -86,6 +86,8 @@ def host_probe(path, codecs) -> dict:
     os.environ["_PROBE_CODECS"] = json.dumps(codecs)
 
     def measure(mode, nproc):
+        import queue as _queue
+
         q = mp.Queue()
         if mode == "zstd":
             args = [(mode, buf, 4.0, q)] * nproc
@@ -95,7 +97,14 @@ def host_probe(path, codecs) -> dict:
         t0 = time.time()
         for p in ps:
             p.start()
-        tot = sum(q.get() for _ in ps)
+        try:
+            # bounded get: a worker that dies before q.put (import error,
+            # OOM) must fail the probe, not hang the whole benchmark
+            tot = sum(q.get(timeout=120) for _ in ps)
+        except _queue.Empty:
+            for p in ps:
+                p.terminate()
+            raise RuntimeError(f"host probe worker died (mode={mode})")
         for p in ps:
             p.join()
         return tot / (time.time() - t0) / 1e6
@@ -201,7 +210,10 @@ def main():
     out["scaling_efficiency_median_pair"] = sorted(pairs)[len(pairs) // 2]
     spark.stop()
     if os.environ.get("BENCH_HOST_PROBE", "1") == "1":
-        out["host_probe"] = host_probe(path, codecs)
+        try:
+            out["host_probe"] = host_probe(path, codecs)
+        except Exception as e:  # probe is evidence, not a gate
+            out["host_probe"] = {"error": f"{type(e).__name__}: {e}"}
     print(json.dumps(out))
 
 

@@ -79,6 +79,17 @@ def test_encode_resumable(spark, web_parquet, tmp_path):
     mans = read_manifests(out)
     assert sum(len(m["units"]) for m in mans) == r3["total"]
     assert all(m["raw_bytes"] > m["enc_bytes"] for m in mans)
+    # crash recovery: delete ONE unit's marker (simulating a crash between
+    # marker writes); the re-run must re-encode that unit's WHOLE batch
+    # under its original key — no duplicate blocks anywhere
+    import glob as _glob
+
+    markers = sorted(_glob.glob(os.path.join(out, "_manifests", "*.json")))
+    os.remove(markers[0])
+    r4 = encode_resumable(spark, web_parquet, out, codecs=codecs)
+    assert r4["completed"] == 2  # the victim batch re-ran whole (2 units)
+    assert len(read_unit_markers(out)) == r4["total"]
+
     # decode everything that was committed and verify round trip
     blocks = spark.read.parquet(os.path.join(out, "batch=*"))
     dec = decode_table(blocks, columns=["url", "warc_ts", "html", "text", "lang"])
