@@ -45,3 +45,26 @@ def test_empty_inputs(spark):
     empty = spark.range(0).select(F.col("id").alias("v"))
     assert with_row_id(empty).count() == 0
     assert with_row_number_by(empty, "v").count() == 0
+
+
+def test_row_number_by_nulls_first(spark):
+    df = spark.createDataFrame(
+        [(None,), (5,), (None,), (1,)], "v int"
+    ).repartition(2)
+    rows = with_row_number_by(df, "v").orderBy("__rn").collect()
+    # NULLs number first (Spark ascending default), then values in order
+    assert [r["v"] for r in rows[2:]] == [1, 5]
+    assert sorted(r["__rn"] for r in rows) == [1, 2, 3, 4]
+    assert all(r["v"] is None for r in rows[:2])
+
+
+def test_row_number_by_deterministic_across_executions(spark):
+    """The numbering plan executes twice internally (counts + output) and
+    callers may evaluate the result repeatedly — ids must be stable."""
+    df = spark.range(0, 2000).select((F.col("id") * 37 % 1000).alias("v")).repartition(5)
+    out = with_row_number_by(df, "v")
+    a = sorted((r["v"], r["__rn"]) for r in out.collect())
+    b = sorted((r["v"], r["__rn"]) for r in out.collect())
+    assert sorted(rn for _, rn in a) == list(range(1, 2001))
+    # same multiset of (value, id) pairs on re-execution
+    assert [v for v, _ in a] == [v for v, _ in b]
