@@ -68,7 +68,8 @@ def main(argv: list[str] | None = None) -> int:
         (("--conditions",), {"default": None}))
     add("filter", (("-c", "--conditions"), {"default": None}), (("--rows",), {"default": None, "dest": "row_mode"}))
     add("search", (("-v", "--value"), {"required": True}), (("-c", "--columns"), {"default": None}),
-        (("--ignore-case",), {"action": "store_true"}), (("--rows",), {"action": "store_true"}))
+        (("--ignore-case",), {"action": "store_true"}), (("--rows",), {"action": "store_true"}),
+        (("--exact",), {"action": "store_true", "help": "exact match only (search.rs:28)"}))
     add("rename", (("-c", "--columns"), {"required": True}))
     add("create", (("-c", "--columns"), {"required": True}), (("--filter",), {"default": None}))
     add("id", (("--name",), {"default": "id"}), (("--prefix",), {"default": ""}))
@@ -95,8 +96,12 @@ def main(argv: list[str] | None = None) -> int:
         (("--remove",), {"action": "store_true"}),
         (("--factor",), {"type": float, "default": 1.5, "help": "IQR fence multiplier"}),
         (("--threshold",), {"type": float, "default": None, "help": "z / modified-z cutoff"}))
-    add("binning", (("-c", "--column"), {"required": True}), (("--bins",), {"type": int, "default": 10}),
-        (("--method",), {"default": "equal-width"}))
+    add("binning", (("-c", "--column"), {"required": True, "help": "column(s), comma-separated"}),
+        (("--bins",), {"default": "10", "help": 'count or custom edges "0,10,50" (binning.rs:22)'}),
+        (("--method",), {"default": "equal-width"}),
+        (("--labels",), {"default": None, "help": "custom bin labels, comma-separated"}),
+        (("--suffix",), {"default": "_bin"}),
+        (("--drop-original",), {"action": "store_true"}))
     add("pivot", (("--index",), {"required": True}), (("--pivot",), {"required": True, "dest": "pivot_col"}),
         (("--value",), {"required": True}), (("--agg",), {"default": "sum"}))
     add("convert")
@@ -213,7 +218,7 @@ def main(argv: list[str] | None = None) -> int:
         if args.rows:
             out = ops.search_rows(df, args.value, cols, args.ignore_case)
         else:
-            out = ops.search_value(df, args.value, cols, args.ignore_case)
+            out = ops.search_value(df, args.value, cols, args.ignore_case, exact=args.exact)
         _out(out, args)
     elif c == "rename":
         _out(ops.rename_columns(df, args.columns.split(",")), args)
@@ -285,7 +290,20 @@ def main(argv: list[str] | None = None) -> int:
                           action="remove" if args.remove else "flag",
                           threshold=args.threshold), args)
     elif c == "binning":
-        _out(ops.binning(df, args.column, args.bins, args.method), args)
+        # "--bins 0,10,50" = custom edges, like the reference's dual arg
+        if "," in args.bins:
+            edges = [float(x) for x in args.bins.split(",")]
+            n_bins, method = 10, "custom"
+        else:
+            edges, n_bins, method = None, int(args.bins), args.method
+        labels = args.labels.split(",") if args.labels else None
+        out = df
+        for colname in args.column.split(","):
+            out = ops.binning(out, colname, n_bins, method, edges=edges,
+                              out_col=f"{colname}{args.suffix}",
+                              custom_labels=labels,
+                              drop_original=args.drop_original)
+        _out(out, args)
     elif c == "pivot":
         _out(ops.pivot_table(df, args.index.split(","), args.pivot_col, args.value, args.agg), args)
     elif c == "convert":

@@ -27,6 +27,7 @@ from nail_parquet_spark.operators.rows import (  # noqa: F401
 )
 from nail_parquet_spark.operators.agg import (  # noqa: F401
     binning,
+    binning_multi,
     correlation_matrix,
     correlations,
     correlations_with_pvalues,

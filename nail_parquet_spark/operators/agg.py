@@ -258,10 +258,14 @@ def outliers(df: DataFrame, columns: list[str] | None = None, method: str = "iqr
 
 def binning(df: DataFrame, column: str, bins: int = 10, method: str = "equal-width",
             edges: list[float] | None = None, labels: str = "range",
-            out_col: str | None = None) -> DataFrame:
+            out_col: str | None = None, custom_labels: list[str] | None = None,
+            drop_original: bool = False) -> DataFrame:
     """Equal-width / equal-frequency / custom-edge binning with CASE WHEN
     labels (binning.rs:135-358; equal-frequency distributed via
-    percentile_approx instead of the reference's full collect)."""
+    percentile_approx instead of the reference's full collect).
+
+    custom_labels (binning.rs:31) override the range/index labels one per
+    bin; drop_original (binning.rs:39) removes the source column after."""
     out_col = out_col or f"{column}_bin"
     if method == "equal-width":
         mn, mx = df.agg(F.min(column), F.max(column)).collect()[0]
@@ -274,22 +278,42 @@ def binning(df: DataFrame, column: str, bins: int = 10, method: str = "equal-wid
         cuts = df.agg(F.percentile_approx(column, qs)).collect()[0][0]
         mn, mx = df.agg(F.min(column), F.max(column)).collect()[0]
     elif method == "custom":
-        if not edges:
-            raise ValueError("custom binning needs edges")
-        cuts = list(edges)
-        mn, mx = cuts[0], cuts[-1]
+        if not edges or len(edges) < 2:
+            raise ValueError("custom binning needs >= 2 edges")
+        # edges include the outer bounds: k edges -> k-1 bins
+        mn, mx = edges[0], edges[-1]
+        cuts = list(edges[1:-1])
     else:
         raise ValueError(method)
 
     col = F.col(column)
     expr = None
     bounds = [mn] + list(cuts) + [mx]
-    for i in range(len(bounds) - 1):
+    n_bins = len(bounds) - 1
+    if custom_labels is not None and len(custom_labels) != n_bins:
+        raise ValueError(f"{len(custom_labels)} labels for {n_bins} bins")
+    for i in range(n_bins):
         lo, hi = bounds[i], bounds[i + 1]
-        lab = f"[{lo:.4g}, {hi:.4g}{']' if i == len(bounds) - 2 else ')'}" if labels == "range" else f"bin_{i + 1}"
-        cond = (col >= lo) & (col <= hi) if i == len(bounds) - 2 else (col >= lo) & (col < hi)
+        if custom_labels is not None:
+            lab = custom_labels[i]
+        elif labels == "range":
+            lab = f"[{lo:.4g}, {hi:.4g}{']' if i == n_bins - 1 else ')'}"
+        else:
+            lab = f"bin_{i + 1}"
+        cond = (col >= lo) & (col <= hi) if i == n_bins - 1 else (col >= lo) & (col < hi)
         expr = F.when(cond, lab) if expr is None else expr.when(cond, lab)
-    return df.withColumn(out_col, expr)
+    out = df.withColumn(out_col, expr)
+    return out.drop(column) if drop_original else out
+
+
+def binning_multi(df: DataFrame, columns: list[str], bins: int = 10,
+                  method: str = "equal-width", suffix: str = "_binned",
+                  **kw) -> DataFrame:
+    """Bin several columns in one call (binning.rs -c comma list + --suffix)."""
+    out = df
+    for c in columns:
+        out = binning(out, c, bins, method, out_col=f"{c}{suffix}", **kw)
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -171,3 +171,25 @@ def test_cli_decode_roundtrip(data, tmp_path, spark, capsys):
     out2 = str(tmp_path / "dec2")
     run("decode", blocks, "-o", out2, "-c", "id,name")
     assert set(spark.read.parquet(out2).columns) == {"id", "name"}
+
+
+def test_cli_binning_reference_flags(data, tmp_path, spark):
+    out = str(tmp_path / "b.parquet")
+    # custom edges via --bins + custom labels + drop-original (binning.rs:22-43)
+    run("binning", data, "-c", "value", "--bins", "0,150,1000",
+        "--labels", "low,high", "--drop-original", "-o", out)
+    got = spark.read.parquet(out)
+    assert "value" not in got.columns and "value_bin" in got.columns
+    assert {r["value_bin"] for r in got.collect()} == {"low", "high"}
+    # multi-column with suffix
+    run("binning", data, "-c", "value,score", "--bins", "3", "--suffix", "_b", "-o", out)
+    got2 = spark.read.parquet(out)
+    assert "value_b" in got2.columns and "score_b" in got2.columns
+
+
+def test_cli_search_exact(data, capsys):
+    run("search", data, "-v", "name1", "--exact")
+    out1 = capsys.readouterr().out
+    run("search", data, "-v", "name1")
+    out2 = capsys.readouterr().out
+    assert out1.count("name1\n") <= out2.count("name1")  # exact excludes name10..19
