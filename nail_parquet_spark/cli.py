@@ -77,10 +77,15 @@ def main(argv: list[str] | None = None) -> int:
     add("dedup", (("-c", "--columns"), {"default": None}), (("--row-wise",), {"action": "store_true"}),
         (("--col-wise",), {"action": "store_true"}), (("--keep",), {"default": "first"}))
     add("merge", (("--right",), {"required": True}), (("-k", "--key"), {"required": True}),
-        (("--type",), {"default": "inner", "dest": "join_type"}))
+        (("--type",), {"default": None, "dest": "join_type"}),
+        (("--left",), {"action": "store_true", "dest": "join_left", "help": "left join (merge.rs:17)"}),
+        (("--right-join",), {"action": "store_true", "help": "right join (merge.rs:20)"}))
     add("append", (("--others",), {"required": True}), (("--ignore-schema",), {"action": "store_true"}))
     add("split", (("--ratios",), {"default": "0.8,0.2"}), (("--seed",), {"type": int, "default": None}),
-        (("--stratify-by",), {"default": None}))
+        (("--stratify-by",), {"default": None}),
+        (("--names",), {"default": None, "help": "output file names, comma-separated (split.rs:17)"}),
+        (("--prefix",), {"default": "split", "help": "auto-name prefix (split.rs:20)"}),
+        (("--output-dir",), {"default": None, "help": "directory for split files (split.rs:23)"}))
     add("sample", (("-n",), {"type": int, "default": 100}), (("--seed",), {"type": int, "default": None}),
         (("--stratify-by",), {"default": None}),
         (("--method",), {"default": None, "choices": ["random", "stratified", "first", "last"],
@@ -103,7 +108,9 @@ def main(argv: list[str] | None = None) -> int:
         (("--suffix",), {"default": "_bin"}),
         (("--drop-original",), {"action": "store_true"}))
     add("pivot", (("--index",), {"required": True}), (("--pivot",), {"required": True, "dest": "pivot_col"}),
-        (("--value",), {"required": True}), (("--agg",), {"default": "sum"}))
+        (("--value",), {"required": True, "help": "value column(s), comma-separated (pivot.rs:24)"}),
+        (("--agg",), {"default": "sum"}),
+        (("--fill",), {"default": None, "help": "fill for missing cells (pivot.rs:33)"}))
     add("convert")
     add("optimize", (("--policy",), {"default": "balanced"}),
         (("--codecs",), {"default": None, "help": 'JSON {"col": "codec"} overrides'}),
@@ -202,7 +209,12 @@ def main(argv: list[str] | None = None) -> int:
         if args.columns:
             out = ops.drop_columns(out, args.columns.split(","))
         if args.rows:
-            out = ops.drop_rows(out, args.rows)
+            # reference dual semantics (drop.rs:18): -r takes row
+            # numbers/ranges OR column conditions like 'age>25'
+            if any(op in args.rows for op in ("=", ">", "<", "!")):
+                out = ops.drop_rows_where(out, args.rows)
+            else:
+                out = ops.drop_rows(out, args.rows)
         if args.conditions:
             out = ops.drop_rows_where(out, args.conditions)
         _out(out, args)
@@ -237,18 +249,32 @@ def main(argv: list[str] | None = None) -> int:
             _out(ops.dedup_rows(df, subset, args.keep), args)
     elif c == "merge":
         right = read_data(spark, args.right)
-        _out(ops.merge(df, right, args.key, args.join_type), args)
+        how = args.join_type or ("left" if args.join_left else "right" if args.right_join else "inner")
+        _out(ops.merge(df, right, args.key, how), args)
     elif c == "append":
         others = [read_data(spark, pth) for pth in args.others.split(",")]
         _out(ops.append([df] + others, args.ignore_schema), args)
     elif c == "split":
+        import os as _os
+
         ratios = [float(x) for x in args.ratios.split(",")]
         parts = ops.split_by_ratio(df, ratios, args.seed, args.stratify_by)
-        base = args.output or "split_out"
         from nail_parquet_spark.sources.io import write_data
 
+        names = args.names.split(",") if args.names else None
+        if names and len(names) != len(parts):
+            p.error(f"{len(names)} names for {len(parts)} splits")
         for i, part in enumerate(parts):
-            write_data(part, f"{base.rsplit('.', 1)[0]}_part{i}.parquet")
+            if names:
+                fname = names[i]
+            elif args.output:
+                fname = f"{args.output.rsplit('.', 1)[0]}_part{i}.parquet"
+            else:
+                fname = f"{args.prefix}_{i}.parquet"
+            if args.output_dir:
+                _os.makedirs(args.output_dir, exist_ok=True)
+                fname = _os.path.join(args.output_dir, _os.path.basename(fname))
+            write_data(part, fname)
         print(f"wrote {len(parts)} splits")
     elif c == "sample":
         method = args.method or ("stratified" if args.stratify_by else "random")
@@ -305,7 +331,16 @@ def main(argv: list[str] | None = None) -> int:
                               drop_original=args.drop_original)
         _out(out, args)
     elif c == "pivot":
-        _out(ops.pivot_table(df, args.index.split(","), args.pivot_col, args.value, args.agg), args)
+        values = args.value.split(",")
+        fill = None
+        if args.fill is not None:
+            try:
+                fill = float(args.fill)
+            except ValueError:
+                fill = args.fill
+        _out(ops.pivot_table(df, args.index.split(","), args.pivot_col,
+                             values if len(values) > 1 else values[0],
+                             args.agg, fill_value=fill), args)
     elif c == "convert":
         from nail_parquet_spark.sources.io import convert
 

@@ -90,14 +90,25 @@ def frequency(df: DataFrame, columns: list[str], limit: int | None = None) -> Da
     return out.limit(limit) if limit else out
 
 
-def pivot_table(df: DataFrame, index: list[str], pivot_col: str, value_col: str,
-                agg: str = "sum", pivot_values: list | None = None) -> DataFrame:
+def pivot_table(df: DataFrame, index: list[str], pivot_col: str,
+                value_col: str | list[str], agg: str = "sum",
+                pivot_values: list | None = None,
+                fill_value=None) -> DataFrame:
     """True wide pivot — exceeds the reference, which documents that it
-    doesn't widen (pivot.rs:171-212, README.md:800)."""
+    doesn't widen (pivot.rs:171-212, README.md:800). Accepts multiple value
+    columns (pivot.rs:24 -l comma list) and a fill for missing cells
+    (pivot.rs:33 --fill)."""
     aggf = {"sum": F.sum, "mean": F.avg, "count": F.count, "min": F.min, "max": F.max}[agg]
+    values = [value_col] if isinstance(value_col, str) else list(value_col)
     gp = df.groupBy(*index)
     p = gp.pivot(pivot_col, pivot_values) if pivot_values else gp.pivot(pivot_col)
-    return p.agg(aggf(F.col(value_col)))
+    if len(values) == 1:
+        out = p.agg(aggf(F.col(values[0])))
+    else:
+        out = p.agg(*[aggf(F.col(v)).alias(v) for v in values])
+    if fill_value is not None:
+        out = out.fillna(fill_value, subset=[c for c in out.columns if c not in index])
+    return out
 
 
 def distinct_values(df: DataFrame, column: str) -> DataFrame:

@@ -193,3 +193,41 @@ def test_cli_search_exact(data, capsys):
     run("search", data, "-v", "name1")
     out2 = capsys.readouterr().out
     assert out1.count("name1\n") <= out2.count("name1")  # exact excludes name10..19
+
+
+def test_cli_split_reference_naming(data, tmp_path, spark):
+    d = str(tmp_path / "splits")
+    run("split", data, "--ratios", "0.5,0.5", "--seed", "3",
+        "--prefix", "shard", "--output-dir", d)
+    a = spark.read.parquet(os.path.join(d, "shard_0.parquet"))
+    b = spark.read.parquet(os.path.join(d, "shard_1.parquet"))
+    assert a.count() + b.count() == 20
+    run("split", data, "--ratios", "0.5,0.5", "--seed", "3",
+        "--names", "tr.parquet,te.parquet", "--output-dir", d)
+    assert os.path.exists(os.path.join(d, "tr.parquet"))
+
+
+def test_cli_pivot_multi_value_and_fill(data, capsys, tmp_path, spark):
+    out = str(tmp_path / "pv.parquet")
+    run("pivot", data, "--index", "category", "--pivot", "name",
+        "--value", "value,score", "--agg", "sum", "--fill", "0", "-o", out)
+    got = spark.read.parquet(out)
+    # one column per (pivot value x value col), no NULL cells
+    assert any(c.endswith("_value") for c in got.columns)
+    assert got.na.drop("any").count() == got.count()
+
+
+def test_cli_merge_left_right_flags(data, data2, tmp_path, spark):
+    out = str(tmp_path / "ml.parquet")
+    run("merge", data, "--right", data2, "-k", "id=id", "--left", "-o", out)
+    assert spark.read.parquet(out).count() == 20
+    run("merge", data, "--right", data2, "-k", "id=id", "--right-join", "-o", out)
+    assert spark.read.parquet(out).count() == 10
+
+
+def test_cli_drop_rows_dual_semantics(data, tmp_path, spark):
+    out = str(tmp_path / "dr.parquet")
+    run("drop", data, "-r", "value>100", "-o", out)
+    assert spark.read.parquet(out).count() == 10
+    run("drop", data, "-r", "1-15", "-o", out)
+    assert spark.read.parquet(out).count() == 5
