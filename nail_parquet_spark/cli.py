@@ -96,11 +96,15 @@ def main(argv: list[str] | None = None) -> int:
     add("stats", (("-c", "--columns"), {"default": None}), (("--stats-type",), {"default": "basic"}))
     add("frequency", (("-c", "--columns"), {"required": True}), (("--limit",), {"type": int, "default": None}))
     add("correlations", (("-c", "--columns"), {"default": None}), (("--method",), {"default": "pearson"}),
-        (("--matrix",), {"action": "store_true", "help": "n x n wide matrix (stats.rs display shape)"}))
+        (("--matrix",), {"action": "store_true", "help": "n x n wide matrix (stats.rs display shape)"}),
+        (("--tests",), {"action": "store_true", "help": "include p-values (correlations.rs:31)"}),
+        (("--digits",), {"type": int, "default": 4, "help": "rounding (correlations.rs:34)"}))
     add("outliers", (("-c", "--columns"), {"default": None}), (("--method",), {"default": "iqr"}),
         (("--remove",), {"action": "store_true"}),
         (("--factor",), {"type": float, "default": 1.5, "help": "IQR fence multiplier"}),
-        (("--threshold",), {"type": float, "default": None, "help": "z / modified-z cutoff"}))
+        (("--threshold",), {"type": float, "default": None, "help": "z / modified-z cutoff"}),
+        (("--show-values",), {"action": "store_true", "help": "print only the outlier rows (outliers.rs:31)"}),
+        (("--with-row-numbers",), {"action": "store_true", "help": "include row numbers (outliers.rs:34)"}))
     add("binning", (("-c", "--column"), {"required": True, "help": "column(s), comma-separated"}),
         (("--bins",), {"default": "10", "help": 'count or custom edges "0,10,50" (binning.rs:22)'}),
         (("--method",), {"default": "equal-width"}),
@@ -305,16 +309,35 @@ def main(argv: list[str] | None = None) -> int:
     elif c == "frequency":
         _out(ops.frequency(df, args.columns.split(","), args.limit), args, 50)
     elif c == "correlations":
+        from pyspark.sql import functions as F
+
         cols = args.columns.split(",") if args.columns else None
         if args.matrix:
-            _out(ops.correlation_matrix(df, cols, args.method), args, 50)
+            out = ops.correlation_matrix(df, cols, args.method, digits=args.digits)
+        elif args.tests:
+            out = ops.correlations_with_pvalues(df, cols, args.method)
+            out = out.withColumn("correlation", F.round("correlation", args.digits)) \
+                     .withColumn("p_value", F.round("p_value", args.digits))
         else:
-            _out(ops.correlations(df, cols, args.method), args, 50)
+            out = ops.correlations(df, cols, args.method)
+            out = out.withColumn("correlation", F.round("correlation", args.digits))
+        _out(out, args, 50)
     elif c == "outliers":
         cols = args.columns.split(",") if args.columns else None
-        _out(ops.outliers(df, cols, args.method, factor=args.factor,
-                          action="remove" if args.remove else "flag",
-                          threshold=args.threshold), args)
+        src = df
+        if args.with_row_numbers:
+            from nail_parquet_spark.rowid import with_row_id
+
+            src = with_row_id(df, "row_number")
+            if cols is None:  # don't treat the added row_number as a data column
+                num = ("int", "bigint", "smallint", "tinyint", "double", "float", "decimal")
+                cols = [c for c, t in df.dtypes if t.startswith(num)]
+        out = ops.outliers(src, cols, args.method, factor=args.factor,
+                           action="remove" if args.remove else "flag",
+                           threshold=args.threshold)
+        if args.show_values and not args.remove:
+            out = out.filter("is_outlier")
+        _out(out, args)
     elif c == "binning":
         # "--bins 0,10,50" = custom edges, like the reference's dual arg
         if "," in args.bins:

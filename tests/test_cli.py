@@ -231,3 +231,19 @@ def test_cli_drop_rows_dual_semantics(data, tmp_path, spark):
     assert spark.read.parquet(out).count() == 10
     run("drop", data, "-r", "1-15", "-o", out)
     assert spark.read.parquet(out).count() == 5
+
+
+def test_cli_correlations_tests_and_digits(data, capsys):
+    run("correlations", data, "-c", "id,value", "--tests", "--digits", "3")
+    out = capsys.readouterr().out
+    assert "p_value" in out
+
+
+def test_cli_outliers_show_values_rows(data, tmp_path, spark):
+    out = str(tmp_path / "ol.parquet")
+    run("outliers", data, "-c", "value", "--method", "zscore", "--threshold", "1.0",
+        "--show-values", "--with-row-numbers", "-o", out)
+    got = spark.read.parquet(out)
+    assert "row_number" in got.columns
+    assert got.count() > 0  # z>1.0 flags the extremes of 10..200
+    assert got.filter("NOT is_outlier").count() == 0
