@@ -269,7 +269,8 @@ def encode_parquet_files(
 
 MANIFEST_SCHEMA = (
     "file string, part_id int, n_blocks bigint, n_rows bigint, "
-    "raw_bytes bigint, enc_bytes bigint, columns string"
+    "raw_bytes bigint, enc_bytes bigint, columns string, "
+    "wall_s double, mbps double, ratio double"
 )
 
 
@@ -321,6 +322,9 @@ def encode_parquet_dir(
         # into the final file (os.replace is atomic; duplicate attempts
         # produce identical content, last rename wins)
         tmp_path = _os.path.join(out_dir, f".blocks-{tid:05d}.attempt-{att}.inprogress")
+        import time as _time
+
+        t0 = _time.time()
         writer = None
         block_id = 0
         n_blocks = n_rows = raw = enc_b = 0
@@ -343,6 +347,7 @@ def encode_parquet_dir(
         if writer is not None:
             writer.close()
             _os.replace(tmp_path, out_path)
+            wall = _time.time() - t0
             yield pa.record_batch(
                 [
                     pa.array([out_path]),
@@ -352,8 +357,12 @@ def encode_parquet_dir(
                     pa.array([raw], pa.int64()),
                     pa.array([enc_b], pa.int64()),
                     pa.array([",".join(sorted(all_cols))]),
+                    pa.array([round(wall, 3)], pa.float64()),
+                    pa.array([round(raw / wall / 1e6, 2) if wall else 0.0], pa.float64()),
+                    pa.array([round(raw / enc_b, 4) if enc_b else 0.0], pa.float64()),
                 ],
-                names=["file", "part_id", "n_blocks", "n_rows", "raw_bytes", "enc_bytes", "columns"],
+                names=["file", "part_id", "n_blocks", "n_rows", "raw_bytes",
+                       "enc_bytes", "columns", "wall_s", "mbps", "ratio"],
             )
 
     return items_df.mapInArrow(enc_sink, schema=MANIFEST_SCHEMA)
