@@ -119,17 +119,35 @@ def encode_table(
     return proj.mapInArrow(enc, schema=BLOCKS_SCHEMA)
 
 
-def _encode_chunk(chunk, cols, chosen, with_stats, pid, block_id) -> pa.RecordBatch:
-    """Encode one row chunk (pa.Table or RecordBatch) into block rows."""
+def _encode_chunk(chunk, cols, chosen, with_stats, pid, block_id,
+                  executor=None) -> pa.RecordBatch:
+    """Encode one row chunk (pa.Table or RecordBatch) into block rows.
+
+    ``executor`` (a ThreadPoolExecutor) overlaps per-column encodes —
+    pyarrow's zstd releases the GIL, measured ~1.9x on the web table's
+    html+text pair. Only pass one when the task owns >1 core
+    (spark.task.cpus); with 1-core tasks threads oversubscribe the executor.
+    """
     out = {k: [] for k in (
         "part_id", "block_id", "column", "codec", "n_rows",
         "raw_bytes", "enc_bytes", "null_count", "min_val",
         "max_val", "distinct_est", "header", "payload")}
-    for cname in cols:
+
+    def _arr_of(cname):
         arr = chunk.column(chunk.schema.get_field_index(cname))
         if isinstance(arr, pa.ChunkedArray):
             arr = arr.combine_chunks()
-        blk = encode_array(arr, chosen[cname])
+        return arr
+
+    arrs = {c: _arr_of(c) for c in cols}
+    if executor is not None:
+        blks = dict(zip(cols, executor.map(
+            lambda c: encode_array(arrs[c], chosen[c]), cols)))
+    else:
+        blks = None
+    for cname in cols:
+        arr = arrs[cname]
+        blk = blks[cname] if blks is not None else encode_array(arr, chosen[cname])
         if with_stats:
             mn, mx, dist = _stat_strings(arr)
         else:
@@ -226,6 +244,7 @@ def encode_parquet_files(
     block_rows: int = 65536,
     with_stats: bool = True,
     num_partitions: int | None = None,
+    encode_threads: int = 1,
 ) -> DataFrame:
     """Scan-side encode: tasks read parquet ROW GROUPS directly with the
     pyarrow C++ reader and encode in place.
@@ -251,6 +270,11 @@ def encode_parquet_files(
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else 0
         block_id = 0
+        pool = None
+        if encode_threads > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            pool = ThreadPoolExecutor(encode_threads)
         for batch in batches:
             for p, rg in zip(batch.column(0).to_pylist(), batch.column(1).to_pylist()):
                 # use_threads=False: a Spark task owns ONE core; pyarrow's
@@ -261,7 +285,7 @@ def encode_parquet_files(
                 )
                 for off in range(0, tbl.num_rows, block_rows):
                     chunk = tbl.slice(off, min(block_rows, tbl.num_rows - off))
-                    yield _encode_chunk(chunk, all_cols, chosen, with_stats, pid, block_id)
+                    yield _encode_chunk(chunk, all_cols, chosen, with_stats, pid, block_id, executor=pool)
                     block_id += 1
 
     return items_df.mapInArrow(enc, schema=BLOCKS_SCHEMA)
@@ -286,6 +310,7 @@ def encode_parquet_dir(
     with_stats: bool = True,
     num_partitions: int | None = None,
     compression: str = "none",
+    encode_threads: int = 1,
 ) -> DataFrame:
     """Scan-side encode with a PYTHON-side parquet sink, all in ONE task
     function: each task reads its (file, row-group) work items with the C++
@@ -325,6 +350,11 @@ def encode_parquet_dir(
         import time as _time
 
         t0 = _time.time()
+        pool = None
+        if encode_threads > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            pool = ThreadPoolExecutor(encode_threads)
         writer = None
         block_id = 0
         n_blocks = n_rows = raw = enc_b = 0
@@ -335,7 +365,7 @@ def encode_parquet_dir(
                 )
                 for off in range(0, tbl.num_rows, block_rows):
                     chunk = tbl.slice(off, min(block_rows, tbl.num_rows - off))
-                    rb = _encode_chunk(chunk, all_cols, chosen, with_stats, tid, block_id)
+                    rb = _encode_chunk(chunk, all_cols, chosen, with_stats, tid, block_id, executor=pool)
                     block_id += 1
                     if writer is None:
                         writer = _pq.ParquetWriter(tmp_path, rb.schema, compression=compression)

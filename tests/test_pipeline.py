@@ -121,3 +121,16 @@ def test_encode_parquet_dir_sink_roundtrip(spark, web, tmp_path):
     res = verify_roundtrip(web, dec, key="url")
     assert res["joined_rows"] == 20_000
     assert res["total_mismatches"] == 0
+
+
+def test_encode_threads_same_output(spark, web, tmp_path):
+    """encode_threads only changes scheduling, never bytes."""
+    from nail_parquet_spark.codec.encode import encode_parquet_dir
+
+    src = str(tmp_path / "src")
+    web.write.parquet(src)
+    a = encode_parquet_dir(spark, src, str(tmp_path / "b1"), num_partitions=2).collect()
+    b = encode_parquet_dir(spark, src, str(tmp_path / "b2"), num_partitions=2,
+                           encode_threads=3).collect()
+    assert sum(r["enc_bytes"] for r in a) == sum(r["enc_bytes"] for r in b)
+    assert sum(r["n_rows"] for r in a) == sum(r["n_rows"] for r in b) == 20_000
