@@ -232,7 +232,7 @@ def main(argv: list[str] | None = None) -> int:
     elif c == "search":
         cols = args.columns.split(",") if args.columns else None
         if args.rows:
-            out = ops.search_rows(df, args.value, cols, args.ignore_case)
+            out = ops.search_rows(df, args.value, cols, args.ignore_case, exact=args.exact)
         else:
             out = ops.search_value(df, args.value, cols, args.ignore_case, exact=args.exact)
         _out(out, args)
@@ -312,6 +312,8 @@ def main(argv: list[str] | None = None) -> int:
         from pyspark.sql import functions as F
 
         cols = args.columns.split(",") if args.columns else None
+        if args.matrix and args.tests:
+            p.error("--matrix and --tests are mutually exclusive (matrix has no p-value cells)")
         if args.matrix:
             out = ops.correlation_matrix(df, cols, args.method, digits=args.digits)
         elif args.tests:
@@ -330,8 +332,7 @@ def main(argv: list[str] | None = None) -> int:
 
             src = with_row_id(df, "row_number")
             if cols is None:  # don't treat the added row_number as a data column
-                num = ("int", "bigint", "smallint", "tinyint", "double", "float", "decimal")
-                cols = [c for c, t in df.dtypes if t.startswith(num)]
+                cols = ops.numeric_cols(df)
         out = ops.outliers(src, cols, args.method, factor=args.factor,
                            action="remove" if args.remove else "flag",
                            threshold=args.threshold)
@@ -346,12 +347,10 @@ def main(argv: list[str] | None = None) -> int:
         else:
             edges, n_bins, method = None, int(args.bins), args.method
         labels = args.labels.split(",") if args.labels else None
-        out = df
-        for colname in args.column.split(","):
-            out = ops.binning(out, colname, n_bins, method, edges=edges,
-                              out_col=f"{colname}{args.suffix}",
-                              custom_labels=labels,
-                              drop_original=args.drop_original)
+        out = ops.binning_multi(df, args.column.split(","), n_bins, method,
+                                suffix=args.suffix, edges=edges,
+                                custom_labels=labels,
+                                drop_original=args.drop_original)
         _out(out, args)
     elif c == "pivot":
         values = args.value.split(",")

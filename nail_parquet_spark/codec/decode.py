@@ -205,6 +205,13 @@ def decode_to_parquet(blocks: DataFrame, out_dir: str,
         # (speculation, zombie retries) must never interleave into the
         # final file (see encode_parquet_dir)
         tmp = os.path.join(out_dir, f".part-{tid:05d}.attempt-{att}.inprogress")
+        import glob as _glob2
+
+        for stale in _glob2.glob(os.path.join(out_dir, f".part-{tid:05d}.attempt-*.inprogress")):
+            try:
+                os.remove(stale)
+            except OSError:
+                pass
         writer = None
         n_rows = 0
         pending: dict[tuple[int, int], dict[str, tuple[str, bytes]]] = {}
@@ -289,6 +296,13 @@ def decode_parquet_dir(spark, blocks_dir: str, out_dir: str,
         att = ctx.attemptNumber() if ctx is not None else 0
         out_path = os.path.join(out_dir, f"part-{tid:05d}.parquet")
         tmp = os.path.join(out_dir, f".part-{tid:05d}.attempt-{att}.inprogress")  # atomic commit (see decode_to_parquet)
+        import glob as _glob2
+
+        for stale in _glob2.glob(os.path.join(out_dir, f".part-{tid:05d}.attempt-*.inprogress")):
+            try:
+                os.remove(stale)
+            except OSError:
+                pass
         writer = None
         n_rows = 0
         colset = set(columns)

@@ -275,18 +275,22 @@ def encode_parquet_files(
             from concurrent.futures import ThreadPoolExecutor
 
             pool = ThreadPoolExecutor(encode_threads)
-        for batch in batches:
-            for p, rg in zip(batch.column(0).to_pylist(), batch.column(1).to_pylist()):
-                # use_threads=False: a Spark task owns ONE core; pyarrow's
-                # default pool would oversubscribe the executor (and fake
-                # the 1-task baseline in scaling measurements)
-                tbl = _pq.ParquetFile(p).read_row_group(
-                    rg, columns=all_cols, use_threads=False
-                )
-                for off in range(0, tbl.num_rows, block_rows):
-                    chunk = tbl.slice(off, min(block_rows, tbl.num_rows - off))
-                    yield _encode_chunk(chunk, all_cols, chosen, with_stats, pid, block_id, executor=pool)
-                    block_id += 1
+        try:
+            for batch in batches:
+                for p, rg in zip(batch.column(0).to_pylist(), batch.column(1).to_pylist()):
+                    # use_threads=False: a Spark task owns ONE core;
+                    # pyarrow's default pool would oversubscribe the executor
+                    # (and fake the 1-task baseline in scaling measurements)
+                    tbl = _pq.ParquetFile(p).read_row_group(
+                        rg, columns=all_cols, use_threads=False
+                    )
+                    for off in range(0, tbl.num_rows, block_rows):
+                        chunk = tbl.slice(off, min(block_rows, tbl.num_rows - off))
+                        yield _encode_chunk(chunk, all_cols, chosen, with_stats, pid, block_id, executor=pool)
+                        block_id += 1
+        finally:
+            if pool is not None:
+                pool.shutdown(wait=False)
 
     return items_df.mapInArrow(enc, schema=BLOCKS_SCHEMA)
 
@@ -347,6 +351,14 @@ def encode_parquet_dir(
         # into the final file (os.replace is atomic; duplicate attempts
         # produce identical content, last rename wins)
         tmp_path = _os.path.join(out_dir, f".blocks-{tid:05d}.attempt-{att}.inprogress")
+        # clean temps left by earlier failed attempts of THIS partition
+        import glob as _glob2
+
+        for stale in _glob2.glob(_os.path.join(out_dir, f".blocks-{tid:05d}.attempt-*.inprogress")):
+            try:
+                _os.remove(stale)
+            except OSError:
+                pass
         import time as _time
 
         t0 = _time.time()
@@ -374,6 +386,8 @@ def encode_parquet_dir(
                     n_rows += chunk.num_rows
                     raw += sum(rb.column("raw_bytes").to_pylist())
                     enc_b += sum(rb.column("enc_bytes").to_pylist())
+        if pool is not None:
+            pool.shutdown(wait=False)
         if writer is not None:
             writer.close()
             _os.replace(tmp_path, out_path)

@@ -34,6 +34,7 @@ from nail_parquet_spark.operators.agg import (  # noqa: F401
     count_rows,
     distinct_values,
     frequency,
+    numeric_cols,
     outliers,
     pivot_table,
     stats,

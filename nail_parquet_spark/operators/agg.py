@@ -19,9 +19,14 @@ def count_rows(df: DataFrame) -> int:
     return df.count()
 
 
-def _numeric_cols(df: DataFrame) -> list[str]:
+def numeric_cols(df: DataFrame) -> list[str]:
+    """Public helper: the numeric columns every stats-style operator
+    defaults to (one definition — cli/agg/rows all share it)."""
     num = ("int", "bigint", "smallint", "tinyint", "double", "float", "decimal")
     return [c for c, t in df.dtypes if t.startswith(num)]
+
+
+_numeric_cols = numeric_cols
 
 
 def stats(df: DataFrame, columns: list[str] | None = None,
@@ -318,9 +323,11 @@ def binning(df: DataFrame, column: str, bins: int = 10, method: str = "equal-wid
 
 
 def binning_multi(df: DataFrame, columns: list[str], bins: int = 10,
-                  method: str = "equal-width", suffix: str = "_binned",
+                  method: str = "equal-width", suffix: str = "_bin",
                   **kw) -> DataFrame:
-    """Bin several columns in one call (binning.rs -c comma list + --suffix)."""
+    """Bin several columns in one call (binning.rs -c comma list + --suffix;
+    the reference's default suffix is "_binned" — ours matches binning()'s
+    single-column "_bin" so CLI and library agree)."""
     out = df
     for c in columns:
         out = binning(out, c, bins, method, out_col=f"{c}{suffix}", **kw)

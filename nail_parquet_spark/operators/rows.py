@@ -62,8 +62,9 @@ def drop_rows_where(df: DataFrame, spec: str) -> DataFrame:
 
 
 def _numeric_cols(df: DataFrame) -> list[str]:
-    num = ("int", "bigint", "smallint", "tinyint", "double", "float", "decimal")
-    return [c for c, t in df.dtypes if t.startswith(num)]
+    from nail_parquet_spark.operators.agg import numeric_cols
+
+    return numeric_cols(df)
 
 
 def _string_cols(df: DataFrame) -> list[str]:
@@ -112,7 +113,7 @@ def search_value(df: DataFrame, value: str, columns: list[str] | None = None,
 
 
 def search_rows(df: DataFrame, value: str, columns: list[str] | None = None,
-                case_insensitive: bool = False) -> DataFrame:
+                case_insensitive: bool = False, exact: bool = False) -> DataFrame:
     """--rows variant: emit (row_number, search_value, matched_columns)
     (search.rs:136-233)."""
     cols = columns or df.columns
@@ -125,9 +126,10 @@ def search_rows(df: DataFrame, value: str, columns: list[str] | None = None,
         if dt.get(c) == "string":
             lhs = F.lower(col) if case_insensitive else col
             v = value.lower() if case_insensitive else value
-            pred = lhs.contains(v)
+            pred = (lhs == v) if exact else lhs.contains(v)
         else:
-            pred = col.cast("string").contains(value)
+            s = col.cast("string")
+            pred = (s == value) if exact else s.contains(value)
         matches.append(F.when(pred, F.lit(c)))
     arr = F.array_compact(F.array(*matches))
     out = (

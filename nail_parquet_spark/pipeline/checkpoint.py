@@ -7,14 +7,16 @@ completed unit commits atomically (temp write -> fsync -> marker rename),
 and a re-run skips committed units. Swap `_list_units` for an Iceberg
 snapshot's file manifest and this is the real thing.
 
-Scale shape: pending units are grouped into batches of ``units_per_job``
-and each batch runs as ONE cluster-wide ``encode_parquet_dir`` job (tasks
-fan out over every row group of every file in the batch) — processing one
-file per job, as round 1 did, would starve a 1000-executor cluster.
-Commit granularity is the batch: markers are written only after the batch's
-sink files are fully on disk, and a retried batch overwrites its own
-``batch=<key>`` directory, so a crash mid-batch re-encodes at most one
-batch and never double-counts.
+Scale shape: units are grouped into batches of ``units_per_job`` and each
+batch runs as ONE cluster-wide ``encode_parquet_dir`` job (tasks fan out
+over every row group of every file in the batch) — processing one file per
+job, as round 1 did, would starve a 1000-executor cluster. Batch membership
+is persisted in ``_batches.json`` so it never reshuffles when new source
+files arrive between runs (growing-manifest-safe). Commit granularity is
+the batch: markers are written only after the batch's sink files are fully
+on disk, and a partially-marked or retried batch re-encodes WHOLE into its
+own ``batch=<key>`` directory, so a crash mid-batch re-encodes at most one
+batch and never leaves duplicate blocks.
 """
 
 from __future__ import annotations
@@ -76,23 +78,39 @@ def encode_resumable(
         df = spark.read.parquet(src)
         codecs = choose_codecs_for_df(df, df.columns, policy=policy)
 
-    # Batching is a deterministic function of the FULL sorted unit list, not
-    # of the pending set: a batch whose units are all marked is skipped; a
-    # batch with ANY unmarked unit is re-encoded WHOLE under its original
-    # key (its directory wiped first, every marker rewritten). Pending-set
-    # batching would hash a crash's leftover units into a NEW key and leave
-    # the old directory's blocks on disk twice. units_per_job is pinned on
-    # first run so reruns slice identically.
-    cfg_path = os.path.join(out_dir, "_resumable_config.json")
-    if os.path.exists(cfg_path):
-        with open(cfg_path) as f:
-            units_per_job = json.load(f)["units_per_job"]
+    # Batch membership is PERSISTED (out_dir/_batches.json), not recomputed
+    # from the unit list: position-based slicing would reshuffle every batch
+    # when a new source file lands between existing ones, re-encoding
+    # already-committed units into NEW batch directories while the old ones
+    # stay on disk — silent duplication. Instead: units keep the batch they
+    # were first assigned to forever; units never seen before are appended
+    # as new batches. A batch with ANY unmarked unit re-encodes WHOLE under
+    # its original key (directory wiped first, every marker rewritten), so a
+    # crash between marker writes recovers cleanly.
+    assign_path = os.path.join(out_dir, "_batches.json")
+    if os.path.exists(assign_path):
+        with open(assign_path) as f:
+            batches: list[list[str]] = json.load(f)["batches"]
     else:
-        _atomic_json(cfg_path, {"units_per_job": units_per_job})
+        batches = []
+    known = {k for b in batches for k in b}
+    new_keys = [_unit_key(u) for u in units if _unit_key(u) not in known]
+    for i in range(0, len(new_keys), units_per_job):
+        batches.append(new_keys[i : i + units_per_job])
+    if new_keys:
+        _atomic_json(assign_path, {"batches": batches, "units_per_job": units_per_job})
 
+    src_by_key = {_unit_key(u): u for u in units}
     completed = skipped = 0
-    for i in range(0, len(units), units_per_job):
-        batch = units[i : i + units_per_job]
+    for keys in batches:
+        missing_src = [k for k in keys if k not in src_by_key]
+        if missing_src:
+            raise ValueError(
+                f"source units {missing_src} were assigned to a batch but no "
+                f"longer exist under {src}; the blocks table would silently "
+                f"diverge from the source — clean out_dir or restore the files"
+            )
+        batch = [src_by_key[k] for k in keys]
         unmarked = [
             u for u in batch
             if not os.path.exists(os.path.join(done_dir, f"{_unit_key(u)}.json"))
@@ -102,7 +120,6 @@ def encode_resumable(
             continue
         if max_units is not None and completed >= max_units:
             continue  # units stay pending for a later invocation
-        keys = [_unit_key(u) for u in batch]
         bkey = hashlib.md5("|".join(keys).encode()).hexdigest()[:12]
         dest = os.path.join(out_dir, f"batch={bkey}")
         shutil.rmtree(dest, ignore_errors=True)  # partial/retried batch overwrites itself

@@ -11,13 +11,14 @@ The prefix sum is computed driver-side from per-bucket counts —
 O(#buckets) rows collected, the same metadata scale AQE ships to the
 driver — so NO stage anywhere uses a single-partition (global) window.
 
-Determinism note: these helpers trigger TWO executions of the input plan
-(one for the counts, one for the numbered output), so every intermediate
-must be a PURE FUNCTION of the data. ``repartitionByRange`` is NOT — its
-range boundaries come from a sampler seeded by the RDD id, which differs
-between executions — so ordering-based numbering buckets rows with an
-explicit literal-boundary expression instead: boundary quality only affects
-balance, never correctness.
+Determinism note: these helpers execute the input plan MORE THAN ONCE (a
+bounded boundary sample via limit() — pushdown reads only a few splits —
+then the counts job, then the numbered output), so every intermediate must
+be a PURE FUNCTION of the data. ``repartitionByRange`` is NOT — its range
+boundaries come from a sampler seeded by the RDD id, which differs between
+executions — so ordering-based numbering buckets rows with an explicit
+literal-boundary expression instead: boundary quality only affects balance,
+never correctness.
 """
 
 from __future__ import annotations

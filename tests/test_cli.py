@@ -192,7 +192,16 @@ def test_cli_search_exact(data, capsys):
     out1 = capsys.readouterr().out
     run("search", data, "-v", "name1")
     out2 = capsys.readouterr().out
-    assert out1.count("name1\n") <= out2.count("name1")  # exact excludes name10..19
+    assert "name1 " in out1 or "name1|" in out1  # the exact row matched
+    assert "name10" not in out1  # exact excludes the substring family
+    assert "name10" in out2  # substring search includes it
+    # --rows variant honors exact too (library-level check: exact matches
+    # exactly one row, substring matches the whole name1x family)
+    from nail_parquet_spark.operators import search_rows
+
+    df = __import__("pyspark.sql", fromlist=["SparkSession"]).SparkSession.active().read.parquet(data)
+    assert search_rows(df, "name1", exact=True).count() == 1
+    assert search_rows(df, "name1", exact=False).count() == 11
 
 
 def test_cli_split_reference_naming(data, tmp_path, spark):

@@ -143,3 +143,34 @@ def test_decode_parquet_dir_shuffle_free(spark, web_parquet, tmp_path):
     assert man.agg({"n_rows": "sum"}).collect()[0][0] == 20_000
     res = verify_roundtrip(spark.read.parquet(web_parquet), spark.read.parquet(out), key="url")
     assert res["total_mismatches"] == 0
+
+
+def test_encode_resumable_growing_source(spark, web_parquet, tmp_path):
+    """New source files arriving between runs must NOT reshuffle existing
+    batch membership (persisted _batches.json) — position-based slicing
+    would re-encode committed units into new batch dirs, duplicating rows."""
+    import glob as _glob
+    import shutil as _shutil
+
+    src = str(tmp_path / "growing")
+    os.makedirs(src)
+    files = sorted(_glob.glob(os.path.join(web_parquet, "*.parquet")))
+    assert len(files) >= 3
+    # start with the LAST files (sort late), then add one that sorts FIRST
+    for f in files[1:]:
+        _shutil.copy(f, src)
+    out = str(tmp_path / "enc")
+    codecs = {"url": "zstd", "warc_ts": "delta_bitpack", "html": "zstd",
+              "text": "zstd", "lang": "dict"}
+    def encoded_rows():
+        b = spark.read.parquet(os.path.join(out, "batch=*"))
+        return b.filter(F.col("column") == "url").agg(F.sum("n_rows")).collect()[0][0]
+
+    r1 = encode_resumable(spark, src, out, codecs=codecs, units_per_job=2)
+    assert r1["completed"] == len(files) - 1
+    n1 = encoded_rows()
+    _shutil.copy(files[0], src)  # sorts before every existing unit
+    r2 = encode_resumable(spark, src, out, codecs=codecs, units_per_job=2)
+    assert r2["completed"] == 1 and r2["skipped"] == len(files) - 1
+    new_rows = spark.read.parquet(files[0]).count()
+    assert encoded_rows() == n1 + new_rows  # no duplicates from reshuffled batches
