@@ -32,6 +32,9 @@ def canon(df: pd.DataFrame) -> pd.Series:
 
 
 def main():
+    import json
+    import os
+
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
@@ -39,6 +42,7 @@ def main():
     qs = entry.queries()
     oracles = entry.oracle_sql()
     ok = fail = 0
+    report: dict[str, dict] = {}
     for name, fn in qs.items():
         if ONLY and name not in ONLY:
             continue
@@ -47,30 +51,41 @@ def main():
             sdf = fn(spark, SF).toPandas()
         except Exception as e:
             print(f"FAIL {name}: spark raised {type(e).__name__}: {str(e)[:200]}")
+            report[name] = {"rows_match": False, "schema_match": False,
+                            "hash_match": False, "err": f"{type(e).__name__}: {str(e)[:200]}"}
             fail += 1
             continue
         if name not in oracles:
             print(f"rowsonly {name}: {len(sdf)} rows ({time.time()-t0:.1f}s)")
+            report[name] = {"rows_only": True, "spark_rows": len(sdf), "err": None}
             ok += 1
             continue
         try:
             odf = con.sql(oracles[name]).df()
         except Exception as e:
             print(f"FAIL {name}: oracle raised {type(e).__name__}: {str(e)[:200]}")
+            report[name] = {"rows_match": False, "schema_match": False,
+                            "hash_match": False, "err": f"oracle: {type(e).__name__}: {str(e)[:200]}"}
             fail += 1
             continue
         problems = []
-        if len(sdf) != len(odf):
+        rows_match = len(sdf) == len(odf)
+        schema_match = sorted(map(str.lower, sdf.columns)) == sorted(map(str.lower, odf.columns))
+        hash_match = False
+        if not rows_match:
             problems.append(f"rows {len(sdf)} vs {len(odf)}")
-        if sorted(map(str.lower, sdf.columns)) != sorted(map(str.lower, odf.columns)):
+        if not schema_match:
             problems.append(f"cols {sorted(sdf.columns)} vs {sorted(odf.columns)}")
         if not problems:
-            odf.columns = [c for c in odf.columns]
             cs, co = canon(sdf), canon(odf)
-            if not cs.equals(co):
+            hash_match = bool(cs.equals(co))
+            if not hash_match:
                 diff = (cs != co).sum()
                 ex = [(a, b) for a, b in zip(cs, co) if a != b][:2]
                 problems.append(f"values differ in {diff}/{len(cs)} rows, e.g. {ex}")
+        report[name] = {"rows_match": rows_match, "schema_match": schema_match,
+                        "hash_match": hash_match, "spark_rows": len(sdf),
+                        "oracle_rows": len(odf), "err": None}
         if problems:
             print(f"FAIL {name}: {'; '.join(problems)}")
             fail += 1
@@ -78,6 +93,11 @@ def main():
             print(f"ok   {name}: {len(sdf)} rows ({time.time()-t0:.1f}s)")
             ok += 1
     print(f"\n{ok} ok, {fail} fail")
+    out_json = os.environ.get("ORACLE_JSON")
+    if out_json:
+        with open(out_json, "w") as f:
+            json.dump(report, f, indent=1)
+        print(f"wrote {out_json}")
     spark.stop()
     sys.exit(1 if fail else 0)
 
