@@ -45,16 +45,11 @@ def read_data(spark: SparkSession, path: str, fmt: str | None = None) -> DataFra
     if fmt == "json":
         return spark.read.json(path)
     if fmt == "xlsx":
-        import pandas as pd
+        # driver-side, like the reference (io.rs:36-165); stdlib reader, no
+        # openpyxl needed
+        from nail_parquet_spark.sources.xlsx import read_xlsx
 
-        try:
-            pdf = pd.read_excel(path)  # driver-side, like the reference (io.rs:36-165)
-        except ImportError as e:  # openpyxl not shipped in this container
-            raise NotImplementedError(
-                "xlsx read needs openpyxl (not installed here); the code path "
-                "is driver-side pandas exactly like the reference's calamine"
-            ) from e
-        return spark.createDataFrame(pdf)
+        return spark.createDataFrame(read_xlsx(path))
     raise ValueError(fmt)
 
 
@@ -89,10 +84,11 @@ def write_data(df: DataFrame, path: str, fmt: str | None = None,
             w = w.option("compression", compression)
         w.json(path)
     elif fmt == "xlsx":
-        try:
-            df.limit(1_048_575).toPandas().to_excel(path, index=False)
-        except ImportError as e:
-            raise NotImplementedError("xlsx write needs openpyxl/xlsxwriter") from e
+        # driver-side like the reference (io.rs:200-322); Excel caps a sheet
+        # at 1,048,576 rows incl. header
+        from nail_parquet_spark.sources.xlsx import write_xlsx
+
+        write_xlsx(df.limit(1_048_575).toPandas(), path)
     else:
         raise ValueError(fmt)
 

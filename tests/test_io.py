@@ -26,6 +26,37 @@ def test_convert_roundtrips(spark, sample, tmp_path):
     assert js.count() == 5
 
 
-def test_xlsx_gated(spark, sample, tmp_path):
-    with pytest.raises(NotImplementedError):
-        write_data(sample, str(tmp_path / "s.xlsx"))
+def test_xlsx_roundtrip(spark, sample, tmp_path):
+    """Dependency-free xlsx write+read (sources/xlsx.py): values, types,
+    header, and NULLs survive a driver-side round trip (io.rs:36-322 parity
+    without openpyxl)."""
+    path = str(tmp_path / "s.xlsx")
+    write_data(sample, path)
+    back = read_data(spark, path)
+    assert back.count() == sample.count()
+    assert back.columns == sample.columns
+    a = {r["id"]: r for r in sample.collect()}
+    b = {r["id"]: r for r in back.collect()}
+    for k in a:
+        assert a[k]["name"] == b[k]["name"]
+        assert float(a[k]["value"]) == float(b[k]["value"])
+
+
+def test_xlsx_special_values(spark, tmp_path):
+    from nail_parquet_spark.sources.xlsx import read_xlsx, write_xlsx
+
+    import pandas as pd
+
+    pdf = pd.DataFrame({
+        "s": ["a<b&c>", "日本語", None, "", "x" * 500],
+        "n": [1, 2.5, -3, None, 9007199254740992.0],
+        "b": [True, False, None, True, False],
+    })
+    path = str(tmp_path / "t.xlsx")
+    write_xlsx(pdf, path)
+    back = read_xlsx(path)
+    assert list(back.columns) == ["s", "n", "b"]
+    assert back["s"][0] == "a<b&c>" and back["s"][1] == "日本語"
+    assert back["s"][2] is None and back["s"][4] == "x" * 500
+    assert back["n"][0] == 1 and back["n"][1] == 2.5
+    assert back["b"][0] is True and back["b"][1] is False
