@@ -206,12 +206,16 @@ def decode_to_parquet(blocks: DataFrame, out_dir: str,
         # final file (see encode_parquet_dir)
         tmp = os.path.join(out_dir, f".part-{tid:05d}.attempt-{att}.inprogress")
         import glob as _glob2
+        import re as _re2
 
+        # only temps from STRICTLY OLDER attempts (see encode_parquet_dir)
         for stale in _glob2.glob(os.path.join(out_dir, f".part-{tid:05d}.attempt-*.inprogress")):
-            try:
-                os.remove(stale)
-            except OSError:
-                pass
+            m = _re2.search(r"attempt-(\d+)\.inprogress$", stale)
+            if m and int(m.group(1)) < att:
+                try:
+                    os.remove(stale)
+                except OSError:
+                    pass
         writer = None
         n_rows = 0
         pending: dict[tuple[int, int], dict[str, tuple[str, bytes]]] = {}
@@ -297,12 +301,16 @@ def decode_parquet_dir(spark, blocks_dir: str, out_dir: str,
         out_path = os.path.join(out_dir, f"part-{tid:05d}.parquet")
         tmp = os.path.join(out_dir, f".part-{tid:05d}.attempt-{att}.inprogress")  # atomic commit (see decode_to_parquet)
         import glob as _glob2
+        import re as _re2
 
+        # only temps from STRICTLY OLDER attempts (see encode_parquet_dir)
         for stale in _glob2.glob(os.path.join(out_dir, f".part-{tid:05d}.attempt-*.inprogress")):
-            try:
-                os.remove(stale)
-            except OSError:
-                pass
+            m = _re2.search(r"attempt-(\d+)\.inprogress$", stale)
+            if m and int(m.group(1)) < att:
+                try:
+                    os.remove(stale)
+                except OSError:
+                    pass
         writer = None
         n_rows = 0
         colset = set(columns)

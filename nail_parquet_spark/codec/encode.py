@@ -351,14 +351,20 @@ def encode_parquet_dir(
         # into the final file (os.replace is atomic; duplicate attempts
         # produce identical content, last rename wins)
         tmp_path = _os.path.join(out_dir, f".blocks-{tid:05d}.attempt-{att}.inprogress")
-        # clean temps left by earlier failed attempts of THIS partition
+        # clean temps left by STRICTLY OLDER attempts of this partition:
+        # a concurrent duplicate attempt (speculation/zombie) must never have
+        # its live temp unlinked by this one, and a late-waking zombie
+        # (lower attempt number) must never unlink the tracked retry's file
         import glob as _glob2
+        import re as _re2
 
         for stale in _glob2.glob(_os.path.join(out_dir, f".blocks-{tid:05d}.attempt-*.inprogress")):
-            try:
-                _os.remove(stale)
-            except OSError:
-                pass
+            m = _re2.search(r"attempt-(\d+)\.inprogress$", stale)
+            if m and int(m.group(1)) < att:
+                try:
+                    _os.remove(stale)
+                except OSError:
+                    pass
         import time as _time
 
         t0 = _time.time()
@@ -370,24 +376,26 @@ def encode_parquet_dir(
         writer = None
         block_id = 0
         n_blocks = n_rows = raw = enc_b = 0
-        for batch in batches:
-            for p, rg in zip(batch.column(0).to_pylist(), batch.column(1).to_pylist()):
-                tbl = _pq.ParquetFile(p).read_row_group(
-                    rg, columns=all_cols, use_threads=False
-                )
-                for off in range(0, tbl.num_rows, block_rows):
-                    chunk = tbl.slice(off, min(block_rows, tbl.num_rows - off))
-                    rb = _encode_chunk(chunk, all_cols, chosen, with_stats, tid, block_id, executor=pool)
-                    block_id += 1
-                    if writer is None:
-                        writer = _pq.ParquetWriter(tmp_path, rb.schema, compression=compression)
-                    writer.write_batch(rb)
-                    n_blocks += rb.num_rows
-                    n_rows += chunk.num_rows
-                    raw += sum(rb.column("raw_bytes").to_pylist())
-                    enc_b += sum(rb.column("enc_bytes").to_pylist())
-        if pool is not None:
-            pool.shutdown(wait=False)
+        try:
+            for batch in batches:
+                for p, rg in zip(batch.column(0).to_pylist(), batch.column(1).to_pylist()):
+                    tbl = _pq.ParquetFile(p).read_row_group(
+                        rg, columns=all_cols, use_threads=False
+                    )
+                    for off in range(0, tbl.num_rows, block_rows):
+                        chunk = tbl.slice(off, min(block_rows, tbl.num_rows - off))
+                        rb = _encode_chunk(chunk, all_cols, chosen, with_stats, tid, block_id, executor=pool)
+                        block_id += 1
+                        if writer is None:
+                            writer = _pq.ParquetWriter(tmp_path, rb.schema, compression=compression)
+                        writer.write_batch(rb)
+                        n_blocks += rb.num_rows
+                        n_rows += chunk.num_rows
+                        raw += sum(rb.column("raw_bytes").to_pylist())
+                        enc_b += sum(rb.column("enc_bytes").to_pylist())
+        finally:
+            if pool is not None:
+                pool.shutdown(wait=False)
         if writer is not None:
             writer.close()
             _os.replace(tmp_path, out_path)

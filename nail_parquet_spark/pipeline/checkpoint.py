@@ -92,7 +92,15 @@ def encode_resumable(
         with open(assign_path) as f:
             batches: list[list[str]] = json.load(f)["batches"]
     else:
-        batches = []
+        # migrate pre-_batches.json layouts: markers record each unit's
+        # batch, so committed membership is recoverable
+        groups: dict[str, list[str]] = {}
+        for m in read_unit_markers(out_dir):
+            if "batch" in m:
+                groups.setdefault(m["batch"], []).append(m["unit"])
+        batches = [sorted(v) for _, v in sorted(groups.items())]
+        if batches:
+            _atomic_json(assign_path, {"batches": batches, "units_per_job": units_per_job})
     known = {k for b in batches for k in b}
     new_keys = [_unit_key(u) for u in units if _unit_key(u) not in known]
     for i in range(0, len(new_keys), units_per_job):
@@ -103,21 +111,23 @@ def encode_resumable(
     src_by_key = {_unit_key(u): u for u in units}
     completed = skipped = 0
     for keys in batches:
+        unmarked_keys = [
+            k for k in keys
+            if not os.path.exists(os.path.join(done_dir, f"{k}.json"))
+        ]
+        if not unmarked_keys:
+            # fully committed — fine even if the sources were since archived
+            skipped += len(keys)
+            continue
         missing_src = [k for k in keys if k not in src_by_key]
         if missing_src:
+            # the batch must re-encode WHOLE, but some of its sources are
+            # gone: the blocks table would silently diverge
             raise ValueError(
-                f"source units {missing_src} were assigned to a batch but no "
-                f"longer exist under {src}; the blocks table would silently "
-                f"diverge from the source — clean out_dir or restore the files"
+                f"batch needs re-encoding but source units {missing_src} no "
+                f"longer exist under {src} — clean out_dir or restore the files"
             )
         batch = [src_by_key[k] for k in keys]
-        unmarked = [
-            u for u in batch
-            if not os.path.exists(os.path.join(done_dir, f"{_unit_key(u)}.json"))
-        ]
-        if not unmarked:
-            skipped += len(batch)
-            continue
         if max_units is not None and completed >= max_units:
             continue  # units stay pending for a later invocation
         bkey = hashlib.md5("|".join(keys).encode()).hexdigest()[:12]

@@ -46,10 +46,21 @@ def read_data(spark: SparkSession, path: str, fmt: str | None = None) -> DataFra
         return spark.read.json(path)
     if fmt == "xlsx":
         # driver-side, like the reference (io.rs:36-165); stdlib reader, no
-        # openpyxl needed
+        # openpyxl needed. Explicit schema so empty sheets and all-NULL
+        # columns don't hit Spark's can-not-infer errors.
         from nail_parquet_spark.sources.xlsx import read_xlsx
 
-        return spark.createDataFrame(read_xlsx(path))
+        pdf = read_xlsx(path)
+        if len(pdf.columns) == 0:
+            raise ValueError(f"xlsx sheet in {path} has no header row")
+        parts = []
+        for c in pdf.columns:
+            k = pdf[c].dtype.kind
+            t = {"i": "long", "u": "long", "f": "double", "b": "boolean"}.get(k, "string")
+            if t == "string":
+                pdf[c] = pdf[c].map(lambda v: None if v is None else str(v))
+            parts.append(f"`{c}` {t}")
+        return spark.createDataFrame(pdf, schema=", ".join(parts))
     raise ValueError(fmt)
 
 

@@ -53,6 +53,21 @@ def _col_letter(i: int) -> str:
     return s
 
 
+_ILLEGAL_XML = re.compile("[\x00-\x08\x0b\x0c\x0e-\x1f]")
+_OOXML_ESC = re.compile(r"_x([0-9A-Fa-f]{4})_")
+
+
+def _sanitize(s: str) -> str:
+    """XML 1.0 forbids most control chars even escaped; OOXML's convention
+    is the literal _xHHHH_ escape, which Excel round-trips."""
+    s = s.replace("_x", "_x005F_x")  # escape pre-existing literal escapes
+    return _ILLEGAL_XML.sub(lambda m: f"_x{ord(m.group()):04X}_", s)
+
+
+def _unsanitize(s: str) -> str:
+    return _OOXML_ESC.sub(lambda m: chr(int(m.group(1), 16)), s)
+
+
 def _cell_xml(ref: str, v) -> str:
     if v is None or (isinstance(v, float) and v != v):  # None/NaN -> blank
         return ""
@@ -60,7 +75,10 @@ def _cell_xml(ref: str, v) -> str:
         return f'<c r="{ref}" t="b"><v>{int(v)}</v></c>'
     if isinstance(v, (int, float)):
         return f'<c r="{ref}"><v>{v!r}</v></c>'
-    return f'<c r="{ref}" t="inlineStr"><is><t xml:space="preserve">{escape(str(v))}</t></is></c>'
+    return (
+        f'<c r="{ref}" t="inlineStr"><is>'
+        f'<t xml:space="preserve">{escape(_sanitize(str(v)))}</t></is></c>'
+    )
 
 
 def write_xlsx(pdf, path: str) -> None:
@@ -90,6 +108,33 @@ def write_xlsx(pdf, path: str) -> None:
 
 _REF_RE = re.compile(r"([A-Z]+)(\d+)")
 
+_REL_NS = "{http://schemas.openxmlformats.org/package/2006/relationships}"
+_DOCREL_NS = "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}"
+
+
+def _first_sheet_part(z: zipfile.ZipFile) -> str | None:
+    """The workbook's FIRST sheet in tab order (workbook.xml sheet list ->
+    rels target) — lexicographic part names lie (sheet10.xml < sheet2.xml,
+    and Excel renumbers parts after deletions)."""
+    try:
+        wb = ET.fromstring(z.read("xl/workbook.xml"))
+        rels = ET.fromstring(z.read("xl/_rels/workbook.xml.rels"))
+        targets = {r.get("Id"): r.get("Target") for r in rels.iter(f"{_REL_NS}Relationship")}
+        for sheet in wb.iter(f"{_NS}sheet"):
+            rid = sheet.get(f"{_DOCREL_NS}id")
+            tgt = targets.get(rid)
+            if tgt:
+                tgt = tgt.lstrip("/")
+                part = tgt if tgt.startswith("xl/") else f"xl/{tgt}"
+                if part in z.namelist():
+                    return part
+    except (KeyError, ET.ParseError):
+        pass
+    names = sorted(
+        n for n in z.namelist() if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)
+    )
+    return names[0] if names else None
+
 
 def _col_index(letters: str) -> int:
     i = 0
@@ -111,16 +156,19 @@ def read_xlsx(path: str):
             root = ET.fromstring(z.read("xl/sharedStrings.xml"))
             for si in root.findall(f"{_NS}si"):
                 shared.append("".join(t.text or "" for t in si.iter(f"{_NS}t")))
-        sheet_names = sorted(
-            n for n in z.namelist() if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)
-        )
-        if not sheet_names:
+        sheet_part = _first_sheet_part(z)
+        if sheet_part is None:
             raise ValueError(f"no worksheet in {path}")
-        root = ET.fromstring(z.read(sheet_names[0]))
+        root = ET.fromstring(z.read(sheet_part))
 
     rows: dict[int, dict[int, object]] = {}
     max_col = -1
     for row_el in root.iter(f"{_NS}row"):
+        # register the row even when every cell is blank (written rows with
+        # only NULLs must survive the round trip)
+        r_attr = row_el.get("r")
+        if r_attr:
+            rows.setdefault(int(r_attr), {})
         for c in row_el.findall(f"{_NS}c"):
             m = _REF_RE.match(c.get("r", ""))
             if not m:
@@ -129,17 +177,20 @@ def read_xlsx(path: str):
             t = c.get("t", "n")
             if t == "inlineStr":
                 is_el = c.find(f"{_NS}is")
-                val = "".join(x.text or "" for x in is_el.iter(f"{_NS}t")) if is_el is not None else None
+                val = (
+                    _unsanitize("".join(x.text or "" for x in is_el.iter(f"{_NS}t")))
+                    if is_el is not None else None
+                )
             else:
                 v_el = c.find(f"{_NS}v")
                 if v_el is None or v_el.text is None:
                     val = None
                 elif t == "s":
-                    val = shared[int(v_el.text)]
+                    val = _unsanitize(shared[int(v_el.text)])
                 elif t == "b":
                     val = v_el.text == "1"
                 elif t == "str":
-                    val = v_el.text
+                    val = _unsanitize(v_el.text)
                 else:
                     f = float(v_el.text)
                     val = int(f) if f.is_integer() and abs(f) < 2**53 else f
@@ -155,4 +206,14 @@ def read_xlsx(path: str):
         [rows[r].get(i) for i in range(max_col + 1)]
         for r in order[1:]
     ]
-    return pd.DataFrame(data, columns=cols)
+    pdf = pd.DataFrame(data, columns=cols, dtype=object)
+    # per-column type inference: all-numeric -> numeric dtype, all-bool ->
+    # boolean; anything mixed or all-None stays object (Spark maps it to
+    # string via the explicit schema the io layer builds)
+    for c in pdf.columns:
+        nn = pdf[c].dropna()
+        if len(nn) and all(isinstance(v, bool) for v in nn):
+            pdf[c] = pdf[c].astype("boolean")  # nullable bool dtype (kind 'b')
+        elif len(nn) and all(isinstance(v, (int, float)) and not isinstance(v, bool) for v in nn):
+            pdf[c] = pd.to_numeric(pdf[c])
+    return pdf

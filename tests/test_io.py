@@ -59,4 +59,17 @@ def test_xlsx_special_values(spark, tmp_path):
     assert back["s"][0] == "a<b&c>" and back["s"][1] == "日本語"
     assert back["s"][2] is None and back["s"][4] == "x" * 500
     assert back["n"][0] == 1 and back["n"][1] == 2.5
-    assert back["b"][0] is True and back["b"][1] is False
+    assert bool(back["b"][0]) is True and bool(back["b"][1]) is False
+    assert pd.isna(back["b"][2]) and pd.isna(back["n"][3])
+    # control characters round-trip via the OOXML _xHHHH_ convention
+    pdf2 = pd.DataFrame({"c": ["a\x01b\x00", "plain", "_x0041_literal"]})
+    p2 = str(tmp_path / "ctrl.xlsx")
+    write_xlsx(pdf2, p2)
+    back2 = read_xlsx(p2)
+    assert back2["c"][0] == "a\x01b\x00"
+    assert back2["c"][2] == "_x0041_literal"  # pre-existing escapes survive
+    # a row of only NULLs must not vanish
+    pdf3 = pd.DataFrame({"a": ["x", None, "y"], "b": [1, None, 2]})
+    p3 = str(tmp_path / "nulls.xlsx")
+    write_xlsx(pdf3, p3)
+    assert len(read_xlsx(p3)) == 3
