@@ -375,6 +375,34 @@ def q_shuffle_content(spark, sf_dir):
     return shuffle_rows(_t(spark, sf_dir, "region"), seed=42)
 
 
+def q_corr_matrix(spark, sf_dir):
+    from nail_parquet_spark.operators import correlation_matrix
+
+    li = _t(spark, sf_dir, "lineitem")
+    return correlation_matrix(li, ["l_quantity", "l_extendedprice", "l_discount"],
+                              method="pearson")
+
+
+def q_fill_mean(spark, sf_dir):
+    from nail_parquet_spark.operators import fill_stat
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "value", F.when(F.col("event_type") == "error", None).otherwise(F.col("value"))
+    )
+    out = fill_stat(ev, ["value"], "mean")
+    return out.select("event_id", F.round("value", 4).alias("value"))
+
+
+def q_binning_custom(spark, sf_dir):
+    from nail_parquet_spark.operators import binning
+
+    b = binning(_t(spark, sf_dir, "lineitem"), "l_quantity",
+                method="custom", edges=[0, 10, 25, 51], labels="index")
+    return b.groupBy(F.col("l_quantity_bin").alias("bin")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
 def q_fill_value(spark, sf_dir):
     from nail_parquet_spark.operators import fill_value
 
@@ -709,6 +737,9 @@ _QUERIES = {
         # -- new this round --
         "simhash_near_pairs": q_simhash_near_pairs,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,  # rows-only oracle
+        "corr_matrix": q_corr_matrix,
+        "fill_mean": q_fill_mean,
+        "binning_custom": q_binning_custom,
         # -- plans changed this round (need fresh rows) --
         "tail": q_tail,
         "id_column": q_id_column,
@@ -743,14 +774,15 @@ _QUERIES = {
         "fill_forward": q_fill_forward,
         "events_hourly": q_events_hourly,
         "events_sessionize": q_events_sessionize,
-        "text_tokens": q_text_tokens,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
-        "doc_fingerprint": q_doc_fingerprint,
         "minhash_signatures": q_minhash_signatures,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        # -- tail: unchanged since r1 and green in CORRECTNESS_r01 /
+        #    CORRECTNESS_LOCAL.json --
         "simhash": q_simhash,
-        # -- tail: unchanged since r1 and green in CORRECTNESS_r01 --
+        "text_tokens": q_text_tokens,
+        "doc_fingerprint": q_doc_fingerprint,
         "fill_value": q_fill_value,
         "head": q_head,
         "count_rows": q_count,
@@ -962,6 +994,31 @@ def oracle_sql() -> dict[str, str]:
         "split_hash": """
             SELECT o_orderkey FROM orders WHERE (o_orderkey * 2654435761) % 100 < 80""",
         "shuffle_content": "SELECT * FROM region",
+        "corr_matrix": """
+            WITH c AS (
+              SELECT round(corr(l_quantity, l_extendedprice), 4) AS qe,
+                     round(corr(l_quantity, l_discount), 4) AS qd,
+                     round(corr(l_extendedprice, l_discount), 4) AS ed
+              FROM lineitem)
+            SELECT 'l_quantity' AS column, 1.0 AS l_quantity,
+                   qe AS l_extendedprice, qd AS l_discount FROM c
+            UNION ALL
+            SELECT 'l_extendedprice', qe, 1.0, ed FROM c
+            UNION ALL
+            SELECT 'l_discount', qd, ed, 1.0 FROM c""",
+        "fill_mean": """
+            WITH ev AS (
+              SELECT event_id,
+                     CASE WHEN event_type = 'error' THEN NULL ELSE value END AS value
+              FROM events),
+            m AS (SELECT avg(value) AS mv FROM ev)
+            SELECT event_id, round(coalesce(value, mv), 4) AS value FROM ev, m""",
+        "binning_custom": """
+            SELECT CASE WHEN l_quantity >= 0 AND l_quantity < 10 THEN 'bin_1'
+                        WHEN l_quantity >= 10 AND l_quantity < 25 THEN 'bin_2'
+                        WHEN l_quantity >= 25 AND l_quantity <= 51 THEN 'bin_3'
+                   END AS bin, count(*) AS n
+            FROM lineitem GROUP BY 1""",
         "fill_value": """
             SELECT event_id, coalesce(nullif(value, 6.55), -1.0) AS value FROM events""",
         "fill_forward": """
