@@ -733,7 +733,7 @@ _QUERIES = {
         "encode_roundtrip": q_encode_roundtrip,         # rows-only oracle
         "embedding_topk_lsh": q_embedding_topk_lsh,     # rows-only oracle
         "embedding_topk_ivf": q_embedding_topk_ivf,     # rows-only oracle
-        "minhash_lsh_pairs": q_minhash_lsh_pairs,       # rows-only oracle
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,       # exact oracle since r2
         # -- new this round --
         "simhash_near_pairs": q_simhash_near_pairs,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,  # rows-only oracle
@@ -1086,6 +1086,38 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = id_a
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.5""",
+        "minhash_lsh_pairs": f"""
+            WITH dd AS ({_DOCS_DUPS_SQL}),
+            {_SHINGLES_SQL},
+            sig AS (
+              SELECT doc_id,
+                     min(md5('0|' || shingle)) AS mh_0, min(md5('1|' || shingle)) AS mh_1,
+                     min(md5('2|' || shingle)) AS mh_2, min(md5('3|' || shingle)) AS mh_3,
+                     min(md5('4|' || shingle)) AS mh_4, min(md5('5|' || shingle)) AS mh_5,
+                     min(md5('6|' || shingle)) AS mh_6, min(md5('7|' || shingle)) AS mh_7
+              FROM sh GROUP BY doc_id),
+            buckets AS (
+              SELECT doc_id, '0|' || mh_0 || '|' || mh_1 AS bucket FROM sig
+              UNION ALL SELECT doc_id, '1|' || mh_2 || '|' || mh_3 FROM sig
+              UNION ALL SELECT doc_id, '2|' || mh_4 || '|' || mh_5 FROM sig
+              UNION ALL SELECT doc_id, '3|' || mh_6 || '|' || mh_7 FROM sig),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM buckets a JOIN buckets b
+                ON a.bucket = b.bucket AND a.doc_id < b.doc_id),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT c.id_a, c.id_b, count(*) AS n_inter
+              FROM cand c
+              JOIN sh sa ON sa.doc_id = c.id_a
+              JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+              GROUP BY 1, 2)
+            SELECT id_a, id_b,
+                   round(n_inter * 1.0 / (za.n_sh + zb.n_sh - n_inter), 6) AS jaccard
+            FROM inter
+            JOIN sizes za ON za.doc_id = id_a
+            JOIN sizes zb ON zb.doc_id = id_b
+            WHERE n_inter * 1.0 / (za.n_sh + zb.n_sh - n_inter) >= 0.5""",
         "simhash": _simhash_sql(16),
         "simhash_near_pairs": f"""
             WITH sig AS ({_simhash_sql(32)})
