@@ -40,6 +40,8 @@ from nail_parquet_spark.operators.agg import (  # noqa: F401
     stats,
 )
 from nail_parquet_spark.operators.join import (  # noqa: F401
+    merge_bucketed,
+    write_bucketed,
     append,
     dedup_columns,
     dedup_rows,

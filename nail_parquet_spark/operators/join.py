@@ -43,6 +43,29 @@ def merge(left: DataFrame, right: DataFrame, key: str, join_type: str = "inner",
     return joined
 
 
+def write_bucketed(df: DataFrame, table: str, bucket_col: str,
+                   n_buckets: int = 64, sort: bool = True,
+                   mode: str = "overwrite") -> None:
+    """Persist as a bucketed (and bucket-sorted) table so future equi-joins
+    and aggregations on ``bucket_col`` need NO shuffle — the 100-TB answer
+    for a fact table joined repeatedly on the same key. Works with Spark's
+    built-in catalog; on a cluster this is the same saveAsTable against the
+    warehouse/metastore."""
+    w = df.write.bucketBy(n_buckets, bucket_col)
+    if sort:
+        w = w.sortBy(bucket_col)
+    w.mode(mode).saveAsTable(table)
+
+
+def merge_bucketed(spark, left_table: str, right_table: str, key: str,
+                   join_type: str = "inner", right_prefix: str = "r_") -> DataFrame:
+    """merge() over two co-bucketed catalog tables: when both sides are
+    bucketed on their join key with the same bucket count, the physical plan
+    has no Exchange (pinned by test_plans.py)."""
+    return merge(spark.table(left_table), spark.table(right_table), key,
+                 join_type, right_prefix=right_prefix)
+
+
 def append(dfs: list[DataFrame], ignore_schema: bool = False) -> DataFrame:
     """UNION ALL with strict schema check, or --ignore-schema projection onto
     the base schema padding missing columns with typed NULLs

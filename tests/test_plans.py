@@ -76,3 +76,25 @@ def test_q1_whole_stage_codegen(spark):
 def test_q1_partial_aggregation(spark):
     txt = plan_text(entry.q1_pricing_summary(spark, SF))
     assert "partial_sum" in txt  # map-side combine before the shuffle
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Co-bucketed tables join with ZERO shuffle — the repeated-join answer
+    at 100 TB (bucket once, join forever)."""
+    from nail_parquet_spark.operators import merge_bucketed, write_bucketed
+
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    write_bucketed(o, "t_orders_bkt", "o_orderkey", n_buckets=8)
+    write_bucketed(li, "t_lineitem_bkt", "l_orderkey", n_buckets=8)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+    try:
+        j = merge_bucketed(spark, "t_lineitem_bkt", "t_orders_bkt",
+                           "l_orderkey=o_orderkey")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert j.count() == li.count()  # every lineitem has its order
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS t_orders_bkt")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_bkt")
