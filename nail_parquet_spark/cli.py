@@ -121,7 +121,10 @@ def main(argv: list[str] | None = None) -> int:
         (("--sort-by",), {"default": None}), (("--validate",), {"action": "store_true"}),
         (("--compression",), {"default": None,
                               "help": "plain parquet rewrite with this codec (snappy/gzip/zstd) instead of block-encode"}),
-        (("--compression-level",), {"type": int, "default": None, "help": "zstd level 1-9 (optimize.rs:119)"}))
+        (("--compression-level",), {"type": int, "default": None, "help": "zstd level 1-9 (optimize.rs:119)"}),
+        (("--bucket-by",), {"default": None, "help": "save as a bucketed table on this key (zero-shuffle future joins)"}),
+        (("--buckets",), {"type": int, "default": 64}),
+        (("--table",), {"default": None, "help": "catalog table name for --bucket-by"}))
     add("decode", (("-c", "--columns"), {"default": None}),
         (("--shuffle-free",), {"action": "store_true",
                                "help": "block files are group-complete (written by this engine's sink) — decode in place, zero shuffle"}))
@@ -376,6 +379,13 @@ def main(argv: list[str] | None = None) -> int:
         src = df
         if args.sort_by:
             src = src.sortWithinPartitions(*args.sort_by.split(","))
+        if args.bucket_by:
+            if not args.table:
+                p.error("--bucket-by requires --table <name>")
+            ops.write_bucketed(src, args.table, args.bucket_by, n_buckets=args.buckets)
+            print(f"wrote bucketed table {args.table} "
+                  f"(bucketBy({args.buckets}, {args.bucket_by}), sorted)")
+            return 0
         if args.compression:
             # reference-mode optimize: plain parquet rewrite with the chosen
             # codec/level (optimize.rs:47-135) — no block encode

@@ -256,3 +256,10 @@ def test_cli_outliers_show_values_rows(data, tmp_path, spark):
     assert "row_number" in got.columns
     assert got.count() > 0  # z>1.0 flags the extremes of 10..200
     assert got.filter("NOT is_outlier").count() == 0
+
+
+def test_cli_optimize_bucket_by(data, spark, capsys):
+    run("optimize", data, "--bucket-by", "id", "--buckets", "4", "--table", "t_cli_bkt")
+    assert "bucketed table t_cli_bkt" in capsys.readouterr().out
+    assert spark.table("t_cli_bkt").count() == 20
+    spark.sql("DROP TABLE t_cli_bkt")
