@@ -403,6 +403,17 @@ def q_binning_custom(spark, sf_dir):
     )
 
 
+def q_dedup_columns(spark, sf_dir):
+    """Duplicate-content column removal (hash fingerprints, no collect):
+    a copied column must vanish, keep-first order preserved."""
+    from nail_parquet_spark.operators import dedup_columns
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    ).withColumn("qty_copy", F.col("l_quantity"))
+    return dedup_columns(li, keep="first")
+
+
 def q_fill_value(spark, sf_dir):
     from nail_parquet_spark.operators import fill_value
 
@@ -740,6 +751,7 @@ _QUERIES = {
         "corr_matrix": q_corr_matrix,
         "fill_mean": q_fill_mean,
         "binning_custom": q_binning_custom,
+        "dedup_columns": q_dedup_columns,
         # -- plans changed this round (need fresh rows) --
         "tail": q_tail,
         "id_column": q_id_column,
@@ -775,11 +787,11 @@ _QUERIES = {
         "events_hourly": q_events_hourly,
         "events_sessionize": q_events_sessionize,
         "text_quality": q_text_quality,
-        "lang_id": q_lang_id,
         "minhash_signatures": q_minhash_signatures,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         # -- tail: unchanged since r1 and green in CORRECTNESS_r01 /
         #    CORRECTNESS_LOCAL.json --
+        "lang_id": q_lang_id,
         "simhash": q_simhash,
         "text_tokens": q_text_tokens,
         "doc_fingerprint": q_doc_fingerprint,
@@ -1019,6 +1031,8 @@ def oracle_sql() -> dict[str, str]:
                         WHEN l_quantity >= 25 AND l_quantity <= 51 THEN 'bin_3'
                    END AS bin, count(*) AS n
             FROM lineitem GROUP BY 1""",
+        "dedup_columns": """
+            SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem""",
         "fill_value": """
             SELECT event_id, coalesce(nullif(value, 6.55), -1.0) AS value FROM events""",
         "fill_forward": """

@@ -122,8 +122,10 @@ def dedup_columns(df: DataFrame, keep: str = "first") -> DataFrame:
     for c in cols:
         canon = F.concat_ws("\x01", F.col(ROW_ID),
                             F.coalesce(F.col(c).cast("string"), F.lit("\x00null")))
-        aggs.append(F.sum(F.xxhash64(canon)).alias(f"h1__{c}"))
-        aggs.append(F.sum(F.xxhash64(canon, F.lit(7))).alias(f"h2__{c}"))
+        # accumulate in decimal(38,0): summing 64-bit hashes overflows long
+        # under ANSI mode on any real row count
+        aggs.append(F.sum(F.xxhash64(canon).cast("decimal(38,0)")).alias(f"h1__{c}"))
+        aggs.append(F.sum(F.xxhash64(canon, F.lit(7)).cast("decimal(38,0)")).alias(f"h2__{c}"))
     row = base.agg(*aggs).collect()[0]
     sig = {c: (row[f"h1__{c}"], row[f"h2__{c}"]) for c in cols}
     seen: dict[tuple, str] = {}
