@@ -382,7 +382,11 @@ def main(argv: list[str] | None = None) -> int:
         if args.bucket_by:
             if not args.table:
                 p.error("--bucket-by requires --table <name>")
-            ops.write_bucketed(src, args.table, args.bucket_by, n_buckets=args.buckets)
+            if args.compression or args.validate or args.codecs or args.output:
+                p.error("--bucket-by writes a catalog table; it cannot be combined "
+                        "with -o/--compression/--validate/--codecs")
+            ops.write_bucketed(src, args.table, args.bucket_by.split(","),
+                               n_buckets=args.buckets)
             print(f"wrote bucketed table {args.table} "
                   f"(bucketBy({args.buckets}, {args.bucket_by}), sorted)")
             return 0

@@ -43,7 +43,7 @@ def merge(left: DataFrame, right: DataFrame, key: str, join_type: str = "inner",
     return joined
 
 
-def write_bucketed(df: DataFrame, table: str, bucket_col: str,
+def write_bucketed(df: DataFrame, table: str, bucket_col: str | list[str],
                    n_buckets: int = 64, sort: bool = True,
                    mode: str = "overwrite") -> None:
     """Persist as a bucketed (and bucket-sorted) table so future equi-joins
@@ -51,9 +51,10 @@ def write_bucketed(df: DataFrame, table: str, bucket_col: str,
     for a fact table joined repeatedly on the same key. Works with Spark's
     built-in catalog; on a cluster this is the same saveAsTable against the
     warehouse/metastore."""
-    w = df.write.bucketBy(n_buckets, bucket_col)
+    bcols = [bucket_col] if isinstance(bucket_col, str) else list(bucket_col)
+    w = df.write.bucketBy(n_buckets, *bcols)
     if sort:
-        w = w.sortBy(bucket_col)
+        w = w.sortBy(*bcols)
     w.mode(mode).saveAsTable(table)
 
 
@@ -117,10 +118,13 @@ def dedup_columns(df: DataFrame, keep: str = "first") -> DataFrame:
     and only fingerprint-equal columns are dropped.
     """
     cols = df.columns
+    dtypes = dict(df.dtypes)
     base = with_row_id(df)
     aggs = []
     for c in cols:
-        canon = F.concat_ws("\x01", F.col(ROW_ID),
+        # the dtype is part of the fingerprint: int 1 and string '1' render
+        # identically after cast but are NOT duplicate columns
+        canon = F.concat_ws("\x01", F.lit(dtypes[c]), F.col(ROW_ID),
                             F.coalesce(F.col(c).cast("string"), F.lit("\x00null")))
         # accumulate in decimal(38,0): summing 64-bit hashes overflows long
         # under ANSI mode on any real row count

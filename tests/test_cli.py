@@ -259,7 +259,18 @@ def test_cli_outliers_show_values_rows(data, tmp_path, spark):
 
 
 def test_cli_optimize_bucket_by(data, spark, capsys):
-    run("optimize", data, "--bucket-by", "id", "--buckets", "4", "--table", "t_cli_bkt")
-    assert "bucketed table t_cli_bkt" in capsys.readouterr().out
-    assert spark.table("t_cli_bkt").count() == 20
-    spark.sql("DROP TABLE t_cli_bkt")
+    try:
+        run("optimize", data, "--bucket-by", "id", "--buckets", "4", "--table", "t_cli_bkt")
+        assert "bucketed table t_cli_bkt" in capsys.readouterr().out
+        assert spark.table("t_cli_bkt").count() == 20
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_cli_bkt")
+
+
+def test_dedup_columns_types_not_conflated(spark):
+    """An int column and a string column with identical renderings are NOT
+    duplicates (the fingerprint includes the dtype)."""
+    from nail_parquet_spark.operators import dedup_columns
+
+    df = spark.createDataFrame([(1, "1"), (2, "2")], "i long, s string")
+    assert dedup_columns(df).columns == ["i", "s"]
