@@ -199,7 +199,11 @@ def _plan_parquet_encode(spark, path, columns, codecs, policy, sample_rows,
     paths = []
     for p in [path] if isinstance(path, str) else list(path):
         if _os.path.isdir(p):
-            paths.extend(sorted(_glob.glob(_os.path.join(p, "*.parquet"))))
+            # recursive, matching decode/autodetect conventions — covers
+            # Hive-partitioned layouts (e.g. the batch=*/ dirs the resumable
+            # encoder itself writes) and any Spark output with subdirs
+            paths.extend(sorted(
+                _glob.glob(_os.path.join(p, "**", "*.parquet"), recursive=True)))
         else:
             paths.append(p)
     if not paths:

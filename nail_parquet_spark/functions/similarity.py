@@ -142,7 +142,10 @@ def ivf_centroids(df: DataFrame, vec_col: str, k: int = 16, seed: int = 42,
     full scan."""
     import numpy as np
 
-    sample = df.select(vec_col).sample(False, min(1.0, 10_000 / max(df.count(), 1)), seed).limit(10_000)
+    # limit() alone bounds the sample without a full-table count() action;
+    # which rows land in the prefix is layout-dependent, but centroid quality
+    # only affects recall/balance, never correctness (exact rerank follows)
+    sample = df.select(vec_col).limit(10_000)
     X = np.array(sample.toPandas()[vec_col].tolist(), dtype="float64")
     if len(X) < k:
         k = max(1, len(X))

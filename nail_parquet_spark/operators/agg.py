@@ -398,29 +398,42 @@ def t_sf(t: float, dof: float) -> float:
     return _betainc(dof / 2.0, 0.5, x)
 
 
-def correlation_pvalue(r: float, n: int) -> float:
-    """Two-sided p-value for a Pearson/Spearman correlation of n samples
-    via the t-transform t = r*sqrt((n-2)/(1-r^2))."""
+def correlation_t_stat(r: float, n: int) -> float:
+    """Signed t-statistic of a correlation: t = r*sqrt((n-2)/(1-r^2)).
+    SQL-expressible, so it is the oracle-attested half of the p-value path
+    (the incomplete-beta tail itself has no closed SQL form)."""
     import math
 
     if n < 3 or r is None:
         return float("nan")
     r = max(min(r, 0.999999999), -0.999999999)
-    t = abs(r) * math.sqrt((n - 2) / (1.0 - r * r))
-    return t_sf(t, n - 2)
+    return r * math.sqrt((n - 2) / (1.0 - r * r))
+
+
+def correlation_pvalue(r: float, n: int) -> float:
+    """Two-sided p-value for a Pearson/Spearman correlation of n samples
+    via the t-transform t = r*sqrt((n-2)/(1-r^2))."""
+    if n < 3 or r is None:
+        return float("nan")
+    return t_sf(abs(correlation_t_stat(r, n)), n - 2)
 
 
 def correlations_with_pvalues(df: DataFrame, columns: list[str] | None = None,
                               method: str = "pearson") -> DataFrame:
+    """Long-form correlations + the t-statistic and two-sided p-value
+    (reference stats.rs:276-342: the same t-transform)."""
     n = df.count()
     corr = correlations(df, columns, method)
     rows = [
         (r["column_a"], r["column_b"], r["correlation"],
+         float(correlation_t_stat(r["correlation"], n)) if r["correlation"] is not None else None,
          float(correlation_pvalue(r["correlation"], n)) if r["correlation"] is not None else None)
         for r in corr.collect()
     ]
     return df.sparkSession.createDataFrame(
-        rows, "column_a string, column_b string, correlation double, p_value double"
+        rows,
+        "column_a string, column_b string, correlation double, "
+        "t_stat double, p_value double",
     )
 
 

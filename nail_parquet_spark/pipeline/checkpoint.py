@@ -93,12 +93,20 @@ def encode_resumable(
             batches: list[list[str]] = json.load(f)["batches"]
     else:
         # migrate pre-_batches.json layouts: markers record each unit's
-        # batch, so committed membership is recoverable
+        # batch, so committed membership is recoverable. Round-1 markers have
+        # NO 'batch' field (that layout committed unit-at-a-time into
+        # unit=<key>/ dirs) — each becomes its own committed single-unit
+        # batch, so old units are never re-batched with new ones and never
+        # re-encoded into a batch=*/ dir that would duplicate the blocks
+        # still living under unit=<key>/.
         groups: dict[str, list[str]] = {}
+        legacy: list[list[str]] = []
         for m in read_unit_markers(out_dir):
             if "batch" in m:
                 groups.setdefault(m["batch"], []).append(m["unit"])
-        batches = [sorted(v) for _, v in sorted(groups.items())]
+            else:
+                legacy.append([m["unit"]])
+        batches = [sorted(v) for _, v in sorted(groups.items())] + sorted(legacy)
         if batches:
             _atomic_json(assign_path, {"batches": batches, "units_per_job": units_per_job})
     known = {k for b in batches for k in b}
@@ -133,6 +141,10 @@ def encode_resumable(
         bkey = hashlib.md5("|".join(keys).encode()).hexdigest()[:12]
         dest = os.path.join(out_dir, f"batch={bkey}")
         shutil.rmtree(dest, ignore_errors=True)  # partial/retried batch overwrites itself
+        for k in keys:
+            # a migrated round-1 unit that lost its marker re-encodes here:
+            # drop its legacy unit=<key>/ output so blocks aren't duplicated
+            shutil.rmtree(os.path.join(out_dir, f"unit={k}"), ignore_errors=True)
         t0 = time.time()
         mrows = encode_parquet_dir(spark, batch, dest, codecs=codecs).collect()
         _atomic_json(os.path.join(batch_dir, f"{bkey}.json"), {

@@ -28,10 +28,28 @@ from pyspark.sql import DataFrame, Window, functions as F
 ROW_ID = "_row_id"
 
 
-def with_row_id(df: DataFrame, col: str = ROW_ID) -> DataFrame:
-    """Stable 1-based row id in the input's partition/arrival order."""
+def _materialize(df: DataFrame) -> DataFrame:
+    """Pin a possibly-nondeterministic plan so the multi-execution numbering
+    sequence sees ONE consistent dataset. ``localCheckpoint`` truncates the
+    lineage and stores the computed partitions, so the boundary sample, the
+    counts job, and the numbered output all read the same rows."""
+    return df.localCheckpoint(eager=True)
+
+
+def with_row_id(df: DataFrame, col: str = ROW_ID,
+                materialize: bool = False) -> DataFrame:
+    """Stable 1-based row id in the input's partition/arrival order.
+
+    Executes the input plan more than once (counts job + output job), so
+    ``df`` must be a pure function of the data — true for file scans and
+    deterministic transformations. For plans that can return different rows
+    per execution (round-robin ``repartition``, un-ordered ``limit``,
+    ``sample``/``rand`` downstream of a shuffle), pass ``materialize=True``
+    to pin one snapshot first; otherwise ids can be wrong or duplicated."""
     if col in df.columns:
         return df
+    if materialize:
+        df = _materialize(df)
     base = df.withColumn("__pid", F.spark_partition_id()).withColumn(
         "__mid", F.monotonically_increasing_id()
     )
@@ -98,7 +116,11 @@ def _bucket_offset_numbered(df: DataFrame, order_col: str, col: str,
     totals (driver-collected, O(#buckets)).
 
     value_col=None -> global 1-based row_number in order_col order;
-    value_col=X    -> exclusive running sum of X in order_col order."""
+    value_col=X    -> exclusive running sum of X in order_col order.
+
+    Executes the input plan THREE times (boundary sample, per-bucket counts,
+    numbered output) — callers with nondeterministic inputs must pass
+    ``materialize=True`` on the public wrappers."""
     spark = df.sparkSession
     n_parts = spark.sparkContext.defaultParallelism
     bounds = _range_boundaries(df, order_col, n_parts)
@@ -126,16 +148,28 @@ def _bucket_offset_numbered(df: DataFrame, order_col: str, col: str,
     )
 
 
-def with_row_number_by(df: DataFrame, order_col: str, col: str = "__rn") -> DataFrame:
+def with_row_number_by(df: DataFrame, order_col: str, col: str = "__rn",
+                       materialize: bool = False) -> DataFrame:
     """Global 1-based row_number ordered by ``order_col`` WITHOUT a
     single-partition window. Ties order arbitrarily, matching row_number's
-    nondeterministic tie-break; NULLs number first (Spark sort default)."""
+    nondeterministic tie-break; NULLs number first (Spark sort default).
+
+    ``df`` must be deterministic across executions (see module docstring);
+    pass ``materialize=True`` to pin a snapshot of a nondeterministic plan
+    before the multi-execution numbering sequence."""
+    if materialize:
+        df = _materialize(df)
     return _bucket_offset_numbered(df, order_col, col, value_col=None)
 
 
 def with_exclusive_prefix_sum(df: DataFrame, order_col: str, value_col: str,
-                              col: str = "__before") -> DataFrame:
+                              col: str = "__before",
+                              materialize: bool = False) -> DataFrame:
     """Exclusive running sum of ``value_col`` in ``order_col`` order, without
     a single-partition window (range-bucketed partitioned windows + a
-    driver-collected per-bucket prefix)."""
+    driver-collected per-bucket prefix).
+
+    Same determinism contract as :func:`with_row_number_by`."""
+    if materialize:
+        df = _materialize(df)
     return _bucket_offset_numbered(df, order_col, col, value_col=value_col)

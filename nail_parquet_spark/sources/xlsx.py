@@ -53,7 +53,9 @@ def _col_letter(i: int) -> str:
     return s
 
 
-_ILLEGAL_XML = re.compile("[\x00-\x08\x0b\x0c\x0e-\x1f]")
+# \x0d (CR) is *legal* XML but parsers normalize it to LF on read, so it
+# must be escaped too for round-trip fidelity (OOXML emits _x000D_ as well).
+_ILLEGAL_XML = re.compile("[\x00-\x08\x0b-\x1f]")
 _OOXML_ESC = re.compile(r"_x([0-9A-Fa-f]{4})_")
 
 
@@ -191,6 +193,11 @@ def read_xlsx(path: str):
                     val = v_el.text == "1"
                 elif t == "str":
                     val = _unsanitize(v_el.text)
+                elif re.fullmatch(r"[+-]?\d+", v_el.text):
+                    # exact integer text (write_xlsx emits full digit strings):
+                    # parse as int directly so |v| >= 2^53 longs survive the
+                    # round trip instead of rounding through float
+                    val = int(v_el.text)
                 else:
                     f = float(v_el.text)
                     val = int(f) if f.is_integer() and abs(f) < 2**53 else f
@@ -214,6 +221,18 @@ def read_xlsx(path: str):
         nn = pdf[c].dropna()
         if len(nn) and all(isinstance(v, bool) for v in nn):
             pdf[c] = pdf[c].astype("boolean")  # nullable bool dtype (kind 'b')
-        elif len(nn) and all(isinstance(v, (int, float)) and not isinstance(v, bool) for v in nn):
+        elif len(nn) and all(
+            isinstance(v, int) and not isinstance(v, bool) for v in nn
+        ) and all(-(2**63) <= v < 2**63 for v in nn):
+            # nullable Int64 (kind 'i') — to_numeric would go float64 when
+            # NULLs are present and round |v| >= 2^53
+            pdf[c] = pdf[c].astype("Int64")
+        elif len(nn) and all(
+            isinstance(v, (int, float)) and not isinstance(v, bool) for v in nn
+        ) and all(
+            not isinstance(v, int) or abs(v) <= 2**53 for v in nn
+        ):
+            # mixed int/float -> float64, but only when every int survives the
+            # cast exactly; otherwise the column stays object (exact values)
             pdf[c] = pd.to_numeric(pdf[c])
     return pdf

@@ -174,3 +174,61 @@ def test_encode_resumable_growing_source(spark, web_parquet, tmp_path):
     assert r2["completed"] == 1 and r2["skipped"] == len(files) - 1
     new_rows = spark.read.parquet(files[0]).count()
     assert encoded_rows() == n1 + new_rows  # no duplicates from reshuffled batches
+
+
+def test_encode_resumable_migrates_round1_layout(spark, web_parquet, tmp_path):
+    """Round-1 markers carry no 'batch' field (that layout committed one
+    unit=<key>/ dir per unit). Resuming over such an out_dir must treat each
+    legacy marker as its own committed single-unit batch: legacy units are
+    never re-batched with new ones and never re-encoded into batch=*/ dirs
+    that would duplicate the blocks still under unit=<key>/."""
+    import glob as _glob
+    import json as _json
+
+    from nail_parquet_spark.codec.encode import encode_parquet_dir
+    from nail_parquet_spark.pipeline.checkpoint import read_unit_markers
+
+    files = sorted(_glob.glob(os.path.join(web_parquet, "*.parquet")))
+    assert len(files) >= 3
+    out = str(tmp_path / "enc")
+    codecs = {"url": "zstd", "warc_ts": "delta_bitpack", "html": "zstd",
+              "text": "zstd", "lang": "dict"}
+    # simulate the round-1 layout for the first two units
+    done_dir = os.path.join(out, "_manifests")
+    os.makedirs(done_dir)
+    legacy_keys = []
+    for f in files[:2]:
+        key = os.path.basename(f).replace(".parquet", "")
+        legacy_keys.append(key)
+        encode_parquet_dir(spark, [f], os.path.join(out, f"unit={key}"),
+                           codecs=codecs).collect()
+        with open(os.path.join(done_dir, f"{key}.json"), "w") as fh:
+            _json.dump({"unit": key, "src": f}, fh)  # no 'batch' field
+
+    r = encode_resumable(spark, web_parquet, out, codecs=codecs, units_per_job=2)
+    assert r["skipped"] == 2  # legacy units stay committed, not re-encoded
+    assert r["completed"] == len(files) - 2
+    # no batch contains a legacy unit mixed with a new one
+    with open(os.path.join(out, "_batches.json")) as fh:
+        batches = _json.load(fh)["batches"]
+    for b in batches:
+        assert not (set(b) & set(legacy_keys)) or set(b) <= set(legacy_keys)
+    # full decode over BOTH layouts returns each source row exactly once
+    blocks = spark.read.parquet(os.path.join(out, "batch=*"),
+                                os.path.join(out, "unit=*"))
+    dec = decode_table(blocks, columns=["url", "warc_ts", "html", "text", "lang"])
+    res = verify_roundtrip(spark.read.parquet(web_parquet), dec, key="url")
+    assert res["total_mismatches"] == 0 and res["joined_rows"] == 20_000
+
+    # a legacy unit that loses its marker re-encodes into batch=*/ AND its
+    # stale unit=<key>/ dir is removed — still exactly-once
+    os.remove(os.path.join(done_dir, f"{legacy_keys[0]}.json"))
+    r2 = encode_resumable(spark, web_parquet, out, codecs=codecs)
+    assert r2["completed"] == 1
+    assert not os.path.exists(os.path.join(out, f"unit={legacy_keys[0]}"))
+    assert len(read_unit_markers(out)) == len(files)
+    blocks = spark.read.parquet(os.path.join(out, "batch=*"),
+                                os.path.join(out, "unit=*"))
+    dec = decode_table(blocks, columns=["url", "warc_ts", "html", "text", "lang"])
+    res = verify_roundtrip(spark.read.parquet(web_parquet), dec, key="url")
+    assert res["total_mismatches"] == 0 and res["joined_rows"] == 20_000

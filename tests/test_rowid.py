@@ -68,3 +68,20 @@ def test_row_number_by_deterministic_across_executions(spark):
     assert sorted(rn for _, rn in a) == list(range(1, 2001))
     # same multiset of (value, id) pairs on re-execution
     assert [v for v, _ in a] == [v for v, _ in b]
+
+
+def test_materialize_pins_nondeterministic_input(spark):
+    """A plan that returns different rows per execution (un-ordered limit
+    over a shuffle) gets pinned by materialize=True so the counts job and
+    the output job agree — exactly-once, gap-free numbering."""
+    df = (
+        spark.range(0, 5000)
+        .select((F.col("id") * 7919 % 5000).alias("v"))
+        .repartition(8)
+        .limit(1000)  # which 1000 rows is execution-dependent
+    )
+    out = with_row_number_by(df, "v", materialize=True)
+    rows = out.collect()
+    assert sorted(r["__rn"] for r in rows) == list(range(1, 1001))
+    ids = with_row_id(df, materialize=True).collect()
+    assert sorted(r["_row_id"] for r in ids) == list(range(1, 1001))

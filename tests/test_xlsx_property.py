@@ -6,7 +6,7 @@ from hypothesis import HealthCheck, given, settings, strategies as st
 
 from nail_parquet_spark.sources.xlsx import read_xlsx, write_xlsx
 
-_SETTINGS = dict(max_examples=30, deadline=None,
+_SETTINGS = dict(max_examples=200, deadline=None,
                  suppress_health_check=[HealthCheck.function_scoped_fixture,
                                         HealthCheck.too_slow])
 
@@ -17,7 +17,7 @@ _text = st.text(
 _cell = st.one_of(
     st.none(),
     _text,
-    st.integers(min_value=-(2**52), max_value=2**52),
+    st.integers(min_value=-(2**63), max_value=2**63 - 1),
     st.floats(allow_nan=False, allow_infinity=False, width=64),
     st.booleans(),
 )
@@ -42,7 +42,9 @@ def test_xlsx_roundtrip_property(tmp_path_factory, rows):
                 assert got is None or (isinstance(got, float) and math.isnan(got)) or pd.isna(got)
             elif isinstance(want, bool):
                 assert bool(got) is want
-            elif isinstance(want, (int, float)):
-                assert float(got) == float(want)
+            elif isinstance(want, int):
+                assert int(got) == want, (repr(want), repr(got))
+            elif isinstance(want, float):
+                assert float(got) == want
             else:
                 assert got == want, (repr(want), repr(got))
