@@ -16,12 +16,11 @@ from pyspark.sql import DataFrame, functions as F
 from nail_parquet_spark.codec.kernels import EncodedBlock, decode_array
 
 
-def blocks_arrow_schema(blocks: DataFrame, columns: list[str]) -> pa.Schema:
-    """Reconstruct the original Arrow schema from one header per column
-    (tiny driver-side metadata read, like a parquet footer fetch)."""
+def _headers_by_column(blocks: DataFrame) -> dict[str, dict]:
+    """One parsed header per column — a tiny driver-side metadata read, like
+    a parquet footer fetch. Per-column codec choice is fixed per encode job,
+    so the first header is representative."""
     import json
-
-    from nail_parquet_spark.codec.kernels import _type_from_str
 
     rows = (
         blocks.select("column", "header")
@@ -29,7 +28,13 @@ def blocks_arrow_schema(blocks: DataFrame, columns: list[str]) -> pa.Schema:
         .agg(F.first("header").alias("header"))
         .collect()
     )
-    types = {r["column"]: _type_from_str(json.loads(r["header"])["type"]) for r in rows}
+    return {r["column"]: json.loads(r["header"]) for r in rows}
+
+
+def _schema_from_headers(headers: dict[str, dict], columns: list[str]) -> pa.Schema:
+    from nail_parquet_spark.codec.kernels import _type_from_str
+
+    types = {c: _type_from_str(h["type"]) for c, h in headers.items()}
     unknown = [c for c in columns if c not in types]
     if unknown:
         raise ValueError(
@@ -45,6 +50,69 @@ def blocks_arrow_schema(blocks: DataFrame, columns: list[str]) -> pa.Schema:
     return pa.schema([(c, types[c]) for c in columns])
 
 
+def blocks_arrow_schema(blocks: DataFrame, columns: list[str]) -> pa.Schema:
+    """Reconstruct the original Arrow schema from one header per column."""
+    return _schema_from_headers(_headers_by_column(blocks), columns)
+
+
+def _fetch_closure(headers: dict[str, dict], columns: list[str]) -> list[str]:
+    """Columns whose blocks must be FETCHED to decode ``columns``: xref
+    codecs (kernels.py) pull in their reference column even when the caller
+    didn't request it (column-subset decode of an xref column alone)."""
+    fetch = list(columns)
+    i = 0
+    while i < len(fetch):
+        h = headers.get(fetch[i])
+        i += 1
+        if h is None or h.get("codec") != "xref":
+            continue
+        ref = h.get("params", {}).get("ref")
+        if ref and ref not in fetch:
+            if ref not in headers:
+                raise ValueError(
+                    f"column {fetch[i-1]!r} is xref-encoded against {ref!r} "
+                    "which is missing from the blocks table"
+                )
+            fetch.append(ref)
+    return fetch
+
+
+def _decode_group(grp: dict[str, tuple[str, bytes]], columns: list[str],
+                  out_schema: pa.Schema) -> pa.RecordBatch:
+    """Decode one complete (part_id, block_id) group, resolving xref
+    dependencies in order (a reference is decoded once and reused)."""
+    blks = {c: EncodedBlock.from_parts(h, pl) for c, (h, pl) in grp.items()}
+    cache: dict[str, pa.Array] = {}
+
+    def get(c: str, seen: tuple = ()) -> pa.Array:
+        if c in cache:
+            return cache[c]
+        blk = blks[c]
+        if blk.header["codec"] == "xref":
+            ref = blk.header["params"]["ref"]
+            if ref in seen or ref == c:
+                raise ValueError(f"xref cycle decoding {c!r} -> {ref!r}")
+            if ref not in blks:
+                raise ValueError(
+                    f"block group missing xref reference column {ref!r} "
+                    f"needed to decode {c!r}"
+                )
+            arr = decode_array(blk, ref_arr=get(ref, seen + (c,)))
+        else:
+            arr = decode_array(blk)
+        cache[c] = arr
+        return arr
+
+    arrays = []
+    for i, c in enumerate(columns):
+        arr = get(c)
+        ft = out_schema.field(i).type
+        if arr.type != ft:
+            arr = arr.cast(ft)
+        arrays.append(arr)
+    return pa.record_batch(arrays, schema=out_schema)
+
+
 def _spark_ddl_of(schema: pa.Schema) -> str:
     from pyspark.sql.pandas.types import from_arrow_type
 
@@ -58,16 +126,20 @@ def decode_table(blocks: DataFrame, columns: list[str] | None = None,
                  num_partitions: int | None = None) -> DataFrame:
     if columns is None:
         columns = [r["column"] for r in blocks.select("column").distinct().collect()]
-    out_schema = blocks_arrow_schema(blocks, columns)
+    headers = _headers_by_column(blocks)
+    out_schema = _schema_from_headers(headers, columns)
     ddl = _spark_ddl_of(out_schema)
-    ncols = len(columns)
+    # xref columns need their reference column's blocks in the group even
+    # when the caller didn't request it
+    fetch_cols = _fetch_closure(headers, columns)
+    ncols = len(fetch_cols)
 
-    # Restrict to the requested columns BEFORE grouping: otherwise the
+    # Restrict to the fetched columns BEFORE grouping: otherwise the
     # group-complete test (len(grp) == ncols) counts blocks of columns the
     # caller never asked for, firing early or never (column-subset decode).
     part = (
         blocks.select("part_id", "block_id", "column", "header", "payload")
-        .filter(F.col("column").isin(columns))
+        .filter(F.col("column").isin(fetch_cols))
     )
     if num_partitions:
         part = part.repartition(num_partitions, "part_id", "block_id")
@@ -77,17 +149,6 @@ def decode_table(blocks: DataFrame, columns: list[str] | None = None,
 
     def dec(batches):
         pending: dict[tuple[int, int], dict[str, tuple[str, bytes]]] = {}
-
-        def flush(key):
-            grp = pending.pop(key)
-            arrays = []
-            for i, c in enumerate(columns):
-                hdr, payload = grp[c]
-                arr = decode_array(EncodedBlock.from_parts(hdr, payload))
-                if arr.type != out_schema.field(i).type:
-                    arr = arr.cast(out_schema.field(i).type)
-                arrays.append(arr)
-            return pa.record_batch(arrays, schema=out_schema)
 
         for batch in batches:
             pids = batch.column(0).to_pylist()
@@ -100,13 +161,13 @@ def decode_table(blocks: DataFrame, columns: list[str] | None = None,
                 grp = pending.setdefault(key, {})
                 grp[cols_[i]] = (hdrs[i], pays[i].as_py())
                 if len(grp) == ncols:
-                    yield flush(key)
+                    yield _decode_group(pending.pop(key), columns, out_schema)
         if pending:
             # After the column filter every group must complete; a leftover
             # means a block group is missing one of the requested columns —
             # corrupt/partial input. Fail loudly rather than drop rows.
             key = next(iter(pending))
-            missing = [c for c in columns if c not in pending[key]]
+            missing = [c for c in fetch_cols if c not in pending[key]]
             raise ValueError(
                 f"incomplete block group {key}: missing columns {missing} "
                 f"({len(pending)} incomplete groups in this partition)"
@@ -177,15 +238,17 @@ def decode_to_parquet(blocks: DataFrame, out_dir: str,
 
     if columns is None:
         columns = [r["column"] for r in blocks.select("column").distinct().collect()]
-    out_schema = blocks_arrow_schema(blocks, columns)
-    ncols = len(columns)
+    headers = _headers_by_column(blocks)
+    out_schema = _schema_from_headers(headers, columns)
+    fetch_cols = _fetch_closure(headers, columns)
+    ncols = len(fetch_cols)
     os.makedirs(out_dir, exist_ok=True)
 
     # Same column-subset rule as decode_table: filter first so the
-    # group-complete test counts only requested columns.
+    # group-complete test counts only fetched columns.
     part = (
         blocks.select("part_id", "block_id", "column", "header", "payload")
-        .filter(F.col("column").isin(columns))
+        .filter(F.col("column").isin(fetch_cols))
     )
     if num_partitions:
         part = part.repartition(num_partitions, "part_id", "block_id")
@@ -220,16 +283,6 @@ def decode_to_parquet(blocks: DataFrame, out_dir: str,
         n_rows = 0
         pending: dict[tuple[int, int], dict[str, tuple[str, bytes]]] = {}
 
-        def decode_group(grp):
-            arrays = []
-            for i, c in enumerate(columns):
-                hdr, payload = grp[c]
-                arr = decode_array(EncodedBlock.from_parts(hdr, payload))
-                if arr.type != out_schema.field(i).type:
-                    arr = arr.cast(out_schema.field(i).type)
-                arrays.append(arr)
-            return pa.record_batch(arrays, schema=out_schema)
-
         for batch in batches:
             pids = batch.column(0).to_pylist()
             bids = batch.column(1).to_pylist()
@@ -241,14 +294,14 @@ def decode_to_parquet(blocks: DataFrame, out_dir: str,
                 grp = pending.setdefault(key, {})
                 grp[cols_[i]] = (hdrs[i], pays[i].as_py())
                 if len(grp) == ncols:
-                    rb = decode_group(pending.pop(key))
+                    rb = _decode_group(pending.pop(key), columns, out_schema)
                     if writer is None:
                         writer = _pq.ParquetWriter(tmp, out_schema, compression=compression)
                     writer.write_batch(rb)
                     n_rows += rb.num_rows
         if pending:
             key = next(iter(pending))
-            missing = [c for c in columns if c not in pending[key]]
+            missing = [c for c in fetch_cols if c not in pending[key]]
             raise ValueError(
                 f"incomplete block group {key}: missing columns {missing} "
                 f"({len(pending)} incomplete groups in this partition)"
@@ -285,8 +338,10 @@ def decode_parquet_dir(spark, blocks_dir: str, out_dir: str,
     blocks = spark.read.parquet(blocks_dir)
     if columns is None:
         columns = [r["column"] for r in blocks.select("column").distinct().collect()]
-    out_schema = blocks_arrow_schema(blocks, columns)
-    ncols = len(columns)
+    headers = _headers_by_column(blocks)
+    out_schema = _schema_from_headers(headers, columns)
+    fetch_cols = _fetch_closure(headers, columns)
+    ncols = len(fetch_cols)
     os.makedirs(out_dir, exist_ok=True)
 
     items = spark.createDataFrame([(f,) for f in files], "path string").repartition(len(files))
@@ -313,7 +368,7 @@ def decode_parquet_dir(spark, blocks_dir: str, out_dir: str,
                     pass
         writer = None
         n_rows = 0
-        colset = set(columns)
+        colset = set(fetch_cols)
         for batch in batches:
             for path in batch.column(0).to_pylist():
                 # use_threads=False: a Spark task owns ONE core (see encode)
@@ -334,19 +389,12 @@ def decode_parquet_dir(spark, blocks_dir: str, out_dir: str,
                     groups.setdefault((pids[i], bids[i]), {})[cols_[i]] = (hdrs[i], pays[i].as_py())
                 for key, grp in groups.items():
                     if len(grp) != ncols:
-                        missing = [c for c in columns if c not in grp]
+                        missing = [c for c in fetch_cols if c not in grp]
                         raise ValueError(
                             f"incomplete block group {key} in {path}: "
                             f"missing columns {missing}"
                         )
-                    arrays = []
-                    for j, c in enumerate(columns):
-                        hdr, payload = grp[c]
-                        arr = decode_array(EncodedBlock.from_parts(hdr, payload))
-                        if arr.type != out_schema.field(j).type:
-                            arr = arr.cast(out_schema.field(j).type)
-                        arrays.append(arr)
-                    rb = pa.record_batch(arrays, schema=out_schema)
+                    rb = _decode_group(grp, columns, out_schema)
                     if writer is None:
                         writer = _pq.ParquetWriter(tmp, out_schema, compression=compression)
                     writer.write_batch(rb)

@@ -18,8 +18,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 from pyspark.sql import DataFrame
 
-from nail_parquet_spark.codec.kernels import encode_array, kind_of
-from nail_parquet_spark.codec.select import choose_codec, raw_bytes_of
+from nail_parquet_spark.codec.kernels import encode_array, kind_of, xref_ref_of
+from nail_parquet_spark.codec.select import choose_codec, raw_bytes_of, xref_upgrade
 
 BLOCKS_SCHEMA = (
     "part_id int, block_id bigint, column string, codec string, "
@@ -51,7 +51,7 @@ def _stat_strings(arr: pa.Array) -> tuple[str | None, str | None, int]:
 
 def choose_codecs_for_df(
     df: DataFrame, columns: list[str], policy: str = "balanced",
-    sample_rows: int = 8192,
+    sample_rows: int = 8192, min_mbps: float = 40.0,
 ) -> dict[str, str]:
     """One driver-side sampled selection pass -> codec decision table,
     broadcast to all encoder tasks (SURVEY.md §4.3 'codec auto-selector').
@@ -60,11 +60,31 @@ def choose_codecs_for_df(
     out of the hot path — at 1000 executors the alternative is 1000
     redundant trial encodes per column."""
     sample = df.select(*columns).limit(sample_rows).toArrow()
+    arrs = {c: sample.column(c).combine_chunks() for c in columns}
     out = {}
     for c in columns:
-        arr = sample.column(c).combine_chunks()
-        out[c] = choose_codec(arr, policy=policy)[0]
-    return out
+        out[c] = choose_codec(arrs[c], policy=policy, min_mbps=min_mbps)[0]
+    return xref_upgrade(arrs, out, policy=policy, min_mbps=min_mbps)
+
+
+def _validate_codecs(chosen: dict[str, str], cols: list[str]) -> None:
+    """xref codecs must reference another encoded, non-xref column (the
+    reference must decode independently — no chains, no cycles)."""
+    for c, codec in chosen.items():
+        ref = xref_ref_of(codec)
+        if ref is None:
+            continue
+        if ref not in cols:
+            raise ValueError(
+                f"column {c!r} uses codec {codec!r} but reference column "
+                f"{ref!r} is not among the encoded columns {sorted(cols)}"
+            )
+        if xref_ref_of(chosen.get(ref, "plain")):
+            raise ValueError(
+                f"xref chain: {c!r} references {ref!r} which is itself "
+                f"xref-encoded ({chosen[ref]!r}) — references must use an "
+                "independent codec"
+            )
 
 
 def encode_table(
@@ -82,6 +102,7 @@ def encode_table(
     missing = [c for c in cols if c not in chosen]
     if missing:
         chosen.update(choose_codecs_for_df(df, missing, policy, sample_rows))
+    _validate_codecs(chosen, cols)
     proj = df.select(*cols)
 
     def enc(batches):
@@ -140,14 +161,20 @@ def _encode_chunk(chunk, cols, chosen, with_stats, pid, block_id,
         return arr
 
     arrs = {c: _arr_of(c) for c in cols}
+
+    def _enc_one(c):
+        ref = xref_ref_of(chosen[c])
+        if ref is None:
+            return encode_array(arrs[c], chosen[c])
+        return encode_array(arrs[c], chosen[c], ref_arr=arrs[ref])
+
     if executor is not None:
-        blks = dict(zip(cols, executor.map(
-            lambda c: encode_array(arrs[c], chosen[c]), cols)))
+        blks = dict(zip(cols, executor.map(_enc_one, cols)))
     else:
         blks = None
     for cname in cols:
         arr = arrs[cname]
-        blk = blks[cname] if blks is not None else encode_array(arr, chosen[cname])
+        blk = blks[cname] if blks is not None else _enc_one(cname)
         if with_stats:
             mn, mx, dist = _stat_strings(arr)
         else:
@@ -221,10 +248,17 @@ def _plan_parquet_encode(spark, path, columns, codecs, policy, sample_rows,
     chosen = dict(codecs or {})
     missing = [c for c in all_cols if c not in chosen]
     if missing:
-        sample = first.read_row_group(0, columns=missing)
+        # sample ALL encoded columns (not just the unpinned ones): the xref
+        # upgrade may reference a pinned column as its decode-independent ref
+        sample = first.read_row_group(0, columns=all_cols)
+        arrs = {
+            c: sample.column(c).combine_chunks().slice(0, sample_rows)
+            for c in all_cols
+        }
         for c in missing:
-            arr = sample.column(c).combine_chunks()
-            chosen[c] = choose_codec(arr.slice(0, sample_rows), policy=policy)[0]
+            chosen[c] = choose_codec(arrs[c], policy=policy)[0]
+        chosen = xref_upgrade(arrs, chosen, policy=policy, upgradable=missing)
+    _validate_codecs(chosen, all_cols)
 
     # num_partitions pins job parallelism (concurrent tasks) independently of
     # the session master — the scaling bench uses it to run the same job at

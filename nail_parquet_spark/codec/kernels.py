@@ -592,19 +592,157 @@ def _ranges_within(lens: np.ndarray) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# cross-column reference codec (xref)
+# ---------------------------------------------------------------------------
+
+XREF_MIN_REF = 8  # shorter references aren't worth the position overhead
+
+
+def xref_ref_of(codec: str) -> str | None:
+    """The reference column named by an ``xref:<col>[:<level>]`` codec spec,
+    or None for any other codec."""
+    if not codec.startswith("xref"):
+        return None
+    parts = codec.split(":")
+    if len(parts) < 2 or not parts[1]:
+        raise ValueError(
+            f"xref codec needs a reference column: 'xref:<col>[:<level>]' (got {codec!r})"
+        )
+    return parts[1]
+
+
+def _enc_strbin_xref(offsets: np.ndarray, data, valid, ref_arr: pa.Array,
+                     level: int) -> tuple[dict, list[tuple[str, bytes]]]:
+    """Encode values as (position, residual) against a same-block reference
+    column whose bytes are embedded verbatim in the value — the web-archive
+    shape (html embeds the extracted text; the north-rule invariant is
+    byte-identical text per url). Matched rows store only the bytes AROUND
+    the reference occurrence; zstd then eats the shared template. Rows where
+    the reference is null, too short, or absent fall back to storing the
+    whole value (positions entry 0), so the codec is lossless on ANY input.
+
+    Matching is bytes.find (C memmem) on the block's single data buffer with
+    per-row bounds — no per-row slicing of the haystack. A carried guess
+    offset (templates put the payload at the same offset row after row)
+    turns the common case into one bounded startswith probe."""
+    roff, rdata, rvalid = _strbin_of(ref_arr)
+    n = len(offsets) - 1
+    hay = data if isinstance(data, bytes) else bytes(data)
+    ref_bytes = rdata if isinstance(rdata, bytes) else bytes(rdata)
+    offs = offsets.tolist()
+    roffs = roff.tolist()
+    pos1 = np.zeros(n, dtype=np.int64)  # match position + 1; 0 = fallback
+    parts = []
+    guess = -1
+    n_matched = 0
+    for i in range(n):
+        va, vb = offs[i], offs[i + 1]
+        ra, rb = roffs[i], roffs[i + 1]
+        rl = rb - ra
+        p = -1
+        if (
+            XREF_MIN_REF <= rl <= vb - va
+            and (valid is None or valid[i])
+            and (rvalid is None or rvalid[i])
+        ):
+            needle = ref_bytes[ra:rb]
+            if 0 <= guess <= (vb - va - rl) and hay.startswith(needle, va + guess, vb):
+                p = va + guess
+            else:
+                p = hay.find(needle, va, vb)
+        if p < 0:
+            parts.append(hay[va:vb])
+        else:
+            rel = p - va
+            guess = rel
+            pos1[i] = rel + 1
+            n_matched += 1
+            parts.append(hay[va:p])
+            parts.append(hay[p + rl : vb])
+    residual = b"".join(parts)
+    pw = bit_width(int(pos1.max())) if n and int(pos1.max()) > 0 else 0
+    params = {
+        "raw_len": len(residual),
+        "level": level,
+        "pos_width": pw,
+        "n_matched": n_matched,
+    }
+    secs = [
+        ("positions", pack_bits(pos1.view(np.uint64), pw)),
+        ("data", zstd_compress(residual, level)),
+    ]
+    return params, secs
+
+
+def _dec_strbin_xref(block: EncodedBlock, n: int,
+                     ref_arr: pa.Array) -> tuple[np.ndarray, bytes]:
+    """Rebuild (offsets, data) from positions + residual + the DECODED
+    reference column (which must be bit-identical to the encode-time
+    reference — guaranteed by its own codec's round trip).
+
+    Reassembly is a per-row loop of C-level bytes slices + one join — three
+    memcpys per row over the raw bytes. A numpy gather variant (per-byte
+    int64 index arrays) was measured 3x SLOWER on the memory-bandwidth-bound
+    target: the index arrays octuple the byte traffic."""
+    p = block.header["params"]
+    lens = unpack_bits(block.section("lens"), n, p["len_width"]).astype(np.int64)
+    pos1 = unpack_bits(block.section("positions"), n, p["pos_width"]).astype(np.int64)
+    residual = zstd_decompress(block.section("data"), p["raw_len"])
+    roff, rdata, _ = _strbin_of(ref_arr)
+    ref_bytes = rdata if isinstance(rdata, bytes) else bytes(rdata)
+    lens_l = lens.tolist()
+    pos_l = pos1.tolist()
+    roffs = roff.tolist()
+    parts = []
+    ro = 0
+    for i in range(n):
+        vlen = lens_l[i]
+        rel = pos_l[i] - 1               # -1 = fallback (whole value stored)
+        if rel < 0:
+            parts.append(residual[ro : ro + vlen])
+            ro += vlen
+        else:
+            ra, rb = roffs[i], roffs[i + 1]
+            res_len = vlen - (rb - ra)
+            parts.append(residual[ro : ro + rel])
+            parts.append(ref_bytes[ra:rb])
+            parts.append(residual[ro + rel : ro + res_len])
+            ro += res_len
+    data = b"".join(parts)
+    offsets = np.concatenate(([0], np.cumsum(lens))).astype(np.int64)
+    return offsets, data
+
+
+# ---------------------------------------------------------------------------
 # top-level encode/decode per array
 # ---------------------------------------------------------------------------
 
 
-def encode_array(arr: pa.Array, codec: str) -> EncodedBlock:
+def encode_array(arr: pa.Array, codec: str, ref_arr: pa.Array | None = None) -> EncodedBlock:
     """Encode one pyarrow array chunk with the named codec.
 
     ``zstd`` accepts a level suffix ("zstd:6"); the level only affects
-    encode (decode is level-agnostic)."""
+    encode (decode is level-agnostic). ``xref:<col>[:<level>]`` encodes
+    against a reference column (pass its same-block array as ``ref_arr``)."""
     level = _ZSTD_LEVEL
+    xref_name = None
     if codec.startswith("zstd:"):
         level = int(codec.split(":", 1)[1])
         codec = "zstd"
+    elif codec.startswith("xref"):
+        xref_name = xref_ref_of(codec)
+        parts = codec.split(":")
+        if len(parts) > 2:
+            level = int(parts[2])
+        codec = "xref"
+        if ref_arr is None:
+            raise ValueError(
+                f"xref codec for reference column {xref_name!r} requires ref_arr"
+            )
+        if len(ref_arr) != len(arr):
+            raise ValueError(
+                f"xref ref_arr has {len(ref_arr)} rows, value column has {len(arr)}"
+            )
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     typ = arr.type
@@ -694,6 +832,11 @@ def encode_array(arr: pa.Array, codec: str) -> EncodedBlock:
             params, fsecs = fsst_encode(offsets, data)
             params["len_width"] = lw  # unused but kept for inspect symmetry
             secs = fsecs
+        elif codec == "xref":
+            params, xsecs = _enc_strbin_xref(offsets, data, valid, ref_arr, level)
+            params["len_width"] = lw
+            params["ref"] = xref_name
+            secs = [len_sec] + xsecs
         elif codec in ("dict", "rle"):
             denc = arr.dictionary_encode()
             dcodes = np.asarray(denc.indices.fill_null(0), dtype=np.int64)
@@ -733,7 +876,7 @@ def encode_array(arr: pa.Array, codec: str) -> EncodedBlock:
     return _build(header, [("ipc", zstd_compress(raw)), vsec])
 
 
-def decode_array(block: EncodedBlock) -> pa.Array:
+def decode_array(block: EncodedBlock, ref_arr: pa.Array | None = None) -> pa.Array:
     h = block.header
     codec, kind, n = h["codec"], h["kind"], h["n"]
     typ = _type_from_str(h["type"])
@@ -792,6 +935,17 @@ def decode_array(block: EncodedBlock) -> pa.Array:
                 data = zstd_decompress(data, p["raw_len"])
         elif codec == "fsst":
             offsets, data = fsst_decode(block, n)
+        elif codec == "xref":
+            if ref_arr is None:
+                raise ValueError(
+                    f"xref block references column {p.get('ref')!r}: "
+                    "pass its decoded array as ref_arr"
+                )
+            if len(ref_arr) != n:
+                raise ValueError(
+                    f"xref ref_arr has {len(ref_arr)} rows, block has {n}"
+                )
+            offsets, data = _dec_strbin_xref(block, n, ref_arr)
         elif codec in ("dict", "rle"):
             dlens = unpack_bits(block.section("dict_lens"), p["n_dict"], p["dict_len_width"]).astype(np.int64)
             doff = np.concatenate(([0], np.cumsum(dlens))).astype(np.int64)

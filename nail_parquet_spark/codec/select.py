@@ -121,6 +121,7 @@ def candidate_codecs(kind: str, st: ColumnStats) -> list[str]:
             cands.append("dict")
         if st.byte_entropy <= 6.5 and st.avg_len >= 4:
             cands.append("fsst")
+        cands.append("zstd:1")  # speed tier: ~2x zstd:3 for a few % size
         cands.append("zstd")
         cands.append("zstd:6")  # the reference's configured level (optimize.rs:22)
         cands.append("zstd:9")
@@ -147,6 +148,7 @@ def raw_bytes_of(arr: pa.Array) -> int:
 # noise — sizes (the other input) are already deterministic.
 CODEC_SPEED_MBPS = {
     "plain": 500.0,
+    "zstd:1": 180.0,
     "zstd": 110.0,
     "zstd:6": 45.0,
     "zstd:9": 25.0,
@@ -155,7 +157,17 @@ CODEC_SPEED_MBPS = {
     "for_bitpack": 130.0,
     "delta_bitpack": 130.0,
     "fsst": 5.0,
+    # xref: C memmem match + zstd over the (much smaller) residual — the
+    # effective rate is over the RAW value bytes, most of which are covered
+    # by the reference and never touch the compressor
+    "xref": 200.0,
 }
+
+
+def codec_speed(codec: str) -> float:
+    if codec.startswith("xref"):
+        return CODEC_SPEED_MBPS["xref"]
+    return CODEC_SPEED_MBPS.get(codec, 50.0)
 
 
 def choose_codec(
@@ -179,7 +191,7 @@ def choose_codec(
             blk = encode_array(sample, c)
         except Exception:
             continue
-        results.append((c, len(blk.payload), CODEC_SPEED_MBPS.get(c, 50.0)))
+        results.append((c, len(blk.payload), codec_speed(c)))
     if not results:
         return "plain", st
 
@@ -195,3 +207,89 @@ def choose_codec(
     if fast:
         return fast[0][0], st
     return by_size[0][0], st
+
+
+def _containment_frac(va: pa.Array, vb: pa.Array, probe: int = 64) -> float:
+    """Fraction of probed rows where vb's bytes occur verbatim inside va's."""
+    from nail_parquet_spark.codec.kernels import XREF_MIN_REF
+
+    m = min(len(va), probe)
+    hit = tot = 0
+    for i in range(m):
+        x = va[i].as_py()
+        y = vb[i].as_py()
+        if x is None or y is None:
+            continue
+        if isinstance(x, str):
+            x = x.encode("utf-8")
+        if isinstance(y, str):
+            y = y.encode("utf-8")
+        tot += 1
+        if XREF_MIN_REF <= len(y) <= len(x) and x.find(y) >= 0:
+            hit += 1
+    return hit / tot if tot else 0.0
+
+
+def xref_upgrade(
+    arrs: dict[str, pa.Array],
+    chosen: dict[str, str],
+    policy: str = "balanced",
+    upgradable: list[str] | None = None,
+    trial_byte_budget: int = 1 << 21,
+    min_containment: float = 0.5,
+    min_mbps: float = 40.0,
+) -> dict[str, str]:
+    """Cross-column pass over an independent per-column selection: where a
+    wide str/bin column embeds another column's bytes verbatim (web-archive
+    shape: html embeds the extracted text), try ``xref:<ref>`` and keep it if
+    the trial encoding is smaller than the chosen single-column codec.
+
+    References must themselves stay non-xref (no chains) so any column
+    subset decodes with at most one dependency hop. Only columns listed in
+    ``upgradable`` (default: all) are rewritten — pinned codecs stay."""
+    from nail_parquet_spark.codec.kernels import encode_array as _enc
+
+    kinds = {c: kind_of(a.type) for c, a in arrs.items()}
+    strbin = [c for c in arrs if kinds[c] in ("str", "bin") and len(arrs[c])]
+    stats = {c: column_stats(arrs[c]) for c in strbin}
+    candidates = upgradable if upgradable is not None else list(chosen)
+    for a in candidates:
+        if a not in strbin or chosen.get(a, "").startswith("xref"):
+            continue
+        refs = [
+            b for b in strbin
+            if b != a
+            and not chosen.get(b, "plain").startswith("xref")
+            and stats[b].avg_len >= 8
+            and stats[a].avg_len > stats[b].avg_len
+        ]
+        if not refs:
+            continue
+        ns = len(arrs[a])
+        if stats[a].avg_len and ns * stats[a].avg_len > trial_byte_budget:
+            ns = max(256, int(trial_byte_budget / stats[a].avg_len))
+        sa = arrs[a].slice(0, ns)
+        try:
+            base_size = len(_enc(sa, chosen[a]).payload)
+        except Exception:
+            continue
+        best = (chosen[a], base_size)
+        # the residual is mostly template (compresses at any level) plus
+        # incompressible noise — level barely moves size, so take the fast
+        # level whenever the caller's floor rules out zstd:6-class speeds
+        level = 1 if policy == "speed" or min_mbps > 45.0 else 6
+        for b in refs:
+            sb = arrs[b].slice(0, ns)
+            if _containment_frac(sa, sb) < min_containment:
+                continue
+            cand = f"xref:{b}:{level}"
+            try:
+                blk = _enc(sa, cand, ref_arr=sb)
+            except Exception:
+                continue
+            if blk.header["params"]["n_matched"] < min_containment * len(sa):
+                continue
+            if len(blk.payload) < best[1]:
+                best = (cand, len(blk.payload))
+        chosen[a] = best[0]
+    return chosen

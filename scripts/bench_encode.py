@@ -56,7 +56,7 @@ def _probe_worker(mode, arg, dur, q):
         import pyarrow.parquet as pq
 
         from nail_parquet_spark.codec.encode import _stat_strings
-        from nail_parquet_spark.codec.kernels import encode_array
+        from nail_parquet_spark.codec.kernels import encode_array, xref_ref_of
 
         codecs = json.loads(os.environ["_PROBE_CODECS"])
         raw = 0
@@ -66,7 +66,12 @@ def _probe_worker(mode, arg, dur, q):
                 tbl = pf.read_row_group(g, use_threads=False)
                 for c, codec in codecs.items():
                     arr = tbl.column(c).combine_chunks()
-                    encode_array(arr, codec)
+                    ref = xref_ref_of(codec)
+                    if ref is None:
+                        encode_array(arr, codec)
+                    else:
+                        encode_array(arr, codec,
+                                     ref_arr=tbl.column(ref).combine_chunks())
                     _stat_strings(arr)
                     raw += arr.nbytes
         q.put(raw)
@@ -137,8 +142,13 @@ def main():
 
     df = spark.read.parquet(path)
 
-    # codec selection is job planning — done once, outside the timed loop
-    codecs = choose_codecs_for_df(df, df.columns, policy=POLICY)
+    # codec selection is job planning — done once, outside the timed loop.
+    # The speed floor reflects the benchmark's objective (throughput at <=
+    # the reference's compressed size): with the xref codec covering the
+    # html column the size margin is wide, so string columns take the fast
+    # zstd tier instead of zstd:6.
+    min_mbps = float(os.environ.get("BENCH_MIN_MBPS", "120"))
+    codecs = choose_codecs_for_df(df, df.columns, policy=POLICY, min_mbps=min_mbps)
     blocks_dir = os.path.join(DATA, f"blocks_{ROWS}_{N_HI}")
 
     def timed(parallelism):
@@ -188,6 +198,7 @@ def main():
             "cpus": n,
             "rows": ROWS,
             "policy": POLICY,
+            "min_mbps_floor": min_mbps,
             "mode": "encode_parquet_dir (scan->encode->sink, pinned parallelism)",
             "codecs": codecs,
             "wall_s": round(wall, 3),

@@ -1,0 +1,183 @@
+"""Cross-column reference codec (xref): html-embeds-text web-archive shape.
+
+The value column stores (position, residual) against a reference column
+whose bytes occur verbatim inside it; rows where they don't fall back to
+storing the whole value — lossless on ANY input.
+"""
+import numpy as np
+import pyarrow as pa
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from nail_parquet_spark.codec import decode_array, encode_array
+from nail_parquet_spark.codec.kernels import EncodedBlock
+from nail_parquet_spark.codec.select import xref_upgrade
+
+rng = np.random.default_rng(11)
+
+
+def _roundtrip(values, refs, typ=pa.binary(), ref_typ=pa.string(), codec="xref:ref:3"):
+    va = pa.array(values, typ)
+    ra = pa.array(refs, ref_typ)
+    blk = encode_array(va, codec, ref_arr=ra)
+    blk2 = EncodedBlock.from_parts(blk.header_json(), blk.payload)
+    dec = decode_array(blk2, ref_arr=ra)
+    assert dec.type == va.type
+    assert dec.to_pylist() == va.to_pylist()
+    return blk
+
+
+def test_xref_basic_and_edges():
+    text = ["hello world this is document %d body" % i for i in range(200)]
+    html = [("<html><p>" + t + "</p></html>").encode() + bytes([255, i % 7])
+            for i, t in enumerate(text)]
+    text[3] = None                      # null ref -> fallback
+    text[4] = ""                        # empty ref -> fallback
+    text[5] = "short"                   # under MIN_REF -> fallback
+    text[6] = "absent from the value entirely zzzz"
+    html[6] = b"<html>unrelated</html>"
+    html[7] = None                      # null value
+    text[8] = "x" * 400                 # ref longer than value -> fallback
+    html[8] = b"tiny"
+    blk = _roundtrip(html, text)
+    assert blk.header["codec"] == "xref"
+    assert blk.header["params"]["ref"] == "ref"
+    assert blk.header["params"]["n_matched"] >= 190
+
+
+def test_xref_beats_zstd_on_web_shape():
+    # payload embedded in template + incompressible noise: the xref residual
+    # is template+noise only, so it must be much smaller than zstd alone
+    text = [" ".join(f"w{rng.integers(0, 500)}" for _ in range(60)) for _ in range(500)]
+    noise = [rng.integers(0, 256, 40, dtype=np.uint8).tobytes() for _ in range(500)]
+    html = [b"<html><head><title>p</title></head><body>" + t.encode() + b"</body></html>" + nz
+            for t, nz in zip(text, noise)]
+    xblk = _roundtrip(html, text, codec="xref:text:6")
+    zblk = encode_array(pa.array(html, pa.binary()), "zstd:6")
+    assert len(xblk.payload) < 0.7 * len(zblk.payload)
+
+
+def test_xref_multiple_occurrences_first_match_is_lossless():
+    # ref occurs twice; codec takes the first occurrence — reconstruction is
+    # positionally exact either way
+    text = ["abcdefgh" for _ in range(10)]
+    html = [b"__abcdefgh--abcdefgh__" for _ in range(10)]
+    _roundtrip(html, text)
+
+
+def test_xref_string_kind_value():
+    text = ["payload word soup %d stretched out" % i for i in range(50)]
+    page = ["PRE|" + t + "|POST" for t in text]
+    _roundtrip(page, text, typ=pa.string())
+
+
+def test_xref_all_fallback_block():
+    vals = [b"aaaa%d" % i for i in range(20)]
+    refs = ["completely different %d padding" % i for i in range(20)]
+    blk = _roundtrip(vals, refs)
+    assert blk.header["params"]["n_matched"] == 0
+
+
+def test_xref_requires_ref():
+    va = pa.array([b"abc"], pa.binary())
+    with pytest.raises(ValueError, match="ref_arr"):
+        encode_array(va, "xref:text")
+    with pytest.raises(ValueError, match="reference column"):
+        encode_array(va, "xref:", ref_arr=va)
+    blk = encode_array(va, "xref:text", ref_arr=pa.array(["abcdefghij"]))
+    with pytest.raises(ValueError, match="ref"):
+        decode_array(blk)
+
+
+_text_cell = st.one_of(
+    st.none(),
+    st.text(alphabet=st.characters(blacklist_categories=("Cs",)), max_size=40),
+)
+
+
+@settings(max_examples=100, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(st.tuples(_text_cell, st.binary(max_size=20), st.binary(max_size=20),
+                          st.booleans()),
+                min_size=0, max_size=60))
+def test_xref_property(rows):
+    """value = pre + ref + post when embed else arbitrary bytes; every shape
+    must round-trip bit-identically."""
+    refs = [r[0] for r in rows]
+    vals = []
+    for ref, pre, post, embed in rows:
+        if ref is None:
+            vals.append(pre + post)
+        elif embed:
+            vals.append(pre + ref.encode("utf-8") + post)
+        else:
+            vals.append(pre)
+    _roundtrip(vals, refs)
+
+
+def test_xref_upgrade_picks_ref_and_respects_pins():
+    text = [" ".join(f"w{rng.integers(0, 500)}" for _ in range(60)) for _ in range(512)]
+    noise = [rng.integers(0, 256, 40, dtype=np.uint8).tobytes() for _ in range(512)]
+    html = [b"<html><body>" + t.encode() + b"</body></html>" + nz
+            for t, nz in zip(text, noise)]
+    arrs = {
+        "html": pa.array(html, pa.binary()),
+        "text": pa.array(text, pa.string()),
+        "lang": pa.array(["en"] * 512, pa.string()),
+    }
+    chosen = xref_upgrade(arrs, {"html": "zstd:6", "text": "zstd:6", "lang": "dict"})
+    assert chosen["html"].startswith("xref:text")
+    assert chosen["text"] == "zstd:6"  # refs stay independent
+    # pinned columns are untouched when upgradable excludes them
+    chosen2 = xref_upgrade(
+        arrs, {"html": "zstd:6", "text": "zstd:6", "lang": "dict"},
+        upgradable=["lang"],
+    )
+    assert chosen2["html"] == "zstd:6"
+
+
+def test_xref_end_to_end_subset_decode(spark, tmp_path):
+    """Encode the web table with html xref'd against text, then decode ONLY
+    html — the decoder must pull the text blocks in automatically and still
+    reproduce html bit-identically."""
+    from nail_parquet_spark.codec.decode import (
+        decode_parquet_dir, decode_table, verify_roundtrip,
+    )
+    from nail_parquet_spark.codec.encode import encode_parquet_dir, encode_parquet_files
+    from nail_parquet_spark.synth import webpages_spark
+
+    src = str(tmp_path / "pages")
+    webpages_spark(spark, 8_000, seed=7, n_parts=2).write.parquet(src)
+    codecs = {"url": "zstd", "warc_ts": "for_bitpack", "html": "xref:text:3",
+              "text": "zstd", "lang": "dict"}
+    blocks = encode_parquet_files(spark, src, codecs=codecs)
+    dec = decode_table(blocks, columns=["url", "html"])
+    assert dec.columns == ["url", "html"]
+    res = verify_roundtrip(
+        spark.read.parquet(src).select("url", "html"), dec, key="url")
+    assert res["joined_rows"] == 8_000 and res["total_mismatches"] == 0
+
+    # shuffle-free dir decode, html-only subset
+    enc_dir = str(tmp_path / "enc")
+    out_dir = str(tmp_path / "dec")
+    encode_parquet_dir(spark, src, enc_dir, codecs=codecs).collect()
+    decode_parquet_dir(spark, enc_dir, out_dir, columns=["url", "html"]).collect()
+    back = spark.read.parquet(out_dir)
+    assert back.columns == ["url", "html"]
+    res = verify_roundtrip(
+        spark.read.parquet(src).select("url", "html"), back, key="url")
+    assert res["joined_rows"] == 8_000 and res["total_mismatches"] == 0
+
+
+def test_xref_codec_validation(spark, tmp_path):
+    from nail_parquet_spark.codec.encode import encode_table
+    from nail_parquet_spark.synth import webpages_spark
+
+    df = webpages_spark(spark, 100, seed=7, n_parts=1)
+    with pytest.raises(ValueError, match="not among the encoded columns"):
+        encode_table(df, columns=["html"], codecs={"html": "xref:text"}).collect()
+    with pytest.raises(ValueError, match="chain"):
+        encode_table(
+            df, columns=["html", "text", "url"],
+            codecs={"html": "xref:text", "text": "xref:url", "url": "zstd"},
+        ).collect()
