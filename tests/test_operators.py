@@ -238,3 +238,30 @@ def test_correlation_matrix_wide(sample):
     assert set(rows) == {"id", "value"}
     assert rows["id"]["id"] == pytest.approx(1.0)
     assert rows["id"]["value"] == rows["value"]["id"]  # symmetric, one compute
+
+
+def test_correlation_pvalue_known_values():
+    """Golden values for the pure-python t-tail, validated against an
+    independent high-resolution Simpson integration of the Student-t density
+    (agreement <= 1e-12 relative; scipy is absent in this container).
+    Attests the incomplete-beta half the SQL oracle can't express
+    (reference stats.rs:276-342)."""
+    from nail_parquet_spark.operators.agg import correlation_pvalue, correlation_t_stat
+
+    cases = [
+        # (r, n, expected two-sided p) — cross-checked by numeric integration
+        (0.5, 10, 0.141113281250),
+        (0.8, 10, 0.005456000000),
+        (0.9, 5, 0.037386073468),
+        (-0.7, 20, 0.000590058017),
+        (0.1, 100, 0.322217363031),
+        (0.05, 1000, 0.114072595551),
+    ]
+    for r, n, want in cases:
+        got = correlation_pvalue(r, n)
+        assert abs(got - want) < 1e-9 * max(1.0, abs(want)), (r, n, want, got)
+    # t-transform is signed and exact
+    import math
+    assert abs(correlation_t_stat(0.5, 10) - 0.5 * math.sqrt(8 / 0.75)) < 1e-12
+    assert correlation_t_stat(-0.5, 10) == -correlation_t_stat(0.5, 10)
+    assert math.isnan(correlation_pvalue(0.5, 2))
