@@ -16,7 +16,10 @@ sys.path.insert(0, "/root/repo")
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-ENCODE_ROWS = int(os.environ.get("BENCH_ENCODE_ROWS", "1000000"))
+# 2M rows: with the round-3 encode running ~2.5x faster, 1M-row walls at
+# 4 tasks (~2s) made fixed per-job overhead a visible share of the
+# scaling measurement; doubling the work restores wall lengths
+ENCODE_ROWS = int(os.environ.get("BENCH_ENCODE_ROWS", "2000000"))
 SKIP_SCALING = os.environ.get("BENCH_SKIP_SCALING", "") == "1"
 
 BENCH_QUERIES = [

@@ -219,6 +219,18 @@ def main():
     )
     out["pairs"] = pairs
     out["scaling_efficiency_median_pair"] = sorted(pairs)[len(pairs) // 2]
+    # reference compressed-size bar for the SAME table at the SAME row count
+    # (scripts/ref_parquet_size.py: sorted + dict + zstd-6 parquet, the
+    # configuration nail optimize intends). Measured at 1M and 2M rows;
+    # linear in rows to within 0.03% for this blockwise-iid table.
+    _REF_BYTES = {1_000_000: 242_193_479, 2_000_000: 484_251_351}
+    ref_bytes = _REF_BYTES.get(ROWS, int(242_193_479 * ROWS / 1_000_000))
+    out["size_bar"] = {
+        "ref_bytes": ref_bytes,
+        "enc_bytes": enc,
+        "pass": bool(enc <= ref_bytes),
+        "measured_at_rows": ROWS in _REF_BYTES,
+    }
     spark.stop()
     if os.environ.get("BENCH_HOST_PROBE", "1") == "1":
         try:
