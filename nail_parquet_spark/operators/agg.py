@@ -84,12 +84,18 @@ def stats(df: DataFrame, columns: list[str] | None = None,
 
 
 def frequency(df: DataFrame, columns: list[str], limit: int | None = None) -> DataFrame:
-    """GROUP BY cols, count desc + percentage (frequency.rs:52-97)."""
-    total = df.count()
+    """GROUP BY cols, count desc + percentage (frequency.rs:52-97).
+
+    ONE scan (the reference runs a second COUNT(*) pass): the total is
+    summed from the group counts and broadcast back; AQE reuses the
+    groupBy's shuffle exchange, so the percentage denominator costs an
+    O(#groups) aggregation, not a table scan."""
+    counts = df.groupBy(*columns).agg(F.count(F.lit(1)).alias("count"))
+    total = counts.agg(F.sum("count").alias("__total"))
     out = (
-        df.groupBy(*columns)
-        .agg(F.count(F.lit(1)).alias("count"))
-        .withColumn("percentage", F.round(F.col("count") * 100.0 / F.lit(total), 2))
+        counts.crossJoin(F.broadcast(total))
+        .withColumn("percentage", F.round(F.col("count") * 100.0 / F.col("__total"), 2))
+        .drop("__total")
         .orderBy(F.desc("count"), *[F.col(c) for c in columns])
     )
     return out.limit(limit) if limit else out

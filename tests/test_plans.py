@@ -98,3 +98,17 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS t_orders_bkt")
         spark.sql("DROP TABLE IF EXISTS t_lineitem_bkt")
+
+
+def test_frequency_single_scan(spark):
+    """frequency's percentage denominator reuses the groupBy shuffle (AQE
+    ReusedExchange) instead of a second table scan — one FileScan total."""
+    from nail_parquet_spark.operators.agg import frequency
+
+    df = spark.read.parquet(f"{SF}/orders.parquet")
+    out = frequency(df, ["o_orderpriority"])
+    out.collect()  # AQE finalizes the plan on execution
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]  # ignore AQE's pre-plan echo
+    assert final.count("FileScan parquet") == 1, final
+    assert "ReusedExchange" in final, final
