@@ -17,18 +17,35 @@ from nail_parquet_spark.codec.kernels import EncodedBlock, decode_array
 
 
 def _headers_by_column(blocks: DataFrame) -> dict[str, dict]:
-    """One parsed header per column — a tiny driver-side metadata read, like
-    a parquet footer fetch. Per-column codec choice is fixed per encode job,
-    so the first header is representative."""
+    """One parsed header per (column, codec) — a tiny driver-side metadata
+    read, like a parquet footer fetch. Grouping by codec as well covers
+    blocks tables whose batches were encoded by different jobs with
+    different codec choices (e.g. a resumable out_dir mixing pre-xref and
+    xref batches): the fetch closure must see EVERY codec a column uses, so
+    an xref header is preferred as the column's representative and any
+    additional xref refs are merged into its params."""
     import json
 
     rows = (
-        blocks.select("column", "header")
-        .groupBy("column")
+        blocks.select("column", "codec", "header")
+        .groupBy("column", "codec")
         .agg(F.first("header").alias("header"))
         .collect()
     )
-    return {r["column"]: json.loads(r["header"]) for r in rows}
+    out: dict[str, dict] = {}
+    for r in rows:
+        h = json.loads(r["header"])
+        cur = out.get(r["column"])
+        if cur is None or (h.get("codec") == "xref" and cur.get("codec") != "xref"):
+            if cur is not None and cur.get("codec") == "xref":
+                h.setdefault("params", {})["extra_refs"] = cur["params"].get(
+                    "extra_refs", []
+                ) + [cur["params"]["ref"]]
+            out[r["column"]] = h
+        elif h.get("codec") == "xref" and cur.get("codec") == "xref" \
+                and h["params"]["ref"] != cur["params"]["ref"]:
+            cur["params"].setdefault("extra_refs", []).append(h["params"]["ref"])
+    return out
 
 
 def _schema_from_headers(headers: dict[str, dict], columns: list[str]) -> pa.Schema:
@@ -66,15 +83,36 @@ def _fetch_closure(headers: dict[str, dict], columns: list[str]) -> list[str]:
         i += 1
         if h is None or h.get("codec") != "xref":
             continue
-        ref = h.get("params", {}).get("ref")
-        if ref and ref not in fetch:
-            if ref not in headers:
-                raise ValueError(
-                    f"column {fetch[i-1]!r} is xref-encoded against {ref!r} "
-                    "which is missing from the blocks table"
-                )
-            fetch.append(ref)
+        p = h.get("params", {})
+        for ref in [p.get("ref")] + list(p.get("extra_refs", [])):
+            if ref and ref not in fetch:
+                if ref not in headers:
+                    raise ValueError(
+                        f"column {fetch[i-1]!r} is xref-encoded against "
+                        f"{ref!r} which is missing from the blocks table"
+                    )
+                fetch.append(ref)
     return fetch
+
+
+def _with_src_key(blocks: DataFrame) -> DataFrame:
+    """Project (source-file, part_id, block_id, column, header, payload).
+
+    The source file disambiguates block groups across independently-run
+    encode jobs (each restarts partition ids at 0 — e.g. the batch dirs of a
+    resumable out_dir): without it, equal-numbered blocks of different rows
+    would merge into one group. Encode writers emit whole groups per file,
+    so (file, part_id, block_id) is unique. Plans where
+    ``input_file_name()`` is undefined (multi-source unions/joins, or blocks
+    that never touched disk) fall back to a constant — correct for the
+    single job that produced such a DataFrame."""
+    base = ["part_id", "block_id", "column", "header", "payload"]
+    try:
+        out = blocks.select(F.input_file_name().alias("__src"), *base)
+        out.schema  # force analysis: MULTI_SOURCES_UNSUPPORTED surfaces here
+        return out
+    except Exception:
+        return blocks.select(F.lit("").alias("__src"), *base)
 
 
 def _decode_group(grp: dict[str, tuple[str, bytes]], columns: list[str],
@@ -137,27 +175,26 @@ def decode_table(blocks: DataFrame, columns: list[str] | None = None,
     # Restrict to the fetched columns BEFORE grouping: otherwise the
     # group-complete test (len(grp) == ncols) counts blocks of columns the
     # caller never asked for, firing early or never (column-subset decode).
-    part = (
-        blocks.select("part_id", "block_id", "column", "header", "payload")
-        .filter(F.col("column").isin(fetch_cols))
-    )
+    # Group key = (source file, part_id, block_id): see _with_src_key.
+    part = _with_src_key(blocks).filter(F.col("column").isin(fetch_cols))
     if num_partitions:
-        part = part.repartition(num_partitions, "part_id", "block_id")
+        part = part.repartition(num_partitions, "__src", "part_id", "block_id")
     else:
-        part = part.repartition("part_id", "block_id")
-    part = part.sortWithinPartitions("part_id", "block_id")
+        part = part.repartition("__src", "part_id", "block_id")
+    part = part.sortWithinPartitions("__src", "part_id", "block_id")
 
     def dec(batches):
-        pending: dict[tuple[int, int], dict[str, tuple[str, bytes]]] = {}
+        pending: dict[tuple, dict[str, tuple[str, bytes]]] = {}
 
         for batch in batches:
-            pids = batch.column(0).to_pylist()
-            bids = batch.column(1).to_pylist()
-            cols_ = batch.column(2).to_pylist()
-            hdrs = batch.column(3).to_pylist()
-            pays = batch.column(4)
+            srcs = batch.column(0).to_pylist()
+            pids = batch.column(1).to_pylist()
+            bids = batch.column(2).to_pylist()
+            cols_ = batch.column(3).to_pylist()
+            hdrs = batch.column(4).to_pylist()
+            pays = batch.column(5)
             for i in range(batch.num_rows):
-                key = (pids[i], bids[i])
+                key = (srcs[i], pids[i], bids[i])
                 grp = pending.setdefault(key, {})
                 grp[cols_[i]] = (hdrs[i], pays[i].as_py())
                 if len(grp) == ncols:
@@ -244,17 +281,14 @@ def decode_to_parquet(blocks: DataFrame, out_dir: str,
     ncols = len(fetch_cols)
     os.makedirs(out_dir, exist_ok=True)
 
-    # Same column-subset rule as decode_table: filter first so the
-    # group-complete test counts only fetched columns.
-    part = (
-        blocks.select("part_id", "block_id", "column", "header", "payload")
-        .filter(F.col("column").isin(fetch_cols))
-    )
+    # Same column-subset and (file, part_id, block_id) group-key rules as
+    # decode_table (_with_src_key).
+    part = _with_src_key(blocks).filter(F.col("column").isin(fetch_cols))
     if num_partitions:
-        part = part.repartition(num_partitions, "part_id", "block_id")
+        part = part.repartition(num_partitions, "__src", "part_id", "block_id")
     else:
-        part = part.repartition("part_id", "block_id")
-    part = part.sortWithinPartitions("part_id", "block_id")
+        part = part.repartition("__src", "part_id", "block_id")
+    part = part.sortWithinPartitions("__src", "part_id", "block_id")
 
     def dec(batches):
         import pyarrow.parquet as _pq
@@ -281,16 +315,17 @@ def decode_to_parquet(blocks: DataFrame, out_dir: str,
                     pass
         writer = None
         n_rows = 0
-        pending: dict[tuple[int, int], dict[str, tuple[str, bytes]]] = {}
+        pending: dict[tuple, dict[str, tuple[str, bytes]]] = {}
 
         for batch in batches:
-            pids = batch.column(0).to_pylist()
-            bids = batch.column(1).to_pylist()
-            cols_ = batch.column(2).to_pylist()
-            hdrs = batch.column(3).to_pylist()
-            pays = batch.column(4)
+            srcs = batch.column(0).to_pylist()
+            pids = batch.column(1).to_pylist()
+            bids = batch.column(2).to_pylist()
+            cols_ = batch.column(3).to_pylist()
+            hdrs = batch.column(4).to_pylist()
+            pays = batch.column(5)
             for i in range(batch.num_rows):
-                key = (pids[i], bids[i])
+                key = (srcs[i], pids[i], bids[i])
                 grp = pending.setdefault(key, {})
                 grp[cols_[i]] = (hdrs[i], pays[i].as_py())
                 if len(grp) == ncols:

@@ -7,6 +7,7 @@ storing the whole value — lossless on ANY input.
 import numpy as np
 import pyarrow as pa
 import pytest
+from pyspark.sql import functions as F
 from hypothesis import HealthCheck, given, settings, strategies as st
 
 from nail_parquet_spark.codec import decode_array, encode_array
@@ -181,3 +182,32 @@ def test_xref_codec_validation(spark, tmp_path):
             df, columns=["html", "text", "url"],
             codecs={"html": "xref:text", "text": "xref:url", "url": "zstd"},
         ).collect()
+
+
+def test_xref_mixed_codec_batches_decode(spark, tmp_path):
+    """A resumable out_dir can mix batches encoded by different jobs — e.g.
+    html as plain zstd in old batches and xref in new ones. Subset decode of
+    html must still pull the text blocks (the header closure looks at every
+    (column, codec) pair, not just the first header)."""
+    from nail_parquet_spark.codec.decode import decode_table, verify_roundtrip
+    from nail_parquet_spark.codec.encode import encode_parquet_dir
+    from nail_parquet_spark.synth import webpages_spark
+
+    src = str(tmp_path / "pages")
+    webpages_spark(spark, 4_000, seed=13, n_parts=2).write.parquet(src)
+    import glob as _glob
+
+    files = sorted(_glob.glob(src + "/*.parquet"))
+    enc = str(tmp_path / "enc")
+    base = {"url": "zstd", "warc_ts": "for_bitpack", "text": "zstd", "lang": "dict"}
+    encode_parquet_dir(spark, [files[0]], enc + "/batch=old",
+                       codecs={**base, "html": "zstd"}).collect()
+    encode_parquet_dir(spark, files[1:], enc + "/batch=new",
+                       codecs={**base, "html": "xref:text:3"}).collect()
+    # both jobs restart part_id at 0 — decode_table's (file, part_id,
+    # block_id) group key must keep their equal-numbered blocks apart
+    blocks = spark.read.parquet(enc + "/batch=old", enc + "/batch=new")
+    dec = decode_table(blocks, columns=["url", "html"])
+    res = verify_roundtrip(
+        spark.read.parquet(src).select("url", "html"), dec, key="url")
+    assert res["joined_rows"] == 4_000 and res["total_mismatches"] == 0
