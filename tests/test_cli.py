@@ -274,3 +274,22 @@ def test_dedup_columns_types_not_conflated(spark):
 
     df = spark.createDataFrame([(1, "1"), (2, "2")], "i long, s string")
     assert dedup_columns(df).columns == ["i", "s"]
+
+
+def test_cli_encode_xref_roundtrip(spark, tmp_path, capsys):
+    """User-facing xref: optimize --codecs routes html through the
+    cross-column codec and --validate confirms bit-identity; decode of the
+    xref column alone pulls the reference blocks."""
+    from nail_parquet_spark.synth import webpages_spark
+
+    src = str(tmp_path / "pages")
+    webpages_spark(spark, 2_000, seed=3, n_parts=1).write.parquet(src)
+    blocks = str(tmp_path / "blk")
+    run("optimize", src, "-o", blocks, "--validate",
+        "--codecs", '{"html": "xref:text:3"}')
+    assert "match=True" in capsys.readouterr().out
+    out = str(tmp_path / "dec")
+    run("decode", blocks, "-o", out, "-c", "url,html")
+    got = spark.read.parquet(out)
+    assert set(got.columns) == {"url", "html"}
+    assert got.count() == 2_000
