@@ -16,36 +16,36 @@ from pyspark.sql import DataFrame, functions as F
 from nail_parquet_spark.codec.kernels import EncodedBlock, decode_array
 
 
-def _headers_by_column(blocks: DataFrame) -> dict[str, dict]:
-    """One parsed header per (column, codec) — a tiny driver-side metadata
-    read, like a parquet footer fetch. Grouping by codec as well covers
-    blocks tables whose batches were encoded by different jobs with
-    different codec choices (e.g. a resumable out_dir mixing pre-xref and
-    xref batches): the fetch closure must see EVERY codec a column uses, so
-    an xref header is preferred as the column's representative and any
-    additional xref refs are merged into its params."""
+def _headers_by_column(blocks: DataFrame) -> tuple[dict[str, dict], dict[str, set]]:
+    """(one parsed header per column, every xref reference per column) — a
+    tiny driver-side metadata read, like a parquet footer fetch.
+
+    Grouping by (column, codec, xref-ref) covers blocks tables whose batches
+    were encoded by different jobs with different codec choices (a resumable
+    out_dir mixing pre-xref and xref batches, or even two xref batches with
+    different references): the fetch closure must see EVERY reference any
+    block of a column uses. The blocks `codec` column holds the normalized
+    name ('xref', no ref), so the ref is pulled from the header JSON."""
     import json
 
     rows = (
-        blocks.select("column", "codec", "header")
-        .groupBy("column", "codec")
+        blocks.select(
+            "column", "codec",
+            F.get_json_object("header", "$.params.ref").alias("__ref"),
+            "header",
+        )
+        .groupBy("column", "codec", "__ref")
         .agg(F.first("header").alias("header"))
         .collect()
     )
-    out: dict[str, dict] = {}
+    headers: dict[str, dict] = {}
+    refs: dict[str, set] = {}
     for r in rows:
         h = json.loads(r["header"])
-        cur = out.get(r["column"])
-        if cur is None or (h.get("codec") == "xref" and cur.get("codec") != "xref"):
-            if cur is not None and cur.get("codec") == "xref":
-                h.setdefault("params", {})["extra_refs"] = cur["params"].get(
-                    "extra_refs", []
-                ) + [cur["params"]["ref"]]
-            out[r["column"]] = h
-        elif h.get("codec") == "xref" and cur.get("codec") == "xref" \
-                and h["params"]["ref"] != cur["params"]["ref"]:
-            cur["params"].setdefault("extra_refs", []).append(h["params"]["ref"])
-    return out
+        headers.setdefault(r["column"], h)
+        if h.get("codec") == "xref":
+            refs.setdefault(r["column"], set()).add(h["params"]["ref"])
+    return headers, refs
 
 
 def _schema_from_headers(headers: dict[str, dict], columns: list[str]) -> pa.Schema:
@@ -69,33 +69,31 @@ def _schema_from_headers(headers: dict[str, dict], columns: list[str]) -> pa.Sch
 
 def blocks_arrow_schema(blocks: DataFrame, columns: list[str]) -> pa.Schema:
     """Reconstruct the original Arrow schema from one header per column."""
-    return _schema_from_headers(_headers_by_column(blocks), columns)
+    return _schema_from_headers(_headers_by_column(blocks)[0], columns)
 
 
-def _fetch_closure(headers: dict[str, dict], columns: list[str]) -> list[str]:
+def _fetch_closure(headers: dict[str, dict], refs: dict[str, set],
+                   columns: list[str]) -> list[str]:
     """Columns whose blocks must be FETCHED to decode ``columns``: xref
     codecs (kernels.py) pull in their reference column even when the caller
     didn't request it (column-subset decode of an xref column alone)."""
     fetch = list(columns)
     i = 0
     while i < len(fetch):
-        h = headers.get(fetch[i])
+        c = fetch[i]
         i += 1
-        if h is None or h.get("codec") != "xref":
-            continue
-        p = h.get("params", {})
-        for ref in [p.get("ref")] + list(p.get("extra_refs", [])):
-            if ref and ref not in fetch:
+        for ref in sorted(refs.get(c, ())):
+            if ref not in fetch:
                 if ref not in headers:
                     raise ValueError(
-                        f"column {fetch[i-1]!r} is xref-encoded against "
-                        f"{ref!r} which is missing from the blocks table"
+                        f"column {c!r} is xref-encoded against {ref!r} "
+                        "which is missing from the blocks table"
                     )
                 fetch.append(ref)
     return fetch
 
 
-def _with_src_key(blocks: DataFrame) -> DataFrame:
+def _with_src_key(blocks: DataFrame, file_keyed: bool = True) -> DataFrame:
     """Project (source-file, part_id, block_id, column, header, payload).
 
     The source file disambiguates block groups across independently-run
@@ -105,14 +103,27 @@ def _with_src_key(blocks: DataFrame) -> DataFrame:
     so (file, part_id, block_id) is unique. Plans where
     ``input_file_name()`` is undefined (multi-source unions/joins, or blocks
     that never touched disk) fall back to a constant — correct for the
-    single job that produced such a DataFrame."""
+    single job that produced such a DataFrame.
+
+    ``file_keyed=False`` drops the file from the key — needed for block
+    tables that were repartitioned/compacted AFTER encoding (groups may span
+    files there), and only safe when ALL blocks come from one encode job."""
     base = ["part_id", "block_id", "column", "header", "payload"]
+    if not file_keyed:
+        return blocks.select(F.lit("").alias("__src"), *base)
     try:
         out = blocks.select(F.input_file_name().alias("__src"), *base)
         out.schema  # force analysis: MULTI_SOURCES_UNSUPPORTED surfaces here
         return out
     except Exception:
         return blocks.select(F.lit("").alias("__src"), *base)
+
+
+_GROUP_HINT = (
+    " (if this blocks table was repartitioned or compacted after encoding so "
+    "groups span files, pass file_keyed=False — only safe when all blocks "
+    "come from ONE encode job)"
+)
 
 
 def _decode_group(grp: dict[str, tuple[str, bytes]], columns: list[str],
@@ -161,22 +172,24 @@ def _spark_ddl_of(schema: pa.Schema) -> str:
 
 
 def decode_table(blocks: DataFrame, columns: list[str] | None = None,
-                 num_partitions: int | None = None) -> DataFrame:
+                 num_partitions: int | None = None,
+                 file_keyed: bool = True) -> DataFrame:
     if columns is None:
         columns = [r["column"] for r in blocks.select("column").distinct().collect()]
-    headers = _headers_by_column(blocks)
+    headers, refs = _headers_by_column(blocks)
     out_schema = _schema_from_headers(headers, columns)
     ddl = _spark_ddl_of(out_schema)
     # xref columns need their reference column's blocks in the group even
     # when the caller didn't request it
-    fetch_cols = _fetch_closure(headers, columns)
-    ncols = len(fetch_cols)
+    fetch_cols = _fetch_closure(headers, refs, columns)
 
-    # Restrict to the fetched columns BEFORE grouping: otherwise the
-    # group-complete test (len(grp) == ncols) counts blocks of columns the
-    # caller never asked for, firing early or never (column-subset decode).
-    # Group key = (source file, part_id, block_id): see _with_src_key.
-    part = _with_src_key(blocks).filter(F.col("column").isin(fetch_cols))
+    # Restrict to the fetched columns BEFORE grouping, then co-locate and
+    # sort each (file, part_id, block_id) group's rows. Groups flush on key
+    # transition (the sort makes a group's rows adjacent), and completeness
+    # is judged PER GROUP against the requested columns — so batches encoded
+    # by different jobs with different column sets or codecs each decode by
+    # their own dependencies instead of a global column count.
+    part = _with_src_key(blocks, file_keyed).filter(F.col("column").isin(fetch_cols))
     if num_partitions:
         part = part.repartition(num_partitions, "__src", "part_id", "block_id")
     else:
@@ -184,7 +197,17 @@ def decode_table(blocks: DataFrame, columns: list[str] | None = None,
     part = part.sortWithinPartitions("__src", "part_id", "block_id")
 
     def dec(batches):
-        pending: dict[tuple, dict[str, tuple[str, bytes]]] = {}
+        cur_key = None
+        grp: dict[str, tuple[str, bytes]] = {}
+
+        def flush():
+            missing = [c for c in columns if c not in grp]
+            if missing:
+                raise ValueError(
+                    f"block group {cur_key} is missing requested columns "
+                    f"{missing}{_GROUP_HINT}"
+                )
+            return _decode_group(grp, columns, out_schema)
 
         for batch in batches:
             srcs = batch.column(0).to_pylist()
@@ -195,20 +218,14 @@ def decode_table(blocks: DataFrame, columns: list[str] | None = None,
             pays = batch.column(5)
             for i in range(batch.num_rows):
                 key = (srcs[i], pids[i], bids[i])
-                grp = pending.setdefault(key, {})
+                if key != cur_key:
+                    if grp:
+                        yield flush()
+                    cur_key = key
+                    grp = {}
                 grp[cols_[i]] = (hdrs[i], pays[i].as_py())
-                if len(grp) == ncols:
-                    yield _decode_group(pending.pop(key), columns, out_schema)
-        if pending:
-            # After the column filter every group must complete; a leftover
-            # means a block group is missing one of the requested columns —
-            # corrupt/partial input. Fail loudly rather than drop rows.
-            key = next(iter(pending))
-            missing = [c for c in fetch_cols if c not in pending[key]]
-            raise ValueError(
-                f"incomplete block group {key}: missing columns {missing} "
-                f"({len(pending)} incomplete groups in this partition)"
-            )
+        if grp:
+            yield flush()
 
     return part.mapInArrow(dec, schema=ddl)
 
@@ -262,7 +279,8 @@ def verify_roundtrip(source: DataFrame, decoded: DataFrame, key: str = "url",
 def decode_to_parquet(blocks: DataFrame, out_dir: str,
                       columns: list[str] | None = None,
                       num_partitions: int | None = None,
-                      compression: str = "snappy") -> DataFrame:
+                      compression: str = "snappy",
+                      file_keyed: bool = True) -> DataFrame:
     """Sink-side decode: tasks write decoded rows straight to parquet with
     the pyarrow C++ writer, so the decoded raw bytes never cross the
     Python->JVM boundary (the mirror of ``encode_parquet_files`` — measured
@@ -275,15 +293,14 @@ def decode_to_parquet(blocks: DataFrame, out_dir: str,
 
     if columns is None:
         columns = [r["column"] for r in blocks.select("column").distinct().collect()]
-    headers = _headers_by_column(blocks)
+    headers, refs = _headers_by_column(blocks)
     out_schema = _schema_from_headers(headers, columns)
-    fetch_cols = _fetch_closure(headers, columns)
-    ncols = len(fetch_cols)
+    fetch_cols = _fetch_closure(headers, refs, columns)
     os.makedirs(out_dir, exist_ok=True)
 
-    # Same column-subset and (file, part_id, block_id) group-key rules as
-    # decode_table (_with_src_key).
-    part = _with_src_key(blocks).filter(F.col("column").isin(fetch_cols))
+    # Same column-subset, group-key, and flush-on-transition rules as
+    # decode_table.
+    part = _with_src_key(blocks, file_keyed).filter(F.col("column").isin(fetch_cols))
     if num_partitions:
         part = part.repartition(num_partitions, "__src", "part_id", "block_id")
     else:
@@ -315,7 +332,17 @@ def decode_to_parquet(blocks: DataFrame, out_dir: str,
                     pass
         writer = None
         n_rows = 0
-        pending: dict[tuple, dict[str, tuple[str, bytes]]] = {}
+        cur_key = None
+        grp: dict[str, tuple[str, bytes]] = {}
+
+        def flush():
+            missing = [c for c in columns if c not in grp]
+            if missing:
+                raise ValueError(
+                    f"block group {cur_key} is missing requested columns "
+                    f"{missing}{_GROUP_HINT}"
+                )
+            return _decode_group(grp, columns, out_schema)
 
         for batch in batches:
             srcs = batch.column(0).to_pylist()
@@ -326,21 +353,22 @@ def decode_to_parquet(blocks: DataFrame, out_dir: str,
             pays = batch.column(5)
             for i in range(batch.num_rows):
                 key = (srcs[i], pids[i], bids[i])
-                grp = pending.setdefault(key, {})
+                if key != cur_key:
+                    if grp:
+                        rb = flush()
+                        if writer is None:
+                            writer = _pq.ParquetWriter(tmp, out_schema, compression=compression)
+                        writer.write_batch(rb)
+                        n_rows += rb.num_rows
+                    cur_key = key
+                    grp = {}
                 grp[cols_[i]] = (hdrs[i], pays[i].as_py())
-                if len(grp) == ncols:
-                    rb = _decode_group(pending.pop(key), columns, out_schema)
-                    if writer is None:
-                        writer = _pq.ParquetWriter(tmp, out_schema, compression=compression)
-                    writer.write_batch(rb)
-                    n_rows += rb.num_rows
-        if pending:
-            key = next(iter(pending))
-            missing = [c for c in fetch_cols if c not in pending[key]]
-            raise ValueError(
-                f"incomplete block group {key}: missing columns {missing} "
-                f"({len(pending)} incomplete groups in this partition)"
-            )
+        if grp:
+            rb = flush()
+            if writer is None:
+                writer = _pq.ParquetWriter(tmp, out_schema, compression=compression)
+            writer.write_batch(rb)
+            n_rows += rb.num_rows
         if writer is not None:
             writer.close()
             os.replace(tmp, path)
@@ -373,10 +401,9 @@ def decode_parquet_dir(spark, blocks_dir: str, out_dir: str,
     blocks = spark.read.parquet(blocks_dir)
     if columns is None:
         columns = [r["column"] for r in blocks.select("column").distinct().collect()]
-    headers = _headers_by_column(blocks)
+    headers, refs = _headers_by_column(blocks)
     out_schema = _schema_from_headers(headers, columns)
-    fetch_cols = _fetch_closure(headers, columns)
-    ncols = len(fetch_cols)
+    fetch_cols = _fetch_closure(headers, refs, columns)
     os.makedirs(out_dir, exist_ok=True)
 
     items = spark.createDataFrame([(f,) for f in files], "path string").repartition(len(files))
@@ -423,11 +450,14 @@ def decode_parquet_dir(spark, blocks_dir: str, out_dir: str,
                         continue  # column-subset decode: ignore unrequested blocks
                     groups.setdefault((pids[i], bids[i]), {})[cols_[i]] = (hdrs[i], pays[i].as_py())
                 for key, grp in groups.items():
-                    if len(grp) != ncols:
-                        missing = [c for c in fetch_cols if c not in grp]
+                    # completeness is per group against the REQUESTED
+                    # columns (xref deps raise inside _decode_group): blocks
+                    # of heterogeneous jobs may carry different column sets
+                    missing = [c for c in columns if c not in grp]
+                    if missing:
                         raise ValueError(
-                            f"incomplete block group {key} in {path}: "
-                            f"missing columns {missing}"
+                            f"block group {key} in {path} is missing "
+                            f"requested columns {missing}"
                         )
                     rb = _decode_group(grp, columns, out_schema)
                     if writer is None:

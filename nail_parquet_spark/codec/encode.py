@@ -52,19 +52,32 @@ def _stat_strings(arr: pa.Array) -> tuple[str | None, str | None, int]:
 def choose_codecs_for_df(
     df: DataFrame, columns: list[str], policy: str = "balanced",
     sample_rows: int = 8192, min_mbps: float = 40.0,
+    pinned: dict[str, str] | None = None,
 ) -> dict[str, str]:
     """One driver-side sampled selection pass -> codec decision table,
     broadcast to all encoder tasks (SURVEY.md §4.3 'codec auto-selector').
 
     Selecting once per job (not once per partition) keeps trial-encode cost
     out of the hot path — at 1000 executors the alternative is 1000
-    redundant trial encodes per column."""
-    sample = df.select(*columns).limit(sample_rows).toArrow()
-    arrs = {c: sample.column(c).combine_chunks() for c in columns}
-    out = {}
+    redundant trial encodes per column.
+
+    ``pinned`` columns keep their caller-forced codec but ARE sampled (only
+    the str/bin ones — other kinds can't be references) so the xref upgrade
+    may reference them. Returns choices for ``columns`` only."""
+    pinned = dict(pinned or {})
+    ref_candidates = [
+        c for c, t in df.select(*pinned).dtypes
+        if t in ("string", "binary")
+    ] if pinned else []
+    allc = list(columns) + [c for c in ref_candidates if c not in columns]
+    sample = df.select(*allc).limit(sample_rows).toArrow()
+    arrs = {c: sample.column(c).combine_chunks() for c in allc}
+    out = {c: pinned[c] for c in ref_candidates}
     for c in columns:
         out[c] = choose_codec(arrs[c], policy=policy, min_mbps=min_mbps)[0]
-    return xref_upgrade(arrs, out, policy=policy, min_mbps=min_mbps)
+    out = xref_upgrade(arrs, out, policy=policy, min_mbps=min_mbps,
+                       upgradable=list(columns))
+    return {c: out[c] for c in columns}
 
 
 def _validate_codecs(chosen: dict[str, str], cols: list[str]) -> None:
@@ -101,7 +114,10 @@ def encode_table(
     chosen = dict(codecs or {})
     missing = [c for c in cols if c not in chosen]
     if missing:
-        chosen.update(choose_codecs_for_df(df, missing, policy, sample_rows))
+        chosen.update(choose_codecs_for_df(
+            df, missing, policy, sample_rows,
+            pinned={c: v for c, v in chosen.items() if c in cols},
+        ))
     _validate_codecs(chosen, cols)
     proj = df.select(*cols)
 
@@ -248,12 +264,25 @@ def _plan_parquet_encode(spark, path, columns, codecs, policy, sample_rows,
     chosen = dict(codecs or {})
     missing = [c for c in all_cols if c not in chosen]
     if missing:
-        # sample ALL encoded columns (not just the unpinned ones): the xref
-        # upgrade may reference a pinned column as its decode-independent ref
-        sample = first.read_row_group(0, columns=all_cols)
+        # sample the unpinned columns plus any str/bin PINNED columns (the
+        # xref upgrade may reference a pinned column as its
+        # decode-independent ref; other kinds can never be references, so
+        # reading them would be wasted planning I/O)
+        schema = first.schema_arrow
+        pinned_refs = [
+            c for c in all_cols
+            if c not in missing and (
+                pa.types.is_string(schema.field(c).type)
+                or pa.types.is_large_string(schema.field(c).type)
+                or pa.types.is_binary(schema.field(c).type)
+                or pa.types.is_large_binary(schema.field(c).type)
+            )
+        ]
+        sample_cols = missing + pinned_refs
+        sample = first.read_row_group(0, columns=sample_cols)
         arrs = {
             c: sample.column(c).combine_chunks().slice(0, sample_rows)
-            for c in all_cols
+            for c in sample_cols
         }
         for c in missing:
             chosen[c] = choose_codec(arrs[c], policy=policy)[0]

@@ -247,14 +247,19 @@ def xref_upgrade(
     References must themselves stay non-xref (no chains) so any column
     subset decodes with at most one dependency hop. Only columns listed in
     ``upgradable`` (default: all) are rewritten — pinned codecs stay."""
-    from nail_parquet_spark.codec.kernels import encode_array as _enc
+    from nail_parquet_spark.codec.kernels import encode_array as _enc, xref_ref_of
 
     kinds = {c: kind_of(a.type) for c, a in arrs.items()}
     strbin = [c for c in arrs if kinds[c] in ("str", "bin") and len(arrs[c])]
     stats = {c: column_stats(arrs[c]) for c in strbin}
     candidates = upgradable if upgradable is not None else list(chosen)
+    # columns already serving as someone's reference must stay non-xref —
+    # upgrading one later (html→xref:text, then text→xref:title) would form
+    # a chain the encoder rejects
+    used_as_ref = {r for cd in chosen.values() if (r := xref_ref_of(cd))}
     for a in candidates:
-        if a not in strbin or chosen.get(a, "").startswith("xref"):
+        if (a not in strbin or chosen.get(a, "").startswith("xref")
+                or a in used_as_ref):
             continue
         refs = [
             b for b in strbin
@@ -292,4 +297,7 @@ def xref_upgrade(
             if len(blk.payload) < best[1]:
                 best = (cand, len(blk.payload))
         chosen[a] = best[0]
+        ref = xref_ref_of(best[0])
+        if ref:
+            used_as_ref.add(ref)
     return chosen

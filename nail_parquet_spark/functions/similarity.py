@@ -142,11 +142,30 @@ def ivf_centroids(df: DataFrame, vec_col: str, k: int = 16, seed: int = 42,
     full scan."""
     import numpy as np
 
-    # limit() alone bounds the sample without a full-table count() action;
-    # which rows land in the prefix is layout-dependent, but centroid quality
-    # only affects recall/balance, never correctness (exact rerank follows)
-    sample = df.select(vec_col).limit(10_000)
-    X = np.array(sample.toPandas()[vec_col].tolist(), dtype="float64")
+    # Bounded sample WITHOUT a full-table count(): take the head of every
+    # partition (mapInPandas early-exits after its quota, reading only the
+    # first batches), so centroids see all regions of a clustered/sorted
+    # layout — a bare limit() would draw only from the leading partitions
+    # and could collapse recall when the table is sorted by similarity.
+    # Centroid quality still only affects recall/balance, never correctness
+    # (exact rerank follows).
+    vec_df = df.select(vec_col)
+    n_parts = max(1, vec_df.rdd.getNumPartitions())
+    per_part = max(1, -(-10_000 // n_parts))  # ceil
+
+    def head_per_partition(pdfs):
+        taken = 0
+        for pdf in pdfs:
+            if taken >= per_part:
+                break
+            chunk = pdf.head(per_part - taken)
+            taken += len(chunk)
+            yield chunk
+
+    sample = vec_df.mapInPandas(head_per_partition, schema=vec_df.schema)
+    X = np.array(
+        sample.toPandas()[vec_col].tolist()[:10_000], dtype="float64"
+    )
     if len(X) < k:
         k = max(1, len(X))
     rng = np.random.default_rng(seed)

@@ -427,15 +427,27 @@ def correlation_pvalue(r: float, n: int) -> float:
 def correlations_with_pvalues(df: DataFrame, columns: list[str] | None = None,
                               method: str = "pearson") -> DataFrame:
     """Long-form correlations + the t-statistic and two-sided p-value
-    (reference stats.rs:276-342: the same t-transform)."""
-    n = df.count()
-    corr = correlations(df, columns, method)
-    rows = [
-        (r["column_a"], r["column_b"], r["correlation"],
-         float(correlation_t_stat(r["correlation"], n)) if r["correlation"] is not None else None,
-         float(correlation_pvalue(r["correlation"], n)) if r["correlation"] is not None else None)
-        for r in corr.collect()
+    (reference stats.rs:276-342: the same t-transform).
+
+    The degrees of freedom use the PER-PAIR both-non-null count — F.corr
+    does pairwise deletion, so a table-level count() would overstate n (and
+    the significance) for columns with nulls."""
+    corr_rows = correlations(df, columns, method).collect()
+    pairs = [(r["column_a"], r["column_b"]) for r in corr_rows]
+    n_aggs = [
+        F.count(F.when(F.col(a).isNotNull() & F.col(b).isNotNull(), 1)).alias(str(i))
+        for i, (a, b) in enumerate(pairs)
     ]
+    ns = df.agg(*n_aggs).collect()[0]
+    rows = []
+    for i, r in enumerate(corr_rows):
+        n = int(ns[str(i)])
+        cr = r["correlation"]
+        rows.append((
+            r["column_a"], r["column_b"], cr,
+            float(correlation_t_stat(cr, n)) if cr is not None else None,
+            float(correlation_pvalue(cr, n)) if cr is not None else None,
+        ))
     return df.sparkSession.createDataFrame(
         rows,
         "column_a string, column_b string, correlation double, "

@@ -265,3 +265,22 @@ def test_correlation_pvalue_known_values():
     assert abs(correlation_t_stat(0.5, 10) - 0.5 * math.sqrt(8 / 0.75)) < 1e-12
     assert correlation_t_stat(-0.5, 10) == -correlation_t_stat(0.5, 10)
     assert math.isnan(correlation_pvalue(0.5, 2))
+
+
+def test_correlation_pvalues_pairwise_n(spark):
+    """Significance must use the per-pair both-non-null count, not the table
+    row count: F.corr does pairwise deletion, so nulls shrink n."""
+    import math
+
+    rows = [(float(i), float(i) * 0.5 + (i % 3)) for i in range(40)]
+    data = rows + [(float(i), None) for i in range(40, 4000)]
+    df = spark.createDataFrame(data, "a double, b double")
+    out = ops.correlations_with_pvalues(df, ["a", "b"])
+    r = {(x["column_a"], x["column_b"]): x for x in out.collect()}[("a", "b")]
+    from nail_parquet_spark.operators.agg import correlation_t_stat
+
+    # n must be 40 (complete pairs), not 4000
+    want_t = correlation_t_stat(r["correlation"], 40)
+    assert math.isclose(r["t_stat"], want_t, rel_tol=1e-9), (r["t_stat"], want_t)
+    wrong_t = correlation_t_stat(r["correlation"], 4000)
+    assert abs(r["t_stat"]) < abs(wrong_t) / 5

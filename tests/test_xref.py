@@ -211,3 +211,98 @@ def test_xref_mixed_codec_batches_decode(spark, tmp_path):
     res = verify_roundtrip(
         spark.read.parquet(src).select("url", "html"), dec, key="url")
     assert res["joined_rows"] == 4_000 and res["total_mismatches"] == 0
+
+
+def test_xref_upgrade_never_forms_chains():
+    """html embeds text embeds title: upgrading html->xref:text must lock
+    text as a reference so it is never itself upgraded to xref:title."""
+    title = [f"section header {i} of the document" for i in range(400)]
+    text = [f"{t} with a longer body {' '.join(f'w{j}' for j in range(40))}"
+            for i, t in enumerate(title)]
+    html = [f"<html><body>{x}</body></html>" for x in text]
+    arrs = {
+        "html": pa.array(html, pa.string()),
+        "text": pa.array(text, pa.string()),
+        "title": pa.array(title, pa.string()),
+    }
+    chosen = xref_upgrade(arrs, {"html": "zstd:6", "text": "zstd:6", "title": "zstd:6"})
+    from nail_parquet_spark.codec.encode import _validate_codecs
+
+    _validate_codecs(chosen, list(arrs))  # must not raise (no chains)
+    refs = {c for cd in chosen.values() if cd.startswith("xref")
+            for c in [cd.split(":")[1]]}
+    for r in refs:
+        assert not chosen[r].startswith("xref"), chosen
+
+
+def test_xref_different_refs_across_batches(spark, tmp_path):
+    """Two jobs xref the same column against DIFFERENT references; subset
+    decode must pull BOTH reference columns (closure reads every
+    (column, codec, ref) header, not just the first)."""
+    from nail_parquet_spark.codec.decode import decode_table, verify_roundtrip
+    from nail_parquet_spark.codec.encode import encode_parquet_dir
+    from nail_parquet_spark.synth import webpages_spark
+
+    src = str(tmp_path / "pages")
+    webpages_spark(spark, 4_000, seed=17, n_parts=2).write.parquet(src)
+    import glob as _glob
+
+    files = sorted(_glob.glob(src + "/*.parquet"))
+    enc = str(tmp_path / "enc")
+    base = {"warc_ts": "for_bitpack", "lang": "dict"}
+    # url embeds... nothing; use text as ref in one batch and url in the
+    # other (url is embedded in html? no — but xref falls back per row, so
+    # the second batch simply stores whole values; the closure still needs
+    # url blocks to decode those groups)
+    encode_parquet_dir(spark, [files[0]], enc + "/batch=a",
+                       codecs={**base, "url": "zstd", "text": "zstd",
+                               "html": "xref:text:3"}).collect()
+    encode_parquet_dir(spark, files[1:], enc + "/batch=b",
+                       codecs={**base, "url": "zstd", "text": "zstd",
+                               "html": "xref:url:3"}).collect()
+    blocks = spark.read.parquet(enc + "/batch=a", enc + "/batch=b")
+    dec = decode_table(blocks, columns=["url", "html"])
+    res = verify_roundtrip(
+        spark.read.parquet(src).select("url", "html"), dec, key="url")
+    assert res["joined_rows"] == 4_000 and res["total_mismatches"] == 0
+
+
+def test_decode_heterogeneous_column_sets(spark, tmp_path):
+    """Batches encoded with different COLUMN SETS: requesting a column every
+    batch has must decode all groups (completeness is per group, not a
+    global column count)."""
+    from nail_parquet_spark.codec.decode import decode_table
+    from nail_parquet_spark.codec.encode import encode_parquet_dir
+    from nail_parquet_spark.synth import webpages_spark
+
+    src = str(tmp_path / "pages")
+    webpages_spark(spark, 3_000, seed=19, n_parts=2).write.parquet(src)
+    import glob as _glob
+
+    files = sorted(_glob.glob(src + "/*.parquet"))
+    enc = str(tmp_path / "enc")
+    encode_parquet_dir(spark, [files[0]], enc + "/batch=a",
+                       columns=["url", "text"],
+                       codecs={"url": "zstd", "text": "zstd"}).collect()
+    encode_parquet_dir(spark, files[1:], enc + "/batch=b",
+                       columns=["url", "text", "lang"],
+                       codecs={"url": "zstd", "text": "zstd", "lang": "dict"}).collect()
+    blocks = spark.read.parquet(enc + "/batch=a", enc + "/batch=b")
+    got = decode_table(blocks, columns=["url", "text"])
+    assert got.count() == 3_000
+    # requesting a column only SOME batches carry fails loudly, not silently
+    with pytest.raises(Exception, match="missing requested columns"):
+        decode_table(blocks, columns=["url", "lang"]).count()
+
+
+def test_encode_table_pinned_column_can_be_ref(spark):
+    """A pinned text codec must still be visible to the xref upgrade as a
+    reference for the auto-selected html column."""
+    from nail_parquet_spark.codec.encode import choose_codecs_for_df
+    from nail_parquet_spark.synth import webpages_spark
+
+    df = webpages_spark(spark, 3_000, seed=23, n_parts=1)
+    chosen = choose_codecs_for_df(df, ["html"], pinned={"text": "zstd:6"},
+                                  min_mbps=120.0)
+    assert chosen["html"].startswith("xref:text"), chosen
+    assert list(chosen) == ["html"]  # pinned entries are not returned
