@@ -121,6 +121,10 @@ def candidate_codecs(kind: str, st: ColumnStats) -> list[str]:
             cands.append("dict")
         if st.byte_entropy <= 6.5 and st.avg_len >= 4:
             cands.append("fsst")
+        if st.avg_len >= 16:
+            # word-dictionary coding: wins on natural-language text (small
+            # token vocabulary); the trial rejects it when vocab explodes
+            cands.append("wdict")
         cands.append("zstd:1")  # speed tier: ~2x zstd:3 for a few % size
         cands.append("zstd")
         cands.append("zstd:6")  # the reference's configured level (optimize.rs:22)
@@ -157,6 +161,7 @@ CODEC_SPEED_MBPS = {
     "for_bitpack": 130.0,
     "delta_bitpack": 130.0,
     "fsst": 5.0,
+    "wdict": 70.0,
     # xref: C memmem match + zstd over the (much smaller) residual — the
     # effective rate is over the RAW value bytes, most of which are covered
     # by the reference and never touch the compressor
