@@ -5,3 +5,4 @@ from nail_parquet_spark.codec.kernels import (  # noqa: F401
     encode_array,
     kind_of,
 )
+from nail_parquet_spark.codec.compact import compact_blocks  # noqa: F401

@@ -1,0 +1,51 @@
+"""Compaction for encoded-blocks tables.
+
+A resumable out_dir accumulates many small block files (one per encode
+task per batch). Rewriting them with a plain ``repartition().write`` would
+break the decoder's group-per-file invariant AND leave the per-job
+(part_id, block_id) collisions in place (each encode job restarts partition
+ids at 0 — decode disambiguates by source file, which a rewrite destroys).
+
+``compact_blocks`` fixes both: block groups are RE-KEYED to globally unique
+ids derived from a 95-bit hash of (source file, part_id, block_id) — the
+same triple the decoder groups by — and co-partitioned by the new key
+before writing, so every output file again contains whole groups. The
+result decodes under any grouping mode (file-keyed or not) and is safe to
+union with the output of other encode jobs.
+
+At 100 TB this is the table-maintenance job an Iceberg ``rewrite_data_files``
+action would run: one shuffle sized by the ENCODED bytes (not raw),
+output file count = ``num_files``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def compact_blocks(blocks: DataFrame, out_dir: str,
+                   num_files: int = 32,
+                   compression: str = "none") -> None:
+    """Rewrite an encoded-blocks DataFrame into ``num_files`` parquet files
+    with globally unique group ids and whole groups per file.
+
+    ``compression`` defaults to none like the encode sink — payloads are
+    already codec-compressed."""
+    src = F.input_file_name()
+    # 95-bit group identity: two independently-seeded xxhash64 halves over
+    # the decoder's group key. Survives unioning outputs of many jobs
+    # (collision needs BOTH halves to collide: ~2^-95 per pair).
+    new_part = F.pmod(
+        F.xxhash64(F.lit(1), src, "part_id", "block_id"), F.lit(1 << 31)
+    ).cast("int")
+    new_block = F.xxhash64(F.lit(2), src, "part_id", "block_id")
+    rekeyed = (
+        blocks.withColumn("part_id", new_part)
+        .withColumn("block_id", new_block)
+    )
+    (
+        rekeyed.repartition(num_files, "part_id", "block_id")
+        .write.mode("overwrite")
+        .option("compression", compression)
+        .parquet(out_dir)
+    )

@@ -306,3 +306,48 @@ def test_encode_table_pinned_column_can_be_ref(spark):
                                   min_mbps=120.0)
     assert chosen["html"].startswith("xref:text"), chosen
     assert list(chosen) == ["html"]  # pinned entries are not returned
+
+
+def test_compact_blocks_rekeys_and_preserves_groups(spark, tmp_path):
+    """Compaction merges many small block files from SEVERAL encode jobs
+    (colliding part ids) into few files with globally unique group ids and
+    whole groups per file — decodable afterwards under any grouping mode."""
+    from nail_parquet_spark.codec.compact import compact_blocks
+    from nail_parquet_spark.codec.decode import (
+        decode_parquet_dir, decode_table, verify_roundtrip,
+    )
+    from nail_parquet_spark.codec.encode import encode_parquet_dir
+    from nail_parquet_spark.synth import webpages_spark
+
+    src = str(tmp_path / "pages")
+    webpages_spark(spark, 4_000, seed=29, n_parts=2).write.parquet(src)
+    import glob as _glob
+
+    files = sorted(_glob.glob(src + "/*.parquet"))
+    enc = str(tmp_path / "enc")
+    codecs = {"url": "zstd", "warc_ts": "for_bitpack", "html": "xref:text:3",
+              "text": "zstd", "lang": "dict"}
+    encode_parquet_dir(spark, [files[0]], enc + "/batch=a", codecs=codecs).collect()
+    encode_parquet_dir(spark, files[1:], enc + "/batch=b", codecs=codecs).collect()
+
+    cdir = str(tmp_path / "compacted")
+    compact_blocks(spark.read.parquet(enc + "/batch=a", enc + "/batch=b"),
+                   cdir, num_files=3)
+    compacted = spark.read.parquet(cdir)
+    # group ids are now globally unique: no two distinct groups share a key
+    n_groups = compacted.select("part_id", "block_id").distinct().count()
+    per_group = compacted.groupBy("part_id", "block_id").count().collect()
+    assert all(r["count"] == 5 for r in per_group), per_group  # 5 columns each
+    assert n_groups == compacted.count() // 5
+
+    # decodes with AND without file-keyed grouping
+    want = spark.read.parquet(src)
+    for kw in ({"file_keyed": True}, {"file_keyed": False}):
+        dec = decode_table(compacted, columns=want.columns, **kw)
+        res = verify_roundtrip(want, dec, key="url")
+        assert res["joined_rows"] == 4_000 and res["total_mismatches"] == 0
+    # shuffle-free per-file decode still works (whole groups per file)
+    out = str(tmp_path / "dec")
+    decode_parquet_dir(spark, cdir, out).collect()
+    res = verify_roundtrip(want, spark.read.parquet(out), key="url")
+    assert res["joined_rows"] == 4_000 and res["total_mismatches"] == 0
