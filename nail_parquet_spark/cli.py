@@ -129,6 +129,8 @@ def main(argv: list[str] | None = None) -> int:
         (("--shuffle-free",), {"action": "store_true",
                                "help": "block files are group-complete (written by this engine's sink) — decode in place, zero shuffle"}))
     add("metadata", with_output=False)
+    add("compact", (("--num-files",), {"type": int, "default": 32,
+                                       "help": "output block-file count"}))
     sub.add_parser("update")
 
     args = p.parse_args(argv)
@@ -156,6 +158,18 @@ def main(argv: list[str] | None = None) -> int:
     from nail_parquet_spark.sources.io import read_data
 
     spark = _spark(args.jobs)
+    if args.cmd == "compact":
+        # block-table maintenance: merge small block files, re-key groups
+        # globally (codec/compact.py) — not a row-table command
+        from nail_parquet_spark.codec.compact import compact_blocks
+
+        if not args.output:
+            p.error("compact requires -o/--output")
+        compact_blocks(spark.read.parquet(args.input), args.output,
+                       num_files=args.num_files)
+        n = len(spark.read.parquet(args.output).inputFiles())
+        print(f"compacted -> {args.output} ({n} files)")
+        return 0
     if args.cmd == "decode" and getattr(args, "shuffle_free", False):
         # decode_parquet_dir does its own recursive file discovery; no need
         # to plan a read of the blocks table first

@@ -293,3 +293,19 @@ def test_cli_encode_xref_roundtrip(spark, tmp_path, capsys):
     got = spark.read.parquet(out)
     assert set(got.columns) == {"url", "html"}
     assert got.count() == 2_000
+
+
+def test_cli_compact_blocks(spark, tmp_path, capsys):
+    from nail_parquet_spark.synth import webpages_spark
+
+    src = str(tmp_path / "pages")
+    webpages_spark(spark, 2_000, seed=31, n_parts=4).write.parquet(src)
+    blocks = str(tmp_path / "blk")
+    run("optimize", src, "-o", blocks)
+    capsys.readouterr()
+    cdir = str(tmp_path / "compacted")
+    run("compact", blocks, "-o", cdir, "--num-files", "2")
+    assert "compacted" in capsys.readouterr().out
+    out = str(tmp_path / "dec")
+    run("decode", cdir, "-o", out, "--shuffle-free")
+    assert spark.read.parquet(out).count() == 2_000
