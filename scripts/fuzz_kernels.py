@@ -84,5 +84,36 @@ for name, arr in arrays():
             print(f"FAIL exc   {name} {codec}: {type(e).__name__}: {e}")
             fails += 1
 
+# xref needs a paired reference array: random mix of embedded / absent /
+# null / short refs over str and bin value kinds
+for trial in range(40):
+    n = int(rng.integers(0, 120))
+    refs, vals = [], []
+    for _ in range(n):
+        r = rng.integers(0, 5)
+        ref = None if r == 0 else "w" * int(rng.integers(0, 30)) + str(rng.integers(0, 9))
+        pre = rng.integers(0, 256, int(rng.integers(0, 20)), dtype=np.uint8).tobytes()
+        post = rng.integers(0, 256, int(rng.integers(0, 20)), dtype=np.uint8).tobytes()
+        if ref is not None and rng.random() < 0.6:
+            vals.append(pre + ref.encode() + post)
+        elif rng.random() < 0.1:
+            vals.append(None)
+        else:
+            vals.append(pre + post)
+        refs.append(ref)
+    ra = pa.array(refs, pa.string())
+    for typ in (pa.binary(), pa.large_binary()):
+        va = pa.array(vals, typ)
+        try:
+            blk = encode_array(va, f"xref:r:{int(rng.integers(1, 7))}", ref_arr=ra)
+            blk2 = type(blk).from_parts(blk.header_json(), blk.payload)
+            dec = decode_array(blk2, ref_arr=ra)
+            if not (dec.type == va.type and dec.to_pylist() == va.to_pylist()):
+                print(f"FAIL xref trial {trial} {typ}")
+                fails += 1
+        except Exception as e:
+            print(f"FAIL exc xref trial {trial} {typ}: {type(e).__name__}: {e}")
+            fails += 1
+
 print("fails:", fails)
 sys.exit(1 if fails else 0)
