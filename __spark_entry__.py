@@ -748,6 +748,20 @@ def q_embedding_topk_ivf(spark, sf_dir):
     return cosine_topk_ivf(e, qs, "vec_id", "embedding", k=5, n_clusters=8, nprobe=3, seed=42)
 
 
+def q_embedding_topk_pq(spark, sf_dir):
+    """Product-quantization ANN (rows-only oracle: the ADC candidate stage
+    is approximate by design; the exact-rerank cosines are verified by the
+    shared test against cosine_topk_bruteforce)."""
+    from nail_parquet_spark.functions.similarity import cosine_topk_pq
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    qs = e.filter(F.col("vec_id") < 5)
+    return cosine_topk_pq(e, qs, "vec_id", "embedding", k=5, m=8,
+                          n_centroids=64, candidates_per_query=50, seed=42)
+
+
 def q_minhash_lsh_pairs(spark, sf_dir):
     from nail_parquet_spark.functions.dedup import (
         jaccard_verify,
@@ -811,6 +825,7 @@ _QUERIES = {
         "encode_manifest": q_encode_manifest,           # rows-only oracle
         "encode_roundtrip": q_encode_roundtrip,         # rows-only oracle
         "embedding_topk_lsh": q_embedding_topk_lsh,     # rows-only oracle
+        "embedding_topk_pq": q_embedding_topk_pq,       # rows-only oracle (NEW)
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,  # rows-only oracle
         # -- headline + remaining surface (green in r02, re-attest) --
         "q1_pricing_summary": q1_pricing_summary,
@@ -840,8 +855,8 @@ _QUERIES = {
         "text_quality": q_text_quality,
         "minhash_signatures": q_minhash_signatures,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-        "lang_id": q_lang_id,
         # -- tail (entries 51+): green in CORRECTNESS_r02, unchanged --
+        "lang_id": q_lang_id,
         "simhash_near_pairs": q_simhash_near_pairs,
         "corr_matrix": q_corr_matrix,
         "fill_mean": q_fill_mean,

@@ -134,24 +134,17 @@ def ivf_assign(df: DataFrame, vec_col: str, centroids: list[list[float]],
     return df.withColumn(out_col, best.cast("int"))
 
 
-def ivf_centroids(df: DataFrame, vec_col: str, k: int = 16, seed: int = 42,
-                  iters: int = 2) -> list[list[float]]:
-    """Cheap deterministic centroids: seeded sample -> a couple of Lloyd
-    refinement passes computed with groupBy mean (distributed k-means lite).
-    At 100 TB you'd run this on a sample table; the assign pass is the only
-    full scan."""
-    import numpy as np
-
-    # Bounded sample WITHOUT a full-table count(): take the head of every
-    # partition (mapInPandas early-exits after its quota, reading only the
-    # first batches), so centroids see all regions of a clustered/sorted
-    # layout — a bare limit() would draw only from the leading partitions
-    # and could collapse recall when the table is sorted by similarity.
-    # Centroid quality still only affects recall/balance, never correctness
-    # (exact rerank follows).
+def _sample_vectors(df: DataFrame, vec_col: str, cap: int = 10_000) -> "np.ndarray":
+    """Bounded vector sample WITHOUT a full-table count(): take the head of
+    every partition (mapInPandas early-exits after its quota, reading only
+    the first batches), so index training sees all regions of a
+    clustered/sorted layout — a bare limit() would draw only from the
+    leading partitions and could collapse recall when the table is sorted by
+    similarity. Sample quality only affects recall/balance, never
+    correctness (exact rerank follows in every ANN path)."""
     vec_df = df.select(vec_col)
     n_parts = max(1, vec_df.rdd.getNumPartitions())
-    per_part = max(1, -(-10_000 // n_parts))  # ceil
+    per_part = max(1, -(-cap // n_parts))  # ceil
 
     def head_per_partition(pdfs):
         taken = 0
@@ -163,9 +156,18 @@ def ivf_centroids(df: DataFrame, vec_col: str, k: int = 16, seed: int = 42,
             yield chunk
 
     sample = vec_df.mapInPandas(head_per_partition, schema=vec_df.schema)
-    X = np.array(
-        sample.toPandas()[vec_col].tolist()[:10_000], dtype="float64"
-    )
+    return np.array(sample.toPandas()[vec_col].tolist()[:cap], dtype="float64")
+
+
+def ivf_centroids(df: DataFrame, vec_col: str, k: int = 16, seed: int = 42,
+                  iters: int = 2) -> list[list[float]]:
+    """Cheap deterministic centroids: seeded sample -> a couple of Lloyd
+    refinement passes computed with groupBy mean (distributed k-means lite).
+    At 100 TB you'd run this on a sample table; the assign pass is the only
+    full scan."""
+    import numpy as np
+
+    X = _sample_vectors(df, vec_col, cap=10_000)
     if len(X) < k:
         k = max(1, len(X))
     rng = np.random.default_rng(seed)
@@ -215,5 +217,154 @@ def cosine_topk_ivf(df: DataFrame, queries: DataFrame, id_col: str, vec_col: str
         .select("query_id", "neighbor_id", "cosine")
         .distinct()
         .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# product quantization (PQ) — compressed-vector ANN with ADC scoring
+# ---------------------------------------------------------------------------
+
+
+def pq_train(df: DataFrame, vec_col: str, m: int = 8, k: int = 256,
+             seed: int = 42, iters: int = 4) -> "np.ndarray":
+    """Train PQ codebooks (m subspaces x k centroids x dim/m) on a
+    head-per-partition sample of L2-NORMALIZED vectors, so the additive ADC
+    inner product approximates cosine. Driver-side numpy k-means per
+    subspace over <=10k samples — index training is job planning, like
+    codec selection; the full table is only touched by the encode pass."""
+    X = _sample_vectors(df, vec_col, cap=10_000)
+    if len(X) == 0:
+        raise ValueError("pq_train: no vectors to sample")
+    d = X.shape[1]
+    if d % m:
+        raise ValueError(f"vector dim {d} not divisible by m={m} subspaces")
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    k = min(k, len(X))
+    ds = d // m
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, k, ds))
+    for j in range(m):
+        S = X[:, j * ds : (j + 1) * ds]
+        cents = S[rng.choice(len(S), k, replace=False)]
+        for _ in range(iters):
+            d2 = ((S[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+            assign = d2.argmin(1)
+            for c in range(k):
+                msk = assign == c
+                if msk.any():
+                    cents[c] = S[msk].mean(0)
+        books[j] = cents
+    return books
+
+
+def pq_encode(df: DataFrame, id_col: str, vec_col: str,
+              codebooks: "np.ndarray", out_col: str = "pq_code") -> DataFrame:
+    """Quantize every (normalized) vector to m uint8/uint16 codes — one
+    Arrow-batched pass (mapInArrow, vectorized numpy; the codebooks ride the
+    task closure like a broadcast). Output is (id, codes array): 64 floats
+    become m bytes, the compressed representation ADC scores against."""
+    import pyarrow as pa
+
+    m, k, ds = codebooks.shape
+    books = codebooks.copy()
+    proj = df.select(id_col, vec_col)
+    code_t = "smallint" if k > 256 else "smallint"  # arrow->spark: int16 is safe for k<=65536
+
+    def enc(batches):
+        for b in batches:
+            ids = b.column(0)
+            lst = b.column(1)
+            X = np.asarray(lst.values.to_numpy(zero_copy_only=False), dtype=np.float64)
+            n = len(lst)
+            if n == 0:
+                continue
+            X = X.reshape(n, m * ds)
+            X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+            codes = np.empty((n, m), dtype=np.int16)
+            for j in range(m):
+                S = X[:, j * ds : (j + 1) * ds]
+                # ||s-c||^2 = ||s||^2 - 2 s.c + ||c||^2 — argmin needs only
+                # the last two terms
+                scores = S @ books[j].T - 0.5 * (books[j] ** 2).sum(1)[None, :]
+                codes[:, j] = scores.argmax(1)
+            flat = pa.array(codes.reshape(-1), pa.int16())
+            offs = pa.array(np.arange(0, (n + 1) * m, m, dtype=np.int32))
+            yield pa.record_batch(
+                [ids, pa.ListArray.from_arrays(offs, flat)],
+                names=[id_col, out_col],
+            )
+
+    return proj.mapInArrow(enc, schema=f"{id_col} long, {out_col} array<{code_t}>")
+
+
+def cosine_topk_pq(df: DataFrame, queries: DataFrame, id_col: str,
+                   vec_col: str, k: int = 5, m: int = 8, n_centroids: int = 256,
+                   candidates_per_query: int = 50, seed: int = 42) -> DataFrame:
+    """PQ ANN: codebooks -> encode corpus to m-byte codes -> ADC scoring
+    (per-query lookup tables, one gather-sum per code row) -> exact cosine
+    rerank of the top candidates. Same candidate-generation + exact-verify
+    shape as the LSH/IVF paths; at 100 TB the scored representation is
+    m bytes/vector instead of 4*dim, so the scan is ~32x lighter."""
+    import pyarrow as pa
+    from pyspark.sql import Window
+
+    books = pq_train(df, vec_col, m=m, k=n_centroids, seed=seed)
+    mm, kk, ds = books.shape
+    codes = pq_encode(df, id_col, vec_col, books)
+
+    qrows = queries.select(id_col, vec_col).collect()
+    Q = np.array([r[1] for r in qrows], dtype=np.float64)
+    Q = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    # per-query ADC lookup tables: LUT[q, j, c] = q_sub_j . book[j][c]
+    lut = np.einsum("qjd,jcd->qjc", Q.reshape(len(Q), mm, ds), books)
+
+    nq = len(qids)
+    cap = candidates_per_query
+
+    def score(batches):
+        for b in batches:
+            ids = b.column(0).to_numpy(zero_copy_only=False)
+            lst = b.column(1)
+            n = len(lst)
+            if n == 0:
+                continue
+            C = lst.values.to_numpy(zero_copy_only=False).reshape(n, mm)
+            # scores[q, i] = sum_j LUT[q, j, C[i, j]]
+            gathered = lut[:, np.arange(mm)[None, :], C]  # (nq, n, m)
+            scores = gathered.sum(-1)
+            top = min(cap, n)
+            idx = np.argpartition(-scores, top - 1, axis=1)[:, :top]
+            out_q = np.repeat(qids, top)
+            out_n = ids[idx.reshape(-1)]
+            out_s = np.take_along_axis(scores, idx, axis=1).reshape(-1)
+            yield pa.record_batch(
+                [pa.array(out_q), pa.array(out_n), pa.array(out_s)],
+                names=["query_id", "neighbor_id", "adc_score"],
+            )
+
+    # per-partition top candidates (bounded output), then global cut + exact
+    # cosine rerank of the surviving candidates only
+    local = codes.mapInArrow(score, schema="query_id long, neighbor_id long, adc_score double")
+    w = Window.partitionBy("query_id").orderBy(F.desc("adc_score"), F.asc("neighbor_id"))
+    cand = local.withColumn("__r", F.row_number().over(w)).filter(
+        F.col("__r") <= cap
+    ).drop("__r")
+    corpus = df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    qdf = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+    joined = (
+        cand.join(corpus, "neighbor_id")
+        .join(F.broadcast(qdf), "query_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+    )
+    cos = _dot_expr(F.col("__qv"), F.col("__cv")) / (
+        _norm_expr(F.col("__qv")) * _norm_expr(F.col("__cv"))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        joined.withColumn("cosine", F.round(cos, 6))
+        .select("query_id", "neighbor_id", "cosine")
+        .withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= k)
     )

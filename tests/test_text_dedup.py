@@ -166,3 +166,44 @@ def test_dedup_near_duplicates_onecall(docs):
     assert 1 in ids and 2 not in ids  # exact dup dropped
     assert 3 not in ids  # near dup dropped
     assert {4, 5, 6} <= ids  # distinct docs and the empty doc survive
+
+
+def test_cosine_topk_pq(spark):
+    """PQ with exact rerank must recover every rank-1 neighbor on tight
+    clusters (candidate list >> k), and its reported cosines are EXACT
+    (rerank recomputes them from the real vectors)."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((4, 16))
+    rows = []
+    for i in range(120):
+        c = i % 4
+        rows.append((i, (base[c] + 0.05 * rng.standard_normal(16)).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>").repartition(3)
+    from nail_parquet_spark.functions.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_pq,
+        pq_encode,
+        pq_train,
+    )
+
+    q = df.filter(F.col("vec_id") < 4)
+    exact = cosine_topk_bruteforce(df, q, "vec_id", "v", k=3).collect()
+    approx = cosine_topk_pq(df, q, "vec_id", "v", k=3, m=4, n_centroids=16,
+                            candidates_per_query=30).collect()
+    exact_top = {(r["query_id"], r["neighbor_id"]) for r in exact if r["rank"] == 1}
+    approx_top = {(r["query_id"], r["neighbor_id"]) for r in approx if r["rank"] == 1}
+    assert exact_top == approx_top
+    ecos = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in exact}
+    for r in approx:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in ecos:
+            assert abs(r["cosine"] - ecos[key]) < 1e-9  # exact rerank
+
+    # the encoded representation is m small ints per vector
+    books = pq_train(df, "v", m=4, k=16)
+    codes = pq_encode(df, "vec_id", "v", books)
+    row = codes.first()
+    assert len(row["pq_code"]) == 4
+    assert codes.count() == 120
