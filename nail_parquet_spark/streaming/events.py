@@ -120,3 +120,23 @@ def sessionize_stateful(stream: DataFrame, user_col: str = "user_id",
             fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
         )
     )
+
+
+def stream_dedup_exact(docs: DataFrame, key_cols: list[str] | None = None,
+                       text_col: str = "text", ts_col: str = "ts",
+                       watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup: keep the first arrival of each content
+    fingerprint, with bounded state via ``dropDuplicatesWithinWatermark`` —
+    fingerprints older than the watermark age out of the state store, so a
+    continuous crawl ingest never accumulates unbounded dedup state (the
+    batch analogue is functions/dedup.exact_text_dedup's md5 groupBy)."""
+    keyed = docs.withColumn(
+        "__fp",
+        F.md5(F.coalesce(F.encode(F.col(text_col), "UTF-8"), F.lit(b"\x00<NULL>"))),
+    )
+    keys = (key_cols or []) + ["__fp"]
+    return (
+        keyed.withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(keys)
+        .drop("__fp")
+    )

@@ -134,3 +134,36 @@ def test_encode_stream_incremental_resume(spark, tmp_path):
     res = verify_roundtrip(both, dec, key="url")
     assert res["joined_rows"] == 6_000
     assert res["total_mismatches"] == 0
+
+
+def test_stream_dedup_exact(spark, tmp_path):
+    """Streaming exact dedup keeps one row per content fingerprint within
+    the watermark; batch ground truth = distinct fingerprints."""
+    import datetime as dt
+
+    from nail_parquet_spark.streaming.events import (
+        run_available_now, stream_dedup_exact, stream_from_directory,
+    )
+
+    src = str(tmp_path / "in")
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = []
+    for i in range(60):
+        rows.append((i, base + dt.timedelta(minutes=i % 7), f"doc body {i % 20}"))
+    df = spark.createDataFrame(rows, "doc_id long, ts timestamp, text string")
+    df.coalesce(1).write.parquet(src)
+
+    stream = stream_from_directory(spark, src, "doc_id long, ts timestamp, text string")
+    deduped = stream_dedup_exact(stream, ts_col="ts", watermark="1 hour")
+    out = str(tmp_path / "out")
+    run_available_now(deduped, out, str(tmp_path / "ck"))
+    got = spark.read.parquet(out)
+    assert got.count() == 20  # one per distinct text
+    assert got.select("text").distinct().count() == 20
+    # resume with NO new data is a no-op (exactly-once)
+    run_available_now(
+        stream_dedup_exact(
+            stream_from_directory(spark, src, "doc_id long, ts timestamp, text string"),
+            ts_col="ts", watermark="1 hour"),
+        out, str(tmp_path / "ck"))
+    assert spark.read.parquet(out).count() == 20
