@@ -30,19 +30,29 @@ def compact_blocks(blocks: DataFrame, out_dir: str,
     with globally unique group ids and whole groups per file.
 
     ``compression`` defaults to none like the encode sink — payloads are
-    already codec-compressed."""
+    already codec-compressed. ``blocks`` must be a file-backed scan (the
+    group identity includes the source file, exactly like the decoder's
+    group key): compaction refuses DataFrames where ``input_file_name()``
+    is empty rather than silently re-merging cross-job collisions."""
+    probe = blocks.select(F.input_file_name().alias("f")).first()
+    if probe is None:
+        return  # empty table: nothing to write
+    if not probe["f"]:
+        raise ValueError(
+            "compact_blocks needs a file-backed blocks DataFrame "
+            "(spark.read.parquet(dir)); input_file_name() is empty here, so "
+            "group identities from different encode jobs could collide"
+        )
     src = F.input_file_name()
     # 95-bit group identity: two independently-seeded xxhash64 halves over
     # the decoder's group key. Survives unioning outputs of many jobs
-    # (collision needs BOTH halves to collide: ~2^-95 per pair).
+    # (collision needs BOTH halves to collide: ~2^-95 per pair). Both halves
+    # are computed in ONE projection so each sees the ORIGINAL key columns.
     new_part = F.pmod(
         F.xxhash64(F.lit(1), src, "part_id", "block_id"), F.lit(1 << 31)
     ).cast("int")
     new_block = F.xxhash64(F.lit(2), src, "part_id", "block_id")
-    rekeyed = (
-        blocks.withColumn("part_id", new_part)
-        .withColumn("block_id", new_block)
-    )
+    rekeyed = blocks.withColumns({"part_id": new_part, "block_id": new_block})
     (
         rekeyed.repartition(num_files, "part_id", "block_id")
         .write.mode("overwrite")

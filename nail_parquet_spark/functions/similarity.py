@@ -156,7 +156,11 @@ def _sample_vectors(df: DataFrame, vec_col: str, cap: int = 10_000) -> "np.ndarr
             yield chunk
 
     sample = vec_df.mapInPandas(head_per_partition, schema=vec_df.schema)
-    return np.array(sample.toPandas()[vec_col].tolist()[:cap], dtype="float64")
+    vals = [v for v in sample.toPandas()[vec_col].tolist() if v is not None]
+    if vals:
+        d = len(vals[0])
+        vals = [v for v in vals if len(v) == d]  # drop ragged rows
+    return np.array(vals[:cap], dtype="float64")
 
 
 def ivf_centroids(df: DataFrame, vec_col: str, k: int = 16, seed: int = 42,
@@ -241,6 +245,8 @@ def pq_train(df: DataFrame, vec_col: str, m: int = 8, k: int = 256,
         raise ValueError(f"vector dim {d} not divisible by m={m} subspaces")
     X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     k = min(k, len(X))
+    if k > 32767:
+        raise ValueError(f"k={k} exceeds the int16 code space (max 32767)")
     ds = d // m
     rng = np.random.default_rng(seed)
     books = np.empty((m, k, ds))
@@ -248,8 +254,9 @@ def pq_train(df: DataFrame, vec_col: str, m: int = 8, k: int = 256,
         S = X[:, j * ds : (j + 1) * ds]
         cents = S[rng.choice(len(S), k, replace=False)]
         for _ in range(iters):
-            d2 = ((S[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
-            assign = d2.argmin(1)
+            # argmin ||s-c||^2 via the dot trick (same as pq_encode):
+            # O(n*k) memory instead of the (n, k, ds) difference tensor
+            assign = (S @ cents.T - 0.5 * (cents**2).sum(1)[None, :]).argmax(1)
             for c in range(k):
                 msk = assign == c
                 if msk.any():
@@ -260,26 +267,39 @@ def pq_train(df: DataFrame, vec_col: str, m: int = 8, k: int = 256,
 
 def pq_encode(df: DataFrame, id_col: str, vec_col: str,
               codebooks: "np.ndarray", out_col: str = "pq_code") -> DataFrame:
-    """Quantize every (normalized) vector to m uint8/uint16 codes — one
+    """Quantize every (normalized) vector to m int16 codes — one
     Arrow-batched pass (mapInArrow, vectorized numpy; the codebooks ride the
     task closure like a broadcast). Output is (id, codes array): 64 floats
-    become m bytes, the compressed representation ADC scores against."""
+    become m small ints, the compressed representation ADC scores against.
+
+    Rows whose vector is NULL or has the wrong dimensionality are EXCLUDED
+    from the index (they can't be scored); id type is preserved as-is."""
     import pyarrow as pa
 
     m, k, ds = codebooks.shape
+    if k > 32767:
+        raise ValueError(f"k={k} exceeds the int16 code space (max 32767)")
+    d = m * ds
     books = codebooks.copy()
     proj = df.select(id_col, vec_col)
-    code_t = "smallint" if k > 256 else "smallint"  # arrow->spark: int16 is safe for k<=65536
+    id_t = dict(proj.dtypes)[id_col]
 
     def enc(batches):
         for b in batches:
-            ids = b.column(0)
             lst = b.column(1)
-            X = np.asarray(lst.values.to_numpy(zero_copy_only=False), dtype=np.float64)
-            n = len(lst)
-            if n == 0:
+            lens = np.diff(lst.offsets.to_numpy(zero_copy_only=False))
+            valid = lens == d
+            if lst.null_count:
+                valid &= np.asarray(lst.is_valid())
+            if not valid.any():
                 continue
-            X = X.reshape(n, m * ds)
+            keep = pa.array(np.flatnonzero(valid))
+            ids = b.column(0).take(keep)
+            lst = lst.take(keep)
+            n = len(lst)
+            X = np.asarray(
+                lst.flatten().to_numpy(zero_copy_only=False), dtype=np.float64
+            ).reshape(n, d)
             X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
             codes = np.empty((n, m), dtype=np.int16)
             for j in range(m):
@@ -295,7 +315,7 @@ def pq_encode(df: DataFrame, id_col: str, vec_col: str,
                 names=[id_col, out_col],
             )
 
-    return proj.mapInArrow(enc, schema=f"{id_col} long, {out_col} array<{code_t}>")
+    return proj.mapInArrow(enc, schema=f"{id_col} {id_t}, {out_col} array<smallint>")
 
 
 def cosine_topk_pq(df: DataFrame, queries: DataFrame, id_col: str,
@@ -312,11 +332,13 @@ def cosine_topk_pq(df: DataFrame, queries: DataFrame, id_col: str,
     books = pq_train(df, vec_col, m=m, k=n_centroids, seed=seed)
     mm, kk, ds = books.shape
     codes = pq_encode(df, id_col, vec_col, books)
+    id_t = dict(df.select(id_col).dtypes)[id_col]
 
-    qrows = queries.select(id_col, vec_col).collect()
+    qrows = [r for r in queries.select(id_col, vec_col).collect()
+             if r[1] is not None and len(r[1]) == mm * ds]
     Q = np.array([r[1] for r in qrows], dtype=np.float64)
     Q = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
-    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qids = [r[0] for r in qrows]  # original id type, not coerced
     # per-query ADC lookup tables: LUT[q, j, c] = q_sub_j . book[j][c]
     lut = np.einsum("qjd,jcd->qjc", Q.reshape(len(Q), mm, ds), books)
 
@@ -324,29 +346,33 @@ def cosine_topk_pq(df: DataFrame, queries: DataFrame, id_col: str,
     cap = candidates_per_query
 
     def score(batches):
+        qid_arr = pa.array(qids)
         for b in batches:
-            ids = b.column(0).to_numpy(zero_copy_only=False)
+            ids = b.column(0)
             lst = b.column(1)
             n = len(lst)
             if n == 0:
                 continue
-            C = lst.values.to_numpy(zero_copy_only=False).reshape(n, mm)
+            C = lst.flatten().to_numpy(zero_copy_only=False).reshape(n, mm)
             # scores[q, i] = sum_j LUT[q, j, C[i, j]]
             gathered = lut[:, np.arange(mm)[None, :], C]  # (nq, n, m)
             scores = gathered.sum(-1)
             top = min(cap, n)
             idx = np.argpartition(-scores, top - 1, axis=1)[:, :top]
-            out_q = np.repeat(qids, top)
-            out_n = ids[idx.reshape(-1)]
+            # arrow take preserves the caller's id type for both sides
+            out_q = qid_arr.take(pa.array(np.repeat(np.arange(nq), top)))
+            out_n = ids.take(pa.array(idx.reshape(-1)))
             out_s = np.take_along_axis(scores, idx, axis=1).reshape(-1)
             yield pa.record_batch(
-                [pa.array(out_q), pa.array(out_n), pa.array(out_s)],
+                [out_q, out_n, pa.array(out_s)],
                 names=["query_id", "neighbor_id", "adc_score"],
             )
 
     # per-partition top candidates (bounded output), then global cut + exact
     # cosine rerank of the surviving candidates only
-    local = codes.mapInArrow(score, schema="query_id long, neighbor_id long, adc_score double")
+    local = codes.mapInArrow(
+        score, schema=f"query_id {id_t}, neighbor_id {id_t}, adc_score double"
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("adc_score"), F.asc("neighbor_id"))
     cand = local.withColumn("__r", F.row_number().over(w)).filter(
         F.col("__r") <= cap

@@ -207,3 +207,29 @@ def test_cosine_topk_pq(spark):
     row = codes.first()
     assert len(row["pq_code"]) == 4
     assert codes.count() == 120
+
+
+def test_cosine_topk_pq_robustness(spark):
+    """PQ must skip NULL/ragged vectors (excluded from the index, like a
+    filter) and preserve non-long id types end to end."""
+    import numpy as np
+
+    rng = np.random.default_rng(9)
+    rows = [(f"doc{i:03d}", rng.standard_normal(8).tolist()) for i in range(40)]
+    rows.append(("docNULL", None))
+    rows.append(("docRAGGED", [1.0, 2.0]))
+    df = spark.createDataFrame(rows, "vec_id string, v array<double>").repartition(2)
+    from nail_parquet_spark.functions.similarity import cosine_topk_pq, pq_encode, pq_train
+
+    books = pq_train(df, "v", m=2, k=8)
+    codes = pq_encode(df, "vec_id", "v", books)
+    got = {r["vec_id"] for r in codes.collect()}
+    assert "docNULL" not in got and "docRAGGED" not in got
+    assert len(got) == 40
+    q = df.filter(F.col("vec_id") < "doc003")
+    out = cosine_topk_pq(df, q, "vec_id", "v", k=2, m=2, n_centroids=8,
+                         candidates_per_query=20)
+    rows_ = out.collect()
+    assert {type(r["query_id"]) for r in rows_} == {str}
+    assert all(r["neighbor_id"] not in ("docNULL", "docRAGGED") for r in rows_)
+    assert out.groupBy("query_id").count().agg(F.max("count")).collect()[0][0] <= 2
