@@ -34,14 +34,18 @@ def compact_blocks(blocks: DataFrame, out_dir: str,
     group identity includes the source file, exactly like the decoder's
     group key): compaction refuses DataFrames where ``input_file_name()``
     is empty rather than silently re-merging cross-job collisions."""
-    probe = blocks.select(F.input_file_name().alias("f")).first()
-    if probe is None:
-        return  # empty table: nothing to write
-    if not probe["f"]:
+    # EVERY row must carry a source file (a one-row probe would miss mixed
+    # lineage, e.g. a file scan unioned with in-memory blocks, where the
+    # empty-src rows would silently re-merge cross-job collisions)
+    n_bad = (
+        blocks.select(F.input_file_name().alias("f"))
+        .where(F.length("f") == 0).limit(1).count()
+    )
+    if n_bad:
         raise ValueError(
-            "compact_blocks needs a file-backed blocks DataFrame "
-            "(spark.read.parquet(dir)); input_file_name() is empty here, so "
-            "group identities from different encode jobs could collide"
+            "compact_blocks needs a fully file-backed blocks DataFrame "
+            "(spark.read.parquet(dir)); some rows have no input_file_name(), "
+            "so group identities from different encode jobs could collide"
         )
     src = F.input_file_name()
     # 95-bit group identity: two independently-seeded xxhash64 halves over

@@ -158,8 +158,12 @@ def _sample_vectors(df: DataFrame, vec_col: str, cap: int = 10_000) -> "np.ndarr
     sample = vec_df.mapInPandas(head_per_partition, schema=vec_df.schema)
     vals = [v for v in sample.toPandas()[vec_col].tolist() if v is not None]
     if vals:
-        d = len(vals[0])
-        vals = [v for v in vals if len(v) == d]  # drop ragged rows
+        # drop ragged rows against the MODAL length — keying off the first
+        # row would let one malformed leading vector discard the whole sample
+        from collections import Counter
+
+        d = Counter(len(v) for v in vals).most_common(1)[0][0]
+        vals = [v for v in vals if len(v) == d]
     return np.array(vals[:cap], dtype="float64")
 
 
@@ -243,10 +247,10 @@ def pq_train(df: DataFrame, vec_col: str, m: int = 8, k: int = 256,
     d = X.shape[1]
     if d % m:
         raise ValueError(f"vector dim {d} not divisible by m={m} subspaces")
-    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-    k = min(k, len(X))
     if k > 32767:
         raise ValueError(f"k={k} exceeds the int16 code space (max 32767)")
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    k = min(k, len(X))
     ds = d // m
     rng = np.random.default_rng(seed)
     books = np.empty((m, k, ds))
@@ -329,13 +333,21 @@ def cosine_topk_pq(df: DataFrame, queries: DataFrame, id_col: str,
     import pyarrow as pa
     from pyspark.sql import Window
 
+    from pyspark.sql.pandas.types import to_arrow_type
+
     books = pq_train(df, vec_col, m=m, k=n_centroids, seed=seed)
     mm, kk, ds = books.shape
     codes = pq_encode(df, id_col, vec_col, books)
     id_t = dict(df.select(id_col).dtypes)[id_col]
+    id_arrow_t = to_arrow_type(df.schema[id_col].dataType)
 
     qrows = [r for r in queries.select(id_col, vec_col).collect()
              if r[1] is not None and len(r[1]) == mm * ds]
+    if not qrows:
+        # every query vector was NULL or mis-sized: empty result, right shape
+        return df.sparkSession.createDataFrame(
+            [], f"query_id {id_t}, neighbor_id {id_t}, cosine double, rank int"
+        )
     Q = np.array([r[1] for r in qrows], dtype=np.float64)
     Q = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
     qids = [r[0] for r in qrows]  # original id type, not coerced
@@ -346,7 +358,9 @@ def cosine_topk_pq(df: DataFrame, queries: DataFrame, id_col: str,
     cap = candidates_per_query
 
     def score(batches):
-        qid_arr = pa.array(qids)
+        # explicit arrow type: plain pa.array() would infer int64 from
+        # Python ints and mismatch the declared schema for int/float ids
+        qid_arr = pa.array(qids, type=id_arrow_t)
         for b in batches:
             ids = b.column(0)
             lst = b.column(1)

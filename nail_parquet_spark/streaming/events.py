@@ -130,20 +130,18 @@ def stream_dedup_exact(docs: DataFrame, key_cols: list[str] | None = None,
     fingerprints older than the watermark age out of the state store, so a
     continuous crawl ingest never accumulates unbounded dedup state (the
     batch analogue is functions/dedup.exact_text_dedup's md5 groupBy)."""
-    # NULL text rows pass through untouched (matching the batch
-    # dedup_exact semantics): each gets a unique throwaway fingerprint so
-    # dropDuplicates' NULL-equals-NULL rule never collapses them, and no
-    # real document's content can collide with a sentinel
-    keyed = docs.withColumn(
-        "__fp",
-        F.coalesce(
-            F.md5(F.encode(F.col(text_col), "UTF-8")),
-            F.concat(F.lit("__null__"), F.expr("uuid()")),
-        ),
+    # NULL text rows pass through UNTOUCHED (matching the batch dedup_exact
+    # semantics) by routing them AROUND the dedup: dropDuplicates treats
+    # NULL keys as equal, and even unique sentinel fingerprints would bloat
+    # the state store with keys that can never match anything
+    nulls = docs.filter(F.col(text_col).isNull())
+    keyed = docs.filter(F.col(text_col).isNotNull()).withColumn(
+        "__fp", F.md5(F.encode(F.col(text_col), "UTF-8"))
     )
     keys = (key_cols or []) + ["__fp"]
-    return (
+    deduped = (
         keyed.withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark(keys)
         .drop("__fp")
     )
+    return deduped.unionByName(nulls)

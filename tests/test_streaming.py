@@ -167,3 +167,26 @@ def test_stream_dedup_exact(spark, tmp_path):
             ts_col="ts", watermark="1 hour"),
         out, str(tmp_path / "ck"))
     assert spark.read.parquet(out).count() == 20
+
+
+def test_stream_dedup_exact_null_passthrough(spark, tmp_path):
+    """NULL-text rows pass through untouched (batch dedup_exact semantics) —
+    they are routed around the state store, never collapsed together."""
+    import datetime as dt
+
+    from nail_parquet_spark.streaming.events import (
+        run_available_now, stream_dedup_exact, stream_from_directory,
+    )
+
+    src = str(tmp_path / "in")
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [(i, base, "same body") for i in range(5)]
+    rows += [(100 + i, base, None) for i in range(4)]
+    spark.createDataFrame(rows, "doc_id long, ts timestamp, text string") \
+        .coalesce(1).write.parquet(src)
+    stream = stream_from_directory(spark, src, "doc_id long, ts timestamp, text string")
+    out = str(tmp_path / "out")
+    run_available_now(stream_dedup_exact(stream, ts_col="ts"), out, str(tmp_path / "ck"))
+    got = spark.read.parquet(out)
+    assert got.filter(F.col("text").isNotNull()).count() == 1  # deduped
+    assert got.filter(F.col("text").isNull()).count() == 4     # passed through

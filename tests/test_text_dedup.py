@@ -233,3 +233,24 @@ def test_cosine_topk_pq_robustness(spark):
     assert {type(r["query_id"]) for r in rows_} == {str}
     assert all(r["neighbor_id"] not in ("docNULL", "docRAGGED") for r in rows_)
     assert out.groupBy("query_id").count().agg(F.max("count")).collect()[0][0] <= 2
+
+
+def test_cosine_topk_pq_int_ids_and_empty_queries(spark):
+    """Confirmed repro from review: int (32-bit) id columns must flow
+    through the arrow schemas; all-invalid queries return an empty frame."""
+    import numpy as np
+
+    rng = np.random.default_rng(13)
+    rows = [(i, rng.standard_normal(8).tolist()) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id int, v array<double>")
+    from nail_parquet_spark.functions.similarity import cosine_topk_pq
+
+    out = cosine_topk_pq(df, df.filter(F.col("vec_id") < 2), "vec_id", "v",
+                         k=2, m=2, n_centroids=8, candidates_per_query=10)
+    got = out.collect()
+    assert len(got) == 4 and all(isinstance(r["neighbor_id"], int) for r in got)
+
+    empty_q = spark.createDataFrame([(99, None)], "vec_id int, v array<double>")
+    out2 = cosine_topk_pq(df, empty_q, "vec_id", "v", k=2, m=2, n_centroids=8)
+    assert out2.count() == 0
+    assert out2.columns == ["query_id", "neighbor_id", "cosine", "rank"]
