@@ -166,7 +166,9 @@ def main():
     timed(N_HI)
     timed(N_LO)
 
-    reps = int(os.environ.get("BENCH_REPS", "5"))
+    # 7 interleaved pairs: the min/min estimator needs enough reps to catch
+    # a quiet sub-window on this 2-3x-noise host (round-2 protocol)
+    reps = int(os.environ.get("BENCH_REPS", "7"))
     walls = {N_LO: [], N_HI: []}
     pairs = []
     raw = enc = nb = 0
