@@ -165,8 +165,13 @@ def main(argv: list[str] | None = None) -> int:
 
         if not args.output:
             p.error("compact requires -o/--output")
-        compact_blocks(spark.read.parquet(args.input), args.output,
-                       num_files=args.num_files)
+        # recursiveFileLookup: read the block FILES without Hive partition
+        # discovery — a resumable out_dir's batch=*/ (or legacy unit=*/)
+        # subdirs would otherwise inject partition columns or conflict
+        blocks = (
+            spark.read.option("recursiveFileLookup", "true").parquet(args.input)
+        )
+        compact_blocks(blocks, args.output, num_files=args.num_files)
         n = len(spark.read.parquet(args.output).inputFiles())
         print(f"compacted -> {args.output} ({n} files)")
         return 0

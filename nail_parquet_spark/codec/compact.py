@@ -56,7 +56,17 @@ def compact_blocks(blocks: DataFrame, out_dir: str,
         F.xxhash64(F.lit(1), src, "part_id", "block_id"), F.lit(1 << 31)
     ).cast("int")
     new_block = F.xxhash64(F.lit(2), src, "part_id", "block_id")
-    rekeyed = blocks.withColumns({"part_id": new_part, "block_id": new_block})
+    # keep only the canonical block columns: partition-discovery extras
+    # (batch=..., unit=...) must not become data columns in the output
+    from nail_parquet_spark.codec.encode import BLOCKS_SCHEMA
+
+    canon = [f.split()[0].strip("`") for f in BLOCKS_SCHEMA.split(",")]
+    missing = [c for c in canon if c not in blocks.columns]
+    if missing:
+        raise ValueError(f"blocks table is missing columns {missing}")
+    rekeyed = blocks.select(*canon).withColumns(
+        {"part_id": new_part, "block_id": new_block}
+    )
     (
         rekeyed.repartition(num_files, "part_id", "block_id")
         .write.mode("overwrite")

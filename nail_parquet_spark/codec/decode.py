@@ -116,7 +116,60 @@ def _with_src_key(blocks: DataFrame, file_keyed: bool = True) -> DataFrame:
         out.schema  # force analysis: MULTI_SOURCES_UNSUPPORTED surfaces here
         return out
     except Exception:
+        import warnings
+
+        warnings.warn(
+            "decode: input_file_name() is unavailable for this blocks plan "
+            "(multi-source or in-memory); falling back to non-file-keyed "
+            "grouping — only safe when ALL blocks come from one encode job",
+            stacklevel=3,
+        )
         return blocks.select(F.lit("").alias("__src"), *base)
+
+
+def _iter_groups(batches, columns):
+    """Shared group-assembly state machine for the shuffled decode paths:
+    rows arrive sorted by (src, part_id, block_id); flush on key transition,
+    validate the requested columns per group, and refuse duplicate
+    (group, column) rows — a duplicate means two distinct groups share a key
+    (e.g. a union of in-memory encode jobs where the file key is empty) and
+    silently overwriting would return row-misaligned data."""
+    cur_key = None
+    grp: dict[str, tuple[str, bytes]] = {}
+
+    def check_complete():
+        missing = [c for c in columns if c not in grp]
+        if missing:
+            raise ValueError(
+                f"block group {cur_key} is missing requested columns "
+                f"{missing}{_GROUP_HINT}"
+            )
+
+    for batch in batches:
+        srcs = batch.column(0).to_pylist()
+        pids = batch.column(1).to_pylist()
+        bids = batch.column(2).to_pylist()
+        cols_ = batch.column(3).to_pylist()
+        hdrs = batch.column(4).to_pylist()
+        pays = batch.column(5)
+        for i in range(batch.num_rows):
+            key = (srcs[i], pids[i], bids[i])
+            if key != cur_key:
+                if grp:
+                    check_complete()
+                    yield grp
+                cur_key = key
+                grp = {}
+            if cols_[i] in grp:
+                raise ValueError(
+                    f"duplicate block for column {cols_[i]!r} in group "
+                    f"{key}: two encode jobs produced colliding group ids "
+                    "(decode the dirs separately or run compact_blocks first)"
+                )
+            grp[cols_[i]] = (hdrs[i], pays[i].as_py())
+    if grp:
+        check_complete()
+        yield grp
 
 
 _GROUP_HINT = (
@@ -174,9 +227,10 @@ def _spark_ddl_of(schema: pa.Schema) -> str:
 def decode_table(blocks: DataFrame, columns: list[str] | None = None,
                  num_partitions: int | None = None,
                  file_keyed: bool = True) -> DataFrame:
-    if columns is None:
-        columns = [r["column"] for r in blocks.select("column").distinct().collect()]
     headers, refs = _headers_by_column(blocks)
+    if columns is None:
+        # the header read already enumerated the columns — no extra job
+        columns = sorted(headers)
     out_schema = _schema_from_headers(headers, columns)
     ddl = _spark_ddl_of(out_schema)
     # xref columns need their reference column's blocks in the group even
@@ -197,35 +251,8 @@ def decode_table(blocks: DataFrame, columns: list[str] | None = None,
     part = part.sortWithinPartitions("__src", "part_id", "block_id")
 
     def dec(batches):
-        cur_key = None
-        grp: dict[str, tuple[str, bytes]] = {}
-
-        def flush():
-            missing = [c for c in columns if c not in grp]
-            if missing:
-                raise ValueError(
-                    f"block group {cur_key} is missing requested columns "
-                    f"{missing}{_GROUP_HINT}"
-                )
-            return _decode_group(grp, columns, out_schema)
-
-        for batch in batches:
-            srcs = batch.column(0).to_pylist()
-            pids = batch.column(1).to_pylist()
-            bids = batch.column(2).to_pylist()
-            cols_ = batch.column(3).to_pylist()
-            hdrs = batch.column(4).to_pylist()
-            pays = batch.column(5)
-            for i in range(batch.num_rows):
-                key = (srcs[i], pids[i], bids[i])
-                if key != cur_key:
-                    if grp:
-                        yield flush()
-                    cur_key = key
-                    grp = {}
-                grp[cols_[i]] = (hdrs[i], pays[i].as_py())
-        if grp:
-            yield flush()
+        for grp in _iter_groups(batches, columns):
+            yield _decode_group(grp, columns, out_schema)
 
     return part.mapInArrow(dec, schema=ddl)
 
@@ -291,9 +318,9 @@ def decode_to_parquet(blocks: DataFrame, out_dir: str,
     """
     import os
 
-    if columns is None:
-        columns = [r["column"] for r in blocks.select("column").distinct().collect()]
     headers, refs = _headers_by_column(blocks)
+    if columns is None:
+        columns = sorted(headers)
     out_schema = _schema_from_headers(headers, columns)
     fetch_cols = _fetch_closure(headers, refs, columns)
     os.makedirs(out_dir, exist_ok=True)
@@ -332,39 +359,8 @@ def decode_to_parquet(blocks: DataFrame, out_dir: str,
                     pass
         writer = None
         n_rows = 0
-        cur_key = None
-        grp: dict[str, tuple[str, bytes]] = {}
-
-        def flush():
-            missing = [c for c in columns if c not in grp]
-            if missing:
-                raise ValueError(
-                    f"block group {cur_key} is missing requested columns "
-                    f"{missing}{_GROUP_HINT}"
-                )
-            return _decode_group(grp, columns, out_schema)
-
-        for batch in batches:
-            srcs = batch.column(0).to_pylist()
-            pids = batch.column(1).to_pylist()
-            bids = batch.column(2).to_pylist()
-            cols_ = batch.column(3).to_pylist()
-            hdrs = batch.column(4).to_pylist()
-            pays = batch.column(5)
-            for i in range(batch.num_rows):
-                key = (srcs[i], pids[i], bids[i])
-                if key != cur_key:
-                    if grp:
-                        rb = flush()
-                        if writer is None:
-                            writer = _pq.ParquetWriter(tmp, out_schema, compression=compression)
-                        writer.write_batch(rb)
-                        n_rows += rb.num_rows
-                    cur_key = key
-                    grp = {}
-                grp[cols_[i]] = (hdrs[i], pays[i].as_py())
-        if grp:
-            rb = flush()
+        for grp in _iter_groups(batches, columns):
+            rb = _decode_group(grp, columns, out_schema)
             if writer is None:
                 writer = _pq.ParquetWriter(tmp, out_schema, compression=compression)
             writer.write_batch(rb)
@@ -392,16 +388,17 @@ def decode_parquet_dir(spark, blocks_dir: str, out_dir: str,
     needed to co-locate a block's columns — zero shuffle, C++ IO on both
     ends. For arbitrary block layouts use ``decode_to_parquet``.
     """
-    import glob
     import os
 
-    files = sorted(glob.glob(os.path.join(blocks_dir, "**", "*.parquet"), recursive=True))
+    from nail_parquet_spark.sources.io import list_parquet_files
+
+    files = list_parquet_files(blocks_dir)
     if not files:
         raise ValueError(f"no block files under {blocks_dir}")
     blocks = spark.read.parquet(blocks_dir)
-    if columns is None:
-        columns = [r["column"] for r in blocks.select("column").distinct().collect()]
     headers, refs = _headers_by_column(blocks)
+    if columns is None:
+        columns = sorted(headers)
     out_schema = _schema_from_headers(headers, columns)
     fetch_cols = _fetch_closure(headers, refs, columns)
     os.makedirs(out_dir, exist_ok=True)
@@ -448,7 +445,14 @@ def decode_parquet_dir(spark, blocks_dir: str, out_dir: str,
                 for i in range(tbl.num_rows):
                     if cols_[i] not in colset:
                         continue  # column-subset decode: ignore unrequested blocks
-                    groups.setdefault((pids[i], bids[i]), {})[cols_[i]] = (hdrs[i], pays[i].as_py())
+                    g = groups.setdefault((pids[i], bids[i]), {})
+                    if cols_[i] in g:
+                        raise ValueError(
+                            f"duplicate block for column {cols_[i]!r} in "
+                            f"group {(pids[i], bids[i])} of {path}: colliding "
+                            "group ids (run compact_blocks to re-key)"
+                        )
+                    g[cols_[i]] = (hdrs[i], pays[i].as_py())
                 for key, grp in groups.items():
                     # completeness is per group against the REQUESTED
                     # columns (xref deps raise inside _decode_group): blocks

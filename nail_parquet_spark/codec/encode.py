@@ -234,19 +234,20 @@ def _plan_parquet_encode(spark, path, columns, codecs, policy, sample_rows,
     """Shared planning for the scan-side encode paths: enumerate
     (file, row-group) work items, pick codecs from one sampled row group,
     and build the work-items DataFrame."""
-    import glob as _glob
     import os as _os
 
     import pyarrow.parquet as _pq
+
+    from nail_parquet_spark.sources.io import list_parquet_files
 
     paths = []
     for p in [path] if isinstance(path, str) else list(path):
         if _os.path.isdir(p):
             # recursive, matching decode/autodetect conventions — covers
-            # Hive-partitioned layouts (e.g. the batch=*/ dirs the resumable
-            # encoder itself writes) and any Spark output with subdirs
-            paths.extend(sorted(
-                _glob.glob(_os.path.join(p, "**", "*.parquet"), recursive=True)))
+            # Hive-partitioned layouts (batch=*/ dirs); hidden/_-prefixed
+            # segments (_temporary leftovers, _manifests) are skipped the
+            # way Spark's own reader skips them
+            paths.extend(list_parquet_files(p))
         else:
             paths.append(p)
     if not paths:

@@ -144,7 +144,11 @@ def _sample_vectors(df: DataFrame, vec_col: str, cap: int = 10_000) -> "np.ndarr
     correctness (exact rerank follows in every ANN path)."""
     vec_df = df.select(vec_col)
     n_parts = max(1, vec_df.rdd.getNumPartitions())
-    per_part = max(1, -(-cap // n_parts))  # ceil
+    # floor of 1024/partition: with heavily skewed layouts (most partitions
+    # near-empty) a strict cap/n_parts quota would shrink the sample to a
+    # few hundred rows; the floor lets dense partitions compensate, bounded
+    # driver-side by the final [:cap] cut
+    per_part = max(1024, -(-cap // n_parts))  # ceil with floor
 
     def head_per_partition(pdfs):
         taken = 0
@@ -394,7 +398,10 @@ def cosine_topk_pq(df: DataFrame, queries: DataFrame, id_col: str,
     corpus = df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
     qdf = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
     joined = (
-        cand.join(corpus, "neighbor_id")
+        # broadcast the TINY candidate set (nq * cap rows) so the corpus
+        # streams through the rerank with zero shuffle — a plain join would
+        # sort-merge every raw vector just to rerank a few hundred rows
+        corpus.join(F.broadcast(cand), "neighbor_id")
         .join(F.broadcast(qdf), "query_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))
     )

@@ -432,6 +432,14 @@ def correlations_with_pvalues(df: DataFrame, columns: list[str] | None = None,
     The degrees of freedom use the PER-PAIR both-non-null count — F.corr
     does pairwise deletion, so a table-level count() would overstate n (and
     the significance) for columns with nulls."""
+    if method == "kendall":
+        # kendall runs on a bounded sample (so the table-level pair count
+        # would be the wrong n) AND tau's null distribution isn't the
+        # Pearson t-transform — refuse rather than report wrong significance
+        raise NotImplementedError(
+            "p-values are implemented for pearson/spearman; Kendall tau "
+            "significance needs its own variance formula"
+        )
     corr_rows = correlations(df, columns, method).collect()
     pairs = [(r["column_a"], r["column_b"]) for r in corr_rows]
     n_aggs = [

@@ -12,6 +12,23 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 
+def list_parquet_files(path: str) -> list[str]:
+    """Recursive parquet file listing that applies Spark's hidden-path
+    convention: any path SEGMENT starting with ``_`` or ``.`` is skipped
+    (``_temporary`` task leftovers, ``_manifests``, dot-prefixed in-progress
+    files), so an aborted write never leaks stale rows into a scan that
+    Spark's own reader would have ignored."""
+    import glob as _glob
+
+    out = []
+    for f in sorted(_glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)):
+        rel = os.path.relpath(f, path)
+        if any(seg.startswith(("_", ".")) for seg in rel.split(os.sep)):
+            continue
+        out.append(f)
+    return out
+
+
 def _fmt_of(path: str, fmt: str | None) -> str:
     if fmt:
         return fmt

@@ -351,3 +351,29 @@ def test_compact_blocks_rekeys_and_preserves_groups(spark, tmp_path):
     decode_parquet_dir(spark, cdir, out).collect()
     res = verify_roundtrip(want, spark.read.parquet(out), key="url")
     assert res["joined_rows"] == 4_000 and res["total_mismatches"] == 0
+
+
+def test_encode_skips_hidden_and_temp_paths(spark, tmp_path):
+    """Aborted-write leftovers (_temporary task dirs, dot-files) must not be
+    encoded as rows — matching Spark's own hidden-path convention."""
+    import os
+    import shutil as _shutil
+
+    from nail_parquet_spark.codec.encode import encode_parquet_files
+    from nail_parquet_spark.sources.io import list_parquet_files
+    from nail_parquet_spark.synth import webpages_spark
+
+    src = str(tmp_path / "pages")
+    webpages_spark(spark, 1_000, seed=37, n_parts=1).write.parquet(src)
+    import glob as _glob
+
+    real = _glob.glob(src + "/*.parquet")[0]
+    os.makedirs(src + "/_temporary/0")
+    _shutil.copy(real, src + "/_temporary/0/stale.parquet")
+    _shutil.copy(real, src + "/.hidden.parquet")
+    assert list_parquet_files(src) == [real]
+    blocks = encode_parquet_files(
+        spark, src, codecs={"url": "zstd", "warc_ts": "for_bitpack",
+                            "html": "zstd", "text": "zstd", "lang": "dict"})
+    n = blocks.filter(F.col("column") == "url").agg(F.sum("n_rows")).collect()[0][0]
+    assert n == 1_000  # stale copies not double-counted
