@@ -23,12 +23,13 @@ def _spark(jobs: int | None = None):
 
 
 def _is_parquet_input(path: str) -> bool:
-    import glob
     import os
+
+    from nail_parquet_spark.sources.io import list_parquet_files
 
     if path.endswith(".parquet"):
         return True
-    return os.path.isdir(path) and bool(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
+    return os.path.isdir(path) and bool(list_parquet_files(path))
 
 
 def _out(df, args, n: int = 20):
@@ -336,6 +337,9 @@ def main(argv: list[str] | None = None) -> int:
         cols = args.columns.split(",") if args.columns else None
         if args.matrix and args.tests:
             p.error("--matrix and --tests are mutually exclusive (matrix has no p-value cells)")
+        if args.tests and args.method == "kendall":
+            p.error("--tests supports pearson/spearman only (Kendall tau "
+                    "significance needs its own variance formula)")
         if args.matrix:
             out = ops.correlation_matrix(df, cols, args.method, digits=args.digits)
         elif args.tests:

@@ -58,9 +58,9 @@ def compact_blocks(blocks: DataFrame, out_dir: str,
     new_block = F.xxhash64(F.lit(2), src, "part_id", "block_id")
     # keep only the canonical block columns: partition-discovery extras
     # (batch=..., unit=...) must not become data columns in the output
-    from nail_parquet_spark.codec.encode import BLOCKS_SCHEMA
+    from nail_parquet_spark.codec.encode import BLOCKS_COLUMNS
 
-    canon = [f.split()[0].strip("`") for f in BLOCKS_SCHEMA.split(",")]
+    canon = [n for n, _ in BLOCKS_COLUMNS]
     missing = [c for c in canon if c not in blocks.columns]
     if missing:
         raise ValueError(f"blocks table is missing columns {missing}")

@@ -115,13 +115,15 @@ def _with_src_key(blocks: DataFrame, file_keyed: bool = True) -> DataFrame:
         out = blocks.select(F.input_file_name().alias("__src"), *base)
         out.schema  # force analysis: MULTI_SOURCES_UNSUPPORTED surfaces here
         return out
-    except Exception:
+    except Exception as e:
+        if "MULTI_SOURCES" not in str(e) and "input_file_name" not in str(e):
+            raise  # unrelated analysis error (e.g. missing column): surface it
         import warnings
 
         warnings.warn(
             "decode: input_file_name() is unavailable for this blocks plan "
-            "(multi-source or in-memory); falling back to non-file-keyed "
-            "grouping — only safe when ALL blocks come from one encode job",
+            "(multi-source); falling back to non-file-keyed grouping — only "
+            "safe when ALL blocks come from one encode job",
             stacklevel=3,
         )
         return blocks.select(F.lit("").alias("__src"), *base)

@@ -21,12 +21,16 @@ from pyspark.sql import DataFrame
 from nail_parquet_spark.codec.kernels import encode_array, kind_of, xref_ref_of
 from nail_parquet_spark.codec.select import choose_codec, raw_bytes_of, xref_upgrade
 
-BLOCKS_SCHEMA = (
-    "part_id int, block_id bigint, column string, codec string, "
-    "n_rows bigint, raw_bytes bigint, enc_bytes bigint, null_count bigint, "
-    "min_val string, max_val string, distinct_est bigint, "
-    "header string, payload binary"
-)
+# canonical block-table columns; the DDL derives from this list so callers
+# (compaction, tests) never string-parse the schema
+BLOCKS_COLUMNS = [
+    ("part_id", "int"), ("block_id", "bigint"), ("column", "string"),
+    ("codec", "string"), ("n_rows", "bigint"), ("raw_bytes", "bigint"),
+    ("enc_bytes", "bigint"), ("null_count", "bigint"), ("min_val", "string"),
+    ("max_val", "string"), ("distinct_est", "bigint"), ("header", "string"),
+    ("payload", "binary"),
+]
+BLOCKS_SCHEMA = ", ".join(f"{n} {t}" for n, t in BLOCKS_COLUMNS)
 
 
 def _stat_strings(arr: pa.Array) -> tuple[str | None, str | None, int]:

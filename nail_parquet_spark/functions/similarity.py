@@ -144,11 +144,15 @@ def _sample_vectors(df: DataFrame, vec_col: str, cap: int = 10_000) -> "np.ndarr
     correctness (exact rerank follows in every ANN path)."""
     vec_df = df.select(vec_col)
     n_parts = max(1, vec_df.rdd.getNumPartitions())
-    # floor of 1024/partition: with heavily skewed layouts (most partitions
-    # near-empty) a strict cap/n_parts quota would shrink the sample to a
-    # few hundred rows; the floor lets dense partitions compensate, bounded
-    # driver-side by the final [:cap] cut
-    per_part = max(1024, -(-cap // n_parts))  # ceil with floor
+    # coalesce (no shuffle) to <=64 read slots: near-empty partitions merge
+    # with dense ones so a skewed layout still fills its quota, while the
+    # driver pull stays bounded at ~cap rows total (a per-partition FLOOR
+    # instead would collect n_parts*floor rows before the cut — driver OOM
+    # at thousands of partitions)
+    eff_parts = min(n_parts, 64)
+    if n_parts > eff_parts:
+        vec_df = vec_df.coalesce(eff_parts)
+    per_part = -(-cap // eff_parts)  # ceil
 
     def head_per_partition(pdfs):
         taken = 0

@@ -16,7 +16,12 @@ import os
 
 def _parquet_files(path: str) -> list[str]:
     if os.path.isdir(path):
-        files = sorted(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
+        # Spark's hidden-path convention (sources/io.list_parquet_files):
+        # _temporary leftovers and dot-files are not part of the dataset, so
+        # size/metadata must not count them either
+        from nail_parquet_spark.sources.io import list_parquet_files
+
+        files = list_parquet_files(path)
         if not files:
             raise ValueError(f"no parquet files under {path}")
         return files
