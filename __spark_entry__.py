@@ -304,6 +304,26 @@ def q_corr_pvalues(spark, sf_dir):
     )
 
 
+def q_corr_kendall_pvalues(spark, sf_dir):
+    """Kendall tau-b + significance (reference stats.rs:276-342 third
+    branch): z = 3*tau*sqrt(n(n-1))/sqrt(2(2n+5)). The oracle attests tau
+    AND the z-statistic (both SQL-expressible over the same deterministic
+    bounded slice as corr_kendall); the normal tail p = erfc(|z|/sqrt 2) has
+    no closed SQL form and is golden-tested in tests/test_operators.py."""
+    from nail_parquet_spark.operators.agg import correlations_with_pvalues
+
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") <= 2000)
+    out = correlations_with_pvalues(
+        li, ["l_quantity", "l_extendedprice"], method="kendall"
+    )
+    return (
+        out.where(F.col("column_a") != F.col("column_b"))
+        .select("column_a", "column_b",
+                F.round("correlation", 4).alias("kendall_tau"),
+                F.round("z_stat", 4).alias("z_stat"))
+    )
+
+
 def q_outliers_zscore(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     m, s = li.agg(F.avg("l_extendedprice"), F.stddev("l_extendedprice")).collect()[0]
@@ -576,15 +596,19 @@ def q_simhash_near_pairs(spark, sf_dir):
 
 
 def q_embedding_near_dup_lsh(spark, sf_dir):
-    """Production-scale near-dup path: LSH bucket self-join + exact cosine
-    verify (similarity.py embedding_near_duplicates). Rows-only oracle —
-    LSH recall is probabilistic, not SQL-reproducible."""
+    """Production-scale near-dup path: banded LSH candidate self-join +
+    exact cosine verify (similarity.py embedding_near_duplicates). Rows-only
+    oracle — LSH recall is probabilistic, not SQL-reproducible. 8 bands x 5
+    planes at threshold 0.8: per-pair retention 1-(1-p^5)^8 ~ 0.95 with
+    p = 1 - acos(0.8)/pi ~ 0.795."""
     from nail_parquet_spark.functions.similarity import embedding_near_duplicates
 
     e = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    return embedding_near_duplicates(e, "vec_id", "v", threshold=0.8)
+    return embedding_near_duplicates(
+        e, "vec_id", "v", threshold=0.8, bands=8, planes_per_band=5
+    )
 
 
 def q_embedding_topk(spark, sf_dir):
@@ -793,44 +817,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # Order matters: the driver records CORRECTNESS rows for only the first 50
-# entries per round. Round-3 head: the 14 queries whose only green row is
-# CORRECTNESS_r01 (rotated back in so r03 re-attests them), the two queries
-# NEW this round, every query whose code changed this round, and the
-# rows-only block (no_oracle rows are recorded each round). The tail holds
-# queries green in CORRECTNESS_r02 and unchanged since.
+# entries per round. Round-4 head: the 17 queries whose last driver
+# attestation is r02 (outside r03's 50-row cap — VERDICT r3 "What's missing"
+# #1), the query NEW this round (corr_kendall_pvalues), every query whose
+# code changed this round (banded near-dup LSH, vectorized multimodal), and
+# the rows-only block (no_oracle rows are recorded each round). The tail
+# holds queries attested green in CORRECTNESS_r03 and unchanged since.
 # scripts/check_oracle.py still verifies ALL entries.
 _QUERIES = {
-        # -- r01-tail rotation: last attested in r01, unchanged since --
-        "count_rows": q_count,
-        "select_columns": q_select_columns,
-        "drop_columns": q_drop_columns,
-        "rename_columns": q_rename,
-        "create_columns": q_create_columns,
-        "filter_conditions": q_filter_conditions,
-        "filter_no_nan": q_filter_no_nan,
-        "head": q_head,
-        "merge_left": q_merge_left,
-        "distinct_values": q_distinct_values,
-        "fill_value": q_fill_value,
-        "text_tokens": q_text_tokens,
-        "doc_fingerprint": q_doc_fingerprint,
-        "simhash": q_simhash,
+        # -- r02-tail rotation: last attested in r02, unchanged since --
+        "lang_id": q_lang_id,
+        "simhash_near_pairs": q_simhash_near_pairs,
+        "corr_matrix": q_corr_matrix,
+        "fill_mean": q_fill_mean,
+        "binning_custom": q_binning_custom,
+        "dedup_columns": q_dedup_columns,
+        "tail": q_tail,
+        "id_column": q_id_column,
+        "select_rows_spec": q_select_rows_spec,
+        "corr_spearman": q_corr_spearman,
+        "dedup_exact_docs": q_dedup_exact_docs,
+        "search_value": q_search_value,
+        "append_union": q_append_union,
+        "append_ignore_schema": q_append_ignore_schema,
+        "except_rows": q_except_rows,
+        "intersect_rows": q_intersect_rows,
+        "shuffle_content": q_shuffle_content,
         # -- new this round --
-        "corr_kendall": q_corr_kendall,
-        "corr_pvalues": q_corr_pvalues,
+        "corr_kendall_pvalues": q_corr_kendall_pvalues,
         # -- code changed this round (need fresh rows) --
-        "embedding_near_dup_exact": q_embedding_near_dup_exact,  # renamed; guarded
-        "embedding_topk_ivf": q_embedding_topk_ivf,     # rows-only oracle
+        "embedding_near_dup_lsh": q_embedding_near_dup_lsh,  # rows-only (banded)
+        "embedding_near_dup_exact": q_embedding_near_dup_exact,  # guarded twin
+        "multimodal_meta": q_multimodal_meta,
         # -- rows-only block (no_oracle rows re-recorded every round) --
         "encode_manifest": q_encode_manifest,           # rows-only oracle
         "encode_roundtrip": q_encode_roundtrip,         # rows-only oracle
         "embedding_topk_lsh": q_embedding_topk_lsh,     # rows-only oracle
-        "embedding_topk_pq": q_embedding_topk_pq,       # rows-only oracle (NEW)
-        "embedding_near_dup_lsh": q_embedding_near_dup_lsh,  # rows-only oracle
-        # -- headline + remaining surface (green in r02, re-attest) --
+        "embedding_topk_pq": q_embedding_topk_pq,       # rows-only oracle
+        "embedding_topk_ivf": q_embedding_topk_ivf,     # rows-only oracle
+        # -- headline + remaining surface (green in r03, re-attest) --
         "q1_pricing_summary": q1_pricing_summary,
         "embedding_topk": q_embedding_topk,
-        "multimodal_meta": q_multimodal_meta,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "sort_multi": q_sort_multi,
         "frequency": q_frequency,
@@ -853,26 +880,25 @@ _QUERIES = {
         "events_hourly": q_events_hourly,
         "events_sessionize": q_events_sessionize,
         "text_quality": q_text_quality,
+        # -- tail (entries 51+): attested green in CORRECTNESS_r03, unchanged --
         "minhash_signatures": q_minhash_signatures,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-        # -- tail (entries 51+): green in CORRECTNESS_r02, unchanged --
-        "lang_id": q_lang_id,
-        "simhash_near_pairs": q_simhash_near_pairs,
-        "corr_matrix": q_corr_matrix,
-        "fill_mean": q_fill_mean,
-        "binning_custom": q_binning_custom,
-        "dedup_columns": q_dedup_columns,
-        "tail": q_tail,
-        "id_column": q_id_column,
-        "select_rows_spec": q_select_rows_spec,
-        "corr_spearman": q_corr_spearman,
-        "dedup_exact_docs": q_dedup_exact_docs,
-        "search_value": q_search_value,
-        "append_union": q_append_union,
-        "append_ignore_schema": q_append_ignore_schema,
-        "except_rows": q_except_rows,
-        "intersect_rows": q_intersect_rows,
-        "shuffle_content": q_shuffle_content,
+        "count_rows": q_count,
+        "select_columns": q_select_columns,
+        "drop_columns": q_drop_columns,
+        "rename_columns": q_rename,
+        "create_columns": q_create_columns,
+        "filter_conditions": q_filter_conditions,
+        "filter_no_nan": q_filter_no_nan,
+        "head": q_head,
+        "merge_left": q_merge_left,
+        "distinct_values": q_distinct_values,
+        "fill_value": q_fill_value,
+        "text_tokens": q_text_tokens,
+        "doc_fingerprint": q_doc_fingerprint,
+        "simhash": q_simhash,
+        "corr_kendall": q_corr_kendall,
+        "corr_pvalues": q_corr_pvalues,
 }
 
 
@@ -1247,6 +1273,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'l_quantity' AS column_a, 'l_extendedprice' AS column_b,
                    round((nc - nd) / sqrt(CAST(n0 - n1 AS DOUBLE) * CAST(n0 - n2 AS DOUBLE)), 4) AS kendall_tau
             FROM g""",
+        "corr_kendall_pvalues": """
+            WITH s AS (
+              SELECT row_number() OVER () AS rid,
+                     CAST(l_quantity AS DOUBLE) AS x,
+                     CAST(l_extendedprice AS DOUBLE) AS y
+              FROM lineitem WHERE l_orderkey <= 2000),
+            p AS (
+              SELECT CASE WHEN (a.x - b.x) * (a.y - b.y) > 0 THEN 1 ELSE 0 END AS c,
+                     CASE WHEN (a.x - b.x) * (a.y - b.y) < 0 THEN 1 ELSE 0 END AS d,
+                     CASE WHEN a.x = b.x THEN 1 ELSE 0 END AS tx,
+                     CASE WHEN a.y = b.y THEN 1 ELSE 0 END AS ty
+              FROM s a JOIN s b ON a.rid < b.rid),
+            g AS (SELECT sum(c) AS nc, sum(d) AS nd, sum(tx) AS n1,
+                         sum(ty) AS n2, count(*) AS n0 FROM p),
+            nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM s),
+            t AS (SELECT (nc - nd) / sqrt(CAST(n0 - n1 AS DOUBLE) * CAST(n0 - n2 AS DOUBLE)) AS tau, n
+                  FROM g, nn)
+            SELECT 'l_quantity' AS column_a, 'l_extendedprice' AS column_b,
+                   round(tau, 4) AS kendall_tau,
+                   round(3 * tau * sqrt(n * (n - 1)) / sqrt(2 * (2 * n + 5)), 4) AS z_stat
+            FROM t""",
         "corr_pvalues": """
             WITH n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM lineitem),
             c AS (

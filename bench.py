@@ -99,10 +99,40 @@ def run_encode_scaling() -> dict:
     return json.loads(line[-1])
 
 
+def _compact_encode(enc: dict) -> dict:
+    """Flatten the encode-scaling detail into a few scalars for the final
+    machine line (r3 lesson: the full dict with walls/pairs/host_probe
+    arrays outgrew the driver's tail capture -> BENCH_r03 parsed=null)."""
+    out: dict = {}
+    for k in ("scale_pair", "scaling_efficiency", "scaling_efficiency_median_pair"):
+        if k in enc:
+            out[k] = enc[k]
+    for tier in ("cpus_1", "cpus_4", "cpus_8", "cpus_32"):
+        d = enc.get(tier)
+        if not isinstance(d, dict):
+            continue
+        t: dict = {"gbps": d.get("gbps"), "wall_s": d.get("wall_s")}
+        for k in ("ratio", "enc_bytes", "raw_bytes", "rows", "decode_gbps",
+                  "decode_gbps_none"):
+            if k in d:
+                t[k] = d[k]
+        out[tier] = t
+    sb = enc.get("size_bar")
+    if isinstance(sb, dict):
+        out["size_bar"] = {k: sb.get(k) for k in ("ref_bytes", "enc_bytes", "pass")}
+    return out
+
+
 def main():
     t0 = time.time()
     queries = run_suite()
     suite_s = round(sum(v for v in queries.values() if v > 0), 3)
+    encode = {} if SKIP_SCALING else run_encode_scaling()
+    total_s = round(time.time() - t0, 1)
+    # Full-detail line first (walls/pairs/host_probe arrays live here) ...
+    detail = {"detail": "encode_scaling_full", "encode": encode, "total_bench_s": total_s}
+    print(json.dumps(detail))
+    # ... compact machine line LAST so the driver's tail capture parses it.
     result = {
         "metric": "headline suite wall-clock + encode throughput",
         "value": suite_s,
@@ -110,10 +140,9 @@ def main():
         "queries": queries,
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "cpus": CPUS,
+        "encode": _compact_encode(encode),
+        "total_bench_s": total_s,
     }
-    if not SKIP_SCALING:
-        result["encode"] = run_encode_scaling()
-    result["total_bench_s"] = round(time.time() - t0, 1)
     print(json.dumps(result))
 
 

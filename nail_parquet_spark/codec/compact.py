@@ -47,6 +47,32 @@ def compact_blocks(blocks: DataFrame, out_dir: str,
             "(spark.read.parquet(dir)); some rows have no input_file_name(), "
             "so group identities from different encode jobs could collide"
         )
+    # mode('overwrite') DELETES out_dir while the job is still reading the
+    # input scan — if any input file lives under out_dir (or out_dir IS the
+    # directory backing the scan), the job can fail mid-write after the
+    # originals are gone, losing the table (ADVICE r3). Refuse the overlap.
+    import os
+    from urllib.parse import unquote, urlparse
+
+    def _norm(p: str) -> tuple[str, str]:
+        u = urlparse(p)
+        scheme = u.scheme or "file"
+        path = unquote(u.path) if u.scheme else p
+        return scheme, os.path.abspath(path)
+
+    out_scheme, out_path = _norm(out_dir)
+    for f in blocks.inputFiles():
+        s, p = _norm(f)
+        if s != out_scheme:
+            continue
+        if (p == out_path or p.startswith(out_path + os.sep)
+                or os.path.dirname(p) == out_path):
+            raise ValueError(
+                f"compact_blocks out_dir {out_dir!r} overlaps the directory "
+                f"backing the input blocks (e.g. {f!r}); overwriting a path "
+                "the job is concurrently reading can lose the table — "
+                "compact into a fresh directory, then swap"
+            )
     src = F.input_file_name()
     # 95-bit group identity: two independently-seeded xxhash64 halves over
     # the decoder's group key. Survives unioning outputs of many jobs

@@ -175,9 +175,11 @@ def _iter_groups(batches, columns):
 
 
 _GROUP_HINT = (
-    " (if this blocks table was repartitioned or compacted after encoding so "
+    " (if this blocks table was repartitioned or rewritten after encoding so "
     "groups span files, pass file_keyed=False — only safe when all blocks "
-    "come from ONE encode job)"
+    "come from ONE encode job — or re-key it with "
+    "nail_parquet_spark.codec.compact.compact_blocks, which restores whole "
+    "groups per file and decodes under either mode)"
 )
 
 
@@ -229,6 +231,17 @@ def _spark_ddl_of(schema: pa.Schema) -> str:
 def decode_table(blocks: DataFrame, columns: list[str] | None = None,
                  num_partitions: int | None = None,
                  file_keyed: bool = True) -> DataFrame:
+    """Decode an encoded-blocks DataFrame back to the raw table.
+
+    BREAKING DEFAULT (round 3): ``file_keyed=True`` scopes block-group
+    identity by source file so outputs of independent encode jobs (each
+    restarting part_id at 0) never merge. Block tables that were
+    repartitioned or rewritten AFTER encoding — whose groups span files and
+    decoded fine under the old fileless key — now fail with a
+    missing-columns error that names the two fixes: pass
+    ``file_keyed=False`` (safe only when ALL blocks come from one encode
+    job) or re-key with ``codec.compact.compact_blocks``, which restores
+    whole groups per file and decodes under either mode."""
     headers, refs = _headers_by_column(blocks)
     if columns is None:
         # the header read already enumerated the columns — no extra job
@@ -317,6 +330,9 @@ def decode_to_parquet(blocks: DataFrame, out_dir: str,
 
     Returns a small manifest DataFrame (file, n_rows); the decoded table is
     ``spark.read.parquet(out_dir)``.
+
+    ``file_keyed`` semantics (and the round-3 breaking default for tables
+    rewritten after encoding) are documented on ``decode_table``.
     """
     import os
 

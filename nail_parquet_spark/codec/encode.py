@@ -245,17 +245,48 @@ def _plan_parquet_encode(spark, path, columns, codecs, policy, sample_rows,
     from nail_parquet_spark.sources.io import list_parquet_files
 
     paths = []
+    part_keys: set[str] = set()
     for p in [path] if isinstance(path, str) else list(path):
         if _os.path.isdir(p):
             # recursive, matching decode/autodetect conventions — covers
             # Hive-partitioned layouts (batch=*/ dirs); hidden/_-prefixed
             # segments (_temporary leftovers, _manifests) are skipped the
             # way Spark's own reader skips them
-            paths.extend(list_parquet_files(p))
+            root = _os.path.abspath(p)
+            for f in list_parquet_files(p):
+                paths.append(f)
+                # key=value directory segments BETWEEN the input root and
+                # the file are Hive partition columns: they exist only in
+                # directory names, which the footer-based reader never sees
+                rel_dir = _os.path.dirname(_os.path.relpath(_os.path.abspath(f), root))
+                for seg in rel_dir.split(_os.sep):
+                    if "=" in seg and not seg.startswith((".", "_")):
+                        part_keys.add(seg.split("=", 1)[0])
         else:
             paths.append(p)
     if not paths:
         raise ValueError(f"no parquet files under {path}")
+    if part_keys:
+        # ADVICE r3: the recursive listing would otherwise proceed and
+        # silently drop these columns (they're not in any footer)
+        clash = sorted(set(columns or []) & part_keys)
+        if clash:
+            raise ValueError(
+                f"columns {clash} are Hive partition directories under "
+                f"{path}, not parquet columns — scan-side encode reads file "
+                "footers only. Read with spark.read.parquet(...) (which "
+                "materializes partition columns) and use encode_table "
+                "instead."
+            )
+        import warnings as _warnings
+
+        _warnings.warn(
+            f"input under {path} is Hive-partitioned on "
+            f"{sorted(part_keys)}; partition columns exist only in "
+            "directory names and will NOT be encoded by the scan-side "
+            "path. Use spark.read.parquet + encode_table to keep them.",
+            stacklevel=2,
+        )
 
     # work items: one per row group (bounded task size regardless of file size)
     items = []

@@ -98,25 +98,91 @@ def cosine_topk_lsh(df: DataFrame, queries: DataFrame, id_col: str, vec_col: str
     )
 
 
-def embedding_near_duplicates(df: DataFrame, id_col: str, vec_col: str,
-                              threshold: float = 0.95, n_planes: int = 12,
-                              seed: int = 42) -> DataFrame:
-    """Embedding-cosine near-dup pairs via LSH bucket self-join + exact
-    verify — the embedding analogue of MinHash dedup."""
-    dim = len(df.select(vec_col).first()[0])
-    planes = random_hyperplanes(dim, n_planes, seed)
-    b = lsh_bucket(df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")), "__v", planes)
-    a, bb = b.alias("a"), b.alias("b")
-    cand = a.join(
-        bb, (F.col("a.lsh_bucket") == F.col("b.lsh_bucket")) & (F.col("a.__id") < F.col("b.__id"))
+def embedding_lsh_candidates(df: DataFrame, id_col: str, vec_col: str,
+                             bands: int = 8, planes_per_band: int = 7,
+                             seed: int = 42, max_bucket: int = 1000,
+                             chain_width: int = 3) -> DataFrame:
+    """Banded random-hyperplane candidate pairs (id_a < id_b), the
+    OR-construction: a pair is a candidate iff it agrees on ALL
+    ``planes_per_band`` sign bits in at least one of ``bands`` bands.
+    Per-pair match probability is 1-(1-p^r)^b with p = 1 - acos(cos)/pi —
+    at cosine 0.95 the default (8 bands x 7 planes) retains ~99% of true
+    pairs, vs ~28% lost by the previous single 12-plane signature.
+
+    All band buckets come from ONE scan (projections -> array -> explode);
+    only (id, bucket) rows shuffle, never the vectors.
+
+    Hot buckets (near-identical clusters — exactly the near-dup case) would
+    make the clique self-join quadratic, so buckets larger than
+    ``max_bucket`` switch to CHAIN linking: each row pairs with its next
+    ``chain_width`` neighbors in id order within the bucket. Output stays
+    linear in bucket size while tight clusters remain connected through
+    adjacent pairs (a loose oversized bucket may lose cross-cluster pairs —
+    the documented recall/cost trade; raise max_bucket for exactness)."""
+    from pyspark.sql import Window
+
+    first = df.select(vec_col).filter(F.col(vec_col).isNotNull()).first()
+    if first is None:
+        return df.sparkSession.createDataFrame(
+            [], f"id_a {dict(df.dtypes)[id_col]}, id_b {dict(df.dtypes)[id_col]}"
+        )
+    dim = len(first[0])
+    planes = random_hyperplanes(dim, bands * planes_per_band, seed)
+    base = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+
+    def band_bucket(b: int):
+        sig = F.lit(0).cast("bigint")
+        for j in range(planes_per_band):
+            arr = F.array(*[F.lit(float(x)) for x in planes[b * planes_per_band + j]])
+            sig = sig + F.when(_dot_expr(F.col("__v"), arr) > 0,
+                               F.lit(1 << j).cast("bigint")).otherwise(0)
+        return F.concat_ws(":", F.lit(str(b)), sig.cast("string"))
+
+    buckets = base.select(
+        "__id", F.explode(F.array(*[band_bucket(b) for b in range(bands)])).alias("bucket")
     )
-    cos = _dot_expr(F.col("a.__v"), F.col("b.__v")) / (
-        _norm_expr(F.col("a.__v")) * _norm_expr(F.col("b.__v"))
+    sizes = buckets.groupBy("bucket").agg(F.count(F.lit(1)).alias("__n")).filter(F.col("__n") >= 2)
+    buckets = buckets.join(sizes, "bucket")
+    small = buckets.filter(F.col("__n") <= max_bucket).drop("__n")
+    a, b_ = small.alias("a"), small.alias("b")
+    clique = a.join(
+        b_, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.__id") < F.col("b.__id"))
+    ).select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+    big = buckets.filter(F.col("__n") > max_bucket).drop("__n")
+    w = Window.partitionBy("bucket").orderBy("__id")
+    ranked = big.withColumn("__rn", F.row_number().over(w))
+    ra, rb = ranked.alias("a"), ranked.alias("b")
+    chain = ra.join(
+        rb,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("b.__rn") - F.col("a.__rn")).between(1, chain_width),
+    ).select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+    return clique.unionAll(chain).distinct()
+
+
+def embedding_near_duplicates(df: DataFrame, id_col: str, vec_col: str,
+                              threshold: float = 0.95, bands: int = 8,
+                              planes_per_band: int = 7, seed: int = 42,
+                              max_bucket: int = 1000,
+                              chain_width: int = 3) -> DataFrame:
+    """Embedding-cosine near-dup pairs — banded LSH candidate generation
+    (embedding_lsh_candidates) + exact cosine verify on candidates only.
+    The embedding analogue of MinHash dedup; same candidate->verify shape,
+    never an O(n^2) cross join."""
+    cand = embedding_lsh_candidates(
+        df, id_col, vec_col, bands=bands, planes_per_band=planes_per_band,
+        seed=seed, max_bucket=max_bucket, chain_width=chain_width,
+    )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    cos = _dot_expr(F.col("__va"), F.col("__vb")) / (
+        _norm_expr(F.col("__va")) * _norm_expr(F.col("__vb"))
     )
     return (
-        cand.withColumn("cosine", F.round(cos, 6))
+        cand.join(va, "id_a").join(vb, "id_b")
+        .withColumn("cosine", F.round(cos, 6))
         .filter(F.col("cosine") >= threshold)
-        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"), "cosine")
+        .select("id_a", "id_b", "cosine")
     )
 
 
@@ -171,7 +237,23 @@ def _sample_vectors(df: DataFrame, vec_col: str, cap: int = 10_000) -> "np.ndarr
         from collections import Counter
 
         d = Counter(len(v) for v in vals).most_common(1)[0][0]
-        vals = [v for v in vals if len(v) == d]
+        kept = [v for v in vals if len(v) == d]
+        dropped = len(vals) - len(kept)
+        if dropped and dropped / len(vals) > 0.01:
+            # mixed dimensionalities: training keys on the modal dim and the
+            # downstream encode/query filters silently exclude every other
+            # dim — surface the exclusion instead of returning partial
+            # results with no diagnostic (ADVICE r3)
+            import warnings
+
+            warnings.warn(
+                f"_sample_vectors: {dropped}/{len(vals)} sampled vectors "
+                f"dropped for dimension != modal {d}; rows of other "
+                f"dimensionalities will be excluded from the index and from "
+                f"query scoring",
+                stacklevel=2,
+            )
+        vals = kept
     return np.array(vals[:cap], dtype="float64")
 
 

@@ -424,21 +424,67 @@ def correlation_pvalue(r: float, n: int) -> float:
     return t_sf(abs(correlation_t_stat(r, n)), n - 2)
 
 
+def kendall_z_stat(tau: float, n: int) -> float:
+    """Normal-approximation z-statistic for Kendall's tau under H0:
+    z = 3*tau*sqrt(n*(n-1)) / sqrt(2*(2n+5)) — the tau-specific null
+    variance (reference stats.rs:276-342, third branch). The Pearson
+    t-transform is WRONG for tau, hence this dedicated formula."""
+    import math
+
+    if tau is None or n < 2 or math.isnan(tau):
+        return float("nan")
+    return 3.0 * tau * math.sqrt(n * (n - 1)) / math.sqrt(2.0 * (2 * n + 5))
+
+
+def kendall_pvalue(tau: float, n: int) -> float:
+    """Two-sided p-value for Kendall's tau via the normal approximation:
+    p = erfc(|z| / sqrt(2))."""
+    import math
+
+    z = kendall_z_stat(tau, n)
+    if math.isnan(z):
+        return float("nan")
+    return math.erfc(abs(z) / math.sqrt(2.0))
+
+
 def correlations_with_pvalues(df: DataFrame, columns: list[str] | None = None,
                               method: str = "pearson") -> DataFrame:
-    """Long-form correlations + the t-statistic and two-sided p-value
-    (reference stats.rs:276-342: the same t-transform).
+    """Long-form correlations + significance (reference stats.rs:276-342).
 
-    The degrees of freedom use the PER-PAIR both-non-null count — F.corr
-    does pairwise deletion, so a table-level count() would overstate n (and
-    the significance) for columns with nulls."""
+    pearson/spearman: the t-transform t = r*sqrt((n-2)/(1-r^2)) with
+    two-sided Student-t p-value. The degrees of freedom use the PER-PAIR
+    both-non-null count — F.corr does pairwise deletion, so a table-level
+    count() would overstate n (and the significance) for columns with nulls.
+
+    kendall: exact tau-b on the same bounded deterministic sample
+    correlations() uses, with the tau-specific normal approximation
+    z = 3*tau*sqrt(n(n-1))/sqrt(2(2n+5)) and p = erfc(|z|/sqrt(2)) —
+    returned as (correlation, z_stat, p_value). n is the both-non-null
+    count WITHIN the sample (the n tau was actually computed from); the
+    bounded-sample caveat of correlations(method='kendall') applies."""
     if method == "kendall":
-        # kendall runs on a bounded sample (so the table-level pair count
-        # would be the wrong n) AND tau's null distribution isn't the
-        # Pearson t-transform — refuse rather than report wrong significance
-        raise NotImplementedError(
-            "p-values are implemented for pearson/spearman; Kendall tau "
-            "significance needs its own variance formula"
+        import numpy as np
+
+        cols = columns or _numeric_cols(df)
+        kpairs = [(a, b) for i, a in enumerate(cols) for b in cols[i:]]
+        pdf = df.select(cols).limit(10_000).toPandas()
+        rows = []
+        for a, b in kpairs:
+            x, y = pdf[a].to_numpy(), pdf[b].to_numpy()
+            mask = ~(np.isnan(x.astype("float64")) | np.isnan(y.astype("float64")))
+            n = int(mask.sum())
+            tau = _kendall_tau_b(x, y)
+            bad = tau != tau  # NaN
+            rows.append((
+                a, b,
+                None if bad else float(tau),
+                None if bad else float(kendall_z_stat(tau, n)),
+                None if bad else float(kendall_pvalue(tau, n)),
+            ))
+        return df.sparkSession.createDataFrame(
+            rows,
+            "column_a string, column_b string, correlation double, "
+            "z_stat double, p_value double",
         )
     corr_rows = correlations(df, columns, method).collect()
     pairs = [(r["column_a"], r["column_b"]) for r in corr_rows]

@@ -179,8 +179,11 @@ def main():
         walls[N_HI].append(round(w_hi, 3))
         pairs.append(round((w_lo / w_hi) / (N_HI / N_LO), 4))
 
-    # decode throughput (shuffle-free path) over the blocks just written
-    dec_gbps = None
+    # decode throughput (shuffle-free path) over the blocks just written —
+    # measured per container codec: 'snappy' matches the reference parquet
+    # configuration; 'none' is the fair engine number (NEXT r3: ~30% of the
+    # snappy wall is the container re-compression of already-verified bytes)
+    dec = {}
     if os.environ.get("BENCH_DECODE", "1") == "1":
         from nail_parquet_spark.codec.decode import decode_parquet_dir
 
@@ -188,10 +191,16 @@ def main():
         dec_dir = os.path.join(DATA, f"decoded_{ROWS}_{N_HI}")
         shutil.rmtree(dec_dir, ignore_errors=True)
         decode_parquet_dir(spark, blocks_dir, dec_dir, columns=cols).collect()  # warm
-        shutil.rmtree(dec_dir, ignore_errors=True)
-        t0 = time.time()
-        decode_parquet_dir(spark, blocks_dir, dec_dir, columns=cols).collect()
-        dec_gbps = round(raw / (time.time() - t0) / 1e9, 4)
+        for codec_name, key in (("snappy", "decode_gbps"), ("none", "decode_gbps_none")):
+            best = None
+            for _ in range(2):  # best-of-2: 2-3x host noise (BENCH/BASELINE.md)
+                shutil.rmtree(dec_dir, ignore_errors=True)
+                t0 = time.time()
+                decode_parquet_dir(spark, blocks_dir, dec_dir, columns=cols,
+                                   compression=codec_name).collect()
+                w = time.time() - t0
+                best = w if best is None else min(best, w)
+            dec[key] = round(raw / best / 1e9, 4)
 
     out = {}
     for n in (N_LO, N_HI):
@@ -211,7 +220,7 @@ def main():
             "gbps": round(raw / wall / 1e9, 4),
             "n_blocks": nb,
         }
-    out[f"cpus_{N_HI}"]["decode_gbps"] = dec_gbps
+    out[f"cpus_{N_HI}"].update(dec)
     out["scale_pair"] = [N_LO, N_HI]
     # headline estimator: uncontended capacity at each level = min wall over
     # the interleaved window (walls only ever get SLOWER under host noise;

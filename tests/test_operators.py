@@ -284,3 +284,49 @@ def test_correlation_pvalues_pairwise_n(spark):
     assert math.isclose(r["t_stat"], want_t, rel_tol=1e-9), (r["t_stat"], want_t)
     wrong_t = correlation_t_stat(r["correlation"], 4000)
     assert abs(r["t_stat"]) < abs(wrong_t) / 5
+
+
+def test_kendall_significance_known_values():
+    """z = 3*tau*sqrt(n(n-1))/sqrt(2(2n+5)) (stats.rs:276-342 third branch),
+    p = erfc(|z|/sqrt 2). Constants locked for regression; z additionally
+    cross-checked against the algebraically independent variance form
+    var(tau) = 2(2n+5)/(9n(n-1))."""
+    import math
+
+    from nail_parquet_spark.operators.agg import kendall_pvalue, kendall_z_stat
+
+    cases = [
+        (0.6, 5, 1.469693845670, 0.141644690295),
+        (0.3, 50, 3.074085229788, 0.002111491007),
+        (-0.2, 100, -2.948335619774, 0.003194900001),
+        (0.05, 1000, 2.367564486135, 0.017905599343),
+    ]
+    for tau, n, want_z, want_p in cases:
+        assert abs(kendall_z_stat(tau, n) - want_z) < 1e-9
+        assert abs(kendall_pvalue(tau, n) - want_p) < 1e-9
+        alt_z = tau / math.sqrt(2.0 * (2 * n + 5) / (9.0 * n * (n - 1)))
+        assert abs(kendall_z_stat(tau, n) - alt_z) < 1e-9
+    assert math.isnan(kendall_z_stat(0.5, 1))
+    assert math.isnan(kendall_pvalue(float("nan"), 50))
+
+
+def test_correlations_with_pvalues_kendall(spark):
+    """method='kendall' returns (correlation, z_stat, p_value) with tau equal
+    to correlations(method='kendall') and z from the tau-specific normal
+    approximation over the sample's both-non-null n."""
+    from nail_parquet_spark.operators.agg import kendall_z_stat
+
+    df = spark.createDataFrame(
+        [(1.0, 1.0), (2.0, 3.0), (3.0, 2.0), (4.0, 5.0), (5.0, 4.0),
+         (6.0, None)],
+        "a double, b double",
+    )
+    out = ops.correlations_with_pvalues(df, ["a", "b"], method="kendall")
+    assert out.columns == ["column_a", "column_b", "correlation", "z_stat", "p_value"]
+    got = {(r["column_a"], r["column_b"]): r for r in out.collect()}
+    ab = got[("a", "b")]
+    assert ab["correlation"] == pytest.approx(0.6)
+    # n = 5 complete pairs (the null-b row is excluded), not 6
+    assert ab["z_stat"] == pytest.approx(kendall_z_stat(0.6, 5), rel=1e-9)
+    assert ab["p_value"] == pytest.approx(0.141644690295, rel=1e-6)
+    assert got[("a", "a")]["correlation"] == pytest.approx(1.0)

@@ -254,3 +254,93 @@ def test_cosine_topk_pq_int_ids_and_empty_queries(spark):
     out2 = cosine_topk_pq(df, empty_q, "vec_id", "v", k=2, m=2, n_centroids=8)
     assert out2.count() == 0
     assert out2.columns == ["query_id", "neighbor_id", "cosine", "rank"]
+
+
+def test_embedding_near_dup_banded_recall(spark):
+    """Banded OR-construction must recover >=90% of true cosine>=0.95 pairs
+    (VERDICT r3: the old single 12-plane signature lost ~28% at theta=0.95).
+    Ground truth is exact numpy all-pairs on the same fixture."""
+    import numpy as np
+
+    from nail_parquet_spark.functions.similarity import embedding_near_duplicates
+
+    rng = np.random.default_rng(11)
+    vecs = []
+    for i in range(60):  # 60 near-dup pairs: base + tiny-noise copy
+        b = rng.standard_normal(16)
+        b /= np.linalg.norm(b)
+        vecs.append(b)
+        noisy = b + 0.03 * rng.standard_normal(16)
+        vecs.append(noisy / np.linalg.norm(noisy))
+    for _ in range(120):  # unrelated fillers
+        v = rng.standard_normal(16)
+        vecs.append(v / np.linalg.norm(v))
+    X = np.array(vecs)
+    S = X @ X.T
+    truth = {(i, j) for i in range(len(X)) for j in range(i + 1, len(X))
+             if S[i, j] >= 0.95}
+    assert len(truth) >= 50  # fixture sanity: enough true pairs to measure
+    df = spark.createDataFrame(
+        [(i, X[i].tolist()) for i in range(len(X))], "vec_id long, v array<double>"
+    )
+    got = {(r["id_a"], r["id_b"])
+           for r in embedding_near_duplicates(df, "vec_id", "v", threshold=0.95).collect()}
+    assert not got - truth  # exact verify: zero false positives
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.9, f"recall {recall:.3f} over {len(truth)} true pairs"
+
+
+def test_embedding_near_dup_hot_bucket_chain(spark):
+    """A cluster of near-identical vectors (the hottest possible bucket) must
+    not go quadratic: above max_bucket the bucket switches to chain linking,
+    so pair count stays linear while the cluster remains connected through
+    consecutive-id pairs."""
+    import numpy as np
+
+    from nail_parquet_spark.functions.similarity import (
+        embedding_lsh_candidates,
+        embedding_near_duplicates,
+    )
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal(16)
+    base /= np.linalg.norm(base)
+    rows = [(i, base.tolist()) for i in range(100)]
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    cand = embedding_lsh_candidates(df, "vec_id", "v", max_bucket=10, chain_width=3)
+    n_cand = cand.count()
+    assert n_cand <= 3 * 99  # linear (clique would be 4950)
+    pairs = {(r["id_a"], r["id_b"])
+             for r in embedding_near_duplicates(
+                 df, "vec_id", "v", threshold=0.95, max_bucket=10, chain_width=3
+             ).collect()}
+    # chain linking keeps the cluster connected: every consecutive-id pair
+    for i in range(99):
+        assert (i, i + 1) in pairs
+
+
+def test_multimodal_hash_identity(spark):
+    """The vectorized (mapInArrow) path must produce md5 hashes and fake
+    features byte-identical to the per-row definition."""
+    import hashlib
+
+    from nail_parquet_spark.functions.multimodal import (
+        _fake_features,
+        extract_media_features,
+    )
+
+    blobs = [b"", b"abc", b"x" * 10_000, bytes(range(256)), None]
+    df = spark.createDataFrame(
+        [(i, b) for i, b in enumerate(blobs)], "doc_id long, blob binary"
+    )
+    out = {r["doc_id"]: r for r in
+           extract_media_features(df, "doc_id", "blob", dim=8).collect()}
+    for i, b in enumerate(blobs):
+        if b is None:
+            assert out[i]["content_hash"] is None
+            assert out[i]["n_bytes"] == 0
+            assert out[i]["features"] == [0.0] * 8
+        else:
+            assert out[i]["content_hash"] == hashlib.md5(b).hexdigest()
+            assert out[i]["n_bytes"] == len(b)
+            assert out[i]["features"] == pytest.approx(_fake_features(b, 8), abs=0)

@@ -377,3 +377,44 @@ def test_encode_skips_hidden_and_temp_paths(spark, tmp_path):
                             "html": "zstd", "text": "zstd", "lang": "dict"})
     n = blocks.filter(F.col("column") == "url").agg(F.sum("n_rows")).collect()[0][0]
     assert n == 1_000  # stale copies not double-counted
+
+
+def test_compact_blocks_refuses_overlapping_out_dir(spark, tmp_path):
+    """mode('overwrite') into the directory backing the input scan can lose
+    the table mid-job (ADVICE r3) — the overlap must be refused."""
+    import pytest
+
+    from nail_parquet_spark.codec.compact import compact_blocks
+    from nail_parquet_spark.codec.encode import encode_parquet_dir
+    from nail_parquet_spark.synth import webpages_spark
+
+    src = str(tmp_path / "pages")
+    webpages_spark(spark, 500, seed=41, n_parts=1).write.parquet(src)
+    enc = str(tmp_path / "enc")
+    codecs = {"url": "zstd", "warc_ts": "for_bitpack", "html": "zstd",
+              "text": "zstd", "lang": "dict"}
+    encode_parquet_dir(spark, src, enc + "/batch=a", codecs=codecs).collect()
+    blocks = spark.read.parquet(enc + "/batch=a")
+    with pytest.raises(ValueError, match="overlaps"):
+        compact_blocks(blocks, enc + "/batch=a", num_files=1)
+    with pytest.raises(ValueError, match="overlaps"):
+        compact_blocks(blocks, enc, num_files=1)  # parent of the input files
+
+
+def test_encode_scan_side_hive_partition_columns(spark, tmp_path):
+    """Scan-side encode reads footers only, so Hive partition columns exist
+    solely in directory names: requesting one must raise, and otherwise the
+    plan must warn that they are dropped (ADVICE r3 medium)."""
+    import pytest
+
+    from nail_parquet_spark.codec.encode import encode_parquet_files
+    from nail_parquet_spark.synth import webpages_spark
+
+    src = str(tmp_path / "parts")
+    webpages_spark(spark, 500, seed=43, n_parts=1).write.partitionBy("lang").parquet(src)
+    codecs = {"url": "zstd", "warc_ts": "for_bitpack", "html": "zstd", "text": "zstd"}
+    with pytest.warns(UserWarning, match="Hive-partitioned on \\['lang'\\]"):
+        encode_parquet_files(spark, src, codecs=codecs)
+    with pytest.raises(ValueError, match="Hive partition"):
+        encode_parquet_files(spark, src, columns=["url", "lang"],
+                             codecs={"url": "zstd", "lang": "dict"})
