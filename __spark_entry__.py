@@ -1176,16 +1176,21 @@ def oracle_sql() -> dict[str, str]:
             WITH dd AS (SELECT doc_id, text FROM documents),
             {_SHINGLES_SQL}
             SELECT doc_id,
-                   min(md5('0|' || shingle)) AS mh_0, min(md5('1|' || shingle)) AS mh_1,
-                   min(md5('2|' || shingle)) AS mh_2, min(md5('3|' || shingle)) AS mh_3
+                   min(substr(md5('0|' || shingle), 1, 8)) AS mh_0,
+                   min(substr(md5('0|' || shingle), 9, 8)) AS mh_1,
+                   min(substr(md5('0|' || shingle), 17, 8)) AS mh_2,
+                   min(substr(md5('0|' || shingle), 25, 8)) AS mh_3
             FROM sh GROUP BY doc_id""",
         "ngram_jaccard_pairs": f"""
             WITH dd AS ({_DOCS_DUPS_SQL}),
             {_SHINGLES_SQL},
+            shh AS (
+              SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h
+              FROM sh),
             sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
             inter AS (
               SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
-              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              FROM shh a JOIN shh b ON a.h = b.h AND a.doc_id < b.doc_id
               GROUP BY 1, 2)
             SELECT id_a, id_b,
                    round(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
@@ -1198,10 +1203,14 @@ def oracle_sql() -> dict[str, str]:
             {_SHINGLES_SQL},
             sig AS (
               SELECT doc_id,
-                     min(md5('0|' || shingle)) AS mh_0, min(md5('1|' || shingle)) AS mh_1,
-                     min(md5('2|' || shingle)) AS mh_2, min(md5('3|' || shingle)) AS mh_3,
-                     min(md5('4|' || shingle)) AS mh_4, min(md5('5|' || shingle)) AS mh_5,
-                     min(md5('6|' || shingle)) AS mh_6, min(md5('7|' || shingle)) AS mh_7
+                     min(substr(md5('0|' || shingle), 1, 8)) AS mh_0,
+                     min(substr(md5('0|' || shingle), 9, 8)) AS mh_1,
+                     min(substr(md5('0|' || shingle), 17, 8)) AS mh_2,
+                     min(substr(md5('0|' || shingle), 25, 8)) AS mh_3,
+                     min(substr(md5('1|' || shingle), 1, 8)) AS mh_4,
+                     min(substr(md5('1|' || shingle), 9, 8)) AS mh_5,
+                     min(substr(md5('1|' || shingle), 17, 8)) AS mh_6,
+                     min(substr(md5('1|' || shingle), 25, 8)) AS mh_7
               FROM sh GROUP BY doc_id),
             buckets AS (
               SELECT doc_id, '0|' || mh_0 || '|' || mh_1 AS bucket FROM sig
@@ -1212,12 +1221,15 @@ def oracle_sql() -> dict[str, str]:
               SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
               FROM buckets a JOIN buckets b
                 ON a.bucket = b.bucket AND a.doc_id < b.doc_id),
+            shh AS (
+              SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h
+              FROM sh),
             sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
             inter AS (
               SELECT c.id_a, c.id_b, count(*) AS n_inter
               FROM cand c
-              JOIN sh sa ON sa.doc_id = c.id_a
-              JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+              JOIN shh sa ON sa.doc_id = c.id_a
+              JOIN shh sb ON sb.doc_id = c.id_b AND sb.h = sa.h
               GROUP BY 1, 2)
             SELECT id_a, id_b,
                    round(n_inter * 1.0 / (za.n_sh + zb.n_sh - n_inter), 6) AS jaccard

@@ -337,9 +337,9 @@ def main(argv: list[str] | None = None) -> int:
         cols = args.columns.split(",") if args.columns else None
         if args.matrix and args.tests:
             p.error("--matrix and --tests are mutually exclusive (matrix has no p-value cells)")
-        if args.tests and args.method == "kendall":
-            p.error("--tests supports pearson/spearman only (Kendall tau "
-                    "significance needs its own variance formula)")
+        # all three methods support --tests: pearson/spearman via the
+        # t-transform, kendall via the tau-specific normal approximation
+        # z = 3*tau*sqrt(n(n-1))/sqrt(2(2n+5)) (reference stats.rs:276-342)
         if args.matrix:
             out = ops.correlation_matrix(df, cols, args.method, digits=args.digits)
         elif args.tests:
