@@ -233,11 +233,37 @@ def _encode_chunk(chunk, cols, chosen, with_stats, pid, block_id,
     )
 
 
+def _hive_partition_values(rel_dir: str) -> dict[str, "str | None"]:
+    """Parse ``key=value`` directory segments the way spark.read.parquet
+    does: URL-decoding values and mapping the __HIVE_DEFAULT_PARTITION__
+    sentinel to NULL. Hidden/_-prefixed segments are never partitions."""
+    import os as _os
+    from urllib.parse import unquote as _unquote
+
+    out: dict[str, str | None] = {}
+    for seg in rel_dir.split(_os.sep):
+        if "=" in seg and not seg.startswith((".", "_")):
+            k, v = seg.split("=", 1)
+            out[k] = None if v == "__HIVE_DEFAULT_PARTITION__" else _unquote(v)
+    return out
+
+
 def _plan_parquet_encode(spark, path, columns, codecs, policy, sample_rows,
                          num_partitions):
     """Shared planning for the scan-side encode paths: enumerate
     (file, row-group) work items, pick codecs from one sampled row group,
-    and build the work-items DataFrame."""
+    and build the work-items DataFrame.
+
+    Hive-partitioned layouts (``key=value`` directory segments between the
+    input root and the files) are MATERIALIZED: each partition column
+    becomes a per-file constant string column in the encode, matching
+    spark.read.parquet's behavior (ADVICE r3 — the footer-based reader
+    would otherwise silently drop them). Divergence from Spark: partition
+    values are always typed string (Spark additionally infers numerics) —
+    documented, and exact for string-typed partitions.
+
+    Returns (items_df, all_cols, chosen, part_info) where part_info is
+    (part_cols, {file_path: {key: value}}), empty for flat layouts."""
     import os as _os
 
     import pyarrow.parquet as _pq
@@ -245,48 +271,26 @@ def _plan_parquet_encode(spark, path, columns, codecs, policy, sample_rows,
     from nail_parquet_spark.sources.io import list_parquet_files
 
     paths = []
+    part_vals: dict[str, dict[str, str | None]] = {}
     part_keys: set[str] = set()
     for p in [path] if isinstance(path, str) else list(path):
         if _os.path.isdir(p):
-            # recursive, matching decode/autodetect conventions — covers
-            # Hive-partitioned layouts (batch=*/ dirs); hidden/_-prefixed
-            # segments (_temporary leftovers, _manifests) are skipped the
-            # way Spark's own reader skips them
+            # recursive, matching decode/autodetect conventions;
+            # hidden/_-prefixed segments (_temporary leftovers, _manifests)
+            # are skipped the way Spark's own reader skips them
             root = _os.path.abspath(p)
             for f in list_parquet_files(p):
                 paths.append(f)
-                # key=value directory segments BETWEEN the input root and
-                # the file are Hive partition columns: they exist only in
-                # directory names, which the footer-based reader never sees
                 rel_dir = _os.path.dirname(_os.path.relpath(_os.path.abspath(f), root))
-                for seg in rel_dir.split(_os.sep):
-                    if "=" in seg and not seg.startswith((".", "_")):
-                        part_keys.add(seg.split("=", 1)[0])
+                vals = _hive_partition_values(rel_dir)
+                if vals:
+                    part_vals[f] = vals
+                    part_keys.update(vals)
         else:
             paths.append(p)
     if not paths:
         raise ValueError(f"no parquet files under {path}")
-    if part_keys:
-        # ADVICE r3: the recursive listing would otherwise proceed and
-        # silently drop these columns (they're not in any footer)
-        clash = sorted(set(columns or []) & part_keys)
-        if clash:
-            raise ValueError(
-                f"columns {clash} are Hive partition directories under "
-                f"{path}, not parquet columns — scan-side encode reads file "
-                "footers only. Read with spark.read.parquet(...) (which "
-                "materializes partition columns) and use encode_table "
-                "instead."
-            )
-        import warnings as _warnings
-
-        _warnings.warn(
-            f"input under {path} is Hive-partitioned on "
-            f"{sorted(part_keys)}; partition columns exist only in "
-            "directory names and will NOT be encoded by the scan-side "
-            "path. Use spark.read.parquet + encode_table to keep them.",
-            stacklevel=2,
-        )
+    part_cols = sorted(part_keys)
 
     # work items: one per row group (bounded task size regardless of file size)
     items = []
@@ -296,8 +300,17 @@ def _plan_parquet_encode(spark, path, columns, codecs, policy, sample_rows,
             items.append((p, rg))
 
     first = _pq.ParquetFile(paths[0])
-    all_cols = columns or [first.schema_arrow.field(i).name for i in range(len(first.schema_arrow))]
+    if columns:
+        all_cols = list(columns)
+        part_cols = [c for c in part_cols if c in all_cols]
+    else:
+        all_cols = [
+            first.schema_arrow.field(i).name for i in range(len(first.schema_arrow))
+        ] + part_cols
     chosen = dict(codecs or {})
+    for c in part_cols:
+        # per-file constants: rle is optimal and needs no sampling
+        chosen.setdefault(c, "rle")
     missing = [c for c in all_cols if c not in chosen]
     if missing:
         # sample the unpinned columns plus any str/bin PINNED columns (the
@@ -307,7 +320,7 @@ def _plan_parquet_encode(spark, path, columns, codecs, policy, sample_rows,
         schema = first.schema_arrow
         pinned_refs = [
             c for c in all_cols
-            if c not in missing and (
+            if c not in missing and c not in part_cols and (
                 pa.types.is_string(schema.field(c).type)
                 or pa.types.is_large_string(schema.field(c).type)
                 or pa.types.is_binary(schema.field(c).type)
@@ -334,7 +347,28 @@ def _plan_parquet_encode(spark, path, columns, codecs, policy, sample_rows,
     slices = [items[i::n_parts] for i in range(min(n_parts, len(items)))]
     rdd = spark.sparkContext.parallelize(slices, len(slices)).flatMap(lambda s: s)
     items_df = spark.createDataFrame(rdd, "path string, rg int")
-    return items_df, all_cols, chosen
+    # keep only the (file -> value) entries for materialized columns so the
+    # task closure stays O(files x partition depth)
+    part_info = (part_cols, {f: {k: v for k, v in kv.items() if k in part_cols}
+                             for f, kv in part_vals.items()} if part_cols else {})
+    return items_df, all_cols, chosen, part_info
+
+
+def _with_partition_columns(tbl: "pa.Table", file_path: str,
+                            part_info) -> "pa.Table":
+    """Append the file's Hive partition values as constant string columns
+    (NULL for files that lack a key — mixed layouts)."""
+    part_cols, part_vals = part_info
+    if not part_cols:
+        return tbl
+    vals = part_vals.get(file_path, {})
+    n = tbl.num_rows
+    for k in part_cols:
+        v = vals.get(k)
+        tbl = tbl.append_column(
+            k, pa.array([v] * n, pa.string())
+        )
+    return tbl
 
 
 def encode_parquet_files(
@@ -362,9 +396,10 @@ def encode_parquet_files(
     and it's how the pipeline would front an Iceberg table at 100 TB: the
     work items come from the table's file manifest.
     """
-    items_df, all_cols, chosen = _plan_parquet_encode(
+    items_df, all_cols, chosen, part_info = _plan_parquet_encode(
         spark, path, columns, codecs, policy, sample_rows, num_partitions
     )
+    file_cols = [c for c in all_cols if c not in part_info[0]]
     import pyarrow.parquet as _pq
 
     def enc(batches):
@@ -385,8 +420,9 @@ def encode_parquet_files(
                     # pyarrow's default pool would oversubscribe the executor
                     # (and fake the 1-task baseline in scaling measurements)
                     tbl = _pq.ParquetFile(p).read_row_group(
-                        rg, columns=all_cols, use_threads=False
+                        rg, columns=file_cols, use_threads=False
                     )
+                    tbl = _with_partition_columns(tbl, p, part_info)
                     for off in range(0, tbl.num_rows, block_rows):
                         chunk = tbl.slice(off, min(block_rows, tbl.num_rows - off))
                         yield _encode_chunk(chunk, all_cols, chosen, with_stats, pid, block_id, executor=pool)
@@ -436,9 +472,10 @@ def encode_parquet_dir(
 
     import pyarrow.parquet as _pq
 
-    items_df, all_cols, chosen = _plan_parquet_encode(
+    items_df, all_cols, chosen, part_info = _plan_parquet_encode(
         spark, path, columns, codecs, policy, sample_rows, num_partitions
     )
+    file_cols = [c for c in all_cols if c not in part_info[0]]
     _os.makedirs(out_dir, exist_ok=True)
 
     def enc_sink(batches):
@@ -483,8 +520,9 @@ def encode_parquet_dir(
             for batch in batches:
                 for p, rg in zip(batch.column(0).to_pylist(), batch.column(1).to_pylist()):
                     tbl = _pq.ParquetFile(p).read_row_group(
-                        rg, columns=all_cols, use_threads=False
+                        rg, columns=file_cols, use_threads=False
                     )
+                    tbl = _with_partition_columns(tbl, p, part_info)
                     for off in range(0, tbl.num_rows, block_rows):
                         chunk = tbl.slice(off, min(block_rows, tbl.num_rows - off))
                         rb = _encode_chunk(chunk, all_cols, chosen, with_stats, tid, block_id, executor=pool)

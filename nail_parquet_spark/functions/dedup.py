@@ -136,19 +136,20 @@ def jaccard_verify(df: DataFrame, candidates: DataFrame, id_col: str, text_col: 
                    shingle_k: int = 3, threshold: float = 0.7) -> DataFrame:
     """Exact shingle-set Jaccard on candidate pairs only.
 
-    The intersection join keys on the 60-bit shingle hash (8-byte shuffle
-    keys instead of shingle text — see ngram_jaccard_pairs for the
-    collision/oracle argument); denominators count true shingles."""
+    The shingle table is read three times (both intersection sides, sizes),
+    so it is hashed to 60-bit longs and distinct'd ONCE — the reused
+    exchange + 8-byte-key argument of ngram_jaccard_pairs applies."""
     sh = word_shingles(df, id_col, text_col, k=shingle_k)
-    sa = sh.select(F.col(id_col).alias("id_a"), word_hash(F.col("shingle")).alias("__h"))
-    sb = sh.select(F.col(id_col).alias("__idb"), word_hash(F.col("shingle")).alias("__shb"))
+    shh = sh.select(F.col(id_col), word_hash(F.col("shingle")).alias("__h")).distinct()
+    sa = shh.select(F.col(id_col).alias("id_a"), "__h")
+    sb = shh.select(F.col(id_col).alias("__idb"), F.col("__h").alias("__shb"))
     inter = (
         candidates.join(sa, "id_a")
         .join(sb, (F.col("id_b") == F.col("__idb")) & (F.col("__h") == F.col("__shb")), "inner")
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    sizes = shh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     out = (
         inter.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
         .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
@@ -172,15 +173,19 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     pair whose only shared shingles are all above the cap is missed — the
     standard recall/cost trade; raise the cap for exactness.
 
-    The inverted-index join keys on the portable 60-bit md5 hash of the
-    shingle, not the string: the self-join and its groupBys shuffle 8-byte
-    longs instead of full shingle text (the join is the dominant cost of
-    this operator at sf0.1). A cross-shingle hash collision within one doc
-    pair could overcount n_inter by 1 — probability ~2^-60 per pair, and
-    the DuckDB oracle reproduces the identical hashing, so results stay
-    value-exact. Jaccard denominators still count true distinct shingles."""
+    This operator reads its shingle table FOUR times (inverted-index join
+    both sides, doc-frequency cap, per-doc sizes), so it hashes each
+    shingle to the portable 60-bit md5 long and runs ONE ``.distinct()`` on
+    (id, hash): the distinct's exchange is a materialization point Spark's
+    ReuseExchange shares across all four consumers (one explode + one
+    16-byte-row shuffle total — measured 2x the whole operator at sf0.1 vs
+    recomputing per consumer), and every downstream join/groupBy shuffles
+    8-byte longs instead of shingle text. A cross-shingle hash collision
+    within one doc could perturb a count by 1 — probability ~2^-60 per
+    pair, and the DuckDB oracle reproduces the identical hashing, so
+    results stay value-exact."""
     sh = word_shingles(df, id_col, text_col, k=shingle_k)
-    shh = sh.select(F.col(id_col), word_hash(F.col("shingle")).alias("__h"))
+    shh = sh.select(F.col(id_col), word_hash(F.col("shingle")).alias("__h")).distinct()
     freq = (
         shh.groupBy("__h").agg(F.count(F.lit(1)).alias("__df"))
         .filter(F.col("__df") <= max_doc_freq)
@@ -194,7 +199,7 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    sizes = shh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     return (
         inter.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
         .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
@@ -209,8 +214,12 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
 
     bit_j(doc) = 1 iff sum over distinct words of (2*bit_j(h(w)) - 1) > 0,
     with h = portable md5-derived 60-bit hash. Pure groupBy aggregation.
+    Distinct-words-per-doc comes from array_distinct within the row (no
+    global distinct shuffle; ids are unique per row in document tables).
     """
-    words = df.select(F.col(id_col), F.explode(_words(text_col)).alias("w")).distinct()
+    words = df.select(
+        F.col(id_col), F.explode(F.array_distinct(_words(text_col))).alias("w")
+    )
     h = word_hash(F.col("w"))
     votes = [
         F.sum(

@@ -162,9 +162,36 @@ def main():
         nb = sum(r["n_blocks"] for r in rows)
         return wall, raw, enc, nb
 
-    # untimed warmups: python workers, JVM arrow path JIT, OS page cache
+    # untimed warmups: python workers, JVM arrow path JIT, OS page cache.
+    # LO first so the blocks dir ends up written by the HI (N-file) run —
+    # the decode measurement below needs N_HI-way files.
+    _, warm_raw, _, _ = timed(N_LO)
     timed(N_HI)
-    timed(N_LO)
+
+    # decode throughput (shuffle-free path) over the warmed blocks —
+    # measured per container codec: 'snappy' matches the reference parquet
+    # configuration; 'none' skips the container re-compression of
+    # already-codec-compressed bytes. Measured HERE, before the interleaved
+    # encode reps: r4 found the tail position costs decode ~2x (JVM heap/GC
+    # pressure after 14 encode jobs) vs a fresh-session measurement.
+    dec = {}
+    if os.environ.get("BENCH_DECODE", "1") == "1":
+        from nail_parquet_spark.codec.decode import decode_parquet_dir
+
+        cols = [f.name for f in df.schema.fields]
+        dec_dir = os.path.join(DATA, f"decoded_{ROWS}_{N_HI}")
+        shutil.rmtree(dec_dir, ignore_errors=True)
+        decode_parquet_dir(spark, blocks_dir, dec_dir, columns=cols).collect()  # warm
+        for codec_name, key in (("snappy", "decode_gbps"), ("none", "decode_gbps_none")):
+            best = None
+            for _ in range(3):  # best-of-3: 2-3x host noise (BENCH/BASELINE.md)
+                shutil.rmtree(dec_dir, ignore_errors=True)
+                t0 = time.time()
+                decode_parquet_dir(spark, blocks_dir, dec_dir, columns=cols,
+                                   compression=codec_name).collect()
+                w = time.time() - t0
+                best = w if best is None else min(best, w)
+            dec[key] = round(warm_raw / best / 1e9, 4)
 
     # 7 interleaved pairs: the min/min estimator needs enough reps to catch
     # a quiet sub-window on this 2-3x-noise host (round-2 protocol)
@@ -178,29 +205,6 @@ def main():
         walls[N_LO].append(round(w_lo, 3))
         walls[N_HI].append(round(w_hi, 3))
         pairs.append(round((w_lo / w_hi) / (N_HI / N_LO), 4))
-
-    # decode throughput (shuffle-free path) over the blocks just written —
-    # measured per container codec: 'snappy' matches the reference parquet
-    # configuration; 'none' is the fair engine number (NEXT r3: ~30% of the
-    # snappy wall is the container re-compression of already-verified bytes)
-    dec = {}
-    if os.environ.get("BENCH_DECODE", "1") == "1":
-        from nail_parquet_spark.codec.decode import decode_parquet_dir
-
-        cols = [f.name for f in df.schema.fields]
-        dec_dir = os.path.join(DATA, f"decoded_{ROWS}_{N_HI}")
-        shutil.rmtree(dec_dir, ignore_errors=True)
-        decode_parquet_dir(spark, blocks_dir, dec_dir, columns=cols).collect()  # warm
-        for codec_name, key in (("snappy", "decode_gbps"), ("none", "decode_gbps_none")):
-            best = None
-            for _ in range(2):  # best-of-2: 2-3x host noise (BENCH/BASELINE.md)
-                shutil.rmtree(dec_dir, ignore_errors=True)
-                t0 = time.time()
-                decode_parquet_dir(spark, blocks_dir, dec_dir, columns=cols,
-                                   compression=codec_name).collect()
-                w = time.time() - t0
-                best = w if best is None else min(best, w)
-            dec[key] = round(raw / best / 1e9, 4)
 
     out = {}
     for n in (N_LO, N_HI):

@@ -402,19 +402,28 @@ def test_compact_blocks_refuses_overlapping_out_dir(spark, tmp_path):
 
 
 def test_encode_scan_side_hive_partition_columns(spark, tmp_path):
-    """Scan-side encode reads footers only, so Hive partition columns exist
-    solely in directory names: requesting one must raise, and otherwise the
-    plan must warn that they are dropped (ADVICE r3 medium)."""
-    import pytest
-
+    """Hive key=value partition directories are MATERIALIZED as per-file
+    constant columns by the scan-side encode (matching spark.read.parquet —
+    ADVICE r3 medium: the footer-based reader would otherwise silently drop
+    them), and round-trip bit-identically through decode."""
+    from nail_parquet_spark.codec.decode import decode_table, verify_roundtrip
     from nail_parquet_spark.codec.encode import encode_parquet_files
     from nail_parquet_spark.synth import webpages_spark
 
     src = str(tmp_path / "parts")
-    webpages_spark(spark, 500, seed=43, n_parts=1).write.partitionBy("lang").parquet(src)
+    want = webpages_spark(spark, 500, seed=43, n_parts=1)
+    want.write.partitionBy("lang").parquet(src)
     codecs = {"url": "zstd", "warc_ts": "for_bitpack", "html": "zstd", "text": "zstd"}
-    with pytest.warns(UserWarning, match="Hive-partitioned on \\['lang'\\]"):
-        encode_parquet_files(spark, src, codecs=codecs)
-    with pytest.raises(ValueError, match="Hive partition"):
-        encode_parquet_files(spark, src, columns=["url", "lang"],
-                             codecs={"url": "zstd", "lang": "dict"})
+    blocks = encode_parquet_files(spark, src, codecs=codecs).cache()
+    # lang exists only in directory names yet is encoded (rle constants)
+    assert blocks.filter(F.col("column") == "lang").count() > 0
+    dec = decode_table(blocks, columns=["url", "warc_ts", "html", "text", "lang"])
+    res = verify_roundtrip(spark.read.parquet(src), dec, key="url")
+    assert res["joined_rows"] == 500 and res["total_mismatches"] == 0
+    # explicit column subsets may name partition columns directly
+    sub = encode_parquet_files(spark, src, columns=["url", "lang"],
+                               codecs={"url": "zstd", "lang": "rle"})
+    got = decode_table(sub, columns=["url", "lang"])
+    wanted = {(r["url"], r["lang"]) for r in want.select("url", "lang").collect()}
+    assert {(r["url"], r["lang"]) for r in got.collect()} == wanted
+    blocks.unpersist()
