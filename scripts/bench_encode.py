@@ -179,7 +179,13 @@ def main():
         from nail_parquet_spark.codec.decode import decode_parquet_dir
 
         cols = [f.name for f in df.schema.fields]
-        dec_dir = os.path.join(DATA, f"decoded_{ROWS}_{N_HI}")
+        # sink to tmpfs when available: the 'none' variant writes the full
+        # raw bytes (1.57 GB at 2M rows) and this box's shared disk shows
+        # 3-5x write-back variance between windows — tmpfs measures the
+        # engine decode path, not a neighbor's IO (documented in
+        # BENCH/BASELINE.md §6)
+        dec_root = "/dev/shm" if os.access("/dev/shm", os.W_OK) else DATA
+        dec_dir = os.path.join(dec_root, f"nail_decoded_{ROWS}_{N_HI}")
         shutil.rmtree(dec_dir, ignore_errors=True)
         decode_parquet_dir(spark, blocks_dir, dec_dir, columns=cols).collect()  # warm
         for codec_name, key in (("snappy", "decode_gbps"), ("none", "decode_gbps_none")):
@@ -192,6 +198,7 @@ def main():
                 w = time.time() - t0
                 best = w if best is None else min(best, w)
             dec[key] = round(warm_raw / best / 1e9, 4)
+        shutil.rmtree(dec_dir, ignore_errors=True)
 
     # 7 interleaved pairs: the min/min estimator needs enough reps to catch
     # a quiet sub-window on this 2-3x-noise host (round-2 protocol)
