@@ -248,6 +248,13 @@ def test_cli_correlations_tests_and_digits(data, capsys):
     assert "p_value" in out
 
 
+def test_cli_correlations_kendall_tests(data, capsys):
+    """--tests works for kendall too (tau-specific z-stat path, round 4)."""
+    run("correlations", data, "-c", "id,value", "--method", "kendall", "--tests")
+    out = capsys.readouterr().out
+    assert "z_stat" in out and "p_value" in out
+
+
 def test_cli_outliers_show_values_rows(data, tmp_path, spark):
     out = str(tmp_path / "ol.parquet")
     run("outliers", data, "-c", "value", "--method", "zscore", "--threshold", "1.0",

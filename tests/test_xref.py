@@ -427,3 +427,34 @@ def test_encode_scan_side_hive_partition_columns(spark, tmp_path):
     wanted = {(r["url"], r["lang"]) for r in want.select("url", "lang").collect()}
     assert {(r["url"], r["lang"]) for r in got.collect()} == wanted
     blocks.unpersist()
+
+
+def test_hive_partition_value_parsing(spark, tmp_path):
+    """URL-encoded partition values and the __HIVE_DEFAULT_PARTITION__ NULL
+    sentinel must parse the way spark.read.parquet parses them; files
+    missing a key get NULL."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nail_parquet_spark.codec.decode import decode_table
+    from nail_parquet_spark.codec.encode import (
+        _hive_partition_values,
+        encode_parquet_files,
+    )
+
+    assert _hive_partition_values("date=2024-01-01/lang=en%20us") == {
+        "date": "2024-01-01", "lang": "en us"}
+    assert _hive_partition_values("k=__HIVE_DEFAULT_PARTITION__") == {"k": None}
+    assert _hive_partition_values("_hidden=x/.dot=y") == {}
+
+    root = str(tmp_path / "mixed")
+    t = pa.table({"v": pa.array([1, 2], pa.int64())})
+    os.makedirs(root + "/k=a%20b")
+    os.makedirs(root + "/k=__HIVE_DEFAULT_PARTITION__")
+    pq.write_table(t, root + "/k=a%20b/f1.parquet")
+    pq.write_table(t, root + "/k=__HIVE_DEFAULT_PARTITION__/f2.parquet")
+    blocks = encode_parquet_files(spark, root, codecs={"v": "plain", "k": "rle"})
+    got = {(r["v"], r["k"]) for r in decode_table(blocks, columns=["v", "k"]).collect()}
+    assert got == {(1, "a b"), (2, "a b"), (1, None), (2, None)}
