@@ -495,6 +495,46 @@ def q_events_sessionize(spark, sf_dir):
     return sessionize(ev, gap_minutes=30).select("event_id", "user_id", "session_id")
 
 
+def q_asof_join_backward(spark, sf_dir):
+    """As-of join: each event picks up the totalprice of the user's most
+    recent order at or before the event time (operators/asof.asof_join —
+    union-tag + keyed window, one shuffle, no nested-loop join)."""
+    from nail_parquet_spark.operators import asof_join
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    # right side must be unique per (key, ts): collapse same-day orders
+    o = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("user_id"), "o_orderdate")
+        .agg(F.max("o_totalprice").alias("last_price"))
+    )
+    out = asof_join(ev, o, on="user_id", left_ts="ts", right_ts="o_orderdate",
+                    value_cols=["last_price"])
+    return out.select(
+        "event_id", "user_id", F.round("last_price", 2).alias("last_price")
+    )
+
+
+def q_range_join_count(spark, sf_dir):
+    """Interval join: for each order, how many same-customer orders landed in
+    the following 365 days (repeat-purchase window), via
+    operators/asof.range_join — coarse-bucket equi-join, bounded fanout, no
+    BroadcastNestedLoopJoin."""
+    from nail_parquet_spark.operators import range_join
+
+    o = _t(spark, sf_dir, "orders")
+    pts = o.select(F.col("o_custkey").alias("ck"), F.col("o_orderdate").alias("pdate"))
+    iv = o.select(
+        F.col("o_custkey").alias("ck"), "o_orderkey",
+        F.col("o_orderdate").alias("wstart"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 365 DAYS")).alias("wend"),
+    )
+    j = range_join(pts, iv, on="ck", left_point="pdate",
+                   right_start="wstart", right_end="wend",
+                   bucket_seconds=365 * 86400)
+    return j.groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("n_followups"))
+
+
 def q_events_hourly(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     return (
@@ -845,6 +885,8 @@ _QUERIES = {
         "shuffle_content": q_shuffle_content,
         # -- new this round --
         "corr_kendall_pvalues": q_corr_kendall_pvalues,
+        "asof_join_backward": q_asof_join_backward,
+        "range_join_count": q_range_join_count,
         # -- code changed this round (need fresh rows) --
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,  # rows-only (banded)
         "embedding_near_dup_exact": q_embedding_near_dup_exact,  # guarded twin
@@ -1134,6 +1176,20 @@ def oracle_sql() -> dict[str, str]:
                          OVER (PARTITION BY user_id ORDER BY event_id
                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS value
             FROM events""",
+        "asof_join_backward": """
+            WITH o AS (
+              SELECT o_custkey AS user_id, o_orderdate, max(o_totalprice) AS last_price
+              FROM orders GROUP BY 1, 2)
+            SELECT e.event_id, e.user_id, round(o.last_price, 2) AS last_price
+            FROM events e ASOF LEFT JOIN o
+              ON e.user_id = o.user_id AND e.ts >= o.o_orderdate""",
+        "range_join_count": """
+            SELECT a.o_orderkey, count(*) AS n_followups
+            FROM orders a JOIN orders b
+              ON b.o_custkey = a.o_custkey
+             AND b.o_orderdate >= a.o_orderdate
+             AND b.o_orderdate < a.o_orderdate + INTERVAL 365 DAY
+            GROUP BY 1""",
         "events_hourly": f"""
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
                    event_type, count(*) AS n, round(sum(value), 2) AS total_value

@@ -55,3 +55,4 @@ from nail_parquet_spark.operators.fill import (  # noqa: F401
     fill_value,
 )
 from nail_parquet_spark.operators.sort import sort_by  # noqa: F401
+from nail_parquet_spark.operators.asof import asof_join, range_join  # noqa: F401
