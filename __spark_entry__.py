@@ -988,6 +988,19 @@ def _simhash_sql(bits: int) -> str:
             FROM votes GROUP BY doc_id"""
 
 
+def _minhash_slots_sql(num_hashes: int) -> str:
+    """The same universal-hash family as functions/dedup.minhash_signatures
+    (constants from the shared _mh_params splitmix64 walk)."""
+    from nail_parquet_spark.functions.dedup import _MH_PRIME, _mh_params
+
+    return ",\n                   ".join(
+        f"min(({a1} * ('0x' || substr(md5(shingle), 1, 7))::BIGINT"
+        f" + {a2} * ('0x' || substr(md5(shingle), 8, 7))::BIGINT"
+        f" + {b}) % {_MH_PRIME}) AS mh_{i}"
+        for i, (a1, a2, b) in enumerate(_mh_params(num_hashes))
+    )
+
+
 _SHINGLES_SQL = """
 words AS (
   SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
@@ -1232,10 +1245,7 @@ def oracle_sql() -> dict[str, str]:
             WITH dd AS (SELECT doc_id, text FROM documents),
             {_SHINGLES_SQL}
             SELECT doc_id,
-                   min(substr(md5('0|' || shingle), 1, 8)) AS mh_0,
-                   min(substr(md5('0|' || shingle), 9, 8)) AS mh_1,
-                   min(substr(md5('0|' || shingle), 17, 8)) AS mh_2,
-                   min(substr(md5('0|' || shingle), 25, 8)) AS mh_3
+                   {_minhash_slots_sql(4)}
             FROM sh GROUP BY doc_id""",
         "ngram_jaccard_pairs": f"""
             WITH dd AS ({_DOCS_DUPS_SQL}),
@@ -1259,20 +1269,13 @@ def oracle_sql() -> dict[str, str]:
             {_SHINGLES_SQL},
             sig AS (
               SELECT doc_id,
-                     min(substr(md5('0|' || shingle), 1, 8)) AS mh_0,
-                     min(substr(md5('0|' || shingle), 9, 8)) AS mh_1,
-                     min(substr(md5('0|' || shingle), 17, 8)) AS mh_2,
-                     min(substr(md5('0|' || shingle), 25, 8)) AS mh_3,
-                     min(substr(md5('1|' || shingle), 1, 8)) AS mh_4,
-                     min(substr(md5('1|' || shingle), 9, 8)) AS mh_5,
-                     min(substr(md5('1|' || shingle), 17, 8)) AS mh_6,
-                     min(substr(md5('1|' || shingle), 25, 8)) AS mh_7
+                   {_minhash_slots_sql(8)}
               FROM sh GROUP BY doc_id),
             buckets AS (
-              SELECT doc_id, '0|' || mh_0 || '|' || mh_1 AS bucket FROM sig
-              UNION ALL SELECT doc_id, '1|' || mh_2 || '|' || mh_3 FROM sig
-              UNION ALL SELECT doc_id, '2|' || mh_4 || '|' || mh_5 FROM sig
-              UNION ALL SELECT doc_id, '3|' || mh_6 || '|' || mh_7 FROM sig),
+              SELECT doc_id, '0|' || mh_0::VARCHAR || '|' || mh_1::VARCHAR AS bucket FROM sig
+              UNION ALL SELECT doc_id, '1|' || mh_2::VARCHAR || '|' || mh_3::VARCHAR FROM sig
+              UNION ALL SELECT doc_id, '2|' || mh_4::VARCHAR || '|' || mh_5::VARCHAR FROM sig
+              UNION ALL SELECT doc_id, '3|' || mh_6::VARCHAR || '|' || mh_7::VARCHAR FROM sig),
             cand AS (
               SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
               FROM buckets a JOIN buckets b
