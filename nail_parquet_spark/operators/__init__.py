@@ -41,6 +41,7 @@ from nail_parquet_spark.operators.agg import (  # noqa: F401
 )
 from nail_parquet_spark.operators.join import (  # noqa: F401
     merge_bucketed,
+    merge_salted,
     write_bucketed,
     append,
     dedup_columns,

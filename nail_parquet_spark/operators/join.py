@@ -67,6 +67,46 @@ def merge_bucketed(spark, left_table: str, right_table: str, key: str,
                  join_type, right_prefix=right_prefix)
 
 
+def merge_salted(left: DataFrame, right: DataFrame, key: str, salt: int = 8,
+                 join_type: str = "inner", right_prefix: str = "r_") -> DataFrame:
+    """merge() with explicit key salting for skewed fact-side keys: each
+    left row gets a deterministic salt in [0, salt) (hash of the full row,
+    so a hot key's rows spread evenly), and the right side is replicated
+    ``salt``× so every (key, salt) bucket still finds its match. The
+    shuffle key becomes (key, __salt) — a key holding 20% of a 100-TB fact
+    table lands on ``salt`` reducers instead of one straggler.
+
+    Use when the right side is too big to broadcast AND AQE's skew-join
+    split can't kick in (e.g. the skewed agg-after-join pattern, or
+    pre-AQE-partitioned inputs). Inner/left only: each right row exists
+    ``salt`` times, so unmatched-right semantics are undefined here.
+    Result columns match merge()'s conventions (right gets ``right_prefix``).
+    """
+    if join_type not in ("inner", "left"):
+        raise ValueError("merge_salted supports inner|left joins only")
+    if salt < 1:
+        raise ValueError("salt must be >= 1")
+    if "=" in key:
+        lk, rk = key.split("=", 1)
+    else:
+        lk = rk = key
+    l2 = left.withColumn(
+        "__salt", F.pmod(F.hash(*[F.col(c) for c in left.columns]), F.lit(salt))
+    )
+    r2 = right
+    for c in right.columns:
+        if c != rk:
+            r2 = r2.withColumnRenamed(c, f"{right_prefix}{c}")
+    r2 = r2.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    cond = (l2[lk] == r2[rk]) & (l2["__salt"] == r2["__salt"])
+    joined = l2.join(r2, cond, join_type).drop(l2["__salt"]).drop(r2["__salt"])
+    if lk == rk:
+        joined = joined.drop(r2[rk])
+    return joined
+
+
 def append(dfs: list[DataFrame], ignore_schema: bool = False) -> DataFrame:
     """UNION ALL with strict schema check, or --ignore-schema projection onto
     the base schema padding missing columns with typed NULLs

@@ -330,3 +330,42 @@ def test_correlations_with_pvalues_kendall(spark):
     assert ab["z_stat"] == pytest.approx(kendall_z_stat(0.6, 5), rel=1e-9)
     assert ab["p_value"] == pytest.approx(0.141644690295, rel=1e-6)
     assert got[("a", "a")]["correlation"] == pytest.approx(1.0)
+
+
+def test_merge_salted_matches_merge(spark):
+    # skewed fixture: one hot key with 2000 rows, plus unmatched keys both sides
+    left = spark.range(2000).select(
+        F.lit(1).alias("k"), F.col("id").alias("v")
+    ).union(
+        spark.createDataFrame([(2, 9000), (7, 9001)], "k long, v long")
+    )
+    right = spark.createDataFrame(
+        [(1, "hot"), (2, "cold"), (9, "orphan")], "k long, name string"
+    )
+    for how in ("inner", "left"):
+        got = sorted(
+            ops.merge_salted(left, right, "k", salt=8, join_type=how).collect(),
+            key=lambda r: (r.k, r.v),
+        )
+        want = sorted(
+            ops.merge(left, right, "k", join_type=how).collect(),
+            key=lambda r: (r.k, r.v),
+        )
+        assert got == want
+
+
+def test_merge_salted_shuffles_on_salt(spark):
+    left = spark.createDataFrame([(1, 10)], "k long, v long")
+    right = spark.createDataFrame([(1, "x")], "k long, name string")
+    plan = (
+        ops.merge_salted(left, right, "k", salt=4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the exchange key must include the salt column, not just k
+    assert "__salt" in plan
+
+
+def test_merge_salted_rejects_right_join(spark):
+    df = spark.createDataFrame([(1, 2)], "k long, v long")
+    with pytest.raises(ValueError):
+        ops.merge_salted(df, df, "k", join_type="right")
