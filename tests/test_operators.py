@@ -369,3 +369,19 @@ def test_merge_salted_rejects_right_join(spark):
     df = spark.createDataFrame([(1, 2)], "k long, v long")
     with pytest.raises(ValueError):
         ops.merge_salted(df, df, "k", join_type="right")
+
+
+def test_sample_stratified_proportions(sample):
+    # categories A:2, B:2, C:1 — ask for 3: every category keeps >=1 row,
+    # proportional rounding caps the total near n
+    out = ops.sample_stratified(sample, "category", 3, seed=42).collect()
+    by_cat = {}
+    for r in out:
+        by_cat.setdefault(r.category, 0)
+        by_cat[r.category] += 1
+    assert set(by_cat) == {"A", "B", "C"}
+    assert all(v >= 1 for v in by_cat.values())
+    assert 3 <= len(out) <= 4  # round(2*0.6)=1, round(1*0.6)=1 with min-1 floor
+    # seeded: stable across runs
+    again = ops.sample_stratified(sample, "category", 3, seed=42).collect()
+    assert sorted(r.id for r in out) == sorted(r.id for r in again)
