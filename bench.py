@@ -33,6 +33,8 @@ BENCH_QUERIES = [
     "binning_equal_width",
     "events_hourly",
     "fill_forward",
+    "asof_join_backward",
+    "range_join_count",
     "text_tokens",
     "text_quality",
     "lang_id",
