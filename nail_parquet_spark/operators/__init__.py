@@ -56,4 +56,8 @@ from nail_parquet_spark.operators.fill import (  # noqa: F401
     fill_value,
 )
 from nail_parquet_spark.operators.sort import sort_by  # noqa: F401
-from nail_parquet_spark.operators.asof import asof_join, range_join  # noqa: F401
+from nail_parquet_spark.operators.asof import (  # noqa: F401
+    asof_join,
+    asof_join_broadcast,
+    range_join,
+)

@@ -107,6 +107,57 @@ def asof_join(
     )
 
 
+def asof_join_broadcast(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str] | None = None,
+    direction: str = "backward",
+    strict: bool = False,
+) -> DataFrame:
+    """asof_join for a dimension-sized right side: collapse the right side
+    to ONE row per key holding a ts-sorted array of (ts, values…) structs,
+    broadcast it, and pick each left row's match with JVM-side
+    filter + get — the left (fact) side is NEVER shuffled. At 100 TB this
+    is the shape you want when the right side is a quotes/price/config
+    dimension: the union-tag variant shuffles the full fact table on the
+    key; this one streams it through a BroadcastHashJoin.
+
+    Per-left-row cost is O(right rows in the key) for the array filter, so
+    keep per-key right cardinality bounded (dimension scale). Same
+    semantics as asof_join (left-join, ties per ``strict``); same
+    uniqueness contract per (key, right_ts)."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    keys = [on] if isinstance(on, str) else list(on)
+    vals = value_cols if value_cols is not None else [
+        c for c in right.columns if c not in keys and c != right_ts
+    ]
+    packed = right.groupBy(*keys).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col(right_ts).alias("__ts"),
+                         *[F.col(c) for c in vals])
+            )
+        ).alias("__asof_arr")
+    )
+    j = left.join(F.broadcast(packed), on=keys, how="left")
+    lts = F.col(left_ts)
+    if direction == "backward":
+        pred = (lambda s: s["__ts"] < lts) if strict else (lambda s: s["__ts"] <= lts)
+        pick_idx = lambda m: F.size(m) - 1  # greatest matching ts (array is sorted)
+    else:
+        pred = (lambda s: s["__ts"] > lts) if strict else (lambda s: s["__ts"] >= lts)
+        pick_idx = lambda m: F.lit(0)  # smallest matching ts
+    matches = F.filter(F.col("__asof_arr"), pred)
+    pick = F.get(matches, pick_idx(matches))  # NULL when no match / no key
+    return j.select(
+        *left.columns, *[pick[c].alias(c) for c in vals]
+    )
+
+
 def range_join(
     left: DataFrame,
     right: DataFrame,

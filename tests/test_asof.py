@@ -159,3 +159,32 @@ def test_range_join_timestamps(spark):
                      right_end="e", bucket_seconds=86400)
     # end-exclusive: only the mid-interval point matches
     assert out.count() == 1
+
+
+@pytest.mark.parametrize("direction,strict", [
+    ("backward", False), ("backward", True),
+    ("forward", False), ("forward", True),
+])
+def test_asof_join_broadcast_matches_shuffle_variant(spark, quotes, trades,
+                                                     direction, strict):
+    from nail_parquet_spark.operators import asof_join_broadcast
+
+    got = (
+        asof_join_broadcast(trades, quotes, on="sym", left_ts="tts",
+                            right_ts="qts", value_cols=["px"],
+                            direction=direction, strict=strict)
+        .orderBy("sym", "tts").collect()
+    )
+    got = [(r.sym, r.tts, r.qty, r.px) for r in got]
+    assert got == _duck_asof(direction, strict)
+
+
+def test_asof_join_broadcast_plan_has_broadcast_join(spark, quotes, trades):
+    from nail_parquet_spark.operators import asof_join_broadcast
+
+    plan = asof_join_broadcast(
+        trades, quotes, on="sym", left_ts="tts", right_ts="qts"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # the fact side must not be exchanged: only the packed dim side shuffles
+    assert plan.count("Exchange hashpartitioning") <= 1
