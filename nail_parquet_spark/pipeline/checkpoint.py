@@ -162,8 +162,82 @@ def encode_resumable(
         for key, u in zip(keys, batch):
             _atomic_json(os.path.join(done_dir, f"{key}.json"),
                          {"unit": key, "src": u, "batch": bkey})
+        _commit_snapshot(out_dir, bkey, keys)
         completed += len(batch)
     return {"completed": completed, "skipped": skipped, "total": len(units)}
+
+
+# ---------------------------------------------------------------------------
+# snapshot log (Iceberg-shaped time travel over the emulated catalog)
+# ---------------------------------------------------------------------------
+
+
+def _snap_dir(out_dir: str) -> str:
+    return os.path.join(out_dir, "_snapshots")
+
+
+def _commit_snapshot(out_dir: str, bkey: str, units: list[str]) -> int:
+    """Append a snapshot record after a batch commit — the same shape an
+    Iceberg snapshot gives: a monotonically increasing id whose state is the
+    union of all batches committed at or before it. One atomic file per
+    snapshot (no append-interleave on crash); a retried batch gets a NEW
+    snapshot that supersedes the one pointing at its wiped directory."""
+    sd = _snap_dir(out_dir)
+    os.makedirs(sd, exist_ok=True)
+    existing = sorted(int(os.path.basename(p).split(".")[0])
+                      for p in glob.glob(os.path.join(sd, "*.json")))
+    snap_id = (existing[-1] + 1) if existing else 1
+    _atomic_json(os.path.join(sd, f"{snap_id}.json"), {
+        "snapshot": snap_id,
+        "batch": bkey,
+        "units": units,
+        "ts": time.time(),
+    })
+    return snap_id
+
+
+def snapshots(out_dir: str) -> list[dict]:
+    """Snapshot log, oldest first."""
+    out = []
+    for p in glob.glob(os.path.join(_snap_dir(out_dir), "*.json")):
+        with open(p) as f:
+            out.append(json.load(f))
+    return sorted(out, key=lambda s: s["snapshot"])
+
+
+def read_blocks_at(spark: SparkSession, out_dir: str,
+                   snapshot_id: int | None = None):
+    """Time travel: the encoded-blocks DataFrame as of ``snapshot_id``
+    (default: latest). Reads only the batch directories committed at or
+    before the snapshot — a retried batch counts only if its directory still
+    holds the latest commit (later snapshot with the same batch key wins,
+    matching the wipe-and-rewrite recovery semantics)."""
+    snaps = snapshots(out_dir)
+    if not snaps:
+        raise ValueError(f"no snapshots committed under {out_dir}")
+    if snapshot_id is None:
+        snapshot_id = snaps[-1]["snapshot"]
+    visible = [s for s in snaps if s["snapshot"] <= snapshot_id]
+    if not visible:
+        raise ValueError(
+            f"snapshot {snapshot_id} predates the first commit "
+            f"({snaps[0]['snapshot']})"
+        )
+    # latest commit per batch key wins (a batch retried AFTER the requested
+    # snapshot has had its directory rewritten — the old bytes are gone, so
+    # reading it as of the old snapshot would be a lie; refuse instead)
+    latest_by_batch = {s["batch"]: s["snapshot"] for s in snaps}
+    stale = [s["batch"] for s in visible
+             if latest_by_batch[s["batch"]] > snapshot_id]
+    if stale:
+        raise ValueError(
+            f"batches {sorted(set(stale))} were re-committed after snapshot "
+            f"{snapshot_id}; their original bytes were wiped by the retry, "
+            f"so this snapshot is no longer readable"
+        )
+    dirs = sorted({os.path.join(out_dir, f"batch={s['batch']}")
+                   for s in visible})
+    return spark.read.parquet(*dirs)
 
 
 def read_manifests(out_dir: str) -> list[dict]:

@@ -232,3 +232,49 @@ def test_encode_resumable_migrates_round1_layout(spark, web_parquet, tmp_path):
     dec = decode_table(blocks, columns=["url", "warc_ts", "html", "text", "lang"])
     res = verify_roundtrip(spark.read.parquet(web_parquet), dec, key="url")
     assert res["total_mismatches"] == 0 and res["joined_rows"] == 20_000
+
+
+def test_snapshot_time_travel(spark, web_parquet, tmp_path):
+    from nail_parquet_spark.pipeline.checkpoint import read_blocks_at, snapshots
+
+    out = str(tmp_path / "enc")
+    codecs = {"url": "zstd", "warc_ts": "delta_bitpack", "html": "zstd",
+              "text": "zstd", "lang": "dict"}
+    # two commits: batch 1 (2 units), then the remaining 2 units
+    encode_resumable(spark, web_parquet, out, codecs=codecs, max_units=2,
+                     units_per_job=2)
+    encode_resumable(spark, web_parquet, out, codecs=codecs, units_per_job=2)
+    snaps = snapshots(out)
+    assert [s["snapshot"] for s in snaps] == [1, 2]
+
+    full = spark.read.parquet(web_parquet)
+    # snapshot 1 sees exactly the first batch's units
+    units1 = set(snaps[0]["units"])
+    rows1 = (
+        decode_table(read_blocks_at(spark, out, 1), columns=["url"]).count()
+    )
+    src1 = full.withColumn("__f", F.element_at(F.split(F.input_file_name(), "/"), -1))
+    n1 = src1.filter(
+        F.regexp_replace("__f", r"\.parquet$", "").isin(list(units1))
+    ).count()
+    assert rows1 == n1 > 0
+    # latest (default) sees everything, bit-identical
+    dec = decode_table(read_blocks_at(spark, out),
+                       columns=["url", "warc_ts", "html", "text", "lang"])
+    res = verify_roundtrip(full, dec, key="url")
+    assert res["total_mismatches"] == 0 and res["joined_rows"] == 20_000
+
+    # a batch re-committed AFTER a snapshot makes that snapshot unreadable
+    import glob as _glob
+
+    victim = sorted(_glob.glob(os.path.join(out, "_manifests", "*.json")))[0]
+    os.remove(victim)
+    encode_resumable(spark, web_parquet, out, codecs=codecs)  # retry commit -> snap 3
+    snaps = snapshots(out)
+    assert snaps[-1]["snapshot"] == 3
+    retried_batch = snaps[-1]["batch"]
+    stale_snaps = [s["snapshot"] for s in snaps[:-1] if s["batch"] == retried_batch]
+    with pytest.raises(ValueError, match="re-committed"):
+        read_blocks_at(spark, out, stale_snaps[0])
+    # latest still reads clean
+    assert decode_table(read_blocks_at(spark, out), columns=["url"]).count() == 20_000
