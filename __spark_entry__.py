@@ -690,6 +690,36 @@ def q_embedding_near_dup_exact(spark, sf_dir):
     )
 
 
+def q_embedding_components(spark, sf_dir):
+    """Transitive near-duplicate CLUSTERS from exact cosine pairs (θ=0.40 —
+    chosen so the sf0.01 graph has multi-hop components): distributed
+    min-label propagation (functions/graph.connected_components), attested
+    value-exact against a DuckDB recursive-CTE closure. Same O(n^2) pair
+    guard as the exact near-dup twin; the production pair source is the
+    banded LSH path."""
+    from nail_parquet_spark.functions.graph import connected_components
+    from nail_parquet_spark.functions.similarity import _dot_expr, _norm_expr
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id"), F.col("embedding").cast("array<double>").alias("v")
+    )
+    n = e.count()
+    if n > 50_000:
+        raise ValueError("exact pair generation is the O(n^2) oracle twin; "
+                         "use the LSH candidate path at scale")
+    a, b = e.alias("a"), e.alias("b")
+    cos = _dot_expr(F.col("a.v"), F.col("b.v")) / (
+        _norm_expr(F.col("a.v")) * _norm_expr(F.col("b.v"))
+    )
+    pairs = (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .filter(F.round(cos, 4) >= 0.40)
+        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
+    )
+    labels = connected_components(pairs)
+    return labels.select(F.col("id").alias("vec_id"), F.col("comp").alias("component"))
+
+
 def q_multimodal_meta(spark, sf_dir):
     from nail_parquet_spark.functions.multimodal import extract_media_features
 
@@ -887,6 +917,7 @@ _QUERIES = {
         "corr_kendall_pvalues": q_corr_kendall_pvalues,
         "asof_join_backward": q_asof_join_backward,
         "range_join_count": q_range_join_count,
+        "embedding_components": q_embedding_components,
         # -- code changed this round (need fresh rows) --
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,  # rows-only (banded)
         "embedding_near_dup_exact": q_embedding_near_dup_exact,  # guarded twin
@@ -1315,6 +1346,21 @@ def oracle_sql() -> dict[str, str]:
               FROM pairs)
             SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
             FROM ranked WHERE rank <= 5""",
+        "embedding_components": """
+            WITH RECURSIVE
+            e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+            p AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM e a JOIN e b ON a.vec_id < b.vec_id
+              WHERE round(list_dot_product(a.v, b.v) /
+                    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.40),
+            edges AS (SELECT id_a AS s, id_b AS d FROM p UNION SELECT id_b, id_a FROM p),
+            reach(s, d) AS (
+              SELECT s, d FROM edges
+              UNION
+              SELECT r.s, e2.d FROM reach r JOIN edges e2 ON r.d = e2.s)
+            SELECT s AS vec_id, least(s, min(d)) AS component
+            FROM reach GROUP BY s""",
         "embedding_near_dup_exact": """
             WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings)
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,

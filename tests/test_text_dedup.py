@@ -344,3 +344,41 @@ def test_multimodal_hash_identity(spark):
             assert out[i]["content_hash"] == hashlib.md5(b).hexdigest()
             assert out[i]["n_bytes"] == len(b)
             assert out[i]["features"] == pytest.approx(_fake_features(b, 8), abs=0)
+
+
+def test_connected_components_chain_and_cliques(spark):
+    from nail_parquet_spark.functions.graph import connected_components
+
+    # chain 1-..-6 (diameter 5) + clique {10,11,12} + isolated pair (20,21)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6),
+         (10, 11), (11, 12), (10, 12),
+         (21, 20)],
+        "id_a long, id_b long",
+    )
+    got = {r.id: r.comp for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1,
+                   10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_max_iter_raises(spark):
+    from nail_parquet_spark.functions.graph import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)], "id_a long, id_b long"
+    )
+    with pytest.raises(ValueError, match="converge"):
+        connected_components(chain, max_iter=2)
+
+
+def test_dedup_by_components_keeps_canonical_and_singletons(spark):
+    from nail_parquet_spark.functions.graph import dedup_by_components
+
+    df = spark.createDataFrame(
+        [(i, f"d{i}") for i in (1, 2, 3, 10, 11, 40)], "doc_id long, t string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    kept = sorted(r.doc_id for r in dedup_by_components(df, "doc_id", pairs).collect())
+    assert kept == [1, 10, 40]  # cluster minima + untouched singleton
