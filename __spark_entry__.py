@@ -565,6 +565,16 @@ def q_text_quality(spark, sf_dir):
     return d.select("doc_id", *quality_metrics(F.col("text")))
 
 
+def q_vocab_top(spark, sf_dir):
+    """Top-100 corpus vocabulary by term frequency with document frequency
+    (functions/text.vocabulary) — deterministic tiebreak on token."""
+    from nail_parquet_spark.functions.text import vocabulary
+
+    d = _t(spark, sf_dir, "documents")
+    v = vocabulary(d, "doc_id", "text")
+    return v.orderBy(F.col("tf").desc(), "token").limit(100)
+
+
 def q_lang_id(spark, sf_dir):
     from nail_parquet_spark.functions.text import lang_id
 
@@ -925,6 +935,7 @@ _QUERIES = {
         "asof_join_backward": q_asof_join_backward,
         "range_join_count": q_range_join_count,
         "embedding_components": q_embedding_components,
+        "vocab_top": q_vocab_top,
         # -- code changed this round (need fresh rows) --
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,  # rows-only (banded)
         "embedding_near_dup_exact": q_embedding_near_dup_exact,  # guarded twin
@@ -1255,6 +1266,15 @@ def oracle_sql() -> dict[str, str]:
                      CAST(floor(epoch(ts)) AS BIGINT)
                        - CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))) AS BIGINT) AS gap
               FROM events)""",
+        "vocab_top": r"""
+            SELECT token, count(*) AS tf,
+                   count(DISTINCT doc_id) AS n_docs
+            FROM (SELECT doc_id,
+                         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+                  FROM documents)
+            WHERE token <> ''
+            GROUP BY token
+            ORDER BY tf DESC, token LIMIT 100""",
         "text_tokens": r"""
             SELECT doc_id,
                    CASE WHEN trim(text) = '' THEN 0

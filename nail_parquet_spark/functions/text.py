@@ -96,3 +96,27 @@ def word_hash(col: Column) -> Column:
     """Portable 60-bit word hash: first 15 hex chars of md5 as bigint.
     Matches DuckDB's CAST('0x'||substr(md5(w),1,15) AS BIGINT)."""
     return F.conv(F.substring(F.md5(F.encode(col, "UTF-8")), 1, 15), 16, 10).cast("bigint")
+
+
+def vocabulary(df, id_col: str, text_col: str, min_df: int = 1):
+    """Corpus vocabulary with term frequency and document frequency — the
+    canonical first pass of a tokenizer/vocab build over a training corpus.
+
+    One explode + one groupBy: ``tf`` partial-aggregates map-side (plain
+    count), ``n_docs`` is a count-distinct over doc ids which Spark plans as
+    the two-phase Expand+partial-agg — both shapes hold at 100 TB. Empty
+    documents contribute nothing (split of '' yields [''] — filtered).
+    """
+    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    toks = df.select(F.col(id_col).alias("__doc"), F.explode(words).alias("token"))
+    out = (
+        toks.filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.countDistinct("__doc").alias("n_docs"),
+        )
+    )
+    if min_df > 1:
+        out = out.filter(F.col("n_docs") >= min_df)
+    return out

@@ -382,3 +382,16 @@ def test_dedup_by_components_keeps_canonical_and_singletons(spark):
     )
     kept = sorted(r.doc_id for r in dedup_by_components(df, "doc_id", pairs).collect())
     assert kept == [1, 10, 40]  # cluster minima + untouched singleton
+
+
+def test_vocabulary_counts(spark):
+    from nail_parquet_spark.functions.text import vocabulary
+
+    docs = spark.createDataFrame(
+        [(1, "a b a"), (2, "a c"), (3, ""), (4, "  ")],
+        "doc_id long, text string",
+    )
+    got = {r.token: (r.tf, r.n_docs) for r in vocabulary(docs, "doc_id", "text").collect()}
+    assert got == {"a": (3, 2), "b": (1, 1), "c": (1, 1)}
+    got2 = {r.token for r in vocabulary(docs, "doc_id", "text", min_df=2).collect()}
+    assert got2 == {"a"}
