@@ -839,6 +839,29 @@ def q_encode_roundtrip(spark, sf_dir):
     )
 
 
+def q_decode_pushdown(spark, sf_dir):
+    """Encode orders into block tables, then decode WITH zone-map predicate
+    pushdown (codec/decode.decode_table_where: block groups whose min/max
+    rule out the predicate are never read or decoded) — value-exact against
+    plain SQL on the raw table because decode is bit-identical. Input sorted
+    within partitions so the zone maps are selective, as a real ingest
+    pipeline would lay it out."""
+    from nail_parquet_spark.codec.decode import decode_table_where
+    from nail_parquet_spark.codec.encode import encode_table
+
+    o = (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .repartition(4)
+        .sortWithinPartitions("o_totalprice")
+    )
+    blocks = encode_table(
+        o, codecs={"o_orderkey": "for_bitpack", "o_totalprice": "plain"},
+        block_rows=4096,
+    )
+    return decode_table_where(blocks, "o_totalprice", ">=", 400000.0)
+
+
 def q_embedding_topk_lsh(spark, sf_dir):
     from nail_parquet_spark.functions.similarity import cosine_topk_lsh
 
@@ -936,6 +959,7 @@ _QUERIES = {
         "range_join_count": q_range_join_count,
         "embedding_components": q_embedding_components,
         "vocab_top": q_vocab_top,
+        "decode_pushdown": q_decode_pushdown,
         # -- code changed this round (need fresh rows) --
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,  # rows-only (banded)
         "embedding_near_dup_exact": q_embedding_near_dup_exact,  # guarded twin
@@ -1266,6 +1290,9 @@ def oracle_sql() -> dict[str, str]:
                      CAST(floor(epoch(ts)) AS BIGINT)
                        - CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))) AS BIGINT) AS gap
               FROM events)""",
+        "decode_pushdown": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            WHERE o_totalprice >= 400000.0""",
         "vocab_top": r"""
             SELECT token, count(*) AS tf,
                    count(DISTINCT doc_id) AS n_docs

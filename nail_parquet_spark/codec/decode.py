@@ -495,3 +495,119 @@ def decode_parquet_dir(spark, blocks_dir: str, out_dir: str,
             )
 
     return items.mapInArrow(dec, schema="file string, n_rows bigint")
+
+
+# ---------------------------------------------------------------------------
+# zone-map predicate pushdown (block pruning from the per-block min/max)
+# ---------------------------------------------------------------------------
+
+_PRUNE_OPS = ("=", "==", ">", ">=", "<", "<=")
+
+
+def prune_blocks(blocks: DataFrame, column: str, op: str, value,
+                 max_groups: int = 100_000,
+                 headers: dict[str, dict] | None = None) -> DataFrame:
+    """Drop whole (part_id, block_id) groups whose ``column`` zone stats
+    (encode-side ``min_val``/``max_val``) prove no row can satisfy
+    ``column op value`` — the engine's parquet-row-group-pruning analogue.
+
+    The keep-set is collected driver-side (O(#groups), capped at
+    ``max_groups`` — above the cap pruning is skipped, never wrong) and
+    re-applied as LITERAL ``isin`` filters on (part_id, block_id), which
+    Catalyst pushes into the parquet scan: pruned groups' payload bytes are
+    never read, not merely decoded-and-dropped. The pair-of-INs is a
+    superset of the exact pair set — safe, and the residual row filter
+    (decode_table_where) keeps semantics exact.
+
+    Safety rules encoded below:
+    - stats are rendered with str()[:64]; a 64-char string max may be
+      truncated, so it prunes nothing (treated as +inf). A truncated min is
+      a prefix of the true min, hence still a valid lower bound.
+    - numeric/timestamp stats re-parse with try_cast; a failed parse keeps
+      the group (NULL bound = unknown, never prunes).
+    - min_val NULL with null_count < n_rows means stats were unavailable →
+      keep; min_val NULL on an all-null block → no comparison can match →
+      prune. Binary columns carry no stats → no pruning.
+    """
+    if op not in _PRUNE_OPS:
+        raise ValueError(f"op must be one of {_PRUNE_OPS}, got {op!r}")
+    from nail_parquet_spark.codec.kernels import _type_from_str
+
+    if headers is None:
+        headers, _ = _headers_by_column(blocks)
+    if column not in headers:
+        raise ValueError(f"column {column!r} not in the blocks table")
+    t = _type_from_str(headers[column]["type"])
+    if pa.types.is_integer(t) or pa.types.is_boolean(t):
+        cast = "bigint"
+    elif pa.types.is_floating(t):
+        cast = "double"
+    elif pa.types.is_timestamp(t) or pa.types.is_date(t):
+        cast = "timestamp"
+    elif pa.types.is_string(t) or pa.types.is_large_string(t):
+        cast = None
+    else:
+        return blocks  # binary etc.: no usable stats
+
+    meta = blocks.filter(F.col("column") == column).select(
+        "part_id", "block_id", "min_val", "max_val", "n_rows", "null_count"
+    )
+    if cast is not None:
+        lo = F.col("min_val").try_cast(cast)
+        hi = F.col("max_val").try_cast(cast)
+        v = F.lit(value).cast(cast)
+        hi_known = hi.isNotNull()
+    else:
+        lo = F.col("min_val")
+        hi = F.col("max_val")
+        v = F.lit(value)
+        hi_known = hi.isNotNull() & (F.length("max_val") < 64)
+    if op in ("=", "=="):
+        cond = (lo <= v) & F.when(hi_known, hi >= v).otherwise(F.lit(True))
+    elif op == ">=":
+        cond = F.when(hi_known, hi >= v).otherwise(F.lit(True))
+    elif op == ">":
+        cond = F.when(hi_known, hi > v).otherwise(F.lit(True))
+    elif op == "<=":
+        cond = lo <= v
+    else:  # "<"
+        cond = lo < v
+    stats_missing = lo.isNull() & (F.col("null_count") < F.col("n_rows"))
+    may = stats_missing | ((~lo.isNull()) & cond)
+    pairs = (
+        meta.filter(may).select("part_id", "block_id").distinct()
+        .limit(max_groups + 1).collect()
+    )
+    if len(pairs) > max_groups:
+        return blocks
+    parts = sorted({r["part_id"] for r in pairs})
+    bids = sorted({r["block_id"] for r in pairs})
+    return blocks.filter(F.col("part_id").isin(parts) & F.col("block_id").isin(bids))
+
+
+def decode_table_where(blocks: DataFrame, column: str, op: str, value,
+                       columns: list[str] | None = None,
+                       num_partitions: int | None = None,
+                       file_keyed: bool = True,
+                       max_groups: int = 100_000) -> DataFrame:
+    """decode_table with predicate pushdown: zone-map block pruning
+    (prune_blocks) + the exact residual row filter after decode. Semantics
+    equal decode_table(blocks, columns).filter(column op value); cost skips
+    reading and decoding every group the stats rule out."""
+    headers, _ = _headers_by_column(blocks)
+    out_cols = columns if columns is not None else sorted(headers)
+    pruned = prune_blocks(blocks, column, op, value, max_groups, headers=headers)
+    use_cols = out_cols if column in out_cols else out_cols + [column]
+    if pruned.limit(1).isEmpty():
+        # every group pruned: an empty result with the decoded schema
+        schema = _schema_from_headers(headers, out_cols)
+        return blocks.sparkSession.createDataFrame([], _spark_ddl_of(schema))
+    dec = decode_table(pruned, columns=use_cols,
+                       num_partitions=num_partitions, file_keyed=file_keyed)
+    c = F.col(column)
+    residual = {
+        "=": c == value, "==": c == value,
+        ">": c > value, ">=": c >= value,
+        "<": c < value, "<=": c <= value,
+    }[op]
+    return dec.filter(residual).select(*out_cols)

@@ -1,0 +1,115 @@
+"""Zone-map block pruning (prune_blocks / decode_table_where)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from nail_parquet_spark.codec.decode import (
+    decode_table,
+    decode_table_where,
+    prune_blocks,
+)
+from nail_parquet_spark.codec.encode import encode_table
+
+
+@pytest.fixture(scope="module")
+def sorted_blocks(spark):
+    # one partition, sorted ids, 10-row blocks -> 10 disjoint zone ranges
+    df = (
+        spark.range(100)
+        .select(
+            F.col("id").cast("long").alias("k"),
+            F.concat(F.lit("v"), F.format_string("%03d", F.col("id"))).alias("s"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("k")
+    )
+    blocks = encode_table(df, codecs={"k": "for_bitpack", "s": "zstd"},
+                          block_rows=10)
+    return df, blocks.cache()
+
+
+def n_groups(blocks):
+    return blocks.select("part_id", "block_id").distinct().count()
+
+
+def test_prune_reduces_groups_and_stays_exact(spark, sorted_blocks):
+    df, blocks = sorted_blocks
+    assert n_groups(blocks) == 10
+    for op, v, want in [(">=", 70, 30), ("<", 25, 25), ("=", 55, 1),
+                        (">", 99, 0), ("<=", 0, 1)]:
+        pruned = prune_blocks(blocks, "k", op, v)
+        assert n_groups(pruned) <= n_groups(blocks)
+        got = decode_table_where(blocks, "k", op, v).count()
+        assert got == want, (op, v)
+    # selective predicate prunes hard: k = 55 needs exactly one group
+    assert n_groups(prune_blocks(blocks, "k", "=", 55)) == 1
+    assert n_groups(prune_blocks(blocks, "k", ">=", 70)) == 3
+
+
+def test_prune_matches_unpruned_decode(spark, sorted_blocks):
+    df, blocks = sorted_blocks
+    want = sorted(
+        r.k for r in decode_table(blocks).filter(F.col("k") >= 37).collect()
+    )
+    got_rows = decode_table_where(blocks, "k", ">=", 37).collect()
+    assert sorted(r.k for r in got_rows) == want
+    # string column comes along decoded correctly
+    assert {r.s for r in got_rows} == {f"v{i:03d}" for i in range(37, 100)}
+
+
+def test_prune_string_column(spark, sorted_blocks):
+    df, blocks = sorted_blocks
+    pruned = prune_blocks(blocks, "s", ">=", "v095")
+    assert n_groups(pruned) == 1
+    assert decode_table_where(blocks, "s", ">=", "v095").count() == 5
+
+
+def test_prune_long_string_truncation_is_safe(spark):
+    # 70-char strings sharing a 64-char prefix: max_val is truncated, so a
+    # predicate above the truncated max must NOT prune the group
+    base = "x" * 64
+    df = spark.createDataFrame(
+        [(i, base + f"{i:06d}") for i in range(20)], "k long, s string"
+    ).repartition(1).sortWithinPartitions("k")
+    blocks = encode_table(df, codecs={"k": "plain", "s": "zstd"}, block_rows=20)
+    out = decode_table_where(blocks, "s", ">=", base + "000015")
+    assert out.count() == 5
+
+
+def test_prune_all_null_blocks(spark):
+    df = spark.createDataFrame(
+        [(i, None if i < 10 else float(i)) for i in range(20)],
+        "k long, x double",
+    ).repartition(1).sortWithinPartitions("k")
+    blocks = encode_table(df, codecs={"k": "plain", "x": "plain"}, block_rows=10)
+    # first block is all-NULL in x -> pruned for any comparison
+    pruned = prune_blocks(blocks, "x", ">=", 0.0)
+    assert n_groups(pruned) == 1
+    assert decode_table_where(blocks, "x", ">=", 15.0).count() == 5
+
+
+def test_prune_projection_excluding_filter_column(spark, sorted_blocks):
+    df, blocks = sorted_blocks
+    out = decode_table_where(blocks, "k", ">=", 90, columns=["s"])
+    assert out.columns == ["s"]
+    assert out.count() == 10
+
+
+def test_decode_where_timestamps(spark):
+    df = (
+        spark.range(40)
+        .select(
+            F.col("id").alias("k"),
+            (F.lit("2024-01-01 00:00:00").cast("timestamp")
+             + F.make_interval(hours=F.col("id").cast("int"))).alias("ts"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("k")
+    )
+    blocks = encode_table(df, codecs={"k": "plain", "ts": "delta_bitpack"},
+                          block_rows=10)
+    cut = "2024-01-02 06:00:00"
+    pruned = prune_blocks(blocks, "ts", ">=", cut)
+    assert n_groups(pruned) <= 2
+    got = decode_table_where(blocks, "ts", ">=", cut).count()
+    assert got == 10  # hours 30..39
