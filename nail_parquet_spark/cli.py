@@ -42,6 +42,26 @@ def _out(df, args, n: int = 20):
         df.show(n=n, truncate=False)
 
 
+def _parse_where(spec: str):
+    """'col>=value' -> (col, op, value) with numeric literal inference (same
+    rules as the filter condition parser: int, then float, then string)."""
+    for op in (">=", "<=", "==", "=", ">", "<"):
+        if op in spec:
+            col, _, raw = spec.partition(op)
+            col, raw = col.strip(), raw.strip()
+            if not col or not raw:
+                break
+            try:
+                val: object = int(raw)
+            except ValueError:
+                try:
+                    val = float(raw)
+                except ValueError:
+                    val = raw.strip("'\"")
+            return col, ("=" if op == "==" else op), val
+    raise SystemExit(f"bad --where {spec!r}: expected col(>=|<=|>|<|=)value")
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="nail-spark", description=__doc__)
     p.add_argument("-j", "--jobs", type=int, default=None, help="parallelism (local[N])")
@@ -128,7 +148,10 @@ def main(argv: list[str] | None = None) -> int:
         (("--table",), {"default": None, "help": "catalog table name for --bucket-by"}))
     add("decode", (("-c", "--columns"), {"default": None}),
         (("--shuffle-free",), {"action": "store_true",
-                               "help": "block files are group-complete (written by this engine's sink) — decode in place, zero shuffle"}))
+                               "help": "block files are group-complete (written by this engine's sink) — decode in place, zero shuffle"}),
+        (("--where",), {"default": None, "dest": "where",
+                        "help": "predicate pushdown 'col>=value' (ops: > >= < <= =) — "
+                                "zone-map block pruning skips non-matching groups"}))
     add("metadata", with_output=False)
     add("compact", (("--num-files",), {"type": int, "default": 32,
                                        "help": "output block-file count"}))
@@ -204,13 +227,19 @@ def main(argv: list[str] | None = None) -> int:
 
         size_summary(encode_table(df, policy="ratio")).show(truncate=False)
     elif c == "decode":
-        from nail_parquet_spark.codec.decode import decode_to_parquet
+        from nail_parquet_spark.codec.decode import decode_table_where, decode_to_parquet
 
         if not args.output:
             p.error("decode requires -o/--output")
         cols = args.columns.split(",") if args.columns else None
-        rows = decode_to_parquet(df, args.output, columns=cols).collect()
-        print(f"decoded {sum(r['n_rows'] for r in rows)} rows -> {args.output}")
+        if getattr(args, "where", None):
+            col, op, val = _parse_where(args.where)
+            dec = decode_table_where(df, col, op, val, columns=cols)
+            dec.write.mode("overwrite").parquet(args.output)
+            print(f"decoded {dec.count()} rows (pushdown {col}{op}{val!r}) -> {args.output}")
+        else:
+            rows = decode_to_parquet(df, args.output, columns=cols).collect()
+            print(f"decoded {sum(r['n_rows'] for r in rows)} rows -> {args.output}")
     elif c == "metadata":
         from nail_parquet_spark.codec.encode import encode_table
         from nail_parquet_spark.codec.inspect import encoding_usage, metadata_summary

@@ -316,3 +316,20 @@ def test_cli_compact_blocks(spark, tmp_path, capsys):
     out = str(tmp_path / "dec")
     run("decode", cdir, "-o", out, "--shuffle-free")
     assert spark.read.parquet(out).count() == 2_000
+
+
+def test_cli_decode_where_pushdown(spark, tmp_path, capsys):
+    from nail_parquet_spark.synth import webpages_spark
+
+    src = str(tmp_path / "pages")
+    webpages_spark(spark, 2_000, seed=5, n_parts=1).write.parquet(src)
+    blocks = str(tmp_path / "blk")
+    run("optimize", src, "-o", blocks)
+    capsys.readouterr()
+    out = str(tmp_path / "dec")
+    run("decode", blocks, "-o", out, "-c", "url,lang", "--where", "lang=en")
+    assert "pushdown" in capsys.readouterr().out
+    got = spark.read.parquet(out)
+    assert set(got.columns) == {"url", "lang"}
+    want = spark.read.parquet(src).filter("lang = 'en'").count()
+    assert got.count() == want > 0
