@@ -575,6 +575,15 @@ def q_vocab_top(spark, sf_dir):
     return v.orderBy(F.col("tf").desc(), "token").limit(100)
 
 
+def q_keywords_tfidf(spark, sf_dir):
+    """Top-3 keywords per document by smoothed tf-idf
+    (functions/text.keywords_tfidf), deterministic token tiebreak."""
+    from nail_parquet_spark.functions.text import keywords_tfidf
+
+    d = _t(spark, sf_dir, "documents")
+    return keywords_tfidf(d, "doc_id", "text", k=3)
+
+
 def q_lang_id(spark, sf_dir):
     from nail_parquet_spark.functions.text import lang_id
 
@@ -959,6 +968,7 @@ _QUERIES = {
         "range_join_count": q_range_join_count,
         "embedding_components": q_embedding_components,
         "vocab_top": q_vocab_top,
+        "keywords_tfidf": q_keywords_tfidf,
         "decode_pushdown": q_decode_pushdown,
         # -- code changed this round (need fresh rows) --
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,  # rows-only (banded)
@@ -1293,6 +1303,27 @@ def oracle_sql() -> dict[str, str]:
         "decode_pushdown": """
             SELECT o_orderkey, o_totalprice FROM orders
             WHERE o_totalprice >= 400000.0""",
+        "keywords_tfidf": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+              FROM documents),
+            toks2 AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+            doc_tf AS (SELECT doc_id, token, count(*) AS tf FROM toks2 GROUP BY 1, 2),
+            docfreq AS (
+              SELECT token, count(*) AS n_docs
+              FROM (SELECT DISTINCT doc_id, token FROM toks2) GROUP BY 1),
+            n AS (SELECT count(*) AS total FROM documents),
+            scored AS (
+              SELECT d.doc_id, d.token,
+                     round(d.tf * (ln((n.total + 1.0) / (f.n_docs + 1.0)) + 1.0), 6) AS tfidf
+              FROM doc_tf d JOIN docfreq f USING (token), n),
+            ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY doc_id
+                                           ORDER BY tfidf DESC, token) AS rank
+              FROM scored)
+            SELECT doc_id, token, tfidf, CAST(rank AS INT) AS rank
+            FROM ranked WHERE rank <= 3""",
         "vocab_top": r"""
             SELECT token, count(*) AS tf,
                    count(DISTINCT doc_id) AS n_docs

@@ -120,3 +120,46 @@ def vocabulary(df, id_col: str, text_col: str, min_df: int = 1):
     if min_df > 1:
         out = out.filter(F.col("n_docs") >= min_df)
     return out
+
+
+def keywords_tfidf(df, id_col: str, text_col: str, k: int = 3):
+    """Top-k keywords per document by tf-idf (smoothed idf:
+    ln((N+1)/(n_docs+1)) + 1 — the scikit-learn convention, portable to any
+    SQL engine). Tie-break on token so results are deterministic.
+
+    Scale shape: one explode → per-(doc, token) counts; document
+    frequencies (one groupBy on token) come back via a broadcast-sized join
+    when the vocabulary is dimension-scale; the per-doc top-k is a keyed
+    window over (doc, token) rows — no global window, no driver pull. N is
+    one metadata-cheap count.
+    """
+    from pyspark.sql import Window
+
+    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    toks = (
+        df.select(F.col(id_col).alias("__doc"), F.explode(words).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    n_total = df.count()
+    doc_tf = toks.groupBy("__doc", "token").agg(F.count(F.lit(1)).alias("tf"))
+    docfreq = toks.select("__doc", "token").distinct().groupBy("token").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    scored = doc_tf.join(F.broadcast(docfreq), "token").withColumn(
+        "tfidf",
+        F.round(
+            F.col("tf") * (F.log((F.lit(n_total) + 1.0) / (F.col("n_docs") + 1.0)) + 1.0),
+            6,
+        ),
+    )
+    w = Window.partitionBy("__doc").orderBy(
+        F.col("tfidf").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("__doc").alias(id_col), "token", "tfidf",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

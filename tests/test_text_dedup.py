@@ -395,3 +395,16 @@ def test_vocabulary_counts(spark):
     assert got == {"a": (3, 2), "b": (1, 1), "c": (1, 1)}
     got2 = {r.token for r in vocabulary(docs, "doc_id", "text", min_df=2).collect()}
     assert got2 == {"a"}
+
+
+def test_keywords_tfidf_ranks_distinctive_tokens(spark):
+    from nail_parquet_spark.functions.text import keywords_tfidf
+
+    docs = spark.createDataFrame(
+        [(1, "common zebra zebra"), (2, "common yak"), (3, "common common")],
+        "doc_id long, text string",
+    )
+    out = keywords_tfidf(docs, "doc_id", "text", k=2).collect()
+    top = {r.doc_id: r.token for r in out if r.rank == 1}
+    # the doc-specific rare token outranks the ubiquitous one
+    assert top[1] == "zebra" and top[2] == "yak" and top[3] == "common"
