@@ -68,7 +68,14 @@ def asof_join(
     l2 = left.withColumn(ts, F.col(left_ts)).withColumn(side, F.lit(1))
     for c in vals:
         l2 = l2.withColumn(f"__r_{c}", F.lit(None).cast(right.schema[c].dataType))
-    r2 = right.select(
+    # SQL ASOF semantics: a NULL key or NULL ts never matches. Right rows
+    # carrying either would otherwise land in the window partition and leak
+    # their values (NULL keys group together under partitionBy; a NULL ts
+    # sorts first under ASC and would be carried to every row).
+    r_clean = right.filter(F.col(right_ts).isNotNull())
+    for k in keys:
+        r_clean = r_clean.filter(F.col(k).isNotNull())
+    r2 = r_clean.select(
         *[F.col(k) for k in keys],
         F.col(right_ts).alias(ts),
         F.lit(right_tag).alias(side),
@@ -102,8 +109,14 @@ def asof_join(
     for c in vals:
         out = out.withColumn(f"__r_{c}", F.last(f"__r_{c}", ignorenulls=True).over(w))
     out = out.filter(F.col(side) == 1)
+    # a NULL left ts compares false against every right ts in SQL — never a
+    # match (under DESC NULLS LAST scan order it would otherwise pick one up)
     return out.select(
-        *left_cols, *[F.col(f"__r_{c}").alias(c) for c in vals]
+        *left_cols,
+        *[
+            F.when(F.col(ts).isNotNull(), F.col(f"__r_{c}")).alias(c)
+            for c in vals
+        ],
     )
 
 

@@ -188,3 +188,42 @@ def test_asof_join_broadcast_plan_has_broadcast_join(spark, quotes, trades):
     assert "BroadcastHashJoin" in plan
     # the fact side must not be exchanged: only the packed dim side shuffles
     assert plan.count("Exchange hashpartitioning") <= 1
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_asof_join_null_semantics_match_sql_comparison(spark, direction):
+    """NULL keys / NULL timestamps never match — the SQL comparison
+    semantics, pinned against a DuckDB LATERAL ground truth. (DuckDB's ASOF
+    JOIN operator itself has a sort-artifact where a NULL-ts probe matches a
+    NULL-ts build row; the lateral form is the principled spec.)"""
+    from nail_parquet_spark.operators import asof_join_broadcast
+
+    quotes = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", None, 66.0), (None, 2, 77.0), ("a", 9, 12.0)],
+        "sym string, qts long, px double",
+    )
+    trades = spark.createDataFrame(
+        [("a", 0, 100), ("a", 5, 101), ("a", None, 102), (None, 3, 103)],
+        "sym string, tts long, qty int",
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE q(sym text, qts bigint, px double)")
+    con.execute("CREATE TABLE t(sym text, tts bigint, qty int)")
+    con.execute("INSERT INTO q VALUES ('a',1,10.0),('a',NULL,66.0),"
+                "(NULL,2,77.0),('a',9,12.0)")
+    con.execute("INSERT INTO t VALUES ('a',0,100),('a',5,101),"
+                "('a',NULL,102),(NULL,3,103)")
+    op, order = (">=", "DESC") if direction == "backward" else ("<=", "ASC")
+    want = con.execute(
+        f"SELECT t.qty, (SELECT px FROM q WHERE q.sym = t.sym "
+        f"AND t.tts {op} q.qts ORDER BY q.qts {order} LIMIT 1) "
+        f"FROM t ORDER BY t.qty"
+    ).fetchall()
+    con.close()
+    for fn in (asof_join, asof_join_broadcast):
+        got = sorted(
+            (r.qty, r.px)
+            for r in fn(trades, quotes, on="sym", left_ts="tts", right_ts="qts",
+                        value_cols=["px"], direction=direction).collect()
+        )
+        assert got == want, fn.__name__
