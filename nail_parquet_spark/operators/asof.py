@@ -217,6 +217,9 @@ def range_join(
     r2 = (
         right.withColumn("__s", secs(right, right_start))
         .withColumn("__e", secs(right, right_end))
+        # empty/inverted intervals can never match (end is exclusive), and
+        # F.sequence would otherwise generate a DESCENDING bucket range
+        .filter(F.col("__s") < F.col("__e"))
         .withColumn(
             "__bucket",
             F.explode(

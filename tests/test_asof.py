@@ -227,3 +227,14 @@ def test_asof_join_null_semantics_match_sql_comparison(spark, direction):
                         value_cols=["px"], direction=direction).collect()
         )
         assert got == want, fn.__name__
+
+
+def test_range_join_inverted_interval_never_matches(spark):
+    iv = spark.createDataFrame(
+        [("a", 10, 5, "bad"), ("a", 0, 100, "good")],
+        "k string, s long, e long, iname string",
+    )
+    pts = spark.createDataFrame([("a", 7)], "k string, p long")
+    out = range_join(pts, iv, on="k", left_point="p", right_start="s",
+                     right_end="e", bucket_seconds=3).collect()
+    assert [r.iname for r in out] == ["good"]
