@@ -151,7 +151,10 @@ def main(argv: list[str] | None = None) -> int:
                                "help": "block files are group-complete (written by this engine's sink) — decode in place, zero shuffle"}),
         (("--where",), {"default": None, "dest": "where",
                         "help": "predicate pushdown 'col>=value' (ops: > >= < <= =) — "
-                                "zone-map block pruning skips non-matching groups"}))
+                                "zone-map block pruning skips non-matching groups"}),
+        (("--snapshot",), {"type": int, "default": None,
+                           "help": "time travel: decode the table as of this "
+                                   "snapshot id (encode_resumable out_dir)"}))
     add("metadata", with_output=False)
     add("compact", (("--num-files",), {"type": int, "default": 32,
                                        "help": "output block-file count"}))
@@ -210,7 +213,12 @@ def main(argv: list[str] | None = None) -> int:
         rows = decode_parquet_dir(spark, args.input, args.output, columns=cols).collect()
         print(f"decoded {sum(r['n_rows'] for r in rows)} rows -> {args.output}")
         return 0
-    df = read_data(spark, args.input)
+    if args.cmd == "decode" and getattr(args, "snapshot", None) is not None:
+        from nail_parquet_spark.pipeline.checkpoint import read_blocks_at
+
+        df = read_blocks_at(spark, args.input, args.snapshot)
+    else:
+        df = read_data(spark, args.input)
     c = args.cmd
 
     if c == "count":

@@ -333,3 +333,25 @@ def test_cli_decode_where_pushdown(spark, tmp_path, capsys):
     assert set(got.columns) == {"url", "lang"}
     want = spark.read.parquet(src).filter("lang = 'en'").count()
     assert got.count() == want > 0
+
+
+def test_cli_decode_snapshot_time_travel(spark, tmp_path, capsys):
+    from nail_parquet_spark.pipeline.checkpoint import encode_resumable, snapshots
+    from nail_parquet_spark.synth import webpages_spark
+
+    src = str(tmp_path / "pages")
+    webpages_spark(spark, 2_000, seed=7, n_parts=4).write.parquet(src)
+    out = str(tmp_path / "enc")
+    codecs = {"url": "zstd", "warc_ts": "delta_bitpack", "html": "zstd",
+              "text": "zstd", "lang": "dict"}
+    encode_resumable(spark, src, out, codecs=codecs, max_units=2, units_per_job=2)
+    encode_resumable(spark, src, out, codecs=codecs, units_per_job=2)
+    assert [s["snapshot"] for s in snapshots(out)] == [1, 2]
+    dec1 = str(tmp_path / "dec1")
+    run("decode", out, "-o", dec1, "-c", "url", "--snapshot", "1")
+    dec2 = str(tmp_path / "dec2")
+    run("decode", out, "-o", dec2, "-c", "url")
+    n1 = spark.read.parquet(dec1).count()
+    # snapshot 1 sees only batch 1's units; a plain decode reads every batch
+    assert 0 < n1 < 2_000
+    assert spark.read.parquet(dec2).count() == 2_000
