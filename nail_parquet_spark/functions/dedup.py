@@ -309,13 +309,18 @@ def simhash_near_pairs(sig: DataFrame, id_col: str, bits: int = 32,
 
 def dedup_near_duplicates(df: DataFrame, id_col: str, text_col: str,
                           threshold: float = 0.7, num_hashes: int = 16,
-                          bands: int = 4, shingle_k: int = 3) -> DataFrame:
+                          bands: int = 4, shingle_k: int = 3,
+                          transitive: bool = False) -> DataFrame:
     """One-call near-dedup: MinHash -> LSH candidates -> exact Jaccard
-    verify -> drop every doc that near-duplicates a lower-id survivor.
+    verify -> drop near-duplicates of a lower-id survivor.
 
-    Connected near-dup clusters keep their minimum id (one union-find-free
-    pass: a row is dropped iff it appears as id_b of a confirmed pair —
-    conservative cluster collapse, standard for web-scale dedup)."""
+    Two collapse policies:
+    - default (one union-find-free pass): a row is dropped iff it appears as
+      id_b of a confirmed pair. In an A-C, B-C path (A<B<C, A!~B) this keeps
+      BOTH A and B — only directly-witnessed duplicates drop.
+    - ``transitive=True``: keep exactly one doc (the min id) per CONNECTED
+      near-dup cluster (functions/graph.connected_components) — the
+      aggressive web-dedup policy where chains collapse whole."""
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
     cand = minhash_lsh_candidates(sigs, id_col, num_hashes, bands)
     pairs = jaccard_verify(df, cand, id_col, text_col, shingle_k, threshold)
@@ -327,6 +332,14 @@ def dedup_near_duplicates(df: DataFrame, id_col: str, text_col: str,
         .filter(F.col(id_col) != F.col("keep_id"))
         .select(F.col(id_col).alias("__drop"))
     )
-    near_drop = pairs.select(F.col("id_b").alias("__drop"))
+    if transitive:
+        from nail_parquet_spark.functions.graph import connected_components
+
+        labels = connected_components(pairs.select("id_a", "id_b"))
+        near_drop = labels.filter(F.col("id") != F.col("comp")).select(
+            F.col("id").alias("__drop")
+        )
+    else:
+        near_drop = pairs.select(F.col("id_b").alias("__drop"))
     drops = near_drop.unionAll(exact_drop).distinct()
     return df.join(drops, df[id_col] == drops["__drop"], "left_anti")

@@ -408,3 +408,27 @@ def test_keywords_tfidf_ranks_distinctive_tokens(spark):
     top = {r.doc_id: r.token for r in out if r.rank == 1}
     # the doc-specific rare token outranks the ubiquitous one
     assert top[1] == "zebra" and top[2] == "yak" and top[3] == "common"
+
+
+def test_dedup_near_duplicates_transitive_collapses_chains(spark):
+    from nail_parquet_spark.functions.dedup import dedup_near_duplicates
+
+    # b and c both near-dup a's text; all three form one cluster
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " extra"),
+            (3, base + " bonus"),
+            (9, "completely different content about spark engines and parquet files"),
+        ],
+        "doc_id long, text string",
+    )
+    kept_t = sorted(
+        r.doc_id
+        for r in dedup_near_duplicates(
+            docs, "doc_id", "text", threshold=0.6, num_hashes=16, bands=8,
+            transitive=True,
+        ).collect()
+    )
+    assert kept_t == [1, 9]
