@@ -113,3 +113,32 @@ def test_decode_where_timestamps(spark):
     assert n_groups(pruned) <= 2
     got = decode_table_where(blocks, "ts", ">=", cut).count()
     assert got == 10  # hours 30..39
+
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(
+    vals=st.lists(st.one_of(st.none(), st.integers(-50, 50)),
+                  min_size=1, max_size=60),
+    op=st.sampled_from(["=", ">", ">=", "<", "<="]),
+    v=st.integers(-55, 55),
+    block_rows=st.sampled_from([4, 16]),
+    presorted=st.booleans(),
+)
+def test_prune_property_matches_plain_filter(spark, vals, op, v, block_rows,
+                                             presorted):
+    rows = [(i, x) for i, x in enumerate(vals)]
+    if presorted:
+        rows.sort(key=lambda r: (r[1] is None, r[1]))
+    df = spark.createDataFrame(rows, "k long, x long").coalesce(1)
+    blocks = encode_table(df, codecs={"k": "plain", "x": "plain"},
+                          block_rows=block_rows)
+    got = sorted(r.k for r in decode_table_where(blocks, "x", op, v).collect())
+    pyop = {"=": lambda a: a == v, ">": lambda a: a > v, ">=": lambda a: a >= v,
+            "<": lambda a: a < v, "<=": lambda a: a <= v}[op]
+    want = sorted(i for i, x in rows if x is not None and pyop(x))
+    assert got == want
