@@ -584,6 +584,43 @@ def q_keywords_tfidf(spark, sf_dir):
     return keywords_tfidf(d, "doc_id", "text", k=3)
 
 
+def q_gopher_quality(spark, sf_dir):
+    """Per-document Gopher quality signals (Rae et al. 2021 §A1.1) as one
+    no-shuffle projection (functions/quality.gopher_signals)."""
+    from nail_parquet_spark.functions.quality import gopher_signals
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", *gopher_signals(F.col("text")))
+
+
+def q_dup_line_stats(spark, sf_dir):
+    """Duplicate-line repetition signals per document — explode lines,
+    aggregate back on doc id only (functions/quality.repetition_stats)."""
+    from nail_parquet_spark.functions.quality import repetition_stats
+
+    d = _t(spark, sf_dir, "documents")
+    return repetition_stats(d, "doc_id", "text")
+
+
+def q_top_bigram_frac(spark, sf_dir):
+    """Most-frequent word bigram per document + its character-coverage
+    fraction (Gopher top-n-gram signal); min-ngram tiebreak
+    (functions/quality.top_ngram_char_frac)."""
+    from nail_parquet_spark.functions.quality import top_ngram_char_frac
+
+    d = _t(spark, sf_dir, "documents")
+    return top_ngram_char_frac(d, "doc_id", "text", n=2)
+
+
+def q_gopher_filter(spark, sf_dir):
+    """Composed Gopher rule book → (doc_id, n_words, n_fail, passes)
+    (functions/quality.gopher_filter)."""
+    from nail_parquet_spark.functions.quality import gopher_filter
+
+    d = _t(spark, sf_dir, "documents")
+    return gopher_filter(d, "doc_id", "text")
+
+
 def q_lang_id(spark, sf_dir):
     from nail_parquet_spark.functions.text import lang_id
 
@@ -970,6 +1007,10 @@ _QUERIES = {
         "vocab_top": q_vocab_top,
         "keywords_tfidf": q_keywords_tfidf,
         "decode_pushdown": q_decode_pushdown,
+        "gopher_quality": q_gopher_quality,
+        "dup_line_stats": q_dup_line_stats,
+        "top_bigram_frac": q_top_bigram_frac,
+        "gopher_filter": q_gopher_filter,
         # -- code changed this round (need fresh rows) --
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,  # rows-only (banded)
         "embedding_near_dup_exact": q_embedding_near_dup_exact,  # guarded twin
@@ -1094,6 +1135,53 @@ sh AS (
   FROM words, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
   WHERE len(w) >= 3
 )
+"""
+
+
+# Gopher quality signals (functions/quality.py) — DuckDB twins validated
+# value-exact on sf0.001/sf0.01. Shared by gopher_quality and gopher_filter.
+_GOPHER_SIG_SQL = r"""
+SELECT doc_id,
+  CAST(len(words) AS BIGINT) AS n_words,
+  CASE WHEN len(words) > 0 THEN round(list_sum(list_transform(words, w -> length(w))) * 1.0 / len(words), 6) ELSE 0.0 END AS mean_word_len,
+  CASE WHEN len(words) > 0 THEN round(len(list_filter(words, w -> regexp_matches(w, '[a-zA-Z]'))) * 1.0 / len(words), 6) ELSE 0.0 END AS frac_words_alpha,
+  CAST(len(list_intersect(list_distinct(list_transform(words, w -> lower(w))),
+       ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS n_stop_hits,
+  CASE WHEN len(words) > 0 THEN round((
+      CAST((length(text) - length(replace(text, '#', ''))) AS BIGINT)
+    + CAST((length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT)
+    + CAST((length(text) - length(replace(text, '…', ''))) AS BIGINT)
+  ) * 1.0 / len(words), 6) ELSE 0.0 END AS symbol_word_ratio,
+  CASE WHEN len(lines) > 0 THEN round(len(list_filter(lines, l ->
+      l LIKE '- %' OR l LIKE '* %' OR l LIKE '•%' OR l LIKE '●%')) * 1.0 / len(lines), 6) ELSE 0.0 END AS frac_lines_bullet,
+  CASE WHEN len(lines) > 0 THEN round(len(list_filter(lines, l ->
+      l LIKE '%...' OR l LIKE '%…')) * 1.0 / len(lines), 6) ELSE 0.0 END AS frac_lines_ellipsis,
+  CASE WHEN len(lines) > 0 THEN round(len(list_filter(lines, l ->
+      l LIKE '%.' OR l LIKE '%!' OR l LIKE '%?' OR l LIKE '%"')) * 1.0 / len(lines), 6) ELSE 0.0 END AS frac_lines_end_punct
+FROM (
+  SELECT doc_id, text,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS words,
+         list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+                     l -> l <> '') AS lines
+  FROM documents)
+"""
+
+_DUP_LINE_SQL = r"""
+WITH lines AS (
+  SELECT doc_id, unnest(list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)), l -> l <> '')) AS line
+  FROM documents),
+per AS (SELECT doc_id, line, count(*) AS cnt, length(line) AS clen FROM lines GROUP BY 1, 2),
+agg AS (
+  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_lines,
+         round(1.0 - count(*) * 1.0 / sum(cnt), 6) AS dup_line_frac,
+         round(sum(CASE WHEN cnt > 1 THEN cnt * clen ELSE 0 END) * 1.0 / sum(cnt * clen), 6) AS dup_line_char_frac
+  FROM per GROUP BY 1)
+SELECT d.doc_id,
+       coalesce(a.n_lines, 0) AS n_lines,
+       coalesce(a.dup_line_frac, 0.0) AS dup_line_frac,
+       coalesce(a.dup_line_char_frac, 0.0) AS dup_line_char_frac
+FROM documents d LEFT JOIN agg a USING (doc_id)
 """
 
 
@@ -1351,6 +1439,49 @@ def oracle_sql() -> dict[str, str]:
                                    / (CASE WHEN trim(text) = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\s+')) END), 6)
                         ELSE 0.0 END AS mean_word_len
             FROM documents""",
+        "gopher_quality": _GOPHER_SIG_SQL,
+        "dup_line_stats": _DUP_LINE_SQL,
+        "top_bigram_frac": r"""
+            WITH base AS (
+              SELECT doc_id, length(text) AS chars,
+                     CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                          ELSE regexp_split_to_array(trim(text), '\s+') END AS words
+              FROM documents),
+            grams AS (
+              SELECT doc_id, chars,
+                     unnest(list_transform(range(1, greatest(len(words) - 1, 0) + 1),
+                                           i -> array_to_string(words[i:i+1], ' '))) AS ngram
+              FROM base),
+            counted AS (
+              SELECT doc_id, chars, ngram, count(*) AS cnt
+              FROM grams WHERE ngram <> '' GROUP BY 1, 2, 3),
+            maxc AS (SELECT doc_id, chars, max(cnt) AS maxc FROM counted GROUP BY 1, 2),
+            winner AS (
+              SELECT c.doc_id, c.chars, m.maxc, min(c.ngram) AS top_ngram
+              FROM counted c JOIN maxc m ON c.doc_id = m.doc_id AND c.cnt = m.maxc
+              GROUP BY 1, 2, 3)
+            SELECT d.doc_id, w.top_ngram,
+                   coalesce(CAST(w.maxc AS BIGINT), 0) AS cnt,
+                   coalesce(CASE WHEN w.chars > 0
+                                 THEN round(w.maxc * length(w.top_ngram) * 1.0 / w.chars, 6)
+                                 ELSE 0.0 END, 0.0) AS char_frac
+            FROM documents d LEFT JOIN winner w USING (doc_id)""",
+        "gopher_filter": f"""
+            WITH sig AS ({_GOPHER_SIG_SQL}),
+            rep AS ({_DUP_LINE_SQL})
+            SELECT s.doc_id, s.n_words,
+              CAST((CASE WHEN s.n_words < 50 THEN 1 ELSE 0 END)
+                 + (CASE WHEN s.n_words > 100000 THEN 1 ELSE 0 END)
+                 + (CASE WHEN s.mean_word_len < 3.0 THEN 1 ELSE 0 END)
+                 + (CASE WHEN s.mean_word_len > 10.0 THEN 1 ELSE 0 END)
+                 + (CASE WHEN s.symbol_word_ratio > 0.1 THEN 1 ELSE 0 END)
+                 + (CASE WHEN s.frac_words_alpha < 0.8 THEN 1 ELSE 0 END)
+                 + (CASE WHEN s.n_stop_hits < 2 THEN 1 ELSE 0 END)
+                 + (CASE WHEN s.frac_lines_bullet > 0.9 THEN 1 ELSE 0 END)
+                 + (CASE WHEN s.frac_lines_ellipsis > 0.3 THEN 1 ELSE 0 END)
+                 + (CASE WHEN r.dup_line_frac > 0.3 THEN 1 ELSE 0 END) AS BIGINT) AS n_fail,
+              (n_fail = 0) AS passes
+            FROM sig s JOIN rep r USING (doc_id)""",
         "lang_id": _lang_id_sql(),
         "doc_fingerprint": "SELECT doc_id, md5(text) AS fingerprint FROM documents",
         "dedup_exact_docs": f"""

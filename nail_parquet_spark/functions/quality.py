@@ -1,0 +1,275 @@
+"""Gopher/C4-style document-quality filters for web-scale training corpora.
+
+The reference engine (nail-parquet) stops at generic per-column statistics;
+a 100-TB web-text pipeline additionally needs the published heuristic
+quality rules (Gopher, Rae et al. 2021 §A1.1; C4, Raffel et al. 2020 §2.2)
+as first-class relational operators. Everything here is built from JVM-side
+``pyspark.sql.functions`` (whole-stage codegen, no Python in the hot path)
+and every signal has an exact ANSI-SQL twin so the DuckDB oracle verifies
+it value-for-value.
+
+Scale notes:
+- ``gopher_signals`` is a pure per-row projection — no shuffle at all.
+- ``repetition_stats`` / ``top_ngram_char_frac`` explode to per-(doc, line)
+  or per-(doc, ngram) rows and aggregate back BY doc id — the shuffle key is
+  the doc id, so cardinality is bounded by the corpus row count and
+  partial aggregation combines map-side. No global windows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from nail_parquet_spark.functions.text import token_count
+
+# Gopher rule: a document must contain >= 2 of these stopwords.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+BULLET_PREFIXES = ["- ", "* ", "•", "●"]  # -, *, bullet, black circle
+ELLIPSIS_SUFFIXES = ["...", "…"]
+
+
+def _occurrences(col: Column, needle: str) -> Column:
+    """Literal substring occurrences via length arithmetic (portable SQL)."""
+    return (
+        (F.length(col) - F.length(F.replace(col, F.lit(needle), F.lit(""))))
+        / F.lit(len(needle))
+    ).cast("long")
+
+
+def _words(col: Column) -> Column:
+    return F.split(F.trim(col), r"\s+")
+
+
+def _lines(col: Column) -> Column:
+    """Non-blank lines (trimmed); '' splits to [''] which is filtered out."""
+    return F.filter(
+        F.transform(F.split(col, "\n"), lambda l: F.trim(l)),
+        lambda l: l != "",
+    )
+
+
+def _frac(num: Column, den: Column) -> Column:
+    return F.when(den > 0, F.round(num / den, 6)).otherwise(F.lit(0.0))
+
+
+def gopher_signals(col: Column) -> list[Column]:
+    """The per-document Gopher quality signals as one no-shuffle projection.
+
+    Returns columns: n_words, mean_word_len, frac_words_alpha,
+    n_stop_hits, symbol_word_ratio, frac_lines_bullet, frac_lines_ellipsis,
+    frac_lines_end_punct (the C4 terminal-punctuation signal).
+
+    Reference scope check: nail-parquet's closest surface is
+    `src/commands/stats.rs` (generic numeric/char stats) — these
+    web-text-specific rules are beyond-reference, per the pipeline brief.
+    """
+    words = _words(col)
+    n_words = token_count(col)
+    lines = _lines(col)
+    n_lines = F.size(lines)
+
+    word_chars = F.aggregate(
+        F.transform(words, lambda w: F.length(w)), F.lit(0), lambda a, x: a + x
+    )
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]")))
+    stop_hits = F.size(
+        F.array_intersect(
+            F.transform(words, lambda w: F.lower(w)),
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+        )
+    )
+    symbols = _occurrences(col, "#") + _occurrences(col, "...") + _occurrences(col, "…")
+
+    def _starts_any(l: Column) -> Column:
+        c = F.lit(False)
+        for p in BULLET_PREFIXES:
+            c = c | l.startswith(p)
+        return c
+
+    def _ends_any(l: Column, suffixes: list[str]) -> Column:
+        c = F.lit(False)
+        for s in suffixes:
+            c = c | l.endswith(s)
+        return c
+
+    bullet_lines = F.size(F.filter(lines, _starts_any))
+    ellipsis_lines = F.size(F.filter(lines, lambda l: _ends_any(l, ELLIPSIS_SUFFIXES)))
+    punct_lines = F.size(
+        F.filter(lines, lambda l: _ends_any(l, [".", "!", "?", '"']))
+    )
+
+    return [
+        n_words.alias("n_words"),
+        _frac(word_chars, n_words).alias("mean_word_len"),
+        _frac(alpha_words, n_words).alias("frac_words_alpha"),
+        stop_hits.cast("long").alias("n_stop_hits"),
+        _frac(symbols, n_words).alias("symbol_word_ratio"),
+        _frac(bullet_lines, n_lines).alias("frac_lines_bullet"),
+        _frac(ellipsis_lines, n_lines).alias("frac_lines_ellipsis"),
+        _frac(punct_lines, n_lines).alias("frac_lines_end_punct"),
+    ]
+
+
+def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Duplicate-line repetition signals per document (Gopher §A1.1).
+
+    Returns (id, n_lines, dup_line_frac, dup_line_char_frac) where
+    - dup_line_frac       = 1 - distinct_lines / n_lines
+    - dup_line_char_frac  = chars on lines occurring > once / total line chars
+    over non-blank trimmed lines. Documents with no non-blank lines get 0.0.
+
+    Shape: explode lines -> groupBy (doc, line) -> groupBy doc. Both
+    aggregations partial-combine map-side and shuffle only on the doc id —
+    bounded at any corpus size; no windows, no driver pull.
+    """
+    lines = df.select(
+        F.col(id_col).alias("__doc"),
+        F.explode(_lines(F.col(text_col))).alias("line"),
+    )
+    per_line = (
+        lines.groupBy("__doc", "line")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select("__doc", "cnt", F.length("line").alias("clen"))
+    )
+    out = per_line.groupBy("__doc").agg(
+        F.sum("cnt").cast("long").alias("n_lines"),
+        F.round(
+            F.lit(1.0) - F.count(F.lit(1)) / F.sum("cnt"), 6
+        ).alias("dup_line_frac"),
+        F.round(
+            F.sum(F.when(F.col("cnt") > 1, F.col("cnt") * F.col("clen")).otherwise(0))
+            / F.sum(F.col("cnt") * F.col("clen")),
+            6,
+        ).alias("dup_line_char_frac"),
+    )
+    blank = (
+        df.select(F.col(id_col).alias("__doc"))
+        .join(out.select("__doc"), "__doc", "left_anti")
+        .select(
+            "__doc",
+            F.lit(0).cast("long").alias("n_lines"),
+            F.lit(0.0).alias("dup_line_frac"),
+            F.lit(0.0).alias("dup_line_char_frac"),
+        )
+    )
+    return out.unionByName(blank).withColumnRenamed("__doc", id_col)
+
+
+def top_ngram_char_frac(df: DataFrame, id_col: str, text_col: str,
+                        n: int = 2) -> DataFrame:
+    """Fraction of document characters covered by its most frequent word
+    n-gram (Gopher's top-2/3/4-gram repetition signal).
+
+    Coverage is count * length(ngram text) / length(document) with the
+    n-gram text joined by single spaces — a deterministic, SQL-portable
+    definition (the paper does not pin whitespace handling). Ties break on
+    lexicographically-smallest n-gram. Documents with fewer than n words
+    get frac 0.0 and a NULL ngram.
+
+    Shape: per-row n-gram array (no self-join), explode, count by
+    (doc, ngram), keyed max-struct aggregation — shuffles only on doc id.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    words = _words(F.col(text_col))
+    # sequence(1, 0) DESCENDS in Spark, so docs with < n words must short-
+    # circuit to an empty gram array (their rows re-enter via the anti-join).
+    grams = F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - F.lit(n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ex = df.select(
+        F.col(id_col).alias("__doc"),
+        F.length(F.col(text_col)).alias("__chars"),
+        F.explode(grams).alias("ngram"),
+    ).filter(F.col("ngram") != "")
+    counted = ex.groupBy("__doc", "__chars", "ngram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    # winner = max count, then lexicographically-smallest ngram. Two keyed
+    # aggregations + a same-key join (AQE collapses the exchange) — portable
+    # to SQL, no window, deterministic.
+    maxc = counted.groupBy("__doc", "__chars").agg(F.max("cnt").alias("maxc"))
+    winner = (
+        counted.join(maxc, ["__doc", "__chars"])
+        .filter(F.col("cnt") == F.col("maxc"))
+        .groupBy("__doc", "__chars", "maxc")
+        .agg(F.min("ngram").alias("top_ngram"))
+    )
+    scored = winner.select(
+        F.col("__doc"),
+        F.col("top_ngram"),
+        F.col("maxc").cast("long").alias("cnt"),
+        F.when(
+            F.col("__chars") > 0,
+            F.round(F.col("maxc") * F.length("top_ngram") / F.col("__chars"), 6),
+        ).otherwise(0.0).alias("char_frac"),
+    )
+    short = (
+        df.select(F.col(id_col).alias("__doc"))
+        .join(scored.select("__doc"), "__doc", "left_anti")
+        .select(
+            "__doc",
+            F.lit(None).cast("string").alias("top_ngram"),
+            F.lit(0).cast("long").alias("cnt"),
+            F.lit(0.0).alias("char_frac"),
+        )
+    )
+    return scored.unionByName(short).withColumnRenamed("__doc", id_col)
+
+
+# Gopher rule book: (signal, op, threshold) — the published defaults.
+GOPHER_RULES = {
+    "min_words": 50,
+    "max_words": 100_000,
+    "min_mean_word_len": 3.0,
+    "max_mean_word_len": 10.0,
+    "max_symbol_word_ratio": 0.1,
+    "min_frac_words_alpha": 0.8,
+    "min_stop_hits": 2,
+    "max_frac_lines_bullet": 0.9,
+    "max_frac_lines_ellipsis": 0.3,
+    "max_dup_line_frac": 0.3,
+}
+
+
+def gopher_filter(df: DataFrame, id_col: str, text_col: str,
+                  rules: dict | None = None) -> DataFrame:
+    """Apply the composed Gopher quality rules; returns
+    (id, n_words, n_fail, passes) per document.
+
+    All word-level rules are a single no-shuffle projection; the one
+    relational signal (dup_line_frac) joins back on the doc id. ``rules``
+    overrides individual thresholds from ``GOPHER_RULES``.
+    """
+    r = dict(GOPHER_RULES)
+    if rules:
+        unknown = set(rules) - set(r)
+        if unknown:
+            raise ValueError(f"unknown rule(s): {sorted(unknown)}")
+        r.update(rules)
+    sig = df.select(F.col(id_col), *gopher_signals(F.col(text_col)))
+    rep = repetition_stats(df, id_col, text_col).select(id_col, "dup_line_frac")
+    j = sig.join(rep, id_col)
+    fails = (
+        (F.col("n_words") < r["min_words"]).cast("int")
+        + (F.col("n_words") > r["max_words"]).cast("int")
+        + (F.col("mean_word_len") < r["min_mean_word_len"]).cast("int")
+        + (F.col("mean_word_len") > r["max_mean_word_len"]).cast("int")
+        + (F.col("symbol_word_ratio") > r["max_symbol_word_ratio"]).cast("int")
+        + (F.col("frac_words_alpha") < r["min_frac_words_alpha"]).cast("int")
+        + (F.col("n_stop_hits") < r["min_stop_hits"]).cast("int")
+        + (F.col("frac_lines_bullet") > r["max_frac_lines_bullet"]).cast("int")
+        + (F.col("frac_lines_ellipsis") > r["max_frac_lines_ellipsis"]).cast("int")
+        + (F.col("dup_line_frac") > r["max_dup_line_frac"]).cast("int")
+    )
+    return j.select(
+        F.col(id_col),
+        F.col("n_words"),
+        fails.cast("long").alias("n_fail"),
+        (fails == 0).alias("passes"),
+    )

@@ -1,0 +1,124 @@
+"""Gopher/C4 quality-filter suite (functions/quality.py) — golden edge
+cases; the value-exact cross-engine check lives in the driver oracle
+(entries gopher_quality / dup_line_stats / top_bigram_frac / gopher_filter).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from nail_parquet_spark.functions.quality import (
+    GOPHER_RULES,
+    gopher_filter,
+    gopher_signals,
+    repetition_stats,
+    top_ngram_char_frac,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the cat sat on the mat and that was that with a hat to be of note"),
+        (2, ""),
+        (3, "- one\n- two\n- three"),  # all bullet lines
+        (4, "same line\nsame line\nsame line\nother"),  # duplicate lines
+        (5, "alpha beta alpha beta alpha beta"),  # dominant bigram
+        (6, "### ### ### ..."),  # symbols, no alpha
+        (7, "One line ends here.\nAnother trails off...\nplain"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _by_id(df):
+    return {r["doc_id"]: r.asDict() for r in df.collect()}
+
+
+def test_gopher_signals_golden(docs):
+    out = _by_id(docs.select("doc_id", *gopher_signals(F.col("text"))))
+    d1 = out[1]
+    assert d1["n_words"] == 17
+    assert d1["n_stop_hits"] >= 5  # the, and, that, with, to, be, of
+    assert d1["frac_words_alpha"] == 1.0
+    # empty doc: all zeros, no NULLs
+    d2 = out[2]
+    assert d2["n_words"] == 0 and d2["mean_word_len"] == 0.0
+    assert d2["frac_lines_bullet"] == 0.0
+    # all-bullet doc
+    assert out[3]["frac_lines_bullet"] == 1.0
+    # symbol-heavy doc: '#'x9 + one '...' over 4 words = 2.5
+    d6 = out[6]
+    assert d6["symbol_word_ratio"] == 2.5
+    assert d6["frac_words_alpha"] == 0.0
+    # line-ending signals
+    d7 = out[7]
+    assert d7["frac_lines_ellipsis"] == pytest.approx(1 / 3, abs=1e-6)
+    # '...' also ends with '.', so it counts as terminal punctuation (2/3)
+    assert d7["frac_lines_end_punct"] == pytest.approx(2 / 3, abs=1e-6)
+
+
+def test_repetition_stats_golden(docs):
+    out = _by_id(repetition_stats(docs, "doc_id", "text"))
+    d4 = out[4]
+    assert d4["n_lines"] == 4
+    # 2 distinct over 4 lines -> dup fraction 0.5
+    assert d4["dup_line_frac"] == 0.5
+    # 3 copies of 'same line' (9 chars) over total 9*3+5 = 32 chars
+    assert d4["dup_line_char_frac"] == pytest.approx(27 / 32, abs=1e-6)
+    # empty doc present with zeros (left-anti union branch)
+    assert out[2] == {"doc_id": 2, "n_lines": 0, "dup_line_frac": 0.0,
+                      "dup_line_char_frac": 0.0}
+    # no duplicated lines
+    assert out[3]["dup_line_frac"] == 0.0
+
+
+def test_top_ngram_char_frac_golden(docs):
+    out = _by_id(top_ngram_char_frac(docs, "doc_id", "text", n=2))
+    d5 = out[5]
+    # 'alpha beta' x3 wins over 'beta alpha' x2; min-tiebreak irrelevant here
+    assert d5["top_ngram"] == "alpha beta"
+    assert d5["cnt"] == 3
+    assert d5["char_frac"] == pytest.approx(3 * 10 / 32, abs=1e-6)
+    # single-word/empty docs fall into the NULL branch
+    assert out[2]["top_ngram"] is None and out[2]["char_frac"] == 0.0
+
+
+def test_top_ngram_tiebreak_deterministic(spark):
+    df = spark.createDataFrame([(1, "b a b a")], "doc_id long, text string")
+    row = top_ngram_char_frac(df, "doc_id", "text", n=2).collect()[0]
+    # 'b a' x2? windows: 'b a','a b','b a' -> 'b a' cnt 2 beats 'a b' cnt 1
+    assert row["top_ngram"] == "b a" and row["cnt"] == 2
+    df2 = spark.createDataFrame([(1, "x y z w")], "doc_id long, text string")
+    row2 = top_ngram_char_frac(df2, "doc_id", "text", n=2).collect()[0]
+    # all bigrams count 1 -> lexicographically smallest wins
+    assert row2["top_ngram"] == "x y"
+
+
+def test_gopher_filter_composition(spark):
+    good = " ".join(
+        ["the quick brown fox jumps over that lazy dog with to be of and have"] * 5
+    )
+    rows = [(1, good), (2, "too short"), (3, "- a\n" * 60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = _by_id(gopher_filter(df, "doc_id", "text"))
+    assert out[1]["passes"] and out[1]["n_fail"] == 0
+    assert not out[2]["passes"]  # < 50 words
+    assert not out[3]["passes"]  # bullet lines + dup lines + short words
+    assert out[3]["n_fail"] >= 2
+
+
+def test_gopher_filter_rule_override_and_unknown(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the hat that bee with off too")], "doc_id long, text string"
+    )
+    strict = gopher_filter(df, "doc_id", "text").collect()[0]
+    assert not strict["passes"]  # 10 words < 50
+    relaxed = gopher_filter(df, "doc_id", "text", rules={"min_words": 5}).collect()[0]
+    assert relaxed["passes"]
+    with pytest.raises(ValueError, match="unknown rule"):
+        gopher_filter(df, "doc_id", "text", rules={"min_wordz": 5})
+    assert set(GOPHER_RULES) >= {"min_words", "max_dup_line_frac"}
+
+
+def test_quality_plan_is_shuffle_free_for_signals(spark, docs):
+    plan = docs.select("doc_id", *gopher_signals(F.col("text")))._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
