@@ -155,6 +155,14 @@ def main(argv: list[str] | None = None) -> int:
         (("--snapshot",), {"type": int, "default": None,
                            "help": "time travel: decode the table as of this "
                                    "snapshot id (encode_resumable out_dir)"}))
+    add("quality", (("-c", "--text-column"), {"default": "text", "dest": "text_column"}),
+        (("--id-column",), {"default": None, "help": "doc id column (default: first column)"}),
+        (("--mode",), {"default": "filter",
+                       "choices": ["signals", "repetition", "top-ngram", "filter"],
+                       "help": "Gopher signals / dup-line stats / top n-gram / composed rule filter"}),
+        (("--ngram",), {"type": int, "default": 2, "help": "n for --mode top-ngram"}),
+        (("--rules",), {"default": None, "help": 'JSON threshold overrides, e.g. {"min_words": 20}'}),
+        (("--remove",), {"action": "store_true", "help": "emit the surviving rows instead of the verdict table"}))
     add("metadata", with_output=False)
     add("compact", (("--num-files",), {"type": int, "default": 32,
                                        "help": "output block-file count"}))
@@ -386,6 +394,26 @@ def main(argv: list[str] | None = None) -> int:
         else:
             out = ops.correlations(df, cols, args.method)
             out = out.withColumn("correlation", F.round("correlation", args.digits))
+        _out(out, args, 50)
+    elif c == "quality":
+        from pyspark.sql import functions as F
+
+        from nail_parquet_spark.functions import quality as qf
+
+        id_col = args.id_column or df.columns[0]
+        if args.mode == "signals":
+            out = df.select(F.col(id_col), *qf.gopher_signals(F.col(args.text_column)))
+        elif args.mode == "repetition":
+            out = qf.repetition_stats(df, id_col, args.text_column)
+        elif args.mode == "top-ngram":
+            out = qf.top_ngram_char_frac(df, id_col, args.text_column, n=args.ngram)
+        else:
+            rules = json.loads(args.rules) if args.rules else None
+            verdict = qf.gopher_filter(df, id_col, args.text_column, rules=rules)
+            if args.remove:
+                out = df.join(verdict.filter("passes").select(id_col), id_col, "inner")
+            else:
+                out = verdict
         _out(out, args, 50)
     elif c == "outliers":
         cols = args.columns.split(",") if args.columns else None

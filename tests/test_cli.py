@@ -355,3 +355,28 @@ def test_cli_decode_snapshot_time_travel(spark, tmp_path, capsys):
     # snapshot 1 sees only batch 1's units; a plain decode reads every batch
     assert 0 < n1 < 2_000
     assert spark.read.parquet(dec2).count() == 2_000
+
+
+def test_cli_quality_modes(spark, tmp_path, capsys):
+    p = str(tmp_path / "docs.parquet")
+    good = " ".join(["the quick brown fox jumps over that lazy dog and more"] * 6)
+    spark.createDataFrame(
+        [(1, good), (2, "tiny"), (3, "dup\ndup\ndup\ndup")],
+        "doc_id long, text string",
+    ).write.parquet(p)
+    run("quality", p, "--mode", "signals")
+    out = capsys.readouterr().out
+    assert "n_stop_hits" in out and "frac_lines_bullet" in out
+    run("quality", p, "--mode", "repetition")
+    assert "dup_line_frac" in capsys.readouterr().out
+    run("quality", p, "--mode", "top-ngram", "--ngram", "2")
+    assert "char_frac" in capsys.readouterr().out
+    surv = str(tmp_path / "surv.parquet")
+    run("quality", p, "--remove", "-o", surv)
+    kept = spark.read.parquet(surv)
+    assert [r.doc_id for r in kept.collect()] == [1]
+    assert set(kept.columns) == {"doc_id", "text"}
+    # threshold override keeps the short doc too
+    surv2 = str(tmp_path / "surv2.parquet")
+    run("quality", p, "--remove", "--rules", '{"min_words": 1, "min_stop_hits": 0, "min_mean_word_len": 0}', "-o", surv2)
+    assert spark.read.parquet(surv2).count() >= 2
