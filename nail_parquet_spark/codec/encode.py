@@ -248,6 +248,29 @@ def _hive_partition_values(rel_dir: str) -> dict[str, "str | None"]:
     return out
 
 
+def _infer_partition_type(values) -> str:
+    """Spark-style partition value type inference over ALL of a key's
+    directory values: long if every non-NULL value is an int64 literal,
+    else double if every value parses as a float, else string (Spark's
+    chain additionally tries decimal/date/timestamp; those fall through to
+    string here — documented divergence, lossless since the raw directory
+    string is preserved). All-NULL keys stay string."""
+    vals = [v for v in values if v is not None]
+    if not vals:
+        return "string"
+    try:
+        if all(-(2**63) <= int(v) < 2**63 for v in vals):
+            return "long"
+    except ValueError:
+        pass
+    try:
+        for v in vals:
+            float(v)
+        return "double"
+    except ValueError:
+        return "string"
+
+
 def _plan_parquet_encode(spark, path, columns, codecs, policy, sample_rows,
                          num_partitions):
     """Shared planning for the scan-side encode paths: enumerate
@@ -256,14 +279,18 @@ def _plan_parquet_encode(spark, path, columns, codecs, policy, sample_rows,
 
     Hive-partitioned layouts (``key=value`` directory segments between the
     input root and the files) are MATERIALIZED: each partition column
-    becomes a per-file constant string column in the encode, matching
+    becomes a per-file constant column in the encode, matching
     spark.read.parquet's behavior (ADVICE r3 — the footer-based reader
-    would otherwise silently drop them). Divergence from Spark: partition
-    values are always typed string (Spark additionally infers numerics) —
-    documented, and exact for string-typed partitions.
+    would otherwise silently drop them), typed by directory-wide value
+    inference (long/double/string — see ``_infer_partition_type``; Spark's
+    decimal/date branches fall through to string). Inference looks at the
+    key=value directories actually listed in THIS call, so passing an
+    explicit file subset (e.g. one resume batch) never parses partitions
+    at all — only dir inputs do.
 
     Returns (items_df, all_cols, chosen, part_info) where part_info is
-    (part_cols, {file_path: {key: value}}), empty for flat layouts."""
+    (part_cols, {file_path: {key: value}}, {key: type}), empty for flat
+    layouts."""
     import os as _os
 
     import pyarrow.parquet as _pq
@@ -307,10 +334,15 @@ def _plan_parquet_encode(spark, path, columns, codecs, policy, sample_rows,
         all_cols = [
             first.schema_arrow.field(i).name for i in range(len(first.schema_arrow))
         ] + part_cols
+    part_types = {
+        k: _infer_partition_type([kv.get(k) for kv in part_vals.values()])
+        for k in part_cols
+    }
     chosen = dict(codecs or {})
     for c in part_cols:
-        # per-file constants: rle is optimal and needs no sampling
-        chosen.setdefault(c, "rle")
+        # per-file constants: rle is optimal and needs no sampling (float
+        # kind has no rle kernel — zstd over the constant runs instead)
+        chosen.setdefault(c, "zstd" if part_types[c] == "double" else "rle")
     missing = [c for c in all_cols if c not in chosen]
     if missing:
         # sample the unpinned columns plus any str/bin PINNED columns (the
@@ -349,25 +381,34 @@ def _plan_parquet_encode(spark, path, columns, codecs, policy, sample_rows,
     items_df = spark.createDataFrame(rdd, "path string, rg int")
     # keep only the (file -> value) entries for materialized columns so the
     # task closure stays O(files x partition depth)
-    part_info = (part_cols, {f: {k: v for k, v in kv.items() if k in part_cols}
-                             for f, kv in part_vals.items()} if part_cols else {})
+    part_info = (part_cols,
+                 {f: {k: v for k, v in kv.items() if k in part_cols}
+                  for f, kv in part_vals.items()} if part_cols else {},
+                 {k: t for k, t in part_types.items() if k in part_cols})
     return items_df, all_cols, chosen, part_info
 
 
 def _with_partition_columns(tbl: "pa.Table", file_path: str,
                             part_info) -> "pa.Table":
-    """Append the file's Hive partition values as constant string columns
-    (NULL for files that lack a key — mixed layouts)."""
-    part_cols, part_vals = part_info
+    """Append the file's Hive partition values as constant columns typed by
+    the directory-wide inference (long/double/string, matching
+    spark.read.parquet's partitionColumnTypeInference; NULL for files that
+    lack a key — mixed layouts)."""
+    part_cols, part_vals, part_types = part_info
     if not part_cols:
         return tbl
     vals = part_vals.get(file_path, {})
     n = tbl.num_rows
     for k in part_cols:
         v = vals.get(k)
-        tbl = tbl.append_column(
-            k, pa.array([v] * n, pa.string())
-        )
+        t = part_types.get(k, "string")
+        if t == "long":
+            arr = pa.array([None if v is None else int(v)] * n, pa.int64())
+        elif t == "double":
+            arr = pa.array([None if v is None else float(v)] * n, pa.float64())
+        else:
+            arr = pa.array([v] * n, pa.string())
+        tbl = tbl.append_column(k, arr)
     return tbl
 
 

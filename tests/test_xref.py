@@ -458,3 +458,45 @@ def test_hive_partition_value_parsing(spark, tmp_path):
     blocks = encode_parquet_files(spark, root, codecs={"v": "plain", "k": "rle"})
     got = {(r["v"], r["k"]) for r in decode_table(blocks, columns=["v", "k"]).collect()}
     assert got == {(1, "a b"), (2, "a b"), (1, None), (2, None)}
+
+
+def test_hive_partition_type_inference(spark, tmp_path):
+    """Partition values that all parse as integers materialize as long
+    columns (double if only floats parse; string otherwise; one non-numeric
+    value anywhere demotes the whole key) — matching spark.read.parquet's
+    partitionColumnTypeInference for the long/double branches."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nail_parquet_spark.codec.decode import decode_table
+    from nail_parquet_spark.codec.encode import (
+        _infer_partition_type,
+        encode_parquet_files,
+    )
+
+    assert _infer_partition_type(["1", "42", None]) == "long"
+    assert _infer_partition_type(["1.5", "2"]) == "double"
+    assert _infer_partition_type(["1", "x"]) == "string"
+    assert _infer_partition_type([None]) == "string"
+    assert _infer_partition_type([str(2**70)]) == "double"  # > int64
+
+    root = str(tmp_path / "typed")
+    t = pa.table({"v": pa.array([1, 2], pa.int64())})
+    for part in ["year=2023/score=1.5", "year=2024/score=2",
+                 "year=__HIVE_DEFAULT_PARTITION__/score=3"]:
+        os.makedirs(os.path.join(root, part))
+        pq.write_table(t, os.path.join(root, part, "f.parquet"))
+    blocks = encode_parquet_files(
+        spark, root, codecs={"v": "plain"})  # partition codecs auto-selected
+    dec = decode_table(blocks, columns=["v", "year", "score"])
+    schema = {f.name: f.dataType.simpleString() for f in dec.schema.fields}
+    assert schema["year"] == "bigint" and schema["score"] == "double"
+    got = {(r["year"], r["score"]) for r in dec.collect()}
+    assert got == {(2023, 1.5), (2024, 2.0), (None, 3.0)}
+    # matches what spark.read.parquet infers for the same layout (module
+    # the int32-vs-int64 width choice, compared via casted values)
+    sp = spark.read.parquet(root).selectExpr(
+        "CAST(year AS BIGINT) AS year", "CAST(score AS DOUBLE) AS score")
+    assert {(r["year"], r["score"]) for r in sp.collect()} == got
