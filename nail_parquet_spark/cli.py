@@ -149,9 +149,10 @@ def main(argv: list[str] | None = None) -> int:
     add("decode", (("-c", "--columns"), {"default": None}),
         (("--shuffle-free",), {"action": "store_true",
                                "help": "block files are group-complete (written by this engine's sink) — decode in place, zero shuffle"}),
-        (("--where",), {"default": None, "dest": "where",
+        (("--where",), {"default": None, "dest": "where", "action": "append",
                         "help": "predicate pushdown 'col>=value' (ops: > >= < <= =) — "
-                                "zone-map block pruning skips non-matching groups"}),
+                                "zone-map block pruning skips non-matching groups; "
+                                "repeatable, multiple are ANDed"}),
         (("--snapshot",), {"type": int, "default": None,
                            "help": "time travel: decode the table as of this "
                                    "snapshot id (encode_resumable out_dir)"}))
@@ -243,16 +244,17 @@ def main(argv: list[str] | None = None) -> int:
 
         size_summary(encode_table(df, policy="ratio")).show(truncate=False)
     elif c == "decode":
-        from nail_parquet_spark.codec.decode import decode_table_where, decode_to_parquet
+        from nail_parquet_spark.codec.decode import decode_table_where_all, decode_to_parquet
 
         if not args.output:
             p.error("decode requires -o/--output")
         cols = args.columns.split(",") if args.columns else None
         if getattr(args, "where", None):
-            col, op, val = _parse_where(args.where)
-            dec = decode_table_where(df, col, op, val, columns=cols)
+            preds = [_parse_where(w) for w in args.where]
+            dec = decode_table_where_all(df, preds, columns=cols)
             dec.write.mode("overwrite").parquet(args.output)
-            print(f"decoded {dec.count()} rows (pushdown {col}{op}{val!r}) -> {args.output}")
+            shown = " AND ".join(f"{c}{o}{v!r}" for c, o, v in preds)
+            print(f"decoded {dec.count()} rows (pushdown {shown}) -> {args.output}")
         else:
             rows = decode_to_parquet(df, args.output, columns=cols).collect()
             print(f"decoded {sum(r['n_rows'] for r in rows)} rows -> {args.output}")

@@ -594,20 +594,49 @@ def decode_table_where(blocks: DataFrame, column: str, op: str, value,
     (prune_blocks) + the exact residual row filter after decode. Semantics
     equal decode_table(blocks, columns).filter(column op value); cost skips
     reading and decoding every group the stats rule out."""
+    return decode_table_where_all(
+        blocks, [(column, op, value)], columns=columns,
+        num_partitions=num_partitions, file_keyed=file_keyed,
+        max_groups=max_groups)
+
+
+def decode_table_where_all(blocks: DataFrame, predicates,
+                           columns: list[str] | None = None,
+                           num_partitions: int | None = None,
+                           file_keyed: bool = True,
+                           max_groups: int = 100_000) -> DataFrame:
+    """AND-of-predicates pushdown decode. ``predicates`` is a list of
+    (column, op, value) conjuncts; each prunes block groups via its own
+    zone maps (keep-set intersection — chaining prune_blocks filters), then
+    ONE decode runs over the surviving groups and the exact conjunction
+    filters residually. Semantics equal
+    decode_table(...).filter(p1 AND p2 AND ...)."""
+    preds = list(predicates)
+    if not preds:
+        raise ValueError("predicates must be non-empty")
     headers, _ = _headers_by_column(blocks)
     out_cols = columns if columns is not None else sorted(headers)
-    pruned = prune_blocks(blocks, column, op, value, max_groups, headers=headers)
-    use_cols = out_cols if column in out_cols else out_cols + [column]
+    pruned = blocks
+    for col_, op_, val_ in preds:
+        pruned = prune_blocks(pruned, col_, op_, val_, max_groups,
+                              headers=headers)
+    use_cols = list(out_cols)
+    for col_, _, _ in preds:
+        if col_ not in use_cols:
+            use_cols.append(col_)
     if pruned.limit(1).isEmpty():
         # every group pruned: an empty result with the decoded schema
         schema = _schema_from_headers(headers, out_cols)
         return blocks.sparkSession.createDataFrame([], _spark_ddl_of(schema))
     dec = decode_table(pruned, columns=use_cols,
                        num_partitions=num_partitions, file_keyed=file_keyed)
-    c = F.col(column)
-    residual = {
-        "=": c == value, "==": c == value,
-        ">": c > value, ">=": c >= value,
-        "<": c < value, "<=": c <= value,
-    }[op]
+    residual = None
+    for col_, op_, val_ in preds:
+        c = F.col(col_)
+        one = {
+            "=": c == val_, "==": c == val_,
+            ">": c > val_, ">=": c >= val_,
+            "<": c < val_, "<=": c <= val_,
+        }[op_]
+        residual = one if residual is None else (residual & one)
     return dec.filter(residual).select(*out_cols)

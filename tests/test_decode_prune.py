@@ -142,3 +142,46 @@ def test_prune_property_matches_plain_filter(spark, vals, op, v, block_rows,
             "<": lambda a: a < v, "<=": lambda a: a <= v}[op]
     want = sorted(i for i, x in rows if x is not None and pyop(x))
     assert got == want
+
+
+def test_decode_where_all_conjunction(spark, sorted_blocks):
+    from nail_parquet_spark.codec.decode import decode_table_where_all
+
+    df, blocks = sorted_blocks
+    preds = [("k", ">=", 30), ("k", "<", 60), ("s", ">=", "v045")]
+    got = decode_table_where_all(blocks, preds).orderBy("k").collect()
+    want = (
+        decode_table(blocks)
+        .filter((F.col("k") >= 30) & (F.col("k") < 60) & (F.col("s") >= "v045"))
+        .orderBy("k")
+        .collect()
+    )
+    assert got == want and len(got) == 15
+    # each conjunct prunes independently: the band [30, 60) keeps 3 groups
+    band = prune_blocks(prune_blocks(blocks, "k", ">=", 30), "k", "<", 60)
+    assert n_groups(band) == 3
+    # contradiction -> empty result, correct schema, no decode crash
+    empty = decode_table_where_all(blocks, [("k", ">", 50), ("k", "<", 10)])
+    assert empty.count() == 0 and set(empty.columns) == {"k", "s"}
+    with pytest.raises(ValueError, match="non-empty"):
+        decode_table_where_all(blocks, [])
+
+
+def test_cli_decode_where_multiple(spark, tmp_path, capsys):
+    from nail_parquet_spark.cli import main
+
+    src = (
+        spark.range(50)
+        .select(F.col("id").cast("long").alias("k"),
+                (F.col("id") % 5).cast("long").alias("m"))
+        .repartition(1).sortWithinPartitions("k")
+    )
+    enc = str(tmp_path / "enc")
+    encode_table(src, codecs={"k": "for_bitpack", "m": "for_bitpack"},
+                 block_rows=10).write.parquet(enc)
+    out = str(tmp_path / "dec")
+    assert main(["decode", enc, "-o", out, "--where", "k>=20",
+                 "--where", "m<2"]) == 0
+    got = {(r["k"], r["m"]) for r in spark.read.parquet(out).collect()}
+    want = {(i, i % 5) for i in range(20, 50) if i % 5 < 2}
+    assert got == want
