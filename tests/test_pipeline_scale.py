@@ -278,3 +278,33 @@ def test_snapshot_time_travel(spark, web_parquet, tmp_path):
         read_blocks_at(spark, out, stale_snaps[0])
     # latest still reads clean
     assert decode_table(read_blocks_at(spark, out), columns=["url"]).count() == 20_000
+
+
+def test_filter_and_encode_web_pipeline(spark, web_parquet):
+    import json
+
+    from nail_parquet_spark.pipeline.web import filter_and_encode_web_pipeline
+
+    df = spark.read.parquet(web_parquet)
+    # synthetic pages are short: relax thresholds so a real split emerges
+    rules = {"min_words": 30, "min_mean_word_len": 0, "min_stop_hits": 0}
+    blocks, manifest, rejected = filter_and_encode_web_pipeline(
+        df, rules=rules, n_partitions=4, policy="balanced",
+        lineage={"job_id": "q1"})
+    n_kept = (blocks.filter(F.col("column") == "url")
+              .agg(F.sum("n_rows")).collect()[0][0]) or 0
+    n_rej = rejected.count()
+    assert n_kept + n_rej == 20_000 and 0 < n_rej < 20_000
+    m = manifest.collect()
+    assert all(r["job_id"] == "q1" for r in m)
+    stamped = json.loads(m[0]["quality_rules"])
+    assert stamped["min_words"] == 30 and stamped["max_dup_line_frac"] == 0.3
+    assert {"n_words", "n_fail"} <= set(rejected.columns)
+    # survivors decode bit-identical to the kept subset of the source
+    dec = decode_table(blocks, columns=df.columns)
+    kept_urls = {r["url"] for r in dec.select("url").collect()}
+    rej_urls = {r["url"] for r in rejected.collect()}
+    assert not (kept_urls & rej_urls)
+    res = verify_roundtrip(df.join(dec.select("url"), "url", "left_semi"),
+                           dec, key="url")
+    assert res["total_mismatches"] == 0 and res["joined_rows"] == n_kept
