@@ -621,6 +621,49 @@ def q_gopher_filter(spark, sf_dir):
     return gopher_filter(d, "doc_id", "text")
 
 
+def q_url_normalize(spark, sf_dir):
+    """URL canonicalization (functions/urls.url_normalize) over
+    orders-derived adversarial URLs (mixed case, default port, tracking
+    params, fragment) — no url column exists in the driver tables, so the
+    input is constructed identically in Spark and the oracle."""
+    from nail_parquet_spark.functions.urls import url_normalize
+
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        url_normalize(F.concat(
+            F.lit("HTTP://Host"), (F.col("o_custkey") % 50).cast("string"),
+            F.lit(".Example.COM:80/order/"), F.col("o_orderkey").cast("string"),
+            F.lit("?utm_source=x&utm_medium=y&id="),
+            F.col("o_orderkey").cast("string"),
+            F.lit("&gclid=z#frag"))).alias("norm_url"),
+    ).filter(F.col("o_orderkey") <= 2000)
+
+
+def q_c4_line_filter(spark, sf_dir):
+    """C4 line-level cleaning (functions/quality.c4_clean_text) over a
+    derived multi-line text (documents are single-line in the driver
+    corpus; the shared derivation injects line breaks + a banned token so
+    every rule branch attests non-trivially)."""
+    from nail_parquet_spark.functions.quality import c4_clean_text
+
+    d = _t(spark, sf_dir, "documents")
+    der = F.replace(F.replace(F.col("text"), F.lit(" merge "), F.lit(".\n")),
+                    F.lit(" hash "), F.lit(" javascript "))
+    return d.select("doc_id", c4_clean_text(der).alias("clean"))
+
+
+def q_dedup_lines(spark, sf_dir):
+    """Corpus-global line dedup keep-first
+    (functions/quality.dedup_lines_global) over derived multi-line text."""
+    from nail_parquet_spark.functions.quality import dedup_lines_global
+
+    d = _t(spark, sf_dir, "documents")
+    dd = d.select("doc_id",
+                  F.replace(F.col("text"), F.lit(" merge "), F.lit("\n")).alias("text"))
+    return dedup_lines_global(dd, "doc_id", "text")
+
+
 def q_lang_id(spark, sf_dir):
     from nail_parquet_spark.functions.text import lang_id
 
@@ -1011,6 +1054,9 @@ _QUERIES = {
         "dup_line_stats": q_dup_line_stats,
         "top_bigram_frac": q_top_bigram_frac,
         "gopher_filter": q_gopher_filter,
+        "url_normalize": q_url_normalize,
+        "c4_line_filter": q_c4_line_filter,
+        "dedup_lines": q_dedup_lines,
         # -- code changed this round (need fresh rows) --
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,  # rows-only (banded)
         "embedding_near_dup_exact": q_embedding_near_dup_exact,  # guarded twin
@@ -1439,6 +1485,61 @@ def oracle_sql() -> dict[str, str]:
                                    / (CASE WHEN trim(text) = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\s+')) END), 6)
                         ELSE 0.0 END AS mean_word_len
             FROM documents""",
+        "url_normalize": r"""
+            WITH src AS (
+              SELECT o_orderkey,
+                     'HTTP://Host' || CAST(o_custkey % 50 AS VARCHAR) || '.Example.COM:80/order/'
+                     || CAST(o_orderkey AS VARCHAR) || '?utm_source=x&utm_medium=y&id='
+                     || CAST(o_orderkey AS VARCHAR) || '&gclid=z#frag' AS url
+              FROM orders WHERE o_orderkey <= 2000),
+            s1 AS (SELECT o_orderkey, string_split(url, '#')[1] AS s FROM src),
+            s2 AS (SELECT o_orderkey, s,
+                          regexp_extract(s, '^([A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*)', 1) AS pre
+                   FROM s1),
+            s3 AS (SELECT o_orderkey,
+                     regexp_replace(regexp_replace(lower(pre), '^(http://[^/:]*):80$', '\1'),
+                                    '^(https://[^/:]*):443$', '\1') AS pre,
+                     substring(s, length(pre) + 1) AS rest FROM s2),
+            s4 AS (SELECT o_orderkey, pre,
+                     regexp_replace(regexp_replace(regexp_replace(regexp_replace(rest,
+                       '([?&])(utm_[^=&]*|fbclid|gclid)(=[^&]*)?(&|$)', '\1'),
+                       '([?&])(utm_[^=&]*|fbclid|gclid)(=[^&]*)?(&|$)', '\1'),
+                       '([?&])(utm_[^=&]*|fbclid|gclid)(=[^&]*)?(&|$)', '\1'),
+                       '([?&])(utm_[^=&]*|fbclid|gclid)(=[^&]*)?(&|$)', '\1') AS rest FROM s3),
+            s5 AS (SELECT o_orderkey, pre, regexp_replace(rest, '[?&]+$', '') AS rest FROM s4)
+            SELECT o_orderkey,
+                   pre || (CASE WHEN rest = '/' THEN '' ELSE rest END) AS norm_url
+            FROM s5""",
+        "c4_line_filter": r"""
+            SELECT doc_id,
+              coalesce(array_to_string(list_filter(
+                list_filter(list_transform(string_split(
+                    replace(replace(text, ' merge ', '.' || chr(10)), ' hash ', ' javascript '),
+                    chr(10)), l -> trim(l)), l -> l <> ''),
+                l -> len(regexp_split_to_array(l, '\s+')) >= 3
+                     AND (l LIKE '%.' OR l LIKE '%!' OR l LIKE '%?' OR l LIKE '%"')
+                     AND NOT (contains(lower(l), 'javascript')
+                              OR contains(lower(l), 'lorem ipsum')
+                              OR contains(lower(l), '{'))), chr(10)), '') AS clean
+            FROM documents""",
+        "dedup_lines": r"""
+            WITH src AS (SELECT doc_id, replace(text, ' merge ', chr(10)) AS text FROM documents),
+            ln AS (
+              SELECT doc_id, i - 1 AS pos, lines[i] AS line
+              FROM (SELECT doc_id,
+                           list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+                                       l -> l <> '') AS lines
+                    FROM src),
+                   UNNEST(range(1, len(lines) + 1)) AS t(i)),
+            win AS (SELECT line, min(struct_pack(doc_id := doc_id, pos := pos)) AS w
+                    FROM ln GROUP BY line),
+            kept AS (
+              SELECT l.doc_id, l.pos, l.line FROM ln l JOIN win ON l.line = win.line
+              WHERE l.doc_id = win.w.doc_id AND l.pos = win.w.pos),
+            reb AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+                    FROM kept GROUP BY doc_id)
+            SELECT s.doc_id, coalesce(r.text, '') AS text
+            FROM src s LEFT JOIN reb r USING (doc_id)""",
         "gopher_quality": _GOPHER_SIG_SQL,
         "dup_line_stats": _DUP_LINE_SQL,
         "top_bigram_frac": r"""

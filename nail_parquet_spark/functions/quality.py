@@ -222,6 +222,71 @@ def top_ngram_char_frac(df: DataFrame, id_col: str, text_col: str,
     return scored.unionByName(short).withColumnRenamed("__doc", id_col)
 
 
+def c4_clean_text(col: Column, min_words: int = 3) -> Column:
+    """C4-style line-level cleaning as one no-shuffle projection: keep only
+    lines that (a) have >= min_words whitespace words, (b) end in terminal
+    punctuation (. ! ? "), and (c) contain neither 'javascript' nor
+    'lorem ipsum' (case-insensitive) nor a '{'. Surviving lines re-join
+    with newlines; a fully-cleaned document becomes the empty string
+    (compose with gopher_filter to drop it)."""
+
+    def _keep(l: Column) -> Column:
+        words = F.size(F.split(l, r"\s+"))
+        ends = l.endswith(".") | l.endswith("!") | l.endswith("?") | l.endswith('"')
+        low = F.lower(l)
+        banned = (
+            low.contains("javascript") | low.contains("lorem ipsum")
+            | low.contains("{")
+        )
+        return (words >= min_words) & ends & ~banned
+
+    return F.array_join(F.filter(_lines(col), _keep), "\n")
+
+
+def dedup_lines_global(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Corpus-global line dedup (C4 §2.2's three-sentence-span rule, pinned
+    to lines): every distinct non-blank trimmed line keeps exactly ONE
+    occurrence — the one with the smallest (doc id, line position) — and
+    every other occurrence is dropped; documents are rebuilt with their
+    surviving lines in order (possibly the empty string).
+
+    Scale shape: posexplode -> one groupBy on the 64-bit-keyed line hash
+    (md5 text keeps the oracle portable) to pick winners, one same-key join
+    back, one groupBy on doc id to rebuild — every shuffle is keyed on line
+    hash or doc id, partial-aggregating map-side; no windows, no driver
+    state. Text is normalized to its trimmed non-blank lines (same rule as
+    every operator in this module); docs left with no surviving lines come
+    back as '' via the anti-join branch.
+    """
+    lines = df.select(
+        F.col(id_col).alias("__doc"),
+        F.posexplode(_lines(F.col(text_col))).alias("pos", "line"),
+    ).withColumn("__h", F.md5(F.encode(F.col("line"), "UTF-8")))
+    winners = lines.groupBy("__h").agg(
+        F.min(F.struct("__doc", "pos")).alias("__w")
+    )
+    kept = (
+        lines.join(winners, "__h")
+        .filter((F.col("__doc") == F.col("__w.__doc")) & (F.col("pos") == F.col("__w.pos")))
+        .select("__doc", "pos", "line")
+    )
+    rebuilt = kept.groupBy("__doc").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias(text_col)
+    )
+    untouched = (
+        df.select(F.col(id_col).alias("__doc"))
+        .join(rebuilt.select("__doc"), "__doc", "left_anti")
+        .select("__doc", F.lit("").alias(text_col))
+    )
+    return rebuilt.unionByName(untouched).withColumnRenamed("__doc", id_col)
+
+
 # Gopher rule book: (signal, op, threshold) — the published defaults.
 GOPHER_RULES = {
     "min_words": 50,

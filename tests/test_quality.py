@@ -122,3 +122,74 @@ def test_gopher_filter_rule_override_and_unknown(spark):
 def test_quality_plan_is_shuffle_free_for_signals(spark, docs):
     plan = docs.select("doc_id", *gopher_signals(F.col("text")))._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_url_normalize_golden(spark):
+    from nail_parquet_spark.functions.urls import url_normalize
+
+    cases = [
+        ("HTTP://Example.COM:80/a/b?x=1&utm_source=tw&y=2#frag",
+         "http://example.com/a/b?x=1&y=2"),
+        ("https://Host.net:443/", "https://host.net"),
+        ("https://h.org/p?utm_a=1&utm_b=2&utm_c=3&fbclid=z&k=v",
+         "https://h.org/p?k=v"),
+        ("http://h.io/path?gclid=abc", "http://h.io/path"),
+        ("relative/path?utm_x=1#f", "relative/path"),
+        ("https://a.b/x/y/", "https://a.b/x/y/"),  # only bare '/' collapses
+        ("http://plain.com/ok?a=1&b=2", "http://plain.com/ok?a=1&b=2"),
+        ("ftp://Files.example.com:21/data", "ftp://files.example.com:21/data"),
+        ("http://hutm_x.com/sutm_y=1?a=1", "http://hutm_x.com/sutm_y=1?a=1"),
+    ]
+    df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)],
+                               "id long, url string")
+    got = {r["id"]: r["n"] for r in
+           df.select("id", url_normalize(F.col("url")).alias("n")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (cases[i][0], got[i], want)
+
+
+def test_c4_clean_text_golden(spark):
+    from nail_parquet_spark.functions.quality import c4_clean_text
+
+    text = "\n".join([
+        "This line survives the filter.",   # kept
+        "too short.",                        # < 3 words
+        "no terminal punctuation here",      # bad ending
+        "Enable JavaScript to continue.",    # banned token
+        "Config is { nested }.",             # brace
+        'He said "stop".',                   # quote-terminal variants kept
+        "Another good line stays!",
+    ])
+    df = spark.createDataFrame([(1, text), (2, ""), (3, "\n\n")],
+                               "doc_id long, text string")
+    out = {r["doc_id"]: r["c"] for r in
+           df.select("doc_id", c4_clean_text(F.col("text")).alias("c")).collect()}
+    assert out[1].split("\n") == [
+        "This line survives the filter.", 'He said "stop".',
+        "Another good line stays!"]
+    assert out[2] == "" and out[3] == ""
+    # min_words override
+    out2 = df.select("doc_id", c4_clean_text(F.col("text"), min_words=2).alias("c")).collect()
+    got2 = {r["doc_id"]: r["c"] for r in out2}
+    assert "too short." in got2[1]
+
+
+def test_dedup_lines_global_keep_first(spark):
+    from nail_parquet_spark.functions.quality import dedup_lines_global
+
+    rows = [
+        (1, "alpha\nshared\nbeta"),
+        (2, "shared\ngamma\nshared"),   # both copies lose to doc 1
+        (3, "delta\ndelta"),            # in-doc dup: first pos wins
+        (4, ""),                        # no lines -> ''
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["text"] for r in
+           dedup_lines_global(df, "doc_id", "text").collect()}
+    assert out[1] == "alpha\nshared\nbeta"
+    assert out[2] == "gamma"
+    assert out[3] == "delta"
+    assert out[4] == ""
+    # corpus-wide: every line now appears exactly once
+    all_lines = [l for t in out.values() for l in t.split("\n") if l]
+    assert len(all_lines) == len(set(all_lines))
