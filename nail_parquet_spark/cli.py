@@ -159,8 +159,10 @@ def main(argv: list[str] | None = None) -> int:
     add("quality", (("-c", "--text-column"), {"default": "text", "dest": "text_column"}),
         (("--id-column",), {"default": None, "help": "doc id column (default: first column)"}),
         (("--mode",), {"default": "filter",
-                       "choices": ["signals", "repetition", "top-ngram", "filter"],
-                       "help": "Gopher signals / dup-line stats / top n-gram / composed rule filter"}),
+                       "choices": ["signals", "repetition", "top-ngram", "filter",
+                                   "clean", "dedup-lines"],
+                       "help": "Gopher signals / dup-line stats / top n-gram / composed "
+                               "rule filter / C4 line cleaning / corpus-global line dedup"}),
         (("--ngram",), {"type": int, "default": 2, "help": "n for --mode top-ngram"}),
         (("--rules",), {"default": None, "help": 'JSON threshold overrides, e.g. {"min_words": 20}'}),
         (("--remove",), {"action": "store_true", "help": "emit the surviving rows instead of the verdict table"}))
@@ -409,6 +411,12 @@ def main(argv: list[str] | None = None) -> int:
             out = qf.repetition_stats(df, id_col, args.text_column)
         elif args.mode == "top-ngram":
             out = qf.top_ngram_char_frac(df, id_col, args.text_column, n=args.ngram)
+        elif args.mode == "clean":
+            out = df.withColumn(args.text_column,
+                                qf.c4_clean_text(F.col(args.text_column)))
+        elif args.mode == "dedup-lines":
+            cleaned = qf.dedup_lines_global(df, id_col, args.text_column)
+            out = df.drop(args.text_column).join(cleaned, id_col)
         else:
             rules = json.loads(args.rules) if args.rules else None
             verdict = qf.gopher_filter(df, id_col, args.text_column, rules=rules)

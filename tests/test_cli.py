@@ -380,3 +380,23 @@ def test_cli_quality_modes(spark, tmp_path, capsys):
     surv2 = str(tmp_path / "surv2.parquet")
     run("quality", p, "--remove", "--rules", '{"min_words": 1, "min_stop_hits": 0, "min_mean_word_len": 0}', "-o", surv2)
     assert spark.read.parquet(surv2).count() >= 2
+
+
+def test_cli_quality_clean_and_dedup_lines(spark, tmp_path, capsys):
+    p = str(tmp_path / "docs2.parquet")
+    spark.createDataFrame(
+        [(1, "Keep this long line.\nshared dup line here.\nnope"),
+         (2, "shared dup line here.\nAnother keeper stays here!")],
+        "doc_id long, text string",
+    ).write.parquet(p)
+    out = str(tmp_path / "clean.parquet")
+    run("quality", p, "--mode", "clean", "-o", out)
+    got = {r["doc_id"]: r["text"] for r in spark.read.parquet(out).collect()}
+    assert got[1] == "Keep this long line.\nshared dup line here."
+    assert got[2] == "shared dup line here.\nAnother keeper stays here!"
+    out2 = str(tmp_path / "dl.parquet")
+    run("quality", p, "--mode", "dedup-lines", "-o", out2)
+    got2 = {r["doc_id"]: r["text"] for r in spark.read.parquet(out2).collect()}
+    # doc 1 (smaller id) keeps the shared line; doc 2 loses it
+    assert "shared dup line here." in got2[1]
+    assert "shared dup line here." not in got2[2]
