@@ -1569,7 +1569,15 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN winner w USING (doc_id)""",
         "gopher_filter": f"""
             WITH sig AS ({_GOPHER_SIG_SQL}),
-            rep AS ({_DUP_LINE_SQL})
+            rep AS (
+              SELECT doc_id,
+                     CASE WHEN len(lines) > 0
+                          THEN round(1.0 - len(list_distinct(lines)) * 1.0 / len(lines), 6)
+                          ELSE 0.0 END AS dup_line_frac
+              FROM (SELECT doc_id,
+                           list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+                                       l -> l <> '') AS lines
+                    FROM documents))
             SELECT s.doc_id, s.n_words,
               CAST((CASE WHEN s.n_words < 50 THEN 1 ELSE 0 END)
                  + (CASE WHEN s.n_words > 100000 THEN 1 ELSE 0 END)

@@ -37,6 +37,8 @@ BENCH_QUERIES = [
     "range_join_count",
     "text_tokens",
     "text_quality",
+    "gopher_filter",
+    "dedup_lines",
     "lang_id",
     "doc_fingerprint",
     "minhash_signatures",

@@ -302,14 +302,27 @@ GOPHER_RULES = {
 }
 
 
+def dup_line_frac_expr(col: Column) -> Column:
+    """1 - distinct/total over non-blank trimmed lines, as a pure array
+    projection (no explode, no shuffle) — numerically identical to
+    repetition_stats' dup_line_frac."""
+    lines = _lines(col)
+    return F.when(
+        F.size(lines) > 0,
+        F.round(F.lit(1.0) - F.size(F.array_distinct(lines)) / F.size(lines), 6),
+    ).otherwise(F.lit(0.0))
+
+
 def gopher_filter(df: DataFrame, id_col: str, text_col: str,
                   rules: dict | None = None) -> DataFrame:
     """Apply the composed Gopher quality rules; returns
     (id, n_words, n_fail, passes) per document.
 
-    All word-level rules are a single no-shuffle projection; the one
-    relational signal (dup_line_frac) joins back on the doc id. ``rules``
-    overrides individual thresholds from ``GOPHER_RULES``.
+    The ENTIRE rule book is one no-shuffle projection: the word/line
+    signals are per-row expressions and dup_line_frac uses the
+    array-distinct form (dup_line_frac_expr) instead of the relational
+    repetition_stats — so a 100-TB filter pass is a pure map stage.
+    ``rules`` overrides individual thresholds from ``GOPHER_RULES``.
     """
     r = dict(GOPHER_RULES)
     if rules:
@@ -317,9 +330,8 @@ def gopher_filter(df: DataFrame, id_col: str, text_col: str,
         if unknown:
             raise ValueError(f"unknown rule(s): {sorted(unknown)}")
         r.update(rules)
-    sig = df.select(F.col(id_col), *gopher_signals(F.col(text_col)))
-    rep = repetition_stats(df, id_col, text_col).select(id_col, "dup_line_frac")
-    j = sig.join(rep, id_col)
+    j = df.select(F.col(id_col), *gopher_signals(F.col(text_col)),
+                  dup_line_frac_expr(F.col(text_col)).alias("dup_line_frac"))
     fails = (
         (F.col("n_words") < r["min_words"]).cast("int")
         + (F.col("n_words") > r["max_words"]).cast("int")

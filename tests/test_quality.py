@@ -193,3 +193,19 @@ def test_dedup_lines_global_keep_first(spark):
     # corpus-wide: every line now appears exactly once
     all_lines = [l for t in out.values() for l in t.split("\n") if l]
     assert len(all_lines) == len(set(all_lines))
+
+
+def test_gopher_filter_plan_is_shuffle_free(spark, docs):
+    plan = (gopher_filter(docs, "doc_id", "text")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
+
+
+def test_dup_line_frac_expr_matches_repetition_stats(spark, docs):
+    from nail_parquet_spark.functions.quality import dup_line_frac_expr
+
+    inline = {r["doc_id"]: r["f"] for r in
+              docs.select("doc_id", dup_line_frac_expr(F.col("text")).alias("f")).collect()}
+    rel = {r["doc_id"]: r["dup_line_frac"] for r in
+           repetition_stats(docs, "doc_id", "text").collect()}
+    assert inline == rel
