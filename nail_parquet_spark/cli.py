@@ -165,7 +165,8 @@ def main(argv: list[str] | None = None) -> int:
                                "rule filter / C4 line cleaning / corpus-global line dedup"}),
         (("--ngram",), {"type": int, "default": 2, "help": "n for --mode top-ngram"}),
         (("--rules",), {"default": None, "help": 'JSON threshold overrides, e.g. {"min_words": 20}'}),
-        (("--remove",), {"action": "store_true", "help": "emit the surviving rows instead of the verdict table"}))
+        (("--remove",), {"action": "store_true", "help": "emit the surviving rows instead of the verdict table"}),
+        (("--explain",), {"action": "store_true", "help": "add per-rule fail_<rule> columns to the verdict"}))
     add("metadata", with_output=False)
     add("compact", (("--num-files",), {"type": int, "default": 32,
                                        "help": "output block-file count"}))
@@ -419,7 +420,8 @@ def main(argv: list[str] | None = None) -> int:
             out = df.drop(args.text_column).join(cleaned, id_col)
         else:
             rules = json.loads(args.rules) if args.rules else None
-            verdict = qf.gopher_filter(df, id_col, args.text_column, rules=rules)
+            verdict = qf.gopher_filter(df, id_col, args.text_column, rules=rules,
+                                       explain=args.explain)
             if args.remove:
                 out = df.join(verdict.filter("passes").select(id_col), id_col, "inner")
             else:

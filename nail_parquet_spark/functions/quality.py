@@ -314,9 +314,12 @@ def dup_line_frac_expr(col: Column) -> Column:
 
 
 def gopher_filter(df: DataFrame, id_col: str, text_col: str,
-                  rules: dict | None = None) -> DataFrame:
+                  rules: dict | None = None,
+                  explain: bool = False) -> DataFrame:
     """Apply the composed Gopher quality rules; returns
-    (id, n_words, n_fail, passes) per document.
+    (id, n_words, n_fail, passes) per document — plus one boolean
+    ``fail_<rule>`` column per rule when ``explain=True`` (audit mode: at
+    100 TB you want the rejection histogram, not just the count).
 
     The ENTIRE rule book is one no-shuffle projection: the word/line
     signals are per-row expressions and dup_line_frac uses the
@@ -332,21 +335,27 @@ def gopher_filter(df: DataFrame, id_col: str, text_col: str,
         r.update(rules)
     j = df.select(F.col(id_col), *gopher_signals(F.col(text_col)),
                   dup_line_frac_expr(F.col(text_col)).alias("dup_line_frac"))
-    fails = (
-        (F.col("n_words") < r["min_words"]).cast("int")
-        + (F.col("n_words") > r["max_words"]).cast("int")
-        + (F.col("mean_word_len") < r["min_mean_word_len"]).cast("int")
-        + (F.col("mean_word_len") > r["max_mean_word_len"]).cast("int")
-        + (F.col("symbol_word_ratio") > r["max_symbol_word_ratio"]).cast("int")
-        + (F.col("frac_words_alpha") < r["min_frac_words_alpha"]).cast("int")
-        + (F.col("n_stop_hits") < r["min_stop_hits"]).cast("int")
-        + (F.col("frac_lines_bullet") > r["max_frac_lines_bullet"]).cast("int")
-        + (F.col("frac_lines_ellipsis") > r["max_frac_lines_ellipsis"]).cast("int")
-        + (F.col("dup_line_frac") > r["max_dup_line_frac"]).cast("int")
-    )
-    return j.select(
+    checks = {
+        "min_words": F.col("n_words") < r["min_words"],
+        "max_words": F.col("n_words") > r["max_words"],
+        "min_mean_word_len": F.col("mean_word_len") < r["min_mean_word_len"],
+        "max_mean_word_len": F.col("mean_word_len") > r["max_mean_word_len"],
+        "max_symbol_word_ratio": F.col("symbol_word_ratio") > r["max_symbol_word_ratio"],
+        "min_frac_words_alpha": F.col("frac_words_alpha") < r["min_frac_words_alpha"],
+        "min_stop_hits": F.col("n_stop_hits") < r["min_stop_hits"],
+        "max_frac_lines_bullet": F.col("frac_lines_bullet") > r["max_frac_lines_bullet"],
+        "max_frac_lines_ellipsis": F.col("frac_lines_ellipsis") > r["max_frac_lines_ellipsis"],
+        "max_dup_line_frac": F.col("dup_line_frac") > r["max_dup_line_frac"],
+    }
+    fails = None
+    for cond in checks.values():
+        fails = cond.cast("int") if fails is None else fails + cond.cast("int")
+    cols = [
         F.col(id_col),
         F.col("n_words"),
         fails.cast("long").alias("n_fail"),
         (fails == 0).alias("passes"),
-    )
+    ]
+    if explain:
+        cols += [cond.alias(f"fail_{name}") for name, cond in checks.items()]
+    return j.select(*cols)

@@ -209,3 +209,15 @@ def test_dup_line_frac_expr_matches_repetition_stats(spark, docs):
     rel = {r["doc_id"]: r["dup_line_frac"] for r in
            repetition_stats(docs, "doc_id", "text").collect()}
     assert inline == rel
+
+
+def test_gopher_filter_explain_breakdown(spark):
+    df = spark.createDataFrame([(1, "tiny"), (2, "- a\n- b\n- c")],
+                               "doc_id long, text string")
+    out = _by_id(gopher_filter(df, "doc_id", "text", explain=True))
+    assert out[1]["fail_min_words"] and not out[1]["passes"]
+    assert out[2]["fail_max_frac_lines_bullet"]
+    # breakdown sums to n_fail
+    for d in out.values():
+        n = sum(1 for k, v in d.items() if k.startswith("fail_") and v)
+        assert n == d["n_fail"]
