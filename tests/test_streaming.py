@@ -190,3 +190,30 @@ def test_stream_dedup_exact_null_passthrough(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.filter(F.col("text").isNotNull()).count() == 1  # deduped
     assert got.filter(F.col("text").isNull()).count() == 4     # passed through
+
+
+def test_stream_quality_filter_matches_batch(spark, tmp_path):
+    """The Gopher quality filter is one stateless projection, so it runs
+    unchanged on a stream; availableNow output must equal the batch filter
+    on the same files."""
+    from nail_parquet_spark.functions.quality import gopher_filter
+    from nail_parquet_spark.streaming.events import (
+        run_available_now, stream_from_directory,
+    )
+
+    src = str(tmp_path / "in")
+    good = " ".join(["the quick brown fox jumps over that lazy dog and more"] * 6)
+    rows = [(i, good if i % 3 == 0 else "tiny doc") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.coalesce(2).write.parquet(src)
+
+    stream = stream_from_directory(spark, src, "doc_id long, text string")
+    verdict = gopher_filter(stream, "doc_id", "text")
+    out = str(tmp_path / "out")
+    run_available_now(verdict, out, str(tmp_path / "ck"))
+    got = {r["doc_id"]: (r["passes"], r["n_fail"]) for r in
+           spark.read.parquet(out).collect()}
+    want = {r["doc_id"]: (r["passes"], r["n_fail"]) for r in
+            gopher_filter(df, "doc_id", "text").collect()}
+    assert got == want
+    assert sum(1 for p, _ in got.values() if p) == 10
