@@ -111,19 +111,25 @@ def _compact_encode(enc: dict) -> dict:
     for k in ("scale_pair", "scaling_efficiency", "scaling_efficiency_median_pair"):
         if k in enc:
             out[k] = enc[k]
+    # keep the per-tier dicts to FOUR scalars each: ratio/bytes/rows are
+    # identical across tiers and already present in size_bar + the detail
+    # line — every extra byte here risks re-tripping the tail-capture limit
     for tier in ("cpus_1", "cpus_4", "cpus_8", "cpus_32"):
         d = enc.get(tier)
         if not isinstance(d, dict):
             continue
         t: dict = {"gbps": d.get("gbps"), "wall_s": d.get("wall_s")}
-        for k in ("ratio", "enc_bytes", "raw_bytes", "rows", "decode_gbps",
-                  "decode_gbps_none"):
+        for k in ("decode_gbps", "decode_gbps_none"):
             if k in d:
                 t[k] = d[k]
         out[tier] = t
     sb = enc.get("size_bar")
     if isinstance(sb, dict):
         out["size_bar"] = {k: sb.get(k) for k in ("ref_bytes", "enc_bytes", "pass")}
+    for tier in ("cpus_4", "cpus_1"):
+        if isinstance(enc.get(tier), dict) and "ratio" in enc[tier]:
+            out["ratio"] = enc[tier]["ratio"]
+            break
     return out
 
 
