@@ -585,12 +585,13 @@ def q_keywords_tfidf(spark, sf_dir):
 
 
 def q_gopher_quality(spark, sf_dir):
-    """Per-document Gopher quality signals (Rae et al. 2021 §A1.1) as one
-    no-shuffle projection (functions/quality.gopher_signals)."""
-    from nail_parquet_spark.functions.quality import gopher_signals
+    """Per-document Gopher quality signals (Rae et al. 2021 §A1.1) via the
+    staged shuffle-free projection (functions/quality.gopher_signals_table —
+    each split/regex evaluated once per row)."""
+    from nail_parquet_spark.functions.quality import gopher_signals_table
 
     d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", *gopher_signals(F.col("text")))
+    return gopher_signals_table(d, "doc_id", "text")
 
 
 def q_dup_line_stats(spark, sf_dir):

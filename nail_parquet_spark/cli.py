@@ -407,7 +407,7 @@ def main(argv: list[str] | None = None) -> int:
 
         id_col = args.id_column or df.columns[0]
         if args.mode == "signals":
-            out = df.select(F.col(id_col), *qf.gopher_signals(F.col(args.text_column)))
+            out = qf.gopher_signals_table(df, id_col, args.text_column)
         elif args.mode == "repetition":
             out = qf.repetition_stats(df, id_col, args.text_column)
         elif args.mode == "top-ngram":

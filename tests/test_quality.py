@@ -221,3 +221,14 @@ def test_gopher_filter_explain_breakdown(spark):
     for d in out.values():
         n = sum(1 for k, v in d.items() if k.startswith("fail_") and v)
         assert n == d["n_fail"]
+
+
+def test_gopher_signals_table_matches_columns(spark, docs):
+    from nail_parquet_spark.functions.quality import gopher_signals_table
+
+    a = sorted(docs.select("doc_id", *gopher_signals(F.col("text"))).collect())
+    b = sorted(gopher_signals_table(docs, "doc_id", "text").collect())
+    assert a == b
+    plan = (gopher_signals_table(docs, "doc_id", "text")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan

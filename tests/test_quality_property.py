@@ -72,6 +72,10 @@ def model_gopher_n_fail(text, min_words=50):
     fails += fwa < 0.8
     stops = {"the", "be", "to", "of", "and", "that", "have", "with"}
     fails += len({w.lower() for w in toks} & stops) < 2
+    # the one line-level rule a single-line doc can fail: its only line
+    # ending in an ellipsis makes frac_lines_ellipsis = 1.0 > 0.3
+    line = text.strip()
+    fails += bool(line) and (line.endswith("...") or line.endswith("…"))
     return fails
 
 
