@@ -37,6 +37,15 @@ def _occurrences(col: Column, needle: str) -> Column:
     ).cast("long")
 
 
+def _symbol_count(col: Column) -> Column:
+    """'#' + '...' + '…' occurrences in ONE regex pass. The alternation's
+    left-to-right non-overlapping scan counts exactly what three separate
+    replace-based passes count (the needles share no characters except
+    dots, and '\\.{3}' consumes greedily like replace) — property-checked
+    against the per-needle model over the full symbol alphabet."""
+    return F.regexp_count(col, F.lit(r"#|\.{3}|…")).cast("long")
+
+
 def _words(col: Column) -> Column:
     return F.split(F.trim(col), r"\s+")
 
@@ -104,7 +113,7 @@ def gopher_signals(col: Column) -> list[Column]:
     stop_hits = F.size(
         F.array_intersect(words, F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]))
     )
-    symbols = _occurrences(col, "#") + _occurrences(col, "...") + _occurrences(col, "…")
+    symbols = _symbol_count(col)
 
     bullet_lines = F.size(F.filter(lines, _starts_any))
     ellipsis_lines = F.size(F.filter(lines, lambda l: _ends_any(l, ELLIPSIS_SUFFIXES)))
@@ -159,7 +168,7 @@ def gopher_signals_table(df: DataFrame, id_col: str, text_col: str,
         F.size(F.array_intersect(
             words, F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]))
         ).cast("long").alias("n_stop_hits"),
-        (_occurrences(t, "#") + _occurrences(t, "...") + _occurrences(t, "…")).alias("__sym"),
+        _symbol_count(t).alias("__sym"),
         F.size(lines).alias("__nl"),
         F.size(F.filter(lines, _starts_any)).alias("__bullet"),
         F.size(F.filter(lines, lambda l: _ends_any(l, ELLIPSIS_SUFFIXES))).alias("__ell"),
