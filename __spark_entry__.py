@@ -559,10 +559,13 @@ def q_text_tokens(spark, sf_dir):
 
 
 def q_text_quality(spark, sf_dir):
-    from nail_parquet_spark.functions.text import quality_metrics
+    """Length/punct/digit ratio metrics via the staged projection
+    (functions/text.quality_metrics_table — shared length/regex
+    subexpressions evaluated once per row)."""
+    from nail_parquet_spark.functions.text import quality_metrics_table
 
     d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", *quality_metrics(F.col("text")))
+    return quality_metrics_table(d, "doc_id", "text")
 
 
 def q_vocab_top(spark, sf_dir):
@@ -666,10 +669,13 @@ def q_dedup_lines(spark, sf_dir):
 
 
 def q_lang_id(spark, sf_dir):
-    from nail_parquet_spark.functions.text import lang_id
+    """Heuristic language ID via the staged argmax projection
+    (functions/text.lang_id_table — split + per-language intersect once
+    per row; 6-7x the expression form at GB scale)."""
+    from nail_parquet_spark.functions.text import lang_id_table
 
     d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
+    return lang_id_table(d, "doc_id", "text")
 
 
 def q_doc_fingerprint(spark, sf_dir):

@@ -432,3 +432,34 @@ def test_dedup_near_duplicates_transitive_collapses_chains(spark):
         ).collect()
     )
     assert kept_t == [1, 9]
+
+
+def test_lang_id_table_matches_column(spark):
+    from nail_parquet_spark.functions.text import lang_id, lang_id_table
+
+    rows = [(1, "the cat and the dog"), (2, "der hund und die katze ist"),
+            (3, "le chat et la maison est"), (4, ""), (5, "xyzzy plugh"),
+            (6, "el que los es"), (7, "il che di la è")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from pyspark.sql import functions as F
+
+    a = sorted(df.select("doc_id", lang_id(F.col("text")).alias("lang_pred")).collect())
+    b = sorted(lang_id_table(df, "doc_id", "text").collect())
+    assert a == b
+    plan = lang_id_table(df, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_quality_metrics_table_matches_columns(spark):
+    from pyspark.sql import functions as F
+
+    from nail_parquet_spark.functions.text import (
+        quality_metrics, quality_metrics_table,
+    )
+
+    rows = [(1, "Hello, world! 123"), (2, ""), (3, "  a  b  "),
+            (4, "no punct here"), (5, "123 456")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(df.select("doc_id", *quality_metrics(F.col("text"))).collect())
+    b = sorted(quality_metrics_table(df, "doc_id", "text").collect())
+    assert a == b
