@@ -247,10 +247,15 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
     Distinct-words-per-doc comes from array_distinct within the row (no
     global distinct shuffle; ids are unique per row in document tables).
     """
+    # the word hash is materialized once per word before the per-bit votes
+    # reference it. Measured parity with the inline form (aggregate codegen
+    # already CSEs the md5 chain across the 32 votes), but the staged
+    # column makes that guarantee structural instead of
+    # codegen-configuration-dependent.
     words = df.select(
         F.col(id_col), F.explode(F.array_distinct(_words(text_col))).alias("w")
-    )
-    h = word_hash(F.col("w"))
+    ).select(F.col(id_col), word_hash(F.col("w")).alias("__h"))
+    h = F.col("__h")
     votes = [
         F.sum(
             F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
