@@ -145,7 +145,13 @@ def main(argv: list[str] | None = None) -> int:
         (("--compression-level",), {"type": int, "default": None, "help": "zstd level 1-9 (optimize.rs:119)"}),
         (("--bucket-by",), {"default": None, "help": "save as a bucketed table on this key (zero-shuffle future joins)"}),
         (("--buckets",), {"type": int, "default": 64}),
-        (("--table",), {"default": None, "help": "catalog table name for --bucket-by"}))
+        (("--table",), {"default": None, "help": "catalog table name for --bucket-by"}),
+        (("--quality",), {"action": "store_true",
+                          "help": "Gopher-filter rows on --quality-text-column before encoding "
+                                  "(rejected rows reported, rule thresholds printed)"}),
+        (("--quality-rules",), {"default": None, "help": "JSON threshold overrides for --quality"}),
+        (("--quality-text-column",), {"default": "text"}),
+        (("--quality-id-column",), {"default": None, "help": "doc id column (default: first column)"}))
     add("decode", (("-c", "--columns"), {"default": None}),
         (("--shuffle-free",), {"action": "store_true",
                                "help": "block files are group-complete (written by this engine's sink) — decode in place, zero shuffle"}),
@@ -477,6 +483,19 @@ def main(argv: list[str] | None = None) -> int:
         from nail_parquet_spark.codec.inspect import size_summary
 
         src = df
+        if args.quality:
+            from pyspark.sql import functions as F
+
+            from nail_parquet_spark.functions.quality import gopher_filter
+
+            qid = args.quality_id_column or src.columns[0]
+            qrules = json.loads(args.quality_rules) if args.quality_rules else None
+            verdict = gopher_filter(src, qid, args.quality_text_column,
+                                    rules=qrules).cache()
+            n_rej = verdict.filter(~F.col("passes")).count()
+            src = src.join(verdict.filter("passes").select(qid), qid, "inner")
+            print(f"quality gate: rejected {n_rej} rows"
+                  + (f" (rules {args.quality_rules})" if args.quality_rules else ""))
         if args.sort_by:
             src = src.sortWithinPartitions(*args.sort_by.split(","))
         if args.bucket_by:

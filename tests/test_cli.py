@@ -400,3 +400,20 @@ def test_cli_quality_clean_and_dedup_lines(spark, tmp_path, capsys):
     # doc 1 (smaller id) keeps the shared line; doc 2 loses it
     assert "shared dup line here." in got2[1]
     assert "shared dup line here." not in got2[2]
+
+
+def test_cli_optimize_quality_gate(spark, tmp_path, capsys):
+    from nail_parquet_spark.codec.decode import decode_table
+
+    p = str(tmp_path / "docs3.parquet")
+    good = " ".join(["the quick brown fox jumps over that lazy dog and more"] * 6)
+    spark.createDataFrame(
+        [(i, good if i % 2 == 0 else "junk") for i in range(10)],
+        "doc_id long, text string",
+    ).write.parquet(p)
+    out = str(tmp_path / "blocks")
+    run("optimize", p, "-o", out, "--quality")
+    assert "quality gate: rejected 5 rows" in capsys.readouterr().out
+    dec = decode_table(spark.read.parquet(out))
+    assert dec.count() == 5
+    assert {r["doc_id"] % 2 for r in dec.select("doc_id").collect()} == {0}
