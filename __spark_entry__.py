@@ -668,6 +668,15 @@ def q_dedup_lines(spark, sf_dir):
     return dedup_lines_global(dd, "doc_id", "text")
 
 
+def q_corpus_stats(spark, sf_dir):
+    """Per-language corpus sizing (docs/tokens/chars/mean tokens) —
+    functions/text.corpus_stats, the dataset-budgeting pass."""
+    from nail_parquet_spark.functions.text import corpus_stats
+
+    d = _t(spark, sf_dir, "documents")
+    return corpus_stats(d, "text", group_by="lang")
+
+
 def q_lang_id(spark, sf_dir):
     """Heuristic language ID via the staged argmax projection
     (functions/text.lang_id_table — split + per-language intersect once
@@ -1064,6 +1073,7 @@ _QUERIES = {
         "url_normalize": q_url_normalize,
         "c4_line_filter": q_c4_line_filter,
         "dedup_lines": q_dedup_lines,
+        "corpus_stats": q_corpus_stats,
         # -- code changed this round (need fresh rows) --
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,  # rows-only (banded)
         "embedding_near_dup_exact": q_embedding_near_dup_exact,  # guarded twin
@@ -1547,6 +1557,16 @@ def oracle_sql() -> dict[str, str]:
                     FROM kept GROUP BY doc_id)
             SELECT s.doc_id, coalesce(r.text, '') AS text
             FROM src s LEFT JOIN reb r USING (doc_id)""",
+        "corpus_stats": r"""
+            SELECT lang,
+                   count(*) AS n_docs,
+                   CAST(sum(CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS BIGINT) AS n_tokens,
+                   CAST(sum(length(text)) AS BIGINT) AS n_chars,
+                   round(sum(CASE WHEN trim(text) = '' THEN 0
+                             ELSE len(regexp_split_to_array(trim(text), '\s+')) END) * 1.0
+                         / count(*), 6) AS avg_tokens_per_doc
+            FROM documents GROUP BY lang""",
         "gopher_quality": _GOPHER_SIG_SQL,
         "dup_line_stats": _DUP_LINE_SQL,
         "top_bigram_frac": r"""

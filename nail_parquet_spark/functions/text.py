@@ -148,6 +148,28 @@ def quality_metrics_table(df, id_col: str, text_col: str):
     )
 
 
+def corpus_stats(df, text_col: str, group_by: str | None = None):
+    """Corpus sizing for training-data budgeting: docs, whitespace tokens,
+    characters, and mean tokens/doc — total or per ``group_by`` value
+    (e.g. per language). One staged projection (token_count/length once per
+    row) + one partial-aggregating groupBy; scales as a scan.
+    """
+    s1 = df.select(
+        *( [F.col(group_by)] if group_by else [] ),
+        token_count(F.col(text_col)).alias("__toks"),
+        F.length(F.col(text_col)).alias("__chars"),
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__toks").cast("long").alias("n_tokens"),
+        F.sum("__chars").cast("long").alias("n_chars"),
+        F.round(F.sum("__toks") / F.count(F.lit(1)), 6).alias("avg_tokens_per_doc"),
+    ]
+    if group_by:
+        return s1.groupBy(group_by).agg(*aggs)
+    return s1.agg(*aggs)
+
+
 def doc_fingerprint(col: Column) -> Column:
     """Deterministic document fingerprint (md5 hex) — dedup key + portable
     to every SQL engine for oracle checks."""

@@ -463,3 +463,17 @@ def test_quality_metrics_table_matches_columns(spark):
     a = sorted(df.select("doc_id", *quality_metrics(F.col("text"))).collect())
     b = sorted(quality_metrics_table(df, "doc_id", "text").collect())
     assert a == b
+
+
+def test_corpus_stats_global_and_grouped(spark):
+    from nail_parquet_spark.functions.text import corpus_stats
+
+    rows = [(1, "a b c", "en"), (2, "", "en"), (3, "x y", "de"), (4, "z", None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    g = corpus_stats(df, "text").collect()[0]
+    assert (g["n_docs"], g["n_tokens"], g["n_chars"]) == (4, 6, 9)
+    assert g["avg_tokens_per_doc"] == 1.5
+    per = {r["lang"]: r for r in corpus_stats(df, "text", group_by="lang").collect()}
+    assert per["en"]["n_docs"] == 2 and per["en"]["n_tokens"] == 3
+    assert per["de"]["n_tokens"] == 2
+    assert per[None]["n_docs"] == 1  # NULL group preserved
