@@ -166,9 +166,11 @@ def main(argv: list[str] | None = None) -> int:
         (("--id-column",), {"default": None, "help": "doc id column (default: first column)"}),
         (("--mode",), {"default": "filter",
                        "choices": ["signals", "repetition", "top-ngram", "filter",
-                                   "clean", "dedup-lines"],
+                                   "clean", "dedup-lines", "corpus-stats"],
                        "help": "Gopher signals / dup-line stats / top n-gram / composed "
-                               "rule filter / C4 line cleaning / corpus-global line dedup"}),
+                               "rule filter / C4 line cleaning / corpus-global line dedup / "
+                               "corpus token totals"}),
+        (("--group-by",), {"default": None, "help": "group column for --mode corpus-stats"}),
         (("--ngram",), {"type": int, "default": 2, "help": "n for --mode top-ngram"}),
         (("--rules",), {"default": None, "help": 'JSON threshold overrides, e.g. {"min_words": 20}'}),
         (("--remove",), {"action": "store_true", "help": "emit the surviving rows instead of the verdict table"}),
@@ -424,6 +426,10 @@ def main(argv: list[str] | None = None) -> int:
         elif args.mode == "dedup-lines":
             cleaned = qf.dedup_lines_global(df, id_col, args.text_column)
             out = df.drop(args.text_column).join(cleaned, id_col)
+        elif args.mode == "corpus-stats":
+            from nail_parquet_spark.functions.text import corpus_stats
+
+            out = corpus_stats(df, args.text_column, group_by=args.group_by)
         else:
             rules = json.loads(args.rules) if args.rules else None
             verdict = qf.gopher_filter(df, id_col, args.text_column, rules=rules,
