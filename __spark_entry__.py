@@ -1075,6 +1075,8 @@ _QUERIES = {
         "dedup_lines": q_dedup_lines,
         "corpus_stats": q_corpus_stats,
         # -- code changed this round (need fresh rows) --
+        "text_quality": q_text_quality,  # staged quality_metrics_table
+        "simhash": q_simhash,            # staged word-hash column
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,  # rows-only (banded)
         "embedding_near_dup_exact": q_embedding_near_dup_exact,  # guarded twin
         "multimodal_meta": q_multimodal_meta,
@@ -1108,7 +1110,6 @@ _QUERIES = {
         "fill_forward": q_fill_forward,
         "events_hourly": q_events_hourly,
         "events_sessionize": q_events_sessionize,
-        "text_quality": q_text_quality,
         # -- tail (entries 51+): attested green in CORRECTNESS_r03, unchanged --
         "fill_backward": q_fill_backward,
         "merge_right": q_merge_right,
@@ -1125,7 +1126,6 @@ _QUERIES = {
         "fill_value": q_fill_value,
         "text_tokens": q_text_tokens,
         "doc_fingerprint": q_doc_fingerprint,
-        "simhash": q_simhash,
         "corr_kendall": q_corr_kendall,
         "corr_pvalues": q_corr_pvalues,
 }
