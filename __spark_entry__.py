@@ -633,10 +633,15 @@ def q_url_normalize(spark, sf_dir):
     from nail_parquet_spark.functions.urls import url_normalize
 
     o = _t(spark, sf_dir, "orders")
+    # odd keys carry case-sensitive userinfo: rule 2 must preserve it while
+    # still lowercasing the host (ADVICE r4 fix, attested here)
+    userinfo = F.when(F.col("o_orderkey") % 2 == 1, F.lit("User:Secret@")) \
+        .otherwise(F.lit(""))
     return o.select(
         "o_orderkey",
         url_normalize(F.concat(
-            F.lit("HTTP://Host"), (F.col("o_custkey") % 50).cast("string"),
+            F.lit("HTTP://"), userinfo,
+            F.lit("Host"), (F.col("o_custkey") % 50).cast("string"),
             F.lit(".Example.COM:80/order/"), F.col("o_orderkey").cast("string"),
             F.lit("?utm_source=x&utm_medium=y&id="),
             F.col("o_orderkey").cast("string"),
@@ -1505,7 +1510,8 @@ def oracle_sql() -> dict[str, str]:
         "url_normalize": r"""
             WITH src AS (
               SELECT o_orderkey,
-                     'HTTP://Host' || CAST(o_custkey % 50 AS VARCHAR) || '.Example.COM:80/order/'
+                     'HTTP://' || (CASE WHEN o_orderkey % 2 = 1 THEN 'User:Secret@' ELSE '' END)
+                     || 'Host' || CAST(o_custkey % 50 AS VARCHAR) || '.Example.COM:80/order/'
                      || CAST(o_orderkey AS VARCHAR) || '?utm_source=x&utm_medium=y&id='
                      || CAST(o_orderkey AS VARCHAR) || '&gclid=z#frag' AS url
               FROM orders WHERE o_orderkey <= 2000),
@@ -1513,10 +1519,19 @@ def oracle_sql() -> dict[str, str]:
             s2 AS (SELECT o_orderkey, s,
                           regexp_extract(s, '^([A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*)', 1) AS pre
                    FROM s1),
+            s2b AS (SELECT o_orderkey, s, pre,
+                           regexp_extract(pre, '^([A-Za-z][A-Za-z0-9+.\-]*://)', 1) AS sch
+                    FROM s2),
+            s2c AS (SELECT o_orderkey, s, pre, sch,
+                           substring(pre, length(sch) + 1) AS auth FROM s2b),
+            s2d AS (SELECT o_orderkey, s, pre, sch, auth,
+                           regexp_extract(auth, '^(.*@)', 1) AS ui FROM s2c),
             s3 AS (SELECT o_orderkey,
-                     regexp_replace(regexp_replace(lower(pre), '^(http://[^/:]*):80$', '\1'),
-                                    '^(https://[^/:]*):443$', '\1') AS pre,
-                     substring(s, length(pre) + 1) AS rest FROM s2),
+                     regexp_replace(regexp_replace(
+                         lower(sch) || ui || lower(substring(auth, length(ui) + 1)),
+                         '^(http://[^/:]*):80$', '\1'),
+                         '^(https://[^/:]*):443$', '\1') AS pre,
+                     substring(s, length(pre) + 1) AS rest FROM s2d),
             s4 AS (SELECT o_orderkey, pre,
                      regexp_replace(regexp_replace(regexp_replace(regexp_replace(rest,
                        '([?&])(utm_[^=&]*|fbclid|gclid)(=[^&]*)?(&|$)', '\1'),

@@ -435,7 +435,9 @@ def main(argv: list[str] | None = None) -> int:
             verdict = qf.gopher_filter(df, id_col, args.text_column, rules=rules,
                                        explain=args.explain)
             if args.remove:
-                out = df.join(verdict.filter("passes").select(id_col), id_col, "inner")
+                # left_semi preserves cardinality under duplicate ids (ADVICE r4)
+                out = df.join(verdict.filter("passes").select(id_col), id_col,
+                              "left_semi")
             else:
                 out = verdict
         _out(out, args, 50)
@@ -499,7 +501,8 @@ def main(argv: list[str] | None = None) -> int:
             verdict = gopher_filter(src, qid, args.quality_text_column,
                                     rules=qrules).cache()
             n_rej = verdict.filter(~F.col("passes")).count()
-            src = src.join(verdict.filter("passes").select(qid), qid, "inner")
+            # left_semi preserves cardinality under duplicate ids (ADVICE r4)
+            src = src.join(verdict.filter("passes").select(qid), qid, "left_semi")
             print(f"quality gate: rejected {n_rej} rows"
                   + (f" (rules {args.quality_rules})" if args.quality_rules else ""))
         if args.sort_by:

@@ -14,6 +14,9 @@ of `nail optimize --compression/--dictionary` knobs
 
 from __future__ import annotations
 
+import datetime as _dt_mod
+import re as _re_mod
+
 import pyarrow as pa
 import pyarrow.compute as pc
 from pyspark.sql import DataFrame
@@ -248,27 +251,45 @@ def _hive_partition_values(rel_dir: str) -> dict[str, "str | None"]:
     return out
 
 
+_PART_LONG_RE = _re_mod.compile(r"^[+-]?\d+$")
+_PART_DOUBLE_RE = _re_mod.compile(r"^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$")
+_PART_DATE_RE = _re_mod.compile(r"^\d{4}-\d{2}-\d{2}$")
+
+
 def _infer_partition_type(values) -> str:
-    """Spark-style partition value type inference over ALL of a key's
-    directory values: long if every non-NULL value is an int64 literal,
-    else double if every value parses as a float, else string (Spark's
-    chain additionally tries decimal/date/timestamp; those fall through to
-    string here — documented divergence, lossless since the raw directory
-    string is preserved). All-NULL keys stay string."""
+    """Spark-parity partition value type inference over ALL of a key's
+    directory values (PartitioningUtils' long -> decimal -> double -> date
+    chain, Spark-parity tested vs spark.read.parquet): every literal must
+    match a STRICT pinned regex — Python's looser ``int()``/``float()``
+    would accept underscores ('1_5' -> 15), whitespace and 'inf'/'nan',
+    silently rewriting directory strings (ADVICE r4). Integer literals
+    overflowing int64 become decimal(p,0) with p = max digit count, exactly
+    as Spark does; >38 digits falls to string (never a lossy double).
+    Returns 'long' | 'decimal(p,0)' | 'double' | 'date' | 'string'.
+
+    Pinned divergences from Spark (both lossless fall-to-string or
+    stricter): 'Infinity'/'NaN' literals type string here (Spark: double);
+    scientific-notation integers like '1E5' type double here (Spark:
+    decimal via BigDecimal scale rules); timestamps fall to string.
+    All-NULL keys stay string."""
     vals = [v for v in values if v is not None]
     if not vals:
         return "string"
-    try:
+    if all(_PART_LONG_RE.match(v) for v in vals):
         if all(-(2**63) <= int(v) < 2**63 for v in vals):
             return "long"
-    except ValueError:
-        pass
-    try:
-        for v in vals:
-            float(v)
+        digits = max(len(v.lstrip("+-").lstrip("0") or "0") for v in vals)
+        return f"decimal({digits},0)" if digits <= 38 else "string"
+    if all(_PART_DOUBLE_RE.match(v) for v in vals):
         return "double"
-    except ValueError:
-        return "string"
+    if all(_PART_DATE_RE.match(v) for v in vals):
+        try:
+            for v in vals:
+                _dt_mod.date.fromisoformat(v)
+            return "date"
+        except ValueError:
+            return "string"
+    return "string"
 
 
 def _plan_parquet_encode(spark, path, columns, codecs, policy, sample_rows,
@@ -341,7 +362,9 @@ def _plan_parquet_encode(spark, path, columns, codecs, policy, sample_rows,
     chosen = dict(codecs or {})
     for c in part_cols:
         # per-file constants: rle is optimal and needs no sampling (float
-        # kind has no rle kernel — zstd over the constant runs instead)
+        # kind has no rle kernel — zstd over the constant runs instead;
+        # decimal has no typed kernel at all and rides the ipc_zstd
+        # fallback, for which any requested codec is a no-op)
         chosen.setdefault(c, "zstd" if part_types[c] == "double" else "rle")
     missing = [c for c in all_cols if c not in chosen]
     if missing:
@@ -391,7 +414,7 @@ def _plan_parquet_encode(spark, path, columns, codecs, policy, sample_rows,
 def _with_partition_columns(tbl: "pa.Table", file_path: str,
                             part_info) -> "pa.Table":
     """Append the file's Hive partition values as constant columns typed by
-    the directory-wide inference (long/double/string, matching
+    the directory-wide inference (long/decimal/double/date/string, matching
     spark.read.parquet's partitionColumnTypeInference; NULL for files that
     lack a key — mixed layouts)."""
     part_cols, part_vals, part_types = part_info
@@ -406,6 +429,13 @@ def _with_partition_columns(tbl: "pa.Table", file_path: str,
             arr = pa.array([None if v is None else int(v)] * n, pa.int64())
         elif t == "double":
             arr = pa.array([None if v is None else float(v)] * n, pa.float64())
+        elif t.startswith("decimal("):
+            prec = int(t[len("decimal("):-1].split(",")[0])
+            arr = pa.array([None if v is None else int(v)] * n,
+                           pa.decimal128(prec, 0))
+        elif t == "date":
+            d = None if v is None else _dt_mod.date.fromisoformat(v)
+            arr = pa.array([d] * n, pa.date32())
         else:
             arr = pa.array([v] * n, pa.string())
         tbl = tbl.append_column(k, arr)

@@ -1081,6 +1081,9 @@ def _type_from_str(s: str) -> pa.DataType:
         return pa.time32(s[7:-1])
     if s.startswith("time64["):
         return pa.time64(s[7:-1])
+    if s.startswith("decimal128("):
+        prec, scale = s[len("decimal128("):-1].split(",")
+        return pa.decimal128(int(prec), int(scale))
     raise ValueError(f"unsupported type string {s}")
 
 

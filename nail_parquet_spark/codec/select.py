@@ -140,6 +140,8 @@ def raw_bytes_of(arr: pa.Array) -> int:
         return 8 * len(arr)
     if kind == "float":
         return arr.type.bit_width // 8 * len(arr)
+    if kind == "other":  # fixed-width exotic (decimal128, ...): buffer size
+        return int(arr.nbytes)
     tot = pc.sum(
         pc.binary_length(arr.fill_null("" if kind == "str" else b""))
     ).as_py()

@@ -29,14 +29,6 @@ BULLET_PREFIXES = ["- ", "* ", "•", "●"]  # -, *, bullet, black circle
 ELLIPSIS_SUFFIXES = ["...", "…"]
 
 
-def _occurrences(col: Column, needle: str) -> Column:
-    """Literal substring occurrences via length arithmetic (portable SQL)."""
-    return (
-        (F.length(col) - F.length(F.replace(col, F.lit(needle), F.lit(""))))
-        / F.lit(len(needle))
-    ).cast("long")
-
-
 def _symbol_count(col: Column) -> Column:
     """'#' + '...' + '…' occurrences in ONE regex pass. The alternation's
     left-to-right non-overlapping scan counts exactly what three separate
@@ -202,6 +194,10 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     Shape: explode lines -> groupBy (doc, line) -> groupBy doc. Both
     aggregations partial-combine map-side and shuffle only on the doc id —
     bounded at any corpus size; no windows, no driver pull.
+
+    Precondition (all id-keyed operators in this module): ``id_col`` must
+    uniquely identify documents — rows sharing an id are merged into one
+    logical document by the groupBy (ADVICE r4).
     """
     lines = df.select(
         F.col(id_col).alias("__doc"),
@@ -249,6 +245,7 @@ def top_ngram_char_frac(df: DataFrame, id_col: str, text_col: str,
 
     Shape: per-row n-gram array (no self-join), explode, count by
     (doc, ngram), keyed max-struct aggregation — shuffles only on doc id.
+    Precondition: ``id_col`` unique per document (see repetition_stats).
     """
     if n < 1:
         raise ValueError("n must be >= 1")
@@ -337,6 +334,7 @@ def dedup_lines_global(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     state. Text is normalized to its trimmed non-blank lines (same rule as
     every operator in this module); docs left with no surviving lines come
     back as '' via the anti-join branch.
+    Precondition: ``id_col`` unique per document (see repetition_stats).
     """
     lines = df.select(
         F.col(id_col).alias("__doc"),

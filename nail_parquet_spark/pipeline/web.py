@@ -63,7 +63,9 @@ def filter_and_encode_web_pipeline(
     from nail_parquet_spark.functions.quality import GOPHER_RULES, gopher_filter
 
     verdict = gopher_filter(df, url_col, text_col, rules=rules)
-    keep = df.join(verdict.filter("passes").select(url_col), url_col, "inner")
+    # left_semi, not inner: a URL re-crawled k times yields k verdict rows,
+    # and an inner join would emit k*k copies of each kept page (ADVICE r4)
+    keep = df.join(verdict.filter("passes").select(url_col), url_col, "left_semi")
     rejected = (verdict.filter(~F.col("passes"))
                 .select(url_col, "n_words", "n_fail"))
     eff = dict(GOPHER_RULES)

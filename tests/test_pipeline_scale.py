@@ -308,3 +308,23 @@ def test_filter_and_encode_web_pipeline(spark, web_parquet):
     res = verify_roundtrip(df.join(dec.select("url"), "url", "left_semi"),
                            dec, key="url")
     assert res["total_mismatches"] == 0 and res["joined_rows"] == n_kept
+
+
+def test_filter_pipeline_preserves_duplicate_url_cardinality(spark, web_parquet):
+    """A URL re-crawled k times must contribute exactly k rows to the
+    encode (left_semi gate), not k*k (the r4 inner-join bug, ADVICE r4)."""
+    from nail_parquet_spark.pipeline.web import filter_and_encode_web_pipeline
+
+    df = spark.read.parquet(web_parquet).limit(2_000)
+    # re-crawl every page 3x with shifted timestamps
+    dup = df.unionAll(df.withColumn("warc_ts", F.col("warc_ts") + F.expr("INTERVAL 1 HOUR"))) \
+            .unionAll(df.withColumn("warc_ts", F.col("warc_ts") + F.expr("INTERVAL 2 HOUR")))
+    rules = {"min_words": 30, "min_mean_word_len": 0, "min_stop_hits": 0}
+    blocks, manifest, rejected = filter_and_encode_web_pipeline(
+        dup, rules=rules, n_partitions=4, lineage={"job_id": "dup"})
+    n_kept = (blocks.filter(F.col("column") == "url")
+              .agg(F.sum("n_rows")).collect()[0][0]) or 0
+    # every row of a URL passes or fails identically (verdict is per-URL),
+    # so kept + rejected must tile the 3x-duplicated input exactly
+    assert n_kept + rejected.count() == 3 * 2_000
+    assert n_kept % 3 == 0 and rejected.count() % 3 == 0

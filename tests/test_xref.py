@@ -477,10 +477,24 @@ def test_hive_partition_type_inference(spark, tmp_path):
     )
 
     assert _infer_partition_type(["1", "42", None]) == "long"
+    assert _infer_partition_type(["00123", "-7"]) == "long"  # Long.parseLong parity
     assert _infer_partition_type(["1.5", "2"]) == "double"
     assert _infer_partition_type(["1", "x"]) == "string"
     assert _infer_partition_type([None]) == "string"
-    assert _infer_partition_type([str(2**70)]) == "double"  # > int64
+    # int64 overflow -> decimal(p,0) with Spark's max-digit precision
+    assert _infer_partition_type([str(2**70)]) == "decimal(22,0)"
+    assert _infer_partition_type([str(2**70), "5"]) == "decimal(22,0)"
+    assert _infer_partition_type(["9" * 39]) == "string"  # > decimal(38)
+    # strict literal regexes (ADVICE r4): Python-isms must NOT parse
+    assert _infer_partition_type(["1_5"]) == "string"
+    assert _infer_partition_type([" 1"]) == "string"
+    assert _infer_partition_type(["inf"]) == "string"
+    assert _infer_partition_type(["nan"]) == "string"
+    assert _infer_partition_type(["0x10"]) == "string"
+    # dates (Spark's date branch); invalid calendar dates fall to string
+    assert _infer_partition_type(["2021-04-05", "1999-12-31"]) == "date"
+    assert _infer_partition_type(["2021-04-05", "1.5"]) == "string"
+    assert _infer_partition_type(["2021-02-30"]) == "string"
 
     root = str(tmp_path / "typed")
     t = pa.table({"v": pa.array([1, 2], pa.int64())})
@@ -500,3 +514,37 @@ def test_hive_partition_type_inference(spark, tmp_path):
     sp = spark.read.parquet(root).selectExpr(
         "CAST(year AS BIGINT) AS year", "CAST(score AS DOUBLE) AS score")
     assert {(r["year"], r["score"]) for r in sp.collect()} == got
+
+
+def test_hive_partition_decimal_date_parity(spark, tmp_path):
+    """Spark-parity for the decimal and date partition branches (VERDICT r4
+    #7): int64-overflow directories materialize as decimal(p,0) and
+    yyyy-MM-dd directories as date, with the SAME schema and values as
+    spark.read.parquet on the identical layout. The decimal constant rides
+    the ipc_zstd kernel fallback (kind 'other'); date32 uses the int rle
+    kernel."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nail_parquet_spark.codec.decode import decode_table
+    from nail_parquet_spark.codec.encode import encode_parquet_files
+
+    root = str(tmp_path / "decdate")
+    t = pa.table({"v": pa.array([1, 2], pa.int64())})
+    big = str(2**70)
+    for part in [f"big={big}/day=2021-04-05", "big=5/day=1999-12-31"]:
+        os.makedirs(os.path.join(root, part))
+        pq.write_table(t, os.path.join(root, part, "f.parquet"))
+
+    blocks = encode_parquet_files(spark, root, codecs={"v": "plain"})
+    dec = decode_table(blocks, columns=["v", "big", "day"])
+    schema = {f.name: f.dataType.simpleString() for f in dec.schema.fields}
+    sp = spark.read.parquet(root)
+    sp_schema = {f.name: f.dataType.simpleString() for f in sp.schema.fields}
+    assert schema["big"] == sp_schema["big"] == "decimal(22,0)"
+    assert schema["day"] == sp_schema["day"] == "date"
+    ours = {(r["v"], r["big"], r["day"]) for r in dec.collect()}
+    theirs = {(r["v"], r["big"], r["day"]) for r in sp.collect()}
+    assert ours == theirs and len(ours) == 4
