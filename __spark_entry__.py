@@ -1037,15 +1037,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # Order matters: the driver records CORRECTNESS rows for only the first 50
-# entries per round. Round-4 head: the 17 queries whose last driver
-# attestation is r02 (outside r03's 50-row cap — VERDICT r3 "What's missing"
-# #1), the query NEW this round (corr_kendall_pvalues), every query whose
-# code changed this round (banded near-dup LSH, vectorized multimodal), and
+# entries per round. Round-5 head: the 32 queries whose last driver
+# attestation is r03 (rotation policy: no entry's attestation ages past 2
+# rounds — VERDICT r4 #3), every query whose code changed this round, and
 # the rows-only block (no_oracle rows are recorded each round). The tail
-# holds queries attested green in CORRECTNESS_r03 and unchanged since.
+# holds queries attested green in r03/r04 and unchanged since.
 # scripts/check_oracle.py still verifies ALL entries.
 _QUERIES = {
-        # -- r02-tail rotation: last attested in r02, unchanged since --
+        # -- r05 head (driver caps at 50 rows/round) --
+        # 1) the 32 queries whose last driver attestation is r03 (the
+        #    no-entry-older-than-2-rounds rotation policy, VERDICT r4 #3)
+        "binning_equal_width": q_binning,
+        "corr_kendall": q_corr_kendall,
+        "corr_pearson": q_corr_pearson,
+        "corr_pvalues": q_corr_pvalues,
+        "count_rows": q_count,
+        "create_columns": q_create_columns,
+        "dedup_keep_first": q_dedup_keep_first,
+        "dedup_keep_last": q_dedup_keep_last,
+        "distinct_values": q_distinct_values,
+        "doc_fingerprint": q_doc_fingerprint,
+        "drop_columns": q_drop_columns,
+        "drop_rows_cond": q_drop_rows_cond,
+        "events_hourly": q_events_hourly,
+        "events_sessionize": q_events_sessionize,
+        "fill_backward": q_fill_backward,
+        "fill_forward": q_fill_forward,
+        "fill_value": q_fill_value,
+        "filter_conditions": q_filter_conditions,
+        "filter_no_nan": q_filter_no_nan,
+        "head": q_head,
+        "merge_inner": q_merge_inner,
+        "merge_left": q_merge_left,
+        "merge_right": q_merge_right,
+        "outliers_range_heuristic": q_outliers_range_heuristic,
+        "outliers_zscore": q_outliers_zscore,
+        "pivot": q_pivot,
+        "rename_columns": q_rename,
+        "sample_hash": q_sample_hash,
+        "select_columns": q_select_columns,
+        "split_hash": q_split_hash,
+        "text_tokens": q_text_tokens,
+        "window_running_sum": q_window_running_sum,
+        # 2) every query whose code changed this round: url userinfo
+        #    rule (ADVICE r4), kendall min-k bounded sample (VERDICT r4
+        #    #6), xref v2 two-stream layout + decimal partition typing
+        #    (kernels/encode/decode)
+        "url_normalize": q_url_normalize,
+        "corr_kendall_pvalues": q_corr_kendall_pvalues,
+        "decode_pushdown": q_decode_pushdown,
+        "encode_manifest": q_encode_manifest,
+        "encode_roundtrip": q_encode_roundtrip,
+        # 3) rows-only block (no_oracle rows are recorded every round)
+        "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
+        "embedding_topk_lsh": q_embedding_topk_lsh,
+        "embedding_topk_pq": q_embedding_topk_pq,
+        "embedding_topk_ivf": q_embedding_topk_ivf,
+        # -- tail: attested green in r03/r04 and unchanged since --
         "lang_id": q_lang_id,
         "simhash_near_pairs": q_simhash_near_pairs,
         "corr_matrix": q_corr_matrix,
@@ -1063,76 +1111,30 @@ _QUERIES = {
         "except_rows": q_except_rows,
         "intersect_rows": q_intersect_rows,
         "shuffle_content": q_shuffle_content,
-        # -- new this round --
-        "corr_kendall_pvalues": q_corr_kendall_pvalues,
         "asof_join_backward": q_asof_join_backward,
         "range_join_count": q_range_join_count,
         "embedding_components": q_embedding_components,
         "vocab_top": q_vocab_top,
         "keywords_tfidf": q_keywords_tfidf,
-        "decode_pushdown": q_decode_pushdown,
         "gopher_quality": q_gopher_quality,
         "dup_line_stats": q_dup_line_stats,
         "top_bigram_frac": q_top_bigram_frac,
         "gopher_filter": q_gopher_filter,
-        "url_normalize": q_url_normalize,
         "c4_line_filter": q_c4_line_filter,
         "dedup_lines": q_dedup_lines,
         "corpus_stats": q_corpus_stats,
-        # -- code changed this round (need fresh rows) --
-        "text_quality": q_text_quality,  # staged quality_metrics_table
-        "simhash": q_simhash,            # staged word-hash column
-        "embedding_near_dup_lsh": q_embedding_near_dup_lsh,  # rows-only (banded)
-        "embedding_near_dup_exact": q_embedding_near_dup_exact,  # guarded twin
+        "text_quality": q_text_quality,
+        "simhash": q_simhash,
+        "embedding_near_dup_exact": q_embedding_near_dup_exact,
         "multimodal_meta": q_multimodal_meta,
         "minhash_signatures": q_minhash_signatures,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-        # -- rows-only block (no_oracle rows re-recorded every round) --
-        "encode_manifest": q_encode_manifest,           # rows-only oracle
-        "encode_roundtrip": q_encode_roundtrip,         # rows-only oracle
-        "embedding_topk_lsh": q_embedding_topk_lsh,     # rows-only oracle
-        "embedding_topk_pq": q_embedding_topk_pq,       # rows-only oracle
-        "embedding_topk_ivf": q_embedding_topk_ivf,     # rows-only oracle
-        # -- headline + remaining surface (green in r03, re-attest) --
         "q1_pricing_summary": q1_pricing_summary,
         "embedding_topk": q_embedding_topk,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "sort_multi": q_sort_multi,
         "frequency": q_frequency,
         "stats_exact": q_stats_exact,
-        "pivot": q_pivot,
-        "corr_pearson": q_corr_pearson,
-        "outliers_zscore": q_outliers_zscore,
-        "outliers_range_heuristic": q_outliers_range_heuristic,
-        "binning_equal_width": q_binning,
-        "window_running_sum": q_window_running_sum,
-        "merge_inner": q_merge_inner,
-        "dedup_keep_first": q_dedup_keep_first,
-        "dedup_keep_last": q_dedup_keep_last,
-        "drop_rows_cond": q_drop_rows_cond,
-        "sample_hash": q_sample_hash,
-        "split_hash": q_split_hash,
-        "fill_forward": q_fill_forward,
-        "events_hourly": q_events_hourly,
-        "events_sessionize": q_events_sessionize,
-        # -- tail (entries 51+): attested green in CORRECTNESS_r03, unchanged --
-        "fill_backward": q_fill_backward,
-        "merge_right": q_merge_right,
-        "count_rows": q_count,
-        "select_columns": q_select_columns,
-        "drop_columns": q_drop_columns,
-        "rename_columns": q_rename,
-        "create_columns": q_create_columns,
-        "filter_conditions": q_filter_conditions,
-        "filter_no_nan": q_filter_no_nan,
-        "head": q_head,
-        "merge_left": q_merge_left,
-        "distinct_values": q_distinct_values,
-        "fill_value": q_fill_value,
-        "text_tokens": q_text_tokens,
-        "doc_fingerprint": q_doc_fingerprint,
-        "corr_kendall": q_corr_kendall,
-        "corr_pvalues": q_corr_pvalues,
 }
 
 

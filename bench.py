@@ -51,6 +51,12 @@ BENCH_QUERIES = [
 ]
 
 
+# perf-watch queries (r4 verdict #2): the suite's single-shot walls swing
+# 2-3x with host windows, so these also get isolated best-of-3 reps whose
+# MIN is the operator claim (walls only ever get slower under host noise).
+ISO_QUERIES = ["minhash_signatures", "ngram_jaccard_pairs"]
+
+
 def _force(df):
     df.write.format("noop").mode("overwrite").save()
 
@@ -74,8 +80,21 @@ def run_suite() -> dict:
         except Exception as e:  # pragma: no cover
             times[name] = -1.0
             print(f"bench query {name} failed: {e}", file=sys.stderr)
+    iso: dict[str, float] = {}
+    for name in ISO_QUERIES:
+        best = None
+        try:
+            for _ in range(3):
+                t0 = time.time()
+                _force(qs[name](spark, SF_DIR))
+                w = time.time() - t0
+                best = w if best is None else min(best, w)
+            iso[name] = round(best, 3)
+        except Exception as e:  # pragma: no cover
+            iso[name] = -1.0
+            print(f"bench iso query {name} failed: {e}", file=sys.stderr)
     spark.stop()
-    return times
+    return times, iso
 
 
 def run_encode_scaling() -> dict:
@@ -119,7 +138,7 @@ def _compact_encode(enc: dict) -> dict:
         if not isinstance(d, dict):
             continue
         t: dict = {"gbps": d.get("gbps"), "wall_s": d.get("wall_s")}
-        for k in ("decode_gbps", "decode_gbps_none"):
+        for k in ("decode_gbps", "decode_gbps_snappy"):
             if k in d:
                 t[k] = d[k]
         out[tier] = t
@@ -135,7 +154,7 @@ def _compact_encode(enc: dict) -> dict:
 
 def main():
     t0 = time.time()
-    queries = run_suite()
+    queries, iso = run_suite()
     suite_s = round(sum(v for v in queries.values() if v > 0), 3)
     encode = {} if SKIP_SCALING else run_encode_scaling()
     total_s = round(time.time() - t0, 1)
@@ -148,6 +167,7 @@ def main():
         "value": suite_s,
         "unit": "sec",
         "queries": queries,
+        "iso_best3": iso,
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "cpus": CPUS,
         "encode": _compact_encode(encode),

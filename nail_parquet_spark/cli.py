@@ -178,6 +178,18 @@ def main(argv: list[str] | None = None) -> int:
     add("metadata", with_output=False)
     add("compact", (("--num-files",), {"type": int, "default": 32,
                                        "help": "output block-file count"}))
+    add("curate", (("--rules",), {"default": None, "help": "JSON Gopher threshold overrides"}),
+        (("--skip",), {"default": None,
+                       "help": "comma list of stages to skip: quality,c4_clean,exact_dedup,near_dedup"}),
+        (("--threshold",), {"type": float, "default": 0.7, "help": "near-dup Jaccard threshold"}),
+        (("--transitive",), {"action": "store_true",
+                             "help": "collapse whole near-dup clusters (connected components)"}),
+        (("--policy",), {"default": "balanced"}),
+        (("--codecs",), {"default": None, "help": 'JSON {"col": "codec"} overrides'}),
+        (("--units-per-job",), {"type": int, "default": 32}),
+        (("--text-column",), {"default": "text"}),
+        (("--url-column",), {"default": "url"}),
+        (("--ts-column",), {"default": "warc_ts"}))
     sub.add_parser("update")
 
     args = p.parse_args(argv)
@@ -205,6 +217,28 @@ def main(argv: list[str] | None = None) -> int:
     from nail_parquet_spark.sources.io import read_data
 
     spark = _spark(args.jobs)
+    if args.cmd == "curate":
+        # one-call corpus curation: quality -> C4 clean -> exact dedup ->
+        # near dedup -> salted resumable encode (pipeline/curate.py)
+        from nail_parquet_spark.pipeline.curate import curate_and_encode_corpus
+
+        if not args.output:
+            p.error("curate requires -o/--output (the encode out_dir)")
+        skip = set((args.skip or "").split(",")) if args.skip else set()
+        state = curate_and_encode_corpus(
+            spark, args.input, args.output,
+            text_col=args.text_column, url_col=args.url_column,
+            ts_col=args.ts_column,
+            quality_rules=json.loads(args.rules) if args.rules else None,
+            do_quality="quality" not in skip,
+            do_c4_clean="c4_clean" not in skip,
+            do_exact_dedup="exact_dedup" not in skip,
+            do_near_dedup="near_dedup" not in skip,
+            near_threshold=args.threshold, transitive=args.transitive,
+            codecs=json.loads(args.codecs) if args.codecs else None,
+            policy=args.policy, units_per_job=args.units_per_job)
+        print(json.dumps(state, indent=2))
+        return 0
     if args.cmd == "compact":
         # block-table maintenance: merge small block files, re-key groups
         # globally (codec/compact.py) — not a row-table command

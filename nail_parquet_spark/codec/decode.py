@@ -322,7 +322,8 @@ def decode_to_parquet(blocks: DataFrame, out_dir: str,
                       columns: list[str] | None = None,
                       num_partitions: int | None = None,
                       compression: str = "snappy",
-                      file_keyed: bool = True) -> DataFrame:
+                      file_keyed: bool = True,
+                      use_dictionary=False) -> DataFrame:
     """Sink-side decode: tasks write decoded rows straight to parquet with
     the pyarrow C++ writer, so the decoded raw bytes never cross the
     Python->JVM boundary (the mirror of ``encode_parquet_files`` — measured
@@ -333,6 +334,11 @@ def decode_to_parquet(blocks: DataFrame, out_dir: str,
 
     ``file_keyed`` semantics (and the round-3 breaking default for tables
     rewritten after encoding) are documented on ``decode_table``.
+
+    ``use_dictionary`` defaults to False: decoded web pages are mostly
+    unique (dict pages overflow and fall back anyway) and skipping the
+    attempt is ~20% off the write wall; pass True (or a column-name list)
+    to re-dictionarize low-cardinality outputs.
     """
     import os
 
@@ -380,7 +386,9 @@ def decode_to_parquet(blocks: DataFrame, out_dir: str,
         for grp in _iter_groups(batches, columns):
             rb = _decode_group(grp, columns, out_schema)
             if writer is None:
-                writer = _pq.ParquetWriter(tmp, out_schema, compression=compression)
+                writer = _pq.ParquetWriter(
+                    tmp, out_schema, compression=compression,
+                    use_dictionary=use_dictionary)
             writer.write_batch(rb)
             n_rows += rb.num_rows
         if writer is not None:
@@ -396,7 +404,8 @@ def decode_to_parquet(blocks: DataFrame, out_dir: str,
 
 def decode_parquet_dir(spark, blocks_dir: str, out_dir: str,
                        columns: list[str] | None = None,
-                       compression: str = "snappy"):
+                       compression: str = "snappy",
+                       use_dictionary=False):
     """Shuffle-free decode: each task reads one block-parquet FILE with the
     pyarrow C++ reader, decodes its (complete) groups, and writes decoded
     parquet in place.
@@ -483,7 +492,9 @@ def decode_parquet_dir(spark, blocks_dir: str, out_dir: str,
                         )
                     rb = _decode_group(grp, columns, out_schema)
                     if writer is None:
-                        writer = _pq.ParquetWriter(tmp, out_schema, compression=compression)
+                        writer = _pq.ParquetWriter(
+                    tmp, out_schema, compression=compression,
+                    use_dictionary=use_dictionary)
                     writer.write_batch(rb)
                     n_rows += rb.num_rows
         if writer is not None:

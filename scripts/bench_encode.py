@@ -179,6 +179,11 @@ def main():
         from nail_parquet_spark.codec.decode import decode_parquet_dir
 
         cols = [f.name for f in df.schema.fields]
+        # headline container is 'none' (r4 verdict #1): block payloads are
+        # already codec-compressed, so the engine's decode path is
+        # read->kernels->write; re-compressing the decoded output is a sink
+        # configuration, reported separately as the snappy variant
+        # (the reference parquet config).
         # sink to tmpfs when available: the 'none' variant writes the full
         # raw bytes (1.57 GB at 2M rows) and this box's shared disk shows
         # 3-5x write-back variance between windows — tmpfs measures the
@@ -188,7 +193,7 @@ def main():
         dec_dir = os.path.join(dec_root, f"nail_decoded_{ROWS}_{N_HI}")
         shutil.rmtree(dec_dir, ignore_errors=True)
         decode_parquet_dir(spark, blocks_dir, dec_dir, columns=cols).collect()  # warm
-        for codec_name, key in (("snappy", "decode_gbps"), ("none", "decode_gbps_none")):
+        for codec_name, key in (("none", "decode_gbps"), ("snappy", "decode_gbps_snappy")):
             best = None
             for _ in range(3):  # best-of-3: 2-3x host noise (BENCH/BASELINE.md)
                 shutil.rmtree(dec_dir, ignore_errors=True)

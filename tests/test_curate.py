@@ -1,0 +1,124 @@
+"""End-to-end tests for the one-call corpus-curation pipeline
+(pipeline/curate.py, VERDICT r4 #4): counts conservation across every
+stage, stage-level + unit-level resumability, and the CLI verb."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from nail_parquet_spark.synth import webpages_spark
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, tmp_path_factory):
+    """Synthetic web corpus engineered so EVERY stage rejects something:
+    - 150 truncated docs (fail min_words at the quality gate)
+    - C4-cleanable text (sentence lines ending in '.'; some lines die)
+    - 200 exact duplicates (same text, different url/ts)
+    - 200 near duplicates (same text + a small tail, different url)
+    """
+    base = webpages_spark(spark, 3000, seed=7, n_parts=4).withColumn(
+        "text",
+        F.concat(F.regexp_replace(F.col("text"), r" (and|of) ", ".\n"),
+                 F.lit(".")))
+    bucket = F.pmod(F.xxhash64("url"), F.lit(12))  # deterministic slices
+    short = (base.filter(bucket == 0)
+             .withColumn("text", F.substring(F.col("text"), 1, 30))
+             .withColumn("url", F.concat(F.lit("https://short.example/"), F.col("url"))))
+    exact = (base.filter(bucket == 1)
+             .withColumn("url", F.concat(F.lit("https://dup.example/"), F.col("url")))
+             .withColumn("warc_ts", F.col("warc_ts") + F.expr("INTERVAL 1 HOUR")))
+    near = (base.filter(bucket == 2)
+            .withColumn("text", F.concat(F.col("text"), F.lit("\nAlmost the same document text.")))
+            .withColumn("url", F.concat(F.lit("https://near.example/"), F.col("url"))))
+    full = base.unionAll(short).unionAll(exact).unionAll(near)
+    p = str(tmp_path_factory.mktemp("curate") / "corpus")
+    full.write.parquet(p)
+    return p
+
+
+RULES = {"min_words": 25, "min_mean_word_len": 0, "min_stop_hits": 0,
+         "max_dup_line_frac": 1.0}
+
+
+def test_curate_counts_conserve_and_roundtrip(spark, corpus, tmp_path):
+    from nail_parquet_spark.codec.decode import decode_table
+    from nail_parquet_spark.pipeline.checkpoint import read_blocks_at
+    from nail_parquet_spark.pipeline.curate import curate_and_encode_corpus
+
+    out = str(tmp_path / "curated")
+    state = curate_and_encode_corpus(
+        spark, corpus, out, quality_rules=RULES, near_threshold=0.6,
+        units_per_job=4)
+    n_input = spark.read.parquet(corpus).count()
+    c = state["counts"]
+    assert c["input"] == n_input > 3000
+    # conservation: every input row is kept or attributed to EXACTLY one stage
+    assert c["input"] == c["kept"] + sum(c["rejected"].values())
+    assert state["conserved"] is True
+    # the engineered corpus exercises every stage (each slice is ~250 docs)
+    assert c["rejected"]["quality"] >= 100
+    assert c["rejected"]["exact_dedup"] >= 100
+    assert c["rejected"]["near_dedup"] >= 50
+    # per-stage audit tables exist and match the recorded counts
+    for stage, n in c["rejected"].items():
+        audit = spark.read.parquet(os.path.join(out, "_rejects", f"stage={stage}"))
+        assert audit.count() == n and {"__doc_id", "url"} <= set(audit.columns)
+    # lineage: effective quality thresholds are stamped
+    q = [s for s in state["stages"] if s["stage"] == "quality"][0]
+    assert q["rules"]["min_words"] == 25
+    # encode ran to completion and the blocks decode back to the kept rows
+    assert state["encode"]["completed"] == state["encode"]["total"]
+    blocks = read_blocks_at(spark, out)
+    dec = decode_table(blocks, columns=["url", "text"])
+    assert dec.count() == c["kept"]
+    staging = spark.read.parquet(os.path.join(out, "_staging"))
+    assert dec.select("url").subtract(staging.select("url")).count() == 0
+
+
+def test_curate_resumes_without_recompute(spark, corpus, tmp_path):
+    from nail_parquet_spark.codec.decode import decode_table
+    from nail_parquet_spark.pipeline.checkpoint import read_blocks_at
+    from nail_parquet_spark.pipeline.curate import curate_and_encode_corpus
+
+    out = str(tmp_path / "resume")
+    part = curate_and_encode_corpus(
+        spark, corpus, out, quality_rules=RULES, near_threshold=0.6,
+        units_per_job=1, max_units=1)
+    assert part["encode"]["completed"] >= 1
+    assert part["encode"]["completed"] < part["encode"]["total"]
+    staging = os.path.join(out, "_staging")
+    mtimes = {f: os.path.getmtime(os.path.join(staging, f))
+              for f in os.listdir(staging)}
+
+    done = curate_and_encode_corpus(
+        spark, corpus, out, quality_rules=RULES, near_threshold=0.6,
+        units_per_job=1)
+    # stage 1-4 results were NOT recomputed: staging files untouched
+    assert {f: os.path.getmtime(os.path.join(staging, f))
+            for f in os.listdir(staging)} == mtimes
+    # unit-level resume: previously committed units were skipped, the rest
+    # completed, and nothing was double-encoded
+    assert done["encode"]["skipped"] >= part["encode"]["completed"]
+    assert (done["encode"]["skipped"] + done["encode"]["completed"]
+            == done["encode"]["total"])
+    dec = decode_table(read_blocks_at(spark, out), columns=["url"])
+    assert dec.count() == done["counts"]["kept"]
+    assert dec.select("url").distinct().count() == done["counts"]["kept"]
+
+
+def test_curate_cli_smoke(spark, corpus, tmp_path, capsys):
+    from nail_parquet_spark.cli import main
+
+    out = str(tmp_path / "cli_out")
+    rc = main(["curate", corpus, "-o", out,
+               "--rules", json.dumps(RULES), "--skip", "near_dedup",
+               "--threshold", "0.6"])
+    assert rc == 0
+    printed = json.loads(capsys.readouterr().out)
+    assert printed["conserved"] is True
+    assert "near_dedup" not in printed["counts"]["rejected"]
+    assert set(printed["counts"]["rejected"]) == {"quality", "c4_clean", "exact_dedup"}
+    assert os.path.exists(os.path.join(out, "_curation.json"))
