@@ -625,6 +625,17 @@ def q_gopher_filter(spark, sf_dir):
     return gopher_filter(d, "doc_id", "text")
 
 
+def q_gopher_filter_arrow(spark, sf_dir):
+    """The SAME Gopher rule book through the single-pass byte kernel
+    (functions/quality_arrow, engine='arrow') — bit-identical to
+    q_gopher_filter by construction (shared ratio arithmetic; Hypothesis
+    property test), so it shares gopher_filter's oracle SQL verbatim."""
+    from nail_parquet_spark.functions.quality import gopher_filter
+
+    d = _t(spark, sf_dir, "documents")
+    return gopher_filter(d, "doc_id", "text", engine="arrow")
+
+
 def q_url_normalize(spark, sf_dir):
     """URL canonicalization (functions/urls.url_normalize) over
     orders-derived adversarial URLs (mixed case, default port, tracking
@@ -1088,6 +1099,7 @@ _QUERIES = {
         "decode_pushdown": q_decode_pushdown,
         "encode_manifest": q_encode_manifest,
         "encode_roundtrip": q_encode_roundtrip,
+        "gopher_filter_arrow": q_gopher_filter_arrow,
         # 3) rows-only block (no_oracle rows are recorded every round)
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "embedding_topk_lsh": q_embedding_topk_lsh,
@@ -1612,6 +1624,30 @@ def oracle_sql() -> dict[str, str]:
                                  ELSE 0.0 END, 0.0) AS char_frac
             FROM documents d LEFT JOIN winner w USING (doc_id)""",
         "gopher_filter": f"""
+            WITH sig AS ({_GOPHER_SIG_SQL}),
+            rep AS (
+              SELECT doc_id,
+                     CASE WHEN len(lines) > 0
+                          THEN round(1.0 - len(list_distinct(lines)) * 1.0 / len(lines), 6)
+                          ELSE 0.0 END AS dup_line_frac
+              FROM (SELECT doc_id,
+                           list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+                                       l -> l <> '') AS lines
+                    FROM documents))
+            SELECT s.doc_id, s.n_words,
+              CAST((CASE WHEN s.n_words < 50 THEN 1 ELSE 0 END)
+                 + (CASE WHEN s.n_words > 100000 THEN 1 ELSE 0 END)
+                 + (CASE WHEN s.mean_word_len < 3.0 THEN 1 ELSE 0 END)
+                 + (CASE WHEN s.mean_word_len > 10.0 THEN 1 ELSE 0 END)
+                 + (CASE WHEN s.symbol_word_ratio > 0.1 THEN 1 ELSE 0 END)
+                 + (CASE WHEN s.frac_words_alpha < 0.8 THEN 1 ELSE 0 END)
+                 + (CASE WHEN s.n_stop_hits < 2 THEN 1 ELSE 0 END)
+                 + (CASE WHEN s.frac_lines_bullet > 0.9 THEN 1 ELSE 0 END)
+                 + (CASE WHEN s.frac_lines_ellipsis > 0.3 THEN 1 ELSE 0 END)
+                 + (CASE WHEN r.dup_line_frac > 0.3 THEN 1 ELSE 0 END) AS BIGINT) AS n_fail,
+              (n_fail = 0) AS passes
+            FROM sig s JOIN rep r USING (doc_id)""",
+        "gopher_filter_arrow": f"""
             WITH sig AS ({_GOPHER_SIG_SQL}),
             rep AS (
               SELECT doc_id,

@@ -38,6 +38,7 @@ BENCH_QUERIES = [
     "text_tokens",
     "text_quality",
     "gopher_filter",
+    "gopher_filter_arrow",
     "dedup_lines",
     "lang_id",
     "doc_fingerprint",

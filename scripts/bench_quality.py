@@ -41,29 +41,37 @@ def main():
     raw_bytes = base.agg(
         F.sum(F.length(F.encode(F.col("text"), "UTF-8")))).collect()[0][0]
 
-    def run(n_parts: int) -> float:
+    def run(n_parts: int, engine: str) -> float:
         df = spark.read.parquet(src).coalesce(n_parts)
         t0 = time.time()
-        gopher_filter(df, "url", "text").write.format("noop").mode(
-            "overwrite").save()
+        gopher_filter(df, "url", "text", engine=engine).write.format(
+            "noop").mode("overwrite").save()
         return time.time() - t0
 
-    run(4)  # warmup
-    lo, hi = [], []
-    for _ in range(reps):
-        lo.append(run(1))
-        hi.append(run(4))
+    run(4, "sql")  # warmups (JVM codegen + python workers)
+    run(4, "arrow")
     gb = raw_bytes / 1e9
     out = {
         "metric": "gopher_filter throughput (GB text/s)",
         "rows": rows,
         "raw_text_bytes": raw_bytes,
-        "walls_1": [round(w, 3) for w in lo],
-        "walls_4": [round(w, 3) for w in hi],
-        "gbps_1": round(gb / min(lo), 4),
-        "gbps_4": round(gb / min(hi), 4),
-        "scaling_efficiency_1_to_4": round(min(lo) / min(hi) / 4, 4),
     }
+    # interleaved across engines AND levels so all four series share the
+    # same host-noise window
+    walls = {("sql", 1): [], ("sql", 4): [], ("arrow", 1): [], ("arrow", 4): []}
+    for _ in range(reps):
+        for eng in ("sql", "arrow"):
+            for n in (1, 4):
+                walls[(eng, n)].append(run(n, eng))
+    for eng in ("sql", "arrow"):
+        lo, hi = walls[(eng, 1)], walls[(eng, 4)]
+        out[f"walls_1_{eng}"] = [round(w, 3) for w in lo]
+        out[f"walls_4_{eng}"] = [round(w, 3) for w in hi]
+        out[f"gbps_1_{eng}"] = round(gb / min(lo), 4)
+        out[f"gbps_4_{eng}"] = round(gb / min(hi), 4)
+        out[f"scaling_efficiency_1_to_4_{eng}"] = round(min(lo) / min(hi) / 4, 4)
+    out["arrow_speedup_4"] = round(
+        min(walls[("sql", 4)]) / min(walls[("arrow", 4)]), 3)
     print(json.dumps(out))
 
 

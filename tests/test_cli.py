@@ -380,6 +380,10 @@ def test_cli_quality_modes(spark, tmp_path, capsys):
     surv2 = str(tmp_path / "surv2.parquet")
     run("quality", p, "--remove", "--rules", '{"min_words": 1, "min_stop_hits": 0, "min_mean_word_len": 0}', "-o", surv2)
     assert spark.read.parquet(surv2).count() >= 2
+    # --engine arrow: byte-kernel signals, same survivors
+    surv3 = str(tmp_path / "surv3.parquet")
+    run("quality", p, "--remove", "--engine", "arrow", "-o", surv3)
+    assert [r.doc_id for r in spark.read.parquet(surv3).collect()] == [1]
 
 
 def test_cli_quality_clean_and_dedup_lines(spark, tmp_path, capsys):
