@@ -352,6 +352,52 @@ def verify_roundtrip(source: DataFrame, decoded: DataFrame, key: str = "url",
     return row
 
 
+class _BufferedWriter:
+    """Parquet sink that coalesces decoded group batches (8-64k rows) into
+    ~128k-row row groups with 1 MB pages: one row group per encode block
+    costs the C++ writer ~20% in per-group overhead (stats flush, page
+    finalize) and yields worse files for downstream scans. Bounded buffer,
+    not whole-file — the live set stays ~100 MB at web-page row widths."""
+
+    ROW_GROUP_ROWS = 131072
+
+    def __init__(self, tmp, schema, compression, use_dictionary):
+        self._args = (tmp, schema, compression, use_dictionary)
+        self.writer = None
+        self.n_rows = 0
+        self._pending: list = []
+        self._pending_rows = 0
+
+    def write(self, rb) -> None:
+        self._pending.append(rb)
+        self._pending_rows += rb.num_rows
+        if self._pending_rows >= self.ROW_GROUP_ROWS:
+            self.flush()
+
+    def flush(self) -> None:
+        if not self._pending:
+            return
+        if self.writer is None:
+            import pyarrow.parquet as _pq
+
+            tmp, schema, compression, use_dictionary = self._args
+            self.writer = _pq.ParquetWriter(
+                tmp, schema, compression=compression,
+                use_dictionary=use_dictionary, data_page_size=1 << 20)
+        self.writer.write_table(pa.Table.from_batches(self._pending),
+                                row_group_size=self.ROW_GROUP_ROWS)
+        self.n_rows += self._pending_rows
+        self._pending, self._pending_rows = [], 0
+
+    def close(self) -> bool:
+        """Flush + close; True if anything was written."""
+        self.flush()
+        if self.writer is None:
+            return False
+        self.writer.close()
+        return True
+
+
 def decode_to_parquet(blocks: DataFrame, out_dir: str,
                       columns: list[str] | None = None,
                       num_partitions: int | None = None,
@@ -393,7 +439,6 @@ def decode_to_parquet(blocks: DataFrame, out_dir: str,
     part = part.sortWithinPartitions("__src", "part_id", "block_id")
 
     def dec(batches):
-        import pyarrow.parquet as _pq
         from pyspark import TaskContext
 
         ctx = TaskContext.get()
@@ -415,21 +460,13 @@ def decode_to_parquet(blocks: DataFrame, out_dir: str,
                     os.remove(stale)
                 except OSError:
                     pass
-        writer = None
-        n_rows = 0
+        w = _BufferedWriter(tmp, out_schema, compression, use_dictionary)
         for grp in _iter_groups(batches, columns):
-            rb = _decode_group(grp, columns, out_schema)
-            if writer is None:
-                writer = _pq.ParquetWriter(
-                    tmp, out_schema, compression=compression,
-                    use_dictionary=use_dictionary)
-            writer.write_batch(rb)
-            n_rows += rb.num_rows
-        if writer is not None:
-            writer.close()
+            w.write(_decode_group(grp, columns, out_schema))
+        if w.close():
             os.replace(tmp, path)
             yield pa.record_batch(
-                [pa.array([path]), pa.array([n_rows], pa.int64())],
+                [pa.array([path]), pa.array([w.n_rows], pa.int64())],
                 names=["file", "n_rows"],
             )
 
@@ -492,33 +529,8 @@ def decode_parquet_dir(spark, blocks_dir: str, out_dir: str,
                     os.remove(stale)
                 except OSError:
                     pass
-        writer = None
-        n_rows = 0
+        w = _BufferedWriter(tmp, out_schema, compression, use_dictionary)
         colset = set(fetch_cols)
-        # buffer decoded groups into ~128k-row parquet row groups: one
-        # row group per encode block (8-64k rows) costs the C++ writer
-        # ~20% in per-group overhead (stats flush, page finalize) and
-        # yields worse files for downstream scans. Bounded buffer, not
-        # whole-file: the task's live set stays ~100 MB at web-page row
-        # widths regardless of file size.
-        ROW_GROUP_ROWS = 131072
-        pending: list = []
-        pending_rows = 0
-
-        def flush():
-            nonlocal pending, pending_rows, writer, n_rows
-            if not pending:
-                return
-            if writer is None:
-                writer = _pq.ParquetWriter(
-                    tmp, out_schema, compression=compression,
-                    use_dictionary=use_dictionary,
-                    data_page_size=1 << 20)
-            writer.write_table(pa.Table.from_batches(pending),
-                               row_group_size=ROW_GROUP_ROWS)
-            n_rows += pending_rows
-            pending, pending_rows = [], 0
-
         for batch in batches:
             for path in batch.column(0).to_pylist():
                 # use_threads=False: a Spark task owns ONE core (see encode)
@@ -554,17 +566,11 @@ def decode_parquet_dir(spark, blocks_dir: str, out_dir: str,
                             f"block group {key} in {path} is missing "
                             f"requested columns {missing}"
                         )
-                    rb = _decode_group(grp, columns, out_schema)
-                    pending.append(rb)
-                    pending_rows += rb.num_rows
-                    if pending_rows >= ROW_GROUP_ROWS:
-                        flush()
-        flush()
-        if writer is not None:
-            writer.close()
+                    w.write(_decode_group(grp, columns, out_schema))
+        if w.close():
             os.replace(tmp, out_path)
             yield pa.record_batch(
-                [pa.array([out_path]), pa.array([n_rows], pa.int64())],
+                [pa.array([out_path]), pa.array([w.n_rows], pa.int64())],
                 names=["file", "n_rows"],
             )
 
