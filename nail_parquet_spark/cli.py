@@ -141,8 +141,9 @@ def main(argv: list[str] | None = None) -> int:
         (("--codecs",), {"default": None, "help": 'JSON {"col": "codec"} overrides'}),
         (("--sort-by",), {"default": None}), (("--validate",), {"action": "store_true"}),
         (("--compression",), {"default": None,
-                              "help": "plain parquet rewrite with this codec (snappy/gzip/zstd) instead of block-encode"}),
-        (("--compression-level",), {"type": int, "default": None, "help": "zstd level 1-9 (optimize.rs:119)"}),
+                              "help": "plain parquet rewrite with this codec (snappy/gzip/zstd/brotli) instead of block-encode"}),
+        (("--compression-level",), {"type": int, "default": None,
+                                    "help": "zstd/brotli level 1-9 (optimize.rs:119); brotli writes via the pyarrow sink"}),
         (("--bucket-by",), {"default": None, "help": "save as a bucketed table on this key (zero-shuffle future joins)"}),
         (("--buckets",), {"type": int, "default": 64}),
         (("--table",), {"default": None, "help": "catalog table name for --bucket-by"}),

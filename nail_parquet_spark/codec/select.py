@@ -125,10 +125,15 @@ def candidate_codecs(kind: str, st: ColumnStats) -> list[str]:
             # word-dictionary coding: wins on natural-language text (small
             # token vocabulary); the trial rejects it when vocab explodes
             cands.append("wdict")
+        cands.append("lz4")     # ultra-speed tier: ~2x ratio at 250-700 MB/s
         cands.append("zstd:1")  # speed tier: ~2x zstd:3 for a few % size
         cands.append("zstd")
         cands.append("zstd:6")  # the reference's configured level (optimize.rs:22)
         cands.append("zstd:9")
+        # max-ratio tier (reference compression menu, optimize.rs:47-108):
+        # beats zstd:6 ~8% on web text at 3-15 MB/s encode — the balanced
+        # policy's speed floor excludes it; 'ratio' policy and pinning reach it
+        cands.append("brotli:9")
         if st.byte_entropy > 7.9:
             cands.append("plain")
     return cands
@@ -158,6 +163,11 @@ CODEC_SPEED_MBPS = {
     "zstd": 110.0,
     "zstd:6": 45.0,
     "zstd:9": 25.0,
+    "lz4": 300.0,
+    "brotli:2": 60.0,
+    "brotli": 25.0,      # level 5 default
+    "brotli:9": 6.0,
+    "gzip": 20.0,
     "dict": 80.0,
     "rle": 60.0,
     "for_bitpack": 130.0,
@@ -174,7 +184,10 @@ CODEC_SPEED_MBPS = {
 def codec_speed(codec: str) -> float:
     if codec.startswith("xref"):
         return CODEC_SPEED_MBPS["xref"]
-    return CODEC_SPEED_MBPS.get(codec, 50.0)
+    if codec in CODEC_SPEED_MBPS:
+        return CODEC_SPEED_MBPS[codec]
+    # unlisted level variant ("brotli:5") -> the base codec's class
+    return CODEC_SPEED_MBPS.get(codec.split(":", 1)[0], 50.0)
 
 
 def choose_codec(

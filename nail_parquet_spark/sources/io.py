@@ -81,22 +81,121 @@ def read_data(spark: SparkSession, path: str, fmt: str | None = None) -> DataFra
     raise ValueError(fmt)
 
 
+def write_parquet_arrow(df: DataFrame, path: str, compression: str = "zstd",
+                        compression_level: int | None = None,
+                        mode: str = "overwrite") -> list:
+    """Distributed parquet sink through the pyarrow C++ writer: each task
+    writes its partition to one file (attempt-unique temp + atomic rename,
+    the codec.decode sink pattern). Covers container codecs Spark's JVM
+    writer lacks in this environment — brotli (the reference's compression
+    menu, optimize.rs:47-108) works here because pyarrow ships the codec
+    natively. Files written with brotli need a brotli-capable reader
+    (``read_parquet_arrow`` below, pyarrow, duckdb, …) — a stock JVM Spark
+    scan will refuse the container. Returns the (file, n_rows) manifest."""
+    import glob as _glob
+    import os
+    import re as _re
+    import shutil as _shutil
+
+    import pyarrow as pa
+
+    if mode == "overwrite":
+        _shutil.rmtree(path, ignore_errors=True)
+    elif mode != "append":
+        raise ValueError(f"mode must be overwrite/append, got {mode!r}")
+    os.makedirs(path, exist_ok=True)
+
+    def sink(batches):
+        import pyarrow.parquet as _pq
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        tid = ctx.partitionId() if ctx is not None else 0
+        att = ctx.attemptNumber() if ctx is not None else 0
+        out_path = os.path.join(path, f"part-{tid:05d}.parquet")
+        tmp = os.path.join(path, f".part-{tid:05d}.attempt-{att}.inprogress")
+        for stale in _glob.glob(os.path.join(path, f".part-{tid:05d}.attempt-*.inprogress")):
+            m = _re.search(r"attempt-(\d+)\.inprogress$", stale)
+            if m and int(m.group(1)) < att:
+                try:
+                    os.remove(stale)
+                except OSError:
+                    pass
+        writer = None
+        n_rows = 0
+        for batch in batches:
+            if writer is None:
+                kw = {}
+                if compression_level is not None:
+                    kw["compression_level"] = compression_level
+                writer = _pq.ParquetWriter(tmp, batch.schema,
+                                           compression=compression, **kw)
+            writer.write_batch(batch)
+            n_rows += batch.num_rows
+        if writer is not None:
+            writer.close()
+            os.replace(tmp, out_path)
+            yield pa.record_batch(
+                [pa.array([out_path]), pa.array([n_rows], pa.int64())],
+                names=["file", "n_rows"])
+
+    return df.mapInArrow(sink, schema="file string, n_rows bigint").collect()
+
+
+def read_parquet_arrow(spark: SparkSession, path: str) -> DataFrame:
+    """Distributed parquet scan through the pyarrow C++ reader (one task
+    per file): reads container codecs the JVM scan lacks (brotli). Schema
+    comes from the first file's footer; every batch is cast to it so mixed
+    physical encodings across files still union."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nail_parquet_spark.codec.decode import _spark_ddl_of
+
+    files = list_parquet_files(path)
+    if not files:
+        raise ValueError(f"no parquet files under {path}")
+    schema = pq.read_schema(files[0])
+    ddl = _spark_ddl_of(schema)
+    rdd = spark.sparkContext.parallelize([[f] for f in files], len(files)) \
+        .flatMap(lambda s: [(p,) for p in s])
+    items = spark.createDataFrame(rdd, "path string")
+
+    def scan(batches):
+        import pyarrow.parquet as _pq
+
+        for batch in batches:
+            for p in batch.column(0).to_pylist():
+                pf = _pq.ParquetFile(p)
+                for g in range(pf.metadata.num_row_groups):
+                    tbl = pf.read_row_group(g, use_threads=False).cast(schema)
+                    yield from tbl.to_batches()
+
+    return items.mapInArrow(scan, schema=ddl)
+
+
 def write_data(df: DataFrame, path: str, fmt: str | None = None,
                mode: str = "overwrite", single_file: bool = False,
                compression: str | None = None,
                compression_level: int | None = None) -> None:
     """Write with an optional per-write parquet codec/level (the reference's
-    optimize compression menu, optimize.rs:47-108: snappy/gzip/zstd + level;
-    brotli needs a codec jar Spark doesn't ship). ``compression_level``
-    applies to zstd via the per-write parquet option — it does NOT touch the
-    session-wide default."""
+    FULL optimize compression menu, optimize.rs:47-108: snappy/gzip/zstd/
+    brotli + level). brotli routes through the distributed pyarrow sink
+    (``write_parquet_arrow``) since Spark's JVM writer has no brotli jar
+    here; the other codecs use the JVM writer. ``compression_level``
+    applies to zstd/brotli via the per-write option — it does NOT touch
+    the session-wide default."""
     fmt = _fmt_of(path, fmt)
     out = df.coalesce(1) if single_file else df
     if fmt == "parquet":
+        if compression == "brotli":
+            if mode not in ("overwrite", "append"):
+                raise ValueError(f"brotli parquet supports overwrite/append, got {mode!r}")
+            write_parquet_arrow(out, path, compression="brotli",
+                                compression_level=compression_level, mode=mode)
+            return
         w = out.write.mode(mode)
         if compression:
-            if compression == "brotli":
-                raise ValueError("brotli needs a parquet codec jar Spark does not ship; use zstd/gzip/snappy")
             w = w.option("compression", compression)
             if compression_level is not None and compression == "zstd":
                 w = w.option("parquet.compression.codec.zstd.level", str(compression_level))
