@@ -684,6 +684,94 @@ def q_dedup_lines(spark, sf_dir):
     return dedup_lines_global(dd, "doc_id", "text")
 
 
+def _pii_text(d):
+    """Deterministic PII-bearing text derived from documents (the driver
+    corpus carries no real PII, so both sides inject the same synthetic
+    identifiers keyed by doc_id; doc_id % 4 == 3 rows stay clean so
+    has_pii attests both ways)."""
+    k = F.col("doc_id")
+    s = lambda e: e.cast("string")  # noqa: E731
+    email = F.concat(F.lit(" contact user"), s(k), F.lit("@Example.com"))
+    phone = F.concat(F.lit(" call "), s(k % 800 + 100), F.lit("-"),
+                     s(k % 900 + 100), F.lit("-"), s(k % 9000 + 1000))
+    ip = F.concat(F.lit(" from 10."), s(k % 256), F.lit("."), s(k % 250),
+                  F.lit(".9"))
+    ssn = F.concat(F.lit(" ssn "), s(k % 900 + 100), F.lit("-"),
+                   s(k % 90 + 10), F.lit("-"), s(k % 9000 + 1000))
+    return F.concat(
+        F.col("text"),
+        F.when(k % 4 == 0, email).otherwise(F.lit("")),
+        F.when(k % 4 == 1, phone).otherwise(F.lit("")),
+        F.when(k % 4 == 2, ip).otherwise(F.lit("")),
+        F.when(k % 8 == 1, ssn).otherwise(F.lit("")),
+    )
+
+
+def q_pii_mask(spark, sf_dir):
+    """PII masking (functions/pii.pii_mask_table): pinned rule order
+    email -> ipv4 -> ssn -> card -> phone over documents with injected
+    synthetic identifiers. One no-shuffle projection; the oracle runs the
+    SAME pinned regexes under RE2 (dialect parity is part of the test)."""
+    from nail_parquet_spark.functions.pii import pii_mask_table
+
+    d = _t(spark, sf_dir, "documents")
+    dd = d.select("doc_id", _pii_text(d).alias("text"))
+    return pii_mask_table(dd, "text").select("doc_id", "text")
+
+
+def q_pii_stats(spark, sf_dir):
+    """Corpus PII audit (functions/pii.pii_stats): total occurrences and
+    affected docs per kind, one aggregate scan over the injected corpus."""
+    from nail_parquet_spark.functions.pii import pii_stats
+
+    d = _t(spark, sf_dir, "documents")
+    dd = d.select("doc_id", _pii_text(d).alias("text"))
+    return pii_stats(dd, "text")
+
+
+_DOMAIN_TLDS = ("com", "co.uk", "net")
+
+
+def _domain_urls(o):
+    """orders-derived URL corpus: 40 sites x 3 TLD classes (one a pinned
+    two-level suffix, so registered_domain's three-label branch attests)."""
+    k = F.col("o_custkey")
+    tld = (F.when(k % 3 == 0, F.lit("com"))
+           .when(k % 3 == 1, F.lit("co.uk"))
+           .otherwise(F.lit("net")))
+    return o.select(
+        "o_orderkey",
+        F.concat(F.lit("https://WWW.Site"), (k % 40).cast("string"), F.lit("."),
+                 tld, F.lit("/o/"), F.col("o_orderkey").cast("string")).alias("url"),
+        F.col("o_orderpriority").alias("text"))
+
+
+def q_domain_stats(spark, sf_dir):
+    """Per-registered-domain corpus budget (functions/urls.domain_stats):
+    host extraction + public-suffix-lite registrable domain + ONE
+    hash-aggregate. The oracle re-derives the domain from the same
+    construction, so the Spark-side extraction is checked against ground
+    truth."""
+    from nail_parquet_spark.functions.urls import domain_stats
+
+    o = _t(spark, sf_dir, "orders")
+    st = domain_stats(_domain_urls(o), "url", "text")
+    return st.select("domain", "n_docs", "n_chars",
+                     F.round("mean_chars", 4).alias("mean_chars"),
+                     F.round("share", 8).alias("share"))
+
+
+def q_domain_cap(spark, sf_dir):
+    """Domain capping (functions/urls.domain_cap): keep the first 40 docs
+    per registered domain by o_orderkey — the RefinedWeb anti-spam pass.
+    Window partitioned by the domain key only (no global window)."""
+    from nail_parquet_spark.functions.urls import domain_cap
+
+    o = _t(spark, sf_dir, "orders")
+    return domain_cap(_domain_urls(o), "url", max_docs=40,
+                      order_col="o_orderkey").select("o_orderkey", "url")
+
+
 def q_corpus_stats(spark, sf_dir):
     """Per-language corpus sizing (docs/tokens/chars/mean tokens) —
     functions/text.corpus_stats, the dataset-budgeting pass."""
@@ -1095,6 +1183,10 @@ _QUERIES = {
         #    #6), xref v2 two-stream layout + decimal partition typing
         #    (kernels/encode/decode)
         "url_normalize": q_url_normalize,
+        "pii_mask": q_pii_mask,
+        "pii_stats": q_pii_stats,
+        "domain_stats": q_domain_stats,
+        "domain_cap": q_domain_cap,
         "corr_kendall_pvalues": q_corr_kendall_pvalues,
         "decode_pushdown": q_decode_pushdown,
         "encode_manifest": q_encode_manifest,
@@ -1831,4 +1923,74 @@ def oracle_sql() -> dict[str, str]:
                    round(r * sqrt((n - 2) / (1 - r * r)), 4) AS t_stat
             FROM c, n ORDER BY column_a, column_b""",
     }
+    sql.update(_pii_domain_oracles())
     return sql
+
+
+_PII_TEXT_SQL = """
+            SELECT doc_id, text ||
+              (CASE WHEN doc_id % 4 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@Example.com' ELSE '' END) ||
+              (CASE WHEN doc_id % 4 = 1 THEN ' call ' || CAST(doc_id % 800 + 100 AS VARCHAR) || '-' || CAST(doc_id % 900 + 100 AS VARCHAR) || '-' || CAST(doc_id % 9000 + 1000 AS VARCHAR) ELSE '' END) ||
+              (CASE WHEN doc_id % 4 = 2 THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 250 AS VARCHAR) || '.9' ELSE '' END) ||
+              (CASE WHEN doc_id % 8 = 1 THEN ' ssn ' || CAST(doc_id % 900 + 100 AS VARCHAR) || '-' || CAST(doc_id % 90 + 10 AS VARCHAR) || '-' || CAST(doc_id % 9000 + 1000 AS VARCHAR) ELSE '' END)
+              AS text
+            FROM documents"""
+
+_DOMAIN_URLS_SQL = """
+            SELECT o_orderkey,
+                   'https://WWW.Site' || CAST(o_custkey % 40 AS VARCHAR) || '.' ||
+                   (CASE WHEN o_custkey % 3 = 0 THEN 'com'
+                         WHEN o_custkey % 3 = 1 THEN 'co.uk' ELSE 'net' END) ||
+                   '/o/' || CAST(o_orderkey AS VARCHAR) AS url,
+                   'site' || CAST(o_custkey % 40 AS VARCHAR) || '.' ||
+                   (CASE WHEN o_custkey % 3 = 0 THEN 'com'
+                         WHEN o_custkey % 3 = 1 THEN 'co.uk' ELSE 'net' END) AS domain,
+                   o_orderpriority AS text
+            FROM orders"""
+
+
+def _pii_domain_oracles() -> dict[str, str]:
+    """PII + domain oracles. The PII patterns are interpolated from
+    functions/pii.PII_RULES so the oracle can never drift from the engine
+    (sentinel replace, not f-strings — the patterns carry braces and %)."""
+    from nail_parquet_spark.functions.pii import PII_RULES
+
+    mask_expr = "text"
+    for _, pat, tok in PII_RULES:
+        esc = pat.replace("'", "''")
+        mask_expr = f"regexp_replace({mask_expr}, '{esc}', '{tok}', 'g')"
+    sig_cols = ",\n                   ".join(
+        f"coalesce(len(regexp_extract_all(text, '{pat}')), 0) AS n_{name}"
+        for name, pat, _ in PII_RULES)
+    stats_arms = "\n              UNION ALL\n".join(
+        f"""              SELECT '{name}' AS kind,
+                     CAST(sum(n_{name}) AS BIGINT) AS n_hits,
+                     CAST(sum(CASE WHEN n_{name} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs
+              FROM sig"""
+        for name, _, _ in PII_RULES)
+    return {
+        "pii_mask": f"""
+            WITH texts AS ({_PII_TEXT_SQL})
+            SELECT doc_id, {mask_expr} AS text FROM texts""",
+        "pii_stats": f"""
+            WITH texts AS ({_PII_TEXT_SQL}),
+            sig AS (
+              SELECT doc_id,
+                   {sig_cols}
+              FROM texts)
+            SELECT kind, n_hits, n_docs FROM (
+{stats_arms})""",
+        "domain_stats": f"""
+            WITH urls AS ({_DOMAIN_URLS_SQL})
+            SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(length(text)) AS BIGINT) AS n_chars,
+                   round(avg(length(text)), 4) AS mean_chars,
+                   round(CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM orders), 8) AS share
+            FROM urls GROUP BY domain""",
+        "domain_cap": f"""
+            WITH urls AS ({_DOMAIN_URLS_SQL})
+            SELECT o_orderkey, url FROM (
+              SELECT o_orderkey, url,
+                     row_number() OVER (PARTITION BY domain ORDER BY o_orderkey) AS rn
+              FROM urls)
+            WHERE rn <= 40"""}

@@ -180,6 +180,18 @@ def main(argv: list[str] | None = None) -> int:
                          "help": "signal engine for --mode filter: Catalyst staged "
                                  "projection (sql) or single-pass byte kernel (arrow, "
                                  "~2.6x at GB scale, bit-identical)"}))
+    add("pii", (("-c", "--text-column"), {"default": "text", "dest": "text_column"}),
+        (("--mode",), {"default": "mask", "choices": ["mask", "signals", "stats"],
+                       "help": "mask PII in place / per-doc counts / corpus audit"}),
+        (("--kinds",), {"default": None,
+                        "help": "comma subset of email,ipv4,ssn,card,phone (default all)"}))
+    add("domains", (("--url-column",), {"default": "url"}),
+        (("--mode",), {"default": "stats", "choices": ["stats", "cap"],
+                       "help": "per-registered-domain budget / cap docs per domain"}),
+        (("--text-column",), {"default": None, "help": "adds char totals to --mode stats"}),
+        (("--max-docs",), {"type": int, "default": 1000, "help": "cap for --mode cap"}),
+        (("--order-column",), {"default": None,
+                               "help": "deterministic keep order for --mode cap (required)"}))
     add("metadata", with_output=False)
     add("compact", (("--num-files",), {"type": int, "default": 32,
                                        "help": "output block-file count"}))
@@ -479,6 +491,26 @@ def main(argv: list[str] | None = None) -> int:
                               "left_semi")
             else:
                 out = verdict
+        _out(out, args, 50)
+    elif c == "pii":
+        from nail_parquet_spark.functions import pii as pf
+
+        kinds = args.kinds.split(",") if args.kinds else None
+        if args.mode == "mask":
+            out = pf.pii_mask_table(df, args.text_column, kinds)
+        elif args.mode == "signals":
+            out = pf.pii_signals_table(df, args.text_column)
+        else:
+            out = pf.pii_stats(df, args.text_column)
+        _out(out, args, 50)
+    elif c == "domains":
+        from nail_parquet_spark.functions import urls as uf
+
+        if args.mode == "stats":
+            out = uf.domain_stats(df, args.url_column, args.text_column)
+        else:
+            out = uf.domain_cap(df, args.url_column, args.max_docs,
+                                order_col=args.order_column)
         _out(out, args, 50)
     elif c == "outliers":
         cols = args.columns.split(",") if args.columns else None

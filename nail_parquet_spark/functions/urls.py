@@ -57,3 +57,92 @@ def url_normalize(col: Column) -> Column:
     rest = F.regexp_replace(rest, r"[?&]+$", "")
     rest = F.when(rest == "/", F.lit("")).otherwise(rest)
     return F.concat(prefix, rest)
+
+
+# ---------------------------------------------------------------------------
+# domain analysis (host extraction, registered domain, per-domain budgeting)
+# ---------------------------------------------------------------------------
+
+# two-level public suffixes we resolve to three labels ("bbc.co.uk"), a
+# pinned SUBSET of the Mozilla public-suffix list: the full list is ~9k
+# entries and versioned; web-corpus domain capping needs the common ccTLD
+# second levels, not the long tail, and a pinned set keeps the oracle exact.
+TWO_LEVEL_SUFFIXES = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "co.jp", "or.jp", "ne.jp", "ac.jp", "go.jp",
+    "com.br", "net.br", "org.br", "gov.br",
+    "co.in", "net.in", "org.in", "gen.in", "firm.in",
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn",
+    "co.kr", "or.kr", "re.kr", "go.kr",
+    "com.mx", "org.mx", "gob.mx",
+    "co.za", "org.za", "web.za",
+    "com.tr", "org.tr", "edu.tr", "gov.tr",
+    "com.ar", "com.sg", "com.hk", "com.tw", "co.nz", "org.nz",
+)
+
+
+def url_host(col: Column) -> Column:
+    """Lowercased host of a URL: authority minus userinfo minus port.
+    Empty string when there is no ``scheme://`` prefix (relative URL)."""
+    auth = F.regexp_extract(col, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)", 1)
+    host = F.regexp_extract(auth, r"([^@]*)$", 1)       # after the LAST '@'
+    host = F.regexp_replace(host, r":[0-9]*$", "")      # strip any port
+    return F.lower(host)
+
+
+def registered_domain(col: Column) -> Column:
+    """Registrable domain of a host or URL column ("public-suffix-lite"):
+    the last two labels, or the last three when the last two are a pinned
+    two-level suffix (``TWO_LEVEL_SUFFIXES``). IPv4 hosts and single-label
+    hosts pass through unchanged. Accepts either a bare host or a full URL
+    (anything with '://' or '/' goes through ``url_host`` first, so a
+    relative URL yields the empty domain, never a path fragment)."""
+    host = F.when(col.contains("://") | col.contains("/"),
+                  url_host(col)).otherwise(F.lower(col))
+    is_ip = host.rlike(r"^[0-9.]+$")
+    last2 = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+    last3 = F.regexp_extract(host, r"([^.]+\.[^.]+\.[^.]+)$", 1)
+    dom = F.when(is_ip | (~host.contains(".")), host).otherwise(
+        F.when(
+            last2.isin(*TWO_LEVEL_SUFFIXES) & (last3 != ""), last3
+        ).otherwise(last2)
+    )
+    return dom
+
+
+def domain_stats(df, url_col: str = "url", text_col: "str | None" = None):
+    """Per-registered-domain corpus budget: document count, plus char count
+    and mean doc length when ``text_col`` is given. ONE hash-aggregate on
+    the domain key — the standard first look before domain capping. Adds
+    ``share`` (fraction of all docs) via a broadcast of the scalar total."""
+    dom = registered_domain(F.col(url_col)).alias("domain")
+    aggs = [F.count(F.lit(1)).alias("n_docs")]
+    if text_col is not None:
+        aggs.append(F.sum(F.length(text_col)).cast("bigint").alias("n_chars"))
+        aggs.append(F.avg(F.length(text_col)).alias("mean_chars"))
+    out = df.select(dom, *([text_col] if text_col else [])).groupBy("domain").agg(*aggs)
+    total = df.count()
+    return out.withColumn("share", F.col("n_docs") / F.lit(float(total)))
+
+
+def domain_cap(df, url_col: str = "url", max_docs: int = 1000,
+               order_col: "str | None" = None):
+    """Cap documents per registered domain (the RefinedWeb/C4 anti-spam
+    move: no single domain may dominate the corpus). Keeps the first
+    ``max_docs`` docs per domain ordered by ``order_col`` (required for a
+    deterministic result; pass a unique id). The window partitions by
+    domain — no global window, scales as a hash shuffle on the domain key;
+    a pathologically hot domain is bounded by the cap itself (row_number
+    short-circuits nothing, but the skewed partition is one key's rows —
+    salt upstream if one domain exceeds a single executor's spill budget)."""
+    if order_col is None:
+        raise ValueError("domain_cap needs an order_col for determinism")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(registered_domain(F.col(url_col))).orderBy(order_col)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= max_docs)
+        .drop("__rn")
+    )

@@ -421,3 +421,27 @@ def test_cli_optimize_quality_gate(spark, tmp_path, capsys):
     dec = decode_table(spark.read.parquet(out))
     assert dec.count() == 5
     assert {r["doc_id"] % 2 for r in dec.select("doc_id").collect()} == {0}
+
+
+def test_cli_pii_and_domains(spark, tmp_path, capsys):
+    p = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(1, "mail me at a@b.com", "https://www.alpha.com/1"),
+         (2, "call 555-123-4567", "https://sub.beta.co.uk/2"),
+         (3, "clean text here", "https://www.alpha.com/3")],
+        "id long, text string, url string",
+    ).write.parquet(p)
+    out = str(tmp_path / "masked.parquet")
+    run("pii", p, "--mode", "mask", "-o", out)
+    got = {r.id: r.text for r in spark.read.parquet(out).collect()}
+    assert got[1] == "mail me at <EMAIL>"
+    assert got[2] == "call <PHONE>"
+    assert got[3] == "clean text here"
+    run("pii", p, "--mode", "stats")
+    assert "email" in capsys.readouterr().out
+    out2 = str(tmp_path / "capped.parquet")
+    run("domains", p, "--mode", "cap", "--max-docs", "1",
+        "--order-column", "id", "-o", out2)
+    assert spark.read.parquet(out2).count() == 2
+    run("domains", p, "--mode", "stats", "--text-column", "text")
+    assert "alpha.com" in capsys.readouterr().out
