@@ -1071,6 +1071,27 @@ def q_decode_pushdown(spark, sf_dir):
     return decode_table_where(blocks, "o_totalprice", ">=", 400000.0)
 
 
+def q_decode_bloom_pushdown(spark, sf_dir):
+    """Encode documents with a per-block bloom index on source, then decode
+    with an EQUALITY pushdown (codec/decode.prune_blocks_bloom: the probe
+    runs distributed as Catalyst bit arithmetic over the bitmaps; zone maps
+    alone cannot prune a high-cardinality equality). Value-exact against
+    plain SQL because decode is bit-identical and the bloom can only skip
+    provably-nonmatching blocks (residual filter keeps semantics exact)."""
+    from nail_parquet_spark.codec.decode import decode_table_where
+    from nail_parquet_spark.codec.encode import encode_table
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "source", "n_chars")
+        .repartition(4)
+        .sortWithinPartitions("source")
+    )
+    blocks = encode_table(d, block_rows=2048, bloom_columns=["source"])
+    return decode_table_where(blocks, "source", "=", "src3",
+                              file_keyed=False)
+
+
 def q_embedding_topk_lsh(spark, sf_dir):
     from nail_parquet_spark.functions.similarity import cosine_topk_lsh
 
@@ -1189,6 +1210,7 @@ _QUERIES = {
         "domain_cap": q_domain_cap,
         "corr_kendall_pvalues": q_corr_kendall_pvalues,
         "decode_pushdown": q_decode_pushdown,
+        "decode_bloom_pushdown": q_decode_bloom_pushdown,
         "encode_manifest": q_encode_manifest,
         "encode_roundtrip": q_encode_roundtrip,
         "gopher_filter_arrow": q_gopher_filter_arrow,
@@ -1565,6 +1587,9 @@ def oracle_sql() -> dict[str, str]:
         "decode_pushdown": """
             SELECT o_orderkey, o_totalprice FROM orders
             WHERE o_totalprice >= 400000.0""",
+        "decode_bloom_pushdown": """
+            SELECT doc_id, source, n_chars FROM documents
+            WHERE source = 'src3'""",
         "keywords_tfidf": r"""
             WITH toks AS (
               SELECT doc_id,

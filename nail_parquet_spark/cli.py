@@ -144,6 +144,9 @@ def main(argv: list[str] | None = None) -> int:
                               "help": "plain parquet rewrite with this codec (snappy/gzip/zstd/brotli) instead of block-encode"}),
         (("--compression-level",), {"type": int, "default": None,
                                     "help": "zstd/brotli level 1-9 (optimize.rs:119); brotli writes via the pyarrow sink"}),
+        (("--bloom-columns",), {"default": None,
+                                "help": "comma list of str/int columns to index with per-block "
+                                        "bloom bitmaps (equality pushdown in decode --where)"}),
         (("--bucket-by",), {"default": None, "help": "save as a bucketed table on this key (zero-shuffle future joins)"}),
         (("--buckets",), {"type": int, "default": 64}),
         (("--table",), {"default": None, "help": "catalog table name for --bucket-by"}),
@@ -605,7 +608,9 @@ def main(argv: list[str] | None = None) -> int:
                   + (f":{args.compression_level}" if args.compression_level else "") + ")")
             return 0
         codecs = json.loads(args.codecs) if args.codecs else None
-        blocks = encode_table(src, codecs=codecs, policy=args.policy)
+        bloom_cols = args.bloom_columns.split(",") if args.bloom_columns else None
+        blocks = encode_table(src, codecs=codecs, policy=args.policy,
+                              bloom_columns=bloom_cols)
         if args.output:
             blocks.write.mode("overwrite").parquet(args.output)
             blocks = spark.read.parquet(args.output)

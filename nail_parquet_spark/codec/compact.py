@@ -87,6 +87,10 @@ def compact_blocks(blocks: DataFrame, out_dir: str,
     from nail_parquet_spark.codec.encode import BLOCKS_COLUMNS
 
     canon = [n for n, _ in BLOCKS_COLUMNS]
+    if "bloom" not in blocks.columns:
+        # pre-bloom block dirs stay compactable (the column is optional
+        # metadata; decode/prune treat a NULL bloom as "no filter, keep")
+        blocks = blocks.withColumn("bloom", F.lit(None).cast("binary"))
     missing = [c for c in canon if c not in blocks.columns]
     if missing:
         raise ValueError(f"blocks table is missing columns {missing}")

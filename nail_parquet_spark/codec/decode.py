@@ -665,6 +665,56 @@ def prune_blocks(blocks: DataFrame, column: str, op: str, value,
     return blocks.filter(F.col("part_id").isin(parts) & F.col("block_id").isin(bids))
 
 
+def prune_blocks_bloom(blocks: DataFrame, column: str, value,
+                       max_groups: int = 100_000,
+                       headers: dict[str, dict] | None = None) -> DataFrame:
+    """Equality pushdown via the opt-in per-block bloom bitmaps
+    (codec/bloom.py): drop (part_id, block_id) groups whose ``column``
+    bloom proves ``column = value`` matches no row. The complement of zone
+    maps — min/max rarely excludes an equality probe on a high-cardinality
+    column, a 10-bits/key bloom excludes ~99% of non-matching blocks.
+
+    The membership test runs distributed as a pure Catalyst expression
+    (``bloom_probe_sql``: substring/conv/bit arithmetic on the bitmap
+    bytes, probe hashes computed driver-side); only the surviving keep-set
+    is collected, same O(#groups) cap-and-skip contract as
+    ``prune_blocks``. A NULL bloom (no filter on that block, pre-bloom
+    dir, unsupported type) always keeps the group — never wrong, only
+    less pruned. Bitmaps stay out of the decode path entirely: this
+    projection reads (part_id, block_id, bloom) only."""
+    if "bloom" not in blocks.columns:
+        return blocks
+    from nail_parquet_spark.codec.bloom import bloom_probe_sql
+    from nail_parquet_spark.codec.kernels import _type_from_str
+
+    if headers is None:
+        headers, _ = _headers_by_column(blocks)
+    if column not in headers:
+        raise ValueError(f"column {column!r} not in the blocks table")
+    t = _type_from_str(headers[column]["type"])
+    if pa.types.is_integer(t) or pa.types.is_boolean(t):
+        kind = "int"
+    elif pa.types.is_string(t) or pa.types.is_large_string(t):
+        kind = "str"
+    else:
+        return blocks
+    probe = bloom_probe_sql("bloom", value, kind)
+    if probe is None:
+        return blocks
+    meta = blocks.filter(F.col("column") == column).select(
+        "part_id", "block_id", "bloom")
+    may = F.col("bloom").isNull() | F.expr(probe)
+    pairs = (
+        meta.filter(may).select("part_id", "block_id").distinct()
+        .limit(max_groups + 1).collect()
+    )
+    if len(pairs) > max_groups:
+        return blocks
+    parts = sorted({r["part_id"] for r in pairs})
+    bids = sorted({r["block_id"] for r in pairs})
+    return blocks.filter(F.col("part_id").isin(parts) & F.col("block_id").isin(bids))
+
+
 def decode_table_where(blocks: DataFrame, column: str, op: str, value,
                        columns: list[str] | None = None,
                        num_partitions: int | None = None,
@@ -700,6 +750,9 @@ def decode_table_where_all(blocks: DataFrame, predicates,
     for col_, op_, val_ in preds:
         pruned = prune_blocks(pruned, col_, op_, val_, max_groups,
                               headers=headers)
+        if op_ in ("=", "=="):
+            pruned = prune_blocks_bloom(pruned, col_, val_, max_groups,
+                                        headers=headers)
     use_cols = list(out_cols)
     for col_, _, _ in preds:
         if col_ not in use_cols:

@@ -31,7 +31,7 @@ BLOCKS_COLUMNS = [
     ("codec", "string"), ("n_rows", "bigint"), ("raw_bytes", "bigint"),
     ("enc_bytes", "bigint"), ("null_count", "bigint"), ("min_val", "string"),
     ("max_val", "string"), ("distinct_est", "bigint"), ("header", "string"),
-    ("payload", "binary"),
+    ("payload", "binary"), ("bloom", "binary"),
 ]
 BLOCKS_SCHEMA = ", ".join(f"{n} {t}" for n, t in BLOCKS_COLUMNS)
 
@@ -115,9 +115,17 @@ def encode_table(
     sample_rows: int = 8192,
     block_rows: int = 65536,
     with_stats: bool = True,
+    bloom_columns: "list[str] | None" = None,
 ) -> DataFrame:
-    """Encode selected columns of ``df`` into a blocks DataFrame."""
+    """Encode selected columns of ``df`` into a blocks DataFrame.
+
+    ``bloom_columns``: opt-in per-block bloom bitmaps for equality
+    pushdown (codec/bloom.py); str/int columns only."""
     cols = columns or df.columns
+    bloom_cols = tuple(bloom_columns or ())
+    bad = [c for c in bloom_cols if c not in cols]
+    if bad:
+        raise ValueError(f"bloom_columns not among encoded columns: {bad}")
     chosen = dict(codecs or {})
     missing = [c for c in cols if c not in chosen]
     if missing:
@@ -157,25 +165,29 @@ def encode_table(
                 yield pa.Table.from_batches(pending).combine_chunks()
 
         for chunk in chunks():
-            yield _encode_chunk(chunk, cols, chosen, with_stats, pid, block_id)
+            yield _encode_chunk(chunk, cols, chosen, with_stats, pid, block_id,
+                                bloom_cols=bloom_cols)
             block_id += 1
 
     return proj.mapInArrow(enc, schema=BLOCKS_SCHEMA)
 
 
 def _encode_chunk(chunk, cols, chosen, with_stats, pid, block_id,
-                  executor=None) -> pa.RecordBatch:
+                  executor=None, bloom_cols=()) -> pa.RecordBatch:
     """Encode one row chunk (pa.Table or RecordBatch) into block rows.
 
     ``executor`` (a ThreadPoolExecutor) overlaps per-column encodes —
     pyarrow's zstd releases the GIL, measured ~1.9x on the web table's
     html+text pair. Only pass one when the task owns >1 core
     (spark.task.cpus); with 1-core tasks threads oversubscribe the executor.
+
+    ``bloom_cols``: columns that get a per-block bloom bitmap (equality
+    pushdown, codec/bloom.py) — opt-in, str/int columns only.
     """
     out = {k: [] for k in (
         "part_id", "block_id", "column", "codec", "n_rows",
         "raw_bytes", "enc_bytes", "null_count", "min_val",
-        "max_val", "distinct_est", "header", "payload")}
+        "max_val", "distinct_est", "header", "payload", "bloom")}
 
     def _arr_of(cname):
         arr = chunk.column(chunk.schema.get_field_index(cname))
@@ -216,6 +228,12 @@ def _encode_chunk(chunk, cols, chosen, with_stats, pid, block_id,
         out["distinct_est"].append(dist)
         out["header"].append(blk.header_json())
         out["payload"].append(blk.payload)
+        if cname in bloom_cols:
+            from nail_parquet_spark.codec.bloom import bloom_build
+
+            out["bloom"].append(bloom_build(arr))
+        else:
+            out["bloom"].append(None)
     return pa.record_batch(
         [
             pa.array(out["part_id"], pa.int32()),
@@ -231,6 +249,7 @@ def _encode_chunk(chunk, cols, chosen, with_stats, pid, block_id,
             pa.array(out["distinct_est"], pa.int64()),
             pa.array(out["header"], pa.string()),
             pa.array(out["payload"], pa.binary()),
+            pa.array(out["bloom"], pa.binary()),
         ],
         names=list(out.keys()),
     )
@@ -453,6 +472,7 @@ def encode_parquet_files(
     with_stats: bool = True,
     num_partitions: int | None = None,
     encode_threads: int = 1,
+    bloom_columns: "list[str] | None" = None,
 ) -> DataFrame:
     """Scan-side encode: tasks read parquet ROW GROUPS directly with the
     pyarrow C++ reader and encode in place.
@@ -496,7 +516,8 @@ def encode_parquet_files(
                     tbl = _with_partition_columns(tbl, p, part_info)
                     for off in range(0, tbl.num_rows, block_rows):
                         chunk = tbl.slice(off, min(block_rows, tbl.num_rows - off))
-                        yield _encode_chunk(chunk, all_cols, chosen, with_stats, pid, block_id, executor=pool)
+                        yield _encode_chunk(chunk, all_cols, chosen, with_stats, pid, block_id,
+                                            executor=pool, bloom_cols=tuple(bloom_columns or ()))
                         block_id += 1
         finally:
             if pool is not None:
@@ -525,6 +546,7 @@ def encode_parquet_dir(
     num_partitions: int | None = None,
     compression: str = "none",
     encode_threads: int = 1,
+    bloom_columns: "list[str] | None" = None,
 ) -> DataFrame:
     """Scan-side encode with a PYTHON-side parquet sink, all in ONE task
     function: each task reads its (file, row-group) work items with the C++
@@ -596,7 +618,8 @@ def encode_parquet_dir(
                     tbl = _with_partition_columns(tbl, p, part_info)
                     for off in range(0, tbl.num_rows, block_rows):
                         chunk = tbl.slice(off, min(block_rows, tbl.num_rows - off))
-                        rb = _encode_chunk(chunk, all_cols, chosen, with_stats, tid, block_id, executor=pool)
+                        rb = _encode_chunk(chunk, all_cols, chosen, with_stats, tid, block_id,
+                                           executor=pool, bloom_cols=tuple(bloom_columns or ()))
                         block_id += 1
                         if writer is None:
                             writer = _pq.ParquetWriter(tmp_path, rb.schema, compression=compression)

@@ -37,13 +37,21 @@ def metadata_summary(blocks: DataFrame) -> DataFrame:
 
 
 def size_summary(blocks: DataFrame) -> DataFrame:
-    """Table-level totals (nail size parity, exact instead of heuristic)."""
-    return blocks.agg(
+    """Table-level totals (nail size parity, exact instead of heuristic).
+
+    ``bloom_bytes`` reports the opt-in equality-index overhead separately:
+    blooms are droppable metadata (pruning falls back to zone maps), so
+    they stay out of enc_bytes/ratio — the codec's job — and are surfaced
+    here so the trade is visible."""
+    aggs = [
         F.countDistinct("part_id", "block_id").alias("n_blocks"),
         F.sum("raw_bytes").alias("raw_bytes"),
         F.sum("enc_bytes").alias("enc_bytes"),
         F.round(F.sum("raw_bytes") / F.sum("enc_bytes"), 4).alias("ratio"),
-    )
+    ]
+    if "bloom" in blocks.columns:
+        aggs.append(F.coalesce(F.sum(F.length("bloom")), F.lit(0)).alias("bloom_bytes"))
+    return blocks.agg(*aggs)
 
 
 def encoding_usage(blocks: DataFrame) -> DataFrame:

@@ -445,3 +445,15 @@ def test_cli_pii_and_domains(spark, tmp_path, capsys):
     assert spark.read.parquet(out2).count() == 2
     run("domains", p, "--mode", "stats", "--text-column", "text")
     assert "alpha.com" in capsys.readouterr().out
+
+
+def test_cli_optimize_bloom_columns(spark, tmp_path, capsys):
+    p = str(tmp_path / "d.parquet")
+    spark.range(0, 500, 1, 2).selectExpr("id", "concat('u', id) AS u") \
+        .write.parquet(p)
+    out = str(tmp_path / "blocks")
+    run("optimize", p, "--bloom-columns", "u", "-o", out)
+    assert "bloom_bytes" in capsys.readouterr().out
+    blocks = spark.read.parquet(out)
+    assert blocks.filter("column = 'u' AND bloom IS NULL").count() == 0
+    assert blocks.filter("column = 'id' AND bloom IS NOT NULL").count() == 0
