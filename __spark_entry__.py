@@ -772,6 +772,18 @@ def q_domain_cap(spark, sf_dir):
                       order_col="o_orderkey").select("o_orderkey", "url")
 
 
+def q_pack_shards(spark, sf_dir):
+    """Token-budget shard packing (functions/packing.pack_shards): assign
+    docs to ~5000-char training shards by the pinned floor-of-prefix-sum
+    rule. The prefix sum is the scalable rowid machinery (range-bucketed
+    partitioned windows + O(#buckets) driver offsets — no global window,
+    plan-tested); the oracle is the equivalent single-window SQL."""
+    from nail_parquet_spark.functions.packing import pack_shards
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return pack_shards(d, "n_chars", 5000, "doc_id").select("doc_id", "shard_id")
+
+
 def q_corpus_stats(spark, sf_dir):
     """Per-language corpus sizing (docs/tokens/chars/mean tokens) —
     functions/text.corpus_stats, the dataset-budgeting pass."""
@@ -1208,6 +1220,7 @@ _QUERIES = {
         "pii_stats": q_pii_stats,
         "domain_stats": q_domain_stats,
         "domain_cap": q_domain_cap,
+        "pack_shards": q_pack_shards,
         "corr_kendall_pvalues": q_corr_kendall_pvalues,
         "decode_pushdown": q_decode_pushdown,
         "decode_bloom_pushdown": q_decode_bloom_pushdown,
@@ -1590,6 +1603,13 @@ def oracle_sql() -> dict[str, str]:
         "decode_bloom_pushdown": """
             SELECT doc_id, source, n_chars FROM documents
             WHERE source = 'src3'""",
+        "pack_shards": """
+            SELECT doc_id,
+                   CAST(floor(coalesce(sum(n_chars) OVER (
+                         ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       / 5000.0) AS BIGINT) AS shard_id
+            FROM documents""",
         "keywords_tfidf": r"""
             WITH toks AS (
               SELECT doc_id,

@@ -195,6 +195,13 @@ def main(argv: list[str] | None = None) -> int:
         (("--max-docs",), {"type": int, "default": 1000, "help": "cap for --mode cap"}),
         (("--order-column",), {"default": None,
                                "help": "deterministic keep order for --mode cap (required)"}))
+    add("shards", (("--token-column",), {"required": True}),
+        (("--budget",), {"type": int, "default": 1_000_000,
+                         "help": "target tokens per shard"}),
+        (("--order-column",), {"required": True,
+                               "help": "unique doc id pinning the pack order"}),
+        (("--stats",), {"action": "store_true",
+                        "help": "emit the per-shard manifest instead of per-doc shard_id"}))
     add("metadata", with_output=False)
     add("compact", (("--num-files",), {"type": int, "default": 32,
                                        "help": "output block-file count"}))
@@ -494,6 +501,13 @@ def main(argv: list[str] | None = None) -> int:
                               "left_semi")
             else:
                 out = verdict
+        _out(out, args, 50)
+    elif c == "shards":
+        from nail_parquet_spark.functions.packing import pack_shards, shard_stats
+
+        out = pack_shards(df, args.token_column, args.budget, args.order_column)
+        if args.stats:
+            out = shard_stats(out, args.token_column)
         _out(out, args, 50)
     elif c == "pii":
         from nail_parquet_spark.functions import pii as pf

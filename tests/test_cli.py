@@ -457,3 +457,13 @@ def test_cli_optimize_bloom_columns(spark, tmp_path, capsys):
     blocks = spark.read.parquet(out)
     assert blocks.filter("column = 'u' AND bloom IS NULL").count() == 0
     assert blocks.filter("column = 'id' AND bloom IS NOT NULL").count() == 0
+
+
+def test_cli_shards(spark, tmp_path, capsys):
+    p = str(tmp_path / "s.parquet")
+    spark.range(0, 100, 1, 4).selectExpr("id", "cast(100 as bigint) AS n_tok") \
+        .write.parquet(p)
+    run("shards", p, "--token-column", "n_tok", "--budget", "1000",
+        "--order-column", "id", "--stats")
+    out = capsys.readouterr().out
+    assert "n_tokens" in out
