@@ -784,6 +784,17 @@ def q_pack_shards(spark, sf_dir):
     return pack_shards(d, "n_chars", 5000, "doc_id").select("doc_id", "shard_id")
 
 
+def q_corpus_mix(spark, sf_dir):
+    """Deterministic corpus mixing (functions/mixing.corpus_mix): per-lang
+    downsampling by the pinned md5-prefix threshold — a pure no-shuffle
+    predicate, so the mix is reproducible across engines (the oracle
+    reproduces the EXACT row set, not a statistical twin)."""
+    from nail_parquet_spark.functions.mixing import corpus_mix
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return corpus_mix(d, "lang", {"en": 0.5, "de": 0.25}, "doc_id")
+
+
 def q_corpus_stats(spark, sf_dir):
     """Per-language corpus sizing (docs/tokens/chars/mean tokens) —
     functions/text.corpus_stats, the dataset-budgeting pass."""
@@ -1211,16 +1222,19 @@ _QUERIES = {
         "split_hash": q_split_hash,
         "text_tokens": q_text_tokens,
         "window_running_sum": q_window_running_sum,
-        # 2) every query whose code changed this round: url userinfo
+        # 2) every query NEW or code-changed this round: url userinfo
         #    rule (ADVICE r4), kendall min-k bounded sample (VERDICT r4
         #    #6), xref v2 two-stream layout + decimal partition typing
-        #    (kernels/encode/decode)
+        #    (kernels/encode/decode), and the round-5 additions (PII,
+        #    domains, shard packing, corpus mix, bloom pushdown, arrow
+        #    quality kernel)
         "url_normalize": q_url_normalize,
         "pii_mask": q_pii_mask,
         "pii_stats": q_pii_stats,
         "domain_stats": q_domain_stats,
         "domain_cap": q_domain_cap,
         "pack_shards": q_pack_shards,
+        "corpus_mix": q_corpus_mix,
         "corr_kendall_pvalues": q_corr_kendall_pvalues,
         "decode_pushdown": q_decode_pushdown,
         "decode_bloom_pushdown": q_decode_bloom_pushdown,
@@ -1603,6 +1617,11 @@ def oracle_sql() -> dict[str, str]:
         "decode_bloom_pushdown": """
             SELECT doc_id, source, n_chars FROM documents
             WHERE source = 'src3'""",
+        "corpus_mix": """
+            SELECT doc_id, lang FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR) || '|' || lang), 1, 8)
+                  < (CASE WHEN lang = 'en' THEN '80000000'
+                          WHEN lang = 'de' THEN '40000000' ELSE 'g' END)""",
         "pack_shards": """
             SELECT doc_id,
                    CAST(floor(coalesce(sum(n_chars) OVER (

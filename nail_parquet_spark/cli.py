@@ -195,6 +195,14 @@ def main(argv: list[str] | None = None) -> int:
         (("--max-docs",), {"type": int, "default": 1000, "help": "cap for --mode cap"}),
         (("--order-column",), {"default": None,
                                "help": "deterministic keep order for --mode cap (required)"}))
+    add("mix", (("--group-column",), {"required": True}),
+        (("--id-column",), {"required": True, "help": "unique doc id (salts the keep hash)"}),
+        (("--rates",), {"default": None, "help": 'JSON {"group": rate} keep fractions'}),
+        (("--temperature",), {"type": float, "default": None,
+                              "help": "derive rates from group counts at this temperature "
+                                      "(T=1 natural mix, large T ~ uniform)"}),
+        (("--stats",), {"action": "store_true",
+                        "help": "emit before/after counts per group instead of the rows"}))
     add("shards", (("--token-column",), {"required": True}),
         (("--budget",), {"type": int, "default": 1_000_000,
                          "help": "target tokens per shard"}),
@@ -501,6 +509,17 @@ def main(argv: list[str] | None = None) -> int:
                               "left_semi")
             else:
                 out = verdict
+        _out(out, args, 50)
+    elif c == "mix":
+        from nail_parquet_spark.functions.mixing import (
+            corpus_mix, mix_stats, temperature_rates)
+
+        if (args.rates is None) == (args.temperature is None):
+            p.error("mix needs exactly one of --rates / --temperature")
+        rates = (json.loads(args.rates) if args.rates
+                 else temperature_rates(df, args.group_column, args.temperature))
+        mixed = corpus_mix(df, args.group_column, rates, args.id_column)
+        out = mix_stats(df, mixed, args.group_column) if args.stats else mixed
         _out(out, args, 50)
     elif c == "shards":
         from nail_parquet_spark.functions.packing import pack_shards, shard_stats

@@ -467,3 +467,16 @@ def test_cli_shards(spark, tmp_path, capsys):
         "--order-column", "id", "--stats")
     out = capsys.readouterr().out
     assert "n_tokens" in out
+
+
+def test_cli_mix(spark, tmp_path, capsys):
+    p = str(tmp_path / "m.parquet")
+    spark.range(0, 400, 1, 2).selectExpr(
+        "id", "CASE WHEN id % 4 = 0 THEN 'a' ELSE 'b' END AS g").write.parquet(p)
+    run("mix", p, "--group-column", "g", "--id-column", "id",
+        "--rates", '{"b": 0.5}', "--stats")
+    out = capsys.readouterr().out
+    assert "n_before" in out
+    run("mix", p, "--group-column", "g", "--id-column", "id",
+        "--temperature", "5", "--stats")
+    assert "rate" in capsys.readouterr().out
