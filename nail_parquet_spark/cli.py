@@ -170,10 +170,11 @@ def main(argv: list[str] | None = None) -> int:
         (("--id-column",), {"default": None, "help": "doc id column (default: first column)"}),
         (("--mode",), {"default": "filter",
                        "choices": ["signals", "repetition", "top-ngram", "filter",
-                                   "clean", "dedup-lines", "corpus-stats"],
+                                   "clean", "dedup-lines", "corpus-stats",
+                                   "perplexity"],
                        "help": "Gopher signals / dup-line stats / top n-gram / composed "
                                "rule filter / C4 line cleaning / corpus-global line dedup / "
-                               "corpus token totals"}),
+                               "corpus token totals / unigram-LM perplexity"}),
         (("--group-by",), {"default": None, "help": "group column for --mode corpus-stats"}),
         (("--ngram",), {"type": int, "default": 2, "help": "n for --mode top-ngram"}),
         (("--rules",), {"default": None, "help": 'JSON threshold overrides, e.g. {"min_words": 20}'}),
@@ -210,6 +211,18 @@ def main(argv: list[str] | None = None) -> int:
                                "help": "unique doc id pinning the pack order"}),
         (("--stats",), {"action": "store_true",
                         "help": "emit the per-shard manifest instead of per-doc shard_id"}))
+    add("decontam", (("--eval",), {"required": True, "dest": "eval_path",
+                                   "help": "eval/benchmark table (any supported format)"}),
+        (("-c", "--text-column"), {"default": "text", "dest": "text_column"}),
+        (("--id-column",), {"default": None, "help": "unique doc id (default: first column)"}),
+        (("--eval-text-column",), {"default": None,
+                                   "help": "text column in the eval table (default: same name)"}),
+        (("--ngram",), {"type": int, "default": 13,
+                        "help": "n-gram size (13 = the GPT-3/Llama rule)"}),
+        (("--min-hits",), {"type": int, "default": 1}),
+        (("--min-frac",), {"type": float, "default": 0.0}),
+        (("--report",), {"action": "store_true",
+                         "help": "emit the per-doc overlap report instead of the kept rows"}))
     add("metadata", with_output=False)
     add("compact", (("--num-files",), {"type": int, "default": 32,
                                        "help": "output block-file count"}))
@@ -499,6 +512,10 @@ def main(argv: list[str] | None = None) -> int:
             from nail_parquet_spark.functions.text import corpus_stats
 
             out = corpus_stats(df, args.text_column, group_by=args.group_by)
+        elif args.mode == "perplexity":
+            from nail_parquet_spark.functions.text import unigram_logprob
+
+            out = unigram_logprob(df, id_col, args.text_column)
         else:
             rules = json.loads(args.rules) if args.rules else None
             verdict = qf.gopher_filter(df, id_col, args.text_column, rules=rules,
@@ -527,6 +544,20 @@ def main(argv: list[str] | None = None) -> int:
         out = pack_shards(df, args.token_column, args.budget, args.order_column)
         if args.stats:
             out = shard_stats(out, args.token_column)
+        _out(out, args, 50)
+    elif c == "decontam":
+        from nail_parquet_spark.functions.decontam import (
+            decontaminate, ngram_overlap)
+
+        id_col = args.id_column or df.columns[0]
+        eval_df = read_data(spark, args.eval_path)
+        kw = dict(n=args.ngram, eval_text_col=args.eval_text_column)
+        if args.report:
+            out = ngram_overlap(df, eval_df, id_col, args.text_column, **kw)
+        else:
+            out = decontaminate(df, eval_df, id_col, args.text_column,
+                                min_hits=args.min_hits, min_frac=args.min_frac,
+                                **kw)
         _out(out, args, 50)
     elif c == "pii":
         from nail_parquet_spark.functions import pii as pf

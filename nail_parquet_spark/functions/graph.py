@@ -70,3 +70,45 @@ def dedup_by_components(df: DataFrame, id_col: str, pairs: DataFrame,
     labels = connected_components(pairs, id_a, id_b, max_iter)
     drop = labels.filter(F.col("id") != F.col("comp")).select("id")
     return df.join(drop, df[id_col] == drop["id"], "left_anti")
+
+
+def keep_best_in_cluster(df: DataFrame, id_col: str, score_col: str,
+                         pairs: DataFrame, id_a: str = "id_a",
+                         id_b: str = "id_b", max_iter: int = 30) -> DataFrame:
+    """Cluster dedup with a QUALITY policy: within each transitive
+    near-duplicate cluster keep the row with the HIGHEST ``score_col``
+    (ties broken by smallest id — fully deterministic); rows in no pair
+    are kept unchanged.
+
+    This is the curation-grade variant of :func:`dedup_by_components` —
+    real pipelines keep the best-quality copy of a duplicated page (e.g. a
+    Gopher quality score), not an arbitrary canonical id.
+
+    Scale shape: labels come from min-label propagation (keyed joins
+    only); the per-cluster winner is ONE groupBy over (comp) rows carrying
+    just (score, id) — ``max_by`` via struct ordering, no window, no
+    driver pull; winners semi-join back against the full rows. Requires
+    unique ids and a non-null numeric score (nulls sort lowest via
+    coalesce to -inf).
+    """
+    labels = connected_components(pairs, id_a, id_b, max_iter)
+    scored = df.select(
+        F.col(id_col).alias("__sid"),
+        F.coalesce(F.col(score_col).cast("double"),
+                   F.lit(float("-inf"))).alias("__score"),
+    )
+    member = labels.join(scored, labels["id"] == scored["__sid"]).select(
+        "comp", "__score", "id"
+    )
+    # max by (score asc, id desc) struct => highest score, then SMALLEST id
+    # (negate id ordering by sorting on the struct of (score, -id) is not
+    # type-safe for non-numeric ids, so use min over (-score, id) instead)
+    winners = (
+        member.select("comp", F.struct((-F.col("__score")).alias("ns"),
+                                       F.col("id").alias("wid")).alias("__k"))
+        .groupBy("comp").agg(F.min("__k").alias("__k"))
+        .select(F.col("__k.wid").alias("__win"))
+    )
+    losers = labels.join(winners, labels["id"] == winners["__win"],
+                         "left_anti").select("id")
+    return df.join(losers, df[id_col] == losers["id"], "left_anti")

@@ -247,3 +247,53 @@ def keywords_tfidf(df, id_col: str, text_col: str, k: int = 3):
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def unigram_logprob(df, id_col: str, text_col: str,
+                    vocab_df=None) -> "DataFrame":
+    """Per-document mean unigram log-probability and perplexity under the
+    corpus's own (or a supplied) unigram language model — the cheap,
+    SQL-exact stand-in for KenLM-style perplexity filtering: boilerplate
+    and gibberish score far from the corpus mode and can be thresholded.
+
+    Model: p(w) = tf(w) / total_tokens over ``vocab_df`` (columns
+    ``token, tf`` — defaults to :func:`vocabulary` of ``df`` itself, i.e.
+    self-perplexity). Per doc: ``mean_logprob`` = mean over its TOKEN
+    OCCURRENCES of ln p(w) (out-of-vocab tokens get p = 1/total as a
+    floor), ``perplexity`` = exp(-mean_logprob); both rounded to 6 for
+    engine portability. Empty docs -> n_tokens 0, nulls.
+
+    Scale shape: ONE explode, token probs broadcast (vocab is
+    dimension-scale), ONE groupBy keyed by doc id. The log/exp stay in
+    whole-stage codegen; rounding pins cross-engine float identity.
+    """
+    if vocab_df is None:
+        vocab_df = vocabulary(df, id_col, text_col)
+    total = vocab_df.agg(F.sum("tf")).collect()[0][0] or 1
+    probs = vocab_df.select(
+        "token", (F.log(F.col("tf") / F.lit(float(total)))).alias("__lp")
+    )
+    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    toks = (
+        df.select(F.col(id_col), F.explode(words).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    floor = F.log(F.lit(1.0) / F.lit(float(total)))
+    per_doc = (
+        toks.join(F.broadcast(probs), "token", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.avg(F.coalesce(F.col("__lp"), floor)).alias("__mlp"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_tokens"), F.lit(0)).cast("bigint").alias("n_tokens"),
+            F.round(F.col("__mlp"), 6).alias("mean_logprob"),
+            F.round(F.exp(-F.col("__mlp")), 6).alias("perplexity"),
+        )
+    )

@@ -480,3 +480,35 @@ def test_cli_mix(spark, tmp_path, capsys):
     run("mix", p, "--group-column", "g", "--id-column", "id",
         "--temperature", "5", "--stats")
     assert "rate" in capsys.readouterr().out
+
+
+def test_cli_decontam_and_perplexity(spark, tmp_path, capsys):
+    docs = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "what is the capital of france paris of course"),
+         (3, "clean text about spark partitions and shuffles")],
+        "doc_id long, text string",
+    ).write.parquet(docs)
+    ev = str(tmp_path / "eval.parquet")
+    spark.createDataFrame(
+        [(1, "what is the capital of france")], "qid long, text string"
+    ).write.parquet(ev)
+
+    rep = str(tmp_path / "rep.parquet")
+    run("decontam", docs, "--eval", ev, "--id-column", "doc_id",
+        "--ngram", "3", "--report", "-o", rep)
+    got = {r["doc_id"]: r["n_hit"] for r in spark.read.parquet(rep).collect()}
+    assert got[2] > 0 and got[1] == 0 and got[3] == 0
+
+    kept = str(tmp_path / "kept.parquet")
+    run("decontam", docs, "--eval", ev, "--id-column", "doc_id",
+        "--ngram", "3", "-o", kept)
+    ids = {r["doc_id"] for r in spark.read.parquet(kept).collect()}
+    assert ids == {1, 3}
+
+    ppl = str(tmp_path / "ppl.parquet")
+    run("quality", docs, "--mode", "perplexity", "--id-column", "doc_id",
+        "-o", ppl)
+    rows = spark.read.parquet(ppl).collect()
+    assert len(rows) == 3 and all(r["perplexity"] > 0 for r in rows)

@@ -1,0 +1,143 @@
+"""Decontamination, cluster quality-keep, and unigram-LM scoring tests."""
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from nail_parquet_spark.functions.decontam import (
+    decontaminate,
+    eval_ngram_hashes,
+    ngram_overlap,
+)
+from nail_parquet_spark.functions.graph import keep_best_in_cluster
+from nail_parquet_spark.functions.text import unigram_logprob
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "what is the capital of france paris is the answer"),  # = eval q
+        (3, "a totally clean document about query engines and sparks"),
+        (4, "what is the capital of france i am not sure at all"),  # partial
+        (5, ""),
+        (6, "short doc"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def evalset(spark):
+    rows = [
+        (100, "what is the capital of france paris"),
+        (101, "name the largest planet jupiter obviously"),
+    ]
+    return spark.createDataFrame(rows, "eid long, text string")
+
+
+class TestDecontam:
+    def test_eval_hashes_distinct(self, spark, evalset):
+        h = eval_ngram_hashes(evalset, "text", n=3)
+        got = h.collect()
+        assert len(got) == len({r["__h"] for r in got})
+        # 5 + 4 trigram positions, all distinct strings
+        assert len(got) == 9
+
+    def test_overlap_report(self, spark, corpus, evalset):
+        rep = {r["doc_id"]: r for r in
+               ngram_overlap(corpus, evalset, "doc_id", "text", n=3).collect()}
+        assert len(rep) == 6
+        # doc 2 contains the full eval question: 5 of its trigrams hit
+        assert rep[2]["n_hit"] == 5
+        assert rep[2]["n_grams"] == 8
+        assert rep[2]["contam_frac"] == pytest.approx(5 / 8, abs=1e-6)
+        # doc 4 shares only the leading trigrams
+        assert 0 < rep[4]["n_hit"] < rep[4]["n_grams"]
+        # clean docs and short/empty docs
+        assert rep[1]["n_hit"] == 0 and rep[3]["n_hit"] == 0
+        assert rep[5]["n_grams"] == 0 and rep[5]["contam_frac"] == 0.0
+        assert rep[6]["n_grams"] == 0  # "short doc" has < 3 words
+
+    def test_filter_default_rule(self, spark, corpus, evalset):
+        kept = decontaminate(corpus, evalset, "doc_id", "text", n=3)
+        ids = {r["doc_id"] for r in kept.collect()}
+        assert ids == {1, 3, 5, 6}  # 2 and 4 flagged (>=1 hit)
+        # schema and values preserved
+        assert kept.columns == corpus.columns
+
+    def test_filter_frac_threshold(self, spark, corpus, evalset):
+        kept = decontaminate(corpus, evalset, "doc_id", "text", n=3,
+                             min_frac=0.5)
+        ids = {r["doc_id"] for r in kept.collect()}
+        assert ids == {1, 3, 4, 5, 6}  # only doc 2 reaches 5/8
+
+    def test_no_broadcast_same_result(self, spark, corpus, evalset):
+        a = ngram_overlap(corpus, evalset, "doc_id", "text", n=3).collect()
+        b = ngram_overlap(corpus, evalset, "doc_id", "text", n=3,
+                          broadcast_eval=False).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+class TestKeepBest:
+    def test_keeps_highest_score(self, spark):
+        df = spark.createDataFrame(
+            [(1, 0.9), (2, 0.95), (3, 0.1), (4, 0.5), (5, 0.5)],
+            "id long, q double",
+        )
+        # cluster {1,2,3} (transitive via 2), cluster {4,5} tie on score
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (4, 5)], "id_a long, id_b long"
+        )
+        kept = keep_best_in_cluster(df, "id", "q", pairs)
+        ids = sorted(r["id"] for r in kept.collect())
+        assert ids == [2, 4]  # 2 wins cluster one; tie -> smallest id 4
+
+    def test_singletons_kept(self, spark):
+        df = spark.createDataFrame([(1, 1.0), (2, 2.0), (9, 0.0)],
+                                   "id long, q double")
+        pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+        ids = sorted(r["id"] for r in
+                     keep_best_in_cluster(df, "id", "q", pairs).collect())
+        assert ids == [2, 9]
+
+    def test_null_score_loses(self, spark):
+        df = spark.createDataFrame(
+            [(1, None), (2, 0.1)], "id long, q double"
+        )
+        pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+        ids = [r["id"] for r in
+               keep_best_in_cluster(df, "id", "q", pairs).collect()]
+        assert ids == [2]
+
+
+class TestUnigramLM:
+    def test_self_model_values(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a a b"), (2, "a b"), (3, "")],
+            "doc_id long, text string",
+        )
+        # corpus tf: a=3, b=2, total=5
+        got = {r["doc_id"]: r for r in
+               unigram_logprob(df, "doc_id", "text").collect()}
+        pa_, pb = 3 / 5, 2 / 5
+        m1 = (2 * math.log(pa_) + math.log(pb)) / 3
+        assert got[1]["n_tokens"] == 3
+        assert got[1]["mean_logprob"] == pytest.approx(m1, abs=1e-6)
+        assert got[1]["perplexity"] == pytest.approx(math.exp(-m1), abs=1e-5)
+        assert got[3]["n_tokens"] == 0 and got[3]["mean_logprob"] is None
+
+    def test_external_vocab_and_oov_floor(self, spark):
+        df = spark.createDataFrame([(1, "a z")], "doc_id long, text string")
+        vocab = spark.createDataFrame([("a", 9)], "token string, tf long")
+        got = unigram_logprob(df, "doc_id", "text", vocab_df=vocab).collect()[0]
+        # p(a)=1.0, oov floor p(z)=1/9
+        m = (math.log(1.0) + math.log(1 / 9)) / 2
+        assert got["mean_logprob"] == pytest.approx(m, abs=1e-6)
+
+    def test_gibberish_scores_worse(self, spark):
+        rows = [(i, "the model trains on clean web text data") for i in range(10)]
+        rows.append((99, "zxqv jkwp qqyz mmzx vvbn"))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r["perplexity"] for r in
+               unigram_logprob(df, "doc_id", "text").collect()}
+        assert got[99] > got[0]
