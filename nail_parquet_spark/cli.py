@@ -229,6 +229,9 @@ def main(argv: list[str] | None = None) -> int:
     add("curate", (("--rules",), {"default": None, "help": "JSON Gopher threshold overrides"}),
         (("--skip",), {"default": None,
                        "help": "comma list of stages to skip: quality,c4_clean,exact_dedup,near_dedup"}),
+        (("--eval",), {"default": None, "dest": "eval_path",
+                       "help": "eval/benchmark table — enables the decontamination stage"}),
+        (("--decontam-ngram",), {"type": int, "default": 13}),
         (("--threshold",), {"type": float, "default": 0.7, "help": "near-dup Jaccard threshold"}),
         (("--transitive",), {"action": "store_true",
                              "help": "collapse whole near-dup clusters (connected components)"}),
@@ -267,7 +270,8 @@ def main(argv: list[str] | None = None) -> int:
     spark = _spark(args.jobs)
     if args.cmd == "curate":
         # one-call corpus curation: quality -> C4 clean -> exact dedup ->
-        # near dedup -> salted resumable encode (pipeline/curate.py)
+        # near dedup -> optional decontam -> salted resumable encode
+        # (pipeline/curate.py)
         from nail_parquet_spark.pipeline.curate import curate_and_encode_corpus
 
         if not args.output:
@@ -283,6 +287,7 @@ def main(argv: list[str] | None = None) -> int:
             do_exact_dedup="exact_dedup" not in skip,
             do_near_dedup="near_dedup" not in skip,
             near_threshold=args.threshold, transitive=args.transitive,
+            eval_src=args.eval_path, decontam_ngram=args.decontam_ngram,
             codecs=json.loads(args.codecs) if args.codecs else None,
             policy=args.policy, units_per_job=args.units_per_job)
         print(json.dumps(state, indent=2))

@@ -378,6 +378,9 @@ def _plan_parquet_encode(spark, path, columns, codecs, policy, sample_rows,
         k: _infer_partition_type([kv.get(k) for kv in part_vals.values()])
         for k in part_cols
     }
+    empty_input = not items  # legal: a fully-filtered corpus writes a
+    # 0-row-group parquet file; encode then produces an empty block table
+    # (no sampling possible, codec choice moot — pin the generic fallback)
     chosen = dict(codecs or {})
     for c in part_cols:
         # per-file constants: rle is optimal and needs no sampling (float
@@ -386,6 +389,10 @@ def _plan_parquet_encode(spark, path, columns, codecs, policy, sample_rows,
         # fallback, for which any requested codec is a no-op)
         chosen.setdefault(c, "zstd" if part_types[c] == "double" else "rle")
     missing = [c for c in all_cols if c not in chosen]
+    if missing and empty_input:
+        for c in missing:
+            chosen[c] = "zstd"
+        missing = []
     if missing:
         # sample the unpinned columns plus any str/bin PINNED columns (the
         # xref upgrade may reference a pinned column as its
@@ -417,10 +424,13 @@ def _plan_parquet_encode(spark, path, columns, codecs, policy, sample_rows,
     # two parallelism levels inside one JVM. Round-robin the items across
     # slices via parallelize (no repartition = no extra shuffle stage; a
     # fixed per-job stage taxes the high-parallelism level relatively more).
-    n_parts = num_partitions or min(len(items), spark.sparkContext.defaultParallelism * 4)
-    slices = [items[i::n_parts] for i in range(min(n_parts, len(items)))]
-    rdd = spark.sparkContext.parallelize(slices, len(slices)).flatMap(lambda s: s)
-    items_df = spark.createDataFrame(rdd, "path string, rg int")
+    if empty_input:
+        items_df = spark.createDataFrame([], "path string, rg int")
+    else:
+        n_parts = num_partitions or min(len(items), spark.sparkContext.defaultParallelism * 4)
+        slices = [items[i::n_parts] for i in range(min(n_parts, len(items)))]
+        rdd = spark.sparkContext.parallelize(slices, len(slices)).flatMap(lambda s: s)
+        items_df = spark.createDataFrame(rdd, "path string, rg int")
     # keep only the (file -> value) entries for materialized columns so the
     # task closure stays O(files x partition depth)
     part_info = (part_cols,

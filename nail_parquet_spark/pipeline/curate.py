@@ -1,5 +1,6 @@
 """One-call corpus curation: quality filter -> C4 line clean -> exact dedup
--> MinHash near-dedup -> salted encode, with per-stage reject/lineage
+-> MinHash near-dedup -> benchmark decontamination (optional, off unless an
+eval table is given) -> salted encode, with per-stage reject/lineage
 manifests and stage-level resume (VERDICT r4 #4).
 
 This is the integration a 100-TB training-data user actually runs. Every
@@ -41,7 +42,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-STAGES = ("quality", "c4_clean", "exact_dedup", "near_dedup")
+STAGES = ("quality", "c4_clean", "exact_dedup", "near_dedup", "decontam")
 
 
 def _reject_dir(out_dir: str, stage: str) -> str:
@@ -65,6 +66,11 @@ def curate_and_encode_corpus(
     bands: int = 4,
     shingle_k: int = 3,
     transitive: bool = False,
+    eval_src: str | None = None,
+    decontam_ngram: int = 13,
+    decontam_min_hits: int = 1,
+    decontam_min_frac: float = 0.0,
+    eval_text_col: str | None = None,
     codecs: dict[str, str] | None = None,
     policy: str = "balanced",
     n_partitions: int | None = None,
@@ -177,6 +183,30 @@ def curate_and_encode_corpus(
             stages.append({"stage": "near_dedup", "threshold": near_threshold,
                            "num_hashes": num_hashes, "bands": bands,
                            "shingle_k": shingle_k, "transitive": transitive})
+
+        if eval_src is not None:
+            # decontamination runs LAST: the post-dedup corpus is the
+            # smallest input, and the eval-set grams broadcast either way
+            from nail_parquet_spark.functions.decontam import ngram_overlap
+            from nail_parquet_spark.sources.io import read_data
+
+            eval_df = read_data(spark, eval_src)
+            rep = ngram_overlap(
+                cur, eval_df, "__doc_id", text_col, n=decontam_ngram,
+                eval_text_col=eval_text_col or text_col)
+            bad = rep.filter(
+                (F.col("n_hit") >= decontam_min_hits)
+                & (F.col("contam_frac") >= decontam_min_frac)).select("__doc_id")
+            rej = cur.join(bad, "__doc_id", "left_semi")
+            rej.select("__doc_id", url_col).write.mode("overwrite").parquet(
+                _reject_dir(out_dir, "decontam"))
+            counts["decontam"] = spark.read.parquet(
+                _reject_dir(out_dir, "decontam")).count()
+            cur = _pin(cur.join(bad, "__doc_id", "left_anti"))
+            stages.append({"stage": "decontam", "eval_src": eval_src,
+                           "ngram": decontam_ngram,
+                           "min_hits": decontam_min_hits,
+                           "min_frac": decontam_min_frac})
 
         # staging write = the resume snapshot; salted host layout + local
         # (host, ts) sort so the encoder sees compression-friendly runs

@@ -39,6 +39,8 @@ def _fmt_of(path: str, fmt: str | None) -> str:
         return "csv"
     if ext in ("json", "jsonl", "ndjson"):
         return "json"
+    if ext == "orc":
+        return "orc"
     if ext in ("xlsx", "xls"):
         return "xlsx"
     if os.path.isdir(path):
@@ -47,9 +49,9 @@ def _fmt_of(path: str, fmt: str | None) -> str:
         # (batch=*/part-*.parquet) resolve too
         import glob
 
-        for inner_ext in ("parquet", "csv", "json"):
+        for inner_ext in ("parquet", "orc", "csv", "json"):
             if glob.glob(os.path.join(path, "**", f"*.{inner_ext}"), recursive=True):
-                return "parquet" if inner_ext == "parquet" else inner_ext
+                return inner_ext
     raise ValueError(f"unsupported extension '.{ext}' (utils/mod.rs:47-57)")
 
 
@@ -61,6 +63,10 @@ def read_data(spark: SparkSession, path: str, fmt: str | None = None) -> DataFra
         return spark.read.csv(path, header=True, inferSchema=True)
     if fmt == "json":
         return spark.read.json(path)
+    if fmt == "orc":
+        # beyond the reference's menu (io.rs has no ORC): Spark-native
+        # columnar interchange with Hive/Trino warehouses
+        return spark.read.orc(path)
     if fmt == "xlsx":
         # driver-side, like the reference (io.rs:36-165); stdlib reader, no
         # openpyxl needed. Explicit schema so empty sheets and all-NULL
@@ -200,6 +206,11 @@ def write_data(df: DataFrame, path: str, fmt: str | None = None,
             if compression_level is not None and compression == "zstd":
                 w = w.option("parquet.compression.codec.zstd.level", str(compression_level))
         w.parquet(path)
+    elif fmt == "orc":
+        w = out.write.mode(mode)
+        if compression:
+            w = w.option("compression", compression)
+        w.orc(path)
     elif fmt == "csv":
         w = out.write.mode(mode).option("header", True)
         if compression:

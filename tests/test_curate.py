@@ -122,3 +122,27 @@ def test_curate_cli_smoke(spark, corpus, tmp_path, capsys):
     assert "near_dedup" not in printed["counts"]["rejected"]
     assert set(printed["counts"]["rejected"]) == {"quality", "c4_clean", "exact_dedup"}
     assert os.path.exists(os.path.join(out, "_curation.json"))
+
+
+def test_curate_decontam_stage(spark, corpus, tmp_path):
+    """With an eval table drawn from the corpus itself, the decontam stage
+    rejects the overlapping docs and counts still conserve."""
+    from nail_parquet_spark.pipeline.curate import curate_and_encode_corpus
+
+    ev = str(tmp_path / "eval")
+    (spark.read.parquet(corpus)
+     .filter(F.pmod(F.xxhash64("url"), F.lit(12)) == 3)
+     .select("text").limit(40).write.parquet(ev))
+
+    out = str(tmp_path / "curated_dc")
+    state = curate_and_encode_corpus(
+        spark, corpus, out, quality_rules=RULES, near_threshold=0.6,
+        units_per_job=4, eval_src=ev, decontam_ngram=5)
+    counts = state["counts"]
+    assert counts["rejected"]["decontam"] > 0
+    assert state["conserved"]
+    assert {s["stage"] for s in state["stages"]} == {
+        "quality", "c4_clean", "exact_dedup", "near_dedup", "decontam"}
+    # audit table exists and matches the count
+    rej = spark.read.parquet(os.path.join(out, "_rejects", "stage=decontam"))
+    assert rej.count() == counts["rejected"]["decontam"]

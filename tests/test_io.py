@@ -73,3 +73,23 @@ def test_xlsx_special_values(spark, tmp_path):
     p3 = str(tmp_path / "nulls.xlsx")
     write_xlsx(pdf3, p3)
     assert len(read_xlsx(p3)) == 3
+
+
+def test_orc_roundtrip_and_autodetect(spark, sample, tmp_path):
+    """ORC sink/scan (beyond the reference menu — Spark-native Hive/Trino
+    interchange): values and schema survive, convert dispatches on the
+    .orc extension, and extensionless dirs of ORC files autodetect."""
+    path = str(tmp_path / "s.orc")
+    write_data(sample, path, compression="zstd")
+    back = read_data(spark, path)
+    assert back.count() == sample.count()
+    assert set(back.columns) == set(sample.columns)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, sample.collect()))
+
+    info = convert(spark, path, str(tmp_path / "back.parquet"))
+    assert info["rows"] == sample.count()
+
+    bare = str(tmp_path / "bare_dir")
+    write_data(sample, bare, fmt="orc")
+    auto = read_data(spark, bare)  # no extension: sniffed from files inside
+    assert auto.count() == sample.count()

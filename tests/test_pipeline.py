@@ -134,3 +134,16 @@ def test_encode_threads_same_output(spark, web, tmp_path):
                            encode_threads=3).collect()
     assert sum(r["enc_bytes"] for r in a) == sum(r["enc_bytes"] for r in b)
     assert sum(r["n_rows"] for r in a) == sum(r["n_rows"] for r in b) == 20_000
+
+
+def test_encode_empty_table(spark, tmp_path):
+    """A fully-filtered corpus writes a 0-row parquet file; encode must
+    produce an empty block table, not crash planning (curate pipelines hit
+    this when every doc is rejected)."""
+    from nail_parquet_spark.codec.encode import encode_parquet_dir
+
+    src = str(tmp_path / "empty_src")
+    spark.createDataFrame([], "url string, text string").write.parquet(src)
+    bdir = str(tmp_path / "empty_blocks")
+    manifests = encode_parquet_dir(spark, src, bdir, num_partitions=2).collect()
+    assert manifests == [] or sum(m["n_rows"] for m in manifests) == 0
