@@ -449,6 +449,20 @@ def q_fill_mean(spark, sf_dir):
     return out.select("event_id", F.round("value", 4).alias("value"))
 
 
+def q_fill_grouped(spark, sf_dir):
+    """Group-wise imputation (operators/fill.fill_stat_grouped): NULLs get
+    their event_type group's mean — keyed aggregation + AQE-chosen join,
+    no global window; all-NULL groups fall back to the global mean."""
+    from nail_parquet_spark.operators import fill_stat_grouped
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "value", F.when(F.col("value") < 10, None).otherwise(F.col("value"))
+    )
+    out = fill_stat_grouped(ev, ["value"], ["event_type"], "mean")
+    return out.select("event_id", "event_type",
+                      F.round("value", 4).alias("value"))
+
+
 def q_binning_custom(spark, sf_dir):
     from nail_parquet_spark.operators import binning
 
@@ -1299,6 +1313,7 @@ _QUERIES = {
         "encode_manifest": q_encode_manifest,
         "encode_roundtrip": q_encode_roundtrip,
         "gopher_filter_arrow": q_gopher_filter_arrow,
+        "fill_grouped": q_fill_grouped,
         "decontam_overlap": q_decontam_overlap,
         "decontam_filter": q_decontam_filter,
         "keep_best_cluster": q_keep_best_cluster,
@@ -1695,6 +1710,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'l_extendedprice', qe, 1.0, ed FROM c
             UNION ALL
             SELECT 'l_discount', qd, ed, 1.0 FROM c""",
+        "fill_grouped": """
+            WITH ev AS (
+              SELECT event_id, event_type,
+                     CASE WHEN value < 10 THEN NULL ELSE value END AS value
+              FROM events),
+            g AS (SELECT event_type, avg(value) AS gv FROM ev GROUP BY event_type),
+            m AS (SELECT avg(value) AS mv FROM ev)
+            SELECT event_id, ev.event_type,
+                   round(coalesce(value, gv, mv), 4) AS value
+            FROM ev JOIN g USING (event_type), m""",
         "fill_mean": """
             WITH ev AS (
               SELECT event_id,

@@ -113,7 +113,9 @@ def main(argv: list[str] | None = None) -> int:
                          "help": "sample.rs:58-62 modes; default random (stratified if --stratify-by)"}))
     add("shuffle", (("--seed",), {"type": int, "default": None}))
     add("fill", (("-c", "--columns"), {"required": True}), (("--method",), {"default": "value"}),
-        (("--value",), {"default": None}))
+        (("--value",), {"default": None}),
+        (("--group-by",), {"default": None,
+                           "help": "group-wise mean/median/mode imputation (comma keys)"}))
     add("stats", (("-c", "--columns"), {"default": None}), (("--stats-type",), {"default": "basic"}))
     add("frequency", (("-c", "--columns"), {"required": True}), (("--limit",), {"type": int, "default": None}))
     add("correlations", (("-c", "--columns"), {"default": None}), (("--method",), {"default": "pearson"}),
@@ -466,6 +468,9 @@ def main(argv: list[str] | None = None) -> int:
         cols = args.columns.split(",")
         if args.method == "value":
             out = ops.fill_value(df, cols, args.value)
+        elif args.method in ("mean", "median", "mode") and args.group_by:
+            out = ops.fill_stat_grouped(df, cols, args.group_by.split(","),
+                                        args.method)
         elif args.method in ("mean", "median", "mode"):
             out = ops.fill_stat(df, cols, args.method)
         else:

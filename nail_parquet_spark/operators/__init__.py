@@ -53,6 +53,7 @@ from nail_parquet_spark.operators.join import (  # noqa: F401
 from nail_parquet_spark.operators.fill import (  # noqa: F401
     fill_directional,
     fill_stat,
+    fill_stat_grouped,
     fill_value,
 )
 from nail_parquet_spark.operators.sort import sort_by  # noqa: F401

@@ -59,3 +59,68 @@ def fill_directional(df: DataFrame, columns: list[str], direction: str = "forwar
     if order_col is None:
         out = out.orderBy(ROW_ID).drop(ROW_ID)
     return out
+
+
+def fill_stat_grouped(df: DataFrame, columns: list[str], group_by: list[str],
+                      stat: str = "mean", fallback_global: bool = True) -> DataFrame:
+    """Group-wise imputation — beyond the reference's grand aggregates
+    (fill.rs:155-311 computes ONE value per column): each NULL is filled
+    with its GROUP's mean / exact median (lower interpolation, the
+    cross-engine-portable convention) / mode (ties broken by smallest
+    value), which is what imputation over heterogeneous corpora actually
+    wants (per-language, per-host, per-category).
+
+    Scale shape: one groupBy over the grouping keys per statistic
+    (partial map-side aggregation; median/mode stay keyed aggregations,
+    never a global window or driver pull), broadcast back when the group
+    dimension is small — Spark's AQE picks broadcast vs shuffle join on
+    its own here. All-NULL groups fall back to the GLOBAL statistic (one
+    scalar agg) when ``fallback_global`` — the same coalesce chain the
+    grand fill uses; pass False to leave them NULL.
+    """
+    if stat == "mean":
+        agg = lambda c: F.avg(c)  # noqa: E731
+    elif stat == "median":
+        # continuous (interpolating) median — matches DuckDB's median()
+        agg = lambda c: F.median(c)  # noqa: E731
+    elif stat == "mode":
+        # NOT F.mode: its tie-break is engine-internal. Deterministic mode
+        # = per (group, value) counts -> min struct(-count, value), i.e.
+        # highest count, ties to the SMALLEST value — SQL-reproducible.
+        agg = None
+    else:
+        raise ValueError(stat)
+    if agg is not None:
+        stats = df.groupBy(*group_by).agg(
+            *[agg(c).alias(f"__fill_{c}") for c in columns])
+    else:
+        stats = None
+        for c in columns:
+            vc = (df.filter(F.col(c).isNotNull())
+                  .groupBy(*group_by, c)
+                  .agg(F.count(F.lit(1)).alias("__n"))
+                  .groupBy(*group_by)
+                  .agg(F.min(F.struct((-F.col("__n")).alias("nn"),
+                                      F.col(c).alias("v"))).alias("__k"))
+                  .select(*group_by, F.col("__k.v").alias(f"__fill_{c}")))
+            stats = vc if stats is None else stats.join(vc, group_by, "outer")
+    out = df.join(stats, group_by, "left")
+    if fallback_global:
+        if agg is not None:
+            glob = df.agg(*[agg(c).alias(c) for c in columns]).collect()[0].asDict()
+        else:
+            glob = {}
+            for c in columns:
+                r = (df.filter(F.col(c).isNotNull()).groupBy(c)
+                     .agg(F.count(F.lit(1)).alias("__n"))
+                     .orderBy(F.col("__n").desc(), F.col(c).asc())
+                     .limit(1).collect())
+                glob[c] = r[0][c] if r else None
+    else:
+        glob = {c: None for c in columns}
+    for c in columns:
+        filled = F.coalesce(F.col(c), F.col(f"__fill_{c}"))
+        if glob[c] is not None:
+            filled = F.coalesce(filled, F.lit(glob[c]))
+        out = out.withColumn(c, filled).drop(f"__fill_{c}")
+    return out

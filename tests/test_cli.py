@@ -512,3 +512,15 @@ def test_cli_decontam_and_perplexity(spark, tmp_path, capsys):
         "-o", ppl)
     rows = spark.read.parquet(ppl).collect()
     assert len(rows) == 3 and all(r["perplexity"] > 0 for r in rows)
+
+
+def test_cli_fill_grouped(spark, tmp_path):
+    p = str(tmp_path / "g.parquet")
+    spark.createDataFrame(
+        [("a", 1.0), ("a", None), ("b", 7.0), ("b", None)],
+        "g string, v double",
+    ).write.parquet(p)
+    out = str(tmp_path / "filled.parquet")
+    run("fill", p, "-c", "v", "--method", "mean", "--group-by", "g", "-o", out)
+    got = {(r["g"], r["v"]) for r in spark.read.parquet(out).collect()}
+    assert got == {("a", 1.0), ("b", 7.0)}

@@ -385,3 +385,45 @@ def test_sample_stratified_proportions(sample):
     # seeded: stable across runs
     again = ops.sample_stratified(sample, "category", 3, seed=42).collect()
     assert sorted(r.id for r in out) == sorted(r.id for r in again)
+
+
+def test_fill_stat_grouped(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("a", None),
+         ("b", 10.0), ("b", None),
+         ("c", None)],  # all-NULL group
+        "g string, v double",
+    )
+    # grouped mean: a -> 2.0, b -> 10.0; c falls back to global mean 14/3
+    got = {(r["g"], i): r["v"] for i, r in enumerate(
+        ops.fill_stat_grouped(df, ["v"], ["g"], "mean").orderBy("g", "v").collect())}
+    vals = sorted(v for (g, _), v in got.items() if g == "a")
+    assert vals == [1.0, 2.0, 3.0]
+    assert sorted(v for (g, _), v in got.items() if g == "b") == [10.0, 10.0]
+    assert [v for (g, _), v in got.items() if g == "c"] == [pytest.approx(14 / 3)]
+    # no global fallback -> all-NULL group stays NULL
+    left = ops.fill_stat_grouped(df, ["v"], ["g"], "mean", fallback_global=False)
+    assert left.filter("g = 'c' AND v IS NULL").count() == 1
+
+
+def test_fill_stat_grouped_median_and_mode(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0, "x"), ("a", 2.0, "x"), ("a", 100.0, "y"), ("a", None, None),
+         ("b", 5.0, "z"), ("b", None, "z"), ("b", 5.0, None)],
+        "g string, v double, s string",
+    )
+    med = ops.fill_stat_grouped(df, ["v"], ["g"], "median")
+    a_vals = sorted(r["v"] for r in med.filter("g='a'").collect())
+    assert a_vals == [1.0, 2.0, 2.0, 100.0]  # filled with group median 2.0
+    # mode with a tie ('x' x2 vs 'y' x1 in a; z only in b); tie in counts
+    # resolves to the SMALLEST value deterministically
+    tie = spark.createDataFrame(
+        [("a", "x"), ("a", "x"), ("a", "y"), ("a", "y"), ("a", None)],
+        "g string, s string",
+    )
+    filled = ops.fill_stat_grouped(tie, ["s"], ["g"], "mode")
+    assert filled.filter("s IS NULL").count() == 0
+    assert filled.filter("s = 'x'").count() == 3  # tie -> 'x' < 'y'
+    mod = ops.fill_stat_grouped(df, ["s"], ["g"], "mode")
+    assert mod.filter("g='a' AND s='x'").count() == 3
+    assert mod.filter("g='b' AND s='z'").count() == 3
