@@ -1318,11 +1318,11 @@ _QUERIES = {
         "decontam_filter": q_decontam_filter,
         "keep_best_cluster": q_keep_best_cluster,
         "unigram_logprob": q_unigram_logprob,
-        # 3) rows-only block. Head is 53 with the late decontam additions,
-        #    so the driver's 50-cap cuts after embedding_near_dup_lsh: the
-        #    last three rows-only entries were attested r04 (unchanged
-        #    since) and rotate back into the r06 head within the 2-round
-        #    policy.
+        # 3) rows-only embedding block. The r05 additions (decontam suite,
+        #    fill_grouped) fill the driver's 50-cap exactly at
+        #    unigram_logprob above, so these four slide past the cap this
+        #    round: all were attested r04 (unchanged since) and MUST rotate
+        #    into the r06 head to stay within the 2-round policy.
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "embedding_topk_lsh": q_embedding_topk_lsh,
         "embedding_topk_pq": q_embedding_topk_pq,

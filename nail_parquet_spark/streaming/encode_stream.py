@@ -63,3 +63,68 @@ def encode_stream(
         q.awaitTermination()
         return q
     return writer.start()
+
+
+def decontam_stream(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    checkpoint: str,
+    schema: str,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 13,
+    min_hits: int = 1,
+    min_frac: float = 0.0,
+    available_now: bool = True,
+):
+    """Streaming benchmark decontamination: newly-arriving document files
+    are filtered against a STATIC eval set and survivors appended under
+    ``out_dir/ingest_batch=<id>/``.
+
+    The per-doc hit count is an aggregation, which stream-static joins
+    can't express statelessly — so each micro-batch runs the exact BATCH
+    operator via foreachBatch (the encode_stream pattern above): semantics
+    are bit-identical to ``functions.decontam.decontaminate`` per batch,
+    the eval-gram build is done ONCE up front (not per trigger), and the
+    batch-id overwrite keeps replays effectively exactly-once. Contract:
+    decontamination is per-document, so batch boundaries cannot change the
+    verdict — stream output == batch output on the same files (tested).
+    """
+    from nail_parquet_spark.functions.decontam import eval_ngram_hashes
+
+    # one eval-gram materialization per JOB, reused every micro-batch
+    ev = eval_ngram_hashes(eval_df, text_col, n).cache()
+    ev.count()
+
+    from pyspark.sql import functions as F
+
+    from nail_parquet_spark.functions.dedup import word_shingles
+    from nail_parquet_spark.functions.text import word_hash
+
+    def filter_batch(batch_df: DataFrame, batch_id: int) -> None:
+        grams = word_shingles(batch_df, id_col, text_col, k=n).select(
+            F.col(id_col), word_hash(F.col("shingle")).alias("__h"))
+        per_doc = (
+            grams.join(F.broadcast(ev.withColumn("__hit", F.lit(1))), "__h", "left")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_grams"),
+                 F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_hit"))
+        )
+        bad = per_doc.filter(
+            (F.col("n_hit") >= min_hits)
+            & (F.col("n_hit") / F.col("n_grams") >= min_frac)).select(id_col)
+        kept = batch_df.join(bad, id_col, "left_anti")
+        kept.write.mode("overwrite").parquet(f"{out_dir}/ingest_batch={batch_id}")
+
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    writer = (
+        stream.writeStream.foreachBatch(filter_batch)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return None
+    return writer.start()

@@ -217,3 +217,31 @@ def test_stream_quality_filter_matches_batch(spark, tmp_path):
             gopher_filter(df, "doc_id", "text").collect()}
     assert got == want
     assert sum(1 for p, _ in got.values() if p) == 10
+
+
+def test_stream_decontam_matches_batch(spark, tmp_path):
+    """Streaming decontamination (foreachBatch over a static eval set) must
+    keep exactly the docs the batch operator keeps on the same files —
+    decontamination is per-document, so batch boundaries can't change
+    verdicts."""
+    from nail_parquet_spark.functions.decontam import decontaminate
+    from nail_parquet_spark.streaming.encode_stream import decontam_stream
+
+    src = str(tmp_path / "in")
+    rows = [(1, "the quick brown fox jumps over the lazy dog"),
+            (2, "what is the capital of france paris of course"),
+            (3, "clean text about spark partitions and shuffles"),
+            (4, "more clean text entirely unrelated to any benchmark")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.coalesce(2).write.parquet(src)
+    ev = spark.createDataFrame([(1, "what is the capital of france")],
+                               "qid long, text string").select("text")
+
+    out = str(tmp_path / "out")
+    decontam_stream(spark, src, out, str(tmp_path / "ck"),
+                    "doc_id long, text string", ev, "doc_id", "text", n=3)
+    got = {r["doc_id"] for r in
+           spark.read.option("recursiveFileLookup", "true").parquet(out).collect()}
+    want = {r["doc_id"] for r in
+            decontaminate(df, ev, "doc_id", "text", n=3).collect()}
+    assert got == want == {1, 3, 4}
