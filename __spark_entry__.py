@@ -817,6 +817,22 @@ def _docs_eval_split(spark, sf_dir):
     return d, ev
 
 
+def q_dedup_paragraphs(spark, sf_dir):
+    """Corpus-global PARAGRAPH dedup keep-first
+    (functions/quality.dedup_paragraphs_global) over derived
+    blank-line-separated text."""
+    from nail_parquet_spark.functions.quality import dedup_paragraphs_global
+
+    d = _t(spark, sf_dir, "documents")
+    dd = d.select(
+        "doc_id",
+        F.replace(
+            F.replace(F.col("text"), F.lit(" of "), F.lit("\n\n")),
+            F.lit(" and "), F.lit("\n"),
+        ).alias("text"))
+    return dedup_paragraphs_global(dd, "doc_id", "text")
+
+
 def q_decontam_overlap(spark, sf_dir):
     """Benchmark-decontamination report (functions/decontam.ngram_overlap):
     per-doc distinct 5-gram count, eval-set collisions, contamination
@@ -865,6 +881,16 @@ def q_unigram_logprob(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return unigram_logprob(d, "doc_id", "text")
+
+
+def q_perplexity_buckets(spark, sf_dir):
+    """CCNet-style per-language perplexity terciles
+    (functions/text.perplexity_buckets): rank-based cuts, keyed window —
+    discrete and bit-portable (no interpolated quantile thresholds)."""
+    from nail_parquet_spark.functions.text import perplexity_buckets
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    return perplexity_buckets(d, "doc_id", "text", "lang")
 
 
 def q_corpus_stats(spark, sf_dir):
@@ -1310,19 +1336,22 @@ _QUERIES = {
         "corr_kendall_pvalues": q_corr_kendall_pvalues,
         "decode_pushdown": q_decode_pushdown,
         "decode_bloom_pushdown": q_decode_bloom_pushdown,
-        "encode_manifest": q_encode_manifest,
-        "encode_roundtrip": q_encode_roundtrip,
         "gopher_filter_arrow": q_gopher_filter_arrow,
         "fill_grouped": q_fill_grouped,
+        "dedup_paragraphs": q_dedup_paragraphs,
+        "perplexity_buckets": q_perplexity_buckets,
         "decontam_overlap": q_decontam_overlap,
         "decontam_filter": q_decontam_filter,
         "keep_best_cluster": q_keep_best_cluster,
         "unigram_logprob": q_unigram_logprob,
-        # 3) rows-only embedding block. The r05 additions (decontam suite,
-        #    fill_grouped) fill the driver's 50-cap exactly at
-        #    unigram_logprob above, so these four slide past the cap this
-        #    round: all were attested r04 (unchanged since) and MUST rotate
-        #    into the r06 head to stay within the 2-round policy.
+        # 3) rows-only block. The r05 additions fill the 50-cap exactly
+        #    with value-exact entries, so the rows-only entries (recorded
+        #    as no_oracle rows-counts; encode pair attested that way every
+        #    round incl. r04, embedding four attested r04, all unchanged
+        #    in behavior) slide past the cap and MUST be in the r06 head
+        #    per the 2-round policy.
+        "encode_manifest": q_encode_manifest,
+        "encode_roundtrip": q_encode_roundtrip,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "embedding_topk_lsh": q_embedding_topk_lsh,
         "embedding_topk_pq": q_embedding_topk_pq,
@@ -1720,6 +1749,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, ev.event_type,
                    round(coalesce(value, gv, mv), 4) AS value
             FROM ev JOIN g USING (event_type), m""",
+        "perplexity_buckets": """
+            WITH dw AS (
+              SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+              FROM documents WHERE trim(text) <> ''),
+            toks AS (
+              SELECT doc_id, t.tok FROM dw, UNNEST(w) AS t(tok)
+              WHERE t.tok <> ''),
+            vocab AS (SELECT tok, count(*) AS tf FROM toks GROUP BY tok),
+            lp AS (
+              SELECT tok, ln(tf * 1.0 / (SELECT sum(tf) FROM vocab)) AS lp
+              FROM vocab),
+            per AS (
+              SELECT doc_id, round(exp(-avg(lp)), 6) AS perplexity
+              FROM toks JOIN lp USING (tok) GROUP BY doc_id),
+            j AS (
+              SELECT d.doc_id, d.lang, per.perplexity
+              FROM documents d LEFT JOIN per USING (doc_id)),
+            r AS (
+              SELECT doc_id, lang, perplexity,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY perplexity, doc_id) AS rn,
+                     count(*) OVER (PARTITION BY lang) AS c
+              FROM j WHERE perplexity IS NOT NULL)
+            SELECT doc_id, lang, perplexity,
+                   CASE CAST(floor(3.0 * (rn - 1) / c) AS INT)
+                        WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM r
+            UNION ALL
+            SELECT doc_id, lang, perplexity, NULL AS bucket
+            FROM j WHERE perplexity IS NULL""",
         "fill_mean": """
             WITH ev AS (
               SELECT event_id,
@@ -1899,6 +1959,31 @@ def oracle_sql() -> dict[str, str]:
               SELECT l.doc_id, l.pos, l.line FROM ln l JOIN win ON l.line = win.line
               WHERE l.doc_id = win.w.doc_id AND l.pos = win.w.pos),
             reb AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+                    FROM kept GROUP BY doc_id)
+            SELECT s.doc_id, coalesce(r.text, '') AS text
+            FROM src s LEFT JOIN reb r USING (doc_id)""",
+        "dedup_paragraphs": r"""
+            WITH src AS (
+              SELECT doc_id,
+                     replace(replace(text, ' of ', chr(10) || chr(10)),
+                             ' and ', chr(10)) AS text
+              FROM documents),
+            pg AS (
+              SELECT doc_id, i - 1 AS pos, ps[i] AS line
+              FROM (SELECT doc_id,
+                           list_filter(
+                             list_transform(
+                               regexp_split_to_array(text, '\n\s*\n+'),
+                               p -> regexp_replace(p, '^\s+|\s+$', '', 'g')),
+                             p -> p <> '') AS ps
+                    FROM src),
+                   UNNEST(range(1, len(ps) + 1)) AS t(i)),
+            win AS (SELECT line, min(struct_pack(doc_id := doc_id, pos := pos)) AS w
+                    FROM pg GROUP BY line),
+            kept AS (
+              SELECT p.doc_id, p.pos, p.line FROM pg p JOIN win ON p.line = win.line
+              WHERE p.doc_id = win.w.doc_id AND p.pos = win.w.pos),
+            reb AS (SELECT doc_id, string_agg(line, chr(10) || chr(10) ORDER BY pos) AS text
                     FROM kept GROUP BY doc_id)
             SELECT s.doc_id, coalesce(r.text, '') AS text
             FROM src s LEFT JOIN reb r USING (doc_id)""",

@@ -172,8 +172,8 @@ def main(argv: list[str] | None = None) -> int:
         (("--id-column",), {"default": None, "help": "doc id column (default: first column)"}),
         (("--mode",), {"default": "filter",
                        "choices": ["signals", "repetition", "top-ngram", "filter",
-                                   "clean", "dedup-lines", "corpus-stats",
-                                   "perplexity"],
+                                   "clean", "dedup-lines", "dedup-paragraphs",
+                                   "corpus-stats", "perplexity", "ppl-buckets"],
                        "help": "Gopher signals / dup-line stats / top n-gram / composed "
                                "rule filter / C4 line cleaning / corpus-global line dedup / "
                                "corpus token totals / unigram-LM perplexity"}),
@@ -518,6 +518,9 @@ def main(argv: list[str] | None = None) -> int:
         elif args.mode == "dedup-lines":
             cleaned = qf.dedup_lines_global(df, id_col, args.text_column)
             out = df.drop(args.text_column).join(cleaned, id_col)
+        elif args.mode == "dedup-paragraphs":
+            cleaned = qf.dedup_paragraphs_global(df, id_col, args.text_column)
+            out = df.drop(args.text_column).join(cleaned, id_col)
         elif args.mode == "corpus-stats":
             from nail_parquet_spark.functions.text import corpus_stats
 
@@ -526,6 +529,13 @@ def main(argv: list[str] | None = None) -> int:
             from nail_parquet_spark.functions.text import unigram_logprob
 
             out = unigram_logprob(df, id_col, args.text_column)
+        elif args.mode == "ppl-buckets":
+            from nail_parquet_spark.functions.text import perplexity_buckets
+
+            if not args.group_by:
+                p.error("--mode ppl-buckets requires --group-by (e.g. lang)")
+            out = perplexity_buckets(df, id_col, args.text_column,
+                                     args.group_by)
         else:
             rules = json.loads(args.rules) if args.rules else None
             verdict = qf.gopher_filter(df, id_col, args.text_column, rules=rules,

@@ -320,6 +320,40 @@ def c4_clean_text(col: Column, min_words: int = 3) -> Column:
     return F.array_join(F.filter(_lines(col), _keep), "\n")
 
 
+def _dedup_units_global(df: DataFrame, id_col: str, text_col: str,
+                        units: Column, sep: str) -> DataFrame:
+    """Shared engine for corpus-global unit dedup (lines, paragraphs):
+    every distinct unit keeps exactly ONE occurrence — smallest (doc id,
+    position) — and docs are rebuilt joining survivors with ``sep``."""
+    lines = df.select(
+        F.col(id_col).alias("__doc"),
+        F.posexplode(units).alias("pos", "line"),
+    ).withColumn("__h", F.md5(F.encode(F.col("line"), "UTF-8")))
+    winners = lines.groupBy("__h").agg(
+        F.min(F.struct("__doc", "pos")).alias("__w")
+    )
+    kept = (
+        lines.join(winners, "__h")
+        .filter((F.col("__doc") == F.col("__w.__doc")) & (F.col("pos") == F.col("__w.pos")))
+        .select("__doc", "pos", "line")
+    )
+    rebuilt = kept.groupBy("__doc").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            sep,
+        ).alias(text_col)
+    )
+    untouched = (
+        df.select(F.col(id_col).alias("__doc"))
+        .join(rebuilt.select("__doc"), "__doc", "left_anti")
+        .select("__doc", F.lit("").alias(text_col))
+    )
+    return rebuilt.unionByName(untouched).withColumnRenamed("__doc", id_col)
+
+
 def dedup_lines_global(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Corpus-global line dedup (C4 §2.2's three-sentence-span rule, pinned
     to lines): every distinct non-blank trimmed line keeps exactly ONE
@@ -336,33 +370,36 @@ def dedup_lines_global(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     back as '' via the anti-join branch.
     Precondition: ``id_col`` unique per document (see repetition_stats).
     """
-    lines = df.select(
-        F.col(id_col).alias("__doc"),
-        F.posexplode(_lines(F.col(text_col))).alias("pos", "line"),
-    ).withColumn("__h", F.md5(F.encode(F.col("line"), "UTF-8")))
-    winners = lines.groupBy("__h").agg(
-        F.min(F.struct("__doc", "pos")).alias("__w")
+    return _dedup_units_global(df, id_col, text_col,
+                               _lines(F.col(text_col)), "\n")
+
+
+def _paragraphs(col: Column) -> Column:
+    """Blank-line-separated paragraphs, each whitespace-trimmed (regex, not
+    ``trim`` — a paragraph can carry a trailing lone newline, which the
+    space-only trim would keep), empties dropped; internal single newlines
+    inside a paragraph are preserved."""
+    return F.filter(
+        F.transform(F.split(col, r"\n\s*\n+"),
+                    lambda p: F.regexp_replace(p, r"^\s+|\s+$", "")),
+        lambda p: p != "",
     )
-    kept = (
-        lines.join(winners, "__h")
-        .filter((F.col("__doc") == F.col("__w.__doc")) & (F.col("pos") == F.col("__w.pos")))
-        .select("__doc", "pos", "line")
-    )
-    rebuilt = kept.groupBy("__doc").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "line"))),
-                lambda s: s["line"],
-            ),
-            "\n",
-        ).alias(text_col)
-    )
-    untouched = (
-        df.select(F.col(id_col).alias("__doc"))
-        .join(rebuilt.select("__doc"), "__doc", "left_anti")
-        .select("__doc", F.lit("").alias(text_col))
-    )
-    return rebuilt.unionByName(untouched).withColumnRenamed("__doc", id_col)
+
+
+def dedup_paragraphs_global(df: DataFrame, id_col: str,
+                            text_col: str) -> DataFrame:
+    """Corpus-global PARAGRAPH dedup — the coarser C4-style pass real
+    pipelines run before (or instead of) line dedup: boilerplate blocks
+    (footers, cookie banners, nav text) repeat as whole paragraphs across
+    pages of a site; dropping repeats at paragraph granularity preserves
+    in-paragraph prose that line dedup would shred.
+
+    Same keep-smallest-(doc, position) winner rule, same keyed-shuffle
+    scale shape as :func:`dedup_lines_global` (shared engine); documents
+    are rebuilt joining surviving paragraphs with a blank line.
+    Precondition: ``id_col`` unique per document."""
+    return _dedup_units_global(df, id_col, text_col,
+                               _paragraphs(F.col(text_col)), "\n\n")
 
 
 # Gopher rule book: (signal, op, threshold) — the published defaults.

@@ -297,3 +297,48 @@ def unigram_logprob(df, id_col: str, text_col: str,
             F.round(F.exp(-F.col("__mlp")), 6).alias("perplexity"),
         )
     )
+
+
+def perplexity_buckets(df, id_col: str, text_col: str, group_col: str,
+                       n_buckets: int = 3, vocab_df=None) -> "DataFrame":
+    """CCNet-style quality bucketing: rank documents by unigram perplexity
+    WITHIN each group (per language, per domain …) and cut the ranking into
+    ``n_buckets`` equal-count buckets — ``head`` / ``middle`` / ``tail``
+    when 3, else ``b<i>``. CCNet keeps `head` (lowest perplexity = most
+    corpus-like) for training and drops or down-weights `tail`.
+
+    Rank-based cuts, NOT quantile thresholds: interpolated quantiles are
+    engine-arithmetic-sensitive at bucket boundaries, while
+    ``floor(k * (rank-1) / count)`` over the (rounded perplexity, doc id)
+    order is discrete and bit-portable — the oracle reproduces it exactly.
+
+    Scale shape: scoring is :func:`unigram_logprob` (one explode, one
+    keyed groupBy); ranking is a window KEYED by the group column (a
+    language/domain key — never a global window) plus a keyed count.
+    Docs with no tokens get a NULL bucket.
+    """
+    from pyspark.sql import Window
+
+    scored = unigram_logprob(df, id_col, text_col, vocab_df=vocab_df)
+    j = (df.select(F.col(id_col), F.col(group_col))
+         .join(scored.select(id_col, "perplexity"), id_col))
+    w = Window.partitionBy(group_col).orderBy("perplexity", id_col)
+    ranked = (
+        j.filter(F.col("perplexity").isNotNull())
+        .withColumn("__rn", F.row_number().over(w))
+        .withColumn("__c", F.count(F.lit(1)).over(Window.partitionBy(group_col)))
+        .withColumn("__b", F.floor(F.lit(float(n_buckets)) * (F.col("__rn") - 1)
+                                   / F.col("__c")).cast("int"))
+    )
+    if n_buckets == 3:
+        bucket = (F.when(F.col("__b") == 0, "head")
+                  .when(F.col("__b") == 1, "middle").otherwise("tail"))
+    else:
+        bucket = F.concat(F.lit("b"), F.col("__b").cast("string"))
+    out = ranked.select(id_col, group_col, "perplexity", bucket.alias("bucket"))
+    empty = (
+        j.filter(F.col("perplexity").isNull())
+        .select(id_col, group_col, "perplexity",
+                F.lit(None).cast("string").alias("bucket"))
+    )
+    return out.unionByName(empty)

@@ -524,3 +524,28 @@ def test_cli_fill_grouped(spark, tmp_path):
     run("fill", p, "-c", "v", "--method", "mean", "--group-by", "g", "-o", out)
     got = {(r["g"], r["v"]) for r in spark.read.parquet(out).collect()}
     assert got == {("a", 1.0), ("b", 7.0)}
+
+
+def test_cli_quality_buckets_and_paragraph_dedup(spark, tmp_path):
+    p = str(tmp_path / "d.parquet")
+    spark.createDataFrame(
+        [(i, "en", "common words here plus token%d" % (i % 3)) for i in range(9)],
+        "doc_id long, lang string, text string",
+    ).write.parquet(p)
+    out = str(tmp_path / "b.parquet")
+    run("quality", p, "--mode", "ppl-buckets", "--id-column", "doc_id",
+        "--group-by", "lang", "-o", out)
+    got = {r["bucket"] for r in spark.read.parquet(out).collect()}
+    assert got <= {"head", "middle", "tail"}
+
+    p2 = str(tmp_path / "pg.parquet")
+    spark.createDataFrame(
+        [(1, "Para one.\n\nShared banner."), (2, "Shared banner.\n\nPara two.")],
+        "doc_id long, text string",
+    ).write.parquet(p2)
+    out2 = str(tmp_path / "pg_out.parquet")
+    run("quality", p2, "--mode", "dedup-paragraphs", "--id-column", "doc_id",
+        "-o", out2)
+    got2 = {r["doc_id"]: r["text"] for r in spark.read.parquet(out2).collect()}
+    assert got2[1] == "Para one.\n\nShared banner."
+    assert got2[2] == "Para two."

@@ -141,3 +141,32 @@ class TestUnigramLM:
         got = {r["doc_id"]: r["perplexity"] for r in
                unigram_logprob(df, "doc_id", "text").collect()}
         assert got[99] > got[0]
+
+
+class TestPerplexityBuckets:
+    def test_tercile_assignment(self, spark):
+        from nail_parquet_spark.functions.text import perplexity_buckets
+
+        # 6 docs in one lang with distinct perplexities -> 2 per bucket
+        rows = [(i, "en", " ".join(["common"] * 5 + ["rare%d" % j for j in range(i)]))
+                for i in range(6)]
+        rows.append((99, "en", ""))  # empty -> NULL bucket
+        df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+        got = {r["doc_id"]: r["bucket"] for r in
+               perplexity_buckets(df, "doc_id", "text", "lang").collect()}
+        assert got[99] is None
+        from collections import Counter
+        c = Counter(v for k, v in got.items() if k != 99)
+        assert c == {"head": 2, "middle": 2, "tail": 2}
+        # doc 0 is all-common -> lowest perplexity -> head
+        assert got[0] == "head"
+
+    def test_custom_bucket_count(self, spark):
+        from nail_parquet_spark.functions.text import perplexity_buckets
+
+        rows = [(i, "g", "w%d w%d" % (i, i)) for i in range(4)]
+        df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+        got = {r["bucket"] for r in
+               perplexity_buckets(df, "doc_id", "text", "lang",
+                                  n_buckets=2).collect()}
+        assert got == {"b0", "b1"}

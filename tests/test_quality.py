@@ -238,3 +238,26 @@ def test_gopher_signals_table_matches_columns(spark, docs):
     plan = (gopher_signals_table(docs, "doc_id", "text")
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan
+
+
+def test_dedup_paragraphs_global(spark):
+    from nail_parquet_spark.functions.quality import dedup_paragraphs_global
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Intro prose.\nStill intro.\n\nCookie banner text.\n\nUnique tail one."),
+            (2, "Cookie banner text.\n\nFresh paragraph two.\nSecond line."),
+            (3, "Cookie banner text."),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["text"] for r in
+           dedup_paragraphs_global(docs, "doc_id", "text").collect()}
+    # doc 1 keeps everything (first occurrence of the banner);
+    # internal single newlines inside paragraphs survive
+    assert got[1] == ("Intro prose.\nStill intro.\n\nCookie banner text.\n\n"
+                      "Unique tail one.")
+    assert got[2] == "Fresh paragraph two.\nSecond line."
+    assert got[3] == ""
+    assert got[4] == ""
