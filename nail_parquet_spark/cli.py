@@ -142,6 +142,9 @@ def main(argv: list[str] | None = None) -> int:
     add("optimize", (("--policy",), {"default": "balanced"}),
         (("--codecs",), {"default": None, "help": 'JSON {"col": "codec"} overrides'}),
         (("--sort-by",), {"default": None}), (("--validate",), {"action": "store_true"}),
+        (("--zorder-by",), {"default": None,
+                            "help": "comma list: cluster blocks by the Morton code of these "
+                                    "columns (multi-column zone-map pruning, pipeline/zorder.py)"}),
         (("--compression",), {"default": None,
                               "help": "plain parquet rewrite with this codec (snappy/gzip/zstd/brotli) instead of block-encode"}),
         (("--compression-level",), {"type": int, "default": None,
@@ -663,8 +666,14 @@ def main(argv: list[str] | None = None) -> int:
             src = src.join(verdict.filter("passes").select(qid), qid, "left_semi")
             print(f"quality gate: rejected {n_rej} rows"
                   + (f" (rules {args.quality_rules})" if args.quality_rules else ""))
+        if args.sort_by and args.zorder_by:
+            p.error("--sort-by and --zorder-by are mutually exclusive layouts")
         if args.sort_by:
             src = src.sortWithinPartitions(*args.sort_by.split(","))
+        if args.zorder_by:
+            from nail_parquet_spark.pipeline.zorder import zorder_sort
+
+            src = zorder_sort(src, args.zorder_by.split(","))
         if args.bucket_by:
             if not args.table:
                 p.error("--bucket-by requires --table <name>")

@@ -1,0 +1,73 @@
+"""Z-order (Morton) clustering for multi-column zone-map pruning.
+
+The encode pipeline's (host, ts) sort gives the block table locality in ONE
+leading dimension: zone maps prune hard on host predicates but barely on a
+ts-only predicate. Z-ordering interleaves the bits of several columns'
+bucket codes so blocks become hyper-rectangles in ALL clustered dimensions
+at once — the layout Delta Lake's OPTIMIZE ZORDER BY builds — and the
+existing zone-map / bloom pushdown (codec/decode.py) then prunes on any of
+them. Beyond the reference surface (the reference has no layout optimizer).
+
+Scale shape: two scalar aggregate passes (per-column min/max) at plan
+time, then ONE repartitionByRange + partition-local sort on the computed
+z-value — the same shuffle budget as any global sort, with the z-value
+built entirely from codegen'd arithmetic (width_bucket, shifts, ORs; no
+UDF). Numeric/timestamp columns bucket equi-width over [min, max];
+string/binary columns bucket by ``pmod(xxhash64, n)`` — equal values get
+the same bucket code, but Morton's low-bit cycling still mixes buckets
+within a block, so ZONE-MAP equality pruning on a hashed string dimension
+is weak; pair a string z-dimension with the per-block bloom index
+(``encode_table(bloom_columns=[...])``, codec/bloom.py), which prunes on
+membership rather than min/max ranges. Range locality for strings is not
+preserved (hashing) — keep range-predicate columns numeric/timestamp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _bucket_expr(df: DataFrame, col: str, bits: int):
+    """0..2^bits-1 bucket code column for ``col`` (codegen only)."""
+    n = 1 << bits
+    dtype = dict(df.dtypes)[col]
+    if dtype in ("string", "binary"):
+        return F.pmod(F.xxhash64(F.col(col)), F.lit(n)).cast("long")
+    v = F.col(col).cast("double")
+    row = df.agg(F.min(v).alias("lo"), F.max(v).alias("hi")).collect()[0]
+    lo, hi = row["lo"], row["hi"]
+    if lo is None or hi is None or hi <= lo:
+        return F.lit(0).cast("long")
+    # width_bucket: 1..n inside [lo, hi]; clamp the hi edge back into n
+    return (F.least(F.width_bucket(v, F.lit(float(lo)), F.lit(float(hi)),
+                                   F.lit(n)), F.lit(n)) - 1).cast("long")
+
+
+def zorder_value(df: DataFrame, cols: list[str], bits: int = 8):
+    """Morton code over ``cols``: bit j of column i's bucket lands at
+    position ``j * len(cols) + i``. With the default 8 bits/column and up
+    to 7 columns the code fits a long."""
+    if not cols:
+        raise ValueError("zorder needs at least one column")
+    if bits * len(cols) > 62:
+        raise ValueError(f"{bits} bits x {len(cols)} columns overflows a long")
+    buckets = [_bucket_expr(df, c, bits) for c in cols]
+    z = F.lit(0).cast("long")
+    for i, b in enumerate(buckets):
+        for j in range(bits):
+            bit = F.shiftright(b, j).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, j * len(cols) + i))
+    return z
+
+
+def zorder_sort(df: DataFrame, cols: list[str], bits: int = 8,
+                n_partitions: int | None = None) -> DataFrame:
+    """Cluster ``df`` by the Morton code of ``cols``: range-repartition on
+    the z-value (sampled range boundaries — balanced output partitions even
+    under skewed codes) plus a partition-local sort, so downstream encode
+    blocks cover tight ranges in every clustered dimension."""
+    tagged = df.withColumn("__z", zorder_value(df, cols, bits))
+    n = n_partitions or df.sparkSession.sparkContext.defaultParallelism
+    return (tagged.repartitionByRange(n, "__z")
+            .sortWithinPartitions("__z")
+            .drop("__z"))

@@ -1,0 +1,93 @@
+"""Z-order clustering (pipeline/zorder.py): multi-column zone-map pruning."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from nail_parquet_spark.codec.decode import decode_table_where, prune_blocks
+from nail_parquet_spark.codec.encode import encode_table
+from nail_parquet_spark.pipeline.zorder import zorder_sort, zorder_value
+
+
+def n_groups(blocks):
+    return blocks.select("part_id", "block_id").distinct().count()
+
+
+@pytest.fixture(scope="module")
+def grid(spark):
+    """4096 rows over a 64x64 (x, y) grid in hash-shuffled order — no
+    natural clustering in either column."""
+    return (
+        spark.range(4096)
+        .select(
+            (F.col("id") % 64).cast("long").alias("x"),
+            (F.col("id") / 64).cast("long").alias("y"),
+            F.concat(F.lit("h"), (F.xxhash64("id") % 8).cast("string")).alias("s"),
+        )
+        .repartition(8)  # destroys incidental order
+    )
+
+
+class TestZorder:
+    def test_both_dimensions_prune(self, spark, grid):
+        zdf = zorder_sort(grid, ["x", "y"], bits=6, n_partitions=4)
+        blocks = encode_table(zdf, columns=["x", "y"], block_rows=256).cache()
+        total = n_groups(blocks)
+        assert total >= 16
+        # an equality slice in EITHER dimension touches a minority of blocks
+        px = n_groups(prune_blocks(blocks, "x", "=", 17))
+        py = n_groups(prune_blocks(blocks, "y", "=", 42))
+        assert px <= total / 2
+        assert py <= total / 2
+
+        # single-column sort clusters x but NOT y — the case z-order fixes
+        sdf = grid.repartition(1).sortWithinPartitions("x", "y")
+        sblocks = encode_table(sdf, columns=["x", "y"], block_rows=256).cache()
+        sy = n_groups(prune_blocks(sblocks, "y", "=", 42))
+        assert sy == n_groups(sblocks)  # every block spans all of y
+        assert py < sy
+
+    def test_pruned_decode_exact(self, spark, grid):
+        zdf = zorder_sort(grid, ["x", "y"], bits=6, n_partitions=4)
+        blocks = encode_table(zdf, columns=["x", "y"], block_rows=256)
+        got = decode_table_where(blocks, "y", "=", 42).collect()
+        assert sorted((r["x"], r["y"]) for r in got) == \
+            sorted((i, 42) for i in range(64))
+
+    def test_string_dimension_decodes_exactly(self, spark, grid):
+        # hashed string buckets keep equal values z-adjacent but Morton's
+        # low-bit cycling still mixes buckets within a block — equality
+        # pruning for string dims is the bloom index's job (codec/bloom.py,
+        # documented in zorder.py); zone-map correctness must still hold
+        zdf = zorder_sort(grid, ["s", "x"], bits=3, n_partitions=2)
+        blocks = encode_table(zdf, columns=["s", "x"], block_rows=256)
+        want = sorted((r["s"], r["x"]) for r in
+                      grid.filter(F.col("s") == "h3").select("s", "x").collect())
+        got = sorted((r["s"], r["x"]) for r in
+                     decode_table_where(blocks, "s", "=", "h3").collect())
+        assert got == want and len(want) > 0
+
+    def test_constant_and_null_columns(self, spark):
+        df = spark.createDataFrame(
+            [(1, None), (2, None), (3, None)], "a long, b double")
+        z = df.withColumn("z", zorder_value(df, ["a", "b"], bits=4))
+        assert z.count() == 3  # all-NULL / constant columns code to 0
+
+    def test_overflow_guard(self, spark, grid):
+        with pytest.raises(ValueError):
+            zorder_value(grid, ["x"] * 9, bits=8)
+
+
+def test_cli_optimize_zorder(spark, tmp_path):
+    from nail_parquet_spark.cli import main
+
+    src = str(tmp_path / "src.parquet")
+    (spark.range(2048)
+     .select((F.col("id") % 32).alias("x"), (F.col("id") / 32).cast("long").alias("y"))
+     .repartition(4).write.parquet(src))
+    out = str(tmp_path / "blocks")
+    assert main(["optimize", src, "--zorder-by", "x,y", "-o", out,
+                 "--validate"]) == 0
+    blocks = spark.read.parquet(out)
+    total = n_groups(blocks)
+    pruned = n_groups(prune_blocks(blocks, "y", "=", 5))
+    assert pruned < total
