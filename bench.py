@@ -40,6 +40,8 @@ BENCH_QUERIES = [
     "gopher_filter",
     "gopher_filter_arrow",
     "dedup_lines",
+    "decontam_overlap",
+    "unigram_logprob",
     "lang_id",
     "doc_fingerprint",
     "minhash_signatures",

@@ -240,6 +240,9 @@ def main(argv: list[str] | None = None) -> int:
         (("--threshold",), {"type": float, "default": 0.7, "help": "near-dup Jaccard threshold"}),
         (("--transitive",), {"action": "store_true",
                              "help": "collapse whole near-dup clusters (connected components)"}),
+        (("--near-score-col",), {"default": None,
+                                 "help": "keep the HIGHEST-scoring doc per near-dup cluster "
+                                         "(implies transitive collapse)"}),
         (("--policy",), {"default": "balanced"}),
         (("--codecs",), {"default": None, "help": 'JSON {"col": "codec"} overrides'}),
         (("--units-per-job",), {"type": int, "default": 32}),
@@ -292,6 +295,7 @@ def main(argv: list[str] | None = None) -> int:
             do_exact_dedup="exact_dedup" not in skip,
             do_near_dedup="near_dedup" not in skip,
             near_threshold=args.threshold, transitive=args.transitive,
+            near_score_col=args.near_score_col,
             eval_src=args.eval_path, decontam_ngram=args.decontam_ngram,
             codecs=json.loads(args.codecs) if args.codecs else None,
             policy=args.policy, units_per_job=args.units_per_job)

@@ -315,17 +315,25 @@ def simhash_near_pairs(sig: DataFrame, id_col: str, bits: int = 32,
 def dedup_near_duplicates(df: DataFrame, id_col: str, text_col: str,
                           threshold: float = 0.7, num_hashes: int = 16,
                           bands: int = 4, shingle_k: int = 3,
-                          transitive: bool = False) -> DataFrame:
+                          transitive: bool = False,
+                          score_col: str | None = None) -> DataFrame:
     """One-call near-dedup: MinHash -> LSH candidates -> exact Jaccard
-    verify -> drop near-duplicates of a lower-id survivor.
+    verify -> drop near-duplicates of a surviving representative.
 
-    Two collapse policies:
+    Collapse policies:
     - default (one union-find-free pass): a row is dropped iff it appears as
       id_b of a confirmed pair. In an A-C, B-C path (A<B<C, A!~B) this keeps
       BOTH A and B — only directly-witnessed duplicates drop.
-    - ``transitive=True``: keep exactly one doc (the min id) per CONNECTED
-      near-dup cluster (functions/graph.connected_components) — the
-      aggressive web-dedup policy where chains collapse whole."""
+    - ``transitive=True``: keep exactly one doc per CONNECTED near-dup
+      cluster (functions/graph.connected_components) — the aggressive
+      web-dedup policy where chains collapse whole. The survivor is the min
+      id, or with ``score_col`` the HIGHEST-scoring member (ties to min id;
+      functions/graph.keep_best_in_cluster semantics) — curation keeps the
+      best-quality copy, not an arbitrary one. ``score_col`` implies
+      transitive collapse (a per-pair winner rule would be order-dependent).
+      EXACT duplicates (byte-identical text) still keep the min id — their
+      members are content-identical, so the quality policy is moot.
+    """
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
     cand = minhash_lsh_candidates(sigs, id_col, num_hashes, bands)
     pairs = jaccard_verify(df, cand, id_col, text_col, shingle_k, threshold)
@@ -337,7 +345,25 @@ def dedup_near_duplicates(df: DataFrame, id_col: str, text_col: str,
         .filter(F.col(id_col) != F.col("keep_id"))
         .select(F.col(id_col).alias("__drop"))
     )
-    if transitive:
+    if score_col is not None:
+        from nail_parquet_spark.functions.graph import connected_components
+
+        labels = connected_components(pairs.select("id_a", "id_b"))
+        scored = df.select(
+            F.col(id_col).alias("__sid"),
+            F.coalesce(F.col(score_col).cast("double"),
+                       F.lit(float("-inf"))).alias("__score"))
+        member = labels.join(scored, labels["id"] == scored["__sid"])
+        winners = (
+            member.select("comp",
+                          F.struct((-F.col("__score")).alias("ns"),
+                                   F.col("id").alias("wid")).alias("__k"))
+            .groupBy("comp").agg(F.min("__k").alias("__k"))
+            .select(F.col("__k.wid").alias("__win")))
+        near_drop = labels.join(
+            winners, labels["id"] == winners["__win"], "left_anti"
+        ).select(F.col("id").alias("__drop"))
+    elif transitive:
         from nail_parquet_spark.functions.graph import connected_components
 
         labels = connected_components(pairs.select("id_a", "id_b"))

@@ -66,6 +66,7 @@ def curate_and_encode_corpus(
     bands: int = 4,
     shingle_k: int = 3,
     transitive: bool = False,
+    near_score_col: str | None = None,
     eval_src: str | None = None,
     decontam_ngram: int = 13,
     decontam_min_hits: int = 1,
@@ -173,7 +174,7 @@ def curate_and_encode_corpus(
             kept = dedup_near_duplicates(
                 cur, "__doc_id", text_col, threshold=near_threshold,
                 num_hashes=num_hashes, bands=bands, shingle_k=shingle_k,
-                transitive=transitive)
+                transitive=transitive, score_col=near_score_col)
             rej = cur.join(kept.select("__doc_id"), "__doc_id", "left_anti")
             rej.select("__doc_id", url_col).write.mode("overwrite").parquet(
                 _reject_dir(out_dir, "near_dedup"))
@@ -182,7 +183,8 @@ def curate_and_encode_corpus(
             cur = _pin(kept)
             stages.append({"stage": "near_dedup", "threshold": near_threshold,
                            "num_hashes": num_hashes, "bands": bands,
-                           "shingle_k": shingle_k, "transitive": transitive})
+                           "shingle_k": shingle_k, "transitive": transitive,
+                           "score_col": near_score_col})
 
         if eval_src is not None:
             # decontamination runs LAST: the post-dedup corpus is the

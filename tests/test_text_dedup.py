@@ -477,3 +477,25 @@ def test_corpus_stats_global_and_grouped(spark):
     assert per["en"]["n_docs"] == 2 and per["en"]["n_tokens"] == 3
     assert per["de"]["n_tokens"] == 2
     assert per[None]["n_docs"] == 1  # NULL group preserved
+
+
+def test_dedup_near_duplicates_score_policy(spark):
+    from nail_parquet_spark.functions.dedup import dedup_near_duplicates
+
+    base = ("the quick brown fox jumps over the lazy dog and then runs far "
+            "away into the quiet hills before sunset tonight")
+    rows = [
+        (1, base + " v1", 0.2),
+        (2, base + " v2", 0.9),   # near-dup cluster {1,2,3}; 2 scores best
+        (3, base + " v3", 0.5),
+        (4, "completely different content about distributed query engines", 0.1),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, q double")
+    kept = dedup_near_duplicates(df, "doc_id", "text", threshold=0.5,
+                                 score_col="q")
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    assert ids == [2, 4]
+    # min-id policy keeps 1 instead
+    kept2 = dedup_near_duplicates(df, "doc_id", "text", threshold=0.5,
+                                  transitive=True)
+    assert sorted(r["doc_id"] for r in kept2.collect()) == [1, 4]
