@@ -29,15 +29,20 @@ def grid(spark):
 
 class TestZorder:
     def test_both_dimensions_prune(self, spark, grid):
-        zdf = zorder_sort(grid, ["x", "y"], bits=6, n_partitions=4)
+        # n_partitions=1 pins a deterministic layout: 16 blocks = aligned
+        # 16x16 Morton tiles (repartitionByRange's sampled boundaries vary
+        # with rdd.id across test order, which can misalign block/tile
+        # edges and widen a block's zone ranges by one tile)
+        zdf = zorder_sort(grid, ["x", "y"], bits=6, n_partitions=1)
         blocks = encode_table(zdf, columns=["x", "y"], block_rows=256).cache()
         total = n_groups(blocks)
-        assert total >= 16
-        # an equality slice in EITHER dimension touches a minority of blocks
+        assert total == 16
+        # an equality slice in either dimension touches exactly the 4
+        # blocks whose 16x16 tile covers that coordinate
         px = n_groups(prune_blocks(blocks, "x", "=", 17))
         py = n_groups(prune_blocks(blocks, "y", "=", 42))
-        assert px <= total / 2
-        assert py <= total / 2
+        assert px == 4
+        assert py == 4
 
         # single-column sort clusters x but NOT y — the case z-order fixes
         sdf = grid.repartition(1).sortWithinPartitions("x", "y")
