@@ -560,6 +560,64 @@ def q_events_hourly(spark, sf_dir):
     )
 
 
+def q_funnel_steps(spark, sf_dir):
+    """Ordered-step conversion funnel over events (operators/analytics.funnel
+    — chained user-keyed joins, event_type predicate pushed to each scan)."""
+    from nail_parquet_spark.operators import funnel
+
+    return funnel(_t(spark, sf_dir, "events"), ["view", "click", "purchase"])
+
+
+def q_retention_cohorts(spark, sf_dir):
+    """Daily cohort retention matrix (operators/analytics.retention — one
+    distinct-activity aggregate + one keyed join, shuffles carry (user, day)
+    pairs only)."""
+    from nail_parquet_spark.operators import retention
+
+    return retention(_t(spark, sf_dir, "events"))
+
+
+def q_rollup_lineitem(spark, sf_dir):
+    """ROLLUP aggregation with grouping_id (operators/analytics.grouping_sets
+    — Spark expands grouping sets before the Exchange, partial agg map-side)."""
+    from nail_parquet_spark.operators import grouping_sets
+
+    return grouping_sets(
+        _t(spark, sf_dir, "lineitem"),
+        ["l_returnflag", "l_linestatus"],
+        {"sum_qty": ("sum", "l_quantity"), "n_rows": ("count", "l_orderkey")},
+        mode="rollup",
+    )
+
+
+def q_resample_events(spark, sf_dir):
+    """Hourly per-type time buckets with executor-side gap filling
+    (operators/analytics.resample — sequence+explode dense grid, keyed left
+    join; no driver-side row generation)."""
+    from nail_parquet_spark.operators import resample
+
+    out = resample(_t(spark, sf_dir, "events"), "ts", 3600, ["event_type"], "value")
+    return out.withColumn("sum_value", F.round("sum_value", 2))
+
+
+def q_topk_events(spark, sf_dir):
+    """Deterministic top-3 events per type by value (operators/analytics
+    .topk_per_group — one Exchange on the group key, ties broken by id)."""
+    from nail_parquet_spark.operators import topk_per_group
+
+    out = topk_per_group(_t(spark, sf_dir, "events"), ["event_type"], "value", 3, "event_id")
+    return out.select("event_id", "event_type", "value", _ts(F.col("ts")).alias("ts"))
+
+
+def q_sample_events_group(spark, sf_dir):
+    """Exact-5 deterministic per-group sample keyed by md5(id) — layout- and
+    partitioning-independent (operators/analytics.sample_per_group)."""
+    from nail_parquet_spark.operators import sample_per_group
+
+    out = sample_per_group(_t(spark, sf_dir, "events"), ["event_type"], 5, "event_id")
+    return out.select("event_id", "event_type", _ts(F.col("ts")).alias("ts"))
+
+
 # ---------------------------------------------------------------------------
 # text analysis / dedup / similarity (documents, embeddings)
 # ---------------------------------------------------------------------------
@@ -1356,6 +1414,16 @@ _QUERIES = {
         "embedding_topk_lsh": q_embedding_topk_lsh,
         "embedding_topk_pq": q_embedding_topk_pq,
         "embedding_topk_ivf": q_embedding_topk_ivf,
+        # -- r05 late additions (event analytics): added after the head was
+        #    frozen at the 50-cap; locally value-exact (check_oracle) and
+        #    pytest-covered. MUST enter the r06 head together with the
+        #    rows-only block above.
+        "funnel_steps": q_funnel_steps,
+        "retention_cohorts": q_retention_cohorts,
+        "rollup_lineitem": q_rollup_lineitem,
+        "resample_events": q_resample_events,
+        "topk_events": q_topk_events,
+        "sample_events_group": q_sample_events_group,
         # -- tail: attested green in r03/r04 and unchanged since --
         "lang_id": q_lang_id,
         "simhash_near_pairs": q_simhash_near_pairs,
@@ -1817,6 +1885,50 @@ def oracle_sql() -> dict[str, str]:
              AND b.o_orderdate >= a.o_orderdate
              AND b.o_orderdate < a.o_orderdate + INTERVAL 365 DAY
             GROUP BY 1""",
+        "funnel_steps": """
+            WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+                        WHERE event_type = 'view' GROUP BY 1),
+            s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s1 USING(user_id)
+                   WHERE e.event_type = 'click' AND e.ts >= s1.t GROUP BY 1),
+            s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s2 USING(user_id)
+                   WHERE e.event_type = 'purchase' AND e.ts >= s2.t GROUP BY 1)
+            SELECT 1 AS step, 'view' AS event_type, count(*)::BIGINT AS users FROM s1
+            UNION ALL SELECT 2, 'click', count(*)::BIGINT FROM s2
+            UNION ALL SELECT 3, 'purchase', count(*)::BIGINT FROM s3""",
+        "retention_cohorts": """
+            WITH act AS (SELECT DISTINCT user_id AS u, ts::DATE AS day FROM events),
+            coh AS (SELECT u, min(day) AS cohort FROM act GROUP BY 1)
+            SELECT cohort AS cohort_date,
+                   datediff('day', cohort, day)::BIGINT AS offset_days,
+                   count(DISTINCT u)::BIGINT AS users
+            FROM act JOIN coh USING(u) GROUP BY 1, 2""",
+        "rollup_lineitem": """
+            SELECT l_returnflag, l_linestatus,
+                   GROUPING(l_returnflag, l_linestatus)::BIGINT AS grouping_id,
+                   sum(l_quantity) AS sum_qty, count(l_orderkey)::BIGINT AS n_rows
+            FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
+        "resample_events": """
+            WITH a AS (SELECT event_type,
+                              (floor(epoch(ts) / 3600) * 3600)::BIGINT AS bucket,
+                              count(*)::BIGINT AS n_events, sum(value) AS sum_value
+                       FROM events GROUP BY 1, 2),
+            r AS (SELECT event_type, min(bucket) AS mn, max(bucket) AS mx FROM a GROUP BY 1),
+            g AS (SELECT event_type, unnest(generate_series(mn, mx, 3600)) AS bucket FROM r)
+            SELECT g.event_type, g.bucket,
+                   coalesce(a.n_events, 0)::BIGINT AS n_events,
+                   round(a.sum_value, 2) AS sum_value
+            FROM g LEFT JOIN a USING(event_type, bucket)""",
+        "topk_events": f"""
+            SELECT event_id, event_type, value, {_TS_SQL.format(c='ts')} AS ts FROM (
+              SELECT *, row_number() OVER (PARTITION BY event_type
+                          ORDER BY value DESC, event_id ASC) AS rk FROM events)
+            WHERE rk <= 3""",
+        "sample_events_group": f"""
+            SELECT event_id, event_type, {_TS_SQL.format(c='ts')} AS ts FROM (
+              SELECT *, row_number() OVER (PARTITION BY event_type
+                          ORDER BY md5(event_id::VARCHAR) ASC, event_id ASC) AS rk
+              FROM events)
+            WHERE rk <= 5""",
         "events_hourly": f"""
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
                    event_type, count(*) AS n, round(sum(value), 2) AS total_value

@@ -228,6 +228,33 @@ def main(argv: list[str] | None = None) -> int:
         (("--min-frac",), {"type": float, "default": 0.0}),
         (("--report",), {"action": "store_true",
                          "help": "emit the per-doc overlap report instead of the kept rows"}))
+    add("analytics", (("--mode",), {"required": True,
+                                    "choices": ["funnel", "retention", "rollup", "cube",
+                                                "resample", "topk", "sample-group"],
+                                    "help": "event funnel / cohort retention / grouping-set "
+                                            "aggregates / time-bucket resample / per-group "
+                                            "top-k / per-group deterministic sample"}),
+        (("--steps",), {"default": None, "help": "comma event-type sequence for --mode funnel"}),
+        (("--user-column",), {"default": "user_id"}),
+        (("--ts-column",), {"default": "ts"}),
+        (("--type-column",), {"default": "event_type"}),
+        (("--within",), {"type": int, "default": None,
+                         "help": "funnel: max seconds between consecutive steps"}),
+        (("--max-offset",), {"type": int, "default": None,
+                             "help": "retention: cap offset_days"}),
+        (("--group-by",), {"default": None,
+                           "help": "comma key columns (rollup/cube/resample/topk/sample-group)"}),
+        (("--agg",), {"default": None,
+                      "help": 'rollup/cube aggregates as JSON {"out": ["sum", "col"], ...}'}),
+        (("--every",), {"type": int, "default": 3600,
+                        "help": "resample bucket width in seconds"}),
+        (("--value-column",), {"default": None, "help": "resample: also sum this column"}),
+        (("--no-fill",), {"action": "store_true", "help": "resample: skip gap filling"}),
+        (("--order-column",), {"default": None, "help": "topk: ranking column"}),
+        (("--id-column",), {"default": None,
+                            "help": "unique id: tie-break (topk) / hash key (sample-group)"}),
+        (("-k",), {"type": int, "default": 10, "help": "rows per group (topk/sample-group)"}),
+        (("--ascending",), {"action": "store_true", "help": "topk: smallest first"}))
     add("metadata", with_output=False)
     add("compact", (("--num-files",), {"type": int, "default": 32,
                                        "help": "output block-file count"}))
@@ -564,6 +591,38 @@ def main(argv: list[str] | None = None) -> int:
                  else temperature_rates(df, args.group_column, args.temperature))
         mixed = corpus_mix(df, args.group_column, rates, args.id_column)
         out = mix_stats(df, mixed, args.group_column) if args.stats else mixed
+        _out(out, args, 50)
+    elif c == "analytics":
+        from nail_parquet_spark.operators.analytics import (
+            funnel, grouping_sets, resample, retention, sample_per_group,
+            topk_per_group)
+
+        m = args.mode
+        keys = args.group_by.split(",") if args.group_by else []
+        if m == "funnel":
+            if not args.steps:
+                p.error("--mode funnel requires --steps")
+            out = funnel(df, args.steps.split(","), args.user_column,
+                         args.ts_column, args.type_column, args.within)
+        elif m == "retention":
+            out = retention(df, args.user_column, args.ts_column, args.max_offset)
+        elif m in ("rollup", "cube"):
+            if not keys or not args.agg:
+                p.error(f"--mode {m} requires --group-by and --agg")
+            aggs = {k: tuple(v) for k, v in json.loads(args.agg).items()}
+            out = grouping_sets(df, keys, aggs, mode=m)
+        elif m == "resample":
+            out = resample(df, args.ts_column, args.every, keys,
+                           args.value_column, fill_gaps=not args.no_fill)
+        elif m == "topk":
+            if not keys or not args.order_column or not args.id_column:
+                p.error("--mode topk requires --group-by, --order-column, --id-column")
+            out = topk_per_group(df, keys, args.order_column, args.k,
+                                 args.id_column, descending=not args.ascending)
+        else:  # sample-group
+            if not keys or not args.id_column:
+                p.error("--mode sample-group requires --group-by and --id-column")
+            out = sample_per_group(df, keys, args.k, args.id_column)
         _out(out, args, 50)
     elif c == "shards":
         from nail_parquet_spark.functions.packing import pack_shards, shard_stats

@@ -16,6 +16,10 @@ Codecs
   rle          run-length over values (ints) or dict codes (strings):
                run codes bit-packed + run lengths bit-packed
   dict         dictionary encode: distinct values (zstd) + bit-packed codes
+  alp          ALP-style decimal transform for floats: round(v*10^e) as
+               FOR-bit-packed int64, per-value bit-exactness enforced,
+               non-representable values (NaN/inf/high-entropy) in a raw
+               exception list (Afroozeh et al., SIGMOD'24 idea, pure numpy)
   fsst         FSST-style symbol-table compression for str/bin: up to 255
                symbols of 1–8 bytes learned by sampled byte-pair merging,
                escape code 255 for out-of-table bytes (Boncz et al.,
@@ -349,6 +353,97 @@ def _dec_int_delta(block: EncodedBlock, n: int) -> np.ndarray:
         np.cumsum(d, out=out[1:])
         out[1:] += p["first"]
     return out
+
+
+_ALP_MAX_EXP = 14  # 10^14 < 2^53: every scaled integer stays exactly representable
+_ALP_SAMPLE = 4096
+
+
+def _alp_ints(fvals: np.ndarray, e: int) -> tuple[np.ndarray, np.ndarray]:
+    """Scale floats by 10^e to integers; return (ints, exact_mask).
+
+    A value is *exact* when round(v * 10^e) / 10^e reproduces v bit-for-bit
+    (IEEE equality plus a sign-bit check so -0.0 never silently becomes
+    +0.0). NaN/inf and magnitudes whose scaled form leaves int64 range are
+    never exact — they go to the exception list."""
+    scale = 10.0 ** e
+    scaled = fvals.astype(np.float64) * scale
+    with np.errstate(invalid="ignore"):
+        ok = np.isfinite(scaled) & (np.abs(scaled) < float(1 << 62))
+    ints = np.zeros(len(fvals), dtype=np.int64)
+    ints[ok] = np.round(scaled[ok]).astype(np.int64)
+    recon = (ints.astype(np.float64) / scale).astype(fvals.dtype)
+    exact = ok & (recon == fvals) & ~(np.signbit(recon) ^ np.signbit(fvals))
+    return ints, exact
+
+
+def _alp_pick_exp(fvals: np.ndarray) -> int:
+    """Smallest decimal exponent whose sampled exact fraction clears 99%;
+    falls back to the argmax exponent. Deterministic (stride sample)."""
+    n = len(fvals)
+    sample = fvals[:: max(1, n // _ALP_SAMPLE)][:_ALP_SAMPLE] if n else fvals
+    best_e, best_frac = 0, -1.0
+    for e in range(_ALP_MAX_EXP + 1):
+        _, exact = _alp_ints(sample, e)
+        frac = float(exact.mean()) if len(exact) else 1.0
+        if frac >= 0.99:
+            return e
+        if frac > best_frac:
+            best_e, best_frac = e, frac
+    return best_e
+
+
+def _enc_float_alp(fvals: np.ndarray) -> tuple[dict, list[tuple[str, bytes]]]:
+    """ALP-style decimal float compression (Afroozeh et al., SIGMOD'24 idea,
+    reimplemented from the paper): v -> round(v * 10^e) as frame-of-reference
+    bit-packed int64, with bit-exactness enforced per value — any value the
+    decimal transform cannot reproduce exactly is stored verbatim in an
+    exception list (position + raw IEEE bytes). 2-decimal business doubles
+    pack to ~2 bytes/value instead of 8."""
+    n = len(fvals)
+    e = _alp_pick_exp(fvals) if n else 0
+    ints, exact = _alp_ints(fvals, e) if n else (np.zeros(0, np.int64), np.zeros(0, bool))
+    exc = ~exact
+    n_exc = int(exc.sum())
+    if n and n_exc:
+        # park exceptions at the FOR reference so they never widen the pack
+        fill = int(ints[exact].min()) if n_exc < n else 0
+        ints[exc] = fill
+    for_params, for_secs = _enc_int_for(ints)
+    pos_width = bit_width(n - 1) if n > 1 else 0
+    exc_pos = np.flatnonzero(exc).astype(np.uint64)
+    exc_raw = fvals[exc].tobytes()
+    params = {
+        "dtype": str(fvals.dtype),
+        "exp": e,
+        "ref": for_params["ref"],
+        "width": for_params["width"],
+        "n_exc": n_exc,
+        "pos_width": pos_width,
+        "exc_raw_len": len(exc_raw),
+    }
+    secs = for_secs + [
+        ("exc_pos", pack_bits(exc_pos, pos_width)),
+        ("exc_vals", zstd_compress(exc_raw)),
+    ]
+    return params, secs
+
+
+def _dec_float_alp(block: EncodedBlock, n: int) -> np.ndarray:
+    p = block.header["params"]
+    dtype = np.dtype(p["dtype"])
+    deltas = unpack_bits(block.section("packed"), n, p["width"])
+    mu = np.array([p["ref"]], dtype=np.int64).view(np.uint64)[0]
+    with np.errstate(over="ignore"):
+        ints = (deltas + mu).view(np.int64)
+    fvals = (ints.astype(np.float64) / 10.0 ** p["exp"]).astype(dtype)
+    if p["n_exc"]:
+        pos = unpack_bits(block.section("exc_pos"), p["n_exc"], p["pos_width"]).astype(np.int64)
+        vals = np.frombuffer(
+            zstd_decompress(block.section("exc_vals"), p["exc_raw_len"]), dtype=dtype
+        )
+        fvals[pos] = vals
+    return fvals
 
 
 def _runs_of(codes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -963,6 +1058,8 @@ def encode_array(arr: pa.Array, codec: str, ref_arr: pa.Array | None = None) -> 
         elif codec in GP_CODECS:
             secs = [("values", gp_compress(raw, codec, level))]
             params = {"dtype": str(fvals.dtype), "raw_len": len(raw), "level": level}
+        elif codec == "alp":
+            params, secs = _enc_float_alp(fvals)
         elif codec == "dict":
             # dict over the IEEE bit patterns, not float values: preserves
             # -0.0 vs 0.0 and distinct NaN payloads (np.unique on floats
@@ -1083,6 +1180,8 @@ def decode_array(block: EncodedBlock, ref_arr: pa.Array | None = None) -> pa.Arr
             fvals = np.frombuffer(block.section("values"), dtype=dtype)
         elif codec in GP_CODECS:
             fvals = np.frombuffer(gp_decompress(block.section("values"), p["raw_len"], codec), dtype=dtype)
+        elif codec == "alp":
+            fvals = _dec_float_alp(block, n)
         elif codec == "dict":
             # bitdict blocks store uint bit patterns (see encode); legacy
             # blocks stored float values directly
@@ -1170,7 +1269,7 @@ def _type_from_str(s: str) -> pa.DataType:
 
 VALID_CODECS = {
     "int": ["plain", "zstd", "brotli", "lz4", "gzip", "for_bitpack", "delta_bitpack", "rle", "dict"],
-    "float": ["plain", "zstd", "brotli", "lz4", "gzip", "dict"],
+    "float": ["plain", "zstd", "brotli", "lz4", "gzip", "dict", "alp"],
     "str": ["plain", "zstd", "brotli", "lz4", "gzip", "fsst", "dict", "rle", "wdict"],
     "bin": ["plain", "zstd", "brotli", "lz4", "gzip", "fsst", "dict", "rle", "wdict"],
     # "xref:<ref>[:level]" is also valid for str/bin but needs a same-block

@@ -109,6 +109,10 @@ def candidate_codecs(kind: str, st: ColumnStats) -> list[str]:
         cands.append("for_bitpack")
         cands.append("zstd")
     elif kind == "float":
+        # ALP decimal transform first: wins big on business decimals
+        # (prices, scores); the trial rejects it when the data is truly
+        # high-entropy (exception list ~= plain + overhead)
+        cands.append("alp")
         if st.distinct_ratio <= 0.2:
             cands.append("dict")  # bit-pattern dict: bit-exact (kernels.py)
         cands.append("zstd")
@@ -172,6 +176,7 @@ CODEC_SPEED_MBPS = {
     "rle": 60.0,
     "for_bitpack": 130.0,
     "delta_bitpack": 130.0,
+    "alp": 150.0,
     "fsst": 5.0,
     "wdict": 70.0,
     # xref: C memmem match + zstd over the (much smaller) residual — the

@@ -62,3 +62,11 @@ from nail_parquet_spark.operators.asof import (  # noqa: F401
     asof_join_broadcast,
     range_join,
 )
+from nail_parquet_spark.operators.analytics import (  # noqa: F401
+    funnel,
+    grouping_sets,
+    resample,
+    retention,
+    sample_per_group,
+    topk_per_group,
+)

@@ -549,3 +549,32 @@ def test_cli_quality_buckets_and_paragraph_dedup(spark, tmp_path):
     got2 = {r["doc_id"]: r["text"] for r in spark.read.parquet(out2).collect()}
     assert got2[1] == "Para one.\n\nShared banner."
     assert got2[2] == "Para two."
+
+
+def test_cli_analytics(spark, tmp_path, capsys):
+    p = str(tmp_path / "ev.parquet")
+    spark.createDataFrame(
+        [(1, "2024-01-01 09:00:00", 1, "view", 1.0),
+         (2, "2024-01-01 10:00:00", 1, "click", 2.0),
+         (3, "2024-01-02 11:00:00", 2, "view", 3.0),
+         (4, "2024-01-02 12:00:00", 2, "view", 9.0)],
+        "event_id long, ts string, user_id long, event_type string, value double",
+    ).selectExpr("event_id", "cast(ts as timestamp) AS ts", "user_id",
+                 "event_type", "value").write.parquet(p)
+    run("analytics", p, "--mode", "funnel", "--steps", "view,click")
+    out = capsys.readouterr().out
+    assert "view" in out and "click" in out
+    run("analytics", p, "--mode", "retention")
+    assert "offset_days" in capsys.readouterr().out
+    run("analytics", p, "--mode", "rollup", "--group-by", "event_type",
+        "--agg", '{"n": ["count", "event_id"], "s": ["sum", "value"]}')
+    assert "grouping_id" in capsys.readouterr().out
+    run("analytics", p, "--mode", "resample", "--group-by", "event_type",
+        "--every", "3600", "--value-column", "value")
+    assert "n_events" in capsys.readouterr().out
+    run("analytics", p, "--mode", "topk", "--group-by", "event_type",
+        "--order-column", "value", "--id-column", "event_id", "-k", "1")
+    assert "9.0" in capsys.readouterr().out
+    run("analytics", p, "--mode", "sample-group", "--group-by", "event_type",
+        "--id-column", "event_id", "-k", "1")
+    capsys.readouterr()

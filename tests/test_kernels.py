@@ -133,3 +133,47 @@ def test_kind_dispatch():
     assert kind_of(pa.float64()) == "float"
     assert kind_of(pa.string()) == "str"
     assert kind_of(pa.binary()) == "bin"
+
+
+class TestAlp:
+    """ALP decimal-double codec: ratio, exceptions, selector integration."""
+
+    def test_alp_beats_zstd_on_decimal_doubles(self):
+        rng = np.random.default_rng(7)
+        v = np.round(rng.uniform(0, 500, 100_000), 2)
+        arr = pa.array(v, type=pa.float64())
+        alp = encode_array(arr, "alp")
+        zstd = encode_array(arr, "zstd")
+        assert alp.header["params"]["n_exc"] == 0
+        assert alp.header["params"]["exp"] == 2
+        assert len(alp.payload) < 0.7 * len(zstd.payload)
+        out = np.asarray(decode_array(alp))
+        assert np.array_equal(out.view(np.uint64), v.view(np.uint64))
+
+    def test_alp_exceptions_bit_exact(self):
+        # mix decimals with values the transform can't represent
+        nan_payload = np.uint64(0x7FF8000000000003).view(np.float64)
+        v = np.array([1.25, -0.0, np.inf, -np.inf, nan_payload, 1e300, 3.14, 2.50])
+        arr = pa.array(v, type=pa.float64())
+        b = encode_array(arr, "alp")
+        assert b.header["params"]["n_exc"] >= 4  # inf/-inf/nan/1e300 at least
+        out = np.asarray(decode_array(b))
+        assert np.array_equal(out.view(np.uint64), v.view(np.uint64))  # incl. -0.0 & NaN payload
+
+    def test_alp_selector_picks_and_rejects(self):
+        from nail_parquet_spark.codec.select import choose_codec
+
+        rng = np.random.default_rng(3)
+        dec = pa.array(np.round(rng.uniform(0, 100, 50_000), 2), type=pa.float64())
+        assert choose_codec(dec)[0] == "alp"
+        noise = pa.array(rng.standard_normal(50_000), type=pa.float64())
+        assert choose_codec(noise)[0] != "alp"  # exception list ~2x plain
+
+    def test_alp_float32_and_nulls(self):
+        v = np.array([1.5, 2.25, 0.75, 123.5], dtype=np.float32)
+        arr = pa.array(v, type=pa.float32(), mask=np.array([False, True, False, False]))
+        b = encode_array(arr, "alp")
+        out = decode_array(b)
+        assert out.null_count == 1
+        assert out[0].as_py() == pytest.approx(1.5)
+        assert out[3].as_py() == pytest.approx(123.5)
