@@ -145,6 +145,9 @@ def main(argv: list[str] | None = None) -> int:
         (("--zorder-by",), {"default": None,
                             "help": "comma list: cluster blocks by the Morton code of these "
                                     "columns (multi-column zone-map pruning, pipeline/zorder.py)"}),
+        (("--zorder-scheme",), {"default": "width", "choices": ["width", "quantile"],
+                                "help": "numeric bucket boundaries: equi-width over [min,max] "
+                                        "or approxQuantile equi-depth (skewed dims)"}),
         (("--compression",), {"default": None,
                               "help": "plain parquet rewrite with this codec (snappy/gzip/zstd/brotli) instead of block-encode"}),
         (("--compression-level",), {"type": int, "default": None,
@@ -736,7 +739,8 @@ def main(argv: list[str] | None = None) -> int:
         if args.zorder_by:
             from nail_parquet_spark.pipeline.zorder import zorder_sort
 
-            src = zorder_sort(src, args.zorder_by.split(","))
+            src = zorder_sort(src, args.zorder_by.split(","),
+                              scheme=args.zorder_scheme)
         if args.bucket_by:
             if not args.table:
                 p.error("--bucket-by requires --table <name>")

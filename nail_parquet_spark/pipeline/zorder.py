@@ -27,13 +27,38 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
-def _bucket_expr(df: DataFrame, col: str, bits: int):
-    """0..2^bits-1 bucket code column for ``col`` (codegen only)."""
+def _bucket_expr(df: DataFrame, col: str, bits: int, scheme: str = "width"):
+    """0..2^bits-1 bucket code column for ``col`` (codegen only).
+
+    ``scheme='width'``: equi-width over [min, max] — two scalar aggregates
+    at plan time, one ``width_bucket`` per row. ``scheme='quantile'``:
+    equi-DEPTH boundaries from ``approxQuantile`` (one GK-sketch pass at
+    plan time) — the right scheme for skewed numeric dims (a lognormal
+    column otherwise lands ~everything in bucket 0, and the Morton code
+    loses that dimension entirely). Per-row cost is a codegen'd
+    ``size(filter(boundaries, b -> v >= b))`` over ≤2^bits-1 literals, so
+    keep ``bits`` ≤ 8 with quantile buckets."""
     n = 1 << bits
     dtype = dict(df.dtypes)[col]
     if dtype in ("string", "binary"):
         return F.pmod(F.xxhash64(F.col(col)), F.lit(n)).cast("long")
     v = F.col(col).cast("double")
+    if scheme == "quantile":
+        probs = [i / n for i in range(1, n)]
+        bounds = df.select(v.alias("__q")).dropna().approxQuantile(
+            "__q", probs, 1.0 / (4 * n)
+        )
+        # strictly-increasing boundaries; duplicates (heavy hitters) merge
+        uniq: list[float] = []
+        for b in bounds:
+            if not uniq or b > uniq[-1]:
+                uniq.append(float(b))
+        if not uniq:
+            return F.lit(0).cast("long")
+        arr = F.array(*[F.lit(b) for b in uniq])
+        return F.coalesce(
+            F.size(F.filter(arr, lambda b: v >= b)).cast("long"), F.lit(0)
+        )
     row = df.agg(F.min(v).alias("lo"), F.max(v).alias("hi")).collect()[0]
     lo, hi = row["lo"], row["hi"]
     if lo is None or hi is None or hi <= lo:
@@ -43,15 +68,19 @@ def _bucket_expr(df: DataFrame, col: str, bits: int):
                                    F.lit(n)), F.lit(n)) - 1).cast("long")
 
 
-def zorder_value(df: DataFrame, cols: list[str], bits: int = 8):
+def zorder_value(df: DataFrame, cols: list[str], bits: int = 8,
+                 scheme: str = "width"):
     """Morton code over ``cols``: bit j of column i's bucket lands at
     position ``j * len(cols) + i``. With the default 8 bits/column and up
-    to 7 columns the code fits a long."""
+    to 7 columns the code fits a long. ``scheme`` picks the numeric
+    bucketing: 'width' (equi-width) or 'quantile' (equi-depth, for skew)."""
     if not cols:
         raise ValueError("zorder needs at least one column")
     if bits * len(cols) > 62:
         raise ValueError(f"{bits} bits x {len(cols)} columns overflows a long")
-    buckets = [_bucket_expr(df, c, bits) for c in cols]
+    if scheme not in ("width", "quantile"):
+        raise ValueError(f"scheme must be width|quantile, got {scheme!r}")
+    buckets = [_bucket_expr(df, c, bits, scheme) for c in cols]
     z = F.lit(0).cast("long")
     for i, b in enumerate(buckets):
         for j in range(bits):
@@ -61,12 +90,13 @@ def zorder_value(df: DataFrame, cols: list[str], bits: int = 8):
 
 
 def zorder_sort(df: DataFrame, cols: list[str], bits: int = 8,
-                n_partitions: int | None = None) -> DataFrame:
+                n_partitions: int | None = None,
+                scheme: str = "width") -> DataFrame:
     """Cluster ``df`` by the Morton code of ``cols``: range-repartition on
     the z-value (sampled range boundaries — balanced output partitions even
     under skewed codes) plus a partition-local sort, so downstream encode
     blocks cover tight ranges in every clustered dimension."""
-    tagged = df.withColumn("__z", zorder_value(df, cols, bits))
+    tagged = df.withColumn("__z", zorder_value(df, cols, bits, scheme))
     n = n_partitions or df.sparkSession.sparkContext.defaultParallelism
     return (tagged.repartitionByRange(n, "__z")
             .sortWithinPartitions("__z")

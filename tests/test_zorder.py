@@ -96,3 +96,35 @@ def test_cli_optimize_zorder(spark, tmp_path):
     total = n_groups(blocks)
     pruned = n_groups(prune_blocks(blocks, "y", "=", 5))
     assert pruned < total
+
+
+class TestQuantileScheme:
+    def test_quantile_buckets_balance_skew(self, spark):
+        # lognormal-ish skew: 90% of mass below 10, a long tail to 10^6.
+        # width buckets put ~everything in bucket 0; quantile buckets
+        # spread rows across codes so Morton keeps the dimension.
+        df = spark.range(4000).select(
+            F.when(F.col("id") % 10 < 9, F.col("id") % 10)
+             .otherwise((F.col("id") % 100) * 10000 + 1).cast("double").alias("v"))
+        wcodes = df.select(zorder_value(df, ["v"], bits=4, scheme="width").alias("z"))
+        qcodes = df.select(zorder_value(df, ["v"], bits=4, scheme="quantile").alias("z"))
+        w_top = wcodes.groupBy("z").count().agg(F.max("count")).collect()[0][0]
+        q_top = qcodes.groupBy("z").count().agg(F.max("count")).collect()[0][0]
+        assert w_top >= 3500          # width collapses the skewed dim
+        assert q_top <= 1500          # equi-depth spreads it
+        assert qcodes.distinct().count() >= 8
+
+    def test_quantile_sort_decodes_exactly(self, spark):
+        df = spark.range(2000).select(
+            (F.col("id") % 7).cast("double").alias("v"),
+            F.col("id").alias("k"))
+        zdf = zorder_sort(df, ["v"], bits=3, n_partitions=1, scheme="quantile")
+        blocks = encode_table(zdf, block_rows=256)
+        got = decode_table_where(blocks, "v", ">=", 5.0).agg(F.count("k")).collect()[0][0]
+        assert got == df.filter("v >= 5").count()
+
+    def test_quantile_null_and_bad_scheme(self, spark):
+        df = spark.range(10).select(F.lit(None).cast("double").alias("v"))
+        assert df.select(zorder_value(df, ["v"], bits=3, scheme="quantile")).distinct().count() == 1
+        with pytest.raises(ValueError):
+            zorder_value(df, ["v"], scheme="bogus")
