@@ -258,6 +258,18 @@ def main(argv: list[str] | None = None) -> int:
                             "help": "unique id: tie-break (topk) / hash key (sample-group)"}),
         (("-k",), {"type": int, "default": 10, "help": "rows per group (topk/sample-group)"}),
         (("--ascending",), {"action": "store_true", "help": "topk: smallest first"}))
+    add("maintain", (("--expire-keep-last",), {"type": int, "default": None,
+                                               "help": "expire snapshots beyond the newest N "
+                                                       "(latest-per-batch always survives)"}),
+        (("--expire-older-than",), {"type": float, "default": None,
+                                    "help": "expire snapshots with commit ts < this epoch"}),
+        (("--gc-orphans",), {"action": "store_true",
+                             "help": "delete batch=/unit= dirs no marker references"}),
+        (("--gc-grace",), {"type": float, "default": 0.0,
+                           "help": "only reap orphan dirs idle at least this many seconds "
+                                   "(concurrent-writer guard)"}),
+        (("--dry-run",), {"action": "store_true", "help": "list orphans without deleting"}),
+        with_output=False)
     add("metadata", with_output=False)
     add("compact", (("--num-files",), {"type": int, "default": 32,
                                        "help": "output block-file count"}))
@@ -286,6 +298,26 @@ def main(argv: list[str] | None = None) -> int:
         from nail_parquet_spark import __version__
 
         print(f"nail-spark {__version__} (self-update out of scope)")
+        return 0
+
+    if args.cmd == "maintain":
+        # catalog maintenance (Iceberg expireSnapshots/removeOrphanFiles
+        # shape) — pure filesystem bookkeeping, no Spark session
+        from nail_parquet_spark.pipeline.checkpoint import (
+            expire_snapshots, remove_orphan_files)
+
+        report: dict = {}
+        if args.expire_keep_last is not None or args.expire_older_than is not None:
+            report["expire"] = expire_snapshots(
+                args.input, keep_last=args.expire_keep_last,
+                older_than_ts=args.expire_older_than)
+        if args.gc_orphans:
+            report["orphans"] = remove_orphan_files(
+                args.input, dry_run=args.dry_run, older_than_s=args.gc_grace)
+        if not report:
+            p.error("maintain needs --expire-keep-last/--expire-older-than "
+                    "and/or --gc-orphans")
+        print(json.dumps(report, indent=2))
         return 0
 
     if args.cmd in ("size", "metadata") and _is_parquet_input(args.input):

@@ -185,7 +185,8 @@ def _commit_snapshot(out_dir: str, bkey: str, units: list[str]) -> int:
     sd = _snap_dir(out_dir)
     os.makedirs(sd, exist_ok=True)
     existing = sorted(int(os.path.basename(p).split(".")[0])
-                      for p in glob.glob(os.path.join(sd, "*.json")))
+                      for p in glob.glob(os.path.join(sd, "*.json"))
+                      if os.path.basename(p).split(".")[0].isdigit())
     snap_id = (existing[-1] + 1) if existing else 1
     _atomic_json(os.path.join(sd, f"{snap_id}.json"), {
         "snapshot": snap_id,
@@ -200,6 +201,8 @@ def snapshots(out_dir: str) -> list[dict]:
     """Snapshot log, oldest first."""
     out = []
     for p in glob.glob(os.path.join(_snap_dir(out_dir), "*.json")):
+        if not os.path.basename(p).split(".")[0].isdigit():
+            continue  # _expired.json tombstone file lives alongside
         with open(p) as f:
             out.append(json.load(f))
     return sorted(out, key=lambda s: s["snapshot"])
@@ -217,6 +220,20 @@ def read_blocks_at(spark: SparkSession, out_dir: str,
         raise ValueError(f"no snapshots committed under {out_dir}")
     if snapshot_id is None:
         snapshot_id = snaps[-1]["snapshot"]
+    # expiry guard FIRST: an expired commit's state contribution must be
+    # covered by a surviving snapshot of the same batch at-or-before the
+    # requested id, else this historical view can no longer be
+    # reconstructed (and "predates the first commit" would mislabel it)
+    for t in expired_tombstones(out_dir):
+        if t["snapshot"] <= snapshot_id and not any(
+            s["batch"] == t["batch"] and s["snapshot"] <= snapshot_id
+            for s in snaps
+        ):
+            raise ValueError(
+                f"snapshot {snapshot_id} is no longer readable: snapshot "
+                f"{t['snapshot']} (batch {t['batch']}) was expired and no "
+                f"surviving commit of that batch is visible at this id"
+            )
     visible = [s for s in snaps if s["snapshot"] <= snapshot_id]
     if not visible:
         raise ValueError(
@@ -256,3 +273,100 @@ def read_unit_markers(out_dir: str) -> list[dict]:
         with open(p) as f:
             out.append(json.load(f))
     return out
+
+
+# ---------------------------------------------------------------------------
+# table maintenance (Iceberg-shaped: expireSnapshots + removeOrphanFiles)
+# ---------------------------------------------------------------------------
+
+
+def _expired_path(out_dir: str) -> str:
+    return os.path.join(_snap_dir(out_dir), "_expired.json")
+
+
+def expired_tombstones(out_dir: str) -> list[dict]:
+    """Records of expired snapshots ({snapshot, batch}); used by
+    ``read_blocks_at`` to refuse time-travel views an expiry made
+    unreconstructible instead of silently returning partial state."""
+    p = _expired_path(out_dir)
+    if not os.path.exists(p):
+        return []
+    with open(p) as f:
+        return json.load(f)["tombstones"]
+
+
+def expire_snapshots(
+    out_dir: str,
+    keep_last: int | None = None,
+    older_than_ts: float | None = None,
+) -> dict:
+    """Expire old snapshot records (Iceberg ``expireSnapshots`` shape).
+
+    Never expires a snapshot that is the LATEST commit of its batch key —
+    those records define the table's current state (``read_blocks_at``
+    reconstructs state as the union of latest-per-batch commits), so
+    history shrinks but the current table always stays reconstructible.
+    Also always keeps the globally latest snapshot. Expired ids move the
+    read watermark: time travel at-or-below it raises rather than
+    silently returning a partial view.
+    """
+    if keep_last is None and older_than_ts is None:
+        raise ValueError("pass keep_last and/or older_than_ts")
+    snaps = snapshots(out_dir)
+    if not snaps:
+        return {"expired": [], "kept": 0}
+    protected = {max(s["snapshot"] for s in snaps if s["batch"] == b)
+                 for b in {s["batch"] for s in snaps}}
+    protected.add(snaps[-1]["snapshot"])
+    if keep_last is not None:
+        protected.update(s["snapshot"] for s in snaps[-keep_last:])
+    expired = []
+    for s in snaps:
+        if s["snapshot"] in protected:
+            continue
+        if older_than_ts is not None and s["ts"] >= older_than_ts:
+            continue
+        expired.append({"snapshot": s["snapshot"], "batch": s["batch"]})
+    # tombstones FIRST (crash between the two writes must fail readable-side
+    # safe: a tombstone for a still-present snapshot is harmless)
+    if expired:
+        _atomic_json(_expired_path(out_dir),
+                     {"tombstones": expired_tombstones(out_dir) + expired})
+    for t in expired:
+        os.remove(os.path.join(_snap_dir(out_dir), f"{t['snapshot']}.json"))
+    return {"expired": [t["snapshot"] for t in expired],
+            "kept": len(snaps) - len(expired)}
+
+
+def remove_orphan_files(
+    out_dir: str, dry_run: bool = False, older_than_s: float = 0.0
+) -> dict:
+    """Delete data directories no committed marker references (Iceberg
+    ``removeOrphanFiles`` shape): a ``batch=*/`` left by a crash between
+    wipe and commit, or a ``unit=*/`` whose legacy marker migrated away.
+
+    ``older_than_s`` guards against reaping a directory a CONCURRENT encode
+    job is writing right now (same caveat as Iceberg's orphan cleanup —
+    default 0 suits single-writer; set > the longest batch wall time when
+    writers overlap). ``dry_run`` lists without deleting."""
+    live_batches = set()
+    live_units = set()
+    for m in read_unit_markers(out_dir):
+        if "batch" in m:
+            live_batches.add(m["batch"])
+        else:
+            live_units.add(m["unit"])
+    now = time.time()
+    orphans = []
+    for d in glob.glob(os.path.join(out_dir, "batch=*")):
+        if os.path.basename(d).split("=", 1)[1] not in live_batches:
+            if now - os.path.getmtime(d) >= older_than_s:
+                orphans.append(d)
+    for d in glob.glob(os.path.join(out_dir, "unit=*")):
+        if os.path.basename(d).split("=", 1)[1] not in live_units:
+            if now - os.path.getmtime(d) >= older_than_s:
+                orphans.append(d)
+    if not dry_run:
+        for d in orphans:
+            shutil.rmtree(d, ignore_errors=True)
+    return {"orphans": sorted(orphans), "removed": not dry_run}

@@ -356,6 +356,21 @@ def test_cli_decode_snapshot_time_travel(spark, tmp_path, capsys):
     assert 0 < n1 < 2_000
     assert spark.read.parquet(dec2).count() == 2_000
 
+    # maintenance verb: nothing expirable (both snaps are latest-per-batch),
+    # then orphan GC with dry-run first
+    run("maintain", out, "--expire-keep-last", "1")
+    assert '"expired": []' in capsys.readouterr().out
+    os.makedirs(os.path.join(out, "batch=feedfacecafe"))
+    run("maintain", out, "--gc-orphans", "--dry-run")
+    assert "feedfacecafe" in capsys.readouterr().out
+    assert os.path.exists(os.path.join(out, "batch=feedfacecafe"))
+    run("maintain", out, "--gc-orphans")
+    capsys.readouterr()
+    assert not os.path.exists(os.path.join(out, "batch=feedfacecafe"))
+    dec3 = str(tmp_path / "dec3")
+    run("decode", out, "-o", dec3, "-c", "url")
+    assert spark.read.parquet(dec3).count() == 2_000
+
 
 def test_cli_quality_modes(spark, tmp_path, capsys):
     p = str(tmp_path / "docs.parquet")

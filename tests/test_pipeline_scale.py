@@ -328,3 +328,62 @@ def test_filter_pipeline_preserves_duplicate_url_cardinality(spark, web_parquet)
     # so kept + rejected must tile the 3x-duplicated input exactly
     assert n_kept + rejected.count() == 3 * 2_000
     assert n_kept % 3 == 0 and rejected.count() % 3 == 0
+
+
+def test_snapshot_expiry_and_orphan_gc(spark, web_parquet, tmp_path):
+    """Iceberg-shaped maintenance: expireSnapshots keeps the current table
+    reconstructible, tombstones make dead historical views raise, and
+    removeOrphanFiles reaps only unreferenced data dirs."""
+    import glob as _glob
+    import json as _json
+
+    from nail_parquet_spark.pipeline.checkpoint import (
+        expire_snapshots, read_blocks_at, remove_orphan_files, snapshots)
+
+    out = str(tmp_path / "enc")
+    codecs = {"url": "zstd", "warc_ts": "delta_bitpack", "html": "zstd",
+              "text": "zstd", "lang": "dict"}
+    encode_resumable(spark, web_parquet, out, codecs=codecs, max_units=2,
+                     units_per_job=2)
+    encode_resumable(spark, web_parquet, out, codecs=codecs, units_per_job=2)
+
+    # both snapshots are the latest of their batch: nothing can expire
+    assert expire_snapshots(out, keep_last=1)["expired"] == []
+
+    # retry batch 1 (drop one of its markers) -> snapshot 3 supersedes 1
+    victim = sorted(_glob.glob(os.path.join(out, "_manifests", "*.json")))[0]
+    os.remove(victim)
+    encode_resumable(spark, web_parquet, out, codecs=codecs)
+    assert [s["snapshot"] for s in snapshots(out)] == [1, 2, 3]
+
+    rep = expire_snapshots(out, keep_last=1)
+    assert rep["expired"] == [1]
+    assert [s["snapshot"] for s in snapshots(out)] == [2, 3]
+    # latest still bit-readable in full
+    assert decode_table(read_blocks_at(spark, out), columns=["url"]).count() == 20_000
+    # the expired id itself and any view depending on it both raise
+    with pytest.raises(ValueError, match="no longer readable"):
+        read_blocks_at(spark, out, 1)
+    with pytest.raises(ValueError, match="no longer readable"):
+        read_blocks_at(spark, out, 2)  # snap 2's view contained batch of snap 1
+
+    # orphan GC: stray data dirs (crash debris) vs live committed ones
+    os.makedirs(os.path.join(out, "batch=deadbeefcafe"))
+    os.makedirs(os.path.join(out, "unit=stray"))
+    dry = remove_orphan_files(out, dry_run=True)
+    assert {os.path.basename(d) for d in dry["orphans"]} == {
+        "batch=deadbeefcafe", "unit=stray"}
+    assert os.path.exists(os.path.join(out, "batch=deadbeefcafe"))
+    real = remove_orphan_files(out)
+    assert real["removed"] and len(real["orphans"]) == 2
+    assert not os.path.exists(os.path.join(out, "unit=stray"))
+    # a grace window protects a dir a concurrent writer may be filling
+    os.makedirs(os.path.join(out, "batch=inflight0000"))
+    assert remove_orphan_files(out, dry_run=True, older_than_s=3600)["orphans"] == []
+    remove_orphan_files(out)
+    # table still intact after GC
+    assert decode_table(read_blocks_at(spark, out), columns=["url"]).count() == 20_000
+
+    # validation: bad args
+    with pytest.raises(ValueError, match="keep_last"):
+        expire_snapshots(out)
