@@ -32,6 +32,10 @@ BENCH_QUERIES = [
     "corr_pearson",
     "binning_equal_width",
     "events_hourly",
+    "funnel_steps",
+    "retention_cohorts",
+    "rollup_lineitem",
+    "resample_events",
     "fill_forward",
     "asof_join_backward",
     "range_join_count",
@@ -161,11 +165,47 @@ def _compact_encode(enc: dict) -> dict:
     return out
 
 
+def alp_probe(n: int = 2_000_000) -> dict:
+    """Driver-side ALP codec probe: encode/decode throughput + ratio on
+    2-decimal business doubles (the float shape ALP targets), with the zstd
+    ratio alongside for the win margin. numpy-only — host-window cheap."""
+    import numpy as np
+    import pyarrow as pa
+
+    from nail_parquet_spark.codec.kernels import decode_array, encode_array
+
+    rng = np.random.default_rng(11)
+    arr = pa.array(np.round(rng.uniform(0, 1e5, n), 2), type=pa.float64())
+    raw = 8 * n
+    best = None
+    for _ in range(3):
+        t0 = time.time()
+        blk = encode_array(arr, "alp")
+        w = time.time() - t0
+        best = w if best is None else min(best, w)
+    t0 = time.time()
+    out = decode_array(blk)
+    dec_w = time.time() - t0
+    assert out.equals(arr)
+    zblk = encode_array(arr, "zstd")
+    return {
+        "gbps": round(raw / best / 1e9, 3),
+        "decode_gbps": round(raw / dec_w / 1e9, 3),
+        "ratio": round(raw / len(blk.payload), 2),
+        "zstd_ratio": round(raw / len(zblk.payload), 2),
+    }
+
+
 def main():
     t0 = time.time()
     queries, iso = run_suite()
     suite_s = round(sum(v for v in queries.values() if v > 0), 3)
     encode = {} if SKIP_SCALING else run_encode_scaling()
+    try:
+        alp = alp_probe()
+    except Exception as e:  # pragma: no cover
+        print(f"alp probe failed: {e}", file=sys.stderr)
+        alp = {}
     total_s = round(time.time() - t0, 1)
     # Full-detail line first (walls/pairs/host_probe arrays live here) ...
     detail = {"detail": "encode_scaling_full", "encode": encode, "total_bench_s": total_s}
@@ -180,6 +220,7 @@ def main():
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "cpus": CPUS,
         "encode": _compact_encode(encode),
+        "alp_probe": alp,
         "total_bench_s": total_s,
     }
     print(json.dumps(result))

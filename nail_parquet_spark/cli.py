@@ -44,13 +44,16 @@ def _out(df, args, n: int = 20):
 
 def _parse_where(spec: str):
     """'col>=value' -> (col, op, value) with numeric literal inference (same
-    rules as the filter condition parser: int, then float, then string)."""
-    for op in (">=", "<=", "==", "=", ">", "<"):
+    rules as the filter condition parser: int, then float, then string).
+    'col^=prefix' is the string-prefix predicate (zone-map range prune)."""
+    for op in ("^=", ">=", "<=", "==", "=", ">", "<"):
         if op in spec:
             col, _, raw = spec.partition(op)
             col, raw = col.strip(), raw.strip()
             if not col or not raw:
                 break
+            if op == "^=":
+                return col, "prefix", raw.strip("'\"")
             try:
                 val: object = int(raw)
             except ValueError:
@@ -59,7 +62,7 @@ def _parse_where(spec: str):
                 except ValueError:
                     val = raw.strip("'\"")
             return col, ("=" if op == "==" else op), val
-    raise SystemExit(f"bad --where {spec!r}: expected col(>=|<=|>|<|=)value")
+    raise SystemExit(f"bad --where {spec!r}: expected col(^=|>=|<=|>|<|=)value")
 
 
 def main(argv: list[str] | None = None) -> int:

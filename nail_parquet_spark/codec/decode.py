@@ -581,7 +581,7 @@ def decode_parquet_dir(spark, blocks_dir: str, out_dir: str,
 # zone-map predicate pushdown (block pruning from the per-block min/max)
 # ---------------------------------------------------------------------------
 
-_PRUNE_OPS = ("=", "==", ">", ">=", "<", "<=")
+_PRUNE_OPS = ("=", "==", ">", ">=", "<", "<=", "prefix")
 
 
 def prune_blocks(blocks: DataFrame, column: str, op: str, value,
@@ -618,13 +618,16 @@ def prune_blocks(blocks: DataFrame, column: str, op: str, value,
     if column not in headers:
         raise ValueError(f"column {column!r} not in the blocks table")
     t = _type_from_str(headers[column]["type"])
+    is_str = pa.types.is_string(t) or pa.types.is_large_string(t)
+    if op == "prefix" and not is_str:
+        raise ValueError("prefix predicate is only valid on string columns")
     if pa.types.is_integer(t) or pa.types.is_boolean(t):
         cast = "bigint"
     elif pa.types.is_floating(t):
         cast = "double"
     elif pa.types.is_timestamp(t) or pa.types.is_date(t):
         cast = "timestamp"
-    elif pa.types.is_string(t) or pa.types.is_large_string(t):
+    elif is_str:
         cast = None
     else:
         return blocks  # binary etc.: no usable stats
@@ -642,7 +645,17 @@ def prune_blocks(blocks: DataFrame, column: str, op: str, value,
         hi = F.col("max_val")
         v = F.lit(value)
         hi_known = hi.isNotNull() & (F.length("max_val") < 64)
-    if op in ("=", "=="):
+    if op == "prefix":
+        # strings with prefix p form the interval [p, p⁺). A block may hold
+        # one iff hi >= p and (lo <= p OR lo itself starts with p) — the
+        # lo-side disjunction stays valid under 64-char min truncation: a
+        # truncated lo is a prefix of the true lo, so it is <= p whenever
+        # the true lo's first len(lo) chars sit within p, and startswith
+        # still fires when the truncation kept at least len(p) chars.
+        cond = ((lo <= v) | lo.startswith(v)) & F.when(
+            hi_known, hi >= v
+        ).otherwise(F.lit(True))
+    elif op in ("=", "=="):
         cond = (lo <= v) & F.when(hi_known, hi >= v).otherwise(F.lit(True))
     elif op == ">=":
         cond = F.when(hi_known, hi >= v).otherwise(F.lit(True))
@@ -766,10 +779,13 @@ def decode_table_where_all(blocks: DataFrame, predicates,
     residual = None
     for col_, op_, val_ in preds:
         c = F.col(col_)
-        one = {
-            "=": c == val_, "==": c == val_,
-            ">": c > val_, ">=": c >= val_,
-            "<": c < val_, "<=": c <= val_,
-        }[op_]
+        if op_ == "prefix":
+            one = c.startswith(val_)
+        else:
+            one = {
+                "=": c == val_, "==": c == val_,
+                ">": c > val_, ">=": c >= val_,
+                "<": c < val_, "<=": c <= val_,
+            }[op_]
         residual = one if residual is None else (residual & one)
     return dec.filter(residual).select(*out_cols)

@@ -185,3 +185,49 @@ def test_cli_decode_where_multiple(spark, tmp_path, capsys):
     got = {(r["k"], r["m"]) for r in spark.read.parquet(out).collect()}
     want = {(i, i % 5) for i in range(20, 50) if i % 5 < 2}
     assert got == want
+
+
+def test_prefix_prune_and_exact(spark, sorted_blocks):
+    df, blocks = sorted_blocks
+    # s values are v000..v099, sorted: prefix 'v04' lives in exactly one
+    # 10-row block's zone range
+    pruned = prune_blocks(blocks, "s", "prefix", "v04")
+    assert 1 <= n_groups(pruned) <= 2  # block boundary may straddle
+    out = decode_table_where(blocks, "s", "prefix", "v04")
+    got = sorted(r["s"] for r in out.collect())
+    assert got == [f"v04{i}" for i in range(10)]
+    # no-match prefix prunes everything but stays schema-correct
+    assert decode_table_where(blocks, "s", "prefix", "zzz").count() == 0
+    # prefix shorter than every value / equal to min boundary
+    assert decode_table_where(blocks, "s", "prefix", "v").count() == 100
+    with pytest.raises(ValueError, match="string"):
+        prune_blocks(blocks, "k", "prefix", "1")
+
+
+def test_prefix_prune_truncated_min_is_safe(spark):
+    # 70-char strings: min_val truncates at 64 chars; pruning must keep the
+    # group whenever a match is possible
+    base = "x" * 62
+    df = spark.createDataFrame(
+        [(1, base + "apple"), (2, base + "banana"), (3, "zz")], "k long, s string"
+    ).repartition(1)
+    blocks = encode_table(df, codecs={"k": "plain", "s": "zstd"}, block_rows=10)
+    out = decode_table_where(blocks, "s", "prefix", base + "ban")
+    assert [r["s"] for r in out.collect()] == [base + "banana"]
+
+
+def test_cli_decode_where_prefix(spark, tmp_path, capsys):
+    from nail_parquet_spark.cli import main as cli_main
+
+    src = str(tmp_path / "t.parquet")
+    spark.range(50).selectExpr(
+        "id AS k", "concat('h', cast(id % 5 AS string), '/p', cast(id AS string)) AS s"
+    ).write.parquet(src)
+    blocks_dir = str(tmp_path / "blocks")
+    assert cli_main(["optimize", src, "-o", blocks_dir, "--sort-by", "s"]) == 0
+    out = str(tmp_path / "dec")
+    assert cli_main(["decode", blocks_dir, "-o", out, "--where", "s^=h3/"]) == 0
+    capsys.readouterr()
+    got = spark.read.parquet(out)
+    assert got.count() == 10
+    assert all(r["s"].startswith("h3/") for r in got.collect())
