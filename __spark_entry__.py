@@ -568,6 +568,24 @@ def q_funnel_steps(spark, sf_dir):
     return funnel(_t(spark, sf_dir, "events"), ["view", "click", "purchase"])
 
 
+def q_chunk_docs(spark, sf_dir):
+    """Token-window document chunking with overlap (functions/text.
+    chunk_documents — one shuffle-free projection + explode, chunk starts
+    generated executor-side via sequence)."""
+    from nail_parquet_spark.functions.text import chunk_documents
+
+    return chunk_documents(_t(spark, sf_dir, "documents"), "doc_id", "text", 64, 16)
+
+
+def q_funnel_durations(spark, sf_dir):
+    """Time-to-convert stats per funnel transition (operators/analytics.
+    funnel_durations — the funnel's user-keyed join chain + ONE aggregate;
+    percentiles are exact percentile_cont, layout-independent)."""
+    from nail_parquet_spark.operators import funnel_durations
+
+    return funnel_durations(_t(spark, sf_dir, "events"), ["view", "click", "purchase"])
+
+
 def q_retention_cohorts(spark, sf_dir):
     """Daily cohort retention matrix (operators/analytics.retention — one
     distinct-activity aggregate + one keyed join, shuffles carry (user, day)
@@ -1466,6 +1484,9 @@ _QUERIES = {
         "sort_multi": q_sort_multi,
         "frequency": q_frequency,
         "stats_exact": q_stats_exact,
+        # -- round-5 late additions (r06 rotation candidates) --
+        "funnel_durations": q_funnel_durations,
+        "chunk_docs": q_chunk_docs,
 }
 
 
@@ -1885,6 +1906,35 @@ def oracle_sql() -> dict[str, str]:
              AND b.o_orderdate >= a.o_orderdate
              AND b.o_orderdate < a.o_orderdate + INTERVAL 365 DAY
             GROUP BY 1""",
+        "chunk_docs": r"""
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+              FROM documents WHERE trim(text) <> ''),
+            st AS (SELECT doc_id, w,
+                          unnest(generate_series(0, len(w) - 1, 48)) AS s
+                   FROM toks)
+            SELECT doc_id, (s // 48)::BIGINT AS chunk_id, s::BIGINT AS token_start,
+                   least(64, len(w) - s)::BIGINT AS n_tokens,
+                   array_to_string(w[s + 1 : least(s + 64, len(w))], ' ') AS chunk_text
+            FROM st""",
+        "funnel_durations": """
+            WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+                        WHERE event_type = 'view' GROUP BY 1),
+            s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s1 USING(user_id)
+                   WHERE e.event_type = 'click' AND e.ts >= s1.t GROUP BY 1),
+            s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s2 USING(user_id)
+                   WHERE e.event_type = 'purchase' AND e.ts >= s2.t GROUP BY 1),
+            d2 AS (SELECT epoch(s2.t) - epoch(s1.t) AS d FROM s1 JOIN s2 USING(user_id)),
+            d3 AS (SELECT epoch(s3.t) - epoch(s2.t) AS d FROM s2 JOIN s3 USING(user_id))
+            SELECT 2 AS step, 'click' AS event_type, count(*)::BIGINT AS converted,
+                   round(avg(d), 6) AS avg_seconds,
+                   round(quantile_cont(d, 0.5), 6) AS p50_seconds,
+                   round(quantile_cont(d, 0.9), 6) AS p90_seconds,
+                   round(max(d), 6) AS max_seconds FROM d2
+            UNION ALL
+            SELECT 3, 'purchase', count(*)::BIGINT, round(avg(d), 6),
+                   round(quantile_cont(d, 0.5), 6), round(quantile_cont(d, 0.9), 6),
+                   round(max(d), 6) FROM d3""",
         "funnel_steps": """
             WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
                         WHERE event_type = 'view' GROUP BY 1),

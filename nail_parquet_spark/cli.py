@@ -234,8 +234,15 @@ def main(argv: list[str] | None = None) -> int:
         (("--min-frac",), {"type": float, "default": 0.0}),
         (("--report",), {"action": "store_true",
                          "help": "emit the per-doc overlap report instead of the kept rows"}))
+    add("chunk", (("-c", "--text-column"), {"default": "text", "dest": "text_column"}),
+        (("--id-column",), {"default": None, "help": "unique doc id (default: first column)"}),
+        (("--chunk-tokens",), {"type": int, "default": 256,
+                               "help": "tokens per chunk (whitespace tokens)"}),
+        (("--overlap",), {"type": int, "default": 0,
+                          "help": "tokens shared by consecutive chunks"}))
     add("analytics", (("--mode",), {"required": True,
-                                    "choices": ["funnel", "retention", "rollup", "cube",
+                                    "choices": ["funnel", "funnel-durations", "retention",
+                                                "rollup", "cube",
                                                 "resample", "topk", "sample-group"],
                                     "help": "event funnel / cohort retention / grouping-set "
                                             "aggregates / time-bucket resample / per-group "
@@ -630,10 +637,17 @@ def main(argv: list[str] | None = None) -> int:
         mixed = corpus_mix(df, args.group_column, rates, args.id_column)
         out = mix_stats(df, mixed, args.group_column) if args.stats else mixed
         _out(out, args, 50)
+    elif c == "chunk":
+        from nail_parquet_spark.functions.text import chunk_documents
+
+        id_col = args.id_column or df.columns[0]
+        out = chunk_documents(df, id_col, args.text_column,
+                              args.chunk_tokens, args.overlap)
+        _out(out, args, 50)
     elif c == "analytics":
         from nail_parquet_spark.operators.analytics import (
-            funnel, grouping_sets, resample, retention, sample_per_group,
-            topk_per_group)
+            funnel, funnel_durations, grouping_sets, resample, retention,
+            sample_per_group, topk_per_group)
 
         m = args.mode
         keys = args.group_by.split(",") if args.group_by else []
@@ -642,6 +656,11 @@ def main(argv: list[str] | None = None) -> int:
                 p.error("--mode funnel requires --steps")
             out = funnel(df, args.steps.split(","), args.user_column,
                          args.ts_column, args.type_column, args.within)
+        elif m == "funnel-durations":
+            if not args.steps:
+                p.error("--mode funnel-durations requires --steps")
+            out = funnel_durations(df, args.steps.split(","), args.user_column,
+                                   args.ts_column, args.type_column, args.within)
         elif m == "retention":
             out = retention(df, args.user_column, args.ts_column, args.max_offset)
         elif m in ("rollup", "cube"):

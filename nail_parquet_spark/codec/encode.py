@@ -43,7 +43,7 @@ def _stat_strings(arr: pa.Array) -> tuple[str | None, str | None, int]:
         distinct = int(pc.count_distinct(sample).as_py() or 0)
     except Exception:
         distinct = -1
-    if kind == "bin" or len(arr) == arr.null_count:
+    if kind in ("bin", "list") or len(arr) == arr.null_count:
         return None, None, distinct
     try:
         mm = pc.min_max(arr)

@@ -212,6 +212,8 @@ def kind_of(typ: pa.DataType) -> str:
         return "str"
     if pa.types.is_binary(typ) or pa.types.is_large_binary(typ):
         return "bin"
+    if pa.types.is_list(typ) or pa.types.is_large_list(typ):
+        return "list"
     if pa.types.is_decimal(typ):
         return "other"
     return "other"
@@ -986,6 +988,7 @@ def encode_array(arr: pa.Array, codec: str, ref_arr: pa.Array | None = None) -> 
     reference column (pass its same-block array as ``ref_arr``)."""
     level = _ZSTD_LEVEL
     xref_name = None
+    sub_codec = codec  # original spelling (with level) for list-child recursion
     base = codec.split(":", 1)[0]
     if base in GP_CODECS:
         level = (int(codec.split(":", 1)[1]) if ":" in codec
@@ -1019,6 +1022,37 @@ def encode_array(arr: pa.Array, codec: str, ref_arr: pa.Array | None = None) -> 
     }
     valid = _validity_of(arr)
     vsec = ("validity", pack_validity(valid))
+
+    if kind == "list":
+        if codec == "xref":
+            raise ValueError("xref codec is not valid for list kind")
+        # canonical form: per-row lengths (null rows -> 0, bit-packed) plus
+        # the flattened child values (null rows contribute no slots),
+        # encoded RECURSIVELY with the same codec spelling — "alp" on an
+        # array<float> column means lens + ALP over the flattened floats,
+        # "fsst" on array<string> means lens + FSST over the flat strings,
+        # and nested lists peel one level per recursion. Child validity
+        # (nulls inside lists) rides in the child block's own section.
+        lens64 = (
+            np.asarray(pc.list_value_length(arr).fill_null(0), dtype=np.int64)
+            if n else np.zeros(0, dtype=np.int64)
+        )
+        child = arr.flatten()
+        lw = bit_width(int(lens64.max())) if n and lens64.size else 0
+        cblk = encode_array(child, sub_codec)
+        fld = typ.value_field
+        header["params"] = {
+            "len_width": lw,
+            "child_header": cblk.header,
+            "field": fld.name,
+            "field_nullable": bool(fld.nullable),
+            "large": bool(pa.types.is_large_list(typ)),
+        }
+        secs = [
+            ("lens", pack_bits(lens64.view(np.uint64), lw)),
+            ("child", cblk.payload),
+        ]
+        return _build(header, secs + [vsec])
 
     if kind == "int":
         vals, valid = _ints_of(arr)
@@ -1155,6 +1189,20 @@ def decode_array(block: EncodedBlock, ref_arr: pa.Array | None = None) -> pa.Arr
             batch = r.read_all()
         return batch.column("c").combine_chunks()
 
+    if kind == "list":
+        cblk = EncodedBlock(p["child_header"], block.section("child"))
+        child = decode_array(cblk)
+        lens = unpack_bits(block.section("lens"), n, p["len_width"]).astype(np.int64)
+        offsets = np.concatenate(([np.int64(0)], np.cumsum(lens)))
+        fld = pa.field(p["field"], child.type, nullable=p["field_nullable"])
+        vbuf = pa.py_buffer(pack_validity(valid)) if valid is not None else None
+        if p["large"]:
+            ltyp, obuf = pa.large_list(fld), pa.py_buffer(offsets.tobytes())
+        else:
+            ltyp = pa.list_(fld)
+            obuf = pa.py_buffer(offsets.astype(np.int32).tobytes())
+        return pa.Array.from_buffers(ltyp, n, [vbuf, obuf], children=[child])
+
     if kind == "int":
         if codec == "plain":
             vals = np.frombuffer(block.section("values"), dtype=np.int64)
@@ -1264,6 +1312,17 @@ def _type_from_str(s: str) -> pa.DataType:
     if s.startswith("decimal128("):
         prec, scale = s[len("decimal128("):-1].split(",")
         return pa.decimal128(int(prec), int(scale))
+    # list<item: float>, large_list<element: string not null>, nested lists
+    for prefix, ctor in (("list<", pa.list_), ("large_list<", pa.large_list)):
+        if s.startswith(prefix) and s.endswith(">"):
+            inner = s[len(prefix):-1]
+            name, sep, rest = inner.partition(": ")
+            if not sep:
+                raise ValueError(f"unsupported type string {s}")
+            nullable = True
+            if rest.endswith(" not null"):
+                nullable, rest = False, rest[: -len(" not null")]
+            return ctor(pa.field(name, _type_from_str(rest), nullable=nullable))
     raise ValueError(f"unsupported type string {s}")
 
 
@@ -1272,6 +1331,11 @@ VALID_CODECS = {
     "float": ["plain", "zstd", "brotli", "lz4", "gzip", "dict", "alp"],
     "str": ["plain", "zstd", "brotli", "lz4", "gzip", "fsst", "dict", "rle", "wdict"],
     "bin": ["plain", "zstd", "brotli", "lz4", "gzip", "fsst", "dict", "rle", "wdict"],
+    # list<primitive> encodes lens + the flattened child with the SAME codec
+    # name, so any codec valid for the child kind is valid here (not xref:
+    # the child rows don't align with any same-block reference column)
+    "list": ["plain", "zstd", "brotli", "lz4", "gzip", "alp", "dict", "rle",
+             "for_bitpack", "delta_bitpack", "fsst", "wdict"],
     # "xref:<ref>[:level]" is also valid for str/bin but needs a same-block
     # reference array, so the single-column test matrices exclude it
     # (tests/test_xref.py covers it end to end)

@@ -45,6 +45,22 @@ def column_stats(arr: pa.Array) -> ColumnStats:
         return ColumnStats(0, 0.0, 1.0, 1.0, 8.0, 0.0, 0.0)
     null_frac = arr.null_count / n
     kind = kind_of(arr.type)
+    if kind == "list":
+        # stats over the flattened child drive codec choice (the lens
+        # stream is a few bits/row regardless of codec); avg_len is
+        # re-based to bytes per TOP-LEVEL row so the trial-encode byte
+        # budget slices the right number of list rows
+        child = arr.flatten()
+        st = column_stats(child.slice(0, 1 << 16))
+        return ColumnStats(
+            n=n,
+            null_frac=null_frac,
+            distinct_ratio=st.distinct_ratio,
+            avg_run_len=st.avg_run_len,
+            byte_entropy=st.byte_entropy,
+            sorted_frac=st.sorted_frac,
+            avg_len=raw_bytes_of(child) / n,
+        )
     distinct = pc.count_distinct(arr).as_py() or 1
     distinct_ratio = distinct / n
 
@@ -149,6 +165,8 @@ def raw_bytes_of(arr: pa.Array) -> int:
         return 8 * len(arr)
     if kind == "float":
         return arr.type.bit_width // 8 * len(arr)
+    if kind == "list":  # child payload + 4-byte offsets (arrow list layout)
+        return raw_bytes_of(arr.flatten()) + 4 * (len(arr) + 1)
     if kind == "other":  # fixed-width exotic (decimal128, ...): buffer size
         return int(arr.nbytes)
     tot = pc.sum(
@@ -208,7 +226,19 @@ def choose_codec(
     # otherwise dominate job setup
     if st.avg_len and st.n * st.avg_len > trial_byte_budget:
         sample = sample.slice(0, max(256, int(trial_byte_budget / st.avg_len)))
-    cands = candidate_codecs(kind, st)
+    if kind == "list":
+        # candidates come from the LEAF element kind: the list kernel is
+        # lens + the flattened child under the same codec name, so "alp"
+        # on array<float> trials ALP over the embedded floats, etc.
+        leaf = sample.type.value_type
+        while kind_of(leaf) == "list":
+            leaf = leaf.value_type
+        lkind = kind_of(leaf)
+        if lkind == "other":  # struct/decimal elements ride ipc_zstd anyway
+            return "zstd", st
+        cands = candidate_codecs(lkind, st)
+    else:
+        cands = candidate_codecs(kind, st)
 
     results = []
     for c in cands:

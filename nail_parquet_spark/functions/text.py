@@ -342,3 +342,55 @@ def perplexity_buckets(df, id_col: str, text_col: str, group_col: str,
                 F.lit(None).cast("string").alias("bucket"))
     )
     return out.unionByName(empty)
+
+
+def chunk_documents(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 256,
+    overlap: int = 0,
+):
+    """Split documents into fixed-width token-window chunks with overlap —
+    the RAG-indexing / context-window-packing preprocessing step.
+
+    Tokens are whitespace tokens (the engine's portable tokenizer, same as
+    :func:`token_count`); chunk ``k`` covers tokens
+    ``[k*stride, k*stride + chunk_tokens)`` with
+    ``stride = chunk_tokens - overlap``, so consecutive chunks share
+    ``overlap`` tokens. Chunk text re-joins tokens with single spaces
+    (whitespace-normalizing, like every tokenized op here). Documents with
+    no tokens yield no chunks.
+
+    Returns (id, chunk_id, token_start, n_tokens, chunk_text).
+
+    Scale shape: ONE projection + explode — the chunk starts are generated
+    executor-side via ``sequence`` (never on the driver), the token array
+    is built once per doc and sliced per chunk, and there is no shuffle at
+    all: chunking is embarrassingly parallel and the output inherits the
+    input partitioning.
+    """
+    if chunk_tokens <= 0:
+        raise ValueError("chunk_tokens must be positive")
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("overlap must be in [0, chunk_tokens)")
+    stride = chunk_tokens - overlap
+    base = (
+        df.filter(F.trim(F.col(text_col)) != "")
+        .select(
+            F.col(id_col),
+            F.split(F.trim(F.col(text_col)), r"\s+").alias("__w"),
+        )
+    )
+    starts = F.sequence(F.lit(0), F.size("__w") - 1, F.lit(stride))
+    piece = F.slice(F.col("__w"), F.col("__s") + 1, F.lit(chunk_tokens))
+    return (
+        base.select(id_col, "__w", F.explode(starts).alias("__s"))
+        .select(
+            F.col(id_col),
+            F.floor(F.col("__s") / F.lit(stride)).cast("long").alias("chunk_id"),
+            F.col("__s").cast("long").alias("token_start"),
+            F.size(piece).cast("long").alias("n_tokens"),
+            F.array_join(piece, " ").alias("chunk_text"),
+        )
+    )

@@ -64,6 +64,7 @@ from nail_parquet_spark.operators.asof import (  # noqa: F401
 )
 from nail_parquet_spark.operators.analytics import (  # noqa: F401
     funnel,
+    funnel_durations,
     grouping_sets,
     resample,
     retention,

@@ -37,6 +37,45 @@ def _epoch_seconds(col):
     return col.cast("timestamp_ltz").cast("double")
 
 
+def _funnel_times(
+    df: DataFrame,
+    steps: list[str],
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    within_seconds: int | None,
+) -> DataFrame:
+    """Per-user earliest qualifying time per funnel step: one row per
+    step-1 user with columns __t1..__tk (NULL where the user never
+    converted). Shared by ``funnel`` and ``funnel_durations``; every join
+    in the chain is keyed on ``user_col`` so Spark reuses one partitioning."""
+    if len(steps) < 1:
+        raise ValueError("funnel needs at least one step")
+    u, t = F.col(user_col), F.col(ts_col)
+    base = (
+        df.filter(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(t).alias("__t1"))
+    )
+    for i, step in enumerate(steps[1:], start=2):
+        prev = f"__t{i - 1}"
+        ev = df.filter(F.col(type_col) == step).select(u.alias(user_col), t.alias("__ts"))
+        cond = F.col("__ts") >= F.col(prev)
+        if within_seconds is not None:
+            cond = cond & (
+                _epoch_seconds(F.col("__ts"))
+                <= _epoch_seconds(F.col(prev)) + F.lit(float(within_seconds))
+            )
+        nxt = (
+            ev.join(base.select(user_col, prev).filter(F.col(prev).isNotNull()), user_col)
+            .filter(cond)
+            .groupBy(user_col)
+            .agg(F.min("__ts").alias(f"__t{i}"))
+        )
+        base = base.join(nxt, user_col, "left")
+    return base
+
+
 def funnel(
     df: DataFrame,
     steps: list[str],
@@ -59,31 +98,7 @@ def funnel(
     prunable). The per-user state is one timestamp per step — O(#users ×
     #steps), never materialized on the driver.
     """
-    if len(steps) < 1:
-        raise ValueError("funnel needs at least one step")
-    u, t = F.col(user_col), F.col(ts_col)
-    # step 1: earliest occurrence per user
-    base = (
-        df.filter(F.col(type_col) == steps[0])
-        .groupBy(user_col)
-        .agg(F.min(t).alias("__t1"))
-    )
-    for i, step in enumerate(steps[1:], start=2):
-        prev = f"__t{i - 1}"
-        ev = df.filter(F.col(type_col) == step).select(u.alias(user_col), t.alias("__ts"))
-        cond = F.col("__ts") >= F.col(prev)
-        if within_seconds is not None:
-            cond = cond & (
-                _epoch_seconds(F.col("__ts"))
-                <= _epoch_seconds(F.col(prev)) + F.lit(float(within_seconds))
-            )
-        nxt = (
-            ev.join(base.select(user_col, prev).filter(F.col(prev).isNotNull()), user_col)
-            .filter(cond)
-            .groupBy(user_col)
-            .agg(F.min("__ts").alias(f"__t{i}"))
-        )
-        base = base.join(nxt, user_col, "left")
+    base = _funnel_times(df, steps, user_col, ts_col, type_col, within_seconds)
     counts = base.agg(
         *[F.count(F.col(f"__t{i}")).alias(f"__c{i}") for i in range(1, len(steps) + 1)]
     )
@@ -95,6 +110,60 @@ def funnel(
         )
         for i, step in enumerate(steps, start=1)
     ]
+    return reduce(DataFrame.unionByName, rows)
+
+
+def funnel_durations(
+    df: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    within_seconds: int | None = None,
+    percentiles: tuple[float, ...] = (0.5, 0.9),
+) -> DataFrame:
+    """Time-to-convert statistics per funnel transition: for every step
+    i >= 2, the distribution of (step-i time − step-(i−1) time) in seconds
+    over the users who converted.
+
+    Returns one row per transition:
+    (step, event_type, converted, avg_seconds, p<q>_seconds..., max_seconds)
+    with the duration stats rounded to 6 decimals (microsecond timestamps).
+    Percentiles are exact linear-interpolated (SQL percentile_cont — the
+    same rule DuckDB's quantile_cont applies), not approximate, so results
+    are layout-independent.
+
+    Scale shape: the per-user step-time chain is the funnel's own (keyed
+    joins on ``user_col`` only), and every stat here is ONE aggregate over
+    that frame — no window, no second scan of the events table.
+    """
+    if len(steps) < 2:
+        raise ValueError("funnel_durations needs at least two steps")
+    base = _funnel_times(df, steps, user_col, ts_col, type_col, within_seconds)
+    aggs = []
+    for i in range(2, len(steps) + 1):
+        d = _epoch_seconds(F.col(f"__t{i}")) - _epoch_seconds(F.col(f"__t{i - 1}"))
+        aggs.append(F.count(F.col(f"__t{i}")).alias(f"__n{i}"))
+        aggs.append(F.round(F.avg(d), 6).alias(f"__avg{i}"))
+        for q in percentiles:
+            aggs.append(
+                F.round(F.percentile(d, F.lit(float(q))), 6).alias(f"__p{i}_{int(q * 100)}")
+            )
+        aggs.append(F.round(F.max(d), 6).alias(f"__max{i}"))
+    stats = base.agg(*aggs)
+    rows = []
+    for i, step in enumerate(steps[1:], start=2):
+        cols = [
+            F.lit(i).cast("int").alias("step"),
+            F.lit(step).alias("event_type"),
+            F.col(f"__n{i}").cast("long").alias("converted"),
+            F.col(f"__avg{i}").alias("avg_seconds"),
+        ]
+        for q in percentiles:
+            pname = f"p{int(q * 100)}_seconds"
+            cols.append(F.col(f"__p{i}_{int(q * 100)}").alias(pname))
+        cols.append(F.col(f"__max{i}").alias("max_seconds"))
+        rows.append(stats.select(*cols))
     return reduce(DataFrame.unionByName, rows)
 
 

@@ -126,3 +126,25 @@ def test_sample_per_group_exact_and_layout_independent(sample):
     assert len(ra) == 3  # one per category
     # k larger than group size keeps everything
     assert sample_per_group(sample, ["category"], 10, "id").count() == 5
+
+
+def test_funnel_durations_hand_computed(events):
+    from nail_parquet_spark.operators.analytics import funnel_durations
+
+    out = funnel_durations(events, ["view", "click", "purchase"]).orderBy("step").collect()
+    # converters: step2 = users 1 (3600 s) and 4 (0 s); step3 = user 1
+    # (click 01-01 10:00 -> purchase 01-02 11:00 = 25 h = 90000 s)
+    assert [(r.step, r.event_type, r.converted) for r in out] == [
+        (2, "click", 2), (3, "purchase", 1),
+    ]
+    s2, s3 = out
+    assert s2.avg_seconds == 1800.0 and s2.max_seconds == 3600.0
+    assert s2.p50_seconds == 1800.0  # interpolated between 0 and 3600
+    assert s3.avg_seconds == s3.p50_seconds == s3.max_seconds == 90000.0
+
+
+def test_funnel_durations_needs_two_steps(events):
+    from nail_parquet_spark.operators.analytics import funnel_durations
+
+    with pytest.raises(ValueError):
+        funnel_durations(events, ["view"])

@@ -593,3 +593,24 @@ def test_cli_analytics(spark, tmp_path, capsys):
     run("analytics", p, "--mode", "sample-group", "--group-by", "event_type",
         "--id-column", "event_id", "-k", "1")
     capsys.readouterr()
+
+
+def test_cli_funnel_durations_and_chunk(spark, tmp_path, capsys):
+    p = str(tmp_path / "ev2.parquet")
+    spark.createDataFrame(
+        [(1, "2024-01-01 09:00:00", 1, "view", 1.0),
+         (2, "2024-01-01 10:00:00", 1, "click", 2.0)],
+        "event_id long, ts string, user_id long, event_type string, value double",
+    ).selectExpr("event_id", "cast(ts as timestamp) AS ts", "user_id",
+                 "event_type", "value").write.parquet(p)
+    run("analytics", p, "--mode", "funnel-durations", "--steps", "view,click")
+    out = capsys.readouterr().out
+    assert "avg_seconds" in out and "3600" in out
+
+    d = str(tmp_path / "docs_chunk.parquet")
+    spark.createDataFrame(
+        [(1, "a b c d e f")], "doc_id long, text string"
+    ).write.parquet(d)
+    run("chunk", d, "--chunk-tokens", "4", "--overlap", "2")
+    out = capsys.readouterr().out
+    assert "chunk_text" in out and "c d e f" in out

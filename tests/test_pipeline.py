@@ -147,3 +147,37 @@ def test_encode_empty_table(spark, tmp_path):
     bdir = str(tmp_path / "empty_blocks")
     manifests = encode_parquet_dir(spark, src, bdir, num_partitions=2).collect()
     assert manifests == [] or sum(m["n_rows"] for m in manifests) == 0
+
+
+def test_encode_list_columns_end_to_end(spark):
+    """array<float> / array<string> columns (the embeddings-table shape)
+    encode through the full table path with real codecs — not the ipc_zstd
+    exotic fallback — and decode bit-identical (kernels.py list kind)."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    rows = [
+        (
+            i,
+            None if i % 19 == 0 else np.round(
+                rng.normal(size=8), 3).astype(np.float32).tolist(),
+            ["tag%d" % (i % 4)] * (i % 3),
+        )
+        for i in range(2000)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, tags array<string>"
+    ).repartition(2)
+    blocks = encode_table(df).cache()
+    codecs = {r["column"]: r["codec"] for r in
+              blocks.select("column", "codec").distinct().collect()}
+    assert codecs["embedding"] != "ipc_zstd"
+    assert codecs["tags"] != "ipc_zstd"
+    dec = decode_table(blocks, columns=df.columns)
+    res = verify_roundtrip(df, dec, key="vec_id")
+    assert res["joined_rows"] == 2000
+    assert res["total_mismatches"] == 0
+    # 3-decimal float32 vectors: the decimal transform must beat raw bytes
+    emb = blocks.filter(F.col("column") == "embedding").agg(
+        F.sum("raw_bytes").alias("r"), F.sum("enc_bytes").alias("e")).collect()[0]
+    assert emb["e"] < emb["r"]

@@ -499,3 +499,43 @@ def test_dedup_near_duplicates_score_policy(spark):
     kept2 = dedup_near_duplicates(df, "doc_id", "text", threshold=0.5,
                                   transitive=True)
     assert sorted(r["doc_id"] for r in kept2.collect()) == [1, 4]
+
+
+def test_chunk_documents_hand_computed(spark):
+    from nail_parquet_spark.functions.text import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"), (2, "  a   b  "), (3, "   "),
+         (4, None)],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(df, "doc_id", "text", chunk_tokens=4, overlap=1)
+    rows = sorted(
+        (r.doc_id, r.chunk_id, r.token_start, r.n_tokens, r.chunk_text)
+        for r in out.collect()
+    )
+    # doc 1: stride 3 -> starts 0,3,6,9; doc 2: whitespace-normalized single
+    # chunk; docs 3/4 (blank / NULL text) yield nothing
+    assert rows == [
+        (1, 0, 0, 4, "t1 t2 t3 t4"),
+        (1, 1, 3, 4, "t4 t5 t6 t7"),
+        (1, 2, 6, 4, "t7 t8 t9 t10"),
+        (1, 3, 9, 1, "t10"),
+        (2, 0, 0, 2, "a b"),
+    ]
+
+
+def test_chunk_documents_no_overlap_and_validation(spark):
+    import pytest as _pytest
+
+    from nail_parquet_spark.functions.text import chunk_documents
+
+    df = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    out = chunk_documents(df, "doc_id", "text", chunk_tokens=2).collect()
+    assert [(r.chunk_id, r.chunk_text) for r in sorted(out, key=lambda r: r.chunk_id)] == [
+        (0, "a b"), (1, "c d"), (2, "e"),
+    ]
+    with _pytest.raises(ValueError):
+        chunk_documents(df, "doc_id", "text", chunk_tokens=0)
+    with _pytest.raises(ValueError):
+        chunk_documents(df, "doc_id", "text", chunk_tokens=4, overlap=4)
