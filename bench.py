@@ -196,6 +196,39 @@ def alp_probe(n: int = 2_000_000) -> dict:
     }
 
 
+def list_codec_probe(n_rows: int = 20_000, dim: int = 64) -> dict:
+    """list<float32> (embeddings-table shape) codec probe: the list kind
+    encodes lens + the flattened child, so ALP applies to decimal-rounded
+    vectors. Reports encode gbps + ratio with zstd alongside; decode is
+    bit-identity-asserted. numpy-only — host-window cheap."""
+    import numpy as np
+    import pyarrow as pa
+
+    from nail_parquet_spark.codec.kernels import decode_array, encode_array
+
+    rng = np.random.default_rng(13)
+    mat = np.round(rng.normal(size=(n_rows, dim)), 3).astype(np.float32)
+    arr = pa.array(mat.tolist(), type=pa.list_(pa.float32()))
+    raw = 4 * n_rows * dim
+    best = None
+    for _ in range(3):
+        t0 = time.time()
+        blk = encode_array(arr, "alp")
+        w = time.time() - t0
+        best = w if best is None else min(best, w)
+    t0 = time.time()
+    out = decode_array(blk)
+    dec_w = time.time() - t0
+    assert out.equals(arr)
+    zblk = encode_array(arr, "zstd")
+    return {
+        "gbps": round(raw / best / 1e9, 3),
+        "decode_gbps": round(raw / dec_w / 1e9, 3),
+        "ratio": round(raw / len(blk.payload), 2),
+        "zstd_ratio": round(raw / len(zblk.payload), 2),
+    }
+
+
 def main():
     t0 = time.time()
     queries, iso = run_suite()
@@ -206,6 +239,11 @@ def main():
     except Exception as e:  # pragma: no cover
         print(f"alp probe failed: {e}", file=sys.stderr)
         alp = {}
+    try:
+        emb = list_codec_probe()
+    except Exception as e:  # pragma: no cover
+        print(f"list probe failed: {e}", file=sys.stderr)
+        emb = {}
     total_s = round(time.time() - t0, 1)
     # Full-detail line first (walls/pairs/host_probe arrays live here) ...
     detail = {"detail": "encode_scaling_full", "encode": encode, "total_bench_s": total_s}
@@ -221,6 +259,7 @@ def main():
         "cpus": CPUS,
         "encode": _compact_encode(encode),
         "alp_probe": alp,
+        "emb_probe": emb,
         "total_bench_s": total_s,
     }
     print(json.dumps(result))

@@ -157,7 +157,9 @@ def main(argv: list[str] | None = None) -> int:
                                     "help": "zstd/brotli level 1-9 (optimize.rs:119); brotli writes via the pyarrow sink"}),
         (("--bloom-columns",), {"default": None,
                                 "help": "comma list of str/int columns to index with per-block "
-                                        "bloom bitmaps (equality pushdown in decode --where)"}),
+                                        "bloom bitmaps (equality pushdown in decode --where); "
+                                        "'col:<P>' also inserts P-byte prefix keys so "
+                                        "--where \"col^=...\" prunes by bloom too"}),
         (("--bucket-by",), {"default": None, "help": "save as a bucketed table on this key (zero-shuffle future joins)"}),
         (("--buckets",), {"type": int, "default": 64}),
         (("--table",), {"default": None, "help": "catalog table name for --bucket-by"}),

@@ -46,6 +46,17 @@ import pyarrow.compute as pc
 DEFAULT_BITS_PER_KEY = 10
 DEFAULT_K = 7
 _LANE_MASK = (1 << 57) - 1
+# prefix-key support: when a bloom is built with ``prefix_len=P``, the
+# first-P-byte prefix of every distinct value is ALSO inserted (tagged so
+# prefix keys share the bitmap without inflating the eq-probe FPP), byte 0
+# carries this flag, and P rides as the trailing byte — the bitmap itself
+# stays at offset 5, so pre-prefix bitmaps and the eq probe layout are
+# unchanged. A prefix predicate with len(prefix) >= P then probes the
+# TRUNCATED prefix: any value starting with the full query prefix also
+# starts with its first P bytes, so truncation is sound (false positives
+# only, never false negatives).
+_PREFIX_FLAG = 0x80
+_PREFIX_TAG = b"\x01p\x01"
 
 
 def bloom_lanes(value_bytes: bytes) -> tuple[int, int]:
@@ -71,41 +82,72 @@ def canonical_bytes(value, kind: str) -> bytes | None:
 
 
 def bloom_build(arr: pa.Array, bits_per_key: int = DEFAULT_BITS_PER_KEY,
-                k: int = DEFAULT_K) -> bytes | None:
+                k: int = DEFAULT_K, prefix_len: int | None = None) -> bytes | None:
     """Build one block's bloom bitmap over the DISTINCT non-null values of
     ``arr``. Returns None for unsupported types or empty input (an all-null
-    block gets an empty-domain bloom so equality prunes it)."""
+    block gets an empty-domain bloom so equality prunes it).
+
+    ``prefix_len``: str columns only — also insert the tagged first-P-byte
+    prefix of every distinct value, enabling ``prefix`` pushdown for query
+    prefixes of at least P bytes. URLs share hosts, so the extra key count
+    is typically a small fraction of the value count; sizing uses the
+    ACTUAL total inserted keys either way."""
     from nail_parquet_spark.codec.kernels import kind_of
 
     kind = kind_of(arr.type)
     if kind not in ("str", "int"):
         return None
+    if prefix_len is not None and (kind != "str" or not 1 <= prefix_len <= 255):
+        raise ValueError(
+            f"prefix_len must be 1..255 on a string column, got {prefix_len!r} "
+            f"on kind {kind!r}"
+        )
     distinct = pc.unique(arr.drop_null())
-    n = len(distinct)
+    keys = [canonical_bytes(v, kind) for v in distinct.to_pylist()]
+    if prefix_len:
+        keys.extend({_PREFIX_TAG + b[:prefix_len] for b in keys})
+    n = len(keys)
     m_bits = max(64, ((bits_per_key * max(n, 1) + 7) // 8) * 8)
     bits = np.zeros(m_bits // 8, dtype=np.uint8)
     if n:
         pos = np.empty(n * k, dtype=np.int64)
-        vals = distinct.to_pylist()
         i = 0
-        for v in vals:
-            b = canonical_bytes(v, kind)
+        for b in keys:
             h1, h2 = bloom_lanes(b)
             for j in range(k):
                 pos[i] = (h1 + j * h2) % m_bits
                 i += 1
         np.bitwise_or.at(bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
-    return bytes([k]) + int(m_bits).to_bytes(4, "big") + bits.tobytes()
+    flag = _PREFIX_FLAG if prefix_len else 0
+    tail = bytes([prefix_len]) if prefix_len else b""
+    return bytes([k | flag]) + int(m_bits).to_bytes(4, "big") + bits.tobytes() + tail
 
 
-def bloom_might_contain(bloom: bytes, value, kind: str) -> bool:
-    """Driver/test-side membership probe (the SQL expression's twin)."""
+def bloom_prefix_len_of(bloom: bytes) -> int | None:
+    """The prefix-key length a bitmap was built with, or None."""
+    if bloom is None or not bloom[0] & _PREFIX_FLAG:
+        return None
+    return bloom[-1]
+
+
+def bloom_might_contain(bloom: bytes, value, kind: str,
+                        op: str = "=") -> bool:
+    """Driver/test-side membership probe (the SQL expression's twin).
+
+    ``op='prefix'``: probes the tagged truncated prefix; returns True
+    (no prune) when the bitmap carries no prefix keys or the query prefix
+    is shorter than the stored P."""
     if bloom is None:
         return True
     b = canonical_bytes(value, kind)
     if b is None:
         return True
-    k = bloom[0]
+    if op == "prefix":
+        plen = bloom_prefix_len_of(bloom)
+        if plen is None or len(b) < plen:
+            return True
+        b = _PREFIX_TAG + b[:plen]
+    k = bloom[0] & ~_PREFIX_FLAG
     m_bits = int.from_bytes(bloom[1:5], "big")
     h1, h2 = bloom_lanes(b)
     for j in range(k):
@@ -113,6 +155,46 @@ def bloom_might_contain(bloom: bytes, value, kind: str) -> bool:
         if not (bloom[5 + (p >> 3)] >> (p & 7)) & 1:
             return False
     return True
+
+
+def _probe_conjunction(bloom_col: str, key: bytes, k: int) -> str:
+    """The k bit-probe AND-chain for one hashed key (shared by eq/prefix)."""
+    h1, h2 = bloom_lanes(key)
+    m = f"cast(conv(hex(substring({bloom_col}, 2, 4)), 16, 10) as bigint)"
+    probes = []
+    for j in range(k):
+        pos = f"pmod({h1 + j * h2}L, {m})"
+        byte = (f"cast(conv(hex(substring({bloom_col}, "
+                f"6 + cast(({pos}) / 8 as int), 1)), 16, 10) as int)")
+        probes.append(f"(({byte} & shiftleft(1, cast(pmod({pos}, 8) as int))) != 0)")
+    return "(" + " AND ".join(probes) + ")"
+
+
+def bloom_prefix_probe_sql(bloom_col: str, value, plens: list[int],
+                           k: int = DEFAULT_K) -> "str | None":
+    """Catalyst SQL boolean: might ``bloom_col`` contain a value with
+    string prefix ``value``?
+
+    ``plens``: the stored prefix-key lengths present in the table (from
+    :func:`discover_prefix_lens` — one encode run uses one P, but mixed
+    dirs are legal). Each block is probed with its OWN P via a CASE on the
+    trailing byte; blocks with no prefix keys, or whose P exceeds the
+    query prefix, stay un-pruned (true). Returns None when no stored P is
+    usable — caller skips bloom pruning entirely."""
+    vb = canonical_bytes(value, "str")
+    if vb is None:
+        return None
+    usable = sorted({p for p in plens if 1 <= p <= len(vb)})
+    if not usable:
+        return None
+    flag = (f"(cast(conv(hex(substring({bloom_col}, 1, 1)), 16, 10) as int)"
+            f" & {_PREFIX_FLAG}) != 0")
+    plen = f"cast(conv(hex(substring({bloom_col}, -1, 1)), 16, 10) as int)"
+    arms = " ".join(
+        f"WHEN {p} THEN {_probe_conjunction(bloom_col, _PREFIX_TAG + vb[:p], k)}"
+        for p in usable
+    )
+    return f"(NOT ({flag}) OR (CASE {plen} {arms} ELSE true END))"
 
 
 def bloom_probe_sql(bloom_col: str, value, kind: str,
@@ -127,16 +209,28 @@ def bloom_probe_sql(bloom_col: str, value, kind: str,
     vb = canonical_bytes(value, kind)
     if vb is None:
         return None
-    h1, h2 = bloom_lanes(vb)
-    m = f"cast(conv(hex(substring({bloom_col}, 2, 4)), 16, 10) as bigint)"
-    probes = []
-    for j in range(k):
-        # numerator precomputed driver-side: fits int64 by the 57-bit lanes
-        pos = f"pmod({h1 + j * h2}L, {m})"
-        byte = (f"cast(conv(hex(substring({bloom_col}, "
-                f"6 + cast(({pos}) / 8 as int), 1)), 16, 10) as int)")
-        probes.append(f"(({byte} & shiftleft(1, cast(pmod({pos}, 8) as int))) != 0)")
-    return "(" + " AND ".join(probes) + ")"
+    # numerators precomputed driver-side: fit int64 by the 57-bit lanes
+    return _probe_conjunction(bloom_col, vb, k)
+
+
+def parse_bloom_spec(specs) -> dict[str, "int | None"]:
+    """Normalize bloom column specs to {column: prefix_len_or_None}.
+
+    Accepts a dict (returned as-is), or an iterable of "col" /
+    "col:<prefix_len>" strings — the CLI's ``--bloom-columns url:16,id``
+    form."""
+    if specs is None:
+        return {}
+    if isinstance(specs, dict):
+        return dict(specs)
+    out: dict[str, int | None] = {}
+    for s in specs:
+        if ":" in s:
+            name, p = s.split(":", 1)
+            out[name] = int(p)
+        else:
+            out[s] = None
+    return out
 
 
 def expected_fpp(n_keys: int, m_bits: int, k: int = DEFAULT_K) -> float:

@@ -680,12 +680,16 @@ def prune_blocks(blocks: DataFrame, column: str, op: str, value,
 
 def prune_blocks_bloom(blocks: DataFrame, column: str, value,
                        max_groups: int = 100_000,
-                       headers: dict[str, dict] | None = None) -> DataFrame:
-    """Equality pushdown via the opt-in per-block bloom bitmaps
-    (codec/bloom.py): drop (part_id, block_id) groups whose ``column``
-    bloom proves ``column = value`` matches no row. The complement of zone
-    maps — min/max rarely excludes an equality probe on a high-cardinality
-    column, a 10-bits/key bloom excludes ~99% of non-matching blocks.
+                       headers: dict[str, dict] | None = None,
+                       op: str = "=") -> DataFrame:
+    """Equality (and, with ``op='prefix'``, string-prefix) pushdown via the
+    opt-in per-block bloom bitmaps (codec/bloom.py): drop (part_id,
+    block_id) groups whose ``column`` bloom proves the predicate matches no
+    row. The complement of zone maps — min/max rarely excludes an equality
+    probe on a high-cardinality column, a 10-bits/key bloom excludes ~99%
+    of non-matching blocks. Prefix pruning needs bitmaps built with
+    ``"col:<P>"`` specs and a query prefix of at least P bytes; blocks
+    without prefix keys are kept (never wrong, only less pruned).
 
     The membership test runs distributed as a pure Catalyst expression
     (``bloom_probe_sql``: substring/conv/bit arithmetic on the bitmap
@@ -697,7 +701,8 @@ def prune_blocks_bloom(blocks: DataFrame, column: str, value,
     projection reads (part_id, block_id, bloom) only."""
     if "bloom" not in blocks.columns:
         return blocks
-    from nail_parquet_spark.codec.bloom import bloom_probe_sql
+    from nail_parquet_spark.codec.bloom import (
+        _PREFIX_FLAG, bloom_prefix_probe_sql, bloom_probe_sql)
     from nail_parquet_spark.codec.kernels import _type_from_str
 
     if headers is None:
@@ -711,11 +716,26 @@ def prune_blocks_bloom(blocks: DataFrame, column: str, value,
         kind = "str"
     else:
         return blocks
-    probe = bloom_probe_sql("bloom", value, kind)
-    if probe is None:
-        return blocks
     meta = blocks.filter(F.col("column") == column).select(
         "part_id", "block_id", "bloom")
+    if op == "prefix":
+        if kind != "str":
+            return blocks
+        # discover the stored prefix-key lengths (trailing byte of flagged
+        # bitmaps): one encode run uses one P, so this driver pull is a
+        # handful of tiny rows — then each block probes with its own P
+        flag = (F.conv(F.hex(F.substring("bloom", 1, 1)), 16, 10)
+                .cast("int").bitwiseAND(_PREFIX_FLAG) != 0)
+        plens = [
+            int(r[0]) for r in meta.filter(F.col("bloom").isNotNull() & flag)
+            .select(F.conv(F.hex(F.substring("bloom", -1, 1)), 16, 10)
+                    .cast("int")).distinct().limit(64).collect()
+        ]
+        probe = bloom_prefix_probe_sql("bloom", value, plens)
+    else:
+        probe = bloom_probe_sql("bloom", value, kind)
+    if probe is None:
+        return blocks
     may = F.col("bloom").isNull() | F.expr(probe)
     pairs = (
         meta.filter(may).select("part_id", "block_id").distinct()
@@ -763,9 +783,9 @@ def decode_table_where_all(blocks: DataFrame, predicates,
     for col_, op_, val_ in preds:
         pruned = prune_blocks(pruned, col_, op_, val_, max_groups,
                               headers=headers)
-        if op_ in ("=", "=="):
+        if op_ in ("=", "==", "prefix"):
             pruned = prune_blocks_bloom(pruned, col_, val_, max_groups,
-                                        headers=headers)
+                                        headers=headers, op=op_)
     use_cols = list(out_cols)
     for col_, _, _ in preds:
         if col_ not in use_cols:

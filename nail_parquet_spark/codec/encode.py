@@ -21,6 +21,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 from pyspark.sql import DataFrame
 
+from nail_parquet_spark.codec.bloom import parse_bloom_spec as _parse_bloom
 from nail_parquet_spark.codec.kernels import encode_array, kind_of, xref_ref_of
 from nail_parquet_spark.codec.select import choose_codec, raw_bytes_of, xref_upgrade
 
@@ -120,9 +121,11 @@ def encode_table(
     """Encode selected columns of ``df`` into a blocks DataFrame.
 
     ``bloom_columns``: opt-in per-block bloom bitmaps for equality
-    pushdown (codec/bloom.py); str/int columns only."""
+    pushdown (codec/bloom.py); str/int columns only. "col:<P>" entries
+    (or a {col: P} dict) also insert P-byte prefix keys for string-prefix
+    pushdown."""
     cols = columns or df.columns
-    bloom_cols = tuple(bloom_columns or ())
+    bloom_cols = _parse_bloom(bloom_columns)
     bad = [c for c in bloom_cols if c not in cols]
     if bad:
         raise ValueError(f"bloom_columns not among encoded columns: {bad}")
@@ -231,7 +234,8 @@ def _encode_chunk(chunk, cols, chosen, with_stats, pid, block_id,
         if cname in bloom_cols:
             from nail_parquet_spark.codec.bloom import bloom_build
 
-            out["bloom"].append(bloom_build(arr))
+            plen = _parse_bloom(bloom_cols).get(cname)
+            out["bloom"].append(bloom_build(arr, prefix_len=plen))
         else:
             out["bloom"].append(None)
     return pa.record_batch(
@@ -527,7 +531,7 @@ def encode_parquet_files(
                     for off in range(0, tbl.num_rows, block_rows):
                         chunk = tbl.slice(off, min(block_rows, tbl.num_rows - off))
                         yield _encode_chunk(chunk, all_cols, chosen, with_stats, pid, block_id,
-                                            executor=pool, bloom_cols=tuple(bloom_columns or ()))
+                                            executor=pool, bloom_cols=_parse_bloom(bloom_columns))
                         block_id += 1
         finally:
             if pool is not None:
@@ -629,7 +633,7 @@ def encode_parquet_dir(
                     for off in range(0, tbl.num_rows, block_rows):
                         chunk = tbl.slice(off, min(block_rows, tbl.num_rows - off))
                         rb = _encode_chunk(chunk, all_cols, chosen, with_stats, tid, block_id,
-                                           executor=pool, bloom_cols=tuple(bloom_columns or ()))
+                                           executor=pool, bloom_cols=_parse_bloom(bloom_columns))
                         block_id += 1
                         if writer is None:
                             writer = _pq.ParquetWriter(tmp_path, rb.schema, compression=compression)

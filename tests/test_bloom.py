@@ -113,3 +113,74 @@ def test_bloomless_blocks_unaffected(spark):
     out2 = decode_table_where(legacy, "u", "=", "u7", columns=["id", "u"],
                               file_keyed=False).collect()
     assert [(r.id, r.u) for r in out2] == [(7, "u7")]
+
+
+def test_prefix_bloom_build_and_twin():
+    from nail_parquet_spark.codec.bloom import bloom_prefix_len_of
+
+    vals = pa.array(
+        [f"https://h{i % 50}.example.com/page/{i}" for i in range(3000)])
+    b = bloom_build(vals, prefix_len=12)
+    assert bloom_prefix_len_of(b) == 12
+    # eq probes still work on the flagged layout
+    assert bloom_might_contain(b, "https://h7.example.com/page/7", "str")
+    assert sum(
+        bloom_might_contain(b, f"https://zz{i}.org/x", "str")
+        for i in range(500)) / 500 < 0.05
+    # prefix probes: present host prefix hits, absent host mostly misses;
+    # a query prefix LONGER than P truncates soundly (still hits)
+    assert bloom_might_contain(b, "https://h7.e", "str", op="prefix")
+    assert bloom_might_contain(b, "https://h7.example.com/", "str", op="prefix")
+    assert sum(
+        bloom_might_contain(b, f"https://zz{i}.org/some/long/path", "str",
+                            op="prefix")
+        for i in range(500)) / 500 < 0.05
+    # query prefix shorter than P, or no-prefix bitmap: keep (never wrong)
+    assert bloom_might_contain(b, "https:", "str", op="prefix")
+    assert bloom_might_contain(bloom_build(vals), "https://zznope",
+                               "str", op="prefix")
+    with pytest.raises(ValueError):
+        bloom_build(pa.array([1, 2], pa.int64()), prefix_len=8)
+
+
+def test_prefix_probe_sql_matches_python(spark):
+    from nail_parquet_spark.codec.bloom import bloom_prefix_probe_sql
+
+    vals = pa.array([f"host{i:03d}/path/{i}" for i in range(256)])
+    b12 = bloom_build(vals, prefix_len=12)
+    b_plain = bloom_build(vals)
+    df = spark.createDataFrame([(b12,), (b_plain,), (None,)], "bloom binary")
+    probes = ([f"host{i:03d}/path/x"[:14] for i in range(0, 256, 41)]
+              + [f"nope{i:03d}/path/zzz" for i in range(20)])
+    for v in probes:
+        sql = bloom_prefix_probe_sql("bloom", v, [12])
+        got = [r["m"] for r in df.select(
+            (F.col("bloom").isNull() | F.expr(sql)).alias("m")).collect()]
+        want = [bloom_might_contain(x, v, "str", op="prefix")
+                for x in (b12, b_plain, None)]
+        assert got == want, v
+    # unusable P (longer than every query prefix) -> no expression
+    assert bloom_prefix_probe_sql("bloom", "ab", [12]) is None
+
+
+def test_prefix_bloom_end_to_end_pruning(spark):
+    # hosts repeat per block region; a host-prefix probe should prune to a
+    # strict subset of blocks and stay value-exact
+    df = spark.range(0, 4000, 1, 4).selectExpr(
+        "id", "concat('https://h', cast(id div 1000 as string), "
+        "'.example.com/p/', id) AS url")
+    blocks = encode_table(df, bloom_columns=["url:18"]).cache()
+    total = blocks.select("part_id", "block_id").distinct().count()
+    kept = prune_blocks_bloom(
+        blocks, "url", "https://h2.example.com/", op="prefix"
+    ).select("part_id", "block_id").distinct().count()
+    assert kept < total
+    out = decode_table_where(blocks, "url", "prefix", "https://h2.example.com/",
+                             columns=["id", "url"], file_keyed=False)
+    ids = sorted(r.id for r in out.collect())
+    assert ids == list(range(2000, 3000))
+    # dict-spec form + conjunction path stays exact with an absent prefix
+    out2 = decode_table_where(blocks, "url", "prefix", "https://nope.com/",
+                              columns=["id"], file_keyed=False)
+    assert out2.count() == 0
+    blocks.unpersist()
