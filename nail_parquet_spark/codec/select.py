@@ -131,6 +131,7 @@ def candidate_codecs(kind: str, st: ColumnStats) -> list[str]:
         cands.append("alp")
         if st.distinct_ratio <= 0.2:
             cands.append("dict")  # bit-pattern dict: bit-exact (kernels.py)
+        cands.append("bss")  # byte-plane split: wins where alp excepts out
         cands.append("zstd")
         if st.byte_entropy > 7.5:
             cands.append("plain")
@@ -195,6 +196,7 @@ CODEC_SPEED_MBPS = {
     "for_bitpack": 130.0,
     "delta_bitpack": 130.0,
     "alp": 150.0,
+    "bss": 160.0,  # byte transpose + zstd over mostly-skewed planes
     "fsst": 5.0,
     "wdict": 70.0,
     # xref: C memmem match + zstd over the (much smaller) residual — the

@@ -51,7 +51,7 @@ def _float_lists(dtype, n=200, dim=16):
     return rows
 
 
-FLOAT_LIST_CODECS = ["plain", "zstd", "lz4", "alp", "dict"]
+FLOAT_LIST_CODECS = ["plain", "zstd", "lz4", "alp", "dict", "bss"]
 
 
 @pytest.mark.parametrize("codec", FLOAT_LIST_CODECS)
@@ -151,3 +151,20 @@ def test_list_selector_paths():
         type=pa.list_(pa.float64()),
     )
     assert choose_codec(noise)[0] != "alp"
+
+
+def test_bss_wins_on_full_precision_floats():
+    """Byte-stream split: the selector's answer for high-entropy floats
+    (full-precision embeddings) where ALP's exception list degenerates —
+    planes of sign/exponent bytes compress, mantissa planes ride raw."""
+    noise = pa.array(rng.normal(size=50_000).astype(np.float32))
+    assert choose_codec(noise)[0] == "bss"
+    bss = len(encode_array(noise, "bss").payload)
+    zstd = len(encode_array(noise, "zstd").payload)
+    assert bss < zstd
+    # level suffix parses and only affects encode
+    blk = encode_array(noise, "bss:6")
+    assert len(blk.payload) <= bss
+    out = decode_array(blk)
+    assert np.array_equal(
+        np.asarray(out).view("u4"), np.asarray(noise).view("u4"))
