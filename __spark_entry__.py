@@ -568,6 +568,19 @@ def q_funnel_steps(spark, sf_dir):
     return funnel(_t(spark, sf_dir, "events"), ["view", "click", "purchase"])
 
 
+def q_encode_roundtrip_embeddings(spark, sf_dir):
+    """List-codec path end to end: encode the embeddings table
+    (array<float> -> list kind, codec by trial: alp/bss/zstd) and decode
+    back. The oracle is the IDENTITY query, so the driver value-hashes the
+    decoded vectors against the source table — the north-rule bit-identity
+    gate on the embeddings shape (codec/kernels.py list kind)."""
+    from nail_parquet_spark.codec.decode import decode_table
+    from nail_parquet_spark.codec.encode import encode_table
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return decode_table(encode_table(emb), columns=emb.columns)
+
+
 def q_chunk_docs(spark, sf_dir):
     """Token-window document chunking with overlap (functions/text.
     chunk_documents — one shuffle-free projection + explode, chunk starts
@@ -1487,6 +1500,7 @@ _QUERIES = {
         # -- round-5 late additions (r06 rotation candidates) --
         "funnel_durations": q_funnel_durations,
         "chunk_docs": q_chunk_docs,
+        "encode_roundtrip_embeddings": q_encode_roundtrip_embeddings,
 }
 
 
@@ -1906,6 +1920,8 @@ def oracle_sql() -> dict[str, str]:
              AND b.o_orderdate >= a.o_orderdate
              AND b.o_orderdate < a.o_orderdate + INTERVAL 365 DAY
             GROUP BY 1""",
+        "encode_roundtrip_embeddings": """
+            SELECT vec_id, embedding, label FROM embeddings""",
         "chunk_docs": r"""
             WITH toks AS (
               SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
