@@ -581,6 +581,40 @@ def q_encode_roundtrip_embeddings(spark, sf_dir):
     return decode_table(encode_table(emb), columns=emb.columns)
 
 
+def q_encoded_stats_pushdown(spark, sf_dir):
+    """Exact count/min/max answered from block zone stats ALONE
+    (codec/inspect.column_stats_pushdown): encode lineitem, then aggregate
+    the metadata columns — payload bytes are never scanned (plan-tested:
+    ReadSchema excludes `payload`). The exact analogue of `nail metadata`'s
+    statistics dump (/root/reference/src/commands/metadata.rs:275-316).
+    Timestamps are rendered to strings on both sides (canonical form)."""
+    from nail_parquet_spark.codec.encode import encode_table
+    from nail_parquet_spark.codec.inspect import column_stats_pushdown
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice", "l_shipdate",
+        "l_linestatus")
+    s = column_stats_pushdown(encode_table(li))
+    row = {
+        "cnt_qty": s["l_quantity"]["count"],
+        "min_qty": float(s["l_quantity"]["min"]),
+        "max_qty": float(s["l_quantity"]["max"]),
+        "min_price": float(s["l_extendedprice"]["min"]),
+        "max_price": float(s["l_extendedprice"]["max"]),
+        "min_okey": int(s["l_orderkey"]["min"]),
+        "max_okey": int(s["l_orderkey"]["max"]),
+        "min_ship": s["l_shipdate"]["min"].strftime("%Y-%m-%d %H:%M:%S"),
+        "max_ship": s["l_shipdate"]["max"].strftime("%Y-%m-%d %H:%M:%S"),
+        "min_ls": s["l_linestatus"]["min"],
+        "max_ls": s["l_linestatus"]["max"],
+    }
+    return spark.createDataFrame(
+        [tuple(row.values())],
+        "cnt_qty bigint, min_qty double, max_qty double, min_price double, "
+        "max_price double, min_okey bigint, max_okey bigint, "
+        "min_ship string, max_ship string, min_ls string, max_ls string")
+
+
 def q_chunk_docs(spark, sf_dir):
     """Token-window document chunking with overlap (functions/text.
     chunk_documents — one shuffle-free projection + explode, chunk starts
@@ -1501,6 +1535,7 @@ _QUERIES = {
         "funnel_durations": q_funnel_durations,
         "chunk_docs": q_chunk_docs,
         "encode_roundtrip_embeddings": q_encode_roundtrip_embeddings,
+        "encoded_stats_pushdown": q_encoded_stats_pushdown,
 }
 
 
@@ -1922,6 +1957,16 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1""",
         "encode_roundtrip_embeddings": """
             SELECT vec_id, embedding, label FROM embeddings""",
+        "encoded_stats_pushdown": """
+            SELECT count(l_quantity) AS cnt_qty,
+                   min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+                   min(l_extendedprice) AS min_price,
+                   max(l_extendedprice) AS max_price,
+                   min(l_orderkey) AS min_okey, max(l_orderkey) AS max_okey,
+                   strftime(min(l_shipdate), '%Y-%m-%d %H:%M:%S') AS min_ship,
+                   strftime(max(l_shipdate), '%Y-%m-%d %H:%M:%S') AS max_ship,
+                   min(l_linestatus) AS min_ls, max(l_linestatus) AS max_ls
+            FROM lineitem""",
         "chunk_docs": r"""
             WITH toks AS (
               SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w

@@ -283,6 +283,10 @@ def main(argv: list[str] | None = None) -> int:
         (("--dry-run",), {"action": "store_true", "help": "list orphans without deleting"}),
         with_output=False)
     add("metadata", with_output=False)
+    add("blockstats", (("-c", "--columns"), {"default": None}),
+        (("--snapshot",), {"type": int, "default": None,
+                           "help": "time travel: stats as of this snapshot id"}),
+        with_output=False)
     add("compact", (("--num-files",), {"type": int, "default": 32,
                                        "help": "output block-file count"}))
     add("curate", (("--rules",), {"default": None, "help": "JSON Gopher threshold overrides"}),
@@ -391,6 +395,23 @@ def main(argv: list[str] | None = None) -> int:
         compact_blocks(blocks, args.output, num_files=args.num_files)
         n = len(spark.read.parquet(args.output).inputFiles())
         print(f"compacted -> {args.output} ({n} files)")
+        return 0
+    if args.cmd == "blockstats":
+        # exact count/min/max from block zone stats alone — payloads are
+        # never read (codec/inspect.column_stats_pushdown)
+        from nail_parquet_spark.codec.inspect import column_stats_pushdown
+
+        if getattr(args, "snapshot", None) is not None:
+            from nail_parquet_spark.pipeline.checkpoint import read_blocks_at
+
+            blocks = read_blocks_at(spark, args.input, args.snapshot)
+        else:
+            blocks = (
+                spark.read.option("recursiveFileLookup", "true").parquet(args.input)
+            )
+        cols = args.columns.split(",") if args.columns else None
+        stats = column_stats_pushdown(blocks, cols)
+        print(json.dumps(stats, indent=2, default=str))
         return 0
     if args.cmd == "decode" and getattr(args, "shuffle_free", False):
         # decode_parquet_dir does its own recursive file discovery; no need

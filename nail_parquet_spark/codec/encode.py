@@ -48,9 +48,26 @@ def _stat_strings(arr: pa.Array) -> tuple[str | None, str | None, int]:
         return None, None, distinct
     try:
         mm = pc.min_max(arr)
+        mn_v, mx_v = mm["min"].as_py(), mm["max"].as_py()
+        if kind == "float":
+            nan_mask = pc.is_nan(arr)
+            if pc.any(nan_mask).as_py():
+                # arrow min_max skips NaN, but Spark/DuckDB order NaN
+                # LARGEST: the exact max of a NaN-bearing block is NaN, and
+                # the exact min is the non-NaN min — or NaN when every
+                # non-null value is NaN (arrow then reports the +inf/-inf
+                # identity elements, not the data). try_cast('nan' AS
+                # double) parses back, so zone pruning and stats pushdown
+                # stay exact.
+                mx_v = float("nan")
+                n_real = len(arr) - arr.null_count - pc.sum(nan_mask).as_py()
+                if n_real == 0:
+                    mn_v = float("nan")
+        if mn_v is None or mx_v is None:
+            return None, None, distinct
         return (
-            str(mm["min"].as_py())[:64],
-            str(mm["max"].as_py())[:64],
+            str(mn_v)[:64],
+            str(mx_v)[:64],
             distinct,
         )
     except Exception:

@@ -65,3 +65,131 @@ def encoding_usage(blocks: DataFrame) -> DataFrame:
         .withColumn("pct_blocks", F.round(100 * F.col("n_blocks") / F.sum("n_blocks").over(w), 2))
         .orderBy("column", "codec")
     )
+
+
+def column_stats_pushdown(blocks: DataFrame,
+                          columns: list[str] | None = None) -> dict[str, dict]:
+    """Exact ``count`` / ``null_count`` / ``min`` / ``max`` per column,
+    answered from block zone stats alone — payload bytes are never read
+    (the aggregation touches only the metadata columns, so Catalyst prunes
+    ``payload`` out of the parquet scan entirely). The distributed analogue
+    of a parquet footer-aggregate query (`nail metadata`'s statistics dump,
+    /root/reference/src/commands/metadata.rs:275-316, turned into an exact
+    answer), at O(#blocks) metadata rows instead of O(data).
+
+    Returns ``{column: {"count", "null_count", "min", "max"}}`` with
+    min/max as typed Python values (int / float / bool / datetime / date /
+    str); all-null columns report min/max None.
+
+    Exactness is PROVEN or the call raises ValueError — never a silently
+    approximate answer:
+
+    - binary / list columns carry no zone stats by design → raise;
+    - a block with NULL stats but rows that are not all null (stats were
+      unavailable at encode time) → raise;
+    - a string stat at the 64-char render cap may be truncated (a
+      truncated max is a prefix of the true max — a valid bound, not the
+      value) → raise;
+    - a numeric/temporal stat that does not parse back via try_cast
+      (corrupt or foreign metadata) → raise, because a NULL from a failed
+      parse would silently drop that block from the extremes.
+
+    Why parsing is otherwise exact: stats are ``str(value)[:64]`` renders
+    (encode.py ``_stat_strings``). int64/bool renders always fit and
+    round-trip; Python float repr is the shortest round-trip form, so
+    try_cast to double is bit-exact (``nan``/``inf`` renders parse too,
+    and encode stamps max='nan' on NaN-bearing float blocks to match
+    Spark/DuckDB's NaN-largest ordering); timestamp renders carry full
+    microseconds and offset within the cap. Only strings can hit the cap,
+    hence the length guard.
+    """
+    import pyarrow as pa
+
+    from nail_parquet_spark.codec.decode import _headers_by_column
+    from nail_parquet_spark.codec.kernels import _type_from_str
+
+    headers, _ = _headers_by_column(blocks)
+    if columns is None:
+        columns = sorted(headers)
+    casts: dict[str, str | None] = {}
+    for c in columns:
+        if c not in headers:
+            raise ValueError(f"column {c!r} not in the blocks table")
+        t = _type_from_str(headers[c]["type"])
+        if pa.types.is_boolean(t):
+            casts[c] = "boolean"
+        elif pa.types.is_integer(t):
+            casts[c] = "bigint"
+        elif pa.types.is_floating(t):
+            casts[c] = "double"
+        elif pa.types.is_timestamp(t):
+            casts[c] = "timestamp"
+        elif pa.types.is_date(t):
+            casts[c] = "date"
+        elif pa.types.is_string(t) or pa.types.is_large_string(t):
+            casts[c] = None
+        else:
+            raise ValueError(
+                f"column {c!r} ({headers[c]['type']}) carries no zone "
+                "stats; exact min/max requires a decode"
+            )
+
+    aggs = []
+    for c in columns:
+        on = F.col("column") == c
+        mn_s = F.when(on, F.col("min_val"))
+        mx_s = F.when(on, F.col("max_val"))
+        if casts[c] is None:
+            mn_t, mx_t = mn_s, mx_s
+            # render-cap guard (string kinds only — others cannot hit 64)
+            aggs.append(F.max(F.when(
+                on, F.greatest(F.length("min_val"), F.length("max_val"))
+            )).alias(f"cap__{c}"))
+        else:
+            mn_t = mn_s.try_cast(casts[c])
+            mx_t = mx_s.try_cast(casts[c])
+            # a stat that fails to parse back must raise, not vanish
+            aggs.append(F.max(F.when(
+                on & F.col("min_val").isNotNull() & (
+                    mn_t.isNull() | mx_t.isNull()), F.lit(1)
+            )).alias(f"cap__{c}"))
+        aggs += [
+            F.min(mn_t).alias(f"min__{c}"),
+            F.max(mx_t).alias(f"max__{c}"),
+            F.sum(F.when(on, F.col("n_rows"))).alias(f"rows__{c}"),
+            F.sum(F.when(on, F.col("null_count"))).alias(f"nulls__{c}"),
+            # NULL stats on a not-all-null block = stats unavailable
+            F.max(F.when(
+                on & F.col("min_val").isNull()
+                & (F.col("null_count") < F.col("n_rows")), F.lit(1)
+            )).alias(f"bad__{c}"),
+        ]
+    row = blocks.agg(*aggs).collect()[0]  # ONE metadata row to the driver
+
+    out: dict[str, dict] = {}
+    for c in columns:
+        if row[f"bad__{c}"] == 1:
+            raise ValueError(
+                f"column {c!r} has blocks without zone stats; exact "
+                "min/max requires a decode"
+            )
+        if casts[c] is None and (row[f"cap__{c}"] or 0) >= 64:
+            raise ValueError(
+                f"column {c!r} has string stats at the 64-char render "
+                "cap (possibly truncated); exact min/max requires a decode"
+            )
+        if casts[c] is not None and row[f"cap__{c}"] == 1:
+            raise ValueError(
+                f"column {c!r} has zone stats that do not parse back as "
+                f"{casts[c]} (inf/nan render or corrupt metadata); exact "
+                "min/max requires a decode"
+            )
+        n = int(row[f"rows__{c}"] or 0)
+        nulls = int(row[f"nulls__{c}"] or 0)
+        out[c] = {
+            "count": n - nulls,
+            "null_count": nulls,
+            "min": row[f"min__{c}"],
+            "max": row[f"max__{c}"],
+        }
+    return out

@@ -65,7 +65,9 @@ def column_stats(arr: pa.Array) -> ColumnStats:
     distinct_ratio = distinct / n
 
     if kind == "int":
-        v = np.asarray(arr.cast(pa.int64()).fill_null(0), dtype=np.int64) if not pa.types.is_boolean(arr.type) else np.asarray(arr.fill_null(False)).astype(np.int64)
+        from nail_parquet_spark.codec.kernels import _ints_of
+
+        v, _ = _ints_of(arr)  # zero-filled int64; handles date32/bool views
         runs = 1 + int((v[1:] != v[:-1]).sum()) if n > 1 else 1
         sorted_frac = float((v[1:] >= v[:-1]).mean()) if n > 1 else 1.0
         byts = v.view(np.uint8)

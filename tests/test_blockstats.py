@@ -1,0 +1,134 @@
+"""Metadata-only exact stats (codec/inspect.column_stats_pushdown):
+count/min/max answered from block zone stats without reading payloads."""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from nail_parquet_spark.codec.encode import encode_table
+from nail_parquet_spark.codec.inspect import column_stats_pushdown
+
+
+@pytest.fixture(scope="module")
+def typed_blocks(spark):
+    df = spark.range(1000).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 1.5 - 3.0).alias("x"),
+        F.when(F.col("id") % 5 != 0, F.col("id") % 7).alias("with_nulls"),
+        F.concat(F.lit("s"), F.format_string("%04d", F.col("id"))).alias("s"),
+        (F.col("id") % 2 == 0).alias("b"),
+        (F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+         + F.make_interval(secs=F.col("id"))).alias("ts"),
+    )
+    return df, encode_table(df).cache()
+
+
+def test_exact_typed_stats(spark, typed_blocks):
+    df, blocks = typed_blocks
+    got = column_stats_pushdown(blocks)
+    truth = df.agg(
+        F.count("with_nulls"), F.min("k"), F.max("k"), F.min("x"), F.max("x"),
+        F.min("s"), F.max("s"), F.min("b"), F.max("b"),
+        F.min("ts"), F.max("ts"),
+    ).collect()[0]
+    assert got["with_nulls"]["count"] == truth[0]
+    assert got["with_nulls"]["null_count"] == 1000 - truth[0]
+    assert (got["k"]["min"], got["k"]["max"]) == (truth[1], truth[2])
+    assert (got["x"]["min"], got["x"]["max"]) == (truth[3], truth[4])
+    assert (got["s"]["min"], got["s"]["max"]) == (truth[5], truth[6])
+    assert (got["b"]["min"], got["b"]["max"]) == (truth[7], truth[8])
+    assert got["ts"]["min"] == truth[9] and got["ts"]["max"] == truth[10]
+    assert got["k"]["count"] == 1000 and got["k"]["null_count"] == 0
+
+
+def test_payload_never_scanned(spark, typed_blocks, tmp_path):
+    # the exactness claim must hold on the PRODUCTION layout: write the
+    # blocks to parquet and assert the agg's ReadSchema excludes payload
+    _, blocks = typed_blocks
+    p = str(tmp_path / "blocks")
+    blocks.write.parquet(p)
+    disk = spark.read.parquet(p)
+    agg = disk.agg(
+        F.min(F.when(F.col("column") == "k", F.col("min_val")).try_cast("bigint")),
+        F.sum(F.when(F.col("column") == "k", F.col("n_rows"))),
+    )
+    from nail_parquet_spark.plans.explain import plan_text
+
+    txt = plan_text(agg)
+    read_schema = [ln for ln in txt.splitlines() if "ReadSchema" in ln]
+    assert read_schema and all("payload" not in ln for ln in read_schema)
+    got = column_stats_pushdown(disk, ["k"])
+    assert got["k"] == {"count": 1000, "null_count": 0, "min": 0, "max": 999}
+
+
+def test_column_subset_and_unknown(typed_blocks):
+    _, blocks = typed_blocks
+    got = column_stats_pushdown(blocks, ["k", "s"])
+    assert set(got) == {"k", "s"}
+    with pytest.raises(ValueError, match="not in the blocks table"):
+        column_stats_pushdown(blocks, ["nope"])
+
+
+def test_string_render_cap_raises(spark):
+    df = spark.range(10).select(
+        F.concat(F.lit("x" * 70), F.col("id").cast("string")).alias("long_s"))
+    blocks = encode_table(df)
+    with pytest.raises(ValueError, match="64-char render cap"):
+        column_stats_pushdown(blocks)
+
+
+def test_statless_kinds_raise(spark):
+    df = spark.range(10).select(
+        F.col("id").cast("string").cast("binary").alias("raw"),
+        F.array(F.col("id").cast("float")).alias("vec"),
+    )
+    blocks = encode_table(df).cache()
+    for c in ("raw", "vec"):
+        with pytest.raises(ValueError, match="no zone stats"):
+            column_stats_pushdown(blocks, [c])
+
+
+def test_all_null_column(spark):
+    df = spark.range(10).select(
+        F.col("id").alias("k"), F.lit(None).cast("double").alias("empty"))
+    got = column_stats_pushdown(encode_table(df))
+    assert got["empty"] == {"count": 0, "null_count": 10,
+                            "min": None, "max": None}
+
+
+def test_nan_exact_under_spark_ordering(spark):
+    # arrow min_max skips NaN but Spark/DuckDB order NaN largest; encode
+    # stamps max='nan' on NaN-bearing float blocks so the pushdown answer
+    # equals the engine answer exactly
+    import math
+
+    df = spark.range(10).select(
+        F.when(F.col("id") == 3, F.lit(float("nan")))
+         .otherwise(F.col("id") * 1.0).alias("x"))
+    got = column_stats_pushdown(encode_table(df))
+    truth = df.agg(F.min("x"), F.max("x")).collect()[0]
+    assert got["x"]["min"] == truth[0] == 0.0
+    assert math.isnan(got["x"]["max"]) and math.isnan(truth[1])
+
+    all_nan = spark.range(4).select(F.lit(float("nan")).alias("x"))
+    got2 = column_stats_pushdown(encode_table(all_nan))
+    assert math.isnan(got2["x"]["min"]) and math.isnan(got2["x"]["max"])
+
+
+def test_date_column(spark):
+    # also pins the codec auto-selector on date32 (its stats pass used an
+    # unsupported arrow cast before — dates only worked with pinned codecs)
+    from nail_parquet_spark.codec.decode import decode_table
+
+    df = spark.range(100).select(
+        F.col("id").alias("k"),
+        F.date_add(F.lit(datetime.date(2020, 1, 1)),
+                   F.col("id").cast("int")).alias("d"))
+    blocks = encode_table(df).cache()
+    got = column_stats_pushdown(blocks)
+    assert got["d"]["min"] == datetime.date(2020, 1, 1)
+    assert got["d"]["max"] == datetime.date(2020, 4, 9)
+    back = decode_table(blocks, columns=["k", "d"])
+    assert back.schema["d"].dataType.simpleString() == "date"
+    assert df.exceptAll(back).count() == 0 and back.count() == 100

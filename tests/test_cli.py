@@ -173,6 +173,16 @@ def test_cli_decode_roundtrip(data, tmp_path, spark, capsys):
     assert set(spark.read.parquet(out2).columns) == {"id", "name"}
 
 
+def test_cli_blockstats(data, tmp_path, capsys):
+    blocks = str(tmp_path / "blk_stats")
+    run("optimize", data, "-o", blocks)
+    capsys.readouterr()
+    run("blockstats", blocks, "-c", "id,score")
+    got = json.loads(capsys.readouterr().out)
+    assert got["id"] == {"count": 20, "null_count": 0, "min": 1, "max": 20}
+    assert got["score"]["count"] == 19 and got["score"]["null_count"] == 1
+
+
 def test_cli_binning_reference_flags(data, tmp_path, spark):
     out = str(tmp_path / "b.parquet")
     # custom edges via --bins + custom labels + drop-original (binning.rs:22-43)
