@@ -178,7 +178,12 @@ def main(argv: list[str] | None = None) -> int:
                                 "repeatable, multiple are ANDed"}),
         (("--snapshot",), {"type": int, "default": None,
                            "help": "time travel: decode the table as of this "
-                                   "snapshot id (encode_resumable out_dir)"}))
+                                   "snapshot id (encode_resumable out_dir)"}),
+        (("--missing-columns",), {"choices": ("error", "null"),
+                                  "default": "error", "dest": "missing_columns",
+                                  "help": "schema evolution: 'null' fills columns "
+                                          "absent from older block groups with NULL "
+                                          "instead of erroring"}))
     add("quality", (("-c", "--text-column"), {"default": "text", "dest": "text_column"}),
         (("--id-column",), {"default": None, "help": "doc id column (default: first column)"}),
         (("--mode",), {"default": "filter",
@@ -421,7 +426,8 @@ def main(argv: list[str] | None = None) -> int:
         if not args.output:
             p.error("decode requires -o/--output")
         cols = args.columns.split(",") if args.columns else None
-        rows = decode_parquet_dir(spark, args.input, args.output, columns=cols).collect()
+        rows = decode_parquet_dir(spark, args.input, args.output, columns=cols,
+                                  missing_columns=args.missing_columns).collect()
         print(f"decoded {sum(r['n_rows'] for r in rows)} rows -> {args.output}")
         return 0
     if args.cmd == "decode" and getattr(args, "snapshot", None) is not None:
@@ -458,7 +464,8 @@ def main(argv: list[str] | None = None) -> int:
             shown = " AND ".join(f"{c}{o}{v!r}" for c, o, v in preds)
             print(f"decoded {dec.count()} rows (pushdown {shown}) -> {args.output}")
         else:
-            rows = decode_to_parquet(df, args.output, columns=cols).collect()
+            rows = decode_to_parquet(df, args.output, columns=cols,
+                                     missing_columns=args.missing_columns).collect()
             print(f"decoded {sum(r['n_rows'] for r in rows)} rows -> {args.output}")
     elif c == "metadata":
         from nail_parquet_spark.codec.encode import encode_table

@@ -163,17 +163,23 @@ def _with_src_key(blocks: DataFrame, file_keyed: bool = True) -> DataFrame:
         return blocks.select(F.lit("").alias("__src"), *base)
 
 
-def _iter_groups(batches, columns):
+def _iter_groups(batches, columns, strict: bool = True):
     """Shared group-assembly state machine for the shuffled decode paths:
     rows arrive sorted by (src, part_id, block_id); flush on key transition,
     validate the requested columns per group, and refuse duplicate
     (group, column) rows — a duplicate means two distinct groups share a key
     (e.g. a union of in-memory encode jobs where the file key is empty) and
-    silently overwriting would return row-misaligned data."""
+    silently overwriting would return row-misaligned data.
+
+    ``strict=False`` (schema evolution) skips the completeness check:
+    groups encoded before a column existed yield partial dicts and the
+    decoder null-fills them."""
     cur_key = None
     grp: dict[str, tuple[str, bytes]] = {}
 
     def check_complete():
+        if not strict:
+            return
         missing = [c for c in columns if c not in grp]
         if missing:
             raise ValueError(
@@ -218,9 +224,15 @@ _GROUP_HINT = (
 
 
 def _decode_group(grp: dict[str, tuple[str, bytes]], columns: list[str],
-                  out_schema: pa.Schema) -> pa.RecordBatch:
+                  out_schema: pa.Schema,
+                  fill_missing: bool = False) -> pa.RecordBatch:
     """Decode one complete (part_id, block_id) group, resolving xref
-    dependencies in order (a reference is decoded once and reused)."""
+    dependencies in order (a reference is decoded once and reused).
+
+    ``fill_missing=True`` (schema evolution): a requested column with no
+    block in this group decodes to all-NULL at the group's row count (taken
+    from any present block's header — no payload decode needed), the
+    Iceberg add-column read semantics."""
     blks = {c: EncodedBlock.from_parts(h, pl) for c, (h, pl) in grp.items()}
     cache: dict[str, pa.Array] = {}
 
@@ -244,9 +256,13 @@ def _decode_group(grp: dict[str, tuple[str, bytes]], columns: list[str],
         return arr
 
     arrays = []
+    n_rows = next(iter(blks.values())).header["n"] if blks else 0
     for i, c in enumerate(columns):
-        arr = get(c)
         ft = out_schema.field(i).type
+        if fill_missing and c not in blks:
+            arrays.append(pa.nulls(n_rows, ft))
+            continue
+        arr = get(c)
         if arr.type != ft:
             arr = arr.cast(ft)
         arrays.append(arr)
@@ -264,8 +280,15 @@ def _spark_ddl_of(schema: pa.Schema) -> str:
 
 def decode_table(blocks: DataFrame, columns: list[str] | None = None,
                  num_partitions: int | None = None,
-                 file_keyed: bool = True) -> DataFrame:
+                 file_keyed: bool = True,
+                 missing_columns: str = "error") -> DataFrame:
     """Decode an encoded-blocks DataFrame back to the raw table.
+
+    ``missing_columns``: ``"error"`` (default) refuses groups that lack a
+    requested column; ``"null"`` null-fills them instead — Iceberg
+    add-column read semantics for resumable out_dirs whose later batches
+    gained columns (the column must exist in at least one batch, since the
+    output type comes from its header).
 
     BREAKING DEFAULT (round 3): ``file_keyed=True`` scopes block-group
     identity by source file so outputs of independent encode jobs (each
@@ -276,6 +299,8 @@ def decode_table(blocks: DataFrame, columns: list[str] | None = None,
     ``file_keyed=False`` (safe only when ALL blocks come from one encode
     job) or re-key with ``codec.compact.compact_blocks``, which restores
     whole groups per file and decodes under either mode."""
+    if missing_columns not in ("error", "null"):
+        raise ValueError("missing_columns must be 'error' or 'null'")
     headers, refs = _headers_by_column(blocks)
     if columns is None:
         # the header read already enumerated the columns — no extra job
@@ -299,9 +324,11 @@ def decode_table(blocks: DataFrame, columns: list[str] | None = None,
         part = part.repartition("__src", "part_id", "block_id")
     part = part.sortWithinPartitions("__src", "part_id", "block_id")
 
+    fill = missing_columns == "null"
+
     def dec(batches):
-        for grp in _iter_groups(batches, columns):
-            yield _decode_group(grp, columns, out_schema)
+        for grp in _iter_groups(batches, columns, strict=not fill):
+            yield _decode_group(grp, columns, out_schema, fill_missing=fill)
 
     return part.mapInArrow(dec, schema=ddl)
 
@@ -403,7 +430,8 @@ def decode_to_parquet(blocks: DataFrame, out_dir: str,
                       num_partitions: int | None = None,
                       compression: str = "snappy",
                       file_keyed: bool = True,
-                      use_dictionary=False) -> DataFrame:
+                      use_dictionary=False,
+                      missing_columns: str = "error") -> DataFrame:
     """Sink-side decode: tasks write decoded rows straight to parquet with
     the pyarrow C++ writer, so the decoded raw bytes never cross the
     Python->JVM boundary (the mirror of ``encode_parquet_files`` — measured
@@ -419,9 +447,15 @@ def decode_to_parquet(blocks: DataFrame, out_dir: str,
     unique (dict pages overflow and fall back anyway) and skipping the
     attempt is ~20% off the write wall; pass True (or a column-name list)
     to re-dictionarize low-cardinality outputs.
+
+    ``missing_columns="null"``: schema-evolution read — groups lacking a
+    requested column null-fill it (see ``decode_table``).
     """
     import os
 
+    if missing_columns not in ("error", "null"):
+        raise ValueError("missing_columns must be 'error' or 'null'")
+    fill = missing_columns == "null"
     headers, refs = _headers_by_column(blocks)
     if columns is None:
         columns = sorted(headers)
@@ -461,8 +495,8 @@ def decode_to_parquet(blocks: DataFrame, out_dir: str,
                 except OSError:
                     pass
         w = _BufferedWriter(tmp, out_schema, compression, use_dictionary)
-        for grp in _iter_groups(batches, columns):
-            w.write(_decode_group(grp, columns, out_schema))
+        for grp in _iter_groups(batches, columns, strict=not fill):
+            w.write(_decode_group(grp, columns, out_schema, fill_missing=fill))
         if w.close():
             os.replace(tmp, path)
             yield pa.record_batch(
@@ -476,7 +510,8 @@ def decode_to_parquet(blocks: DataFrame, out_dir: str,
 def decode_parquet_dir(spark, blocks_dir: str, out_dir: str,
                        columns: list[str] | None = None,
                        compression: str = "snappy",
-                       use_dictionary=False):
+                       use_dictionary=False,
+                       missing_columns: str = "error"):
     """Shuffle-free decode: each task reads one block-parquet FILE with the
     pyarrow C++ reader, decodes its (complete) groups, and writes decoded
     parquet in place.
@@ -485,8 +520,15 @@ def decode_parquet_dir(spark, blocks_dir: str, out_dir: str,
     writer task emits whole groups into its own file), so no repartition is
     needed to co-locate a block's columns — zero shuffle, C++ IO on both
     ends. For arbitrary block layouts use ``decode_to_parquet``.
+
+    ``missing_columns="null"``: schema-evolution read — groups lacking a
+    requested column null-fill it (see ``decode_table``).
     """
     import os
+
+    if missing_columns not in ("error", "null"):
+        raise ValueError("missing_columns must be 'error' or 'null'")
+    fill = missing_columns == "null"
 
     from nail_parquet_spark.sources.io import list_parquet_files
 
@@ -561,12 +603,13 @@ def decode_parquet_dir(spark, blocks_dir: str, out_dir: str,
                     # columns (xref deps raise inside _decode_group): blocks
                     # of heterogeneous jobs may carry different column sets
                     missing = [c for c in columns if c not in grp]
-                    if missing:
+                    if missing and not fill:
                         raise ValueError(
                             f"block group {key} in {path} is missing "
                             f"requested columns {missing}"
                         )
-                    w.write(_decode_group(grp, columns, out_schema))
+                    w.write(_decode_group(grp, columns, out_schema,
+                                          fill_missing=fill))
         if w.close():
             os.replace(tmp, out_path)
             yield pa.record_batch(
