@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import re
 import sys
 
 
@@ -42,11 +43,27 @@ def _out(df, args, n: int = 20):
         df.show(n=n, truncate=False)
 
 
+def _infer_literal(raw: str):
+    try:
+        return int(raw)
+    except ValueError:
+        try:
+            return float(raw)
+        except ValueError:
+            return raw.strip("'\"")
+
+
 def _parse_where(spec: str):
     """'col>=value' -> (col, op, value) with numeric literal inference (same
     rules as the filter condition parser: int, then float, then string).
-    'col^=prefix' is the string-prefix predicate (zone-map range prune)."""
-    for op in ("^=", ">=", "<=", "==", "=", ">", "<"):
+    'col^=prefix' is the string-prefix predicate (zone-map range prune),
+    'col@=a,b,c' is the IN-list predicate (zone + bloom OR-prune),
+    'col!=value' excludes a value (prunes only value-constant blocks), and
+    'col IS [NOT] NULL' prunes from the per-block null counters alone."""
+    m = re.match(r"(?is)^\s*([\w.]+)\s+is\s+(not\s+)?null\s*$", spec)
+    if m:
+        return m.group(1), ("notnull" if m.group(2) else "isnull"), None
+    for op in ("^=", ">=", "<=", "!=", "@=", "==", "=", ">", "<"):
         if op in spec:
             col, _, raw = spec.partition(op)
             col, raw = col.strip(), raw.strip()
@@ -54,15 +71,13 @@ def _parse_where(spec: str):
                 break
             if op == "^=":
                 return col, "prefix", raw.strip("'\"")
-            try:
-                val: object = int(raw)
-            except ValueError:
-                try:
-                    val = float(raw)
-                except ValueError:
-                    val = raw.strip("'\"")
-            return col, ("=" if op == "==" else op), val
-    raise SystemExit(f"bad --where {spec!r}: expected col(^=|>=|<=|>|<|=)value")
+            if op == "@=":
+                return col, "in", [_infer_literal(x.strip())
+                                   for x in raw.split(",") if x.strip()]
+            return col, ("=" if op == "==" else op), _infer_literal(raw)
+    raise SystemExit(
+        f"bad --where {spec!r}: expected col(^=|@=|>=|<=|!=|>|<|=)value "
+        "or 'col IS [NOT] NULL'")
 
 
 def main(argv: list[str] | None = None) -> int:

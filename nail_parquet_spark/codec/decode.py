@@ -624,7 +624,29 @@ def decode_parquet_dir(spark, blocks_dir: str, out_dir: str,
 # zone-map predicate pushdown (block pruning from the per-block min/max)
 # ---------------------------------------------------------------------------
 
-_PRUNE_OPS = ("=", "==", ">", ">=", "<", "<=", "prefix")
+_PRUNE_OPS = ("=", "==", "!=", ">", ">=", "<", "<=", "prefix", "in",
+              "isnull", "notnull")
+
+# IN-lists longer than this skip zone/bloom pruning (the OR-of-intervals
+# expression and the driver-side probe-hash work grow linearly; past this
+# the residual isin filter alone is the right plan)
+_IN_PRUNE_CAP = 64
+
+
+def _keep_groups(blocks: DataFrame, meta: DataFrame, may,
+                 max_groups: int) -> DataFrame:
+    """Collect the (part_id, block_id) keep-set satisfying ``may`` and
+    re-apply it as literal isin filters (pushed into the parquet scan).
+    Above ``max_groups`` pruning is skipped — never wrong, only unpruned."""
+    pairs = (
+        meta.filter(may).select("part_id", "block_id").distinct()
+        .limit(max_groups + 1).collect()
+    )
+    if len(pairs) > max_groups:
+        return blocks
+    parts = sorted({r["part_id"] for r in pairs})
+    bids = sorted({r["block_id"] for r in pairs})
+    return blocks.filter(F.col("part_id").isin(parts) & F.col("block_id").isin(bids))
 
 
 def prune_blocks(blocks: DataFrame, column: str, op: str, value,
@@ -660,6 +682,15 @@ def prune_blocks(blocks: DataFrame, column: str, op: str, value,
         headers, _ = _headers_by_column(blocks)
     if column not in headers:
         raise ValueError(f"column {column!r} not in the blocks table")
+    if op in ("isnull", "notnull"):
+        # null predicates need only the null counters, recorded for EVERY
+        # column type (binary included): isnull keeps blocks with any null,
+        # notnull keeps blocks with any non-null row
+        meta = blocks.filter(F.col("column") == column).select(
+            "part_id", "block_id", "n_rows", "null_count")
+        may = (F.col("null_count") > 0) if op == "isnull" else (
+            F.col("null_count") < F.col("n_rows"))
+        return _keep_groups(blocks, meta, may, max_groups)
     t = _type_from_str(headers[column]["type"])
     is_str = pa.types.is_string(t) or pa.types.is_large_string(t)
     if op == "prefix" and not is_str:
@@ -678,17 +709,41 @@ def prune_blocks(blocks: DataFrame, column: str, op: str, value,
     meta = blocks.filter(F.col("column") == column).select(
         "part_id", "block_id", "min_val", "max_val", "n_rows", "null_count"
     )
+    in_vals: list | None = None
+    if op == "in":
+        in_vals = list(value)
+        if len(in_vals) > _IN_PRUNE_CAP:
+            return blocks
     if cast is not None:
         lo = F.col("min_val").try_cast(cast)
         hi = F.col("max_val").try_cast(cast)
-        v = F.lit(value).cast(cast)
+        v = F.lit(None if in_vals is not None else value).cast(cast)
         hi_known = hi.isNotNull()
+        lo_known = lo.isNotNull()
+        lits = [F.lit(x).cast(cast) for x in (in_vals or [])]
     else:
         lo = F.col("min_val")
         hi = F.col("max_val")
-        v = F.lit(value)
+        v = F.lit(None if in_vals is not None else value)
         hi_known = hi.isNotNull() & (F.length("max_val") < 64)
-    if op == "prefix":
+        # a 64-char min may be truncated: a prefix of the true min, valid
+        # as a lower bound but NOT as an exact value for !=-constancy
+        lo_known = F.length("min_val") < 64
+        lits = [F.lit(x) for x in (in_vals or [])]
+    if op == "in":
+        if not lits:
+            # empty IN-list matches no row anywhere — prune every group
+            return _keep_groups(blocks, meta, F.lit(False), max_groups)
+        cond = F.lit(False)
+        for lv in lits:
+            cond = cond | ((lo <= lv) & F.when(hi_known, hi >= lv)
+                           .otherwise(F.lit(True)))
+    elif op == "!=":
+        # prune only blocks provably CONSTANT-equal to the value: every
+        # non-null row is v (nulls never satisfy !=); all-null blocks fall
+        # out below via ~lo.isNull()
+        cond = ~(lo_known & hi_known & (lo == v) & (hi == v))
+    elif op == "prefix":
         # strings with prefix p form the interval [p, p⁺). A block may hold
         # one iff hi >= p and (lo <= p OR lo itself starts with p) — the
         # lo-side disjunction stays valid under 64-char min truncation: a
@@ -710,15 +765,7 @@ def prune_blocks(blocks: DataFrame, column: str, op: str, value,
         cond = lo < v
     stats_missing = lo.isNull() & (F.col("null_count") < F.col("n_rows"))
     may = stats_missing | ((~lo.isNull()) & cond)
-    pairs = (
-        meta.filter(may).select("part_id", "block_id").distinct()
-        .limit(max_groups + 1).collect()
-    )
-    if len(pairs) > max_groups:
-        return blocks
-    parts = sorted({r["part_id"] for r in pairs})
-    bids = sorted({r["block_id"] for r in pairs})
-    return blocks.filter(F.col("part_id").isin(parts) & F.col("block_id").isin(bids))
+    return _keep_groups(blocks, meta, may, max_groups)
 
 
 def prune_blocks_bloom(blocks: DataFrame, column: str, value,
@@ -775,20 +822,24 @@ def prune_blocks_bloom(blocks: DataFrame, column: str, value,
                     .cast("int")).distinct().limit(64).collect()
         ]
         probe = bloom_prefix_probe_sql("bloom", value, plens)
+    elif op == "in":
+        # OR of per-value probes: a block survives if ANY listed value may
+        # be present. Any unprobable value (or an oversized list) keeps the
+        # whole thing unpruned — never wrong.
+        vals = list(value)
+        if not vals or len(vals) > _IN_PRUNE_CAP:
+            return blocks if vals else _keep_groups(
+                blocks, meta, F.lit(False), max_groups)
+        probes = [bloom_probe_sql("bloom", x, kind) for x in vals]
+        if any(p is None for p in probes):
+            return blocks
+        probe = " OR ".join(f"({p})" for p in probes)
     else:
         probe = bloom_probe_sql("bloom", value, kind)
     if probe is None:
         return blocks
     may = F.col("bloom").isNull() | F.expr(probe)
-    pairs = (
-        meta.filter(may).select("part_id", "block_id").distinct()
-        .limit(max_groups + 1).collect()
-    )
-    if len(pairs) > max_groups:
-        return blocks
-    parts = sorted({r["part_id"] for r in pairs})
-    bids = sorted({r["block_id"] for r in pairs})
-    return blocks.filter(F.col("part_id").isin(parts) & F.col("block_id").isin(bids))
+    return _keep_groups(blocks, meta, may, max_groups)
 
 
 def decode_table_where(blocks: DataFrame, column: str, op: str, value,
@@ -826,7 +877,7 @@ def decode_table_where_all(blocks: DataFrame, predicates,
     for col_, op_, val_ in preds:
         pruned = prune_blocks(pruned, col_, op_, val_, max_groups,
                               headers=headers)
-        if op_ in ("=", "==", "prefix"):
+        if op_ in ("=", "==", "prefix", "in"):
             pruned = prune_blocks_bloom(pruned, col_, val_, max_groups,
                                         headers=headers, op=op_)
     use_cols = list(out_cols)
@@ -844,9 +895,16 @@ def decode_table_where_all(blocks: DataFrame, predicates,
         c = F.col(col_)
         if op_ == "prefix":
             one = c.startswith(val_)
+        elif op_ == "in":
+            vals_ = list(val_)
+            one = c.isin(vals_) if vals_ else F.lit(False)
+        elif op_ == "isnull":
+            one = c.isNull()
+        elif op_ == "notnull":
+            one = c.isNotNull()
         else:
             one = {
-                "=": c == val_, "==": c == val_,
+                "=": c == val_, "==": c == val_, "!=": c != val_,
                 ">": c > val_, ">=": c >= val_,
                 "<": c < val_, "<=": c <= val_,
             }[op_]

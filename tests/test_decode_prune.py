@@ -231,3 +231,120 @@ def test_cli_decode_where_prefix(spark, tmp_path, capsys):
     got = spark.read.parquet(out)
     assert got.count() == 10
     assert all(r["s"].startswith("h3/") for r in got.collect())
+
+
+def test_in_prune_and_exact(spark, sorted_blocks):
+    df, blocks = sorted_blocks
+    # three values in two distinct 10-row zone ranges -> 2 groups survive
+    pruned = prune_blocks(blocks, "k", "in", [3, 7, 55])
+    assert n_groups(pruned) == 2
+    out = decode_table_where(blocks, "k", "in", [3, 7, 55]).orderBy("k")
+    assert [r["k"] for r in out.collect()] == [3, 7, 55]
+    # string IN-list prunes by the string zone maps
+    pruned_s = prune_blocks(blocks, "s", "in", ["v012", "v013"])
+    assert n_groups(pruned_s) == 1
+    # empty IN-list: everything pruned, schema-correct empty result
+    assert n_groups(prune_blocks(blocks, "k", "in", [])) == 0
+    empty = decode_table_where(blocks, "k", "in", [])
+    assert empty.count() == 0 and set(empty.columns) == {"k", "s"}
+    # oversized list skips pruning but stays exact
+    big = list(range(200))
+    assert n_groups(prune_blocks(blocks, "k", "in", big)) == 10
+    assert decode_table_where(blocks, "k", "in", big).count() == 100
+
+
+def test_in_prune_bloom(spark):
+    from nail_parquet_spark.codec.decode import prune_blocks_bloom
+
+    # constant zone ranges per block on a high-cardinality id: min/max can't
+    # prune an IN probe, the bloom OR-probe can
+    df = (
+        spark.range(400)
+        .selectExpr("cast(id AS long) AS k",
+                    "concat('id', cast(id AS string)) AS u")
+        .repartition(1).sortWithinPartitions("k")
+    )
+    blocks = encode_table(df, codecs={"k": "plain", "u": "zstd"},
+                          block_rows=100, bloom_columns=["u"]).cache()
+    pruned = prune_blocks_bloom(blocks, "u", ["id5", "id250"], op="in")
+    assert n_groups(pruned) <= 2
+    out = decode_table_where(blocks, "u", "in", ["id5", "id250"])
+    assert sorted(r["u"] for r in out.collect()) == ["id250", "id5"]
+
+
+def test_neq_prune_and_exact(spark):
+    # lang-style low-cardinality runs: value-constant blocks prune under !=
+    df = spark.createDataFrame(
+        [(i, "en" if i < 20 else ("de" if i < 30 else None))
+         for i in range(40)],
+        "k long, lang string",
+    ).repartition(1).sortWithinPartitions("k")
+    blocks = encode_table(df, codecs={"k": "plain", "lang": "rle"},
+                          block_rows=10).cache()
+    # blocks: [en]*2, [de], [null] -> != 'en' keeps only the de block
+    pruned = prune_blocks(blocks, "lang", "!=", "en")
+    assert n_groups(pruned) == 1
+    got = decode_table_where(blocks, "lang", "!=", "en").orderBy("k").collect()
+    assert [r["lang"] for r in got] == ["de"] * 10  # SQL !=: nulls excluded
+    # != a value present in a mixed block keeps the block, filters residually
+    assert decode_table_where(blocks, "k", "!=", 5).count() == 39
+
+
+def test_neq_truncated_min_never_prunes(spark):
+    # 70-char constant strings: min/max both truncate at 64 chars, so the
+    # block is NOT provably constant -> != must keep it (residual decides)
+    v = "y" * 70
+    df = spark.createDataFrame([(i, v) for i in range(10)], "k long, s string")
+    blocks = encode_table(df.repartition(1), codecs={"k": "plain", "s": "zstd"},
+                          block_rows=10)
+    assert n_groups(prune_blocks(blocks, "s", "!=", v)) == 1
+    assert decode_table_where(blocks, "s", "!=", v).count() == 0
+
+
+def test_null_predicate_prune(spark):
+    df = spark.createDataFrame(
+        [(i, None if i < 10 else float(i)) for i in range(30)],
+        "k long, x double",
+    ).repartition(1).sortWithinPartitions("k")
+    blocks = encode_table(df, codecs={"k": "plain", "x": "plain"},
+                          block_rows=10).cache()
+    # blocks in x: [null]*1, [value]*2
+    assert n_groups(prune_blocks(blocks, "x", "isnull", None)) == 1
+    assert n_groups(prune_blocks(blocks, "x", "notnull", None)) == 2
+    assert decode_table_where(blocks, "x", "isnull", None).count() == 10
+    got = decode_table_where(blocks, "x", "notnull", None)
+    assert got.count() == 20
+    # conjunction mixing null and range predicates
+    from nail_parquet_spark.codec.decode import decode_table_where_all
+    both = decode_table_where_all(
+        blocks, [("x", "notnull", None), ("k", ">=", 25)])
+    assert sorted(r["k"] for r in both.collect()) == list(range(25, 30))
+
+
+def test_cli_where_grammar_extensions(spark, tmp_path):
+    from nail_parquet_spark.cli import _parse_where, main as cli_main
+
+    assert _parse_where("lang@=en,de,fr") == ("lang", "in", ["en", "de", "fr"])
+    assert _parse_where("k@=1, 2 ,3") == ("k", "in", [1, 2, 3])
+    assert _parse_where("k!=5") == ("k", "!=", 5)
+    assert _parse_where("x IS NULL") == ("x", "isnull", None)
+    assert _parse_where("x is not null") == ("x", "notnull", None)
+    src = (
+        spark.range(30)
+        .selectExpr("cast(id AS long) AS k",
+                    "CASE WHEN id % 3 = 0 THEN NULL "
+                    "ELSE cast(id % 5 AS string) END AS m")
+        .repartition(1).sortWithinPartitions("k")
+    )
+    enc = str(tmp_path / "enc")
+    encode_table(src, block_rows=10).write.parquet(enc)
+    out = str(tmp_path / "dec")
+    assert cli_main(["decode", enc, "-o", out, "--where", "m@=1,2",
+                     "--where", "k!=11"]) == 0
+    got = {(r["k"], r["m"]) for r in spark.read.parquet(out).collect()}
+    want = {(i, str(i % 5)) for i in range(30)
+            if i % 3 != 0 and i % 5 in (1, 2) and i != 11}
+    assert got == want
+    out2 = str(tmp_path / "dec2")
+    assert cli_main(["decode", enc, "-o", out2, "--where", "m is null"]) == 0
+    assert spark.read.parquet(out2).count() == 10
