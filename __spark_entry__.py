@@ -1408,6 +1408,71 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     return jaccard_verify(d, cand, "doc_id", "text", threshold=0.5)
 
 
+def q_html_extract(spark, sf_dir):
+    """HTML → text extraction (functions/html.py): documents.text is
+    wrapped into a full page (title + style + script + link + escaped
+    body + comment) and extracted back — title, visible body, and href
+    links, all via JVM-side regexp/replace chains (one Exchange-free
+    projection). The oracle states the expected output analytically,
+    so this attests the whole pinned rule set (script/style/comment
+    drop, break tags, entity decode) value-exactly."""
+    from nail_parquet_spark.functions.html import (
+        html_escape, html_extract_text, html_links, html_title,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    page = F.concat(
+        F.lit("<html><head><title>"), html_escape(F.col("source")),
+        F.lit('</title><style>p { color: red; }</style>'
+              '<script>if (1 < 2) { x = "&"; }</script></head>'
+              '<body><a href="https://'),
+        F.col("source"), F.lit(".example.com/"),
+        F.col("doc_id").cast("string"),
+        F.lit('?utm_source=x">go</a><p>'), html_escape(F.col("text")),
+        F.lit("</p><!-- hidden <secret> --></body></html>"),
+    )
+    links = html_links(page)
+    return d.select(
+        "doc_id",
+        html_title(page).alias("title"),
+        html_extract_text(page).alias("body"),
+        F.size(links).alias("n_links"),
+        F.element_at(links, 1).alias("link"),
+    )
+
+
+def q_html_links_hosts(spark, sf_dir):
+    """Crawl-frontier extraction: href links out of built pages →
+    url_normalize → registered_domain, aggregated per domain. Composes
+    functions/html.py with functions/urls.py (case/port/tracking rules,
+    two-level public suffix) — the per-domain outlink census a crawler
+    runs at 100 TB (explode is in-partition; the only Exchange is the
+    final domain groupBy)."""
+    from nail_parquet_spark.functions.html import html_links
+    from nail_parquet_spark.functions.urls import (
+        registered_domain, url_normalize,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    page = F.concat(
+        F.lit('<div><a href="HTTPS://WWW.'), F.col("source"),
+        F.lit(".CO.UK:443/a?utm_source=t&x="),
+        F.col("doc_id").cast("string"),
+        F.lit('">one</a><a href="http://h'),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit('.example.com/b#frag">two</a></div>'),
+    )
+    e = d.select(F.explode(html_links(page)).alias("link"))
+    n = e.select(
+        url_normalize(F.col("link")).alias("norm"),
+        registered_domain(F.col("link")).alias("dom"),
+    )
+    return n.groupBy("dom").agg(
+        F.count("*").alias("n"),
+        F.count_distinct(F.col("norm")).alias("n_norm"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1440,6 +1505,8 @@ _QUERIES = {
         # 1) never driver-attested: phase-3 event analytics + late round-5
         #    additions (locally value-exact; this is their first driver
         #    window, and the round is final)
+        "html_extract": q_html_extract,
+        "html_links_hosts": q_html_links_hosts,
         "funnel_steps": q_funnel_steps,
         "retention_cohorts": q_retention_cohorts,
         "rollup_lineitem": q_rollup_lineitem,
@@ -1471,8 +1538,6 @@ _QUERIES = {
         "pivot": q_pivot,
         "sample_hash": q_sample_hash,
         "split_hash": q_split_hash,
-        "text_tokens": q_text_tokens,
-        "window_running_sum": q_window_running_sum,
         # 2) every query NEW or code-changed this round: url userinfo
         #    rule (ADVICE r4), kendall min-k bounded sample (VERDICT r4
         #    #6), xref v2 two-stream layout + decimal partition typing
@@ -1557,6 +1622,8 @@ _QUERIES = {
         #    row (2 rounds old at final judging — the policy maximum)
         "count_rows": q_count,
         "create_columns": q_create_columns,
+        "text_tokens": q_text_tokens,
+        "window_running_sum": q_window_running_sum,
         "dedup_keep_last": q_dedup_keep_last,
         "distinct_values": q_distinct_values,
         "drop_columns": q_drop_columns,
@@ -1717,6 +1784,35 @@ rep AS (
 
 def oracle_sql() -> dict[str, str]:
     sql = {
+        # html_extract: the oracle states the expected extraction output
+        # analytically — title is the raw source (escape+title-decode is
+        # the identity), the visible body is title-text || link-text ||
+        # text || \n (</p> is a pinned break tag; script/style/comment
+        # content never appears), and the single href is the built one.
+        "html_extract": """
+            SELECT doc_id,
+                   source AS title,
+                   source || 'go' || text || chr(10) AS body,
+                   1 AS n_links,
+                   'https://' || source || '.example.com/' || doc_id
+                     || '?utm_source=x' AS link
+            FROM documents""",
+        # html_links_hosts: per built page, link one normalizes to the
+        # lowercased https host with :443 and utm_ stripped (registrable
+        # domain = last THREE labels, co.uk is a pinned two-level
+        # suffix); link two drops the fragment and resolves to
+        # example.com.
+        "html_links_hosts": """
+            WITH l AS (
+              SELECT source || '.co.uk' AS dom,
+                     'https://www.' || source || '.co.uk/a?x=' || doc_id AS norm
+              FROM documents
+              UNION ALL
+              SELECT 'example.com' AS dom,
+                     'http://h' || (doc_id % 7) || '.example.com/b' AS norm
+              FROM documents)
+            SELECT dom, count(*) AS n, count(DISTINCT norm) AS n_norm
+            FROM l GROUP BY dom""",
         "decontam_overlap": f"""
             WITH {_DECONTAM_SQL}
             SELECT doc_id, n_grams, n_hit, contam_frac FROM rep""",

@@ -256,6 +256,17 @@ def main(argv: list[str] | None = None) -> int:
         (("--min-frac",), {"type": float, "default": 0.0}),
         (("--report",), {"action": "store_true",
                          "help": "emit the per-doc overlap report instead of the kept rows"}))
+    add("extract", (("-c", "--html-column"), {"default": "html", "dest": "html_column"}),
+        (("--mode",), {"default": "text", "choices": ["text", "title", "links", "all"],
+                       "help": "visible text / <title> / href array / all three"}),
+        (("--into",), {"default": "extracted_text", "help": "output column for --mode text"}),
+        (("--body-only",), {"action": "store_true",
+                            "help": "extract only the <body> region (binary inputs "
+                                    "always do — WARC noise sits outside it)"}),
+        (("--no-breaks",), {"action": "store_true",
+                            "help": "map ALL tags to '' (byte-identity mode) instead "
+                                    "of <br>/</p> -> newline"}),
+        (("--keep-html",), {"action": "store_true", "help": "keep the raw html column"}))
     add("chunk", (("-c", "--text-column"), {"default": "text", "dest": "text_column"}),
         (("--id-column",), {"default": None, "help": "unique doc id (default: first column)"}),
         (("--chunk-tokens",), {"type": int, "default": 256,
@@ -747,6 +758,36 @@ def main(argv: list[str] | None = None) -> int:
                                 min_hits=args.min_hits, min_frac=args.min_frac,
                                 **kw)
         _out(out, args, 50)
+    elif c == "extract":
+        from pyspark.sql import functions as F
+
+        from nail_parquet_spark.functions import html as hf
+
+        col = args.html_column
+        dt = dict(df.dtypes).get(col)
+        if dt is None:
+            raise SystemExit(f"no column {col!r} in {args.input}")
+        full = hf.html_to_string(F.col(col)) if dt == "binary" else F.col(col)
+        # text/links restrict to <body> for binary inputs (trailing WARC
+        # noise sits outside it); the title lives in <head>, so it always
+        # reads the full page (its regex takes the FIRST match, which
+        # precedes any noise).
+        page = full
+        if args.body_only or dt == "binary":
+            page = F.regexp_extract(full, hf.BODY_RE, 1)
+        breaks = not args.no_breaks
+        out = df
+        if args.mode in ("text", "all"):
+            out = out.withColumn(args.into, hf.html_extract_text(page, breaks=breaks))
+        if args.mode in ("title", "all"):
+            out = out.withColumn("title", hf.html_title(full))
+        if args.mode == "links":
+            out = out.withColumn("links", hf.html_links(page))
+        elif args.mode == "all":
+            out = out.withColumn("n_links", F.size(hf.html_links(page)))
+        if not args.keep_html:
+            out = out.drop(col)
+        _out(out, args, 20)
     elif c == "pii":
         from nail_parquet_spark.functions import pii as pf
 

@@ -1,0 +1,138 @@
+"""HTML → text extraction for Common-Crawl-style web pages.
+
+The north-rule input table carries ``html:binary`` next to ``text:string``
+with a per-row invariant: the extracted text must be byte-identical per
+url. This module is the extraction side of that contract — a pinned,
+deterministic rule set implemented entirely in JVM-side
+``pyspark.sql.functions`` (regexp/replace chains inside whole-stage
+codegen; no Python in the hot path), so extraction of 10^12 pages is a
+single Exchange-free projection.
+
+This is deliberately NOT a browser-grade parser (lxml/bs4 are not in the
+container, and a DOM walk would be per-row Python). The rules below are
+the fixed subset every extractor agrees on, each mirrored exactly in the
+DuckDB oracle (RE2-compatible: no backreferences, inline ``(?is)`` flags
+only):
+
+  1. ``<script>…</script>`` and ``<style>…</style>`` blocks drop
+     entirely (case-insensitive, DOTALL, non-greedy).
+  2. HTML comments ``<!-- … -->`` drop entirely.
+  3. With ``breaks=True`` (default), ``<br>``/``<br/>`` and closing
+     ``</p>`` become ``\n`` (the pinned block-separator set); with
+     ``breaks=False`` every tag maps to the empty string (the exact
+     inverse of wrapping raw text in markup — the byte-identity mode).
+  4. Every remaining tag ``<…>`` drops to the empty string.
+  5. Entities unescape in pinned order: ``&lt; &gt; &quot; &#39;
+     &nbsp;`` then ``&amp;`` LAST (so ``&amp;lt;`` yields the literal
+     ``&lt;``, never ``<``). ``&nbsp;`` maps to U+00A0, not ASCII space.
+     No other entities are decoded (numeric refs pass through verbatim —
+     decoding the full set is locale/version-dependent and would break
+     the byte-identity contract).
+
+No whitespace is collapsed or trimmed — collapsing is lossy and belongs
+to the quality layer (functions/quality.py), not extraction.
+
+Reference parity: nail-parquet has no HTML surface (it is a parquet
+tool); this module is beyond-reference, motivated by the web-corpus
+input shape in BASELINE.json (url, warc_ts, html, text, lang).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# RE2-safe (oracle-shared): no backreferences, non-greedy + inline flags.
+SCRIPT_RE = r"(?is)<script\b[^>]*>.*?</script\s*>"
+STYLE_RE = r"(?is)<style\b[^>]*>.*?</style\s*>"
+COMMENT_RE = r"(?s)<!--.*?-->"
+BREAK_RE = r"(?i)<br\s*/?>|</p\s*>"
+TAG_RE = r"(?s)<[^>]*>"
+HREF_RE = r"(?i)href\s*=\s*\"([^\"]*)\""
+TITLE_RE = r"(?is)<title[^>]*>(.*?)</title\s*>"
+BODY_RE = r"(?is)<body[^>]*>(.*?)</body\s*>"
+
+# (entity, replacement) in pinned application order; &amp; must be last.
+ENTITIES = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", "\u00a0"),
+    ("&amp;", "&"),
+)
+
+
+def html_unescape(col: Column) -> Column:
+    """Decode the pinned 6-entity set (rule 5). Literal ``replace`` chain
+    — stays inside whole-stage codegen, no regex engine involved."""
+    for ent, ch in ENTITIES:
+        col = F.replace(col, F.lit(ent), F.lit(ch))
+    return col
+
+
+def html_escape(col: Column) -> Column:
+    """Exact inverse of :func:`html_unescape` for the three structural
+    characters: ``&`` FIRST, then ``<`` and ``>``. ``html_unescape(
+    html_escape(x)) == x`` byte-identical for every string x — the
+    fixture builder for round-trip oracles uses this."""
+    col = F.replace(col, F.lit("&"), F.lit("&amp;"))
+    col = F.replace(col, F.lit("<"), F.lit("&lt;"))
+    col = F.replace(col, F.lit(">"), F.lit("&gt;"))
+    return col
+
+
+def html_extract_text(col: Column, breaks: bool = True) -> Column:
+    """Extract visible text from an HTML string column (rules 1-5).
+
+    ``breaks=False`` is the byte-identity mode: for any page built as
+    ``markup + html_escape(text) + markup`` (text in one text node) the
+    result is exactly ``text`` plus the other text nodes — wrapping raw
+    text in tags and extracting is the identity.
+    """
+    s = F.regexp_replace(col, SCRIPT_RE, "")
+    s = F.regexp_replace(s, STYLE_RE, "")
+    s = F.regexp_replace(s, COMMENT_RE, "")
+    if breaks:
+        s = F.regexp_replace(s, BREAK_RE, "\n")
+    s = F.regexp_replace(s, TAG_RE, "")
+    return html_unescape(s)
+
+
+def html_title(col: Column) -> Column:
+    """First ``<title>`` content, entity-decoded. Empty string when the
+    page has no title (regexp_extract's no-match convention, shared by
+    DuckDB)."""
+    return html_unescape(F.regexp_extract(col, TITLE_RE, 1))
+
+
+def html_links(col: Column) -> Column:
+    """All double-quoted ``href`` values, in document order, verbatim
+    (no entity decode — URLs are resolved by the crawl layer;
+    functions/urls.py normalizes them). Returns ``array<string>``."""
+    return F.regexp_extract_all(col, F.lit(HREF_RE), F.lit(1))
+
+
+def html_to_string(col: Column) -> Column:
+    """Lossy UTF-8 decode of an ``html:binary`` column, JVM-side.
+
+    WARC payloads legally contain non-UTF-8 byte runs (the synthesizer
+    reproduces this — synth.py appends noise after ``</html>``). Spark
+    4's ``decode(…, 'UTF-8')`` is strict and would fail the task, so we
+    cast (UTF8String wraps bytes unvalidated) and repair with
+    ``make_valid_utf8`` (invalid sequences → U+FFFD), which never
+    touches the valid markup bytes. Zero Python, zero shuffle.
+    """
+    return F.make_valid_utf8(col.cast("string"))
+
+
+def html_body_text(col: Column, breaks: bool = True) -> Column:
+    """Visible text of the ``<body>`` region of an ``html:binary``
+    column: lossy-decode → take the first body block → rules 1-5.
+    Restricting to body before extraction means trailing non-HTML bytes
+    (WARC noise) never reach the text — this is the column the
+    byte-identity invariant is checked against (see
+    tests/test_html.py::test_binary_body_roundtrip_identity on the
+    synthetic web table)."""
+    return html_extract_text(
+        F.regexp_extract(html_to_string(col), BODY_RE, 1), breaks=breaks
+    )

@@ -1,0 +1,167 @@
+"""HTML → text extraction (functions/html.py).
+
+The central assertion is the north-rule per-row invariant: extracting the
+body text of the synthetic web table's ``html:binary`` column reproduces
+the ``text`` column BYTE-IDENTICALLY for every url (BASELINE.json
+input_hint), including rows with unicode, empty text, and trailing
+non-UTF-8 WARC noise.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from nail_parquet_spark.functions.html import (
+    html_body_text,
+    html_escape,
+    html_extract_text,
+    html_links,
+    html_title,
+    html_to_string,
+    html_unescape,
+)
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    return spark.createDataFrame(
+        [
+            (
+                1,
+                '<html><head><title>T &amp; co</title>'
+                "<style type='text/css'>p { color: red; }</style>"
+                '<script>if (1 < 2) { alert("&"); }</script></head>'
+                '<body><p>first</p><p>a &lt;b&gt; &#39;c&#39;</p>'
+                '<a href="https://x.example/a">link</a><br/>'
+                "<!-- hidden <secret> -->tail</body></html>",
+            ),
+            (2, "no markup at all"),
+            (3, "<body><div>d1</div>line1<br>line2</body>"),
+        ],
+        "id long, page string",
+    )
+
+
+def test_extract_text_rules(spark, pages):
+    out = {
+        r.id: r.t
+        for r in pages.select(
+            "id", html_extract_text(F.col("page")).alias("t")
+        ).collect()
+    }
+    # script/style/comment dropped, </p> and <br/> -> \n (title is NOT a
+    # break tag — pinned rule 3), entities decoded
+    assert out[1] == "T & cofirst\na <b> 'c'\nlink\ntail"
+    assert out[2] == "no markup at all"
+    assert out[3] == "d1line1\nline2"
+
+
+def test_title_and_links(spark, pages):
+    r = (
+        pages.filter("id = 1")
+        .select(
+            html_title(F.col("page")).alias("title"),
+            html_links(F.col("page")).alias("links"),
+        )
+        .first()
+    )
+    assert r.title == "T & co"
+    assert r.links == ["https://x.example/a"]
+    r2 = pages.filter("id = 2").select(html_links(F.col("page")).alias("l")).first()
+    assert r2.l == []
+
+
+def test_escape_unescape_roundtrip(spark):
+    # adversarial: pre-escaped entities, all structural chars, unicode
+    texts = [
+        "plain",
+        "a < b > c & d",
+        "&amp;lt; stays &lt;",
+        'quotes " and \' and &nbsp;',
+        "unicode 日本語 \U0001f389 café",
+        "",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    out = df.select(
+        "t", html_unescape(html_escape(F.col("t"))).alias("rt")
+    ).collect()
+    for r in out:
+        assert r.rt == r.t, repr((r.t, r.rt))
+
+
+def test_extract_inverts_wrapping(spark):
+    """Wrapping escaped text in markup and extracting is the identity
+    (breaks=False — the byte-identity mode)."""
+    texts = ["a < b & c", "x&amp;y", "tag <p> inside", "été \U0001f389"]
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    page = F.concat(
+        F.lit("<html><body><div class='x'>"),
+        html_escape(F.col("t")),
+        F.lit("</div></body></html>"),
+    )
+    out = df.select(
+        "t", html_extract_text(page, breaks=False).alias("rt")
+    ).collect()
+    for r in out:
+        assert r.rt == r.t, repr((r.t, r.rt))
+
+
+def test_binary_body_roundtrip_identity(spark):
+    """North-rule invariant on the synthetic web table: body text of
+    html:binary == text column, byte-identical per url, despite trailing
+    non-UTF-8 noise after </html>."""
+    from nail_parquet_spark.synth import webpages_spark
+
+    web = webpages_spark(spark, 3_000, seed=7, n_parts=4)
+    mismatches = (
+        web.select(
+            "url",
+            html_body_text(F.col("html"), breaks=False).alias("extracted"),
+            "text",
+        )
+        .filter(
+            (F.col("extracted") != F.col("text"))
+            | F.col("extracted").isNull()
+        )
+        .count()
+    )
+    assert mismatches == 0
+
+
+def test_to_string_is_lossy_not_failing(spark):
+    df = spark.createDataFrame(
+        [(bytearray(b"<p>ok</p>" + bytes([0xFF, 0xFE, 0x3C])),)], "b binary"
+    )
+    s = df.select(html_to_string(F.col("b")).alias("s")).first().s
+    assert s.startswith("<p>ok</p>")
+    assert "�" in s
+
+
+def test_extraction_plan_is_exchange_free(spark, pages):
+    from nail_parquet_spark.plans.explain import plan_text
+
+    out = pages.select(
+        html_extract_text(F.col("page")).alias("t"),
+        html_title(F.col("page")).alias("title"),
+    )
+    assert "Exchange" not in plan_text(out)
+
+
+def test_cli_extract(spark, tmp_path):
+    from nail_parquet_spark.cli import main
+    from nail_parquet_spark.synth import webpages_spark
+
+    src = str(tmp_path / "web.parquet")
+    webpages_spark(spark, 200, seed=11, n_parts=2).write.parquet(src)
+    out = str(tmp_path / "out.parquet")
+    assert main(["extract", src, "--mode", "all", "--no-breaks",
+                 "-o", out]) == 0
+    got = spark.read.parquet(out)
+    assert "extracted_text" in got.columns and "html" not in got.columns
+    bad = got.filter("extracted_text != text").count()
+    assert bad == 0
+    assert got.filter("title != 'page'").count() == 0
+
+    links = str(tmp_path / "links.parquet")
+    assert main(["extract", src, "--mode", "links", "-o", links]) == 0
+    assert spark.read.parquet(links).schema["links"].dataType.simpleString() \
+        == "array<string>"
