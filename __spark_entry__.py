@@ -810,6 +810,28 @@ def q_c4_line_filter(spark, sf_dir):
     return d.select("doc_id", c4_clean_text(der).alias("clean"))
 
 
+def q_boilerplate_removal(spark, sf_dir):
+    """Within-site boilerplate line removal
+    (functions/quality.remove_boilerplate_lines): pages are built per
+    source-site with a universal NAV line (100% of the site's docs →
+    dropped), a COOKIE line on even doc_ids (50% ≥ the 0.5 bar →
+    dropped), a PROMO line on 10% of docs (< bar → kept), and a
+    per-doc-unique body line (df=1 < min_line_docs → kept)."""
+    from nail_parquet_spark.functions.quality import remove_boilerplate_lines
+
+    d = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    page = F.concat(
+        F.lit("NAV "), F.col("source"), F.lit("\n"),
+        F.col("text"), F.lit(" #"), k.cast("string"),
+        F.when(k % 2 == 0, F.lit("\nCOOKIE accept")).otherwise(F.lit("")),
+        F.when(k % 10 == 0,
+               F.concat(F.lit("\nPROMO "), F.col("source"))).otherwise(F.lit("")),
+    )
+    dd = d.select("doc_id", "source", page.alias("text"))
+    return remove_boilerplate_lines(dd, "doc_id", "text", "source")
+
+
 def q_dedup_lines(spark, sf_dir):
     """Corpus-global line dedup keep-first
     (functions/quality.dedup_lines_global) over derived multi-line text."""
@@ -1507,6 +1529,7 @@ _QUERIES = {
         #    window, and the round is final)
         "html_extract": q_html_extract,
         "html_links_hosts": q_html_links_hosts,
+        "boilerplate_removal": q_boilerplate_removal,
         "funnel_steps": q_funnel_steps,
         "retention_cohorts": q_retention_cohorts,
         "rollup_lineitem": q_rollup_lineitem,
@@ -1533,7 +1556,6 @@ _QUERIES = {
         "filter_conditions": q_filter_conditions,
         "filter_no_nan": q_filter_no_nan,
         "merge_inner": q_merge_inner,
-        "merge_left": q_merge_left,
         "outliers_zscore": q_outliers_zscore,
         "pivot": q_pivot,
         "sample_hash": q_sample_hash,
@@ -1629,6 +1651,7 @@ _QUERIES = {
         "drop_columns": q_drop_columns,
         "fill_value": q_fill_value,
         "head": q_head,
+        "merge_left": q_merge_left,
         "merge_right": q_merge_right,
         "outliers_range_heuristic": q_outliers_range_heuristic,
         "rename_columns": q_rename,
@@ -2296,6 +2319,40 @@ def oracle_sql() -> dict[str, str]:
                               OR contains(lower(l), 'lorem ipsum')
                               OR contains(lower(l), '{'))), chr(10)), '') AS clean
             FROM documents""",
+        "boilerplate_removal": r"""
+            WITH src AS (
+              SELECT doc_id, source,
+                     'NAV ' || source || chr(10) || text || ' #' || doc_id
+                     || CASE WHEN doc_id % 2 = 0
+                             THEN chr(10) || 'COOKIE accept' ELSE '' END
+                     || CASE WHEN doc_id % 10 = 0
+                             THEN chr(10) || 'PROMO ' || source ELSE '' END AS text
+              FROM documents),
+            ln AS (
+              SELECT doc_id, source, i - 1 AS pos, lines[i] AS line
+              FROM (SELECT doc_id, source,
+                           list_filter(list_transform(string_split(text, chr(10)),
+                                                      l -> trim(l)),
+                                       l -> l <> '') AS lines
+                    FROM src),
+                   UNNEST(range(1, len(lines) + 1)) AS t(i)),
+            nd AS (SELECT source, count(DISTINCT doc_id) AS n
+                   FROM src GROUP BY source),
+            boiler AS (
+              SELECT f.source, f.line
+              FROM (SELECT source, line, count(DISTINCT doc_id) AS df
+                    FROM ln GROUP BY source, line) f
+              JOIN nd USING (source)
+              WHERE nd.n >= 2 AND f.df >= 2 AND f.df / nd.n >= 0.5),
+            kept AS (
+              SELECT l.doc_id, l.pos, l.line
+              FROM ln l LEFT JOIN boiler b
+                ON l.source = b.source AND l.line = b.line
+              WHERE b.line IS NULL),
+            reb AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+                    FROM kept GROUP BY doc_id)
+            SELECT s.doc_id, coalesce(r.text, '') AS text
+            FROM src s LEFT JOIN reb r USING (doc_id)""",
         "dedup_lines": r"""
             WITH src AS (SELECT doc_id, replace(text, ' merge ', chr(10)) AS text FROM documents),
             ln AS (

@@ -204,11 +204,22 @@ def main(argv: list[str] | None = None) -> int:
         (("--mode",), {"default": "filter",
                        "choices": ["signals", "repetition", "top-ngram", "filter",
                                    "clean", "dedup-lines", "dedup-paragraphs",
-                                   "corpus-stats", "perplexity", "ppl-buckets"],
+                                   "boilerplate", "corpus-stats", "perplexity",
+                                   "ppl-buckets"],
                        "help": "Gopher signals / dup-line stats / top n-gram / composed "
                                "rule filter / C4 line cleaning / corpus-global line dedup / "
-                               "corpus token totals / unigram-LM perplexity"}),
-        (("--group-by",), {"default": None, "help": "group column for --mode corpus-stats"}),
+                               "within-site boilerplate removal / corpus token totals / "
+                               "unigram-LM perplexity"}),
+        (("--group-by",), {"default": None,
+                           "help": "group column (corpus-stats, ppl-buckets, boilerplate)"}),
+        (("--url-column",), {"default": None,
+                             "help": "boilerplate: derive the group as "
+                                     "registered_domain(url) instead of --group-by"}),
+        (("--max-doc-frac",), {"type": float, "default": 0.5,
+                               "help": "boilerplate: drop lines present in >= this "
+                                       "fraction of the group's docs"}),
+        (("--min-docs",), {"type": int, "default": 2,
+                           "help": "boilerplate: groups smaller than this are never filtered"}),
         (("--ngram",), {"type": int, "default": 2, "help": "n for --mode top-ngram"}),
         (("--rules",), {"default": None, "help": 'JSON threshold overrides, e.g. {"min_words": 20}'}),
         (("--remove",), {"action": "store_true", "help": "emit the surviving rows instead of the verdict table"}),
@@ -332,6 +343,9 @@ def main(argv: list[str] | None = None) -> int:
         (("--near-score-col",), {"default": None,
                                  "help": "keep the HIGHEST-scoring doc per near-dup cluster "
                                          "(implies transitive collapse)"}),
+        (("--boilerplate",), {"action": "store_true",
+                              "help": "prepend within-site boilerplate line removal "
+                                      "(grouped by registered_domain(url))"}),
         (("--policy",), {"default": "balanced"}),
         (("--codecs",), {"default": None, "help": 'JSON {"col": "codec"} overrides'}),
         (("--units-per-job",), {"type": int, "default": 32}),
@@ -399,6 +413,7 @@ def main(argv: list[str] | None = None) -> int:
             text_col=args.text_column, url_col=args.url_column,
             ts_col=args.ts_column,
             quality_rules=json.loads(args.rules) if args.rules else None,
+            do_boilerplate=args.boilerplate,
             do_quality="quality" not in skip,
             do_c4_clean="c4_clean" not in skip,
             do_exact_dedup="exact_dedup" not in skip,
@@ -655,6 +670,19 @@ def main(argv: list[str] | None = None) -> int:
             out = df.drop(args.text_column).join(cleaned, id_col)
         elif args.mode == "dedup-paragraphs":
             cleaned = qf.dedup_paragraphs_global(df, id_col, args.text_column)
+            out = df.drop(args.text_column).join(cleaned, id_col)
+        elif args.mode == "boilerplate":
+            work, grp = df, args.group_by
+            if args.url_column:
+                from nail_parquet_spark.functions.urls import registered_domain
+
+                grp = "__site"
+                work = df.withColumn(grp, registered_domain(F.col(args.url_column)))
+            elif not grp:
+                p.error("--mode boilerplate requires --group-by or --url-column")
+            cleaned = qf.remove_boilerplate_lines(
+                work, id_col, args.text_column, grp,
+                max_doc_frac=args.max_doc_frac, min_docs=args.min_docs)
             out = df.drop(args.text_column).join(cleaned, id_col)
         elif args.mode == "corpus-stats":
             from nail_parquet_spark.functions.text import corpus_stats

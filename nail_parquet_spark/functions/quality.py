@@ -337,6 +337,15 @@ def _dedup_units_global(df: DataFrame, id_col: str, text_col: str,
         .filter((F.col("__doc") == F.col("__w.__doc")) & (F.col("pos") == F.col("__w.pos")))
         .select("__doc", "pos", "line")
     )
+    return _rebuild_docs(df, id_col, text_col, kept, sep)
+
+
+def _rebuild_docs(df: DataFrame, id_col: str, text_col: str,
+                  kept: DataFrame, sep: str) -> DataFrame:
+    """Rebuild one row per input document from surviving ``(__doc, pos,
+    line)`` units, joined with ``sep`` in position order; documents whose
+    units were ALL removed (or that had none) come back as ``''`` via the
+    anti-join branch. One doc-keyed shuffle."""
     rebuilt = kept.groupBy("__doc").agg(
         F.array_join(
             F.transform(
@@ -372,6 +381,63 @@ def dedup_lines_global(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """
     return _dedup_units_global(df, id_col, text_col,
                                _lines(F.col(text_col)), "\n")
+
+
+def remove_boilerplate_lines(df: DataFrame, id_col: str, text_col: str,
+                             group_col: str, max_doc_frac: float = 0.5,
+                             min_docs: int = 2,
+                             min_line_docs: int = 2) -> DataFrame:
+    """Within-group boilerplate line removal — the site-level cleaner every
+    web pipeline runs between extraction and corpus-global dedup: nav
+    bars, cookie banners, and footers repeat on most pages OF THE SAME
+    SITE, so a trimmed non-blank line is boilerplate within a group
+    (``group_col`` — typically ``registered_domain(url)``) when it occurs
+    in ``>= max_doc_frac`` of the group's documents AND in at least
+    ``min_line_docs`` distinct documents (a line seen in one document is
+    repetition-free by definition, whatever its ratio — this floor keeps
+    small groups from losing their unique prose), provided the group has
+    at least ``min_docs`` documents. EVERY occurrence of a boilerplate line
+    is dropped (unlike :func:`dedup_lines_global`, which keeps one
+    winner — boilerplate has no legitimate first copy), and documents are
+    rebuilt from their surviving lines in order (possibly ``''``).
+
+    Scale shape: posexplode → one hash-aggregate on ``(group, line
+    hash)`` with per-doc distinct counting for document frequency, one
+    tiny one-row-per-group doc-count aggregate joined group-keyed, one
+    ``left_anti`` join back on ``(group, hash)`` (the boilerplate set is
+    small — only lines over the frequency bar — so AQE broadcasts it),
+    and the shared one-doc-keyed-shuffle rebuild. No windows, no driver
+    state; a hot domain's lines spread over its (group, hash) keys, so
+    the only true hot key is a single line repeated across one domain's
+    pages — exactly the thing being counted, and counting is a partial
+    map-side agg.
+
+    Documents whose ``group_col`` is NULL are never filtered (NULL
+    never equi-joins to the boilerplate set); they are returned rebuilt
+    from all their lines. Precondition: ``id_col`` unique per document
+    (see repetition_stats). The document-frequency ratio is compared as
+    ``df / n >= max_doc_frac`` in double precision — mirror the same
+    division in any oracle.
+    """
+    lines = df.select(
+        F.col(id_col).alias("__doc"),
+        F.col(group_col).alias("__grp"),
+        F.posexplode(_lines(F.col(text_col))).alias("pos", "line"),
+    ).withColumn("__h", F.md5(F.encode(F.col("line"), "UTF-8")))
+    ndocs = df.groupBy(F.col(group_col).alias("__grp")).agg(
+        F.count_distinct(F.col(id_col)).alias("__n"))
+    freq = lines.groupBy("__grp", "__h").agg(
+        F.count_distinct("__doc").alias("__df"))
+    boiler = (
+        freq.join(ndocs, "__grp")
+        .filter((F.col("__n") >= F.lit(int(min_docs)))
+                & (F.col("__df") >= F.lit(int(min_line_docs)))
+                & (F.col("__df") / F.col("__n") >= F.lit(float(max_doc_frac))))
+        .select("__grp", "__h")
+    )
+    kept = (lines.join(boiler, ["__grp", "__h"], "left_anti")
+            .select("__doc", "pos", "line"))
+    return _rebuild_docs(df, id_col, text_col, kept, "\n")
 
 
 def _paragraphs(col: Column) -> Column:

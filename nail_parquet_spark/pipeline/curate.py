@@ -1,7 +1,8 @@
-"""One-call corpus curation: quality filter -> C4 line clean -> exact dedup
--> MinHash near-dedup -> benchmark decontamination (optional, off unless an
-eval table is given) -> salted encode, with per-stage reject/lineage
-manifests and stage-level resume (VERDICT r4 #4).
+"""One-call corpus curation: within-site boilerplate removal (optional) ->
+quality filter -> C4 line clean -> exact dedup -> MinHash near-dedup ->
+benchmark decontamination (optional, off unless an eval table is given) ->
+salted encode, with per-stage reject/lineage manifests and stage-level
+resume (VERDICT r4 #4).
 
 This is the integration a 100-TB training-data user actually runs. Every
 stage is an already-oracle-attested operator (functions/quality,
@@ -42,7 +43,8 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-STAGES = ("quality", "c4_clean", "exact_dedup", "near_dedup", "decontam")
+STAGES = ("boilerplate", "quality", "c4_clean", "exact_dedup", "near_dedup",
+          "decontam")
 
 
 def _reject_dir(out_dir: str, stage: str) -> str:
@@ -57,6 +59,9 @@ def curate_and_encode_corpus(
     url_col: str = "url",
     ts_col: str = "warc_ts",
     quality_rules: dict | None = None,
+    do_boilerplate: bool = False,
+    boilerplate_max_doc_frac: float = 0.5,
+    boilerplate_min_docs: int = 2,
     do_quality: bool = True,
     do_c4_clean: bool = True,
     do_exact_dedup: bool = True,
@@ -125,6 +130,32 @@ def curate_and_encode_corpus(
         n_input = cur.count()
         counts: dict[str, int] = {}
         stages: list[dict] = []
+
+        if do_boilerplate:
+            # runs FIRST (extraction-adjacent): within-site repeated lines
+            # (nav/footer/cookie text) are stripped before quality scoring
+            # sees them, so Gopher signals measure prose, not chrome. A
+            # text REWRITE stage like c4_clean — docs reduced to '' are
+            # rejected, everything else keeps its row.
+            from nail_parquet_spark.functions.quality import remove_boilerplate_lines
+            from nail_parquet_spark.functions.urls import registered_domain
+
+            cleaned = remove_boilerplate_lines(
+                cur.withColumn("__site", registered_domain(F.col(url_col))),
+                "__doc_id", text_col, "__site",
+                max_doc_frac=boilerplate_max_doc_frac,
+                min_docs=boilerplate_min_docs)
+            cur = cur.drop(text_col).join(cleaned, "__doc_id")
+            emptied = cur.filter(F.col(text_col) == "")
+            emptied.select("__doc_id", url_col).write.mode("overwrite").parquet(
+                _reject_dir(out_dir, "boilerplate"))
+            counts["boilerplate"] = spark.read.parquet(
+                _reject_dir(out_dir, "boilerplate")).count()
+            cur = _pin(cur.filter(F.col(text_col) != ""))
+            stages.append({"stage": "boilerplate",
+                           "max_doc_frac": boilerplate_max_doc_frac,
+                           "min_docs": boilerplate_min_docs,
+                           "group": f"registered_domain({url_col})"})
 
         if do_quality:
             from nail_parquet_spark.functions.quality import GOPHER_RULES, gopher_filter

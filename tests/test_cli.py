@@ -624,3 +624,21 @@ def test_cli_funnel_durations_and_chunk(spark, tmp_path, capsys):
     run("chunk", d, "--chunk-tokens", "4", "--overlap", "2")
     out = capsys.readouterr().out
     assert "chunk_text" in out and "c d e f" in out
+
+
+def test_cli_quality_boilerplate(spark, tmp_path):
+    p = str(tmp_path / "site_docs.parquet")
+    spark.createDataFrame(
+        [(1, "https://a-site.com/x", "NAV bar\nunique alpha"),
+         (2, "https://a-site.com/y", "NAV bar\nunique beta"),
+         (3, "https://b-site.org/z", "NAV bar\nsolo site doc")],
+        "doc_id long, url string, text string",
+    ).write.parquet(p)
+    out = str(tmp_path / "bp.parquet")
+    run("quality", p, "--mode", "boilerplate", "--url-column", "url", "-o", out)
+    got = {r["doc_id"]: r["text"] for r in spark.read.parquet(out).collect()}
+    assert got[1] == "unique alpha"
+    assert got[2] == "unique beta"
+    assert got[3] == "NAV bar\nsolo site doc"  # 1-doc site: untouched
+    cols = spark.read.parquet(out).columns
+    assert "__site" not in cols and "url" in cols

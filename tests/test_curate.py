@@ -146,3 +146,27 @@ def test_curate_decontam_stage(spark, corpus, tmp_path):
     # audit table exists and matches the count
     rej = spark.read.parquet(os.path.join(out, "_rejects", "stage=decontam"))
     assert rej.count() == counts["rejected"]["decontam"]
+
+
+def test_curate_boilerplate_stage(spark, corpus, tmp_path):
+    from nail_parquet_spark.pipeline.curate import curate_and_encode_corpus
+
+    # append a universal footer to every doc: the corpus hosts all share
+    # a registered domain, so the footer is within-site boilerplate and
+    # must not survive into staging; counts still conserve
+    src = str(tmp_path / "bp_src")
+    (spark.read.parquet(corpus)
+     .withColumn("text", F.concat(F.col("text"),
+                                  F.lit("\nCopyright example footer")))
+     .write.parquet(src))
+    out = str(tmp_path / "curated_bp")
+    state = curate_and_encode_corpus(
+        spark, src, out, quality_rules=RULES, do_boilerplate=True,
+        do_near_dedup=False, units_per_job=4)
+    assert [s["stage"] for s in state["stages"]][0] == "boilerplate"
+    c = state["counts"]
+    assert c["input"] == c["kept"] + sum(c["rejected"].values())
+    staged = spark.read.parquet(os.path.join(out, "_staging"))
+    assert staged.filter(
+        F.col("text").contains("Copyright example footer")).count() == 0
+    assert staged.count() == c["kept"] > 0

@@ -261,3 +261,43 @@ def test_dedup_paragraphs_global(spark):
     assert got[2] == "Fresh paragraph two.\nSecond line."
     assert got[3] == ""
     assert got[4] == ""
+
+
+def test_remove_boilerplate_lines(spark):
+    from nail_parquet_spark.functions.quality import remove_boilerplate_lines
+
+    rows = [
+        # site a: 4 docs; "NAV" on all 4 (dropped), "COOKIE" on 2/4 = 0.5
+        # (dropped at the >= bound), "PROMO" on 1/4 (kept)
+        (1, "a", "NAV\nbody one\nCOOKIE"),
+        (2, "a", "NAV\nbody two\nCOOKIE\nPROMO"),
+        (3, "a", "NAV\nbody three"),
+        (4, "a", "NAV"),                     # all lines boilerplate -> ''
+        # site b: only 1 doc < min_docs -> untouched even though "NAV"
+        # is 100% within the group
+        (5, "b", "NAV\nsolo body"),
+        # NULL group: never filtered
+        (6, None, "NAV\nnull body"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, site string, text string")
+    out = {r["doc_id"]: r["text"] for r in
+           remove_boilerplate_lines(df, "doc_id", "text", "site").collect()}
+    assert out[1] == "body one"
+    assert out[2] == "body two\nPROMO"
+    assert out[3] == "body three"
+    assert out[4] == ""
+    assert out[5] == "NAV\nsolo body"
+    assert out[6] == "NAV\nnull body"
+
+
+def test_remove_boilerplate_drops_every_occurrence(spark):
+    # unlike dedup_lines_global there is no keep-first winner: the
+    # boilerplate line vanishes from ALL docs, including the first
+    from nail_parquet_spark.functions.quality import remove_boilerplate_lines
+
+    df = spark.createDataFrame(
+        [(1, "s", "footer\nkeep1"), (2, "s", "footer\nkeep2")],
+        "doc_id long, site string, text string")
+    out = {r["doc_id"]: r["text"] for r in
+           remove_boilerplate_lines(df, "doc_id", "text", "site").collect()}
+    assert out == {1: "keep1", 2: "keep2"}
