@@ -43,6 +43,8 @@ BENCH_QUERIES = [
     "text_quality",
     "gopher_filter",
     "gopher_filter_arrow",
+    "html_extract",
+    "boilerplate_removal",
     "dedup_lines",
     "decontam_overlap",
     "unigram_logprob",
