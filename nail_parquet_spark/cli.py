@@ -268,8 +268,10 @@ def main(argv: list[str] | None = None) -> int:
         (("--report",), {"action": "store_true",
                          "help": "emit the per-doc overlap report instead of the kept rows"}))
     add("extract", (("-c", "--html-column"), {"default": "html", "dest": "html_column"}),
-        (("--mode",), {"default": "text", "choices": ["text", "title", "links", "all"],
-                       "help": "visible text / <title> / href array / all three"}),
+        (("--mode",), {"default": "text",
+                       "choices": ["text", "title", "links", "lang", "all"],
+                       "help": "visible text / <title> / href array / declared "
+                               "lang attribute / all of them"}),
         (("--into",), {"default": "extracted_text", "help": "output column for --mode text"}),
         (("--body-only",), {"action": "store_true",
                             "help": "extract only the <body> region (binary inputs "
@@ -809,6 +811,8 @@ def main(argv: list[str] | None = None) -> int:
             out = out.withColumn(args.into, hf.html_extract_text(page, breaks=breaks))
         if args.mode in ("title", "all"):
             out = out.withColumn("title", hf.html_title(full))
+        if args.mode in ("lang", "all"):
+            out = out.withColumn("declared_lang", hf.html_lang(full))
         if args.mode == "links":
             out = out.withColumn("links", hf.html_links(page))
         elif args.mode == "all":

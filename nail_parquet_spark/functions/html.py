@@ -112,6 +112,18 @@ def html_links(col: Column) -> Column:
     return F.regexp_extract_all(col, F.lit(HREF_RE), F.lit(1))
 
 
+LANG_RE = r'(?is)<html\b[^>]*?\slang\s*=\s*["\']?([A-Za-z][A-Za-z0-9-]*)'
+
+
+def html_lang(col: Column) -> Column:
+    """Declared document language: the ``lang`` attribute of the first
+    ``<html>`` tag (BCP-47 tag like ``en`` / ``pt-BR``), lowercased;
+    empty string when absent. The cheap seed signal a pipeline combines
+    with content language-ID (functions/text.lang_id_table) — declared
+    and detected language disagreeing is itself a quality flag."""
+    return F.lower(F.regexp_extract(col, LANG_RE, 1))
+
+
 def html_to_string(col: Column) -> Column:
     """Lossy UTF-8 decode of an ``html:binary`` column, JVM-side.
 

@@ -165,3 +165,19 @@ def test_cli_extract(spark, tmp_path):
     assert main(["extract", src, "--mode", "links", "-o", links]) == 0
     assert spark.read.parquet(links).schema["links"].dataType.simpleString() \
         == "array<string>"
+
+
+def test_html_lang(spark):
+    from nail_parquet_spark.functions.html import html_lang
+
+    rows = [
+        (1, '<html lang="en"><body>x</body></html>'),
+        (2, "<HTML LANG='pt-BR'><body>x</body></HTML>"),
+        (3, '<html dir="rtl" lang=ar><body>x</body></html>'),  # unquoted
+        (4, '<html><body lang="de">no html-tag lang</body></html>'),
+        (5, '<div lang="fr">not the html element</div>'),
+    ]
+    df = spark.createDataFrame(rows, "i long, page string")
+    got = {r["i"]: r["l"] for r in
+           df.select("i", html_lang("page").alias("l")).collect()}
+    assert got == {1: "en", 2: "pt-br", 3: "ar", 4: "", 5: ""}
