@@ -832,6 +832,28 @@ def q_boilerplate_removal(spark, sf_dir):
     return remove_boilerplate_lines(dd, "doc_id", "text", "source")
 
 
+def q_pagerank_domains(spark, sf_dir):
+    """Domain-graph PageRank (functions/graph.pagerank): a deterministic
+    directed domain graph is derived from documents (source sites link to
+    hub domains, every third doc links back), then 3 fixed iterations at
+    d=0.85. The oracle unrolls the identical recurrence in chained CTEs,
+    so the whole iterative keyed-join/groupBy machinery is value-exact
+    (ranks agree to the 6-dp canonical rounding)."""
+    from nail_parquet_spark.functions.graph import pagerank
+
+    d = _t(spark, sf_dir, "documents")
+    fwd = d.select(
+        F.concat(F.col("source"), F.lit(".com")).alias("src"),
+        F.concat(F.lit("h"), (F.col("doc_id") % 7).cast("string"),
+                 F.lit(".org")).alias("dst"))
+    back = d.filter(F.col("doc_id") % 3 == 0).select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 7).cast("string"),
+                 F.lit(".org")).alias("src"),
+        F.concat(F.col("source"), F.lit(".com")).alias("dst"))
+    pr = pagerank(fwd.unionAll(back), "src", "dst", iterations=3)
+    return pr.select("node", "rank")
+
+
 def q_dedup_lines(spark, sf_dir):
     """Corpus-global line dedup keep-first
     (functions/quality.dedup_lines_global) over derived multi-line text."""
@@ -1530,6 +1552,7 @@ _QUERIES = {
         "html_extract": q_html_extract,
         "html_links_hosts": q_html_links_hosts,
         "boilerplate_removal": q_boilerplate_removal,
+        "pagerank_domains": q_pagerank_domains,
         "funnel_steps": q_funnel_steps,
         "retention_cohorts": q_retention_cohorts,
         "rollup_lineitem": q_rollup_lineitem,
@@ -1551,7 +1574,6 @@ _QUERIES = {
         "drop_rows_cond": q_drop_rows_cond,
         "events_hourly": q_events_hourly,
         "events_sessionize": q_events_sessionize,
-        "fill_backward": q_fill_backward,
         "fill_forward": q_fill_forward,
         "filter_conditions": q_filter_conditions,
         "filter_no_nan": q_filter_no_nan,
@@ -1649,6 +1671,7 @@ _QUERIES = {
         "dedup_keep_last": q_dedup_keep_last,
         "distinct_values": q_distinct_values,
         "drop_columns": q_drop_columns,
+        "fill_backward": q_fill_backward,
         "fill_value": q_fill_value,
         "head": q_head,
         "merge_left": q_merge_left,
@@ -2319,6 +2342,38 @@ def oracle_sql() -> dict[str, str]:
                               OR contains(lower(l), 'lorem ipsum')
                               OR contains(lower(l), '{'))), chr(10)), '') AS clean
             FROM documents""",
+        # pagerank_domains: the recurrence unrolled — same edge collapse,
+        # same w/outw transition computed once, same base+damping*sum form
+        "pagerank_domains": r"""
+            WITH raw AS (
+              SELECT source || '.com' AS s,
+                     'h' || (doc_id % 7) || '.org' AS t
+              FROM documents
+              UNION ALL
+              SELECT 'h' || (doc_id % 7) || '.org' AS s,
+                     source || '.com' AS t
+              FROM documents WHERE doc_id % 3 = 0),
+            e AS (SELECT s, t, CAST(count(*) AS DOUBLE) AS w
+                  FROM raw GROUP BY s, t),
+            nodes AS (SELECT s AS node FROM e UNION SELECT t FROM e),
+            nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+            deg AS (SELECT s, sum(w) AS outw FROM e GROUP BY s),
+            tr AS (SELECT e.s, e.t, e.w / deg.outw AS p
+                   FROM e JOIN deg USING (s)),
+            r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes, nn),
+            c1 AS (SELECT tr.t, sum(r0.rank * tr.p) AS c
+                   FROM r0 JOIN tr ON r0.node = tr.s GROUP BY tr.t),
+            r1 AS (SELECT node, (1.0 - 0.85) / nn.n + 0.85 * coalesce(c1.c, 0) AS rank
+                   FROM nodes CROSS JOIN nn LEFT JOIN c1 ON nodes.node = c1.t),
+            c2 AS (SELECT tr.t, sum(r1.rank * tr.p) AS c
+                   FROM r1 JOIN tr ON r1.node = tr.s GROUP BY tr.t),
+            r2 AS (SELECT node, (1.0 - 0.85) / nn.n + 0.85 * coalesce(c2.c, 0) AS rank
+                   FROM nodes CROSS JOIN nn LEFT JOIN c2 ON nodes.node = c2.t),
+            c3 AS (SELECT tr.t, sum(r2.rank * tr.p) AS c
+                   FROM r2 JOIN tr ON r2.node = tr.s GROUP BY tr.t),
+            r3 AS (SELECT node, (1.0 - 0.85) / nn.n + 0.85 * coalesce(c3.c, 0) AS rank
+                   FROM nodes CROSS JOIN nn LEFT JOIN c3 ON nodes.node = c3.t)
+            SELECT node, rank FROM r3""",
         "boilerplate_removal": r"""
             WITH src AS (
               SELECT doc_id, source,

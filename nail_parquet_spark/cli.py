@@ -289,10 +289,12 @@ def main(argv: list[str] | None = None) -> int:
     add("analytics", (("--mode",), {"required": True,
                                     "choices": ["funnel", "funnel-durations", "retention",
                                                 "rollup", "cube",
-                                                "resample", "topk", "sample-group"],
+                                                "resample", "topk", "sample-group",
+                                                "pagerank"],
                                     "help": "event funnel / cohort retention / grouping-set "
                                             "aggregates / time-bucket resample / per-group "
-                                            "top-k / per-group deterministic sample"}),
+                                            "top-k / per-group deterministic sample / "
+                                            "PageRank over an edge table"}),
         (("--steps",), {"default": None, "help": "comma event-type sequence for --mode funnel"}),
         (("--user-column",), {"default": "user_id"}),
         (("--ts-column",), {"default": "ts"}),
@@ -310,6 +312,11 @@ def main(argv: list[str] | None = None) -> int:
         (("--value-column",), {"default": None, "help": "resample: also sum this column"}),
         (("--no-fill",), {"action": "store_true", "help": "resample: skip gap filling"}),
         (("--order-column",), {"default": None, "help": "topk: ranking column"}),
+        (("--src-column",), {"default": "src", "help": "pagerank: edge source column"}),
+        (("--dst-column",), {"default": "dst", "help": "pagerank: edge destination column"}),
+        (("--weight-column",), {"default": None, "help": "pagerank: edge weight (default: count)"}),
+        (("--iterations",), {"type": int, "default": 10}),
+        (("--damping",), {"type": float, "default": 0.85}),
         (("--id-column",), {"default": None,
                             "help": "unique id: tie-break (topk) / hash key (sample-group)"}),
         (("-k",), {"type": int, "default": 10, "help": "rows per group (topk/sample-group)"}),
@@ -762,6 +769,15 @@ def main(argv: list[str] | None = None) -> int:
                 p.error("--mode topk requires --group-by, --order-column, --id-column")
             out = topk_per_group(df, keys, args.order_column, args.k,
                                  args.id_column, descending=not args.ascending)
+        elif m == "pagerank":
+            from pyspark.sql import functions as F
+
+            from nail_parquet_spark.functions.graph import pagerank
+
+            out = pagerank(df, args.src_column, args.dst_column,
+                           weight_col=args.weight_column,
+                           iterations=args.iterations, damping=args.damping)
+            out = out.orderBy(F.col("rank").desc(), "node")
         else:  # sample-group
             if not keys or not args.id_column:
                 p.error("--mode sample-group requires --group-by and --id-column")

@@ -112,3 +112,65 @@ def keep_best_in_cluster(df: DataFrame, id_col: str, score_col: str,
     losers = labels.join(winners, labels["id"] == winners["__win"],
                          "left_anti").select("id")
     return df.join(losers, df[id_col] == losers["id"], "left_anti")
+
+
+def pagerank(edges: DataFrame, src_col: str, dst_col: str,
+             weight_col: str | None = None, iterations: int = 10,
+             damping: float = 0.85, checkpoint_every: int = 5) -> DataFrame:
+    """PageRank over a directed (optionally weighted) edge table —
+    ``(node, rank)`` for every node appearing as a source or destination.
+    The crawl-prioritization signal a web pipeline computes over the
+    domain link graph (``html_links`` → ``registered_domain`` edges).
+
+    Pinned contract (engine-independent, mirrored by the oracle's
+    unrolled SQL): parallel edges first collapse to one edge with summed
+    weight (count when ``weight_col`` is None); every node starts at
+    ``1/N``; each of the fixed ``iterations`` steps computes
+
+        rank(v) = (1-d)/N + d * sum over in-edges (rank(u) * w/outw(u))
+
+    Dangling-node mass is NOT redistributed (the simple published
+    variant) — with a fixed iteration count the result is a deterministic
+    rational function of the edge weights, so two engines agree to
+    floating-point associativity.
+
+    Scale shape: the per-edge transition probability ``w/outw`` is
+    computed ONCE and persisted; each iteration is one src-keyed equi-join
+    (ranks ⨝ edges) + one dst-keyed groupBy-sum — both partial-aggregating
+    keyed shuffles, no windows, no driver state beyond the node count. A
+    hot destination (everyone links to wikipedia.org) is a single reduce
+    key whose sum combines map-side. Lineage is cut every
+    ``checkpoint_every`` iterations with localCheckpoint so plans stay
+    O(1) deep at any iteration count.
+    """
+    if iterations < 0:
+        raise ValueError("iterations must be >= 0")
+    w = (F.sum(F.col(weight_col).cast("double")) if weight_col
+         else F.count("*").cast("double"))
+    e = (edges.groupBy(F.col(src_col).alias("__src"),
+                       F.col(dst_col).alias("__dst"))
+         .agg(w.alias("__w")))
+    nodes = (e.select(F.col("__src").alias("node"))
+             .unionAll(e.select(F.col("__dst").alias("node")))
+             .distinct().localCheckpoint(eager=True))
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    deg = e.groupBy("__src").agg(F.sum("__w").alias("__outw"))
+    trans = (e.join(deg, "__src")
+             .select("__src", "__dst",
+                     (F.col("__w") / F.col("__outw")).alias("__p"))
+             .localCheckpoint(eager=True))
+    base = (1.0 - damping) / n
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for i in range(iterations):
+        contrib = (ranks.join(trans, ranks["node"] == trans["__src"])
+                   .groupBy("__dst")
+                   .agg(F.sum(F.col("rank") * F.col("__p")).alias("__c")))
+        ranks = (nodes.join(contrib, nodes["node"] == contrib["__dst"], "left")
+                 .select("node",
+                         (F.lit(base) + F.lit(damping)
+                          * F.coalesce(F.col("__c"), F.lit(0.0))).alias("rank")))
+        if (i + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks

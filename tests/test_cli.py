@@ -642,3 +642,16 @@ def test_cli_quality_boilerplate(spark, tmp_path):
     assert got[3] == "NAV bar\nsolo site doc"  # 1-doc site: untouched
     cols = spark.read.parquet(out).columns
     assert "__site" not in cols and "url" in cols
+
+
+def test_cli_analytics_pagerank(spark, tmp_path, capsys):
+    p = str(tmp_path / "edges.parquet")
+    spark.createDataFrame(
+        [("a.com", "b.com"), ("a.com", "c.com"), ("b.com", "a.com")],
+        "src string, dst string",
+    ).write.parquet(p)
+    out = str(tmp_path / "pr.parquet")
+    run("analytics", p, "--mode", "pagerank", "--iterations", "5", "-o", out)
+    got = spark.read.parquet(out)
+    assert set(got.columns) == {"node", "rank"}
+    assert got.count() == 3

@@ -539,3 +539,55 @@ def test_chunk_documents_no_overlap_and_validation(spark):
         chunk_documents(df, "doc_id", "text", chunk_tokens=0)
     with _pytest.raises(ValueError):
         chunk_documents(df, "doc_id", "text", chunk_tokens=4, overlap=4)
+
+
+class TestPagerank:
+    def _ranks(self, spark, rows, **kw):
+        from nail_parquet_spark.functions.graph import pagerank
+
+        e = spark.createDataFrame(rows, "src string, dst string")
+        return {r["node"]: r["rank"]
+                for r in pagerank(e, "src", "dst", **kw).collect()}
+
+    def test_one_iteration_hand_computed(self, spark):
+        # A->B, A->C, B->A; C dangling. n=3, d=0.85, uniform start 1/3.
+        got = self._ranks(spark, [("A", "B"), ("A", "C"), ("B", "A")],
+                          iterations=1)
+        base = 0.15 / 3
+        assert got["A"] == pytest.approx(base + 0.85 * (1 / 3))
+        assert got["B"] == pytest.approx(base + 0.85 * (1 / 6))
+        assert got["C"] == pytest.approx(base + 0.85 * (1 / 6))
+
+    def test_zero_iterations_uniform(self, spark):
+        got = self._ranks(spark, [("A", "B"), ("B", "C")], iterations=0)
+        assert sorted(got.values()) == pytest.approx([1 / 3] * 3)
+
+    def test_hub_ranks_highest_and_mass_bounded(self, spark):
+        # every node links to HUB; ranks stay a probability-ish vector
+        rows = [(f"n{i}", "HUB") for i in range(6)] + [("HUB", "n0")]
+        got = self._ranks(spark, rows, iterations=10)
+        # HUB outranks every pure leaf (n0 gets ALL of HUB's mass, so it
+        # may legitimately exceed HUB — it is not a pure leaf)
+        for i in range(1, 6):
+            assert got["HUB"] > got[f"n{i}"]
+        assert 0 < sum(got.values()) <= 1.0 + 1e-9
+
+    def test_weighted_edges(self, spark):
+        from nail_parquet_spark.functions.graph import pagerank
+
+        e = spark.createDataFrame(
+            [("A", "B", 3.0), ("A", "C", 1.0)], "src string, dst string, w double")
+        got = {r["node"]: r["rank"]
+               for r in pagerank(e, "src", "dst", weight_col="w",
+                                 iterations=1).collect()}
+        base = 0.15 / 3
+        assert got["B"] == pytest.approx(base + 0.85 * (1 / 3) * 0.75)
+        assert got["C"] == pytest.approx(base + 0.85 * (1 / 3) * 0.25)
+
+    def test_parallel_edges_collapse(self, spark):
+        # A->B twice + A->C once == weights 2 and 1
+        got = self._ranks(spark, [("A", "B"), ("A", "B"), ("A", "C")],
+                          iterations=1)
+        base = 0.15 / 3
+        assert got["B"] == pytest.approx(base + 0.85 * (1 / 3) * (2 / 3))
+        assert got["C"] == pytest.approx(base + 0.85 * (1 / 3) * (1 / 3))
