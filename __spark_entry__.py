@@ -927,6 +927,23 @@ def _domain_urls(o):
         F.col("o_orderpriority").alias("text"))
 
 
+def q_domain_blocklist(spark, sf_dir):
+    """URL blocklist filtering (functions/urls.filter_blocked_domains):
+    blocklist = {site0.net .. site9.net} built as mixed-case entries
+    (normalization attested), applied to the orders-derived URL corpus;
+    the oracle states the surviving set analytically (rows whose
+    (tld, site) is not (net, <10))."""
+    from nail_parquet_spark.functions.urls import filter_blocked_domains
+
+    o = _t(spark, sf_dir, "orders")
+    s = F.col("o_custkey") % 40
+    block = (o.filter(s < 10)
+             .select(F.concat(F.lit("Site"), s.cast("string"),
+                              F.lit(".NET")).alias("domain"))
+             .distinct())
+    return filter_blocked_domains(_domain_urls(o), block)
+
+
 def q_domain_stats(spark, sf_dir):
     """Per-registered-domain corpus budget (functions/urls.domain_stats):
     host extraction + public-suffix-lite registrable domain + ONE
@@ -1571,7 +1588,6 @@ _QUERIES = {
         "corr_pvalues": q_corr_pvalues,
         "dedup_keep_first": q_dedup_keep_first,
         "doc_fingerprint": q_doc_fingerprint,
-        "drop_rows_cond": q_drop_rows_cond,
         "events_hourly": q_events_hourly,
         "events_sessionize": q_events_sessionize,
         "fill_forward": q_fill_forward,
@@ -1593,6 +1609,7 @@ _QUERIES = {
         "pii_stats": q_pii_stats,
         "domain_stats": q_domain_stats,
         "domain_cap": q_domain_cap,
+        "domain_blocklist": q_domain_blocklist,
         "pack_shards": q_pack_shards,
         "corpus_mix": q_corpus_mix,
         "corr_kendall_pvalues": q_corr_kendall_pvalues,
@@ -1671,6 +1688,7 @@ _QUERIES = {
         "dedup_keep_last": q_dedup_keep_last,
         "distinct_values": q_distinct_values,
         "drop_columns": q_drop_columns,
+        "drop_rows_cond": q_drop_rows_cond,
         "fill_backward": q_fill_backward,
         "fill_value": q_fill_value,
         "head": q_head,
@@ -2760,6 +2778,18 @@ def _pii_domain_oracles() -> dict[str, str]:
                    round(avg(length(text)), 4) AS mean_chars,
                    round(CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM orders), 8) AS share
             FROM urls GROUP BY domain""",
+        # domain_blocklist: the oracle states the survivors analytically —
+        # a row dies iff its construction lands on (tld=net, site<10)
+        "domain_blocklist": """
+            SELECT o_orderkey,
+                   'https://WWW.Site' || (o_custkey % 40) || '.' ||
+                     CASE WHEN o_custkey % 3 = 0 THEN 'com'
+                          WHEN o_custkey % 3 = 1 THEN 'co.uk'
+                          ELSE 'net' END
+                     || '/o/' || o_orderkey AS url,
+                   o_orderpriority AS text
+            FROM orders
+            WHERE NOT (o_custkey % 3 = 2 AND o_custkey % 40 < 10)""",
         "domain_cap": f"""
             WITH urls AS ({_DOMAIN_URLS_SQL})
             SELECT o_orderkey, url FROM (

@@ -234,8 +234,14 @@ def main(argv: list[str] | None = None) -> int:
         (("--kinds",), {"default": None,
                         "help": "comma subset of email,ipv4,ssn,card,phone (default all)"}))
     add("domains", (("--url-column",), {"default": "url"}),
-        (("--mode",), {"default": "stats", "choices": ["stats", "cap"],
-                       "help": "per-registered-domain budget / cap docs per domain"}),
+        (("--mode",), {"default": "stats", "choices": ["stats", "cap", "block"],
+                       "help": "per-registered-domain budget / cap docs per domain / "
+                               "drop domains on a blocklist"}),
+        (("--blocklist",), {"default": None,
+                            "help": "table of blocked domains for --mode block"}),
+        (("--blocklist-column",), {"default": "domain"}),
+        (("--invert",), {"action": "store_true",
+                         "help": "block mode: keep ONLY blocked rows (audit)"}),
         (("--text-column",), {"default": None, "help": "adds char totals to --mode stats"}),
         (("--max-docs",), {"type": int, "default": 1000, "help": "cap for --mode cap"}),
         (("--order-column",), {"default": None,
@@ -852,6 +858,15 @@ def main(argv: list[str] | None = None) -> int:
 
         if args.mode == "stats":
             out = uf.domain_stats(df, args.url_column, args.text_column)
+        elif args.mode == "block":
+            if not args.blocklist:
+                p.error("--mode block requires --blocklist")
+            from nail_parquet_spark.sources.io import read_data
+
+            out = uf.filter_blocked_domains(
+                df, read_data(spark, args.blocklist),
+                url_col=args.url_column, domain_col=args.blocklist_column,
+                invert=args.invert)
         else:
             out = uf.domain_cap(df, args.url_column, args.max_docs,
                                 order_col=args.order_column)

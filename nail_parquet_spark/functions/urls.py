@@ -146,3 +146,29 @@ def domain_cap(df, url_col: str = "url", max_docs: int = 1000,
         .filter(F.col("__rn") <= max_docs)
         .drop("__rn")
     )
+
+
+def filter_blocked_domains(df, blocklist, url_col: str = "url",
+                           domain_col: str = "domain",
+                           invert: bool = False):
+    """URL blocklist filtering (the RefinedWeb/C4 pre-filter: drop every
+    page whose REGISTERED domain is on a curated blocklist — adult/spam/
+    malware lists run to a few million entries, far below fact-table
+    scale). ``blocklist`` is a DataFrame with ``domain_col`` holding bare
+    registrable domains (matched case-insensitively after the same
+    public-suffix-lite normalization, so ``Sub.Bad.com`` entries and
+    ``www.bad.com`` page hosts both land on ``bad.com``). ``invert=True``
+    keeps ONLY the blocked rows (audit view).
+
+    Scale shape: one ``left_anti`` (or ``left_semi``) join keyed on the
+    derived domain, with the blocklist explicitly broadcast — the fact
+    side never shuffles and duplicate blocklist entries cannot duplicate
+    kept rows. NULL urls / empty domains never match, so they are kept by
+    the anti-join (filter them separately if unwanted).
+    """
+    b = (blocklist
+         .select(registered_domain(F.col(domain_col)).alias("__blocked"))
+         .distinct())
+    how = "left_semi" if invert else "left_anti"
+    key = registered_domain(F.col(url_col))
+    return df.join(F.broadcast(b), key == F.col("__blocked"), how)

@@ -132,3 +132,33 @@ def test_domain_cap(spark):
     assert kept == sorted(i for i in range(60) if i // 3 < 7)
     with pytest.raises(ValueError):
         domain_cap(_docs(spark), "url", 5, order_col=None)
+
+
+def test_filter_blocked_domains(spark):
+    from nail_parquet_spark.functions.urls import filter_blocked_domains
+
+    docs = spark.createDataFrame(
+        [(1, "https://www.bad.com/page"),      # blocked via www host
+         (2, "https://Sub.BAD.com/x"),         # blocked, case/subdomain
+         (3, "https://good.org/y"),
+         (4, "https://bad.com.evil.net/z"),    # registered = evil.net: kept
+         (5, None)],                           # NULL url: kept by anti-join
+        "doc_id long, url string")
+    block = spark.createDataFrame(
+        [("bad.com",), ("Other.Example",), ("bad.com",)], "domain string")
+    kept = sorted(r["doc_id"] for r in
+                  filter_blocked_domains(docs, block).collect())
+    assert kept == [3, 4, 5]
+    audit = sorted(r["doc_id"] for r in
+                   filter_blocked_domains(docs, block, invert=True).collect())
+    assert audit == [1, 2]
+
+
+def test_filter_blocked_domains_plan_broadcasts(spark):
+    from nail_parquet_spark.functions.urls import filter_blocked_domains
+    from nail_parquet_spark.plans.explain import plan_text
+
+    docs = spark.createDataFrame([(1, "https://a.com/")], "id long, url string")
+    block = spark.createDataFrame([("a.com",)], "domain string")
+    plan = plan_text(filter_blocked_domains(docs, block))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
