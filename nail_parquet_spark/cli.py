@@ -275,9 +275,13 @@ def main(argv: list[str] | None = None) -> int:
                          "help": "emit the per-doc overlap report instead of the kept rows"}))
     add("extract", (("-c", "--html-column"), {"default": "html", "dest": "html_column"}),
         (("--mode",), {"default": "text",
-                       "choices": ["text", "title", "links", "lang", "all"],
+                       "choices": ["text", "title", "links", "lang", "all",
+                                   "link-graph"],
                        "help": "visible text / <title> / href array / declared "
-                               "lang attribute / all of them"}),
+                               "lang attribute / all of them / domain-level "
+                               "(src,dst,n_links) edge table"}),
+        (("--url-column",), {"default": "url",
+                             "help": "page url for --mode link-graph"}),
         (("--into",), {"default": "extracted_text", "help": "output column for --mode text"}),
         (("--body-only",), {"action": "store_true",
                             "help": "extract only the <body> region (binary inputs "
@@ -819,6 +823,10 @@ def main(argv: list[str] | None = None) -> int:
         dt = dict(df.dtypes).get(col)
         if dt is None:
             raise SystemExit(f"no column {col!r} in {args.input}")
+        if args.mode == "link-graph":
+            _out(hf.link_graph(df, url_col=args.url_column, html_col=col),
+                 args, 50)
+            return 0
         full = hf.html_to_string(F.col(col)) if dt == "binary" else F.col(col)
         # text/links restrict to <body> for binary inputs (trailing WARC
         # noise sits outside it); the title lives in <head>, so it always

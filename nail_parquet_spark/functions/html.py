@@ -137,6 +137,38 @@ def html_to_string(col: Column) -> Column:
     return F.make_valid_utf8(col.cast("string"))
 
 
+def link_graph(df, url_col: str = "url", html_col: str = "html"):
+    """Domain-level outlink graph from a page table: harvest every href
+    from the page markup (binary columns are lossy-decoded first), map
+    both ends through public-suffix-lite ``registered_domain``, and
+    aggregate to ``(src_domain, dst_domain, n_links)`` — the edge table
+    :func:`nail_parquet_spark.functions.graph.pagerank` ranks and a
+    crawl frontier prioritizes.
+
+    Self-links (intra-site navigation) are kept — callers filter
+    ``src_domain != dst_domain`` when they want the external graph only.
+    Relative hrefs yield an empty dst domain and are dropped (they have
+    no cross-site meaning). Scale shape: the explode is in-partition;
+    the ONLY Exchange is the final (src, dst) hash-aggregate, partial
+    map-side."""
+    from pyspark.sql.types import BinaryType
+
+    from nail_parquet_spark.functions.urls import registered_domain
+
+    page = F.col(html_col)
+    if isinstance(df.schema[html_col].dataType, BinaryType):
+        page = html_to_string(page)
+    e = df.select(
+        registered_domain(F.col(url_col)).alias("src_domain"),
+        F.explode(html_links(page)).alias("__href"),
+    )
+    return (e.select("src_domain",
+                     registered_domain(F.col("__href")).alias("dst_domain"))
+            .filter(F.col("dst_domain") != "")
+            .groupBy("src_domain", "dst_domain")
+            .agg(F.count("*").alias("n_links")))
+
+
 def html_body_text(col: Column, breaks: bool = True) -> Column:
     """Visible text of the ``<body>`` region of an ``html:binary``
     column: lossy-decode → take the first body block → rules 1-5.

@@ -181,3 +181,39 @@ def test_html_lang(spark):
     got = {r["i"]: r["l"] for r in
            df.select("i", html_lang("page").alias("l")).collect()}
     assert got == {1: "en", 2: "pt-br", 3: "ar", 4: "", 5: ""}
+
+
+def test_link_graph(spark):
+    from nail_parquet_spark.functions.html import link_graph
+
+    rows = [
+        (1, "https://a-site.com/p1",
+         '<a href="https://b-site.org/x">1</a><a href="https://www.b-site.org/y">2</a>'
+         '<a href="https://a-site.com/self">3</a><a href="/relative">4</a>'),
+        (2, "https://a-site.com/p2", '<a href="https://c-site.net/z">5</a>'),
+        (3, "https://b-site.org/p", "no links here"),
+    ]
+    df = spark.createDataFrame(rows, "id long, url string, html string")
+    got = {(r["src_domain"], r["dst_domain"]): r["n_links"]
+           for r in link_graph(df).collect()}
+    assert got == {("a-site.com", "b-site.org"): 2,   # www collapses
+                   ("a-site.com", "a-site.com"): 1,   # self-link kept
+                   ("a-site.com", "c-site.net"): 1}   # relative dropped
+
+
+def test_link_graph_binary_and_cli(spark, tmp_path):
+    from nail_parquet_spark.cli import main
+    from nail_parquet_spark.functions.html import link_graph
+
+    df = spark.createDataFrame(
+        [(1, "https://a-site.com/", bytearray(
+            b'<a href="https://b-site.org/x">l</a>' + bytes([0xFF])))],
+        "id long, url string, html binary")
+    got = link_graph(df).collect()
+    assert [(r["src_domain"], r["dst_domain"], r["n_links"]) for r in got] \
+        == [("a-site.com", "b-site.org", 1)]
+    src = str(tmp_path / "pages.parquet")
+    df.write.parquet(src)
+    out = str(tmp_path / "edges.parquet")
+    assert main(["extract", src, "--mode", "link-graph", "-o", out]) == 0
+    assert spark.read.parquet(out).count() == 1
