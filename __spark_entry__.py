@@ -1339,6 +1339,34 @@ def q_encode_manifest(spark, sf_dir):
     return metadata_summary(blocks).select("column", "n_values", "raw_bytes", "null_count")
 
 
+def q_warc_roundtrip(spark, sf_dir):
+    """WARC sink -> source round trip (sources/warc.py): documents become
+    (url, warc_ts, html=utf8(text)) pages, export to gzipped WARC/1.0,
+    re-scan, and return the decoded fields. The oracle states the result
+    analytically from documents — value-exact means the archive writer,
+    the length-directed parser, the HTTP wrapping, and the second-
+    precision WARC-Date all round-trip losslessly."""
+    import tempfile
+
+    from nail_parquet_spark.sources.warc import read_warc, write_warc
+
+    d = _t(spark, sf_dir, "documents")
+    pages = d.select(
+        F.concat(F.lit("https://w.example/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id")).alias("warc_ts"),
+        F.encode(F.col("text"), "UTF-8").alias("html"),
+    )
+    out = tempfile.mkdtemp(prefix="warc_oracle_")
+    write_warc(pages, out)
+    back = read_warc(spark, out)
+    return back.select(
+        "url", "warc_type",
+        F.decode(F.col("html"), "UTF-8").alias("text"),
+        F.unix_timestamp("warc_ts").alias("ts"),
+    )
+
+
 def q_encode_roundtrip(spark, sf_dir):
     from nail_parquet_spark.codec.decode import decode_table, verify_roundtrip
     from nail_parquet_spark.codec.encode import encode_table
@@ -1570,6 +1598,7 @@ _QUERIES = {
         "html_links_hosts": q_html_links_hosts,
         "boilerplate_removal": q_boilerplate_removal,
         "pagerank_domains": q_pagerank_domains,
+        "warc_roundtrip": q_warc_roundtrip,
         "funnel_steps": q_funnel_steps,
         "retention_cohorts": q_retention_cohorts,
         "rollup_lineitem": q_rollup_lineitem,
@@ -1595,7 +1624,6 @@ _QUERIES = {
         "filter_no_nan": q_filter_no_nan,
         "merge_inner": q_merge_inner,
         "outliers_zscore": q_outliers_zscore,
-        "pivot": q_pivot,
         "sample_hash": q_sample_hash,
         "split_hash": q_split_hash,
         # 2) every query NEW or code-changed this round: url userinfo
@@ -1695,6 +1723,7 @@ _QUERIES = {
         "merge_left": q_merge_left,
         "merge_right": q_merge_right,
         "outliers_range_heuristic": q_outliers_range_heuristic,
+        "pivot": q_pivot,
         "rename_columns": q_rename,
         "select_columns": q_select_columns,
 }
@@ -2359,6 +2388,13 @@ def oracle_sql() -> dict[str, str]:
                      AND NOT (contains(lower(l), 'javascript')
                               OR contains(lower(l), 'lorem ipsum')
                               OR contains(lower(l), '{'))), chr(10)), '') AS clean
+            FROM documents""",
+        # warc_roundtrip: the expected scan output stated analytically
+        "warc_roundtrip": """
+            SELECT 'https://w.example/' || doc_id AS url,
+                   'response' AS warc_type,
+                   text,
+                   1700000000 + doc_id AS ts
             FROM documents""",
         # pagerank_domains: the recurrence unrolled — same edge collapse,
         # same w/outw transition computed once, same base+damping*sum form

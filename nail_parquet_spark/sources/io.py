@@ -43,6 +43,8 @@ def _fmt_of(path: str, fmt: str | None) -> str:
         return "orc"
     if ext in ("xlsx", "xls"):
         return "xlsx"
+    if path.endswith((".warc", ".warc.gz")):
+        return "warc"
     if os.path.isdir(path):
         # extensionless directory (a Spark/engine output dir): autodetect
         # from the files inside — recursive, so Hive-partitioned layouts
@@ -52,6 +54,8 @@ def _fmt_of(path: str, fmt: str | None) -> str:
         for inner_ext in ("parquet", "orc", "csv", "json"):
             if glob.glob(os.path.join(path, "**", f"*.{inner_ext}"), recursive=True):
                 return inner_ext
+        if glob.glob(os.path.join(path, "**", "*.warc*"), recursive=True):
+            return "warc"
     raise ValueError(f"unsupported extension '.{ext}' (utils/mod.rs:47-57)")
 
 
@@ -67,6 +71,11 @@ def read_data(spark: SparkSession, path: str, fmt: str | None = None) -> DataFra
         # beyond the reference's menu (io.rs has no ORC): Spark-native
         # columnar interchange with Hive/Trino warehouses
         return spark.read.orc(path)
+    if fmt == "warc":
+        # Common Crawl archives -> (url, warc_ts, warc_type, html)
+        from nail_parquet_spark.sources.warc import read_warc
+
+        return read_warc(spark, path)
     if fmt == "xlsx":
         # driver-side, like the reference (io.rs:36-165); stdlib reader, no
         # openpyxl needed. Explicit schema so empty sheets and all-NULL
@@ -211,6 +220,12 @@ def write_data(df: DataFrame, path: str, fmt: str | None = None,
         if compression:
             w = w.option("compression", compression)
         w.orc(path)
+    elif fmt == "warc":
+        # WARC export: needs (url, warc_ts, html)-shaped columns
+        from nail_parquet_spark.sources.warc import write_warc
+
+        write_warc(out, path, compress=path.endswith(".gz")
+                   or compression in (None, "gzip"))
     elif fmt == "csv":
         w = out.write.mode(mode).option("header", True)
         if compression:
