@@ -43,6 +43,8 @@ def _fmt_of(path: str, fmt: str | None) -> str:
         return "orc"
     if ext in ("xlsx", "xls"):
         return "xlsx"
+    if path.endswith((".wet", ".wet.gz")):
+        return "wet"
     if path.endswith((".warc", ".warc.gz")):
         return "warc"
     if os.path.isdir(path):
@@ -54,6 +56,8 @@ def _fmt_of(path: str, fmt: str | None) -> str:
         for inner_ext in ("parquet", "orc", "csv", "json"):
             if glob.glob(os.path.join(path, "**", f"*.{inner_ext}"), recursive=True):
                 return inner_ext
+        if glob.glob(os.path.join(path, "**", "*.wet*"), recursive=True):
+            return "wet"
         if glob.glob(os.path.join(path, "**", "*.warc*"), recursive=True):
             return "warc"
     raise ValueError(f"unsupported extension '.{ext}' (utils/mod.rs:47-57)")
@@ -76,6 +80,15 @@ def read_data(spark: SparkSession, path: str, fmt: str | None = None) -> DataFra
         from nail_parquet_spark.sources.warc import read_warc
 
         return read_warc(spark, path)
+    if fmt == "wet":
+        # WET extracted-text sidecars: conversion records, text payload
+        from pyspark.sql import functions as F
+
+        from nail_parquet_spark.sources.warc import read_warc
+
+        return (read_warc(spark, path, types=("conversion",))
+                .select("url", "warc_ts",
+                        F.decode(F.col("html"), "UTF-8").alias("text")))
     if fmt == "xlsx":
         # driver-side, like the reference (io.rs:36-165); stdlib reader, no
         # openpyxl needed. Explicit schema so empty sheets and all-NULL
@@ -220,11 +233,14 @@ def write_data(df: DataFrame, path: str, fmt: str | None = None,
         if compression:
             w = w.option("compression", compression)
         w.orc(path)
-    elif fmt == "warc":
-        # WARC export: needs (url, warc_ts, html)-shaped columns
+    elif fmt in ("warc", "wet"):
+        # WARC/WET export: needs (url, warc_ts, html|text)-shaped columns
         from nail_parquet_spark.sources.warc import write_warc
 
-        write_warc(out, path, compress=path.endswith(".gz")
+        wet = fmt == "wet"
+        body = "text" if wet and "text" in out.columns else "html"
+        write_warc(out, path, body_col=body, wet=wet,
+                   compress=path.endswith(".gz")
                    or compression in (None, "gzip"))
     elif fmt == "csv":
         w = out.write.mode(mode).option("header", True)

@@ -157,33 +157,47 @@ def read_warc(spark, path: str, types: tuple[str, ...] = ("response",),
     return files.mapInPandas(_parse, out_schema)
 
 
-def _record_bytes(url, ts, body: bytes, kind: str = "response") -> bytes:
-    """One spec-conformant WARC/1.0 record wrapping ``body`` as a minimal
-    HTTP/1.1 200 response (the shape Common Crawl response records have)."""
-    http = (b"HTTP/1.1 200 OK\r\nContent-Length: "
-            + str(len(body)).encode() + b"\r\n\r\n" + body)
+def _record_bytes(url, ts, body: bytes, wet: bool = False) -> bytes:
+    """One spec-conformant WARC/1.0 record: an HTTP-wrapped ``response``
+    (the shape Common Crawl WARC files have) or, with ``wet=True``, a
+    bare ``conversion`` record with a text/plain block (the WET extracted-
+    text sidecar format)."""
+    if wet:
+        kind, ctype, block = "conversion", "text/plain", body
+    else:
+        kind, ctype = "response", "application/http; msgtype=response"
+        block = (b"HTTP/1.1 200 OK\r\nContent-Length: "
+                 + str(len(body)).encode() + b"\r\n\r\n" + body)
     headers = (
         f"WARC/1.0\r\n"
         f"WARC-Type: {kind}\r\n"
         f"WARC-Target-URI: {url}\r\n"
         f"WARC-Date: {ts.strftime('%Y-%m-%dT%H:%M:%SZ')}\r\n"
-        f"Content-Type: application/http; msgtype=response\r\n"
-        f"Content-Length: {len(http)}\r\n\r\n"
+        f"Content-Type: {ctype}\r\n"
+        f"Content-Length: {len(block)}\r\n\r\n"
     ).encode()
-    return headers + http + b"\r\n\r\n"
+    return headers + block + b"\r\n\r\n"
 
 
 def write_warc(df, out_dir: str, url_col: str = "url",
                ts_col: str = "warc_ts", body_col: str = "html",
-               compress: bool = True) -> int:
+               compress: bool = True, wet: bool = False) -> int:
     """Export a page table to WARC: each partition writes ONE
     ``part-<pid>.warc[.gz]`` via an attempt-unique temp name + atomic
     rename (same crash-safe sink discipline as codec/encode.py), records
-    in partition order. Returns the number of part files written."""
+    in partition order. ``wet=True`` emits WET conversion records (bare
+    text/plain blocks — pass the extracted-text column as ``body_col``)
+    and names parts ``.warc.wet[.gz]``. Returns the number of part files
+    written."""
+    from pyspark.sql import functions as _F
+    from pyspark.sql.types import StringType
+
     os.makedirs(out_dir, exist_ok=True)
-    ext = ".warc.gz" if compress else ".warc"
+    ext = (".warc.wet" if wet else ".warc") + (".gz" if compress else "")
 
     sel = df.select(url_col, ts_col, body_col)
+    if isinstance(sel.schema[body_col].dataType, StringType):
+        sel = sel.withColumn(body_col, _F.encode(_F.col(body_col), "UTF-8"))
 
     def _write(it):
         import pandas as pd  # noqa: F401
@@ -202,7 +216,7 @@ def write_warc(df, out_dir: str, url_col: str = "url",
             for pdf in it:
                 for u, ts, body in zip(pdf[url_col], pdf[ts_col],
                                        pdf[body_col]):
-                    f.write(_record_bytes(u, ts, bytes(body)))
+                    f.write(_record_bytes(u, ts, bytes(body), wet=wet))
                     n += 1
         if n:
             os.replace(tmp, final)

@@ -116,3 +116,21 @@ def test_cli_convert_warc_roundtrip(spark, tmp_path):
     got = spark.read.parquet(back)
     assert got.count() == 300
     assert {"url", "warc_ts", "html"} <= set(got.columns)
+
+
+def test_wet_export_and_scan(spark, tmp_path):
+    from nail_parquet_spark.cli import main
+    from nail_parquet_spark.synth import webpages_spark
+
+    src = str(tmp_path / "pages2.parquet")
+    webpages_spark(spark, 200, seed=3, n_parts=2).write.parquet(src)
+    wet = str(tmp_path / "export.warc.wet.gz")
+    assert main(["convert", src, "-o", wet]) == 0
+    back = str(tmp_path / "wet_back.parquet")
+    assert main(["convert", wet, "-o", back]) == 0
+    got = spark.read.parquet(back)
+    assert set(got.columns) == {"url", "warc_ts", "text"}
+    # WET text round-trips the extracted-text column exactly
+    orig = spark.read.parquet(src).select("url", F.col("text").alias("t0"))
+    assert got.join(orig, "url").filter("text != t0").count() == 0
+    assert got.count() == 200
