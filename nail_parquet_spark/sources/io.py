@@ -53,12 +53,22 @@ def _fmt_of(path: str, fmt: str | None) -> str:
         # (batch=*/part-*.parquet) resolve too
         import glob
 
+        def _visible(pattern: str) -> bool:
+            # hidden-path convention: a _cdx/ index inside a WARC dir (or
+            # _manifests inside a block dir) must not drive detection
+            for f in glob.glob(os.path.join(path, "**", pattern), recursive=True):
+                rel = os.path.relpath(f, path)
+                if not any(seg.startswith(("_", "."))
+                           for seg in rel.split(os.sep)):
+                    return True
+            return False
+
         for inner_ext in ("parquet", "orc", "csv", "json"):
-            if glob.glob(os.path.join(path, "**", f"*.{inner_ext}"), recursive=True):
+            if _visible(f"*.{inner_ext}"):
                 return inner_ext
-        if glob.glob(os.path.join(path, "**", "*.wet*"), recursive=True):
+        if _visible("*.wet*"):
             return "wet"
-        if glob.glob(os.path.join(path, "**", "*.warc*"), recursive=True):
+        if _visible("*.warc*"):
             return "warc"
     raise ValueError(f"unsupported extension '.{ext}' (utils/mod.rs:47-57)")
 

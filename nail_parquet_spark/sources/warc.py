@@ -181,18 +181,31 @@ def _record_bytes(url, ts, body: bytes, wet: bool = False) -> bytes:
 
 def write_warc(df, out_dir: str, url_col: str = "url",
                ts_col: str = "warc_ts", body_col: str = "html",
-               compress: bool = True, wet: bool = False) -> int:
+               compress: bool = True, wet: bool = False,
+               cdx: bool = False) -> int:
     """Export a page table to WARC: each partition writes ONE
     ``part-<pid>.warc[.gz]`` via an attempt-unique temp name + atomic
     rename (same crash-safe sink discipline as codec/encode.py), records
     in partition order. ``wet=True`` emits WET conversion records (bare
     text/plain blocks — pass the extracted-text column as ``body_col``)
     and names parts ``.warc.wet[.gz]``. Returns the number of part files
-    written."""
+    written.
+
+    Compressed output uses ONE GZIP MEMBER PER RECORD — exactly how
+    Common Crawl writes its archives (the multi-member stream reads
+    identically to whole-file gzip, and every record is independently
+    decompressible). That makes ``cdx=True`` possible: alongside the
+    parts it writes a ``_cdx/`` parquet index of (url, warc_ts, filename,
+    offset, length) byte spans — the capture-index shape (CDXJ) the
+    Wayback/CC infrastructure serves — enabling :func:`fetch_record`
+    random access to one page without scanning the archive.
+    """
     from pyspark.sql import functions as _F
     from pyspark.sql.types import StringType
 
     os.makedirs(out_dir, exist_ok=True)
+    if cdx:
+        os.makedirs(os.path.join(out_dir, "_cdx"), exist_ok=True)
     ext = (".warc.wet" if wet else ".warc") + (".gz" if compress else "")
 
     sel = df.select(url_col, ts_col, body_col)
@@ -207,19 +220,42 @@ def write_warc(df, out_dir: str, url_col: str = "url",
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else 0
         att = ctx.attemptNumber() if ctx is not None else 0
-        final = os.path.join(out_dir, f"part-{pid:05d}{ext}")
+        fname = f"part-{pid:05d}{ext}"
+        final = os.path.join(out_dir, fname)
         tmp = final + f".attempt{att}.tmp"
         n = 0
-        opener = (lambda p: gzip.open(p, "wb", compresslevel=6)) if compress \
-            else (lambda p: open(p, "wb"))
-        with opener(tmp) as f:
+        idx_urls, idx_ts, idx_off, idx_len = [], [], [], []
+        with open(tmp, "wb") as f:
             for pdf in it:
                 for u, ts, body in zip(pdf[url_col], pdf[ts_col],
                                        pdf[body_col]):
-                    f.write(_record_bytes(u, ts, bytes(body), wet=wet))
+                    rec = _record_bytes(u, ts, bytes(body), wet=wet)
+                    if compress:
+                        rec = gzip.compress(rec, compresslevel=6)
+                    if cdx:
+                        idx_urls.append(u)
+                        idx_ts.append(ts)
+                        idx_off.append(f.tell())
+                        idx_len.append(len(rec))
+                    f.write(rec)
                     n += 1
         if n:
             os.replace(tmp, final)
+            if cdx:
+                import pyarrow.parquet as _pq
+
+                t = pa.table({
+                    "url": pa.array(idx_urls, pa.string()),
+                    "warc_ts": pa.Array.from_pandas(
+                        pd.Series(idx_ts), type=SCHEMA[1].type),
+                    "filename": pa.array([fname] * n, pa.string()),
+                    "offset": pa.array(idx_off, pa.int64()),
+                    "length": pa.array(idx_len, pa.int64()),
+                })
+                cpath = os.path.join(out_dir, "_cdx", f"part-{pid:05d}.parquet")
+                ctmp = cpath + f".attempt{att}.tmp"
+                _pq.write_table(t, ctmp)
+                os.replace(ctmp, cpath)
         else:
             os.remove(tmp)
         yield pd.DataFrame({"part": [pid], "n_records": [n]})
@@ -231,3 +267,26 @@ def write_warc(df, out_dir: str, url_col: str = "url",
         _write, StructType([StructField("part", IntegerType()),
                             StructField("n_records", LongType())]))
     return manifest.filter("n_records > 0").count()
+
+
+def read_cdx(spark, out_dir: str):
+    """The capture index written by ``write_warc(cdx=True)``."""
+    return spark.read.parquet(os.path.join(out_dir, "_cdx"))
+
+
+def fetch_record(out_dir: str, filename: str, offset: int, length: int):
+    """Random-access one record by its CDX byte span: seek, read
+    ``length`` bytes, decompress the single gzip member if compressed,
+    parse. Returns ``(headers, payload)`` — the payload with HTTP headers
+    already stripped for http blocks. This is the driver-side page-serve
+    path (one page out of a 100-TB archive without touching the rest)."""
+    path = os.path.join(out_dir, filename)
+    with open(path, "rb") as f:
+        f.seek(offset)
+        raw = f.read(length)
+    if filename.endswith(".gz"):
+        raw = gzip.decompress(raw)
+    headers, block = next(_iter_records(io.BytesIO(raw)))
+    ct = headers.get("content-type", "")
+    body = _http_payload(block) if ct.startswith("application/http") else block
+    return headers, body

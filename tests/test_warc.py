@@ -134,3 +134,34 @@ def test_wet_export_and_scan(spark, tmp_path):
     orig = spark.read.parquet(src).select("url", F.col("text").alias("t0"))
     assert got.join(orig, "url").filter("text != t0").count() == 0
     assert got.count() == 200
+
+
+def test_cdx_random_access(spark, tmp_path):
+    from nail_parquet_spark.sources.warc import (
+        fetch_record, read_cdx, read_warc, write_warc)
+    from nail_parquet_spark.synth import webpages_spark
+
+    web = webpages_spark(spark, 500, seed=21, n_parts=3)
+    out = str(tmp_path / "indexed")
+    write_warc(web, out, cdx=True)
+    idx = read_cdx(spark, out)
+    assert idx.count() == 500
+    # every record individually fetchable and byte-identical to the source
+    want = {r["url"]: bytes(r["html"]) for r in web.collect()}
+    for r in idx.orderBy("url").limit(25).collect():
+        headers, body = fetch_record(out, r["filename"], r["offset"],
+                                     r["length"])
+        assert headers["warc-target-uri"] == r["url"]
+        assert body == want[r["url"]]
+    # the indexed archive still reads as a normal multi-member WARC scan
+    assert read_warc(spark, out).count() == 500
+
+
+def test_fmt_autodetect_ignores_cdx_index(spark, tmp_path):
+    from nail_parquet_spark.sources.io import _fmt_of
+    from nail_parquet_spark.sources.warc import write_warc
+    from nail_parquet_spark.synth import webpages_spark
+
+    out = str(tmp_path / "arch")
+    write_warc(webpages_spark(spark, 50, seed=1, n_parts=1), out, cdx=True)
+    assert _fmt_of(out, None) == "warc"   # not "parquet" via _cdx/
