@@ -43,8 +43,8 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-STAGES = ("boilerplate", "quality", "c4_clean", "exact_dedup", "near_dedup",
-          "decontam")
+STAGES = ("extract", "boilerplate", "quality", "c4_clean", "exact_dedup",
+          "near_dedup", "decontam")
 
 
 def _reject_dir(out_dir: str, stage: str) -> str:
@@ -107,7 +107,19 @@ def curate_and_encode_corpus(
         with open(state_path) as f:
             state = json.load(f)
     else:
-        df = spark.read.parquet(src)
+        from nail_parquet_spark.sources.io import read_data
+
+        df = read_data(spark, src)
+        extracted = False
+        if text_col not in df.columns and "html" in df.columns:
+            # raw-crawl input (e.g. a WARC directory): derive the text
+            # column from the page markup before any text-keyed stage.
+            # Extraction is a projection (no Exchange); rows whose pages
+            # yield no text are rejected below like c4_clean empties.
+            from nail_parquet_spark.functions.html import html_body_text
+
+            df = df.withColumn(text_col, html_body_text(F.col("html")))
+            extracted = True
         doc_id = F.md5(F.concat_ws(
             "|", F.col(url_col), F.col(ts_col).cast("string"),
             F.coalesce(F.col(text_col), F.lit(""))))
@@ -130,6 +142,17 @@ def curate_and_encode_corpus(
         n_input = cur.count()
         counts: dict[str, int] = {}
         stages: list[dict] = []
+
+        if extracted:
+            emptied = cur.filter(F.coalesce(F.col(text_col), F.lit("")) == "")
+            emptied.select("__doc_id", url_col).write.mode("overwrite").parquet(
+                _reject_dir(out_dir, "extract"))
+            counts["extract"] = spark.read.parquet(
+                _reject_dir(out_dir, "extract")).count()
+            cur = _pin(cur.filter(
+                F.coalesce(F.col(text_col), F.lit("")) != ""))
+            stages.append({"stage": "extract", "from": "html",
+                           "rule": "body text, pinned html rule set"})
 
         if do_boilerplate:
             # runs FIRST (extraction-adjacent): within-site repeated lines

@@ -170,3 +170,25 @@ def test_curate_boilerplate_stage(spark, corpus, tmp_path):
     assert staged.filter(
         F.col("text").contains("Copyright example footer")).count() == 0
     assert staged.count() == c["kept"] > 0
+
+
+def test_curate_from_warc_directory(spark, tmp_path):
+    from nail_parquet_spark.pipeline.curate import curate_and_encode_corpus
+    from nail_parquet_spark.sources.warc import write_warc
+    from nail_parquet_spark.synth import webpages_spark
+
+    # raw crawl: WARC archive, html only — curate must extract text first
+    arc = str(tmp_path / "crawl")
+    write_warc(webpages_spark(spark, 1_500, seed=9, n_parts=3), arc)
+    out = str(tmp_path / "curated_warc")
+    # c4_clean off: synthetic prose has no terminal punctuation, the C4
+    # line rule would legitimately empty every doc
+    state = curate_and_encode_corpus(
+        spark, arc, out, quality_rules=RULES, do_near_dedup=False,
+        do_c4_clean=False, units_per_job=4)
+    assert [s["stage"] for s in state["stages"]][0] == "extract"
+    c = state["counts"]
+    assert c["input"] == 1_500
+    assert c["input"] == c["kept"] + sum(c["rejected"].values())
+    staged = spark.read.parquet(os.path.join(out, "_staging"))
+    assert "text" in staged.columns and staged.count() == c["kept"] > 0
