@@ -128,3 +128,63 @@ def decontam_stream(
         q.awaitTermination()
         return None
     return writer.start()
+
+
+def warc_ingest_stream(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    checkpoint: str,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+    types: tuple = ("response",),
+):
+    """Continuously ingest WARC segments as a crawl drops them: a
+    ``binaryFile`` file stream (each NEW ``.warc[.gz]`` file is exactly
+    one micro-batch input — the checkpoint's file log is the source of
+    truth for what was consumed, so a restart never re-parses a segment)
+    parsed by the SAME batch parser ``sources/warc.parse_warc_bytes``,
+    landing (url, warc_ts, warc_type, html) parquet per batch-id dir —
+    the at-least-once replay overwrites its own directory, same
+    exactly-once discipline as ``encode_stream``. Feed the output to
+    `encode_stream` / `curate` for the full crawl-to-corpus path."""
+    from pyspark.sql.types import (BinaryType, StringType, StructField,
+                                   StructType, TimestampType)
+
+    from nail_parquet_spark.sources.warc import parse_warc_bytes
+
+    # binaryFile's fixed schema must be stated explicitly on the stream path
+    reader = (spark.readStream.format("binaryFile")
+              .schema("path string, modificationTime timestamp, "
+                      "length long, content binary")
+              .option("pathGlobFilter", "*.warc*"))
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.load(src_dir).select("path", "content")
+
+    out_schema = StructType([
+        StructField("url", StringType()),
+        StructField("warc_ts", TimestampType()),
+        StructField("warc_type", StringType()),
+        StructField("html", BinaryType()),
+    ])
+
+    def _parse(it):
+        for pdf in it:
+            for p, data in zip(pdf["path"], pdf["content"]):
+                for batch in parse_warc_bytes(bytes(data), p.endswith(".gz"),
+                                              tuple(types), 1024):
+                    yield batch.to_pandas()
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        (batch_df.mapInPandas(_parse, out_schema)
+         .write.mode("overwrite")
+         .parquet(f"{out_dir}/ingest_batch={batch_id}"))
+
+    writer = (stream.writeStream.foreachBatch(sink)
+              .option("checkpointLocation", checkpoint))
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()

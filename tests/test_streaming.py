@@ -245,3 +245,41 @@ def test_stream_decontam_matches_batch(spark, tmp_path):
     want = {r["doc_id"] for r in
             decontaminate(df, ev, "doc_id", "text", n=3).collect()}
     assert got == want == {1, 3, 4}
+
+
+def test_warc_ingest_stream_incremental(spark, tmp_path):
+    """New WARC segments are ingested exactly once: first run parses the
+    first segment, a re-run with the same checkpoint after a second
+    segment arrives parses ONLY the new one; the union equals the batch
+    scan of both archives."""
+    from pyspark.sql import functions as F
+
+    from nail_parquet_spark.sources.warc import read_warc, write_warc
+    from nail_parquet_spark.streaming.encode_stream import warc_ingest_stream
+    from nail_parquet_spark.synth import webpages_spark
+
+    crawl = tmp_path / "crawl"
+    crawl.mkdir()
+    seg1 = str(tmp_path / "seg1")
+    write_warc(webpages_spark(spark, 300, seed=1, n_parts=1), seg1)
+    import shutil
+
+    shutil.copy(f"{seg1}/part-00000.warc.gz", crawl / "seg-001.warc.gz")
+
+    out, ck = str(tmp_path / "ingested"), str(tmp_path / "ck")
+    warc_ingest_stream(spark, str(crawl), out, ck)
+    assert spark.read.parquet(out).count() == 300
+
+    seg2 = str(tmp_path / "seg2")
+    write_warc(webpages_spark(spark, 200, seed=2, n_parts=1), seg2)
+    shutil.copy(f"{seg2}/part-00000.warc.gz", crawl / "seg-002.warc.gz")
+    warc_ingest_stream(spark, str(crawl), out, ck)
+
+    got = spark.read.parquet(out)
+    assert got.count() == 500
+    # equals the batch scan (urls overlap across seeds -> compare multiset)
+    batch = read_warc(spark, str(crawl))
+    a = got.groupBy("url").count()
+    b = batch.groupBy("url").count().withColumnRenamed("count", "c2")
+    assert a.join(b, "url").filter("count != c2").count() == 0
+    assert a.count() == b.count()
