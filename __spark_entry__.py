@@ -854,6 +854,35 @@ def q_pagerank_domains(spark, sf_dir):
     return pr.select("node", "rank")
 
 
+def q_canonical_dedup(spark, sf_dir):
+    """Canonical-aware URL dedup (functions/html.html_canonical): 4 of
+    every 5 pages declare ``rel=canonical`` pointing at their group head,
+    the 5th declares none; the dedup key is
+    coalesce(nullif(canonical,''), url) and the result is one row per
+    key with the kept doc and the collapse count. The oracle states the
+    key analytically, so the extraction + composition is value-exact."""
+    from nail_parquet_spark.functions.html import html_canonical
+
+    d = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    canon = F.concat(F.lit("https://c.example/"), (k - k % 5).cast("string"))
+    page = F.when(
+        k % 5 != 4,
+        F.concat(F.lit('<head><link rel="canonical" href="'), canon,
+                 F.lit('"></head><body>x</body>')),
+    ).otherwise(F.lit("<body>x</body>"))
+    t = d.select(
+        "doc_id",
+        F.concat(F.lit("https://u.example/"), k.cast("string")).alias("url"),
+        page.alias("page"))
+    key = F.coalesce(F.nullif(html_canonical(F.col("page")), F.lit("")),
+                     F.col("url"))
+    return (t.select("doc_id", key.alias("dedup_key"))
+            .groupBy("dedup_key")
+            .agg(F.min("doc_id").alias("keep_doc_id"),
+                 F.count("*").alias("n_docs")))
+
+
 def q_dedup_lines(spark, sf_dir):
     """Corpus-global line dedup keep-first
     (functions/quality.dedup_lines_global) over derived multi-line text."""
@@ -1599,6 +1628,7 @@ _QUERIES = {
         "boilerplate_removal": q_boilerplate_removal,
         "pagerank_domains": q_pagerank_domains,
         "warc_roundtrip": q_warc_roundtrip,
+        "canonical_dedup": q_canonical_dedup,
         "funnel_steps": q_funnel_steps,
         "retention_cohorts": q_retention_cohorts,
         "rollup_lineitem": q_rollup_lineitem,
@@ -1617,7 +1647,6 @@ _QUERIES = {
         "corr_pvalues": q_corr_pvalues,
         "dedup_keep_first": q_dedup_keep_first,
         "doc_fingerprint": q_doc_fingerprint,
-        "events_hourly": q_events_hourly,
         "events_sessionize": q_events_sessionize,
         "fill_forward": q_fill_forward,
         "filter_conditions": q_filter_conditions,
@@ -1717,6 +1746,7 @@ _QUERIES = {
         "distinct_values": q_distinct_values,
         "drop_columns": q_drop_columns,
         "drop_rows_cond": q_drop_rows_cond,
+        "events_hourly": q_events_hourly,
         "fill_backward": q_fill_backward,
         "fill_value": q_fill_value,
         "head": q_head,
@@ -2389,6 +2419,14 @@ def oracle_sql() -> dict[str, str]:
                               OR contains(lower(l), 'lorem ipsum')
                               OR contains(lower(l), '{'))), chr(10)), '') AS clean
             FROM documents""",
+        # canonical_dedup: the dedup key stated analytically per doc
+        "canonical_dedup": """
+            SELECT CASE WHEN doc_id % 5 <> 4
+                        THEN 'https://c.example/' || (doc_id - doc_id % 5)
+                        ELSE 'https://u.example/' || doc_id END AS dedup_key,
+                   min(doc_id) AS keep_doc_id,
+                   count(*) AS n_docs
+            FROM documents GROUP BY 1""",
         # warc_roundtrip: the expected scan output stated analytically
         "warc_roundtrip": """
             SELECT 'https://w.example/' || doc_id AS url,

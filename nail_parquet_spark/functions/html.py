@@ -113,6 +113,42 @@ def html_links(col: Column) -> Column:
 
 
 LANG_RE = r'(?is)<html\b[^>]*?\slang\s*=\s*["\']?([A-Za-z][A-Za-z0-9-]*)'
+CANONICAL_RE = (r'(?is)<link\b[^>]*?rel\s*=\s*["\']?canonical["\']?'
+                r'[^>]*?href\s*=\s*"([^"]*)"')
+ROBOTS_META_RE = (r'(?is)<meta\b[^>]*?name\s*=\s*["\']?robots["\']?'
+                  r'[^>]*?content\s*=\s*"([^"]*)"')
+
+
+def html_canonical(col: Column) -> Column:
+    """The ``<link rel="canonical" href="...">`` target (first match,
+    verbatim; empty when absent). The canonical URL is the page's OWN
+    declared dedup key — re-crawled mirrors and tracking-param variants
+    of one article all point at the same canonical, so
+    ``coalesce(nullif(canonical,''), url_normalize(url))`` collapses them
+    ahead of any content hashing."""
+    return F.regexp_extract(col, CANONICAL_RE, 1)
+
+
+def html_meta(col: Column, name: str) -> Column:
+    """Content of the first ``<meta name="<name>" content="...">``
+    (case-insensitive on the name; empty when absent). ``name`` is pinned
+    at plan-build time (it becomes part of the compiled regex), matching
+    letters/digits/dash/underscore names only."""
+    import re as _re
+
+    if not _re.fullmatch(r"[A-Za-z0-9_-]+", name):
+        raise ValueError(f"unsupported meta name {name!r}")
+    pat = (r'(?is)<meta\b[^>]*?name\s*=\s*["\']?' + name
+           + r'["\']?[^>]*?content\s*=\s*"([^"]*)"')
+    return F.regexp_extract(col, pat, 1)
+
+
+def html_noindex(col: Column) -> Column:
+    """True when the page's robots meta declares ``noindex`` (or ``none``,
+    its alias) — the page itself asked to be left out of the corpus; a
+    compliant pipeline filters these before any quality scoring."""
+    c = F.lower(F.regexp_extract(col, ROBOTS_META_RE, 1))
+    return c.rlike(r"(^|[,\s])(noindex|none)([,\s]|$)")
 
 
 def html_lang(col: Column) -> Column:

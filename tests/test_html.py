@@ -217,3 +217,41 @@ def test_link_graph_binary_and_cli(spark, tmp_path):
     out = str(tmp_path / "edges.parquet")
     assert main(["extract", src, "--mode", "link-graph", "-o", out]) == 0
     assert spark.read.parquet(out).count() == 1
+
+
+def test_canonical_meta_noindex(spark):
+    from nail_parquet_spark.functions.html import (
+        html_canonical, html_meta, html_noindex)
+
+    rows = [
+        (1, '<head><link rel="canonical" href="https://a.com/x">'
+            '<meta name="description" content="A page.">'
+            '<meta name="robots" content="index, follow"></head>'),
+        (2, "<head><LINK REL='canonical' HREF=\"https://b.com/y?id=1\">"
+            '<meta name="ROBOTS" content="NOINDEX, nofollow"></head>'),
+        (3, '<head><meta name="robots" content="none"></head>'),
+        (4, '<head><meta name="robots" content="nofollow"></head>'),
+        (5, "<p>nothing</p>"),
+    ]
+    df = spark.createDataFrame(rows, "i long, page string")
+    got = df.select(
+        "i",
+        html_canonical("page").alias("c"),
+        html_meta(F.col("page"), "description").alias("d"),
+        html_noindex("page").alias("n"),
+    ).collect()
+    g = {r["i"]: (r["c"], r["d"], r["n"]) for r in got}
+    assert g[1] == ("https://a.com/x", "A page.", False)
+    assert g[2] == ("https://b.com/y?id=1", "", True)
+    assert g[3] == ("", "", True)
+    assert g[4] == ("", "", False)
+    assert g[5] == ("", "", False)
+
+
+def test_html_meta_rejects_unsafe_name(spark):
+    import pytest as _pytest
+
+    from nail_parquet_spark.functions.html import html_meta
+
+    with _pytest.raises(ValueError):
+        html_meta(F.lit("<p/>"), 'x"]|evil')
