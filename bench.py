@@ -231,6 +231,35 @@ def list_codec_probe(n_rows: int = 20_000, dim: int = 64) -> dict:
     }
 
 
+def warc_probe(n: int = 20_000, body_bytes: int = 2_000) -> dict:
+    """Driver-side WARC parser probe: build n records (~40 MB), parse with
+    sources/warc.parse_warc_bytes plain and gzipped, report MB/s over the
+    UNCOMPRESSED archive size. Host-window cheap, no Spark session; the
+    distributed scan adds only the binaryFile read around this kernel."""
+    import datetime as dt
+    import gzip
+    import io
+
+    from nail_parquet_spark.sources.warc import _record_bytes, parse_warc_bytes
+
+    body = b"<p>" + b"x" * body_bytes + b"</p>"
+    ts = dt.datetime(2023, 1, 1)
+    arc = b"".join(_record_bytes(f"https://h/{i}", ts, body)
+                   for i in range(n))
+    gz = gzip.compress(arc, 1)
+    out = {"archive_mb": round(len(arc) / 1e6, 1)}
+    for name, data, is_gz in (("plain", arc, False), ("gzip", gz, True)):
+        best = None
+        for _ in range(3):
+            t0 = time.time()
+            m = sum(b.num_rows for b in
+                    parse_warc_bytes(data, is_gz, ("response",), 4096))
+            best = min(best or 9e9, time.time() - t0)
+        assert m == n
+        out[f"mbps_{name}"] = round(len(arc) / best / 1e6, 1)
+    return out
+
+
 def main():
     t0 = time.time()
     queries, iso = run_suite()
@@ -246,6 +275,11 @@ def main():
     except Exception as e:  # pragma: no cover
         print(f"list probe failed: {e}", file=sys.stderr)
         emb = {}
+    try:
+        warc = warc_probe()
+    except Exception as e:  # pragma: no cover
+        print(f"warc probe failed: {e}", file=sys.stderr)
+        warc = {}
     total_s = round(time.time() - t0, 1)
     # Full-detail line first (walls/pairs/host_probe arrays live here) ...
     detail = {"detail": "encode_scaling_full", "encode": encode, "total_bench_s": total_s}
@@ -262,6 +296,7 @@ def main():
         "encode": _compact_encode(encode),
         "alp_probe": alp,
         "emb_probe": emb,
+        "warc_probe": warc,
         "total_bench_s": total_s,
     }
     print(json.dumps(result))
