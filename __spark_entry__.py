@@ -854,6 +854,28 @@ def q_pagerank_domains(spark, sf_dir):
     return pr.select("node", "rank")
 
 
+_CLF_VOCAB = [("the", -0.5), ("and", 0.3), ("of", 0.2), ("to", -0.1),
+              ("a", 0.4), ("in", 0.25), ("is", -0.2), ("it", 0.15)]
+_CLF_DIM = 1 << 16
+
+
+def q_classifier_scores(spark, sf_dir):
+    """Hashed linear quality classifier (functions/classify.py): a pinned
+    8-feature model over the md5-hashed token space scores every
+    document; the oracle recomputes the identical pipeline (same hash
+    rule, collision-summing, mean pooling, sigmoid) in SQL."""
+    import hashlib
+
+    from nail_parquet_spark.functions.classify import linear_text_classifier
+
+    d = _t(spark, sf_dir, "documents")
+    rows = [(int(hashlib.md5(t.encode()).hexdigest()[:7], 16) % _CLF_DIM, w)
+            for t, w in _CLF_VOCAB]
+    weights = spark.createDataFrame(rows, "feature_id long, weight double")
+    return linear_text_classifier(d, "doc_id", "text", weights, _CLF_DIM,
+                                  bias=0.1)
+
+
 def q_canonical_dedup(spark, sf_dir):
     """Canonical-aware URL dedup (functions/html.html_canonical): 4 of
     every 5 pages declare ``rel=canonical`` pointing at their group head,
@@ -1629,6 +1651,7 @@ _QUERIES = {
         "pagerank_domains": q_pagerank_domains,
         "warc_roundtrip": q_warc_roundtrip,
         "canonical_dedup": q_canonical_dedup,
+        "classifier_scores": q_classifier_scores,
         "funnel_steps": q_funnel_steps,
         "retention_cohorts": q_retention_cohorts,
         "rollup_lineitem": q_rollup_lineitem,
@@ -1650,7 +1673,6 @@ _QUERIES = {
         "events_sessionize": q_events_sessionize,
         "fill_forward": q_fill_forward,
         "filter_conditions": q_filter_conditions,
-        "filter_no_nan": q_filter_no_nan,
         "merge_inner": q_merge_inner,
         "outliers_zscore": q_outliers_zscore,
         "sample_hash": q_sample_hash,
@@ -1749,6 +1771,7 @@ _QUERIES = {
         "events_hourly": q_events_hourly,
         "fill_backward": q_fill_backward,
         "fill_value": q_fill_value,
+        "filter_no_nan": q_filter_no_nan,
         "head": q_head,
         "merge_left": q_merge_left,
         "merge_right": q_merge_right,
@@ -2419,6 +2442,38 @@ def oracle_sql() -> dict[str, str]:
                               OR contains(lower(l), 'lorem ipsum')
                               OR contains(lower(l), '{'))), chr(10)), '') AS clean
             FROM documents""",
+        # classifier_scores: identical hash rule / pooling / sigmoid in SQL
+        "classifier_scores": """
+            WITH v(t, wt) AS (VALUES
+              ('the', -0.5), ('and', 0.3), ('of', 0.2), ('to', -0.1),
+              ('a', 0.4), ('in', 0.25), ('is', -0.2), ('it', 0.15)),
+            wg AS (
+              SELECT ('0x' || substr(md5(t), 1, 7))::BIGINT % 65536 AS f,
+                     sum(wt) AS wt
+              FROM v GROUP BY 1),
+            tok AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(tk), 1, 7))::BIGINT % 65536 AS f
+              FROM (SELECT doc_id,
+                           unnest(list_filter(
+                             string_split_regex(lower(text), '\\s+'),
+                             x -> x <> '')) AS tk
+                    FROM documents)),
+            agg AS (
+              SELECT d.doc_id,
+                     count(t.f) AS n_tokens,
+                     coalesce(sum(coalesce(wg.wt, 0)), 0) AS s
+              FROM documents d
+              LEFT JOIN tok t USING (doc_id)
+              LEFT JOIN wg ON t.f = wg.f
+              GROUP BY d.doc_id)
+            SELECT doc_id, n_tokens,
+                   0.1 + CASE WHEN n_tokens > 0 THEN s / n_tokens
+                              ELSE 0 END AS logit,
+                   1.0 / (1.0 + exp(-(0.1 + CASE WHEN n_tokens > 0
+                                                 THEN s / n_tokens
+                                                 ELSE 0 END))) AS score
+            FROM agg""",
         # canonical_dedup: the dedup key stated analytically per doc
         "canonical_dedup": """
             SELECT CASE WHEN doc_id % 5 <> 4

@@ -205,7 +205,7 @@ def main(argv: list[str] | None = None) -> int:
                        "choices": ["signals", "repetition", "top-ngram", "filter",
                                    "clean", "dedup-lines", "dedup-paragraphs",
                                    "boilerplate", "corpus-stats", "perplexity",
-                                   "ppl-buckets"],
+                                   "ppl-buckets", "classify"],
                        "help": "Gopher signals / dup-line stats / top n-gram / composed "
                                "rule filter / C4 line cleaning / corpus-global line dedup / "
                                "within-site boilerplate removal / corpus token totals / "
@@ -220,6 +220,13 @@ def main(argv: list[str] | None = None) -> int:
                                        "fraction of the group's docs"}),
         (("--min-docs",), {"type": int, "default": 2,
                            "help": "boilerplate: groups smaller than this are never filtered"}),
+        (("--weights",), {"default": None,
+                          "help": "classify: (feature_id, weight) model table"}),
+        (("--dim",), {"type": int, "default": 1 << 18,
+                      "help": "classify: hashed feature-space size"}),
+        (("--bias",), {"type": float, "default": 0.0}),
+        (("--threshold",), {"type": float, "default": 0.5,
+                            "help": "classify --remove: keep score >= this"}),
         (("--ngram",), {"type": int, "default": 2, "help": "n for --mode top-ngram"}),
         (("--rules",), {"default": None, "help": 'JSON threshold overrides, e.g. {"min_words": 20}'}),
         (("--remove",), {"action": "store_true", "help": "emit the surviving rows instead of the verdict table"}),
@@ -703,6 +710,20 @@ def main(argv: list[str] | None = None) -> int:
                 work, id_col, args.text_column, grp,
                 max_doc_frac=args.max_doc_frac, min_docs=args.min_docs)
             out = df.drop(args.text_column).join(cleaned, id_col)
+        elif args.mode == "classify":
+            from nail_parquet_spark.functions import classify as cf
+            from nail_parquet_spark.sources.io import read_data
+
+            if not args.weights:
+                p.error("--mode classify requires --weights")
+            w = read_data(spark, args.weights)
+            if args.remove:
+                out = cf.classify_filter(df, id_col, args.text_column, w,
+                                         args.dim, bias=args.bias,
+                                         threshold=args.threshold)
+            else:
+                out = cf.linear_text_classifier(df, id_col, args.text_column,
+                                                w, args.dim, bias=args.bias)
         elif args.mode == "corpus-stats":
             from nail_parquet_spark.functions.text import corpus_stats
 
