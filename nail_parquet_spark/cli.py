@@ -372,6 +372,11 @@ def main(argv: list[str] | None = None) -> int:
         (("--boilerplate",), {"action": "store_true",
                               "help": "prepend within-site boilerplate line removal "
                                       "(grouped by registered_domain(url))"}),
+        (("--classifier",), {"default": None,
+                             "help": "weights table — enables the model-based "
+                                     "quality gate after the rule gate"}),
+        (("--classifier-dim",), {"type": int, "default": 1 << 18}),
+        (("--classifier-threshold",), {"type": float, "default": 0.5}),
         (("--policy",), {"default": "balanced"}),
         (("--codecs",), {"default": None, "help": 'JSON {"col": "codec"} overrides'}),
         (("--units-per-job",), {"type": int, "default": 32}),
@@ -440,6 +445,9 @@ def main(argv: list[str] | None = None) -> int:
             ts_col=args.ts_column,
             quality_rules=json.loads(args.rules) if args.rules else None,
             do_boilerplate=args.boilerplate,
+            classifier_src=args.classifier,
+            classifier_dim=args.classifier_dim,
+            classifier_threshold=args.classifier_threshold,
             do_quality="quality" not in skip,
             do_c4_clean="c4_clean" not in skip,
             do_exact_dedup="exact_dedup" not in skip,

@@ -43,8 +43,8 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-STAGES = ("extract", "boilerplate", "quality", "c4_clean", "exact_dedup",
-          "near_dedup", "decontam")
+STAGES = ("extract", "boilerplate", "quality", "classify", "c4_clean",
+          "exact_dedup", "near_dedup", "decontam")
 
 
 def _reject_dir(out_dir: str, stage: str) -> str:
@@ -72,6 +72,10 @@ def curate_and_encode_corpus(
     shingle_k: int = 3,
     transitive: bool = False,
     near_score_col: str | None = None,
+    classifier_src: str | None = None,
+    classifier_dim: int = 1 << 18,
+    classifier_bias: float = 0.0,
+    classifier_threshold: float = 0.5,
     eval_src: str | None = None,
     decontam_ngram: int = 13,
     decontam_min_hits: int = 1,
@@ -196,6 +200,30 @@ def curate_and_encode_corpus(
             eff.update(quality_rules or {})
             stages.append({"stage": "quality",
                            "rules": {k: eff[k] for k in sorted(eff)}})
+
+        if classifier_src is not None:
+            # model-based quality gate (after the rule gate, before the
+            # expensive dedup joins shrink nothing): scores come from a
+            # broadcast weights table, rejects keep their score in the
+            # audit table so threshold tuning can replay offline
+            from nail_parquet_spark.functions.classify import linear_text_classifier
+            from nail_parquet_spark.sources.io import read_data
+
+            w = read_data(spark, classifier_src)
+            scores = linear_text_classifier(
+                cur, "__doc_id", text_col, w, classifier_dim,
+                bias=classifier_bias)
+            bad = scores.filter(F.col("score") < classifier_threshold)
+            rej = (cur.join(bad.select("__doc_id", "score"), "__doc_id")
+                   .select("__doc_id", url_col, "score"))
+            rej.write.mode("overwrite").parquet(_reject_dir(out_dir, "classify"))
+            counts["classify"] = spark.read.parquet(
+                _reject_dir(out_dir, "classify")).count()
+            cur = _pin(cur.join(bad.select("__doc_id"), "__doc_id",
+                                "left_anti"))
+            stages.append({"stage": "classify", "weights": classifier_src,
+                           "dim": classifier_dim, "bias": classifier_bias,
+                           "threshold": classifier_threshold})
 
         if do_c4_clean:
             from nail_parquet_spark.functions.quality import c4_clean_text

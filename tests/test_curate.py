@@ -192,3 +192,28 @@ def test_curate_from_warc_directory(spark, tmp_path):
     assert c["input"] == c["kept"] + sum(c["rejected"].values())
     staged = spark.read.parquet(os.path.join(out, "_staging"))
     assert "text" in staged.columns and staged.count() == c["kept"] > 0
+
+
+def test_curate_classifier_stage(spark, corpus, tmp_path):
+    import hashlib
+
+    from nail_parquet_spark.pipeline.curate import curate_and_encode_corpus
+
+    DIM = 1 << 16
+    # "the" appears in essentially every synthetic doc; weight it negative
+    # enough that docs containing it score < 0.5 while the rest pass
+    fid = int(hashlib.md5(b"the").hexdigest()[:7], 16) % DIM
+    wp = str(tmp_path / "w.parquet")
+    spark.createDataFrame([(fid, -1000.0)],
+                          "feature_id long, weight double").write.parquet(wp)
+    out = str(tmp_path / "curated_clf")
+    state = curate_and_encode_corpus(
+        spark, corpus, out, quality_rules=RULES, do_near_dedup=False,
+        do_c4_clean=False, classifier_src=wp, classifier_dim=DIM,
+        units_per_job=4)
+    c = state["counts"]
+    assert c["rejected"]["classify"] > 0
+    assert c["input"] == c["kept"] + sum(c["rejected"].values())
+    # the audit table carries the score for offline threshold replay
+    rej = spark.read.parquet(os.path.join(out, "_rejects", "stage=classify"))
+    assert "score" in rej.columns and rej.count() == c["rejected"]["classify"]
