@@ -362,6 +362,12 @@ def main(argv: list[str] | None = None) -> int:
                        "help": "comma list of stages to skip: quality,c4_clean,exact_dedup,near_dedup"}),
         (("--eval",), {"default": None, "dest": "eval_path",
                        "help": "eval/benchmark table — enables the decontamination stage"}),
+        (("--prior",), {"default": None, "dest": "prior_path",
+                        "help": "previously-curated corpus (parquet path or encoded "
+                                "out_dir) — enables incremental exact dedup against it"}),
+        (("--prior-near",), {"action": "store_true",
+                             "help": "also near-dedup against --prior (MinHash bands, "
+                                     "new-vs-prior only)"}),
         (("--decontam-ngram",), {"type": int, "default": 13}),
         (("--threshold",), {"type": float, "default": 0.7, "help": "near-dup Jaccard threshold"}),
         (("--transitive",), {"action": "store_true",
@@ -454,6 +460,7 @@ def main(argv: list[str] | None = None) -> int:
             do_near_dedup="near_dedup" not in skip,
             near_threshold=args.threshold, transitive=args.transitive,
             near_score_col=args.near_score_col,
+            prior_src=args.prior_path, prior_near_dedup=args.prior_near,
             eval_src=args.eval_path, decontam_ngram=args.decontam_ngram,
             codecs=json.loads(args.codecs) if args.codecs else None,
             policy=args.policy, units_per_job=args.units_per_job)

@@ -44,7 +44,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 STAGES = ("extract", "boilerplate", "quality", "classify", "c4_clean",
-          "exact_dedup", "near_dedup", "decontam")
+          "exact_dedup", "prior_dedup", "near_dedup", "prior_near_dedup",
+          "decontam")
 
 
 def _reject_dir(out_dir: str, stage: str) -> str:
@@ -76,6 +77,9 @@ def curate_and_encode_corpus(
     classifier_dim: int = 1 << 18,
     classifier_bias: float = 0.0,
     classifier_threshold: float = 0.5,
+    prior_src: str | None = None,
+    prior_text_col: str | None = None,
+    prior_near_dedup: bool = False,
     eval_src: str | None = None,
     decontam_ngram: int = 13,
     decontam_min_hits: int = 1,
@@ -250,6 +254,29 @@ def curate_and_encode_corpus(
             cur = _pin(kept)
             stages.append({"stage": "exact_dedup", "policy": "keep-min-doc-id"})
 
+        prior_df = None
+        if prior_src is not None:
+            # incremental curation: drop docs already committed in a prior
+            # snapshot. Exact pass runs after in-batch exact dedup (the
+            # batch is already minimal, so the cross join sees fewer rows);
+            # the prior side is a ONE-column projection — for an encoded
+            # out_dir only the text column's blocks are decoded.
+            from nail_parquet_spark.functions.incremental import (
+                dedup_against, prior_texts)
+
+            prior_df = _pin(prior_texts(
+                spark, prior_src, prior_text_col or text_col))
+            kept = dedup_against(cur, prior_df, text_col,
+                                 prior_text_col=prior_text_col or text_col)
+            rej = cur.join(kept.select("__doc_id"), "__doc_id", "left_anti")
+            rej.select("__doc_id", url_col).write.mode("overwrite").parquet(
+                _reject_dir(out_dir, "prior_dedup"))
+            counts["prior_dedup"] = spark.read.parquet(
+                _reject_dir(out_dir, "prior_dedup")).count()
+            cur = _pin(kept)
+            stages.append({"stage": "prior_dedup", "prior_src": prior_src,
+                           "policy": "prior-corpus-wins"})
+
         if do_near_dedup:
             from nail_parquet_spark.functions.dedup import dedup_near_duplicates
 
@@ -267,6 +294,35 @@ def curate_and_encode_corpus(
                            "num_hashes": num_hashes, "bands": bands,
                            "shingle_k": shingle_k, "transitive": transitive,
                            "score_col": near_score_col})
+
+        if prior_src is not None and prior_near_dedup:
+            # near-dup pass vs the prior corpus: MinHash bands joined
+            # new-vs-prior ONLY (old-vs-old was settled when the prior
+            # snapshot was curated). Runs after in-batch near dedup so the
+            # cross candidates come from the smallest surviving set.
+            from nail_parquet_spark.functions.incremental import (
+                near_dedup_against)
+
+            prior_named = prior_df.withColumn(
+                "__prior_id", F.md5(F.coalesce(
+                    F.col(prior_text_col or text_col), F.lit(""))))
+            kept = near_dedup_against(
+                cur, prior_named, "__doc_id", text_col,
+                prior_id_col="__prior_id",
+                prior_text_col=prior_text_col or text_col,
+                threshold=near_threshold, num_hashes=num_hashes,
+                bands=bands, shingle_k=shingle_k)
+            rej = cur.join(kept.select("__doc_id"), "__doc_id", "left_anti")
+            rej.select("__doc_id", url_col).write.mode("overwrite").parquet(
+                _reject_dir(out_dir, "prior_near_dedup"))
+            counts["prior_near_dedup"] = spark.read.parquet(
+                _reject_dir(out_dir, "prior_near_dedup")).count()
+            cur = _pin(kept)
+            stages.append({"stage": "prior_near_dedup",
+                           "prior_src": prior_src,
+                           "threshold": near_threshold,
+                           "num_hashes": num_hashes, "bands": bands,
+                           "shingle_k": shingle_k})
 
         if eval_src is not None:
             # decontamination runs LAST: the post-dedup corpus is the
