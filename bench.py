@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "unigram_logprob",
     "lang_id",
     "doc_fingerprint",
+    "dedup_incremental",
     "minhash_signatures",
     "ngram_jaccard_pairs",
     "simhash",

@@ -357,6 +357,10 @@ def main(argv: list[str] | None = None) -> int:
         with_output=False)
     add("compact", (("--num-files",), {"type": int, "default": 32,
                                        "help": "output block-file count"}))
+    add("signatures",
+        (("-c", "--text-column"), {"default": "text", "dest": "text_column"}),
+        (("--num-hashes",), {"type": int, "default": 16}),
+        (("--shingle-k",), {"type": int, "default": 3}))
     add("curate", (("--rules",), {"default": None, "help": "JSON Gopher threshold overrides"}),
         (("--skip",), {"default": None,
                        "help": "comma list of stages to skip: quality,c4_clean,exact_dedup,near_dedup"}),
@@ -367,7 +371,11 @@ def main(argv: list[str] | None = None) -> int:
                                 "out_dir) — enables incremental exact dedup against it"}),
         (("--prior-near",), {"action": "store_true",
                              "help": "also near-dedup against --prior (MinHash bands, "
-                                     "new-vs-prior only)"}),
+                                     "new-vs-prior only; reuses the prior out_dir's "
+                                     "saved signatures when params match)"}),
+        (("--save-signatures",), {"action": "store_true", "dest": "save_sigs",
+                                  "help": "persist the kept corpus's MinHash signatures "
+                                          "under the out_dir for future incremental runs"}),
         (("--decontam-ngram",), {"type": int, "default": 13}),
         (("--threshold",), {"type": float, "default": 0.7, "help": "near-dup Jaccard threshold"}),
         (("--transitive",), {"action": "store_true",
@@ -436,6 +444,23 @@ def main(argv: list[str] | None = None) -> int:
     from nail_parquet_spark.sources.io import read_data
 
     spark = _spark(args.jobs)
+    if args.cmd == "signatures":
+        # backfill a MinHash signature table for an existing corpus (plain
+        # path or encoded out_dir) so later `curate --prior-near` runs
+        # skip recomputing it (functions/incremental.py)
+        from nail_parquet_spark.functions.incremental import (
+            prior_texts, save_signatures)
+
+        out = args.output or args.input
+        texts = prior_texts(spark, args.input, args.text_column)
+        path = save_signatures(texts, out, text_col=args.text_column,
+                               num_hashes=args.num_hashes,
+                               shingle_k=args.shingle_k)
+        print(json.dumps({"signatures": path,
+                          "num_hashes": args.num_hashes,
+                          "shingle_k": args.shingle_k,
+                          "n_texts": spark.read.parquet(path).count()}))
+        return 0
     if args.cmd == "curate":
         # one-call corpus curation: quality -> C4 clean -> exact dedup ->
         # near dedup -> optional decontam -> salted resumable encode
@@ -461,6 +486,7 @@ def main(argv: list[str] | None = None) -> int:
             near_threshold=args.threshold, transitive=args.transitive,
             near_score_col=args.near_score_col,
             prior_src=args.prior_path, prior_near_dedup=args.prior_near,
+            save_sigs=args.save_sigs,
             eval_src=args.eval_path, decontam_ngram=args.decontam_ngram,
             codecs=json.loads(args.codecs) if args.codecs else None,
             policy=args.policy, units_per_job=args.units_per_job)

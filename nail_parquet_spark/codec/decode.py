@@ -298,7 +298,16 @@ def decode_table(blocks: DataFrame, columns: list[str] | None = None,
     missing-columns error that names the two fixes: pass
     ``file_keyed=False`` (safe only when ALL blocks come from one encode
     job) or re-key with ``codec.compact.compact_blocks``, which restores
-    whole groups per file and decodes under either mode."""
+    whole groups per file and decodes under either mode.
+
+    DETERMINISM CONTRACT: ``blocks`` must evaluate to the same rows on
+    every action (file-backed, cached, or checkpointed). Decode and its
+    pushdown variants run MULTIPLE jobs over the plan (header read, zone
+    prune collect, payload decode); an uncached in-memory plan downstream
+    of a sampling shuffle (``repartitionByRange``'s boundaries re-draw per
+    action) can shift rows between groups across those jobs and corrupt
+    results. This is Spark's own repeatability contract, restated here
+    because the failure is silent."""
     if missing_columns not in ("error", "null"):
         raise ValueError("missing_columns must be 'error' or 'null'")
     headers, refs = _headers_by_column(blocks)

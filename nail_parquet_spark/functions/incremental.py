@@ -54,6 +54,54 @@ def dedup_against(df: DataFrame, prior: DataFrame, text_col: str,
     )
 
 
+SIG_DIR = "_signatures"
+
+
+def save_signatures(df: DataFrame, out_dir: str, text_col: str = "text",
+                    num_hashes: int = 16, shingle_k: int = 3) -> str:
+    """Persist fingerprint-keyed MinHash signatures of a corpus's DISTINCT
+    texts under ``out_dir/_signatures/`` (hidden-path convention — scans
+    and autodetect skip it), with the hash-family params in
+    ``_params.json`` so a later incremental run can verify compatibility.
+
+    This is what makes incremental near-dedup viable at 100 TB: the prior
+    corpus's signatures are computed ONCE, at commit time, instead of being
+    re-derived from the full prior text on every subsequent crawl. The
+    table is keyed by content fingerprint (md5 of the text), so it is
+    join-stable across runs and dedup-safe under re-crawled URLs."""
+    import os
+
+    from nail_parquet_spark.pipeline.checkpoint import _atomic_json
+
+    d = (df.select(F.col(text_col))
+         .filter(F.col(text_col).isNotNull())
+         .distinct()
+         .withColumn("fp", doc_fingerprint(F.col(text_col))))
+    sigs = minhash_signatures(d, "fp", text_col,
+                              num_hashes=num_hashes, shingle_k=shingle_k)
+    path = os.path.join(out_dir, SIG_DIR)
+    sigs.write.mode("overwrite").parquet(path)
+    _atomic_json(os.path.join(path, "_params.json"),
+                 {"num_hashes": num_hashes, "shingle_k": shingle_k,
+                  "text_col": text_col, "key": "md5(text)"})
+    return path
+
+
+def load_signatures(spark: SparkSession, out_dir: str):
+    """(signatures DataFrame, params dict) for a corpus that saved them, or
+    ``None`` — callers fall back to recomputing from the prior text."""
+    import json
+    import os
+
+    path = os.path.join(out_dir, SIG_DIR)
+    params = os.path.join(path, "_params.json")
+    if not os.path.exists(params):
+        return None
+    with open(params) as f:
+        meta = json.load(f)
+    return spark.read.parquet(path), meta
+
+
 def _band_buckets(sigs: DataFrame, id_col: str, num_hashes: int,
                   bands: int) -> DataFrame:
     """(id, bucket) rows, one per band — the same banding rule as
@@ -75,10 +123,18 @@ def near_dup_against_pairs(df: DataFrame, prior: DataFrame, id_col: str,
                            text_col: str, prior_id_col: str | None = None,
                            prior_text_col: str | None = None,
                            threshold: float = 0.7, num_hashes: int = 16,
-                           bands: int = 4, shingle_k: int = 3) -> DataFrame:
+                           bands: int = 4, shingle_k: int = 3,
+                           prior_sigs: DataFrame | None = None) -> DataFrame:
     """Verified near-duplicate CROSS pairs (id_new, id_prior, jaccard):
     MinHash band buckets joined new-vs-prior only, then exact shingle-set
     Jaccard on the candidates.
+
+    With ``prior_sigs`` (a ``save_signatures`` table, fingerprint-keyed),
+    the prior side's signatures are NOT recomputed — the stored table
+    feeds the banding directly and ``id_prior`` in the output is the
+    content fingerprint. This is the steady-state 100-TB path: per crawl,
+    the only prior-text work is shingling the docs that actually appear in
+    candidate pairs (a semi-join-restricted sliver), not the whole corpus.
 
     The verify step hashes each side's shingles to the portable 60-bit
     md5 long and distinct's ONCE per side (ReuseExchange shares the
@@ -89,30 +145,44 @@ def near_dup_against_pairs(df: DataFrame, prior: DataFrame, id_col: str,
     pcol = prior_text_col or text_col
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
+    if prior_sigs is not None:
+        # stored signatures are keyed by content fingerprint
+        prior_view = prior.select(
+            doc_fingerprint(F.col(pcol)).alias("__pid"),
+            F.col(pcol).alias(text_col)).filter(F.col("__pid").isNotNull())
+        sig_old = prior_sigs.select(F.col("fp").alias("__pid"),
+                                    *[f"mh_{i}" for i in range(num_hashes)])
+    else:
+        prior_view = prior.select(F.col(pid).alias("__pid"),
+                                  F.col(pcol).alias(text_col))
+        sig_old = minhash_signatures(prior_view, "__pid", text_col,
+                                     num_hashes=num_hashes,
+                                     shingle_k=shingle_k)
     sig_new = minhash_signatures(df, id_col, text_col,
                                  num_hashes=num_hashes, shingle_k=shingle_k)
-    sig_old = minhash_signatures(
-        prior.select(F.col(pid).alias(id_col), F.col(pcol).alias(text_col)),
-        id_col, text_col, num_hashes=num_hashes, shingle_k=shingle_k)
     bn = _band_buckets(sig_new, id_col, num_hashes, bands).alias("n")
-    bo = _band_buckets(sig_old, id_col, num_hashes, bands).alias("o")
+    bo = _band_buckets(sig_old, "__pid", num_hashes, bands).alias("o")
     cand = (
         bn.join(bo, F.col("n.bucket") == F.col("o.bucket"))
         .select(F.col(f"n.{id_col}").alias("id_new"),
-                F.col(f"o.{id_col}").alias("id_prior"))
+                F.col("o.__pid").alias("id_prior"))
         .distinct()
     )
-    # exact verify on cross pairs: per-side shingle-hash sets
+    # exact verify on cross pairs: per-side shingle-hash sets. The prior
+    # side shingles ONLY the candidate docs (left_semi restriction) — at
+    # steady state that is a sliver of the prior corpus, and the
+    # restriction is equally correct in the recompute path.
+    prior_cand = prior_view.join(
+        cand.select(F.col("id_prior").alias("__pid")).distinct(),
+        "__pid", "left_semi")
     sh_new = (word_shingles(df, id_col, text_col, k=shingle_k)
               .select(F.col(id_col).alias("id_new"),
                       word_hash(F.col("shingle")).alias("__h"))
               .distinct())
-    sh_old = (word_shingles(
-        prior.select(F.col(pid).alias(id_col), F.col(pcol).alias(text_col)),
-        id_col, text_col, k=shingle_k)
-        .select(F.col(id_col).alias("id_prior"),
-                word_hash(F.col("shingle")).alias("__h"))
-        .distinct())
+    sh_old = (word_shingles(prior_cand, "__pid", text_col, k=shingle_k)
+              .select(F.col("__pid").alias("id_prior"),
+                      word_hash(F.col("shingle")).alias("__h"))
+              .distinct())
     inter = (
         cand.join(sh_new, "id_new")
         .join(sh_old, ["id_prior", "__h"])
@@ -134,13 +204,15 @@ def near_dedup_against(df: DataFrame, prior: DataFrame, id_col: str,
                        text_col: str, prior_id_col: str | None = None,
                        prior_text_col: str | None = None,
                        threshold: float = 0.7, num_hashes: int = 16,
-                       bands: int = 4, shingle_k: int = 3) -> DataFrame:
+                       bands: int = 4, shingle_k: int = 3,
+                       prior_sigs: DataFrame | None = None) -> DataFrame:
     """Drop rows of ``df`` with a verified near-duplicate in ``prior``
     (the prior corpus always wins — it is already committed)."""
     pairs = near_dup_against_pairs(
         df, prior, id_col, text_col, prior_id_col=prior_id_col,
         prior_text_col=prior_text_col, threshold=threshold,
-        num_hashes=num_hashes, bands=bands, shingle_k=shingle_k)
+        num_hashes=num_hashes, bands=bands, shingle_k=shingle_k,
+        prior_sigs=prior_sigs)
     drop = pairs.select(F.col("id_new").alias(id_col)).distinct()
     return df.join(drop, id_col, "left_anti")
 

@@ -80,6 +80,7 @@ def curate_and_encode_corpus(
     prior_src: str | None = None,
     prior_text_col: str | None = None,
     prior_near_dedup: bool = False,
+    save_sigs: bool = False,
     eval_src: str | None = None,
     decontam_ngram: int = 13,
     decontam_min_hits: int = 1,
@@ -299,10 +300,24 @@ def curate_and_encode_corpus(
             # near-dup pass vs the prior corpus: MinHash bands joined
             # new-vs-prior ONLY (old-vs-old was settled when the prior
             # snapshot was curated). Runs after in-batch near dedup so the
-            # cross candidates come from the smallest surviving set.
+            # cross candidates come from the smallest surviving set. When
+            # the prior out_dir saved its signatures (save_sigs), they are
+            # reused instead of recomputed — the steady-state 100-TB path.
             from nail_parquet_spark.functions.incremental import (
-                near_dedup_against)
+                load_signatures, near_dedup_against)
 
+            prior_sigs = None
+            sig_mode = "recomputed"
+            loaded = load_signatures(spark, prior_src)
+            if loaded is not None:
+                sigs_df, sig_meta = loaded
+                if (sig_meta.get("num_hashes") == num_hashes
+                        and sig_meta.get("shingle_k") == shingle_k):
+                    prior_sigs = sigs_df
+                    sig_mode = "reused"
+                else:
+                    sig_mode = (f"recomputed (stored params {sig_meta} != "
+                                f"k={num_hashes}/shingle={shingle_k})")
             prior_named = prior_df.withColumn(
                 "__prior_id", F.md5(F.coalesce(
                     F.col(prior_text_col or text_col), F.lit(""))))
@@ -311,7 +326,7 @@ def curate_and_encode_corpus(
                 prior_id_col="__prior_id",
                 prior_text_col=prior_text_col or text_col,
                 threshold=near_threshold, num_hashes=num_hashes,
-                bands=bands, shingle_k=shingle_k)
+                bands=bands, shingle_k=shingle_k, prior_sigs=prior_sigs)
             rej = cur.join(kept.select("__doc_id"), "__doc_id", "left_anti")
             rej.select("__doc_id", url_col).write.mode("overwrite").parquet(
                 _reject_dir(out_dir, "prior_near_dedup"))
@@ -322,7 +337,8 @@ def curate_and_encode_corpus(
                            "prior_src": prior_src,
                            "threshold": near_threshold,
                            "num_hashes": num_hashes, "bands": bands,
-                           "shingle_k": shingle_k})
+                           "shingle_k": shingle_k,
+                           "signatures": sig_mode})
 
         if eval_src is not None:
             # decontamination runs LAST: the post-dedup corpus is the
@@ -366,6 +382,22 @@ def curate_and_encode_corpus(
         _atomic_json(state_path, state)
         for d in pinned:
             d.unpersist()
+
+    if save_sigs:
+        # signature table of the KEPT corpus (enables a later run's
+        # prior_near_dedup to skip recomputing this corpus's MinHash).
+        # Written from the committed staging table so resume re-derives
+        # the identical table; skipped if already committed.
+        from nail_parquet_spark.functions.incremental import (
+            SIG_DIR, save_signatures)
+
+        if not os.path.exists(os.path.join(out_dir, SIG_DIR, "_params.json")):
+            save_signatures(spark.read.parquet(staging), out_dir,
+                            text_col=text_col, num_hashes=num_hashes,
+                            shingle_k=shingle_k)
+        state["signatures"] = {"num_hashes": num_hashes,
+                               "shingle_k": shingle_k}
+        _atomic_json(state_path, state)
 
     enc = encode_resumable(
         spark, staging, out_dir, codecs=codecs, policy=policy,

@@ -92,12 +92,30 @@ def zorder_value(df: DataFrame, cols: list[str], bits: int = 8,
 def zorder_sort(df: DataFrame, cols: list[str], bits: int = 8,
                 n_partitions: int | None = None,
                 scheme: str = "width") -> DataFrame:
-    """Cluster ``df`` by the Morton code of ``cols``: range-repartition on
-    the z-value (sampled range boundaries — balanced output partitions even
-    under skewed codes) plus a partition-local sort, so downstream encode
-    blocks cover tight ranges in every clustered dimension."""
+    """Cluster ``df`` by the Morton code of ``cols``: DETERMINISTIC
+    equal-width z-slice repartition plus a partition-local sort, so
+    downstream encode blocks cover tight ranges in every clustered
+    dimension.
+
+    Why not ``repartitionByRange``: its range boundaries come from a
+    SAMPLING pass whose seed is the RDD id, which changes per action — an
+    uncached downstream plan can therefore shift rows between partitions
+    across jobs. That silently breaks multi-job consumers (e.g.
+    ``decode_table_where`` collects prune keys in one job and decodes
+    payloads in another), and it costs an extra full-input pass at 100 TB.
+    Equal-width slices of the z space are a pure per-row function, and the
+    bucket codes feeding z are already equi-width (or equi-depth under
+    ``scheme='quantile'``) per dimension, so slices stay balanced without
+    sampling. 4 slices per target partition are hash-mapped to partitions
+    (Poisson load ~4 keeps the max/mean under ~2x); each partition then
+    holds a few contiguous z-runs, which the local sort lays out back to
+    back — still tight zone ranges per 256-row block."""
     tagged = df.withColumn("__z", zorder_value(df, cols, bits, scheme))
     n = n_partitions or df.sparkSession.sparkContext.defaultParallelism
-    return (tagged.repartitionByRange(n, "__z")
+    total = bits * len(cols)
+    n_slices = max(1, min(4 * n, 1 << min(total, 31)))
+    width = max(1, ((1 << total) + n_slices - 1) // n_slices)
+    sliced = tagged.withColumn("__zslice", F.expr(f"__z div {width}"))
+    return (sliced.repartition(n, "__zslice")
             .sortWithinPartitions("__z")
-            .drop("__z"))
+            .drop("__z", "__zslice"))

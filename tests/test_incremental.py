@@ -83,6 +83,34 @@ def test_prior_texts_plain_and_encoded(spark, tmp_path, prior):
     assert {r["text"] for r in dec.collect()} == {t for _, t in PRIOR_ROWS}
 
 
+def test_saved_signatures_match_recompute(spark, tmp_path, new, prior):
+    """The stored-signature banding path finds the same verified pairs as
+    recomputing the prior side's MinHash from text."""
+    import hashlib
+
+    from nail_parquet_spark.functions.incremental import (
+        load_signatures, save_signatures)
+
+    out = str(tmp_path / "sigcorpus")
+    save_signatures(prior, out, text_col="text", num_hashes=8, shingle_k=3)
+    sigs, meta = load_signatures(spark, out)
+    assert meta["num_hashes"] == 8 and meta["shingle_k"] == 3
+    assert sigs.count() == 3  # distinct non-NULL prior texts
+
+    base = near_dup_against_pairs(
+        new, prior, "doc_id", "text", threshold=0.5, num_hashes=8, bands=4
+    ).collect()
+    via_sigs = near_dup_against_pairs(
+        new, prior, "doc_id", "text", threshold=0.5, num_hashes=8, bands=4,
+        prior_sigs=sigs,
+    ).collect()
+    fp = {pid: hashlib.md5(t.encode()).hexdigest()
+          for pid, t in PRIOR_ROWS if t is not None}
+    want = {(r["id_new"], fp[r["id_prior"]], r["jaccard"]) for r in base}
+    got = {(r["id_new"], r["id_prior"], r["jaccard"]) for r in via_sigs}
+    assert got == want and len(got) >= 2
+
+
 def test_curate_prior_stage(spark, tmp_path):
     """End-to-end: curate batch 1, then batch 2 against batch 1's corpus —
     overlapping docs land in the prior_dedup reject audit, counts conserve."""
@@ -130,3 +158,50 @@ def test_curate_prior_stage(spark, tmp_path):
     names = [s["stage"] for s in state["stages"]]
     assert "prior_dedup" in names and "prior_near_dedup" in names
     assert state["counts"]["rejected"]["prior_dedup"] == 1
+
+
+def test_curate_signature_save_and_reuse(spark, tmp_path):
+    """save_sigs persists the kept corpus's MinHash table; a later
+    incremental run's prior_near_dedup stage reuses it (stage record says
+    so) and still rejects the near-dup doc."""
+    from nail_parquet_spark.functions.incremental import load_signatures
+    from nail_parquet_spark.pipeline.curate import curate_and_encode_corpus
+
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india " * 8
+    rows1 = [("https://a.example/1", "2024-01-01 00:00:00", base + "one"),
+             ("https://b.example/2", "2024-01-01 00:00:00",
+              "totally different words " * 18 + "two")]
+    rows2 = [("https://c.example/3", "2024-01-02 00:00:00",
+              base + "one extra tail"),  # near dup of batch1 doc 1
+             ("https://d.example/4", "2024-01-02 00:00:00",
+              "fresh unseen content " * 20 + "three")]
+    sch = "url string, warc_ts string, text string"
+    src1, src2 = str(tmp_path / "b1"), str(tmp_path / "b2")
+    spark.createDataFrame(rows1, sch).withColumn(
+        "warc_ts", F.to_timestamp("warc_ts")).write.parquet(src1)
+    spark.createDataFrame(rows2, sch).withColumn(
+        "warc_ts", F.to_timestamp("warc_ts")).write.parquet(src2)
+
+    out1, out2 = str(tmp_path / "o1"), str(tmp_path / "o2")
+    s1 = curate_and_encode_corpus(spark, src1, out1, do_quality=False,
+                                  do_c4_clean=False, do_near_dedup=False,
+                                  save_sigs=True)
+    assert s1["counts"]["kept"] == 2 and "signatures" in s1
+    assert load_signatures(spark, out1) is not None
+
+    s2 = curate_and_encode_corpus(spark, src2, out2, do_quality=False,
+                                  do_c4_clean=False, do_near_dedup=False,
+                                  prior_src=out1, prior_near_dedup=True)
+    near_stage = [s for s in s2["stages"] if s["stage"] == "prior_near_dedup"][0]
+    assert near_stage["signatures"] == "reused"
+    assert s2["counts"]["rejected"]["prior_near_dedup"] == 1
+    assert s2["counts"]["kept"] == 1
+    assert s2["counts"]["input"] == s2["counts"]["kept"] + sum(
+        s2["counts"]["rejected"].values())
+
+    # CLI backfill: write signatures for the batch-2 corpus after the fact
+    from nail_parquet_spark.cli import main
+
+    assert main(["signatures", out2, "--num-hashes", "8"]) == 0
+    sigs2, meta2 = load_signatures(spark, out2)
+    assert meta2["num_hashes"] == 8 and sigs2.count() == 1

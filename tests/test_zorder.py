@@ -58,6 +58,22 @@ class TestZorder:
         assert sorted((r["x"], r["y"]) for r in got) == \
             sorted((i, 42) for i in range(64))
 
+    def test_uncached_chain_is_deterministic(self, spark, grid):
+        """Regression: decode_table_where runs several jobs over the
+        blocks plan (header read, prune collect, payload decode). The old
+        repartitionByRange layout re-sampled boundaries per job (seeded by
+        the rdd id), so an UNCACHED encode chain could shift rows between
+        groups mid-query and silently drop/duplicate rows — order-dependent
+        across a test session. The z-slice partitioner is a pure per-row
+        function, so the same uncached chain now decodes exactly, every
+        evaluation."""
+        zdf = zorder_sort(grid, ["x", "y"], bits=6, n_partitions=4)
+        blocks = encode_table(zdf, columns=["x", "y"], block_rows=256)
+        want = sorted((i, 17) for i in range(64))
+        for _ in range(3):  # re-plans the whole chain each time
+            got = decode_table_where(blocks, "y", "=", 17).collect()
+            assert sorted((r["x"], r["y"]) for r in got) == want
+
     def test_string_dimension_decodes_exactly(self, spark, grid):
         # hashed string buckets keep equal values z-adjacent but Morton's
         # low-bit cycling still mixes buckets within a block — equality
