@@ -1578,6 +1578,20 @@ def q_near_dedup_incremental(spark, sf_dir):
                                   threshold=0.5, num_hashes=8, bands=4)
 
 
+def q_weighted_sample(spark, sf_dir):
+    """Deterministic weight-proportional downsampling
+    (functions/mixing.weighted_sample): keep prob ~ n_chars, scaled so the
+    expected kept fraction is 0.3 — DSIR-style quality-weighted corpus
+    skimming as ONE scalar aggregate + a no-shuffle md5-threshold filter.
+    Pinned roundings (mean to 6 dp, p to 9 dp) make the row set engine-
+    exact; the DuckDB oracle reproduces it bit-for-bit."""
+    from nail_parquet_spark.functions.mixing import weighted_sample
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("double").alias("w"))
+    return weighted_sample(d, "doc_id", "w", target_frac=0.3).select("doc_id")
+
+
 def q_html_extract(spark, sf_dir):
     """HTML → text extraction (functions/html.py): documents.text is
     wrapped into a full page (title + style + script + link + escaped
@@ -1695,6 +1709,7 @@ _QUERIES = {
         "decode_pushdown_in": q_decode_pushdown_in,
         "dedup_incremental": q_dedup_incremental,
         "near_dedup_incremental": q_near_dedup_incremental,
+        "weighted_sample": q_weighted_sample,
         # 2) the r03-aged rotation block (last driver attestation r03;
         #    sample_hash/split_hash displaced past the cap to make room for
         #    the two incremental-dedup entries — their green r03 rows are
@@ -1709,7 +1724,6 @@ _QUERIES = {
         "fill_forward": q_fill_forward,
         "filter_conditions": q_filter_conditions,
         "merge_inner": q_merge_inner,
-        "outliers_zscore": q_outliers_zscore,
         # 2) every query NEW or code-changed this round: url userinfo
         #    rule (ADVICE r4), kendall min-k bounded sample (VERDICT r4
         #    #6), xref v2 two-stream layout + decimal partition typing
@@ -1748,6 +1762,7 @@ _QUERIES = {
         "embedding_topk_pq": q_embedding_topk_pq,
         "embedding_topk_ivf": q_embedding_topk_ivf,
         # -- tail: attested green in r03/r04 and unchanged since --
+        "outliers_zscore": q_outliers_zscore,
         "sample_hash": q_sample_hash,
         "split_hash": q_split_hash,
         "lang_id": q_lang_id,
@@ -2779,6 +2794,14 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes za ON za.doc_id = id_a
             JOIN sizes zb ON zb.doc_id = id_b
             WHERE n_inter * 1.0 / (za.n_sh + zb.n_sh - n_inter) >= 0.5""",
+        "weighted_sample": """
+            WITH d AS (
+              SELECT doc_id, greatest(coalesce(CAST(n_chars AS DOUBLE), 0), 0) AS w
+              FROM documents),
+            m AS (SELECT round(avg(w), 6) AS mu FROM d)
+            SELECT doc_id FROM d, m
+            WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                  < least(round(0.3 * w / mu, 9), 1.0) * 4294967296.0""",
         "dedup_incremental": f"""
             WITH dd AS ({_DOCS_DUPS_SQL}),
             seen AS (

@@ -253,12 +253,19 @@ def main(argv: list[str] | None = None) -> int:
         (("--max-docs",), {"type": int, "default": 1000, "help": "cap for --mode cap"}),
         (("--order-column",), {"default": None,
                                "help": "deterministic keep order for --mode cap (required)"}))
-    add("mix", (("--group-column",), {"required": True}),
+    add("mix", (("--group-column",), {"default": None}),
         (("--id-column",), {"required": True, "help": "unique doc id (salts the keep hash)"}),
         (("--rates",), {"default": None, "help": 'JSON {"group": rate} keep fractions'}),
         (("--temperature",), {"type": float, "default": None,
                               "help": "derive rates from group counts at this temperature "
                                       "(T=1 natural mix, large T ~ uniform)"}),
+        (("--weight-column",), {"default": None,
+                                "help": "weight-proportional sampling: keep prob ~ "
+                                        "weight^power, scaled to --target-frac overall"}),
+        (("--target-frac",), {"type": float, "default": 0.5,
+                              "help": "expected kept fraction for --weight-column mode"}),
+        (("--power",), {"type": float, "default": 1.0,
+                        "help": "weight exponent for --weight-column mode"}),
         (("--stats",), {"action": "store_true",
                         "help": "emit before/after counts per group instead of the rows"}))
     add("shards", (("--token-column",), {"required": True}),
@@ -793,14 +800,24 @@ def main(argv: list[str] | None = None) -> int:
         _out(out, args, 50)
     elif c == "mix":
         from nail_parquet_spark.functions.mixing import (
-            corpus_mix, mix_stats, temperature_rates)
+            corpus_mix, mix_stats, temperature_rates, weighted_sample)
 
-        if (args.rates is None) == (args.temperature is None):
-            p.error("mix needs exactly one of --rates / --temperature")
-        rates = (json.loads(args.rates) if args.rates
-                 else temperature_rates(df, args.group_column, args.temperature))
-        mixed = corpus_mix(df, args.group_column, rates, args.id_column)
-        out = mix_stats(df, mixed, args.group_column) if args.stats else mixed
+        if args.weight_column is not None:
+            if args.rates or args.temperature is not None:
+                p.error("--weight-column excludes --rates / --temperature")
+            mixed = weighted_sample(df, args.id_column, args.weight_column,
+                                    args.target_frac, power=args.power)
+            out = (mix_stats(df, mixed, args.group_column)
+                   if args.stats and args.group_column else mixed)
+        else:
+            if args.group_column is None:
+                p.error("mix needs --group-column (or --weight-column)")
+            if (args.rates is None) == (args.temperature is None):
+                p.error("mix needs exactly one of --rates / --temperature")
+            rates = (json.loads(args.rates) if args.rates
+                     else temperature_rates(df, args.group_column, args.temperature))
+            mixed = corpus_mix(df, args.group_column, rates, args.id_column)
+            out = mix_stats(df, mixed, args.group_column) if args.stats else mixed
         _out(out, args, 50)
     elif c == "chunk":
         from nail_parquet_spark.functions.text import chunk_documents

@@ -87,6 +87,41 @@ def temperature_rates(df: DataFrame, group_col: str, temperature: float,
     return {g: min(1.0, props[g] * target_rows / counts[g]) for g in counts}
 
 
+def weighted_sample(df: DataFrame, id_col: str, weight_col: str,
+                    target_frac: float, power: float = 1.0) -> DataFrame:
+    """Deterministic weight-PROPORTIONAL downsampling: keep each row with
+    probability p_i = min(1, target_frac * w_i^power / mean(w^power)) —
+    quality-weighted corpus skimming (a DSIR-style importance sample with
+    the score column as the importance), reproducible across reruns and
+    engines.
+
+    The keep rule is a pure per-row predicate like ``corpus_mix``'s:
+    u_i = first-8-hex of md5(id) as an integer in [0, 2^32); keep iff
+    u_i < p_i * 2^32. Negative/NULL weights clamp to 0 (never kept).
+    Expected kept fraction = ``target_frac`` exactly when no p_i clips at
+    1; heavier rows are proportionally more likely to survive.
+
+    Scale shape: ONE scalar aggregate (the mean, driver-side O(1)) + one
+    no-shuffle projection/filter. Pinned for oracle exactness: the mean is
+    rounded to 6 dp and p_i to 9 dp before the compare, so engines whose
+    float summation order differs in the last ulp still keep the identical
+    row set.
+    """
+    if not 0 <= target_frac:
+        raise ValueError(f"target_frac must be >= 0, got {target_frac}")
+    w = F.greatest(F.coalesce(F.col(weight_col).cast("double"), F.lit(0.0)),
+                   F.lit(0.0))
+    row = df.agg(F.round(F.avg(F.pow(w, F.lit(power))), 6).alias("mu")).collect()[0]
+    mu = row["mu"]
+    if mu is None or mu <= 0:
+        return df.filter(F.lit(False))
+    p = F.least(F.round(F.lit(target_frac) * F.pow(w, F.lit(power)) / F.lit(mu), 9),
+                F.lit(1.0))
+    u = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10) \
+         .cast("double")
+    return df.filter(u < p * F.lit(float(HEX_SPACE)))
+
+
 def mix_stats(df: DataFrame, mixed: DataFrame, group_col: str) -> DataFrame:
     """Before/after counts + achieved rate per group (two aggregates on
     the group key, joined on ~#groups rows)."""

@@ -82,3 +82,72 @@ def test_mix_stats_counts_zero_groups(spark):
     mixed = corpus_mix(df, "lang", {"fr": 0.0}, "doc_id")
     st = {r.lang: r for r in mix_stats(df, mixed, "lang").collect()}
     assert st["fr"].n_after == 0 and st["fr"].rate == 0.0
+
+
+def test_weighted_sample_proportional_and_deterministic(spark):
+    from nail_parquet_spark.functions.mixing import weighted_sample
+
+    df = spark.range(4000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, 1.0).otherwise(9.0).alias("w"))
+    kept = weighted_sample(df, "doc_id", "w", target_frac=0.2)
+    rows = kept.collect()
+    # mean(w)=5: p(low)=0.04, p(high)=0.36; expected 80 / 720 of 2000 each
+    lo = sum(1 for r in rows if r["w"] == 1.0)
+    hi = sum(1 for r in rows if r["w"] == 9.0)
+    assert 40 <= lo <= 130 and 620 <= hi <= 820
+    # heavier rows ~9x likelier
+    assert hi / max(lo, 1) > 4
+    # deterministic: identical set on re-evaluation
+    again = {r["doc_id"] for r in weighted_sample(df, "doc_id", "w", 0.2).collect()}
+    assert again == {r["doc_id"] for r in rows}
+
+
+def test_weighted_sample_edge_weights(spark):
+    from nail_parquet_spark.functions.mixing import weighted_sample
+
+    df = spark.createDataFrame(
+        [(1, None), (2, -5.0), (3, 0.0), (4, 10.0)],
+        "doc_id long, w double")
+    kept = weighted_sample(df, "doc_id", "w", target_frac=1.0)
+    # NULL/negative/zero weights never kept; positive weight's p clips at 1
+    assert [r["doc_id"] for r in kept.collect()] == [4]
+    zeros = df.withColumn("w", F.lit(0.0))
+    assert weighted_sample(zeros, "doc_id", "w", 0.5).count() == 0
+
+
+def test_weighted_sample_matches_duckdb(spark):
+    import duckdb
+
+    from nail_parquet_spark.functions.mixing import weighted_sample
+
+    df = spark.range(3000).select(
+        F.col("id").alias("doc_id"),
+        (F.pmod(F.col("id"), F.lit(7)) + 1).cast("double").alias("w"))
+    got = sorted(r["doc_id"] for r in
+                 weighted_sample(df, "doc_id", "w", 0.25).collect())
+    want = [r[0] for r in duckdb.sql("""
+        WITH d AS (SELECT range AS doc_id,
+                          CAST(range % 7 + 1 AS DOUBLE) AS w FROM range(3000)),
+        m AS (SELECT round(avg(greatest(w, 0)), 6) AS mu FROM d)
+        SELECT doc_id FROM d, m
+        WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+              < least(round(0.25 * greatest(w, 0) / mu, 9), 1.0) * 4294967296.0
+        ORDER BY doc_id""").fetchall()]
+    assert got == want and len(got) > 500
+
+
+def test_mix_cli_weighted(spark, tmp_path, capsys):
+    from nail_parquet_spark.cli import main
+
+    src = str(tmp_path / "wdocs")
+    spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        (F.pmod(F.col("id"), F.lit(3)) + 1).cast("double").alias("w")
+    ).write.parquet(src)
+    out = str(tmp_path / "wout.parquet")
+    rc = main(["mix", src, "--id-column", "doc_id",
+               "--weight-column", "w", "--target-frac", "0.4", "-o", out])
+    assert rc == 0
+    n = spark.read.parquet(out).count()
+    assert 100 <= n <= 320
