@@ -494,6 +494,103 @@ def dup_line_frac_expr(col: Column) -> Column:
     ).otherwise(F.lit(0.0))
 
 
+def _rule_checks(r: dict) -> dict:
+    """rule name -> FAIL condition over the signal columns (shared by
+    gopher_filter and the streaming keep filter so the rule book has
+    exactly one definition)."""
+    return {
+        "min_words": F.col("n_words") < r["min_words"],
+        "max_words": F.col("n_words") > r["max_words"],
+        "min_mean_word_len": F.col("mean_word_len") < r["min_mean_word_len"],
+        "max_mean_word_len": F.col("mean_word_len") > r["max_mean_word_len"],
+        "max_symbol_word_ratio": F.col("symbol_word_ratio") > r["max_symbol_word_ratio"],
+        "min_frac_words_alpha": F.col("frac_words_alpha") < r["min_frac_words_alpha"],
+        "min_stop_hits": F.col("n_stop_hits") < r["min_stop_hits"],
+        "max_frac_lines_bullet": F.col("frac_lines_bullet") > r["max_frac_lines_bullet"],
+        "max_frac_lines_ellipsis": F.col("frac_lines_ellipsis") > r["max_frac_lines_ellipsis"],
+        "max_dup_line_frac": F.col("dup_line_frac") > r["max_dup_line_frac"],
+    }
+
+
+def _fail_count(checks: dict) -> Column:
+    fails = None
+    for cond in checks.values():
+        fails = cond.cast("int") if fails is None else fails + cond.cast("int")
+    return fails
+
+
+def merged_rules(rules: dict | None) -> dict:
+    """GOPHER_RULES with validated overrides applied."""
+    r = dict(GOPHER_RULES)
+    if rules:
+        unknown = set(rules) - set(r)
+        if unknown:
+            raise ValueError(f"unknown rule(s): {sorted(unknown)}")
+        r.update(rules)
+    return r
+
+
+def gopher_keep_stream(df: DataFrame, text_col: str,
+                       rules: dict | None = None) -> DataFrame:
+    """Filter to rule-passing documents PRESERVING every column, built only
+    from stateless staged selects — the streaming-compatible twin of
+    ``gopher_filter`` (which returns a verdict table keyed by id; joining
+    that back is a stream-stream join Structured Streaming refuses).
+
+    Signal arithmetic mirrors ``gopher_signals_table`` stage for stage
+    (split/lines/regex counts materialized once, ratios derived from the
+    attributes), and the rule book comes from the shared ``_rule_checks``
+    — so kept ids are bit-identical to ``gopher_filter(...).passes``
+    (pinned by test). Works on batch DataFrames too.
+    """
+    r = merged_rules(rules)
+    col = F.col(text_col)
+    orig = [F.col(c) for c in df.columns]
+    stage1 = df.select(
+        *orig,
+        F.split(F.lower(F.trim(col)), r"\s+").alias("__q_words"),
+        _lines(col).alias("__q_lines"),
+        F.length(F.regexp_replace(col, r"\s", "")).alias("__q_wc"),
+        F.regexp_count(col, F.lit(r"\S*[A-Za-z]\S*")).alias("__q_aw"),
+        (F.trim(col) == "").alias("__q_blank"),
+        _symbol_count(col).alias("__q_sym"),
+    )
+    words, lines = F.col("__q_words"), F.col("__q_lines")
+    dup = F.when(
+        F.size(lines) > 0,
+        F.round(F.lit(1.0) - F.size(F.array_distinct(lines)) / F.size(lines), 6),
+    ).otherwise(F.lit(0.0))
+    stage2 = stage1.select(
+        *orig,
+        F.when(F.col("__q_blank"), F.lit(0)).otherwise(F.size(words))
+         .cast("long").alias("n_words"),
+        F.col("__q_wc"),
+        F.col("__q_aw"),
+        F.size(F.array_intersect(
+            words, F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]))
+        ).cast("long").alias("n_stop_hits"),
+        F.col("__q_sym"),
+        F.size(lines).alias("__q_nl"),
+        F.size(F.filter(lines, _starts_any)).alias("__q_bullet"),
+        F.size(F.filter(lines, lambda l: _ends_any(l, ELLIPSIS_SUFFIXES))).alias("__q_ell"),
+        dup.alias("dup_line_frac"),
+    )
+    nw, nl = F.col("n_words"), F.col("__q_nl")
+    stage3 = stage2.select(
+        *orig,
+        nw,
+        _frac(F.col("__q_wc"), nw).alias("mean_word_len"),
+        _frac(F.col("__q_aw"), nw).alias("frac_words_alpha"),
+        F.col("n_stop_hits"),
+        _frac(F.col("__q_sym"), nw).alias("symbol_word_ratio"),
+        _frac(F.col("__q_bullet"), nl).alias("frac_lines_bullet"),
+        _frac(F.col("__q_ell"), nl).alias("frac_lines_ellipsis"),
+        F.col("dup_line_frac"),
+    )
+    fails = _fail_count(_rule_checks(r))
+    return stage3.filter(fails == 0).select(*[F.col(c) for c in df.columns])
+
+
 def gopher_filter(df: DataFrame, id_col: str, text_col: str,
                   rules: dict | None = None,
                   explain: bool = False,
@@ -515,12 +612,7 @@ def gopher_filter(df: DataFrame, id_col: str, text_col: str,
     output by shared ratio arithmetic + property test); the rule checks
     and output schema are the same Catalyst projection either way.
     """
-    r = dict(GOPHER_RULES)
-    if rules:
-        unknown = set(rules) - set(r)
-        if unknown:
-            raise ValueError(f"unknown rule(s): {sorted(unknown)}")
-        r.update(rules)
+    r = merged_rules(rules)
     if engine == "arrow":
         from nail_parquet_spark.functions.quality_arrow import (
             gopher_signals_table_arrow,
@@ -537,21 +629,8 @@ def gopher_filter(df: DataFrame, id_col: str, text_col: str,
                                  extra={"dup_line_frac": dup})
     else:
         raise ValueError(f"engine must be 'sql' or 'arrow', got {engine!r}")
-    checks = {
-        "min_words": F.col("n_words") < r["min_words"],
-        "max_words": F.col("n_words") > r["max_words"],
-        "min_mean_word_len": F.col("mean_word_len") < r["min_mean_word_len"],
-        "max_mean_word_len": F.col("mean_word_len") > r["max_mean_word_len"],
-        "max_symbol_word_ratio": F.col("symbol_word_ratio") > r["max_symbol_word_ratio"],
-        "min_frac_words_alpha": F.col("frac_words_alpha") < r["min_frac_words_alpha"],
-        "min_stop_hits": F.col("n_stop_hits") < r["min_stop_hits"],
-        "max_frac_lines_bullet": F.col("frac_lines_bullet") > r["max_frac_lines_bullet"],
-        "max_frac_lines_ellipsis": F.col("frac_lines_ellipsis") > r["max_frac_lines_ellipsis"],
-        "max_dup_line_frac": F.col("dup_line_frac") > r["max_dup_line_frac"],
-    }
-    fails = None
-    for cond in checks.values():
-        fails = cond.cast("int") if fails is None else fails + cond.cast("int")
+    checks = _rule_checks(r)
+    fails = _fail_count(checks)
     cols = [
         F.col(id_col),
         F.col("n_words"),

@@ -188,3 +188,84 @@ def warc_ingest_stream(
         q.awaitTermination()
         return q
     return writer.start()
+
+
+def curate_stream(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    checkpoint: str,
+    schema: str,
+    text_col: str = "text",
+    ts_col: str = "warc_ts",
+    quality_rules: dict | None = None,
+    do_quality: bool = True,
+    do_c4_clean: bool = True,
+    dedup_watermark: str = "24 hours",
+    codecs: dict[str, str] | None = None,
+    policy: str = "balanced",
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming curation: the per-document curation stages + watermark-
+    bounded exact dedup + incremental encode, continuously over a growing
+    crawl directory — the Structured-Streaming twin of
+    ``pipeline.curate.curate_and_encode_corpus`` for its streamable
+    stages, in the SAME stage order (quality -> C4 clean -> exact dedup ->
+    encode).
+
+    Stage semantics vs the batch pipeline:
+    - quality filter (``gopher_keep_stream``) and C4 line cleaning are
+      per-document stateless transforms — batch boundaries cannot change
+      a verdict, so kept content matches the batch run on the same files.
+    - exact dedup is ``stream_dedup_exact``: keep FIRST ARRIVAL of each
+      cleaned-text fingerprint, state bounded by ``dedup_watermark``
+      (the batch run keeps min-doc-id — same kept CONTENT set whenever
+      duplicates arrive within the watermark horizon; later re-crawls
+      beyond it are kept again, the documented streaming trade).
+    - corpus-GLOBAL stages (near dedup, boilerplate, decontam,
+      incremental-vs-prior) cannot stream; run them as periodic batch
+      maintenance over the accumulated out_dir — the standard
+      lambda split this module's other streams use.
+    - encode: blocks append under ``ingest_batch=<id>`` with
+      overwrite-on-replay (effectively exactly-once); codecs are chosen
+      ONCE from the data already present, like ``encode_stream``.
+    """
+    from pyspark.sql import functions as F
+
+    from nail_parquet_spark.codec.encode import (choose_codecs_for_df,
+                                                 encode_table)
+    from nail_parquet_spark.functions.quality import (c4_clean_text,
+                                                      gopher_keep_stream)
+    from nail_parquet_spark.streaming.events import stream_dedup_exact
+
+    if codecs is None:
+        seed = spark.read.schema(schema).parquet(src_dir)
+        codecs = choose_codecs_for_df(seed, seed.columns, policy=policy)
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(src_dir)
+
+    if do_quality:
+        stream = gopher_keep_stream(stream, text_col, quality_rules)
+    if do_c4_clean:
+        stream = stream.withColumn(
+            text_col, c4_clean_text(F.coalesce(F.col(text_col), F.lit(""))))
+        stream = stream.filter(F.col(text_col) != "")
+    stream = stream_dedup_exact(stream, key_cols=[], text_col=text_col,
+                                ts_col=ts_col, watermark=dedup_watermark)
+
+    def encode_batch(batch_df: DataFrame, batch_id: int) -> None:
+        blocks = encode_table(batch_df, codecs=codecs)
+        (blocks.write.mode("overwrite")
+         .parquet(f"{out_dir}/ingest_batch={batch_id}"))
+
+    writer = (stream.writeStream.foreachBatch(encode_batch)
+              .option("checkpointLocation", checkpoint))
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()

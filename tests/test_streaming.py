@@ -2,6 +2,7 @@
 rollup via availableNow, checked against the batch equivalent."""
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from nail_parquet_spark.streaming.events import (
@@ -283,3 +284,94 @@ def test_warc_ingest_stream_incremental(spark, tmp_path):
     b = batch.groupBy("url").count().withColumnRenamed("count", "c2")
     assert a.join(b, "url").filter("count != c2").count() == 0
     assert a.count() == b.count()
+
+
+def test_gopher_keep_stream_matches_filter(spark):
+    """The all-columns streaming keep filter and gopher_filter share the
+    rule book and signal arithmetic — kept ids must be identical, and the
+    input's columns must come through untouched."""
+    from nail_parquet_spark.functions.quality import (
+        gopher_filter, gopher_keep_stream)
+    from nail_parquet_spark.synth import webpages_spark
+
+    df = webpages_spark(spark, 400, seed=5, n_parts=2).withColumn(
+        "text", F.when(F.pmod(F.xxhash64("url"), F.lit(4)) == 0,
+                       F.substring("text", 1, 25)).otherwise(F.col("text")))
+    kept = gopher_keep_stream(df, "text")
+    assert kept.columns == df.columns
+    got = {r["url"] for r in kept.select("url").collect()}
+    want = {r["url"] for r in
+            df.join(gopher_filter(df, "url", "text").filter("passes")
+                    .select("url"), "url", "left_semi").collect()}
+    assert got == want and 0 < len(got) < 400
+    with pytest.raises(ValueError):
+        gopher_keep_stream(df, "text", rules={"bogus_rule": 1})
+
+
+def test_curate_stream_matches_batch_stages(spark, tmp_path):
+    """Streaming curation (quality -> C4 -> watermarked exact dedup ->
+    incremental encode) over two file drops: resume encodes only the new
+    files, and the decoded kept CONTENT equals the batch stages run on the
+    union (duplicates all arrive inside the watermark here)."""
+    import datetime as dt
+
+    from nail_parquet_spark.codec.decode import decode_table
+    from nail_parquet_spark.functions.dedup import dedup_exact
+    from nail_parquet_spark.functions.quality import (
+        c4_clean_text, gopher_keep_stream)
+    from nail_parquet_spark.streaming.encode_stream import curate_stream
+    from nail_parquet_spark.synth import webpages_spark
+
+    src = str(tmp_path / "incoming")
+    out = str(tmp_path / "blocks")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "url string, warc_ts timestamp, html binary, text string, lang string"
+    rules = {"min_words": 25, "min_mean_word_len": 0, "min_stop_hits": 0,
+             "max_dup_line_frac": 1.0}
+
+    def sentencify(df):
+        # synthetic text has no terminal punctuation; give it sentence
+        # lines so the C4 cleaner keeps prose (same as test_curate's corpus)
+        return df.withColumn(
+            "text", F.concat(F.regexp_replace(F.col("text"), r" (and|of) ", ".\n"),
+                             F.lit(".")))
+
+    first = sentencify(webpages_spark(spark, 1_500, seed=11, n_parts=2))
+    first.write.parquet(src)
+    # the synthetic corpus's event times span weeks; the watermark must
+    # exceed that span or drop-2 rows (old timestamps) are dropped as late
+    wm = "2400 hours"
+    curate_stream(spark, src, out, ckpt, schema, quality_rules=rules,
+                  dedup_watermark=wm)
+    n1 = len(spark.read.option("recursiveFileLookup", "true")
+             .parquet(out).select("part_id").head(1))
+    assert n1 > 0
+
+    # second drop: fresh pages + exact re-crawls of drop 1 (same text,
+    # new url/ts) + junk-quality docs
+    fresh = sentencify(webpages_spark(spark, 600, seed=12, n_parts=1)).withColumn(
+        "url", F.concat(F.lit("https://d2."), F.substring("url", 9, 10_000)))
+    dups = (first.limit(200)
+            .withColumn("url", F.concat(F.lit("https://re."), F.substring("url", 9, 10_000)))
+            .withColumn("warc_ts", F.col("warc_ts") + F.expr("INTERVAL 5 MINUTES")))
+    junk = fresh.limit(50).withColumn(
+        "text", F.substring("text", 1, 20)).withColumn(
+        "url", F.concat(F.lit("https://junk."), F.col("url")))
+    fresh.unionAll(dups).unionAll(junk).write.mode("append").parquet(src)
+    curate_stream(spark, src, out, ckpt, schema, quality_rules=rules,
+                  dedup_watermark=wm)
+
+    blocks = spark.read.option("recursiveFileLookup", "true").parquet(out)
+    dec = decode_table(blocks, columns=["url", "text"])
+
+    # batch ground truth over the union, same stage order
+    allp = spark.read.parquet(src)
+    b = gopher_keep_stream(allp, "text", rules)
+    b = b.withColumn("text", c4_clean_text(F.coalesce(F.col("text"), F.lit(""))))
+    b = b.filter(F.col("text") != "")
+    b = dedup_exact(b, "url", "text")
+
+    got_texts = {r["text"] for r in dec.select("text").distinct().collect()}
+    want_texts = {r["text"] for r in b.select("text").distinct().collect()}
+    assert got_texts == want_texts
+    assert dec.count() == b.count()  # one survivor per distinct content
