@@ -205,3 +205,53 @@ def test_curate_signature_save_and_reuse(spark, tmp_path):
     assert main(["signatures", out2, "--num-hashes", "8"]) == 0
     sigs2, meta2 = load_signatures(spark, out2)
     assert meta2["num_hashes"] == 8 and sigs2.count() == 1
+
+
+def test_dedup_against_property_model(spark):
+    """Property check vs a pure-Python model: for random new/prior corpora
+    (dups, NULLs, empty strings, unicode), dedup_against keeps exactly the
+    new rows whose text is not byte-identical to any non-NULL prior text."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    texts = st.one_of(st.none(), st.sampled_from(
+        ["", "a", "doc body", "doc body", "käse δ", "x " * 30]))
+    rows = st.lists(texts, min_size=0, max_size=12)
+
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                     HealthCheck.too_slow])
+    @given(new=rows, prior=rows)
+    def run(new, prior):
+        ndf = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(new)] or [(0, None)][:0],
+            "doc_id long, text string") if new else \
+            spark.createDataFrame([], "doc_id long, text string")
+        pdf = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(prior)],
+            "doc_id long, text string") if prior else \
+            spark.createDataFrame([], "doc_id long, text string")
+        got = sorted(r["doc_id"] for r in
+                     dedup_against(ndf, pdf, "text").collect())
+        seen = {t for t in prior if t is not None}
+        want = sorted(i for i, t in enumerate(new)
+                      if t is None or t not in seen)
+        assert got == want
+
+    run()
+
+
+def test_incremental_plans_are_scale_safe(spark, new, prior):
+    """Plan gates: no cartesian products, no global windows, and the exact
+    path's anti-join carries fingerprints (md5), not documents."""
+    from nail_parquet_spark.plans.explain import global_windows, plan_text
+
+    exact = dedup_against(new, prior, "text")
+    pairs = near_dup_against_pairs(new, prior, "doc_id", "text",
+                                   threshold=0.5, num_hashes=8, bands=4)
+    for df in (exact, pairs):
+        txt = plan_text(df)
+        assert "CartesianProduct" not in txt
+        assert "BroadcastNestedLoopJoin" not in txt
+        assert global_windows(df) == []
+    assert "LeftAnti" in plan_text(exact)
