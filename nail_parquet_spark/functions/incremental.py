@@ -57,6 +57,18 @@ def dedup_against(df: DataFrame, prior: DataFrame, text_col: str,
 SIG_DIR = "_signatures"
 
 
+def signatures_of(df: DataFrame, text_col: str = "text",
+                  num_hashes: int = 16, shingle_k: int = 3) -> DataFrame:
+    """Fingerprint-keyed MinHash signature table (fp, mh_0..mh_{k-1}) of a
+    corpus's DISTINCT non-NULL texts — the storable dedup state."""
+    d = (df.select(F.col(text_col))
+         .filter(F.col(text_col).isNotNull())
+         .distinct()
+         .withColumn("fp", doc_fingerprint(F.col(text_col))))
+    return minhash_signatures(d, "fp", text_col,
+                              num_hashes=num_hashes, shingle_k=shingle_k)
+
+
 def save_signatures(df: DataFrame, out_dir: str, text_col: str = "text",
                     num_hashes: int = 16, shingle_k: int = 3) -> str:
     """Persist fingerprint-keyed MinHash signatures of a corpus's DISTINCT
@@ -73,12 +85,8 @@ def save_signatures(df: DataFrame, out_dir: str, text_col: str = "text",
 
     from nail_parquet_spark.pipeline.checkpoint import _atomic_json
 
-    d = (df.select(F.col(text_col))
-         .filter(F.col(text_col).isNotNull())
-         .distinct()
-         .withColumn("fp", doc_fingerprint(F.col(text_col))))
-    sigs = minhash_signatures(d, "fp", text_col,
-                              num_hashes=num_hashes, shingle_k=shingle_k)
+    sigs = signatures_of(df, text_col, num_hashes=num_hashes,
+                         shingle_k=shingle_k)
     path = os.path.join(out_dir, SIG_DIR)
     sigs.write.mode("overwrite").parquet(path)
     _atomic_json(os.path.join(path, "_params.json"),

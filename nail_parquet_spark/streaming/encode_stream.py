@@ -269,3 +269,93 @@ def curate_stream(
         q.awaitTermination()
         return q
     return writer.start()
+
+
+def near_dedup_stream(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    checkpoint: str,
+    schema: str,
+    id_col: str,
+    text_col: str = "text",
+    threshold: float = 0.7,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming MinHash near-dedup: each micro-batch is near-deduped
+    WITHIN itself (the batch operator) and then AGAINST everything already
+    kept, via the accumulated signature table — so earlier batches' MinHash
+    is computed exactly once, ever.
+
+    The dedup state lives in the OUTPUT directory, not the streaming state
+    store:
+    - kept rows under           ``out_dir/ingest_batch=<id>/``
+    - their signature table under ``out_dir/_signatures/ingest_batch=<id>/``
+    Batch <id> reads only the STRICTLY EARLIER signature/kept dirs as its
+    prior (so an at-least-once replay that left its own dirs behind stays
+    idempotent) and overwrites its own two dirs — the same effectively-
+    exactly-once discipline as ``encode_stream``. Unlike the watermarked
+    exact dedup, this state never ages out: signatures are k longs + a
+    16-byte fingerprint per distinct doc, small enough to keep for the
+    whole corpus, and the exact Jaccard verify reads back only the prior
+    docs that appear in candidate pairs (the semi-join restriction inside
+    ``near_dup_against_pairs``).
+    """
+    import glob
+    import os
+    import re
+
+    from nail_parquet_spark.functions.dedup import dedup_near_duplicates
+    from nail_parquet_spark.functions.incremental import (near_dedup_against,
+                                                          signatures_of)
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(src_dir)
+
+    def _earlier(pattern: str, batch_id: int) -> list[str]:
+        out = []
+        for p in glob.glob(pattern):
+            m = re.search(r"ingest_batch=(\d+)$", p)
+            if m and int(m.group(1)) < batch_id:
+                out.append(p)
+        return sorted(out)
+
+    def dedup_batch(batch_df: DataFrame, batch_id: int) -> None:
+        kept = dedup_near_duplicates(
+            batch_df, id_col, text_col, threshold=threshold,
+            num_hashes=num_hashes, bands=bands, shingle_k=shingle_k)
+        sig_dirs = _earlier(os.path.join(out_dir, "_signatures",
+                                         "ingest_batch=*"), batch_id)
+        kept_dirs = _earlier(os.path.join(out_dir, "ingest_batch=*"),
+                             batch_id)
+        if sig_dirs and kept_dirs:
+            prior_sigs = spark.read.parquet(*sig_dirs)
+            prior = spark.read.parquet(*kept_dirs).select(text_col)
+            kept = near_dedup_against(
+                kept, prior, id_col, text_col, threshold=threshold,
+                num_hashes=num_hashes, bands=bands, shingle_k=shingle_k,
+                prior_sigs=prior_sigs)
+        # materialize the kept rows BEFORE deriving their signatures so the
+        # dedup joins run once, then write both state pieces atomically
+        # (overwrite per batch dir)
+        kept.write.mode("overwrite").parquet(
+            f"{out_dir}/ingest_batch={batch_id}")
+        kept_committed = spark.read.parquet(f"{out_dir}/ingest_batch={batch_id}")
+        (signatures_of(kept_committed, text_col, num_hashes=num_hashes,
+                       shingle_k=shingle_k)
+         .write.mode("overwrite")
+         .parquet(f"{out_dir}/_signatures/ingest_batch={batch_id}"))
+
+    writer = (stream.writeStream.foreachBatch(dedup_batch)
+              .option("checkpointLocation", checkpoint))
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()

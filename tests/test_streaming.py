@@ -375,3 +375,53 @@ def test_curate_stream_matches_batch_stages(spark, tmp_path):
     want_texts = {r["text"] for r in b.select("text").distinct().collect()}
     assert got_texts == want_texts
     assert dec.count() == b.count()  # one survivor per distinct content
+
+
+def test_near_dedup_stream_incremental(spark, tmp_path):
+    """Streaming near-dedup: within-batch near dups collapse, cross-batch
+    near dups are dropped against the accumulated signature table, and a
+    checkpointed resume with no new files changes nothing."""
+    import datetime as dt
+
+    from nail_parquet_spark.streaming.encode_stream import near_dedup_stream
+
+    base1 = ("the quick brown fox jumps over the lazy dog while rain "
+             "falls softly on the quiet village roofs tonight") * 2
+    base2 = ("distributed query engines shuffle partitions across the "
+             "cluster and spill gracefully when memory runs short") * 2
+    base3 = "completely unrelated prose about alpine meadows and goats " * 4
+    fresh = "novel second drop content about parquet footers and codecs " * 4
+    ts = dt.datetime(2024, 3, 1)
+    sch = "doc_id long, ts timestamp, text string"
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+
+    drop1 = [(1, ts, base1), (2, ts, base2), (3, ts, base3),
+             (4, ts, base1 + " extra tail")]  # within-batch near dup of 1
+    spark.createDataFrame(drop1, sch).coalesce(1).write.parquet(src)
+    near_dedup_stream(spark, src, out, ck, sch, "doc_id", "text",
+                      threshold=0.6, num_hashes=8, bands=4)
+    kept1 = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert kept1 == [1, 2, 3]
+
+    drop2 = [(10, ts, base2 + " tiny coda"),  # cross-batch near dup of 2
+             (11, ts, fresh),
+             (12, ts, base3 + " same batch twin"),  # near dup of 3 (cross)
+             (13, ts, fresh + " appended words")]  # near dup of 11 (within)
+    spark.createDataFrame(drop2, sch).coalesce(1).write.mode(
+        "append").parquet(src)
+    near_dedup_stream(spark, src, out, ck, sch, "doc_id", "text",
+                      threshold=0.6, num_hashes=8, bands=4)
+    kept_all = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert kept_all == [1, 2, 3, 11]
+
+    # the signature state grew batch by batch and is fingerprint-keyed
+    sigs = spark.read.parquet(os.path.join(out, "_signatures"))
+    assert sigs.count() == 4 and "fp" in sigs.columns
+
+    # resume with nothing new: no-op
+    near_dedup_stream(spark, src, out, ck, sch, "doc_id", "text",
+                      threshold=0.6, num_hashes=8, bands=4)
+    assert sorted(r["doc_id"] for r in
+                  spark.read.parquet(out).collect()) == [1, 2, 3, 11]
