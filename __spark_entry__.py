@@ -1180,6 +1180,28 @@ def q_dedup_exact_docs(spark, sf_dir):
     return exact_duplicates(_docs_with_dups(spark, sf_dir), "doc_id", "text")
 
 
+def q_dup_span_stats(spark, sf_dir):
+    """Exact-substring dedup, measurement side: per-doc duplicated 4-token
+    window statistics (functions/dedup.duplicate_span_stats) over the
+    corpus-with-duplicates fixture — the Lee-et-al-2022 span-coverage
+    report. Window keys are the portable 60-bit md5 hash, reproduced
+    bit-for-bit by the oracle."""
+    from nail_parquet_spark.functions.dedup import duplicate_span_stats
+
+    return duplicate_span_stats(_docs_with_dups(spark, sf_dir), "doc_id",
+                                "text", w=4)
+
+
+def q_dup_span_removal(spark, sf_dir):
+    """Exact-substring dedup, removal side: drop every token covered by a
+    corpus-duplicated 4-token window and rebuild the documents
+    (functions/dedup.remove_duplicate_spans)."""
+    from nail_parquet_spark.functions.dedup import remove_duplicate_spans
+
+    return remove_duplicate_spans(_docs_with_dups(spark, sf_dir), "doc_id",
+                                  "text", w=4).select("doc_id", "text")
+
+
 def q_minhash_signatures(spark, sf_dir):
     from nail_parquet_spark.functions.dedup import minhash_signatures
 
@@ -1714,12 +1736,16 @@ _QUERIES = {
         #    sample_hash/split_hash displaced past the cap to make room for
         #    the two incremental-dedup entries — their green r03 rows are
         #    exactly 2 rounds old at final judging, the policy maximum)
+        #    (corr_pearson and doc_fingerprint displaced past the cap to
+        #    make room for the two new span-dedup entries; both paths are
+        #    transitively exercised by r04-green entries — corr_matrix
+        #    computes the same pearson kernel, dedup_exact_docs the same
+        #    md5 fingerprint — and keep their green r03 rows, 2 rounds old
+        #    at final judging, the policy maximum)
         "binning_equal_width": q_binning,
         "corr_kendall": q_corr_kendall,
-        "corr_pearson": q_corr_pearson,
         "corr_pvalues": q_corr_pvalues,
         "dedup_keep_first": q_dedup_keep_first,
-        "doc_fingerprint": q_doc_fingerprint,
         "events_sessionize": q_events_sessionize,
         "fill_forward": q_fill_forward,
         "filter_conditions": q_filter_conditions,
@@ -1749,6 +1775,10 @@ _QUERIES = {
         "decontam_filter": q_decontam_filter,
         "keep_best_cluster": q_keep_best_cluster,
         "unigram_logprob": q_unigram_logprob,
+        # new this session: exact-substring (duplicated-span) dedup —
+        # the Lee-et-al-2022 family member (stats + removal)
+        "dup_span_stats": q_dup_span_stats,
+        "dup_span_removal": q_dup_span_removal,
         # 3) rows-only block. The r05 additions fill the 50-cap exactly
         #    with value-exact entries, so the rows-only entries (recorded
         #    as no_oracle rows-counts; encode pair attested that way every
@@ -1762,6 +1792,10 @@ _QUERIES = {
         "embedding_topk_pq": q_embedding_topk_pq,
         "embedding_topk_ivf": q_embedding_topk_ivf,
         # -- tail: attested green in r03/r04 and unchanged since --
+        # (displaced from the r03-aged head block by the span-dedup pair;
+        #  green r03 rows, transitively covered by r04-green entries)
+        "corr_pearson": q_corr_pearson,
+        "doc_fingerprint": q_doc_fingerprint,
         "outliers_zscore": q_outliers_zscore,
         "sample_hash": q_sample_hash,
         "split_hash": q_split_hash,
@@ -2739,6 +2773,70 @@ def oracle_sql() -> dict[str, str]:
             WITH dd AS ({_DOCS_DUPS_SQL})
             SELECT md5(text) AS fingerprint, count(*) AS n_docs, min(doc_id) AS keep_id
             FROM dd WHERE text IS NOT NULL GROUP BY 1 HAVING count(*) > 1""",
+        "dup_span_stats": rf"""
+            WITH dd AS ({_DOCS_DUPS_SQL}),
+            toks AS (
+              SELECT doc_id,
+                     CASE WHEN text IS NULL OR trim(lower(text)) = ''
+                          THEN CAST([] AS VARCHAR[])
+                          ELSE regexp_split_to_array(trim(lower(text)), '\s+')
+                     END AS a
+              FROM dd),
+            wins AS (
+              SELECT doc_id, i AS pos,
+                     CAST('0x' || substr(md5(array_to_string(a[i:i+3], ' ')),
+                                         1, 15) AS BIGINT) AS h
+              FROM toks, UNNEST(range(1, len(a) - 2)) AS t(i)),
+            dupk AS (SELECT h FROM wins GROUP BY h HAVING count(*) > 1),
+            dpos AS (SELECT doc_id, pos FROM wins JOIN dupk USING (h)),
+            cov AS (
+              SELECT doc_id, pos,
+                     least(4, coalesce(lead(pos) OVER (PARTITION BY doc_id
+                                                       ORDER BY pos) - pos,
+                                       4)) AS c
+              FROM dpos),
+            agg AS (SELECT doc_id, count(*) AS n_dup_windows,
+                           CAST(sum(c) AS BIGINT) AS dup_tokens
+                    FROM cov GROUP BY doc_id)
+            SELECT t.doc_id, CAST(len(t.a) AS BIGINT) AS n_tokens,
+                   CAST(greatest(len(t.a) - 3, 0) AS BIGINT) AS n_windows,
+                   coalesce(a.n_dup_windows, 0) AS n_dup_windows,
+                   coalesce(a.dup_tokens, 0) AS dup_tokens,
+                   CASE WHEN len(t.a) > 0
+                        THEN round(coalesce(a.dup_tokens, 0) / len(t.a), 6)
+                        ELSE 0.0 END AS dup_token_frac
+            FROM toks t LEFT JOIN agg a USING (doc_id)""",
+        "dup_span_removal": rf"""
+            WITH dd AS ({_DOCS_DUPS_SQL}),
+            toks AS (
+              SELECT doc_id,
+                     CASE WHEN trim(lower(text)) = ''
+                          THEN CAST([] AS VARCHAR[])
+                          ELSE regexp_split_to_array(trim(lower(text)), '\s+')
+                     END AS a
+              FROM dd WHERE text IS NOT NULL),
+            tok AS (SELECT doc_id, i AS tpos, a[i] AS tok
+                    FROM toks, UNNEST(range(1, len(a) + 1)) AS t(i)),
+            wins AS (
+              SELECT doc_id, i AS pos,
+                     CAST('0x' || substr(md5(array_to_string(a[i:i+3], ' ')),
+                                         1, 15) AS BIGINT) AS h
+              FROM toks, UNNEST(range(1, len(a) - 2)) AS t(i)),
+            dupk AS (SELECT h FROM wins GROUP BY h HAVING count(*) > 1),
+            dpos AS (SELECT doc_id, pos FROM wins JOIN dupk USING (h)),
+            cov AS (SELECT DISTINCT doc_id, pos + j AS tpos
+                    FROM dpos, UNNEST(range(0, 4)) AS u(j)),
+            kept AS (
+              SELECT t.doc_id, t.tpos, t.tok
+              FROM tok t LEFT JOIN cov c
+                ON t.doc_id = c.doc_id AND t.tpos = c.tpos
+              WHERE c.doc_id IS NULL),
+            reb AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY tpos) AS t2
+                    FROM kept GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CASE WHEN d.text IS NULL THEN NULL
+                        ELSE coalesce(r.t2, '') END AS text
+            FROM dd d LEFT JOIN reb r USING (doc_id)""",
         "minhash_signatures": f"""
             WITH dd AS (SELECT doc_id, text FROM documents),
             {_SHINGLES_SQL}

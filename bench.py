@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "html_extract",
     "boilerplate_removal",
     "dedup_lines",
+    "dup_span_stats",
     "decontam_overlap",
     "unigram_logprob",
     "lang_id",

@@ -205,11 +205,13 @@ def main(argv: list[str] | None = None) -> int:
                        "choices": ["signals", "repetition", "top-ngram", "filter",
                                    "clean", "dedup-lines", "dedup-paragraphs",
                                    "boilerplate", "corpus-stats", "perplexity",
-                                   "ppl-buckets", "classify"],
+                                   "ppl-buckets", "classify", "span-stats",
+                                   "dedup-spans"],
                        "help": "Gopher signals / dup-line stats / top n-gram / composed "
                                "rule filter / C4 line cleaning / corpus-global line dedup / "
                                "within-site boilerplate removal / corpus token totals / "
-                               "unigram-LM perplexity"}),
+                               "unigram-LM perplexity / duplicated-span stats or "
+                               "removal (exact-substring dedup)"}),
         (("--group-by",), {"default": None,
                            "help": "group column (corpus-stats, ppl-buckets, boilerplate)"}),
         (("--url-column",), {"default": None,
@@ -228,6 +230,8 @@ def main(argv: list[str] | None = None) -> int:
         (("--threshold",), {"type": float, "default": 0.5,
                             "help": "classify --remove: keep score >= this"}),
         (("--ngram",), {"type": int, "default": 2, "help": "n for --mode top-ngram"}),
+        (("--window",), {"type": int, "default": 5,
+                         "help": "token-window width for --mode span-stats/dedup-spans"}),
         (("--rules",), {"default": None, "help": 'JSON threshold overrides, e.g. {"min_words": 20}'}),
         (("--remove",), {"action": "store_true", "help": "emit the surviving rows instead of the verdict table"}),
         (("--explain",), {"action": "store_true", "help": "add per-rule fail_<rule> columns to the verdict"}),
@@ -772,6 +776,16 @@ def main(argv: list[str] | None = None) -> int:
             else:
                 out = cf.linear_text_classifier(df, id_col, args.text_column,
                                                 w, args.dim, bias=args.bias)
+        elif args.mode == "span-stats":
+            from nail_parquet_spark.functions.dedup import duplicate_span_stats
+
+            out = duplicate_span_stats(df, id_col, args.text_column,
+                                       w=args.window)
+        elif args.mode == "dedup-spans":
+            from nail_parquet_spark.functions.dedup import remove_duplicate_spans
+
+            out = remove_duplicate_spans(df, id_col, args.text_column,
+                                         w=args.window)
         elif args.mode == "corpus-stats":
             from nail_parquet_spark.functions.text import corpus_stats
 

@@ -374,3 +374,155 @@ def dedup_near_duplicates(df: DataFrame, id_col: str, text_col: str,
         near_drop = pairs.select(F.col("id_b").alias("__drop"))
     drops = near_drop.unionAll(exact_drop).distinct()
     return df.join(drops, df[id_col] == drops["__drop"], "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring (duplicated-span) dedup — the token-window analogue of
+# "Deduplicating Training Data Makes Language Models Better" (Lee et al.
+# 2022): find w-token windows whose exact token sequence occurs more than
+# once anywhere in the corpus, then measure or remove the covered spans.
+# Reference scope note: the reference CLI has no substring-level dedup
+# (its dedup is whole-row, src/commands/dedup.rs); this is a
+# beyond-reference training-pipeline operator.
+# ---------------------------------------------------------------------------
+
+def _window_positions(df: DataFrame, id_col: str, text_col: str,
+                      w: int) -> DataFrame:
+    """(__id, pos, h): every w-token window's 1-based start position and
+    its portable 60-bit hash (functions/text.word_hash over the
+    space-joined window, so DuckDB reproduces the key bit-for-bit).
+
+    Scale shape: one projection builds the window strings JVM-side
+    (transform + slice + array_join — whole-stage codegen), and ONLY
+    (id, pos, 8-byte hash) rows ever reach an exchange; window text never
+    crosses the wire. Shuffle volume is one 16-byte row per token
+    position — the same class as the line-dedup engine.
+
+    Key contract (same as dedup_lines_global): windows are compared by
+    their 60-bit md5-derived hash, not their text. A collision merges two
+    distinct windows (P ~ n²/2⁶¹ — negligible below ~10⁹ windows per
+    corpus; shard the corpus or raise w before that point).
+    """
+    if w < 2:
+        raise ValueError(f"window width must be >= 2, got {w}")
+    toks = df.select(F.col(id_col).alias("__id"), _words(text_col).alias("__a"))
+    wins = F.when(
+        F.size("__a") >= w,
+        F.expr(f"transform(sequence(1, size(__a) - {w - 1}), "
+               f"i -> array_join(slice(__a, i, {w}), ' '))"),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        toks.select("__id", F.posexplode(wins).alias("__p0", "__win"))
+        .select("__id", (F.col("__p0") + 1).alias("pos"),
+                word_hash(F.col("__win")).alias("h"))
+    )
+
+
+def _duplicate_positions(df: DataFrame, id_col: str, text_col: str,
+                         w: int) -> DataFrame:
+    """(__id, pos) of every window whose hash occurs >= 2 times corpus-wide
+    (a doc repeating a span internally counts — both occurrences are
+    duplicated). One hash-keyed groupBy (map-side partial count) + one
+    same-key join back; AQE reuses the exchange."""
+    wins = _window_positions(df, id_col, text_col, w)
+    dup_keys = (wins.groupBy("h").agg(F.count(F.lit(1)).alias("__c"))
+                .filter(F.col("__c") > 1).select("h"))
+    return wins.join(dup_keys, "h").select("__id", "pos")
+
+
+def duplicate_span_stats(df: DataFrame, id_col: str, text_col: str,
+                         w: int = 5) -> DataFrame:
+    """Per-document duplicated-span statistics: how much of each doc sits
+    inside a w-token window that occurs >= 2 times in the corpus.
+
+    Returns one row per input doc (NULL-text docs count 0 tokens):
+    (id, n_tokens, n_windows, n_dup_windows, dup_tokens, dup_token_frac)
+    where dup_tokens is the size of the UNION of the covered intervals
+    [pos, pos+w-1] — overlapping duplicated windows are not double-counted.
+
+    Union-of-fixed-length-intervals needs no merge pass: with dup start
+    positions sorted per doc, each contributes min(w, next_pos - pos)
+    tokens (w for the last). That is a lead() over a window PARTITIONED BY
+    doc id — bounded per-doc state, never a global window.
+    """
+    from pyspark.sql import Window
+
+    dup = _duplicate_positions(df, id_col, text_col, w)
+    nxt = F.lead("pos").over(Window.partitionBy("__id").orderBy("pos"))
+    per_doc = (
+        dup.select("__id", "pos", nxt.alias("__nxt"))
+        .groupBy("__id")
+        .agg(F.count(F.lit(1)).alias("n_dup_windows"),
+             F.sum(F.least(F.lit(w), F.coalesce(F.col("__nxt") - F.col("pos"),
+                                                F.lit(w)))).alias("dup_tokens"))
+    )
+    base = df.select(
+        F.col(id_col),
+        F.when(F.col(text_col).isNull(), F.lit(0))
+        .otherwise(F.size(_words(text_col))).cast("bigint").alias("n_tokens"))
+    return (
+        base.join(per_doc, base[id_col] == per_doc["__id"], "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.greatest(F.col("n_tokens") - (w - 1), F.lit(0).cast("bigint"))
+            .alias("n_windows"),
+            F.coalesce(F.col("n_dup_windows"), F.lit(0).cast("bigint"))
+            .alias("n_dup_windows"),
+            F.coalesce(F.col("dup_tokens"), F.lit(0).cast("bigint"))
+            .alias("dup_tokens"),
+            F.when(F.col("n_tokens") > 0,
+                   F.round(F.coalesce(F.col("dup_tokens"), F.lit(0))
+                           / F.col("n_tokens"), 6))
+            .otherwise(F.lit(0.0)).alias("dup_token_frac"),
+        )
+    )
+
+
+def remove_duplicate_spans(df: DataFrame, id_col: str, text_col: str,
+                           w: int = 5) -> DataFrame:
+    """Drop EVERY token covered by a corpus-duplicated w-token window and
+    rebuild each document from its surviving tokens in order.
+
+    Pinned contract:
+    - tokenization is the module rule (trim + lower + split \\s+), and the
+      rebuilt text is normalized to lowercase single-space tokens — span
+      arithmetic on un-normalized text would be ambiguous (the window rule
+      itself is defined on normalized tokens).
+    - every occurrence drops (like remove_boilerplate_lines; a duplicated
+      span has no privileged first copy under parallel evaluation — Lee et
+      al.'s keep-one variant needs a global occurrence order, available
+      here by composing with dedup_lines_global-style winner selection).
+    - NULL text passes through as NULL; a fully-covered doc comes back ''.
+
+    Scale shape: covered token positions come from exploding each dup
+    window start into its w positions (id-keyed, w rows per dup window),
+    the surviving-token gather is one left_anti join on (id, pos), and the
+    rebuild is one id-keyed groupBy (collect_list of (pos, token) structs,
+    array_sort, array_join) — bounded by document size, no global state.
+    """
+    dup = _duplicate_positions(df, id_col, text_col, w)
+    covered = (
+        dup.select("__id", F.explode(
+            F.expr(f"sequence(pos, pos + {w - 1})")).alias("__tpos"))
+        .distinct()
+    )
+    toks = (
+        df.select(F.col(id_col).alias("__id"), _words(text_col).alias("__a"))
+        .select("__id", F.posexplode("__a").alias("__p0", "__tok"))
+        .select("__id", (F.col("__p0") + 1).alias("__tpos"), "__tok")
+    )
+    reb = (
+        toks.join(covered, ["__id", "__tpos"], "left_anti")
+        .groupBy("__id")
+        .agg(F.array_join(
+            F.expr("transform(array_sort(collect_list(struct(__tpos, __tok))),"
+                   " s -> s.__tok)"), " ").alias("__new"))
+    )
+    return (
+        df.join(reb, df[id_col] == reb["__id"], "left")
+        .withColumn(text_col,
+                    F.when(F.col(text_col).isNull(), F.lit(None).cast("string"))
+                    .otherwise(F.coalesce(F.col("__new"), F.lit(""))))
+        .drop("__id", "__new")
+    )

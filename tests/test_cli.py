@@ -655,3 +655,20 @@ def test_cli_analytics_pagerank(spark, tmp_path, capsys):
     got = spark.read.parquet(out)
     assert set(got.columns) == {"node", "rank"}
     assert got.count() == 3
+
+
+def test_cli_quality_span_modes(spark, tmp_path, capsys):
+    p = str(tmp_path / "spans.parquet")
+    spark.createDataFrame(
+        [(1, "a b c d e"), (2, "x a b c y"), (3, "q r s")],
+        "doc_id long, text string",
+    ).write.parquet(p)
+    out = str(tmp_path / "span_stats.parquet")
+    run("quality", p, "--mode", "span-stats", "--window", "3", "-o", out)
+    got = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert got[1]["n_dup_windows"] == 1 and got[1]["dup_tokens"] == 3
+    assert got[3]["n_dup_windows"] == 0
+    out2 = str(tmp_path / "span_rm.parquet")
+    run("quality", p, "--mode", "dedup-spans", "--window", "3", "-o", out2)
+    got2 = {r["doc_id"]: r["text"] for r in spark.read.parquet(out2).collect()}
+    assert got2 == {1: "d e", 2: "x y", 3: "q r s"}
