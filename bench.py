@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "boilerplate_removal",
     "dedup_lines",
     "dup_span_stats",
+    "script_profile",
     "decontam_overlap",
     "unigram_logprob",
     "lang_id",

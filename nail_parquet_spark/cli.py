@@ -239,6 +239,22 @@ def main(argv: list[str] | None = None) -> int:
                          "help": "signal engine for --mode filter: Catalyst staged "
                                  "projection (sql) or single-pass byte kernel (arrow, "
                                  "~2.6x at GB scale, bit-identical)"}))
+    add("normalize", (("-c", "--text-column"), {"default": "text", "dest": "text_column"}),
+        (("--id-column",), {"default": None, "help": "doc id column (default: first column)"}),
+        (("--mode",), {"default": "text",
+                       "choices": ["text", "scripts", "mojibake", "badwords"],
+                       "help": "pinned typography/whitespace normalization in "
+                               "place / unicode-script composition + dominant "
+                               "script / mojibake & replacement-char audit / "
+                               "word-blocklist verdict (C4-style)"}),
+        (("--lowercase",), {"action": "store_true", "help": "text mode: also lowercase"}),
+        (("--words",), {"default": None,
+                        "help": "badwords: comma-separated blocklist (letters/digits/'&- only)"}),
+        (("--min-dominant-frac",), {"type": float, "default": 0.5,
+                                    "help": "scripts: dominance floor below which "
+                                            "dominant_script is 'und'"}),
+        (("--remove",), {"action": "store_true",
+                         "help": "badwords: emit surviving rows instead of the verdict"}))
     add("pii", (("-c", "--text-column"), {"default": "text", "dest": "text_column"}),
         (("--mode",), {"default": "mask", "choices": ["mask", "signals", "stats"],
                        "help": "mask PII in place / per-doc counts / corpus audit"}),
@@ -943,6 +959,30 @@ def main(argv: list[str] | None = None) -> int:
         if not args.keep_html:
             out = out.drop(col)
         _out(out, args, 20)
+    elif c == "normalize":
+        from pyspark.sql import functions as F
+
+        from nail_parquet_spark.functions import normalize as nm
+
+        id_col = args.id_column or df.columns[0]
+        if args.mode == "text":
+            out = df.withColumn(
+                args.text_column,
+                nm.normalize_text(F.col(args.text_column),
+                                  lowercase=args.lowercase))
+        elif args.mode == "scripts":
+            out = nm.script_profile_table(
+                df, id_col, args.text_column,
+                dominant_min_frac=args.min_dominant_frac)
+        elif args.mode == "mojibake":
+            out = nm.mojibake_stats(df, id_col, args.text_column)
+        else:
+            if not args.words:
+                p.error("--mode badwords requires --words")
+            words = [w.strip() for w in args.words.split(",") if w.strip()]
+            out = nm.badwords_filter(df, id_col, args.text_column, words,
+                                     remove=args.remove)
+        _out(out, args, 50)
     elif c == "pii":
         from nail_parquet_spark.functions import pii as pf
 
