@@ -413,6 +413,9 @@ def main(argv: list[str] | None = None) -> int:
         (("--boilerplate",), {"action": "store_true",
                               "help": "prepend within-site boilerplate line removal "
                                       "(grouped by registered_domain(url))"}),
+        (("--normalize",), {"action": "store_true",
+                            "help": "prepend pinned unicode typography/whitespace "
+                                    "normalization (before every text-keyed stage)"}),
         (("--classifier",), {"default": None,
                              "help": "weights table — enables the model-based "
                                      "quality gate after the rule gate"}),
@@ -503,6 +506,7 @@ def main(argv: list[str] | None = None) -> int:
             ts_col=args.ts_column,
             quality_rules=json.loads(args.rules) if args.rules else None,
             do_boilerplate=args.boilerplate,
+            do_normalize=args.normalize,
             classifier_src=args.classifier,
             classifier_dim=args.classifier_dim,
             classifier_threshold=args.classifier_threshold,

@@ -1,8 +1,8 @@
-"""One-call corpus curation: within-site boilerplate removal (optional) ->
-quality filter -> C4 line clean -> exact dedup -> MinHash near-dedup ->
-benchmark decontamination (optional, off unless an eval table is given) ->
-salted encode, with per-stage reject/lineage manifests and stage-level
-resume (VERDICT r4 #4).
+"""One-call corpus curation: unicode normalization (optional) ->
+within-site boilerplate removal (optional) -> quality filter -> C4 line
+clean -> exact dedup -> MinHash near-dedup -> benchmark decontamination
+(optional, off unless an eval table is given) -> salted encode, with
+per-stage reject/lineage manifests and stage-level resume (VERDICT r4 #4).
 
 This is the integration a 100-TB training-data user actually runs. Every
 stage is an already-oracle-attested operator (functions/quality,
@@ -43,9 +43,9 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-STAGES = ("extract", "boilerplate", "quality", "classify", "c4_clean",
-          "exact_dedup", "prior_dedup", "near_dedup", "prior_near_dedup",
-          "decontam")
+STAGES = ("extract", "normalize", "boilerplate", "quality", "classify",
+          "c4_clean", "exact_dedup", "prior_dedup", "near_dedup",
+          "prior_near_dedup", "decontam")
 
 
 def _reject_dir(out_dir: str, stage: str) -> str:
@@ -63,6 +63,7 @@ def curate_and_encode_corpus(
     do_boilerplate: bool = False,
     boilerplate_max_doc_frac: float = 0.5,
     boilerplate_min_docs: int = 2,
+    do_normalize: bool = False,
     do_quality: bool = True,
     do_c4_clean: bool = True,
     do_exact_dedup: bool = True,
@@ -162,6 +163,31 @@ def curate_and_encode_corpus(
                 F.coalesce(F.col(text_col), F.lit("")) != ""))
             stages.append({"stage": "extract", "from": "html",
                            "rule": "body text, pinned html rule set"})
+
+        if do_normalize:
+            # typography/whitespace canonicalization BEFORE every
+            # text-keyed stage (the CCNet ordering): near-identical pages
+            # differing only in curly quotes, NBSP, or zero-width chars
+            # collapse to ONE exact-dedup fingerprint / MinHash shingle
+            # set, and quality signals score the canonical prose. A text
+            # REWRITE stage (Exchange-free projection); docs reduced to
+            # '' (whitespace/invisible-only pages) are rejected like
+            # c4_clean empties. The lineage __doc_id stays keyed to the
+            # RAW ingest text, so resume identity is unaffected.
+            from nail_parquet_spark.functions.normalize import normalize_text
+
+            cur = _pin(cur.withColumn(text_col,
+                                      normalize_text(F.col(text_col))))
+            emptied = cur.filter(F.coalesce(F.col(text_col), F.lit("")) == "")
+            emptied.select("__doc_id", url_col).write.mode("overwrite").parquet(
+                _reject_dir(out_dir, "normalize"))
+            counts["normalize"] = spark.read.parquet(
+                _reject_dir(out_dir, "normalize")).count()
+            cur = _pin(cur.filter(
+                F.coalesce(F.col(text_col), F.lit("")) != ""))
+            stages.append({"stage": "normalize",
+                           "rule": "pinned typography/whitespace chain "
+                                   "(functions/normalize.normalize_text)"})
 
         if do_boilerplate:
             # runs FIRST (extraction-adjacent): within-site repeated lines

@@ -217,3 +217,45 @@ def test_curate_classifier_stage(spark, corpus, tmp_path):
     # the audit table carries the score for offline threshold replay
     rej = spark.read.parquet(os.path.join(out, "_rejects", "stage=classify"))
     assert "score" in rej.columns and rej.count() == c["rejected"]["classify"]
+
+
+def test_curate_normalize_stage(spark, tmp_path):
+    """--normalize runs before every text-keyed stage: typography variants
+    collapse to one exact-dedup fingerprint, invisible-only pages are
+    rejected at the normalize stage, and counts still conserve."""
+    import datetime
+
+    from nail_parquet_spark.pipeline.curate import curate_and_encode_corpus
+
+    ts = datetime.datetime(2024, 1, 1)
+    rows = [
+        ("https://a.example/1", ts, 'He said "hello" - fine words here.'),
+        # identical after normalization (curly quotes, en dash, NBSP run)
+        ("https://b.example/2", ts,
+         "He said “hello” – fine  words here."),
+        # invisible/whitespace-only page -> '' after normalize -> rejected
+        ("https://c.example/3", ts, "​  ­ "),
+        ("https://d.example/4", ts, "another document entirely, unrelated."),
+    ]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows, "url string, warc_ts timestamp, text string") \
+        .write.parquet(src)
+
+    out = str(tmp_path / "norm")
+    state = curate_and_encode_corpus(
+        spark, src, out, do_normalize=True, do_quality=False,
+        do_c4_clean=False, do_near_dedup=False, units_per_job=4)
+    c = state["counts"]
+    assert c["rejected"]["normalize"] == 1          # the invisible-only page
+    assert c["rejected"]["exact_dedup"] == 1        # curly variant collapsed
+    assert c["kept"] == 2
+    assert c["input"] == c["kept"] + sum(c["rejected"].values())
+    assert any(s["stage"] == "normalize" for s in state["stages"])
+
+    # control: without normalize the typography variant is NOT a duplicate
+    out2 = str(tmp_path / "raw")
+    raw = curate_and_encode_corpus(
+        spark, src, out2, do_quality=False, do_c4_clean=False,
+        do_near_dedup=False, units_per_job=4)
+    assert raw["counts"]["kept"] == 4
+    assert "normalize" not in raw["counts"]["rejected"]
