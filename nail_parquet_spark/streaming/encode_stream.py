@@ -199,6 +199,7 @@ def curate_stream(
     text_col: str = "text",
     ts_col: str = "warc_ts",
     quality_rules: dict | None = None,
+    do_normalize: bool = False,
     do_quality: bool = True,
     do_c4_clean: bool = True,
     dedup_watermark: str = "24 hours",
@@ -215,6 +216,9 @@ def curate_stream(
     encode).
 
     Stage semantics vs the batch pipeline:
+    - unicode normalization (``do_normalize``, off by default like the
+      batch pipeline) is a per-document stateless rewrite; docs reduced
+      to '' are dropped, mirroring the batch stage's reject rule.
     - quality filter (``gopher_keep_stream``) and C4 line cleaning are
       per-document stateless transforms — batch boundaries cannot change
       a verdict, so kept content matches the batch run on the same files.
@@ -248,6 +252,13 @@ def curate_stream(
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(src_dir)
 
+    if do_normalize:
+        from nail_parquet_spark.functions.normalize import normalize_text
+
+        stream = stream.withColumn(text_col,
+                                   normalize_text(F.col(text_col)))
+        stream = stream.filter(
+            F.coalesce(F.col(text_col), F.lit("")) != "")
     if do_quality:
         stream = gopher_keep_stream(stream, text_col, quality_rules)
     if do_c4_clean:

@@ -425,3 +425,42 @@ def test_near_dedup_stream_incremental(spark, tmp_path):
                       threshold=0.6, num_hashes=8, bands=4)
     assert sorted(r["doc_id"] for r in
                   spark.read.parquet(out).collect()) == [1, 2, 3, 11]
+
+
+def test_curate_stream_normalize_parity(spark, tmp_path):
+    """do_normalize in the streaming pipeline mirrors the batch stage:
+    typography variants collapse to one kept survivor, invisible-only
+    pages are dropped, and the kept content equals the batch model."""
+    import datetime as dt
+
+    from nail_parquet_spark.codec.decode import decode_table
+    from nail_parquet_spark.functions.dedup import dedup_exact
+    from nail_parquet_spark.functions.normalize import normalize_text
+    from nail_parquet_spark.streaming.encode_stream import curate_stream
+
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "blocks")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "url string, warc_ts timestamp, text string"
+    ts = dt.datetime(2024, 1, 1)
+    rows = [
+        ("https://a.example/1", ts, 'He said "hello" - fine words here.'),
+        ("https://b.example/2", ts, "He said “hello” – fine  words here."),
+        ("https://c.example/3", ts, "​  ­ "),
+        ("https://d.example/4", ts, "a different page entirely."),
+    ]
+    spark.createDataFrame(rows, schema).write.parquet(src)
+    curate_stream(spark, src, out, ckpt, schema, do_normalize=True,
+                  do_quality=False, do_c4_clean=False,
+                  dedup_watermark="2400 hours")
+
+    blocks = spark.read.option("recursiveFileLookup", "true").parquet(out)
+    dec = decode_table(blocks, columns=["url", "text"])
+
+    b = spark.createDataFrame(rows, schema).withColumn(
+        "text", normalize_text(F.col("text")))
+    b = b.filter(F.coalesce(F.col("text"), F.lit("")) != "")
+    b = dedup_exact(b, "url", "text")
+    got = {r["text"] for r in dec.collect()}
+    want = {r["text"] for r in b.collect()}
+    assert got == want and dec.count() == b.count() == 2
