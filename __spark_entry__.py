@@ -2095,19 +2095,23 @@ rep AS (
 
 def _normalize_chain_sql(expr: str) -> str:
     """DuckDB twin of functions/normalize.normalize_text (no lowercase):
-    same one-pass translate alphabet, ellipsis replace, control strip,
-    space/tab-run collapse, outer trim — generated from the module
-    constants so the two engines can never drift."""
+    same one-pass translate alphabet (typography mapped, invisibles AND
+    controls deleted), ellipsis replace, space/tab-run collapse, outer
+    trim — generated from the module constants so the two engines can
+    never drift. Control chars enter the SQL as chr() concatenations
+    (raw C0 bytes cannot sit in a SQL literal)."""
     from nail_parquet_spark.functions.normalize import (
         _TRANSLATE_DST,
-        _TRANSLATE_SRC,
+        _TRANSLATE_SRC_PRINTABLE,
+        CONTROL_CHARS,
     )
 
     dst = _TRANSLATE_DST.replace("'", "''")
+    ctrl = "".join(f" || chr({ord(c)})" for c in CONTROL_CHARS)
     return (
-        "trim(regexp_replace(regexp_replace(replace("
-        f"translate({expr}, '{_TRANSLATE_SRC}', '{dst}'), chr(8230), '...'),"
-        " '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'),"
+        "trim(regexp_replace(replace("
+        f"translate({expr}, '{_TRANSLATE_SRC_PRINTABLE}'{ctrl}, '{dst}'),"
+        " chr(8230), '...'),"
         " '[ \\t]+', ' ', 'g'), ' ')")
 
 

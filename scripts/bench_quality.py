@@ -72,6 +72,27 @@ def main():
         out[f"scaling_efficiency_1_to_4_{eng}"] = round(min(lo) / min(hi) / 4, 4)
     out["arrow_speedup_4"] = round(
         min(walls[("sql", 4)]) / min(walls[("arrow", 4)]), 3)
+
+    # normalize_text chain (functions/normalize.py): one translate +
+    # literal replace + two regexes + trim, all codegen — measured with
+    # the same discipline so BENCH/BASELINE can quote a GB/s figure.
+    from nail_parquet_spark.functions.normalize import normalize_text
+
+    def run_norm(n_parts: int) -> float:
+        df = spark.read.parquet(src).coalesce(n_parts)
+        t0 = time.time()
+        df.select("url", normalize_text(F.col("text")).alias("t")).write \
+          .format("noop").mode("overwrite").save()
+        return time.time() - t0
+
+    run_norm(4)  # warmup
+    nw = {1: [], 4: []}
+    for _ in range(reps):
+        for n in (1, 4):
+            nw[n].append(run_norm(n))
+    out["normalize_gbps_1"] = round(gb / min(nw[1]), 4)
+    out["normalize_gbps_4"] = round(gb / min(nw[4]), 4)
+    out["normalize_scaling_1_to_4"] = round(min(nw[1]) / min(nw[4]) / 4, 4)
     print(json.dumps(out))
 
 

@@ -15,8 +15,6 @@ from nail_parquet_spark.functions.normalize import (
     INVISIBLE_CHARS,
     MOJIBAKE_MARKERS,
     SPACE_CHARS,
-    _TRANSLATE_DST,
-    _TRANSLATE_SRC,
     badwords_filter,
     badwords_flag,
     mojibake_stats,
@@ -67,7 +65,10 @@ def test_normalize_idempotent_and_lowercase(spark, uni_docs):
 
 
 def test_normalize_matches_duckdb_model(spark):
-    """Seeded random corpus vs the DuckDB expression the oracle entry uses."""
+    """Seeded random corpus vs the exact DuckDB expression the oracle entry
+    uses (the shared chain builder — the two engines cannot drift)."""
+    from __spark_entry__ import _normalize_chain_sql
+
     rng = random.Random(7)
     alphabet = ("ab c\t\nxyz" + SPACE_CHARS + INVISIBLE_CHARS + DASH_CHARS
                 + "‘“…\x01\x0b")
@@ -79,13 +80,8 @@ def test_normalize_matches_duckdb_model(spark):
     con = duckdb.connect()
     con.execute("CREATE TABLE t(doc_id BIGINT, text VARCHAR)")
     con.executemany("INSERT INTO t VALUES (?, ?)", rows)
-    dst_sql = _TRANSLATE_DST.replace("'", "''")
-    exp = {r[0]: r[1] for r in con.sql(f"""
-        SELECT doc_id, trim(regexp_replace(regexp_replace(
-          replace(translate(text, '{_TRANSLATE_SRC}', '{dst_sql}'),
-                  '…', '...'),
-          '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'),
-          '[ \\t]+', ' ', 'g'), ' ') FROM t""").fetchall()}
+    exp = {r[0]: r[1] for r in con.sql(
+        f"SELECT doc_id, {_normalize_chain_sql('text')} FROM t").fetchall()}
     assert got == exp
 
 
