@@ -416,6 +416,12 @@ def main(argv: list[str] | None = None) -> int:
         (("--normalize",), {"action": "store_true",
                             "help": "prepend pinned unicode typography/whitespace "
                                     "normalization (before every text-keyed stage)"}),
+        (("--lang",), {"default": None, "dest": "lang_keep",
+                       "help": "comma list of language codes to KEEP "
+                               "(stopword-marker lang ID routing, e.g. en,de)"}),
+        (("--badwords",), {"default": None,
+                           "help": "comma word blocklist — drops docs containing any "
+                                   "listed word (C4 gate, applied on cleaned text)"}),
         (("--classifier",), {"default": None,
                              "help": "weights table — enables the model-based "
                                      "quality gate after the rule gate"}),
@@ -507,6 +513,10 @@ def main(argv: list[str] | None = None) -> int:
             quality_rules=json.loads(args.rules) if args.rules else None,
             do_boilerplate=args.boilerplate,
             do_normalize=args.normalize,
+            lang_keep=([x.strip() for x in args.lang_keep.split(",") if x.strip()]
+                       if args.lang_keep else None),
+            badwords=([w.strip() for w in args.badwords.split(",") if w.strip()]
+                      if args.badwords else None),
             classifier_src=args.classifier,
             classifier_dim=args.classifier_dim,
             classifier_threshold=args.classifier_threshold,

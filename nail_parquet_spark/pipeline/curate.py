@@ -1,8 +1,9 @@
 """One-call corpus curation: unicode normalization (optional) ->
-within-site boilerplate removal (optional) -> quality filter -> C4 line
-clean -> exact dedup -> MinHash near-dedup -> benchmark decontamination
-(optional, off unless an eval table is given) -> salted encode, with
-per-stage reject/lineage manifests and stage-level resume (VERDICT r4 #4).
+within-site boilerplate removal (optional) -> language routing (optional)
+-> quality filter -> C4 line clean -> word blocklist (optional) -> exact
+dedup -> MinHash near-dedup -> benchmark decontamination (optional, off
+unless an eval table is given) -> salted encode, with per-stage
+reject/lineage manifests and stage-level resume (VERDICT r4 #4).
 
 This is the integration a 100-TB training-data user actually runs. Every
 stage is an already-oracle-attested operator (functions/quality,
@@ -43,9 +44,9 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-STAGES = ("extract", "normalize", "boilerplate", "quality", "classify",
-          "c4_clean", "exact_dedup", "prior_dedup", "near_dedup",
-          "prior_near_dedup", "decontam")
+STAGES = ("extract", "normalize", "boilerplate", "lang_filter", "quality",
+          "classify", "c4_clean", "badwords", "exact_dedup", "prior_dedup",
+          "near_dedup", "prior_near_dedup", "decontam")
 
 
 def _reject_dir(out_dir: str, stage: str) -> str:
@@ -64,6 +65,8 @@ def curate_and_encode_corpus(
     boilerplate_max_doc_frac: float = 0.5,
     boilerplate_min_docs: int = 2,
     do_normalize: bool = False,
+    lang_keep: list[str] | None = None,
+    badwords: list[str] | None = None,
     do_quality: bool = True,
     do_c4_clean: bool = True,
     do_exact_dedup: bool = True,
@@ -215,6 +218,26 @@ def curate_and_encode_corpus(
                            "min_docs": boilerplate_min_docs,
                            "group": f"registered_domain({url_col})"})
 
+        if lang_keep:
+            # CCNet-style language routing ahead of the quality rules:
+            # the stopword-marker lang ID (the staged projection form —
+            # one split per row) labels each doc; only the requested
+            # languages continue. Rejects keep their predicted label in
+            # the audit table so routing can be replayed per language.
+            from nail_parquet_spark.functions.text import lang_id_table
+
+            pred = lang_id_table(cur, "__doc_id", text_col)
+            bad = pred.filter(~F.col("lang_pred").isin(list(lang_keep)))
+            rej = (cur.join(bad, "__doc_id")
+                   .select("__doc_id", url_col, "lang_pred"))
+            rej.write.mode("overwrite").parquet(_reject_dir(out_dir, "lang_filter"))
+            counts["lang_filter"] = spark.read.parquet(
+                _reject_dir(out_dir, "lang_filter")).count()
+            cur = _pin(cur.join(bad.select("__doc_id"), "__doc_id",
+                                "left_anti"))
+            stages.append({"stage": "lang_filter",
+                           "keep": sorted(lang_keep)})
+
         if do_quality:
             from nail_parquet_spark.functions.quality import GOPHER_RULES, gopher_filter
 
@@ -268,6 +291,20 @@ def curate_and_encode_corpus(
                 _reject_dir(out_dir, "c4_clean")).count()
             cur = _pin(cur.filter(F.col(text_col) != ""))
             stages.append({"stage": "c4_clean"})
+
+        if badwords:
+            # C4's word-blocklist document gate, applied on the CLEANED
+            # text (the C4 ordering). Pure projection filter — no join,
+            # cardinality preserved under duplicate ids.
+            from nail_parquet_spark.functions.normalize import badwords_flag
+
+            flag = badwords_flag(F.col(text_col), list(badwords))
+            rej = cur.filter(flag).select("__doc_id", url_col)
+            rej.write.mode("overwrite").parquet(_reject_dir(out_dir, "badwords"))
+            counts["badwords"] = spark.read.parquet(
+                _reject_dir(out_dir, "badwords")).count()
+            cur = _pin(cur.filter(~flag))
+            stages.append({"stage": "badwords", "n_words": len(badwords)})
 
         if do_exact_dedup:
             from nail_parquet_spark.functions.dedup import dedup_exact

@@ -259,3 +259,41 @@ def test_curate_normalize_stage(spark, tmp_path):
         do_near_dedup=False, units_per_job=4)
     assert raw["counts"]["kept"] == 4
     assert "normalize" not in raw["counts"]["rejected"]
+
+
+def test_curate_lang_and_badwords_stages(spark, tmp_path):
+    """--lang routes by the stopword-marker language ID (rejects carry the
+    predicted label); --badwords drops blocklisted docs after C4 cleaning;
+    counts conserve across the extended stage set."""
+    import datetime
+
+    from nail_parquet_spark.pipeline.curate import curate_and_encode_corpus
+
+    ts = datetime.datetime(2024, 1, 1)
+    en = "the cat and the dog is in the house of the man"
+    de = "der hund und die katze ist in das haus und der mann"
+    rows = [
+        ("https://en.example/1", ts, en),
+        ("https://en.example/2", ts, en + " again the end"),
+        ("https://de.example/3", ts, de),
+        ("https://bad.example/4", ts, en + " with spamword inside"),
+    ]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows, "url string, warc_ts timestamp, text string") \
+        .write.parquet(src)
+
+    out = str(tmp_path / "routed")
+    state = curate_and_encode_corpus(
+        spark, src, out, lang_keep=["en"], badwords=["spamword"],
+        do_quality=False, do_c4_clean=False, do_near_dedup=False,
+        units_per_job=4)
+    c = state["counts"]
+    assert c["rejected"]["lang_filter"] == 1      # the German page
+    assert c["rejected"]["badwords"] == 1         # the spamword page
+    assert c["kept"] == 2
+    assert c["input"] == c["kept"] + sum(c["rejected"].values())
+    # the lang audit table records the routed-away label
+    audit = spark.read.parquet(os.path.join(out, "_rejects", "stage=lang_filter"))
+    assert audit.collect()[0]["lang_pred"] == "de"
+    names = [s["stage"] for s in state["stages"]]
+    assert names.index("lang_filter") < names.index("badwords")
