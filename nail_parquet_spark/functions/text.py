@@ -100,6 +100,34 @@ def lang_id_table(df, id_col: str, text_col: str,
     return s2.select(F.col(id_col), best.alias(out_col))
 
 
+def lang_id_stream(df, text_col: str,
+                   langs: list[str] | None = None,
+                   out_col: str = "lang_pred"):
+    """``lang_id_table`` arithmetic, PRESERVING every input column (the
+    gopher_keep_stream pattern): stateless staged selects only, so it works
+    on Structured Streaming DataFrames and lets batch pipelines carry the
+    label without an id join. Bit-identical labels to ``lang_id_table``
+    (pinned by test_lang_id_stream_matches_table)."""
+    langs = langs or list(LANG_MARKERS)
+    orig = [F.col(c) for c in df.columns]
+    s1 = df.select(*orig,
+                   F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+                   .alias("__lw"))
+    s2 = s1.select(
+        *orig,
+        *[F.size(F.array_intersect(
+            F.col("__lw"),
+            F.array(*[F.lit(m.strip()) for m in LANG_MARKERS[lg]]))
+          ).alias(f"__ls_{lg}") for lg in langs])
+    best, best_score = F.lit("und"), F.lit(0)
+    for lg in langs:
+        sc = F.col(f"__ls_{lg}")
+        cond = sc > best_score
+        best = F.when(cond, F.lit(lg)).otherwise(best)
+        best_score = F.when(cond, sc).otherwise(best_score)
+    return s2.select(*orig, best.alias(out_col))
+
+
 def quality_metrics(col: Column) -> list[Column]:
     """Length / punctuation / digit / whitespace ratios and mean word length
     — the usual web-text quality-filter features."""

@@ -220,21 +220,21 @@ def curate_and_encode_corpus(
 
         if lang_keep:
             # CCNet-style language routing ahead of the quality rules:
-            # the stopword-marker lang ID (the staged projection form —
-            # one split per row) labels each doc; only the requested
-            # languages continue. Rejects keep their predicted label in
-            # the audit table so routing can be replayed per language.
-            from nail_parquet_spark.functions.text import lang_id_table
+            # the stopword-marker lang ID as an all-columns staged
+            # projection (lang_id_stream — one split per row, no id
+            # join). Rejects keep their predicted label in the audit
+            # table so routing can be replayed per language.
+            from nail_parquet_spark.functions.text import lang_id_stream
 
-            pred = lang_id_table(cur, "__doc_id", text_col)
-            bad = pred.filter(~F.col("lang_pred").isin(list(lang_keep)))
-            rej = (cur.join(bad, "__doc_id")
-                   .select("__doc_id", url_col, "lang_pred"))
+            pred = _pin(lang_id_stream(cur, text_col,
+                                       out_col="__lang_pred"))
+            keep_p = F.col("__lang_pred").isin(list(lang_keep))
+            rej = pred.filter(~keep_p).select(
+                "__doc_id", url_col, F.col("__lang_pred").alias("lang_pred"))
             rej.write.mode("overwrite").parquet(_reject_dir(out_dir, "lang_filter"))
             counts["lang_filter"] = spark.read.parquet(
                 _reject_dir(out_dir, "lang_filter")).count()
-            cur = _pin(cur.join(bad.select("__doc_id"), "__doc_id",
-                                "left_anti"))
+            cur = _pin(pred.filter(keep_p).drop("__lang_pred"))
             stages.append({"stage": "lang_filter",
                            "keep": sorted(lang_keep)})
 

@@ -200,6 +200,8 @@ def curate_stream(
     ts_col: str = "warc_ts",
     quality_rules: dict | None = None,
     do_normalize: bool = False,
+    lang_keep: list[str] | None = None,
+    badwords: list[str] | None = None,
     do_quality: bool = True,
     do_c4_clean: bool = True,
     dedup_watermark: str = "24 hours",
@@ -219,6 +221,10 @@ def curate_stream(
     - unicode normalization (``do_normalize``, off by default like the
       batch pipeline) is a per-document stateless rewrite; docs reduced
       to '' are dropped, mirroring the batch stage's reject rule.
+    - language routing (``lang_keep``) and the word blocklist
+      (``badwords``) are per-document stateless filters, applied in the
+      batch pipeline's stage order (lang before quality, badwords after
+      the C4 clean).
     - quality filter (``gopher_keep_stream``) and C4 line cleaning are
       per-document stateless transforms — batch boundaries cannot change
       a verdict, so kept content matches the batch run on the same files.
@@ -259,12 +265,23 @@ def curate_stream(
                                    normalize_text(F.col(text_col)))
         stream = stream.filter(
             F.coalesce(F.col(text_col), F.lit("")) != "")
+    if lang_keep:
+        from nail_parquet_spark.functions.text import lang_id_stream
+
+        stream = lang_id_stream(stream, text_col, out_col="__lang_pred")
+        stream = stream.filter(
+            F.col("__lang_pred").isin(list(lang_keep))).drop("__lang_pred")
     if do_quality:
         stream = gopher_keep_stream(stream, text_col, quality_rules)
     if do_c4_clean:
         stream = stream.withColumn(
             text_col, c4_clean_text(F.coalesce(F.col(text_col), F.lit(""))))
         stream = stream.filter(F.col(text_col) != "")
+    if badwords:
+        from nail_parquet_spark.functions.normalize import badwords_flag
+
+        stream = stream.filter(~badwords_flag(F.col(text_col),
+                                              list(badwords)))
     stream = stream_dedup_exact(stream, key_cols=[], text_col=text_col,
                                 ts_col=ts_col, watermark=dedup_watermark)
 

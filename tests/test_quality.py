@@ -301,3 +301,26 @@ def test_remove_boilerplate_drops_every_occurrence(spark):
     out = {r["doc_id"]: r["text"] for r in
            remove_boilerplate_lines(df, "doc_id", "text", "site").collect()}
     assert out == {1: "keep1", 2: "keep2"}
+
+
+def test_lang_id_stream_matches_table(spark):
+    """lang_id_stream (all-columns staged) is bit-identical to
+    lang_id_table and preserves the input columns."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from nail_parquet_spark.functions.text import lang_id_stream, lang_id_table
+
+    rng = random.Random(3)
+    vocab = ("the and of to is der die und das ist le la et les est "
+             "el los que il che di x y z").split()
+    rows = [(i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(0, 12))), i * 2)
+            for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, extra long")
+    got = lang_id_stream(df, "text")
+    assert got.columns == ["doc_id", "text", "extra", "lang_pred"]
+    a = {r["doc_id"]: r["lang_pred"] for r in got.collect()}
+    b = {r["doc_id"]: r["lang_pred"]
+         for r in lang_id_table(df, "doc_id", "text").collect()}
+    assert a == b

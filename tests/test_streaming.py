@@ -464,3 +464,40 @@ def test_curate_stream_normalize_parity(spark, tmp_path):
     got = {r["text"] for r in dec.collect()}
     want = {r["text"] for r in b.collect()}
     assert got == want and dec.count() == b.count() == 2
+
+
+def test_curate_stream_lang_badwords_parity(spark, tmp_path):
+    """Streaming lang routing + badwords gates match the batch model's
+    kept content on the same files (stage order: lang before quality,
+    badwords after the C4 clean)."""
+    import datetime as dt
+
+    from nail_parquet_spark.codec.decode import decode_table
+    from nail_parquet_spark.functions.normalize import badwords_flag
+    from nail_parquet_spark.functions.text import lang_id_stream
+    from nail_parquet_spark.streaming.encode_stream import curate_stream
+
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "blocks")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "url string, warc_ts timestamp, text string"
+    ts = dt.datetime(2024, 1, 1)
+    rows = [
+        ("https://en.example/1", ts, "the cat and the dog is in the house"),
+        ("https://de.example/2", ts, "der hund und die katze ist in das haus"),
+        ("https://sp.example/3", ts, "the cat and the dog spamword is here"),
+        ("https://en.example/4", ts, "the end of the story is the best"),
+    ]
+    spark.createDataFrame(rows, schema).write.parquet(src)
+    curate_stream(spark, src, out, ckpt, schema, lang_keep=["en"],
+                  badwords=["spamword"], do_quality=False,
+                  do_c4_clean=False, dedup_watermark="2400 hours")
+    blocks = spark.read.option("recursiveFileLookup", "true").parquet(out)
+    dec = decode_table(blocks, columns=["url", "text"])
+
+    b = lang_id_stream(spark.createDataFrame(rows, schema), "text")
+    b = b.filter(F.col("lang_pred") == "en").drop("lang_pred")
+    b = b.filter(~badwords_flag(F.col("text"), ["spamword"]))
+    assert ({r["url"] for r in dec.collect()}
+            == {r["url"] for r in b.collect()}
+            == {"https://en.example/1", "https://en.example/4"})
