@@ -317,6 +317,7 @@ def test_lang_id_stream_matches_table(spark):
              "el los que il che di x y z").split()
     rows = [(i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(0, 12))), i * 2)
             for i in range(400)]
+    rows += [(1000, None, 0), (1001, "", 0), (1002, "   ", 0)]
     df = spark.createDataFrame(rows, "doc_id long, text string, extra long")
     got = lang_id_stream(df, "text")
     assert got.columns == ["doc_id", "text", "extra", "lang_pred"]
