@@ -253,6 +253,10 @@ def main(argv: list[str] | None = None) -> int:
         (("--min-dominant-frac",), {"type": float, "default": 0.5,
                                     "help": "scripts: dominance floor below which "
                                             "dominant_script is 'und'"}),
+        (("--engine",), {"default": "sql", "choices": ["sql", "arrow"],
+                         "help": "scripts: Catalyst regex counts (sql) or the "
+                                 "single-searchsorted codepoint kernel (arrow, "
+                                 "count-identical)"}),
         (("--remove",), {"action": "store_true",
                          "help": "badwords: emit surviving rows instead of the verdict"}))
     add("pii", (("-c", "--text-column"), {"default": "text", "dest": "text_column"}),
@@ -987,7 +991,8 @@ def main(argv: list[str] | None = None) -> int:
         elif args.mode == "scripts":
             out = nm.script_profile_table(
                 df, id_col, args.text_column,
-                dominant_min_frac=args.min_dominant_frac)
+                dominant_min_frac=args.min_dominant_frac,
+                engine=args.engine)
         elif args.mode == "mojibake":
             out = nm.mojibake_stats(df, id_col, args.text_column)
         else:

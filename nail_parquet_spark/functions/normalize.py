@@ -114,7 +114,8 @@ def script_counts(col: Column) -> list[Column]:
 
 
 def script_profile_table(df: DataFrame, id_col: str, text_col: str,
-                         dominant_min_frac: float = 0.5) -> DataFrame:
+                         dominant_min_frac: float = 0.5,
+                         engine: str = "sql") -> DataFrame:
     """(id, <script>_chars..., nonspace_chars, other_chars, dominant_script)
     via a STAGED projection (stage 1 counts once per class, stage 2 argmax
     over plain attributes — the lang_id_table lesson: Catalyst does not CSE
@@ -125,12 +126,26 @@ def script_profile_table(df: DataFrame, id_col: str, text_col: str,
     ``dominant_min_frac`` of nonspace chars (mixed-script spam shows up as
     'und' rather than a confident label). NULL text yields NULL counts and
     'und'. Zero shuffles.
+
+    ``engine='arrow'`` swaps the count stage for the single-searchsorted
+    codepoint kernel (functions/normalize_arrow — one decode pass instead
+    of eight Java-regex scans, count-identical by test); the dominance
+    projection below is shared, so labels cannot diverge.
     """
     names = list(SCRIPT_CLASSES)
-    s1 = df.select(
-        F.col(id_col),
-        F.length(F.col(text_col)).cast("long").alias("__len"),
-        *script_counts(F.col(text_col)))
+    if engine == "arrow":
+        from nail_parquet_spark.functions.normalize_arrow import (
+            script_counts_arrow,
+        )
+
+        s1 = script_counts_arrow(df, id_col, text_col)
+    elif engine == "sql":
+        s1 = df.select(
+            F.col(id_col),
+            F.length(F.col(text_col)).cast("long").alias("__len"),
+            *script_counts(F.col(text_col)))
+    else:
+        raise ValueError(f"engine must be 'sql' or 'arrow', got {engine!r}")
     nonspace = (F.col("__len") - F.col("space_chars")).cast("long")
     s2 = s1.select(
         F.col(id_col),
