@@ -420,6 +420,9 @@ def main(argv: list[str] | None = None) -> int:
         (("--normalize",), {"action": "store_true",
                             "help": "prepend pinned unicode typography/whitespace "
                                     "normalization (before every text-keyed stage)"}),
+        (("--drop-noindex",), {"action": "store_true",
+                               "help": "drop pages whose robots meta declares "
+                                       "noindex/none (raw-crawl input only)"}),
         (("--lang",), {"default": None, "dest": "lang_keep",
                        "help": "comma list of language codes to KEEP "
                                "(stopword-marker lang ID routing, e.g. en,de)"}),
@@ -517,6 +520,7 @@ def main(argv: list[str] | None = None) -> int:
             quality_rules=json.loads(args.rules) if args.rules else None,
             do_boilerplate=args.boilerplate,
             do_normalize=args.normalize,
+            drop_noindex=args.drop_noindex,
             lang_keep=([x.strip() for x in args.lang_keep.split(",") if x.strip()]
                        if args.lang_keep else None),
             badwords=([w.strip() for w in args.badwords.split(",") if w.strip()]

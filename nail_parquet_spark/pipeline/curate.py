@@ -44,7 +44,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-STAGES = ("extract", "normalize", "boilerplate", "lang_filter", "quality",
+STAGES = ("extract", "noindex", "normalize", "boilerplate", "lang_filter", "quality",
           "classify", "c4_clean", "badwords", "exact_dedup", "prior_dedup",
           "near_dedup", "prior_near_dedup", "decontam")
 
@@ -65,6 +65,7 @@ def curate_and_encode_corpus(
     boilerplate_max_doc_frac: float = 0.5,
     boilerplate_min_docs: int = 2,
     do_normalize: bool = False,
+    drop_noindex: bool = False,
     lang_keep: list[str] | None = None,
     badwords: list[str] | None = None,
     do_quality: bool = True,
@@ -166,6 +167,29 @@ def curate_and_encode_corpus(
                 F.coalesce(F.col(text_col), F.lit("")) != ""))
             stages.append({"stage": "extract", "from": "html",
                            "rule": "body text, pinned html rule set"})
+
+        if drop_noindex:
+            # honor the page's robots meta (noindex/none): publishers
+            # opted these pages out of indexing, and responsible crawl
+            # curation drops them. Needs the raw markup; projection
+            # filter, no join.
+            if "html" not in df.columns:
+                raise ValueError("drop_noindex requires an 'html' column "
+                                 "(raw-crawl input)")
+            from nail_parquet_spark.functions.html import (
+                html_noindex, html_to_string)
+
+            h = F.col("html")
+            if dict(df.dtypes).get("html") == "binary":
+                h = html_to_string(h)
+            flag = html_noindex(h)
+            rej = cur.filter(flag).select("__doc_id", url_col)
+            rej.write.mode("overwrite").parquet(_reject_dir(out_dir, "noindex"))
+            counts["noindex"] = spark.read.parquet(
+                _reject_dir(out_dir, "noindex")).count()
+            cur = _pin(cur.filter(~flag))
+            stages.append({"stage": "noindex",
+                           "rule": "robots meta noindex/none"})
 
         if do_normalize:
             # typography/whitespace canonicalization BEFORE every

@@ -297,3 +297,48 @@ def test_curate_lang_and_badwords_stages(spark, tmp_path):
     assert audit.collect()[0]["lang_pred"] == "de"
     names = [s["stage"] for s in state["stages"]]
     assert names.index("lang_filter") < names.index("badwords")
+
+
+def test_curate_drop_noindex_stage(spark, tmp_path):
+    """drop_noindex honors the robots meta on raw-crawl input: noindex/none
+    pages are rejected with an audit table before any text-keyed stage."""
+    import datetime
+
+    from nail_parquet_spark.pipeline.curate import curate_and_encode_corpus
+
+    ts = datetime.datetime(2024, 1, 1)
+
+    def page(body, robots=None):
+        meta = (f'<meta name="robots" content="{robots}">' if robots else "")
+        return (f"<html><head>{meta}</head><body><p>{body}</p>"
+                "</body></html>").encode()
+
+    rows = [
+        ("https://a.example/1", ts, page("keep this page text")),
+        ("https://b.example/2", ts, page("secret page", "noindex, follow")),
+        ("https://c.example/3", ts, page("also hidden", "NONE")),
+        ("https://d.example/4", ts, page("indexable page", "index, follow")),
+    ]
+    src = str(tmp_path / "raw")
+    spark.createDataFrame(rows, "url string, warc_ts timestamp, html binary") \
+        .write.parquet(src)
+    out = str(tmp_path / "curated_ni")
+    state = curate_and_encode_corpus(
+        spark, src, out, drop_noindex=True, do_quality=False,
+        do_c4_clean=False, do_near_dedup=False, units_per_job=4)
+    c = state["counts"]
+    assert c["rejected"]["noindex"] == 2
+    assert c["kept"] == 2
+    assert c["input"] == c["kept"] + sum(c["rejected"].values())
+    names = [s["stage"] for s in state["stages"]]
+    assert names[:2] == ["extract", "noindex"]
+
+    # guard: tabular input without markup cannot honor robots
+    with pytest.raises(ValueError):
+        flat = str(tmp_path / "flat")
+        spark.createDataFrame([("u", ts, "t")],
+                              "url string, warc_ts timestamp, text string") \
+            .write.parquet(flat)
+        curate_and_encode_corpus(spark, flat, str(tmp_path / "x"),
+                                 drop_noindex=True, do_quality=False,
+                                 do_c4_clean=False, do_near_dedup=False)
