@@ -20,6 +20,13 @@ Codecs
                FOR-bit-packed int64, per-value bit-exactness enforced,
                non-representable values (NaN/inf/high-entropy) in a raw
                exception list (Afroozeh et al., SIGMOD'24 idea, pure numpy)
+  fc           front coding (the parquet DELTA_BYTE_ARRAY / ORC incremental
+               idea) for sorted-ish str/bin: rows store the byte length of
+               the prefix shared with their group head (restart every 16
+               rows, so decode stays a pure vectorized gather) plus the
+               remaining suffix, suffix stream zstd'd — wins on sorted url
+               columns where every neighbor shares a long scheme://host
+               prefix
   fsst         FSST-style symbol-table compression for str/bin: up to 255
                symbols of 1–8 bytes learned by sampled byte-pair merging,
                escape code 255 for out-of-table bytes (Boncz et al.,
@@ -818,6 +825,92 @@ def _dec_strbin_wdict(block: EncodedBlock, n: int) -> tuple[np.ndarray, bytes]:
 
 
 # ---------------------------------------------------------------------------
+# front-coding codec (fc) — incremental prefix encoding for sorted-ish
+# str/bin columns (the parquet DELTA_BYTE_ARRAY / ORC incremental idea)
+# ---------------------------------------------------------------------------
+
+FC_GROUP = 16  # restart stride: row i's prefix reference is row (i//G)*G
+
+
+FC_MAX_PREFIX = 4096  # compare-window cap: bounds cost on very wide values
+
+
+def _fc_prefix_lens(offsets: np.ndarray, src: np.ndarray, n: int) -> np.ndarray:
+    """Per-row common-prefix length vs the row's group head, fully
+    vectorized: one gathered byte-compare over min(len, head_len) windows,
+    then per-row first mismatch by searchsorted over the global mismatch
+    positions (no per-row Python). Group heads get 0 (they store full)."""
+    lens = np.diff(offsets)
+    rows_arange = np.arange(n, dtype=np.int64)
+    head = (rows_arange // FC_GROUP) * FC_GROUP
+    m = np.minimum(np.minimum(lens, lens[head]), FC_MAX_PREFIX)
+    m[head == rows_arange] = 0
+    if not m.any():
+        return np.zeros(n, dtype=np.int64)
+    within = _ranges_within(m)
+    a = src[np.repeat(offsets[:-1], m) + within]
+    b = src[np.repeat(offsets[:-1][head], m) + within]
+    plen = m.astype(np.int64)
+    neq_idx = np.flatnonzero(a != b)
+    if len(neq_idx):
+        # compare slots are laid out row-major: the first mismatch slot at
+        # or after a row's segment start, if inside the segment, is that
+        # row's first differing byte
+        seg = np.concatenate(([np.int64(0)], np.cumsum(m)))
+        k = np.searchsorted(neq_idx, seg[:-1], side="left")
+        hit = neq_idx[np.minimum(k, len(neq_idx) - 1)]
+        has = (k < len(neq_idx)) & (hit < seg[1:])
+        plen[has] = hit[has] - seg[:-1][has]
+    return plen
+
+
+def _enc_strbin_fc(
+    offsets: np.ndarray, data, level: int
+) -> tuple[dict, list[tuple[str, bytes]]]:
+    n = len(offsets) - 1
+    lens = np.diff(offsets)
+    src = (np.frombuffer(data, dtype=np.uint8) if len(data)
+           else np.zeros(0, dtype=np.uint8))
+    plen = _fc_prefix_lens(offsets, src, n) if n else np.zeros(0, np.int64)
+    slen = lens - plen
+    stored = src[np.repeat(offsets[:-1] + plen, slen) + _ranges_within(slen)].tobytes()
+    pw = bit_width(int(plen.max())) if n and plen.size else 0
+    params = {
+        "plen_width": pw,
+        "group": FC_GROUP,
+        "raw_len": len(stored),
+        "level": level,
+    }
+    secs = [
+        ("plens", pack_bits(plen.view(np.uint64), pw)),
+        ("data", zstd_compress(stored, level)),
+    ]
+    return params, secs
+
+
+def _dec_strbin_fc(block: EncodedBlock, n: int) -> tuple[np.ndarray, bytes]:
+    p = block.header["params"]
+    lens = unpack_bits(block.section("lens"), n, p["len_width"]).astype(np.int64)
+    plen = unpack_bits(block.section("plens"), n, p["plen_width"]).astype(np.int64)
+    src = np.frombuffer(
+        zstd_decompress(block.section("data"), p["raw_len"]), dtype=np.uint8)
+    slen = lens - plen
+    soff = np.concatenate(([np.int64(0)], np.cumsum(slen)))
+    head = (np.arange(n, dtype=np.int64) // p["group"]) * p["group"]
+    # output = head's stored bytes[:plen] (heads store full) + own suffix:
+    # 2 gather segments per row, built in one repeat+ranges pass
+    starts2 = np.empty(2 * n, dtype=np.int64)
+    lens2 = np.empty(2 * n, dtype=np.int64)
+    starts2[0::2] = soff[:-1][head]
+    lens2[0::2] = plen
+    starts2[1::2] = soff[:-1]
+    lens2[1::2] = slen
+    data = src[np.repeat(starts2, lens2) + _ranges_within(lens2)].tobytes()
+    offsets = np.concatenate(([np.int64(0)], np.cumsum(lens))).astype(np.int64)
+    return offsets, data
+
+
+# ---------------------------------------------------------------------------
 # cross-column reference codec (xref)
 # ---------------------------------------------------------------------------
 
@@ -1003,7 +1096,7 @@ def encode_array(arr: pa.Array, codec: str, ref_arr: pa.Array | None = None) -> 
         level = (int(codec.split(":", 1)[1]) if ":" in codec
                  else _GP_DEFAULT_LEVEL[base])
         codec = base
-    elif base == "bss":
+    elif base in ("bss", "fc"):
         if ":" in codec:
             level = int(codec.split(":", 1)[1])
         codec = base
@@ -1160,6 +1253,10 @@ def encode_array(arr: pa.Array, codec: str, ref_arr: pa.Array | None = None) -> 
             params["len_width"] = lw
             params["ref"] = xref_name
             secs = [len_sec] + xsecs
+        elif codec == "fc":
+            params, fcsecs = _enc_strbin_fc(offsets, data, level)
+            params["len_width"] = lw
+            secs = [len_sec] + fcsecs
         elif codec == "wdict":
             params, secs = _enc_strbin_wdict(arr.fill_null("" if kind == "str" else b""), level)
         elif codec in ("dict", "rle"):
@@ -1297,6 +1394,8 @@ def decode_array(block: EncodedBlock, ref_arr: pa.Array | None = None) -> pa.Arr
             offsets, data = _dec_strbin_xref(block, n, ref_arr)
         elif codec == "wdict":
             offsets, data = _dec_strbin_wdict(block, n)
+        elif codec == "fc":
+            offsets, data = _dec_strbin_fc(block, n)
         elif codec in ("dict", "rle"):
             dlens = unpack_bits(block.section("dict_lens"), p["n_dict"], p["dict_len_width"]).astype(np.int64)
             doff = np.concatenate(([0], np.cumsum(dlens))).astype(np.int64)
@@ -1362,13 +1461,13 @@ def _type_from_str(s: str) -> pa.DataType:
 VALID_CODECS = {
     "int": ["plain", "zstd", "brotli", "lz4", "gzip", "for_bitpack", "delta_bitpack", "rle", "dict"],
     "float": ["plain", "zstd", "brotli", "lz4", "gzip", "dict", "alp", "bss"],
-    "str": ["plain", "zstd", "brotli", "lz4", "gzip", "fsst", "dict", "rle", "wdict"],
-    "bin": ["plain", "zstd", "brotli", "lz4", "gzip", "fsst", "dict", "rle", "wdict"],
+    "str": ["plain", "zstd", "brotli", "lz4", "gzip", "fsst", "dict", "rle", "wdict", "fc"],
+    "bin": ["plain", "zstd", "brotli", "lz4", "gzip", "fsst", "dict", "rle", "wdict", "fc"],
     # list<primitive> encodes lens + the flattened child with the SAME codec
     # name, so any codec valid for the child kind is valid here (not xref:
     # the child rows don't align with any same-block reference column)
     "list": ["plain", "zstd", "brotli", "lz4", "gzip", "alp", "bss", "dict",
-             "rle", "for_bitpack", "delta_bitpack", "fsst", "wdict"],
+             "rle", "for_bitpack", "delta_bitpack", "fsst", "wdict", "fc"],
     # "xref:<ref>[:level]" is also valid for str/bin but needs a same-block
     # reference array, so the single-column test matrices exclude it
     # (tests/test_xref.py covers it end to end)

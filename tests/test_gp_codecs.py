@@ -83,3 +83,41 @@ def test_write_data_routes_brotli(spark, tmp_path):
     back = read_parquet_arrow(spark, out)
     assert back.count() == 100
     assert sorted(r.s for r in back.collect()) == sorted(f"x{i}" for i in range(100))
+
+
+def test_fc_distributed_roundtrip_on_sorted_urls(spark):
+    """Front coding end to end: a url-sorted layout (what optimize
+    --sort-by/--zorder-by produces) encodes the url column with fc and
+    decodes bit-identical; the auto-selector picks fc on its own."""
+    from pyspark.sql import functions as F
+
+    from nail_parquet_spark.codec.decode import decode_table
+    from nail_parquet_spark.codec.encode import encode_table
+
+    df = (
+        spark.range(0, 20000, 1, 4)
+        .select(
+            F.concat(
+                F.lit("https://www.site"),
+                F.lpad((F.col("id") % 37).cast("string"), 3, "0"),
+                F.lit(".example.org/section/"),
+                F.lpad((F.abs(F.xxhash64(F.col("id"))) % 100000).cast("string"), 5, "0"),
+                F.lit("/page-"),
+                F.col("id").cast("string"),
+                F.lit(".html"),
+            ).alias("url"),
+            (F.col("id") % 1000).alias("k"),
+        )
+        .orderBy("url")
+    )
+    enc = encode_table(df, codecs={"url": "fc"})
+    hdr = (enc.filter(F.col("column") == "url")
+              .select("header").limit(1).collect()[0][0])
+    assert '"codec":"fc"' in hdr
+    dec = decode_table(enc, columns=["url", "k"])
+    assert dec.exceptAll(df).count() == 0 and df.exceptAll(dec).count() == 0
+
+    # auto path: sorted urls -> selector lands on fc via the trial
+    enc_auto = encode_table(df.select("url"))
+    hdr2 = enc_auto.select("header").limit(1).collect()[0][0]
+    assert '"codec":"fc"' in hdr2

@@ -177,3 +177,69 @@ class TestAlp:
         assert out.null_count == 1
         assert out[0].as_py() == pytest.approx(1.5)
         assert out[3].as_py() == pytest.approx(123.5)
+
+
+class TestFrontCoding:
+    """fc codec (front coding / DELTA_BYTE_ARRAY idea): ratio on sorted
+    urls, restart-group structure, selector gating on sortedness."""
+
+    def _sorted_urls(self, n=20_000):
+        rng = np.random.default_rng(5)
+        hosts = [f"https://www.site{i:03d}.example.org/" for i in range(50)]
+        return sorted(
+            hosts[int(rng.integers(0, 50))]
+            + f"section/{int(rng.integers(0, 99999)):05d}/page-{j}.html"
+            for j in range(n)
+        )
+
+    def test_fc_beats_zstd_and_dict_on_sorted_urls(self):
+        arr = pa.array(self._sorted_urls(), type=pa.string())
+        fc = encode_array(arr, "fc")
+        assert len(fc.payload) < len(encode_array(arr, "zstd").payload)
+        assert len(fc.payload) < len(encode_array(arr, "dict").payload)
+        assert decode_array(fc).equals(arr)
+
+    def test_fc_prefix_lens_vs_python_model(self):
+        # oracle: per-row os.path-free common prefix vs the group head
+        from nail_parquet_spark.codec.kernels import FC_GROUP
+
+        vals = ["", "a", "ab", "abcd", "abce", "xyz", "xy", "ab"] * 7
+        arr = pa.array(vals, type=pa.string())
+        blk = encode_array(arr, "fc")
+        dec = decode_array(blk)
+        assert dec.equals(arr)
+        # model the stored-stream size: group heads store full bytes
+        bs = [v.encode() for v in vals]
+        stored = 0
+        for i, b in enumerate(bs):
+            h = bs[(i // FC_GROUP) * FC_GROUP]
+            if i % FC_GROUP == 0:
+                stored += len(b)
+            else:
+                p = 0
+                while p < min(len(b), len(h)) and b[p] == h[p]:
+                    p += 1
+                stored += len(b) - p
+        assert blk.header["params"]["raw_len"] == stored
+
+    def test_fc_selector_gates_on_sortedness(self):
+        from nail_parquet_spark.codec.select import candidate_codecs, column_stats
+
+        arr = pa.array(self._sorted_urls(5_000), type=pa.string())
+        st = column_stats(arr)
+        assert st.sorted_frac == 1.0
+        assert "fc" in candidate_codecs("str", st)
+        rng = np.random.default_rng(9)
+        shuffled = pa.array(
+            [self._sorted_urls(5_000)[i] for i in rng.permutation(5_000)],
+            type=pa.string(),
+        )
+        st2 = column_stats(shuffled)
+        assert "fc" not in candidate_codecs("str", st2)
+
+    def test_fc_level_suffix_and_wide_values(self):
+        # values wider than FC_MAX_PREFIX still round-trip (prefix capped)
+        arr = pa.array(["x" * 8000, "x" * 8000 + "tail", "x" * 7999] * 8)
+        for codec in ("fc", "fc:1", "fc:6"):
+            blk = encode_array(arr, codec)
+            assert decode_array(blk).equals(arr)

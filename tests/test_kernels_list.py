@@ -84,7 +84,7 @@ def test_list_int_roundtrip(codec):
     roundtrip_list(a, codec)
 
 
-@pytest.mark.parametrize("codec", ["plain", "zstd", "fsst", "dict", "rle", "wdict"])
+@pytest.mark.parametrize("codec", ["plain", "zstd", "fsst", "dict", "rle", "wdict", "fc"])
 def test_list_string_roundtrip(codec):
     words = ["the", "quick", "brown", "fox", "", "héllo wörld", "a" * 300]
     rows = [
