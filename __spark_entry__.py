@@ -1180,6 +1180,20 @@ def q_dedup_exact_docs(spark, sf_dir):
     return exact_duplicates(_docs_with_dups(spark, sf_dir), "doc_id", "text")
 
 
+def q_soft_dedup_weights(spark, sf_dir):
+    """Soft dedup (functions/dedup.soft_dedup_weights): every row kept,
+    weighted 1/exact-duplicate-cluster-size so each distinct text carries
+    expected sample mass 1.0 — the weighting policy of modern LLM corpus
+    builders, feeding sample_weighted / corpus mixing. ONE 16-byte
+    fingerprint groupBy + ONE fingerprint-keyed join; NULL texts weight
+    1.0 (absent content is not duplication evidence)."""
+    from nail_parquet_spark.functions.dedup import soft_dedup_weights
+
+    out = soft_dedup_weights(_docs_with_dups(spark, sf_dir), "doc_id", "text")
+    return out.select(
+        "doc_id", "dup_count", F.round("weight", 9).alias("weight"))
+
+
 def q_dup_span_stats(spark, sf_dir):
     """Exact-substring dedup, measurement side: per-doc duplicated 4-token
     window statistics (functions/dedup.duplicate_span_stats) over the
@@ -1823,7 +1837,6 @@ _QUERIES = {
         #    and the same p-value machinery, and every multi-table r04
         #    entry exercises the inner-join path; green r03 rows, 2
         #    rounds old at final judging, the policy maximum)
-        "dedup_keep_first": q_dedup_keep_first,
         "events_sessionize": q_events_sessionize,
         "fill_forward": q_fill_forward,
         "filter_conditions": q_filter_conditions,
@@ -1856,6 +1869,12 @@ _QUERIES = {
         # the Lee-et-al-2022 family member (stats + removal)
         "dup_span_stats": q_dup_span_stats,
         "dup_span_removal": q_dup_span_removal,
+        # new this session: soft dedup (weight 1/cluster instead of drop) —
+        # displaces dedup_keep_first from the r03-aged head block (its green
+        # r03 row is 2 rounds old at final judging, the policy maximum, and
+        # the same keep-window kernel is covered by dedup_keep_last r03 +
+        # the r04-green dedup_columns path)
+        "soft_dedup_weights": q_soft_dedup_weights,
         # 3) rows-only block. The r05 additions fill the 50-cap exactly
         #    with value-exact entries, so the rows-only entries (recorded
         #    as no_oracle rows-counts; encode pair attested that way every
@@ -1927,6 +1946,7 @@ _QUERIES = {
         #    row (2 rounds old at final judging — the policy maximum)
         "count_rows": q_count,
         "create_columns": q_create_columns,
+        "dedup_keep_first": q_dedup_keep_first,
         "text_tokens": q_text_tokens,
         "window_running_sum": q_window_running_sum,
         "dedup_keep_last": q_dedup_keep_last,
@@ -2938,6 +2958,14 @@ def oracle_sql() -> dict[str, str]:
             WITH dd AS ({_DOCS_DUPS_SQL})
             SELECT md5(text) AS fingerprint, count(*) AS n_docs, min(doc_id) AS keep_id
             FROM dd WHERE text IS NOT NULL GROUP BY 1 HAVING count(*) > 1""",
+        "soft_dedup_weights": f"""
+            WITH dd AS ({_DOCS_DUPS_SQL}),
+            c AS (SELECT md5(text) AS fp, count(*)::BIGINT AS n
+                  FROM dd WHERE text IS NOT NULL GROUP BY 1)
+            SELECT dd.doc_id,
+                   coalesce(c.n, 1)::BIGINT AS dup_count,
+                   round(CAST(1.0 AS DOUBLE) / coalesce(c.n, 1), 9) AS weight
+            FROM dd LEFT JOIN c ON md5(dd.text) = c.fp""",
         # normalize suite: the adversarial decorations are built with
         # chr() codes so the SQL needs no non-ASCII escapes; the chains
         # themselves are generated from the functions/normalize constants.

@@ -114,7 +114,13 @@ def main(argv: list[str] | None = None) -> int:
     add("id", (("--name",), {"default": "id"}), (("--prefix",), {"default": ""}))
     add("sort", (("-c", "--columns"), {"required": True}), (("--nulls",), {"default": "last"}))
     add("dedup", (("-c", "--columns"), {"default": None}), (("--row-wise",), {"action": "store_true"}),
-        (("--col-wise",), {"action": "store_true"}), (("--keep",), {"default": "first"}))
+        (("--col-wise",), {"action": "store_true"}), (("--keep",), {"default": "first"}),
+        (("--soft",), {"action": "store_true",
+                       "help": "weight duplicates 1/cluster-size instead of dropping "
+                               "(adds dup_count/weight; needs --id-col/--text-col)"}),
+        (("--id-col",), {"default": None}), (("--text-col",), {"default": "text"}),
+        (("--near",), {"action": "store_true",
+                       "help": "with --soft: weight by connected MinHash near-dup cluster"}))
     add("merge", (("--right",), {"required": True}), (("-k", "--key"), {"required": True}),
         (("--type",), {"default": None, "dest": "join_type"}),
         (("--left",), {"action": "store_true", "dest": "join_left", "help": "left join (merge.rs:17)"}),
@@ -682,7 +688,14 @@ def main(argv: list[str] | None = None) -> int:
         specs = [{"col": s.lstrip("-"), "desc": s.startswith("-")} for s in args.columns.split(",")]
         _out(ops.sort_by(df, specs, nulls=args.nulls), args)
     elif c == "dedup":
-        if args.col_wise:
+        if args.soft:
+            from nail_parquet_spark.functions.dedup import soft_dedup_weights
+
+            if not args.id_col:
+                raise SystemExit("--soft requires --id-col (a unique document id)")
+            _out(soft_dedup_weights(df, args.id_col, args.text_col,
+                                    near=args.near), args)
+        elif args.col_wise:
             _out(ops.dedup_columns(df, args.keep), args)
         else:
             subset = args.columns.split(",") if args.columns else None

@@ -526,3 +526,70 @@ def remove_duplicate_spans(df: DataFrame, id_col: str, text_col: str,
                     .otherwise(F.coalesce(F.col("__new"), F.lit(""))))
         .drop("__id", "__new")
     )
+
+
+def soft_dedup_weights(df: DataFrame, id_col: str, text_col: str,
+                       near: bool = False, threshold: float = 0.7,
+                       num_hashes: int = 16, bands: int = 4,
+                       shingle_k: int = 3) -> DataFrame:
+    """Duplicate-aware sampling weights instead of hard drops (the
+    "soft dedup" policy of modern LLM corpus builders): every row keeps
+    weight 1/n where n is its duplicate-cluster size, so each distinct
+    text contributes expected mass 1.0 to a weighted sample
+    (rows.sample_weighted / corpus mixing) while no document is lost.
+
+    Default clusters are EXACT (byte-identical text via doc_fingerprint,
+    one 16-byte-keyed groupBy + one fingerprint-keyed join — the same
+    shuffle shape as dedup_exact). ``near=True`` additionally unions
+    MinHash-LSH-verified near-duplicate edges and weights by CONNECTED
+    cluster size (functions/graph.connected_components) — the transitive
+    policy, since per-pair weights would double-count chains.
+
+    NULL texts keep weight 1.0: absent content is not evidence of
+    duplication (same contract as dedup_exact). Returns df +
+    (dup_count bigint, weight double).
+
+    Reference scope note: the reference CLI only drops duplicates
+    (src/commands/dedup.rs); weighting is a beyond-reference
+    training-pipeline operator.
+    """
+    fp = doc_fingerprint(F.col(text_col))
+    if not near:
+        counts = (
+            df.select(fp.alias("__fp"))
+            .filter(F.col("__fp").isNotNull())
+            .groupBy("__fp")
+            .agg(F.count(F.lit(1)).alias("__n"))
+        )
+        out = df.join(counts, fp == F.col("__fp"), "left")
+        return (
+            out.select(
+                *df.columns,
+                F.coalesce(F.col("__n"), F.lit(1)).alias("dup_count"),
+                (F.lit(1.0) / F.coalesce(F.col("__n"), F.lit(1))).alias("weight"),
+            )
+        )
+    from nail_parquet_spark.functions.graph import connected_components
+
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
+    cand = minhash_lsh_candidates(sigs, id_col, num_hashes, bands)
+    near_pairs = jaccard_verify(df, cand, id_col, text_col, shingle_k,
+                                threshold).select("id_a", "id_b")
+    exact = exact_duplicates(df, id_col, text_col)
+    exact_pairs = (
+        df.select(F.col(id_col).alias("id_b"), fp.alias("__fp"))
+        .join(exact.select("fingerprint", F.col("keep_id").alias("id_a")),
+              F.col("__fp") == F.col("fingerprint"))
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    labels = connected_components(near_pairs.unionAll(exact_pairs))
+    sizes = labels.groupBy("comp").agg(F.count(F.lit(1)).alias("__n"))
+    member = labels.join(sizes, "comp").select(
+        F.col("id").alias("__mid"), "__n")
+    out = df.join(member, df[id_col] == F.col("__mid"), "left")
+    return out.select(
+        *df.columns,
+        F.coalesce(F.col("__n"), F.lit(1)).alias("dup_count"),
+        (F.lit(1.0) / F.coalesce(F.col("__n"), F.lit(1))).alias("weight"),
+    )

@@ -672,3 +672,15 @@ def test_cli_quality_span_modes(spark, tmp_path, capsys):
     run("quality", p, "--mode", "dedup-spans", "--window", "3", "-o", out2)
     got2 = {r["doc_id"]: r["text"] for r in spark.read.parquet(out2).collect()}
     assert got2 == {1: "d e", 2: "x y", 3: "q r s"}
+
+
+def test_cli_dedup_soft(spark, tmp_path, capsys):
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(1, "same"), (2, "same"), (3, "other")], "doc_id long, text string"
+    ).write.parquet(src)
+    out = str(tmp_path / "soft.parquet")
+    run("dedup", src, "--soft", "--id-col", "doc_id", "-o", out)
+    got = {r["doc_id"]: (r["dup_count"], r["weight"])
+           for r in spark.read.parquet(out).collect()}
+    assert got[1] == (2, 0.5) == got[2] and got[3] == (1, 1.0)

@@ -591,3 +591,32 @@ class TestPagerank:
         base = 0.15 / 3
         assert got["B"] == pytest.approx(base + 0.85 * (1 / 3) * (2 / 3))
         assert got["C"] == pytest.approx(base + 0.85 * (1 / 3) * (1 / 3))
+
+
+def test_soft_dedup_weights_exact(spark):
+    from nail_parquet_spark.functions.dedup import soft_dedup_weights
+
+    df = spark.createDataFrame(
+        [(1, "same"), (2, "same"), (3, "same"), (4, None), (5, "other")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: (r["dup_count"], r["weight"])
+           for r in soft_dedup_weights(df, "doc_id", "text").collect()}
+    assert len(out) == 5  # nothing dropped
+    assert out[1] == (3, pytest.approx(1 / 3)) == out[2] == out[3]
+    assert out[4] == (1, 1.0)  # NULL text: weight 1.0, no cluster
+    assert out[5] == (1, 1.0)
+    # corpus mass per distinct text is 1.0
+    assert sum(w for _, w in out.values()) == pytest.approx(3.0)
+
+
+def test_soft_dedup_weights_near_transitive(docs):
+    from nail_parquet_spark.functions.dedup import soft_dedup_weights
+
+    out = {r["doc_id"]: (r["dup_count"], r["weight"])
+           for r in soft_dedup_weights(
+               docs, "doc_id", "text", near=True, threshold=0.6).collect()}
+    assert len(out) == 6
+    # 1-2 exact dup + 2-3 near dup chain -> one connected cluster of 3
+    assert out[1] == (3, pytest.approx(1 / 3)) == out[2] == out[3]
+    assert out[4] == (1, 1.0) and out[5] == (1, 1.0) and out[6] == (1, 1.0)
