@@ -234,6 +234,43 @@ def list_codec_probe(n_rows: int = 20_000, dim: int = 64) -> dict:
     }
 
 
+def fc_probe(n: int = 131_072) -> dict:
+    """Driver-side front-coding probe: encode/decode throughput + ratio on
+    a url-sorted block (the layout optimize --sort-by/--zorder-by url
+    produces), zstd ratio alongside for the win margin. numpy-only."""
+    import numpy as np
+    import pyarrow as pa
+
+    from nail_parquet_spark.codec.kernels import decode_array, encode_array
+
+    rng = np.random.default_rng(7)
+    hosts = [f"https://www.site{i:04d}.example.org/" for i in range(400)]
+    urls = sorted(
+        hosts[int(rng.integers(0, 400))]
+        + f"section/{int(rng.integers(0, 99999)):05d}/page-{j}.html"
+        for j in range(n))
+    arr = pa.array(urls, type=pa.string())
+    raw = sum(len(u) for u in urls)
+    best = None
+    for _ in range(3):
+        t0 = time.time()
+        blk = encode_array(arr, "fc")
+        best = min(best or 9e9, time.time() - t0)
+    dec_best = None
+    for _ in range(3):
+        t0 = time.time()
+        out = decode_array(blk)
+        dec_best = min(dec_best or 9e9, time.time() - t0)
+    assert out.equals(arr)
+    zblk = encode_array(arr, "zstd")
+    return {
+        "mbps": round(raw / best / 1e6, 1),
+        "decode_mbps": round(raw / dec_best / 1e6, 1),
+        "ratio": round(raw / len(blk.payload), 2),
+        "zstd_ratio": round(raw / len(zblk.payload), 2),
+    }
+
+
 def warc_probe(n: int = 20_000, body_bytes: int = 2_000) -> dict:
     """Driver-side WARC parser probe: build n records (~40 MB), parse with
     sources/warc.parse_warc_bytes plain and gzipped, report MB/s over the
@@ -283,6 +320,11 @@ def main():
     except Exception as e:  # pragma: no cover
         print(f"warc probe failed: {e}", file=sys.stderr)
         warc = {}
+    try:
+        fc = fc_probe()
+    except Exception as e:  # pragma: no cover
+        print(f"fc probe failed: {e}", file=sys.stderr)
+        fc = {}
     total_s = round(time.time() - t0, 1)
     # Full-detail line first (walls/pairs/host_probe arrays live here) ...
     detail = {"detail": "encode_scaling_full", "encode": encode, "total_bench_s": total_s}
@@ -300,6 +342,7 @@ def main():
         "alp_probe": alp,
         "emb_probe": emb,
         "warc_probe": warc,
+        "fc_probe": fc,
         "total_bench_s": total_s,
     }
     print(json.dumps(result))
