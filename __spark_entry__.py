@@ -1180,6 +1180,18 @@ def q_dedup_exact_docs(spark, sf_dir):
     return exact_duplicates(_docs_with_dups(spark, sf_dir), "doc_id", "text")
 
 
+def q_bm25_search(spark, sf_dir):
+    """Ranked retrieval over the documents table (functions/text.
+    bm25_search — pinned Lucene-variant BM25, query terms as a pushed
+    IN-list, broadcast per-term doc frequencies, TakeOrderedAndProject
+    top-k; the corpus scans ONCE)."""
+    from nail_parquet_spark.functions.text import bm25_search
+
+    return bm25_search(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        "query engine hash", k=20)
+
+
 def q_soft_dedup_weights(spark, sf_dir):
     """Soft dedup (functions/dedup.soft_dedup_weights): every row kept,
     weighted 1/exact-duplicate-cluster-size so each distinct text carries
@@ -1838,7 +1850,6 @@ _QUERIES = {
         #    entry exercises the inner-join path; green r03 rows, 2
         #    rounds old at final judging, the policy maximum)
         "events_sessionize": q_events_sessionize,
-        "fill_forward": q_fill_forward,
         "filter_conditions": q_filter_conditions,
         # 2) every query NEW or code-changed this round: url userinfo
         #    rule (ADVICE r4), kendall min-k bounded sample (VERDICT r4
@@ -1875,6 +1886,11 @@ _QUERIES = {
         # the same keep-window kernel is covered by dedup_keep_last r03 +
         # the r04-green dedup_columns path)
         "soft_dedup_weights": q_soft_dedup_weights,
+        # new this session: BM25 ranked retrieval — displaces fill_forward
+        # from the r03-aged head block (green r03 row = 2 rounds old at
+        # final judging, the policy maximum; the fill family stays covered
+        # by fill_backward r03 + fill_mean r04 + fill_grouped in this head)
+        "bm25_search": q_bm25_search,
         # 3) rows-only block. The r05 additions fill the 50-cap exactly
         #    with value-exact entries, so the rows-only entries (recorded
         #    as no_oracle rows-counts; encode pair attested that way every
@@ -1947,6 +1963,7 @@ _QUERIES = {
         "count_rows": q_count,
         "create_columns": q_create_columns,
         "dedup_keep_first": q_dedup_keep_first,
+        "fill_forward": q_fill_forward,
         "text_tokens": q_text_tokens,
         "window_running_sum": q_window_running_sum,
         "dedup_keep_last": q_dedup_keep_last,
@@ -2958,6 +2975,34 @@ def oracle_sql() -> dict[str, str]:
             WITH dd AS ({_DOCS_DUPS_SQL})
             SELECT md5(text) AS fingerprint, count(*) AS n_docs, min(doc_id) AS keep_id
             FROM dd WHERE text IS NOT NULL GROUP BY 1 HAVING count(*) > 1""",
+        "bm25_search": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+              FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+            dl AS (
+              SELECT d.doc_id, coalesce(t.len, 0) AS len
+              FROM documents d
+              LEFT JOIN (SELECT doc_id, count(*) AS len FROM tok GROUP BY 1) t
+                USING (doc_id)),
+            p AS (
+              SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                     (SELECT sum(len) FROM dl)::DOUBLE
+                       / (SELECT count(*) FROM documents) AS avgdl),
+            tf AS (
+              SELECT doc_id, token, count(*)::DOUBLE AS tf FROM tok
+              WHERE token IN ('engine', 'hash', 'query') GROUP BY 1, 2),
+            nt AS (SELECT token, count(*)::DOUBLE AS nt FROM tf GROUP BY 1)
+            SELECT tf.doc_id,
+                   round(sum(
+                     ln(1 + (p.n - nt.nt + 0.5) / (nt.nt + 0.5))
+                     * tf.tf * (1.2 + 1)
+                     / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.len / p.avgdl))
+                   ), 6) AS score,
+                   count(*)::BIGINT AS matched_terms
+            FROM tf JOIN nt USING (token) JOIN dl USING (doc_id), p
+            GROUP BY 1
+            ORDER BY score DESC, doc_id ASC LIMIT 20""",
         "soft_dedup_weights": f"""
             WITH dd AS ({_DOCS_DUPS_SQL}),
             c AS (SELECT md5(text) AS fp, count(*)::BIGINT AS n

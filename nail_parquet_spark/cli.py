@@ -108,7 +108,12 @@ def main(argv: list[str] | None = None) -> int:
     add("filter", (("-c", "--conditions"), {"default": None}), (("--rows",), {"default": None, "dest": "row_mode"}))
     add("search", (("-v", "--value"), {"required": True}), (("-c", "--columns"), {"default": None}),
         (("--ignore-case",), {"action": "store_true"}), (("--rows",), {"action": "store_true"}),
-        (("--exact",), {"action": "store_true", "help": "exact match only (search.rs:28)"}))
+        (("--exact",), {"action": "store_true", "help": "exact match only (search.rs:28)"}),
+        (("--rank",), {"action": "store_true",
+                       "help": "BM25 ranked retrieval of -v as a query (needs --id-col; "
+                               "beyond the reference's substring search)"}),
+        (("--id-col",), {"default": None}), (("--text-col",), {"default": "text"}),
+        (("-k", "--topk"), {"type": int, "default": 10}))
     add("rename", (("-c", "--columns"), {"required": True}))
     add("create", (("-c", "--columns"), {"required": True}), (("--filter",), {"default": None}))
     add("id", (("--name",), {"default": "id"}), (("--prefix",), {"default": ""}))
@@ -673,7 +678,14 @@ def main(argv: list[str] | None = None) -> int:
         _out(out, args)
     elif c == "search":
         cols = args.columns.split(",") if args.columns else None
-        if args.rows:
+        if args.rank:
+            from nail_parquet_spark.functions.text import bm25_search
+
+            if not args.id_col:
+                raise SystemExit("--rank requires --id-col (a unique document id)")
+            out = bm25_search(df, args.id_col, args.text_col, args.value,
+                              k=args.topk)
+        elif args.rows:
             out = ops.search_rows(df, args.value, cols, args.ignore_case, exact=args.exact)
         else:
             out = ops.search_value(df, args.value, cols, args.ignore_case, exact=args.exact)

@@ -422,3 +422,67 @@ def chunk_documents(
             F.array_join(piece, " ").alias("chunk_text"),
         )
     )
+
+
+def bm25_search(df, id_col: str, text_col: str, query: str, k: int = 10,
+                k1: float = 1.2, b: float = 0.75):
+    """Top-k documents for a whitespace query by BM25 (the Lucene-variant
+    formula, pinned so any SQL engine reproduces it):
+
+        idf(t)   = ln(1 + (N - n_t + 0.5) / (n_t + 0.5))
+        score(d) = sum_t idf(t) * tf * (k1+1)
+                             / (tf + k1 * (1 - b + b * len_d / avgdl))
+
+    with N = total documents (NULL/empty text included — they have length
+    0 and can never match), len_d = token count under the module rule
+    (trim + lower + split \\s+), avgdl = sum(len_d)/N, tf = occurrences of
+    t in d, n_t = documents containing t. Scores round to 6 decimals;
+    ties break on ascending id so top-k is deterministic.
+
+    Scale shape: the query's terms become a literal IN-list pushed into
+    the token explode (non-matching tokens die map-side), per-term doc
+    frequencies ride a broadcast join (|query| rows), doc lengths are a
+    projection (no explode), and top-k plans as TakeOrderedAndProject —
+    the corpus is scanned once and only (doc, matched-term) rows shuffle.
+
+    Reference scope note: the reference's `search` (src/commands/
+    search.rs) is substring match only; ranked retrieval is a
+    beyond-reference training-pipeline operator.
+    """
+    terms = sorted({t for t in query.strip().lower().split() if t})
+    if not terms:
+        raise ValueError("bm25_search: query has no tokens")
+    n_total = df.count()
+    t = F.trim(F.lower(F.col(text_col)))
+    words = F.when(
+        F.col(text_col).isNull() | (t == ""), F.array().cast("array<string>")
+    ).otherwise(F.split(t, r"\s+"))
+    base = df.select(F.col(id_col).alias("__doc"), words.alias("__w"))
+    doclen = base.select("__doc", F.size("__w").alias("__len"))
+    avgdl = (doclen.agg(F.sum("__len")).collect()[0][0] or 0) / n_total
+    toks = (
+        base.select("__doc", F.explode("__w").alias("token"))
+        .filter(F.col("token").isin(terms))
+    )
+    tf = toks.groupBy("__doc", "token").agg(F.count(F.lit(1)).alias("__tf"))
+    docfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("__nt"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_total)) - F.col("__nt") + 0.5) / (F.col("__nt") + 0.5)
+    )
+    score = idf * F.col("__tf") * (k1 + 1.0) / (
+        F.col("__tf")
+        + F.lit(k1) * (1.0 - b + F.lit(b) * F.col("__len") / F.lit(avgdl))
+    )
+    return (
+        tf.join(F.broadcast(docfreq), "token")
+        .join(doclen, "__doc")
+        .groupBy("__doc")
+        .agg(
+            F.round(F.sum(score), 6).alias("score"),
+            F.count(F.lit(1)).alias("matched_terms"),
+        )
+        .select(F.col("__doc").alias(id_col), "score", "matched_terms")
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )

@@ -684,3 +684,16 @@ def test_cli_dedup_soft(spark, tmp_path, capsys):
     got = {r["doc_id"]: (r["dup_count"], r["weight"])
            for r in spark.read.parquet(out).collect()}
     assert got[1] == (2, 0.5) == got[2] and got[3] == (1, 1.0)
+
+
+def test_cli_search_rank(spark, tmp_path):
+    src = str(tmp_path / "docs_rank.parquet")
+    spark.createDataFrame(
+        [(1, "spark query engine"), (2, "table scan"), (3, "query")],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    out = str(tmp_path / "ranked.parquet")
+    run("search", src, "-v", "query engine", "--rank", "--id-col", "doc_id",
+        "-k", "2", "-o", out)
+    got = spark.read.parquet(out).collect()
+    assert len(got) == 2 and got[0]["doc_id"] == 1  # matches both terms

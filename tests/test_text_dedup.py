@@ -620,3 +620,55 @@ def test_soft_dedup_weights_near_transitive(docs):
     # 1-2 exact dup + 2-3 near dup chain -> one connected cluster of 3
     assert out[1] == (3, pytest.approx(1 / 3)) == out[2] == out[3]
     assert out[4] == (1, 1.0) and out[5] == (1, 1.0) and out[6] == (1, 1.0)
+
+
+def test_bm25_search_matches_reference_model(spark):
+    import math
+
+    from nail_parquet_spark.functions.text import bm25_search
+
+    rows = [
+        (1, "spark query engine fast query"),
+        (2, "slow table scan"),
+        (3, "query"),
+        (4, ""),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = bm25_search(df, "doc_id", "text", "query engine", k=10).collect()
+
+    # independent python model of the pinned formula
+    k1, b = 1.2, 0.75
+    docs = {i: (t or "").strip().lower().split() for i, t in rows}
+    N = len(docs)
+    avgdl = sum(len(w) for w in docs.values()) / N
+    def idf(term):
+        nt = sum(1 for w in docs.values() if term in w)
+        return math.log(1 + (N - nt + 0.5) / (nt + 0.5))
+    exp = {}
+    for i, w in docs.items():
+        s = 0.0
+        m = 0
+        for term in ("engine", "query"):
+            tf = w.count(term)
+            if tf:
+                m += 1
+                s += idf(term) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(w) / avgdl))
+        if m:
+            exp[i] = (round(s, 6), m)
+    assert {r["doc_id"]: (r["score"], r["matched_terms"]) for r in got} == exp
+    # doc 1 (2 query hits + engine) outranks doc 3 (short but single hit)
+    assert got[0]["doc_id"] in (1, 3) and len(got) == 2
+    assert got[0]["score"] == max(v[0] for v in exp.values())
+
+
+def test_bm25_topk_ties_and_plan(spark):
+    from nail_parquet_spark.functions.text import bm25_search
+
+    df = spark.createDataFrame(
+        [(i, "common token") for i in range(20)], "doc_id long, text string")
+    got = bm25_search(df, "doc_id", "text", "token", k=5).collect()
+    assert [r["doc_id"] for r in got] == [0, 1, 2, 3, 4]  # tie -> id asc
+    plan = bm25_search(df, "doc_id", "text", "token", k=5)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
