@@ -216,8 +216,8 @@ def main(argv: list[str] | None = None) -> int:
                        "choices": ["signals", "repetition", "top-ngram", "filter",
                                    "clean", "dedup-lines", "dedup-paragraphs",
                                    "boilerplate", "corpus-stats", "perplexity",
-                                   "ppl-buckets", "classify", "span-stats",
-                                   "dedup-spans"],
+                                   "bigram-perplexity", "dsir", "ppl-buckets",
+                                   "classify", "span-stats", "dedup-spans"],
                        "help": "Gopher signals / dup-line stats / top n-gram / composed "
                                "rule filter / C4 line cleaning / corpus-global line dedup / "
                                "within-site boilerplate removal / corpus token totals / "
@@ -233,6 +233,10 @@ def main(argv: list[str] | None = None) -> int:
                                        "fraction of the group's docs"}),
         (("--min-docs",), {"type": int, "default": 2,
                            "help": "boilerplate: groups smaller than this are never filtered"}),
+        (("--target",), {"default": None,
+                         "help": "dsir: target-domain table to weight toward"}),
+        (("--buckets",), {"type": int, "default": 4096,
+                          "help": "dsir: hashed-unigram feature buckets"}),
         (("--weights",), {"default": None,
                           "help": "classify: (feature_id, weight) model table"}),
         (("--dim",), {"type": int, "default": 1 << 18,
@@ -857,6 +861,17 @@ def main(argv: list[str] | None = None) -> int:
             from nail_parquet_spark.functions.text import unigram_logprob
 
             out = unigram_logprob(df, id_col, args.text_column)
+        elif args.mode == "bigram-perplexity":
+            from nail_parquet_spark.functions.text import bigram_logprob
+
+            out = bigram_logprob(df, id_col, args.text_column)
+        elif args.mode == "dsir":
+            from nail_parquet_spark.functions.text import dsir_weights
+
+            if not args.target:
+                p.error("--mode dsir requires --target (the target-domain table)")
+            out = dsir_weights(df, read_data(spark, args.target), id_col,
+                               args.text_column, buckets=args.buckets)
         elif args.mode == "ppl-buckets":
             from nail_parquet_spark.functions.text import perplexity_buckets
 

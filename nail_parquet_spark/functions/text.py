@@ -7,6 +7,8 @@ the DuckDB oracle can verify them value-for-value at any scale.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, functions as F
 
 # stopword markers per language for the n-gram/stopword language-ID heuristic
@@ -485,4 +487,159 @@ def bm25_search(df, id_col: str, text_col: str, query: str, k: int = 10,
         .select(F.col("__doc").alias(id_col), "score", "matched_terms")
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
+    )
+
+
+def bigram_logprob(df, id_col: str, text_col: str,
+                   lam: float = 0.7, train_df=None) -> "DataFrame":
+    """Per-document mean INTERPOLATED-BIGRAM log-probability — one model
+    class up from :func:`unigram_logprob`, still SQL-exact (the honest
+    distributed stand-in for CCNet's KenLM n-gram filtering).
+
+    Pinned model (self-trained on ``train_df``, default ``df`` itself):
+      p1(w)   = tf(w) / T                       (corpus unigram MLE)
+      p2(w|v) = c(v,w) / c_pred(v)              (corpus bigram MLE;
+                c_pred(v) = occurrences of v with a successor)
+      p(w|v)  = lam * p2(w|v) + (1-lam) * p1(w) (Jelinek-Mercer)
+    scored over a doc's transitions i=2..n of its module-rule tokens
+    (trim + lower + split \\s+): ``mean_logprob`` = mean ln p(w_i|w_{i-1}),
+    ``perplexity`` = exp(-mean); both rounded to 6. Unseen pair -> the
+    unigram back-off term alone; unseen unigram (only possible with a
+    supplied train_df) floors at 1/T. Docs with < 2 tokens -> n_transitions
+    0, null scores.
+
+    Scale shape: transitions come from ONE in-row array transform +
+    explode (no positional self-join); pair counts are one (v,w)-keyed
+    groupBy; scoring joins transitions to pair-probs on the pair key (the
+    only vocab²-scale exchange — Spark/AQE broadcasts it when small) and
+    to unigram probs broadcast; final stats are ONE doc-keyed groupBy.
+    """
+    if train_df is None:
+        train_df = df
+    t = F.trim(F.lower(F.col(text_col)))
+    words = F.when(
+        F.col(text_col).isNull() | (t == ""), F.array().cast("array<string>")
+    ).otherwise(F.split(t, r"\s+"))
+
+    def transitions(frame):
+        return (
+            frame.select(F.col(id_col).alias("__doc"), words.alias("__w"))
+            .select("__doc", F.explode(F.expr(
+                # sequence(2, n) DESCENDS when n < 2 — guard short docs
+                "CASE WHEN size(__w) < 2 THEN array() ELSE"
+                " transform(sequence(2, size(__w)), i ->"
+                " struct(__w[i-2] AS v, __w[i-1] AS w)) END")).alias("__t"))
+            .select("__doc", F.col("__t.v").alias("__v"), F.col("__t.w").alias("__wn"))
+        )
+
+    uni = vocabulary(train_df, id_col, text_col).select("token", "tf")
+    total = uni.agg(F.sum("tf")).collect()[0][0] or 1
+    p1 = uni.select("token", (F.col("tf") / F.lit(float(total))).alias("__p1"))
+    c2 = transitions(train_df).groupBy("__v", "__wn").agg(
+        F.count(F.lit(1)).alias("__c2"))
+    c1 = c2.groupBy("__v").agg(F.sum("__c2").alias("__cpred"))
+    p2 = c2.join(c1, "__v").select(
+        "__v", "__wn", (F.col("__c2") / F.col("__cpred")).alias("__p2"))
+
+    floor = F.lit(1.0) / F.lit(float(total))
+    lp = F.log(
+        F.lit(lam) * F.coalesce(F.col("__p2"), F.lit(0.0))
+        + F.lit(1.0 - lam) * F.coalesce(F.col("__p1"), floor)
+    )
+    per_doc = (
+        transitions(df)
+        .join(p2, ["__v", "__wn"], "left")
+        .join(F.broadcast(p1), F.col("__wn") == F.col("token"), "left")
+        .groupBy("__doc")
+        .agg(F.count(F.lit(1)).alias("n_transitions"), F.avg(lp).alias("__mlp"))
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(per_doc, F.col(id_col) == F.col("__doc"), "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_transitions"), F.lit(0)).cast("bigint")
+            .alias("n_transitions"),
+            F.round(F.col("__mlp"), 6).alias("mean_logprob"),
+            F.round(F.exp(-F.col("__mlp")), 6).alias("perplexity"),
+        )
+    )
+
+
+def dsir_weights(df, target_df, id_col: str, text_col: str,
+                 buckets: int = 4096, alpha: float = 1.0) -> "DataFrame":
+    """Data Selection with Importance Resampling (Xie et al. 2023) weights:
+    score every document by how much more likely its hashed-unigram bag is
+    under a TARGET corpus' feature distribution than under the raw corpus'
+    own — the standard recipe for skimming web text toward a high-quality
+    domain before training.
+
+    Pinned model: features are module-rule tokens hashed into ``buckets``
+    bins via the portable 60-bit md5 word hash (:func:`word_hash` % B);
+    both distributions are Laplace-smoothed,
+    ``p(b) = (c(b) + alpha) / (T + alpha * B)``; per doc,
+    ``log_weight = sum over token occurrences of ln p_target(b) - ln
+    p_raw(b)`` (rounded to 6). Empty/NULL docs -> n_tokens 0, log_weight
+    0.0 (an uninformative doc is neither boosted nor penalized). Feed the
+    weights to rows.sample_weighted for the resampling half of DSIR.
+
+    Scale shape: both feature distributions are ONE bucket-keyed groupBy
+    each (<= B rows out); the per-bucket log-ratio table (<= B rows)
+    broadcasts; scoring is ONE explode + broadcast join + doc-keyed
+    groupBy — the raw corpus scans twice (once to fit, once to score),
+    the target once, nothing vocab-scale ever shuffles.
+    """
+    if buckets < 1:
+        raise ValueError("dsir_weights: buckets must be >= 1")
+    t = F.trim(F.lower(F.col(text_col)))
+    words = F.when(
+        F.col(text_col).isNull() | (t == ""), F.array().cast("array<string>")
+    ).otherwise(F.split(t, r"\s+"))
+
+    def bucketed(frame):
+        return (
+            frame.select(words.alias("__w"))
+            .select(F.explode("__w").alias("token"))
+            .select((word_hash(F.col("token")) % buckets).alias("__b"))
+        )
+
+    def dist(frame):
+        counts = bucketed(frame).groupBy("__b").agg(
+            F.count(F.lit(1)).alias("__c"))
+        total = counts.agg(F.sum("__c")).collect()[0][0] or 0
+        denom = float(total + alpha * buckets)
+        return counts, denom
+
+    tgt, tgt_denom = dist(target_df)
+    raw, raw_denom = dist(df)
+    ratio = (
+        tgt.select(F.col("__b"), F.col("__c").alias("__ct"))
+        .join(raw.select(F.col("__b"), F.col("__c").alias("__cr")), "__b", "full")
+        .select(
+            "__b",
+            (F.log((F.coalesce(F.col("__ct"), F.lit(0)) + alpha) / tgt_denom)
+             - F.log((F.coalesce(F.col("__cr"), F.lit(0)) + alpha) / raw_denom)
+             ).alias("__lr"),
+        )
+    )
+    unseen_lr = math.log(alpha / tgt_denom) - math.log(alpha / raw_denom)
+    per_doc = (
+        df.select(F.col(id_col).alias("__doc"), words.alias("__w"))
+        .select("__doc", F.explode("__w").alias("token"))
+        .select("__doc", (word_hash(F.col("token")) % buckets).alias("__b"))
+        .join(F.broadcast(ratio), "__b", "left")
+        .groupBy("__doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.coalesce(F.col("__lr"), F.lit(unseen_lr))).alias("__s"),
+        )
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(per_doc, F.col(id_col) == F.col("__doc"), "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_tokens"), F.lit(0)).cast("bigint").alias("n_tokens"),
+            F.round(F.coalesce(F.col("__s"), F.lit(0.0)), 6).alias("log_weight"),
+        )
     )

@@ -697,3 +697,27 @@ def test_cli_search_rank(spark, tmp_path):
         "-k", "2", "-o", out)
     got = spark.read.parquet(out).collect()
     assert len(got) == 2 and got[0]["doc_id"] == 1  # matches both terms
+
+
+def test_cli_quality_bigram_and_dsir(spark, tmp_path):
+    src = str(tmp_path / "docs_lm.parquet")
+    spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "z"), (4, "clean prose here")],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    tgt = str(tmp_path / "tgt.parquet")
+    spark.createDataFrame(
+        [(10, "clean prose")], "doc_id long, text string").write.parquet(tgt)
+
+    out1 = str(tmp_path / "bi.parquet")
+    run("quality", src, "--mode", "bigram-perplexity", "--id-column",
+        "doc_id", "-o", out1)
+    got = {r["doc_id"]: r["n_transitions"]
+           for r in spark.read.parquet(out1).collect()}
+    assert got == {1: 3, 2: 1, 3: 0, 4: 2}
+
+    out2 = str(tmp_path / "dsir.parquet")
+    run("quality", src, "--mode", "dsir", "--target", tgt, "--id-column",
+        "doc_id", "--buckets", "64", "-o", out2)
+    w = {r["doc_id"]: r["log_weight"] for r in spark.read.parquet(out2).collect()}
+    assert w[4] > w[1]  # target-like doc outranks the unrelated one

@@ -672,3 +672,76 @@ def test_bm25_topk_ties_and_plan(spark):
     plan = bm25_search(df, "doc_id", "text", "token", k=5)._jdf.queryExecution(
     ).executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_bigram_logprob_matches_python_model(spark):
+    import math
+
+    from nail_parquet_spark.functions.text import bigram_logprob
+
+    rows = [
+        (1, "a b a b c"),
+        (2, "a b"),
+        (3, "c c c"),
+        (4, "x"),       # single token: 0 transitions
+        (5, ""),        # empty
+        (6, None),      # null
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_transitions"], r["mean_logprob"], r["perplexity"])
+           for r in bigram_logprob(df, "doc_id", "text", lam=0.7).collect()}
+
+    # independent model
+    docs = {i: (t or "").strip().lower().split() for i, t in rows}
+    T = sum(len(w) for w in docs.values())
+    from collections import Counter
+    uni = Counter(tok for w in docs.values() for tok in w)
+    pairs = Counter((w[i - 1], w[i]) for w in docs.values()
+                    for i in range(1, len(w)))
+    cpred = Counter()
+    for (v, _), c in pairs.items():
+        cpred[v] += c
+    for i, w in docs.items():
+        trans = [(w[j - 1], w[j]) for j in range(1, len(w))]
+        if not trans:
+            assert got[i] == (0, None, None)
+            continue
+        lps = [math.log(0.7 * (pairs[p] / cpred[p[0]]) + 0.3 * (uni[p[1]] / T))
+               for p in trans]
+        m = sum(lps) / len(lps)
+        assert got[i] == (len(trans), round(m, 6), round(math.exp(-m), 6))
+
+
+def test_dsir_weights_matches_python_model(spark):
+    import math
+
+    from nail_parquet_spark.functions.text import dsir_weights, word_hash
+
+    raw_rows = [(1, "good clean prose here"), (2, "spam spam spam buy"),
+                (3, ""), (4, None)]
+    tgt_rows = [(10, "good clean prose"), (11, "clean prose here")]
+    raw = spark.createDataFrame(raw_rows, "doc_id long, text string")
+    tgt = spark.createDataFrame(tgt_rows, "doc_id long, text string")
+    B, a = 64, 1.0
+    got = {r["doc_id"]: (r["n_tokens"], r["log_weight"])
+           for r in dsir_weights(raw, tgt, "doc_id", "text", buckets=B).collect()}
+
+    # python model using the SAME portable hash (computed via Spark once)
+    toks = sorted({t for _, x in raw_rows + tgt_rows if x for t in x.split()})
+    hdf = spark.createDataFrame([(t,) for t in toks], "token string")
+    from pyspark.sql import functions as F
+    hmap = {r["token"]: r["b"] for r in
+            hdf.select("token", (word_hash(F.col("token")) % B).alias("b")).collect()}
+    from collections import Counter
+    raw_c = Counter(hmap[t] for _, x in raw_rows if x for t in x.split())
+    tgt_c = Counter(hmap[t] for _, x in tgt_rows if x for t in x.split())
+    rT, tT = sum(raw_c.values()), sum(tgt_c.values())
+    def lr(b):
+        return (math.log((tgt_c.get(b, 0) + a) / (tT + a * B))
+                - math.log((raw_c.get(b, 0) + a) / (rT + a * B)))
+    for i, x in raw_rows:
+        ws = (x or "").split()
+        exp = round(sum(lr(hmap[t]) for t in ws), 6) if ws else 0.0
+        assert got[i] == (len(ws), exp), f"doc {i}"
+    # the clean doc must outrank the spam doc toward the clean target
+    assert got[1][1] > got[2][1]
