@@ -254,6 +254,16 @@ def main(argv: list[str] | None = None) -> int:
                          "help": "signal engine for --mode filter: Catalyst staged "
                                  "projection (sql) or single-pass byte kernel (arrow, "
                                  "~2.6x at GB scale, bit-identical)"}))
+    add("tokenize", (("-c", "--text-column"), {"default": "text", "dest": "text_column"}),
+        (("--id-column",), {"default": None, "help": "doc id column (default: first column)"}),
+        (("--mode",), {"default": "encode", "choices": ["train", "encode"],
+                       "help": "train: learn BPE merges (writes the merges table); "
+                               "encode: tokenize into subwords under --merges"}),
+        (("--merges",), {"default": None, "help": "encode: trained merges table path"}),
+        (("--num-merges",), {"type": int, "default": 1000}),
+        (("--min-pair-freq",), {"type": int, "default": 2}),
+        (("--max-words",), {"type": int, "default": 65536,
+                            "help": "train: driver-side word-table bound (top by count)"}))
     add("normalize", (("-c", "--text-column"), {"default": "text", "dest": "text_column"}),
         (("--id-column",), {"default": None, "help": "doc id column (default: first column)"}),
         (("--mode",), {"default": "text",
@@ -1021,6 +1031,20 @@ def main(argv: list[str] | None = None) -> int:
         if not args.keep_html:
             out = out.drop(col)
         _out(out, args, 20)
+    elif c == "tokenize":
+        from nail_parquet_spark.functions.bpe import bpe_encode, bpe_train
+
+        id_col = args.id_column or df.columns[0]
+        if args.mode == "train":
+            _out(bpe_train(df, id_col, args.text_column,
+                           num_merges=args.num_merges,
+                           min_pair_freq=args.min_pair_freq,
+                           max_words=args.max_words), args)
+        else:
+            if not args.merges:
+                raise SystemExit("--mode encode requires --merges (a trained merges table)")
+            _out(bpe_encode(df, read_data(spark, args.merges), id_col,
+                            args.text_column), args)
     elif c == "normalize":
         from pyspark.sql import functions as F
 
