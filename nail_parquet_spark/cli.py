@@ -422,6 +422,11 @@ def main(argv: list[str] | None = None) -> int:
                        "help": "comma list of stages to skip: quality,c4_clean,exact_dedup,near_dedup"}),
         (("--eval",), {"default": None, "dest": "eval_path",
                        "help": "eval/benchmark table — enables the decontamination stage"}),
+        (("--dsir-target",), {"default": None, "dest": "dsir_target",
+                              "help": "target-domain table — enables the DSIR "
+                                      "importance-resampling stage"}),
+        (("--dsir-keep-frac",), {"type": float, "default": 0.5}),
+        (("--dsir-buckets",), {"type": int, "default": 4096}),
         (("--prior",), {"default": None, "dest": "prior_path",
                         "help": "previously-curated corpus (parquet path or encoded "
                                 "out_dir) — enables incremental exact dedup against it"}),
@@ -561,6 +566,9 @@ def main(argv: list[str] | None = None) -> int:
             near_score_col=args.near_score_col,
             prior_src=args.prior_path, prior_near_dedup=args.prior_near,
             save_sigs=args.save_sigs,
+            dsir_target_src=args.dsir_target,
+            dsir_keep_frac=args.dsir_keep_frac,
+            dsir_buckets=args.dsir_buckets,
             eval_src=args.eval_path, decontam_ngram=args.decontam_ngram,
             codecs=json.loads(args.codecs) if args.codecs else None,
             policy=args.policy, units_per_job=args.units_per_job)

@@ -86,6 +86,9 @@ def curate_and_encode_corpus(
     prior_text_col: str | None = None,
     prior_near_dedup: bool = False,
     save_sigs: bool = False,
+    dsir_target_src: str | None = None,
+    dsir_keep_frac: float = 0.5,
+    dsir_buckets: int = 4096,
     eval_src: str | None = None,
     decontam_ngram: int = 13,
     decontam_min_hits: int = 1,
@@ -426,6 +429,40 @@ def curate_and_encode_corpus(
                            "num_hashes": num_hashes, "bands": bands,
                            "shingle_k": shingle_k,
                            "signatures": sig_mode})
+
+        if dsir_target_src is not None:
+            # DSIR importance resampling toward a target domain (Xie et
+            # al. 2023): score = length-normalized importance
+            # exp(log_weight / max(n_tokens, 1)) — the geometric-mean
+            # per-token target/raw ratio, bounded for any doc length —
+            # fed to the deterministic weight-proportional sampler, so
+            # the kept set is reproducible across reruns. Runs after the
+            # dedup stages (weights fit on the deduped distribution).
+            from nail_parquet_spark.functions.mixing import weighted_sample
+            from nail_parquet_spark.functions.text import dsir_weights
+            from nail_parquet_spark.sources.io import read_data
+
+            tgt_df = read_data(spark, dsir_target_src)
+            wts = dsir_weights(cur, tgt_df, "__doc_id", text_col,
+                               buckets=dsir_buckets)
+            scored = cur.join(
+                wts.select(
+                    "__doc_id",
+                    F.exp(F.col("log_weight")
+                          / F.greatest(F.col("n_tokens"), F.lit(1)))
+                    .alias("__dsir_score")),
+                "__doc_id")
+            kept = weighted_sample(scored, "__doc_id", "__dsir_score",
+                                   dsir_keep_frac).drop("__dsir_score")
+            rej = scored.join(kept.select("__doc_id"), "__doc_id", "left_anti")
+            rej.select("__doc_id", url_col, "__dsir_score").write.mode(
+                "overwrite").parquet(_reject_dir(out_dir, "dsir"))
+            counts["dsir"] = spark.read.parquet(
+                _reject_dir(out_dir, "dsir")).count()
+            cur = _pin(kept)
+            stages.append({"stage": "dsir", "target_src": dsir_target_src,
+                           "keep_frac": dsir_keep_frac,
+                           "buckets": dsir_buckets})
 
         if eval_src is not None:
             # decontamination runs LAST: the post-dedup corpus is the

@@ -342,3 +342,35 @@ def test_curate_drop_noindex_stage(spark, tmp_path):
         curate_and_encode_corpus(spark, flat, str(tmp_path / "x"),
                                  drop_noindex=True, do_quality=False,
                                  do_c4_clean=False, do_near_dedup=False)
+
+
+def test_curate_dsir_stage(spark, corpus, tmp_path):
+    """With a target table, the DSIR stage keeps roughly keep_frac of the
+    post-dedup survivors (deterministic weighted sample), counts conserve,
+    and the reject audit carries the importance score."""
+    from nail_parquet_spark.pipeline.curate import curate_and_encode_corpus
+
+    tgt = str(tmp_path / "dsir_tgt")
+    (spark.read.parquet(corpus)
+     .filter(F.pmod(F.xxhash64("url"), F.lit(12)) == 4)
+     .select("text").limit(60).write.parquet(tgt))
+
+    out = str(tmp_path / "curated_dsir")
+    state = curate_and_encode_corpus(
+        spark, corpus, out, quality_rules=RULES, near_threshold=0.6,
+        units_per_job=4, dsir_target_src=tgt, dsir_keep_frac=0.5)
+    counts = state["counts"]
+    assert state["conserved"]
+    assert counts["rejected"]["dsir"] > 0
+    survivors_before = counts["kept"] + counts["rejected"]["dsir"]
+    frac = counts["kept"] / survivors_before
+    assert 0.2 < frac < 0.8  # expected 0.5, loose band for weight skew
+    rej = spark.read.parquet(os.path.join(out, "_rejects", "stage=dsir"))
+    assert rej.count() == counts["rejected"]["dsir"]
+    assert "__dsir_score" in rej.columns
+    # determinism: rerunning into a fresh dir keeps the identical set
+    out2 = str(tmp_path / "curated_dsir2")
+    state2 = curate_and_encode_corpus(
+        spark, corpus, out2, quality_rules=RULES, near_threshold=0.6,
+        units_per_job=4, dsir_target_src=tgt, dsir_keep_frac=0.5)
+    assert state2["counts"] == counts
