@@ -127,7 +127,9 @@ def main(argv: list[str] | None = None) -> int:
         (("--near",), {"action": "store_true",
                        "help": "with --soft: weight by connected MinHash near-dup cluster"}))
     add("merge", (("--right",), {"required": True}), (("-k", "--key"), {"required": True}),
-        (("--type",), {"default": None, "dest": "join_type"}),
+        (("--type",), {"default": None, "dest": "join_type",
+                       "help": "inner/left/right, plus semi/anti (existence "
+                               "filters, beyond the reference)"}),
         (("--left",), {"action": "store_true", "dest": "join_left", "help": "left join (merge.rs:17)"}),
         (("--right-join",), {"action": "store_true", "help": "right join (merge.rs:20)"}))
     add("append", (("--others",), {"required": True}), (("--ignore-schema",), {"action": "store_true"}))

@@ -13,9 +13,12 @@ from nail_parquet_spark.rowid import ROW_ID, with_row_id
 def merge(left: DataFrame, right: DataFrame, key: str, join_type: str = "inner",
           right_prefix: str = "r_", broadcast_right: bool = False) -> DataFrame:
     """Equi-join with the reference's conventions (merge.rs:30-147):
-    inner/left/right only; key may be 'left_col=right_col'; key resolution is
-    case-insensitive; right-side columns get a prefix to avoid collisions."""
-    if join_type not in ("inner", "left", "right"):
+    inner/left/right, key may be 'left_col=right_col'; key resolution is
+    case-insensitive; right-side columns get a prefix to avoid collisions.
+    Beyond the reference: 'semi'/'anti' (existence filters — the right side
+    contributes no columns, so no prefixing happens and the left schema
+    passes through unchanged)."""
+    if join_type not in ("inner", "left", "right", "semi", "anti"):
         raise ValueError(f"join type '{join_type}' not supported (merge.rs:44-52)")
     if "=" in key:
         lk, rk = key.split("=", 1)
@@ -31,6 +34,11 @@ def merge(left: DataFrame, right: DataFrame, key: str, join_type: str = "inner",
         raise ValueError(f"join key '{name}' not found in {df.columns}")
 
     lk, rk = resolve(left, lk), resolve(right, rk)
+    if join_type in ("semi", "anti"):
+        r1 = right.select(rk)
+        if broadcast_right:
+            r1 = F.broadcast(r1)
+        return left.join(r1, left[lk] == r1[rk], f"left_{join_type}")
     r2 = right
     for c in right.columns:
         if c != rk:

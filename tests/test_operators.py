@@ -80,6 +80,12 @@ def test_merge_semantics(sample, sample2):
     assert left.count() == 5
     with pytest.raises(ValueError):
         ops.merge(sample, sample2, "id=user_id", "full")  # unsupported (merge.rs:44-52)
+    semi = ops.merge(sample, sample2, "id=user_id", "semi")
+    assert semi.columns == sample.columns and semi.count() == 3
+    anti = ops.merge(sample, sample2, "id=user_id", "anti", broadcast_right=True)
+    assert anti.columns == sample.columns and anti.count() == 2
+    assert set(r["id"] for r in anti.collect()).isdisjoint(
+        r["id"] for r in semi.collect())
 
 
 def test_append_strict_and_ignore(sample):
