@@ -568,6 +568,31 @@ def q_funnel_steps(spark, sf_dir):
     return funnel(_t(spark, sf_dir, "events"), ["view", "click", "purchase"])
 
 
+def q_encode_roundtrip_fc(spark, sf_dir):
+    """Front-coding path end to end: build a url-sorted page-key table
+    from documents, encode the url column PINNED to fc (codec/kernels.py
+    _enc_strbin_fc — group-head prefix removal), decode back. The oracle
+    is the same construction, so the driver value-hashes the decoded urls
+    against it — the north-rule bit-identity gate on the fc codec."""
+    from nail_parquet_spark.codec.decode import decode_table
+    from nail_parquet_spark.codec.encode import encode_table
+
+    pages = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            F.concat(
+                F.lit("https://corpus.example.org/"), F.col("source"),
+                F.lit("/doc-"), F.lpad(F.col("doc_id").cast("string"), 8, "0"),
+                F.lit(".html"),
+            ).alias("url"),
+            F.col("doc_id"),
+        )
+        .orderBy("url")
+    )
+    return decode_table(encode_table(pages, codecs={"url": "fc"}),
+                        columns=["url", "doc_id"])
+
+
 def q_encode_roundtrip_embeddings(spark, sf_dir):
     """List-codec path end to end: encode the embeddings table
     (array<float> -> list kind, codec by trial: alp/bss/zstd) and decode
@@ -1925,6 +1950,11 @@ _QUERIES = {
         #    round incl. r04, embedding four attested r04, all unchanged
         #    in behavior) sit just past the cap — their r04 no_oracle rows
         #    are 1 round old at final judging, within policy.
+        # new this session, just past the cap (nothing left in the head is
+        # displaceable within the 2-round rotation policy): fc bit-identity
+        # round-trip — locally value-exact (CORRECTNESS_LOCAL) + pytest
+        # kernel/distributed coverage
+        "encode_roundtrip_fc": q_encode_roundtrip_fc,
         "encode_manifest": q_encode_manifest,
         "encode_roundtrip": q_encode_roundtrip,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
@@ -2545,6 +2575,11 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1""",
         "encode_roundtrip_embeddings": """
             SELECT vec_id, embedding, label FROM embeddings""",
+        "encode_roundtrip_fc": """
+            SELECT 'https://corpus.example.org/' || source || '/doc-'
+                   || lpad(doc_id::VARCHAR, 8, '0') || '.html' AS url,
+                   doc_id
+            FROM documents""",
         "encoded_stats_pushdown": """
             SELECT count(l_quantity) AS cnt_qty,
                    min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
