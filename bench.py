@@ -50,6 +50,10 @@ BENCH_QUERIES = [
     "script_profile",
     "decontam_overlap",
     "unigram_logprob",
+    "bigram_logprob",
+    "dsir_weights",
+    "bm25_search",
+    "soft_dedup_weights",
     "lang_id",
     "doc_fingerprint",
     "dedup_incremental",
