@@ -113,7 +113,29 @@ def main(argv: list[str] | None = None) -> int:
                        "help": "BM25 ranked retrieval of -v as a query (needs --id-col; "
                                "beyond the reference's substring search)"}),
         (("--id-col",), {"default": None}), (("--text-col",), {"default": "text"}),
-        (("-k", "--topk"), {"type": int, "default": 10}))
+        (("-k", "--topk"), {"type": int, "default": 10}),
+        (("--hybrid",), {"action": "store_true",
+                         "help": "fuse BM25 with cosine over --vec-col by "
+                                 "Reciprocal Rank Fusion (needs --query-id)"}),
+        (("--vec-col",), {"default": "embedding"}),
+        (("--query-id",), {"default": None,
+                           "help": "hybrid: id of the row whose vector is the "
+                                   "semantic query"}),
+        (("--rrf-k",), {"type": int, "default": 60}))
+    add("cluster", (("--mode",), {"required": True,
+                                  "choices": ["kmeans", "semdedup"]}),
+        (("--id-col",), {"required": True}),
+        (("--vec-col",), {"default": "embedding"}),
+        (("-k", "--clusters"), {"type": int, "default": 8, "dest": "clusters"}),
+        (("--iters",), {"type": int, "default": 1}),
+        (("--tau",), {"type": float, "default": 0.95,
+                      "help": "semdedup: within-cluster cosine drop threshold"}),
+        (("--score-col",), {"default": None,
+                            "help": "semdedup: keep the best-scoring member "
+                                    "per transitive cluster"}),
+        (("--transitive",), {"action": "store_true",
+                             "help": "semdedup: keep smallest id per connected "
+                                     "component instead of keep-first"}))
     add("rename", (("-c", "--columns"), {"required": True}))
     add("create", (("-c", "--columns"), {"required": True}), (("--filter",), {"default": None}))
     add("id", (("--name",), {"default": "id"}), (("--prefix",), {"default": ""}))
@@ -702,7 +724,25 @@ def main(argv: list[str] | None = None) -> int:
         _out(out, args)
     elif c == "search":
         cols = args.columns.split(",") if args.columns else None
-        if args.rank:
+        if args.hybrid:
+            from pyspark.sql import functions as F
+
+            from nail_parquet_spark.functions.text import hybrid_search_rrf
+
+            if not args.id_col or args.query_id is None:
+                raise SystemExit("--hybrid requires --id-col and --query-id")
+            qrows = (df.filter(F.col(args.id_col).cast("string")
+                               == args.query_id)
+                     .select(args.vec_col).limit(1).collect())
+            if not qrows or qrows[0][0] is None:
+                raise SystemExit(
+                    f"--query-id {args.query_id}: no row with a non-null "
+                    f"{args.vec_col}")
+            qv = [float(x) for x in qrows[0][0]]
+            out = hybrid_search_rrf(df, args.id_col, args.text_col,
+                                    args.vec_col, args.value, qv,
+                                    k=args.topk, rrf_k=args.rrf_k)
+        elif args.rank:
             from nail_parquet_spark.functions.text import bm25_search
 
             if not args.id_col:
@@ -713,6 +753,18 @@ def main(argv: list[str] | None = None) -> int:
             out = ops.search_rows(df, args.value, cols, args.ignore_case, exact=args.exact)
         else:
             out = ops.search_value(df, args.value, cols, args.ignore_case, exact=args.exact)
+        _out(out, args)
+    elif c == "cluster":
+        from nail_parquet_spark.functions.cluster import kmeans, semantic_dedup
+
+        if args.mode == "kmeans":
+            out = kmeans(df, args.id_col, args.vec_col, k=args.clusters,
+                         iters=args.iters, cosine_col="cosine")
+        else:
+            out = semantic_dedup(df, args.id_col, args.vec_col,
+                                 k=args.clusters, iters=args.iters,
+                                 tau=args.tau, score_col=args.score_col,
+                                 transitive=args.transitive)
         _out(out, args)
     elif c == "rename":
         _out(ops.rename_columns(df, args.columns.split(",")), args)

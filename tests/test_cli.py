@@ -721,3 +721,50 @@ def test_cli_quality_bigram_and_dsir(spark, tmp_path):
         "doc_id", "--buckets", "64", "-o", out2)
     w = {r["doc_id"]: r["log_weight"] for r in spark.read.parquet(out2).collect()}
     assert w[4] > w[1]  # target-like doc outranks the unrelated one
+
+
+def test_cli_cluster_kmeans_and_semdedup(spark, tmp_path):
+    src = str(tmp_path / "vecs_cli.parquet")
+    spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.999, 0.001]), (3, [0.0, 1.0])],
+        "id long, v array<double>",
+    ).write.parquet(src)
+    out = str(tmp_path / "km.parquet")
+    run("cluster", src, "--mode", "kmeans", "--id-col", "id",
+        "--vec-col", "v", "-k", "2", "-o", out)
+    got = {r["id"]: r["cluster"] for r in spark.read.parquet(out).collect()}
+    assert got[1] == got[2] != got[3]
+    out2 = str(tmp_path / "sd.parquet")
+    run("cluster", src, "--mode", "semdedup", "--id-col", "id",
+        "--vec-col", "v", "-k", "2", "--tau", "0.99", "-o", out2)
+    kept = sorted(r["id"] for r in spark.read.parquet(out2).collect())
+    assert kept == [1, 3]
+
+
+def test_cli_search_hybrid(spark, tmp_path):
+    src = str(tmp_path / "docs_hybrid.parquet")
+    spark.createDataFrame(
+        [(1, "spark query engine", [1.0, 0.0]),
+         (2, "table scan", [0.99, 0.01]),
+         (3, "query", [0.0, 1.0])],
+        "doc_id long, text string, embedding array<double>",
+    ).write.parquet(src)
+    out = str(tmp_path / "hybrid.parquet")
+    run("search", src, "-v", "query engine", "--hybrid", "--id-col",
+        "doc_id", "--query-id", "1", "-k", "3", "-o", out)
+    got = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    # doc 2 never matches the query lexically but is cosine-near doc 1
+    assert got[2]["bm25_rank"] is None and got[2]["cos_rank"] is not None
+    assert got[1]["bm25_rank"] is not None
+
+
+def test_cli_search_hybrid_requires_query(spark, tmp_path):
+    src = str(tmp_path / "docs_hybrid2.parquet")
+    spark.createDataFrame(
+        [(1, "text", [1.0])], "doc_id long, text string, embedding array<double>",
+    ).write.parquet(src)
+    with pytest.raises(SystemExit):
+        run("search", src, "-v", "q", "--hybrid", "--id-col", "doc_id")
+    with pytest.raises(SystemExit):
+        run("search", src, "-v", "q", "--hybrid", "--id-col", "doc_id",
+            "--query-id", "99")

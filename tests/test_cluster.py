@@ -1,0 +1,204 @@
+"""k-means + SemDeDup semantic dedup (functions/cluster.py) and hybrid
+RRF retrieval (functions/text.hybrid_search_rrf)."""
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from nail_parquet_spark.functions.cluster import (
+    kmeans,
+    kmeans_assign,
+    kmeans_centroids,
+    semantic_dedup,
+)
+from nail_parquet_spark.functions.text import hybrid_search_rrf
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    """Three tight groups in 4-d plus a near-duplicate pair inside the
+    first group — built with exact float values so assertions are exact."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.99, 0.01, 0.0, 0.0]),   # near-dup of 0
+        (2, [0.98, 0.0, 0.02, 0.0]),   # near-dup of 0/1
+        (10, [0.0, 1.0, 0.0, 0.0]),
+        (11, [0.0, 0.97, 0.03, 0.0]),
+        (20, [0.0, 0.0, 1.0, 0.0]),
+        (21, [0.0, 0.0, 0.96, 0.04]),
+    ]
+    return spark.createDataFrame(rows, "id long, v array<double>")
+
+
+def test_kmeans_seeds_are_smallest_ids(spark, vecs):
+    cents = kmeans_centroids(vecs, "id", "v", k=3, iters=0)
+    assert cents == [
+        [1.0, 0.0, 0.0, 0.0],
+        [0.99, 0.01, 0.0, 0.0],
+        [0.98, 0.0, 0.02, 0.0],
+    ]
+
+
+def test_kmeans_groups_separate(spark, vecs):
+    out = kmeans(vecs, "id", "v", k=3, iters=2).collect()
+    by_id = {r["id"]: r["cluster"] for r in out}
+    # the three orthogonal groups land in distinct clusters
+    assert by_id[0] == by_id[1] == by_id[2]
+    assert by_id[10] == by_id[11]
+    assert by_id[20] == by_id[21]
+    assert len({by_id[0], by_id[10], by_id[20]}) == 3
+
+
+def test_kmeans_assign_tie_lowest_index(spark):
+    df = spark.createDataFrame([(1, [1.0, 1.0])], "id long, v array<double>")
+    # both centroids at the same rounded cosine -> index 0 wins
+    out = kmeans_assign(df, "v", [[1.0, 0.0], [0.0, 1.0]]).collect()[0]
+    assert out["cluster"] == 0
+
+
+def test_kmeans_empty_cluster_keeps_centroid(spark):
+    # two identical rows, k=2: the second centroid loses every member on
+    # iteration 1 (ties go to index 0) and must survive unchanged
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.0])], "id long, v array<double>"
+    )
+    cents = kmeans_centroids(df, "id", "v", k=2, iters=1)
+    assert cents == [[1.0, 0.0], [1.0, 0.0]]
+
+
+def test_kmeans_update_is_member_mean(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 2.0]), (3, [0.0, 4.0])],
+        "id long, v array<double>",
+    )
+    cents = kmeans_centroids(df, "id", "v", k=2, iters=1)
+    # seed0=[1,0] keeps row 1; seed1=[0,2] takes rows 2,3 -> mean [0,3]
+    assert cents == [[1.0, 0.0], [0.0, 3.0]]
+
+
+def test_kmeans_k_exceeds_rows(spark):
+    df = spark.createDataFrame([(1, [1.0, 0.0])], "id long, v array<double>")
+    cents = kmeans_centroids(df, "id", "v", k=5, iters=1)
+    assert cents == [[1.0, 0.0]]
+
+
+def test_kmeans_rejects_bad_k_and_empty(spark):
+    df = spark.createDataFrame([(1, [1.0])], "id long, v array<double>")
+    with pytest.raises(ValueError):
+        kmeans_centroids(df, "id", "v", k=0)
+    with pytest.raises(ValueError):
+        kmeans_centroids(df.filter("id < 0"), "id", "v", k=2)
+
+
+def test_semantic_dedup_keep_first(spark, vecs):
+    kept = sorted(
+        r["id"] for r in semantic_dedup(
+            vecs, "id", "v", k=3, iters=1, tau=0.9998
+        ).collect()
+    )
+    # rounded cosines inside group one: cos(0,1)=0.999949 >= tau (drop 1),
+    # cos(0,2)=0.999792 and cos(1,2)=0.999734 < tau (keep 2); groups two
+    # and three sit at 0.999522 / 0.999133 -- all kept
+    assert kept == [0, 2, 10, 11, 20, 21]
+
+
+def test_semantic_dedup_keep_best_score(spark, vecs):
+    scored = vecs.withColumn("score", F.col("id").cast("double"))
+    kept = sorted(
+        r["id"] for r in semantic_dedup(
+            scored, "id", "v", k=3, iters=1, tau=0.9998, score_col="score"
+        ).collect()
+    )
+    # the only pair is (0,1); highest score in that cluster is id 1
+    assert kept == [1, 2, 10, 11, 20, 21]
+
+
+def test_semantic_dedup_transitive(spark):
+    # c is within tau of both a and b, but a and b are far apart: keep-first
+    # keeps b (no SMALLER id within tau of it), transitive collapses the
+    # whole component to its minimum
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [0.0, 1.0]),
+        (3, [0.7071, 0.7071]),
+    ]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    tau = 0.7
+    keep_first = sorted(r["id"] for r in semantic_dedup(
+        df, "id", "v", k=1, iters=0, tau=tau).collect())
+    transitive = sorted(r["id"] for r in semantic_dedup(
+        df, "id", "v", k=1, iters=0, tau=tau, transitive=True).collect())
+    assert keep_first == [1, 2]
+    assert transitive == [1]
+
+
+def test_semantic_dedup_no_pairs_identity(spark, vecs):
+    kept = semantic_dedup(vecs, "id", "v", k=3, iters=1, tau=1.1)
+    assert kept.count() == vecs.count()
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, "spark engine fast engine", [1.0, 0.0, 0.0]),
+        (2, "query engine", [0.9, 0.1, 0.0]),
+        (3, "hash join strategy", [0.0, 1.0, 0.0]),
+        (4, "totally unrelated text", [0.0, 0.0, 1.0]),
+        (5, None, [1.0, 0.05, 0.0]),
+    ]
+    return spark.createDataFrame(rows, "id long, text string, v array<double>")
+
+
+def test_hybrid_rrf_fuses_both_branches(spark, corpus):
+    out = hybrid_search_rrf(
+        corpus, "id", "text", "v", "engine query",
+        [1.0, 0.0, 0.0], k=5, k_each=3, rrf_k=60,
+    ).collect()
+    rows = {r["id"]: r for r in out}
+    # doc 2 matches both query terms AND is cosine-close -> both ranks set
+    assert rows[2]["bm25_rank"] is not None and rows[2]["cos_rank"] is not None
+    # doc 5 has NULL text: semantic-only (bm25 can never match it)
+    assert rows[5]["bm25_rank"] is None and rows[5]["cos_rank"] is not None
+    # every fused score is the sum of its reciprocal ranks
+    for r in out:
+        expect = 0.0
+        if r["bm25_rank"] is not None:
+            expect += 1.0 / (60 + r["bm25_rank"])
+        if r["cos_rank"] is not None:
+            expect += 1.0 / (60 + r["cos_rank"])
+        assert math.isclose(r["rrf_score"], round(expect, 9), abs_tol=1e-9)
+    # ordering: rrf desc, id asc
+    scores = [(r["rrf_score"], -r["id"]) for r in out]
+    assert scores == sorted(scores, key=lambda t: (-t[0], -t[1]))
+
+
+def test_hybrid_rrf_k_limits(spark, corpus):
+    out = hybrid_search_rrf(
+        corpus, "id", "text", "v", "engine", [1.0, 0.0, 0.0], k=2, k_each=2
+    ).collect()
+    assert len(out) == 2
+
+
+def test_hybrid_rrf_rejects_empty_query_vec(spark, corpus):
+    with pytest.raises(ValueError):
+        hybrid_search_rrf(corpus, "id", "text", "v", "engine", [], k=2)
+
+
+def test_hybrid_rrf_no_global_windows(spark, corpus):
+    """The rank windows must carry an explicit (bounded) partition key —
+    the engine-wide no-global-window invariant."""
+    from nail_parquet_spark.plans.explain import global_windows
+
+    out = hybrid_search_rrf(
+        corpus, "id", "text", "v", "engine", [1.0, 0.0, 0.0], k=3)
+    assert global_windows(out) == []
+
+
+def test_kmeans_assign_plan_no_shuffle(spark, vecs):
+    """The assign pass must stay a streaming projection — no Exchange."""
+    from nail_parquet_spark.plans.explain import plan_text
+
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    out = kmeans_assign(vecs, "v", cents)
+    plan = plan_text(out)
+    assert "Exchange" not in plan, plan
