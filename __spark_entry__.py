@@ -645,6 +645,20 @@ def q_hybrid_search_rrf(spark, sf_dir):
                              "query engine hash", qv, k=10)
 
 
+def q_text_embed(spark, sf_dir):
+    """Deterministic hashed bag-of-words embeddings over raw text
+    (functions/embed.hashed_ngram_embedding — signed feature hashing,
+    Weinberger et al. 2009): bucket/sign from one md5 per token, signed
+    counts L2-normalized, components rounded to 6. ONE Exchange-free
+    staged projection (plan-tested) — the model-free bridge that lets the
+    ANN/SemDeDup stack run on text columns at crawl scale."""
+    from nail_parquet_spark.functions.embed import hashed_ngram_embedding
+
+    return hashed_ngram_embedding(
+        _t(spark, sf_dir, "documents"), "text", dim=16
+    ).select("doc_id", "embedding")
+
+
 def q_encode_roundtrip_embeddings(spark, sf_dir):
     """List-codec path end to end: encode the embeddings table
     (array<float> -> list kind, codec by trial: alp/bss/zstd) and decode
@@ -2015,6 +2029,7 @@ _QUERIES = {
         "kmeans_clusters": q_kmeans_clusters,
         "semantic_dedup": q_semantic_dedup,
         "hybrid_search_rrf": q_hybrid_search_rrf,
+        "text_embed": q_text_embed,
         "encode_manifest": q_encode_manifest,
         "encode_roundtrip": q_encode_roundtrip,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
@@ -2712,6 +2727,31 @@ def oracle_sql() -> dict[str, str]:
                     (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.45)
             SELECT vec_id, label FROM embeddings
             WHERE vec_id NOT IN (SELECT vec_id FROM drops)""",
+        # pinned signed-feature-hash embedding: bucket = first 28 md5 bits
+        # mod dim, sign = 8th-nibble parity, signed counts L2-normalized
+        # and rounded to 6; NULL/blank text -> NULL vector
+        "text_embed": r"""
+            WITH base AS (SELECT doc_id, text, trim(lower(text)) AS t FROM documents),
+            tok AS (SELECT doc_id, unnest(regexp_split_to_array(t, '\s+')) AS token
+                    FROM base WHERE text IS NOT NULL AND t <> ''),
+            bs AS (SELECT doc_id,
+                          ('0x' || substr(md5(token), 1, 7))::BIGINT % 16 AS b,
+                          CASE WHEN ('0x' || substr(md5(token), 8, 1))::BIGINT % 2 = 0
+                               THEN 1.0 ELSE -1.0 END AS s
+                   FROM tok),
+            agg AS (SELECT doc_id, b, sum(s) AS v FROM bs GROUP BY 1, 2),
+            dense AS (SELECT d.doc_id, g.i, coalesce(a.v, 0.0) AS v
+                      FROM (SELECT DISTINCT doc_id FROM bs) d
+                      CROSS JOIN (SELECT unnest(range(0, 16)) AS i) g
+                      LEFT JOIN agg a ON a.doc_id = d.doc_id AND a.b = g.i),
+            nrm AS (SELECT doc_id, sqrt(sum(v * v)) AS n FROM dense GROUP BY 1),
+            vecs AS (SELECT d.doc_id,
+                            list(CASE WHEN nrm.n = 0 THEN d.v
+                                      ELSE round(d.v / nrm.n, 6) END
+                                 ORDER BY d.i) AS embedding
+                     FROM dense d JOIN nrm USING (doc_id) GROUP BY d.doc_id)
+            SELECT b.doc_id, v.embedding
+            FROM base b LEFT JOIN vecs v USING (doc_id)""",
         # pinned BM25 top-50 and cosine top-50 (query vector = smallest
         # vec_id) over the docs-with-embeddings corpus, fused by RRF k=60
         "hybrid_search_rrf": r"""

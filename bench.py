@@ -62,6 +62,8 @@ BENCH_QUERIES = [
     "simhash",
     "embedding_topk",
     "embedding_topk_lsh",
+    "semantic_dedup",
+    "hybrid_search_rrf",
     "multimodal_meta",
     "encode_roundtrip",
 ]

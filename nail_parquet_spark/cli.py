@@ -123,9 +123,14 @@ def main(argv: list[str] | None = None) -> int:
                                    "semantic query"}),
         (("--rrf-k",), {"type": int, "default": 60}))
     add("cluster", (("--mode",), {"required": True,
-                                  "choices": ["kmeans", "semdedup"]}),
+                                  "choices": ["kmeans", "semdedup",
+                                              "semdedup-text"]}),
         (("--id-col",), {"required": True}),
         (("--vec-col",), {"default": "embedding"}),
+        (("--text-col",), {"default": "text",
+                           "help": "semdedup-text: column to hash-embed"}),
+        (("--dim",), {"type": int, "default": 64,
+                      "help": "semdedup-text: hashed embedding width"}),
         (("-k", "--clusters"), {"type": int, "default": 8, "dest": "clusters"}),
         (("--iters",), {"type": int, "default": 1}),
         (("--tau",), {"type": float, "default": 0.95,
@@ -136,6 +141,9 @@ def main(argv: list[str] | None = None) -> int:
         (("--transitive",), {"action": "store_true",
                              "help": "semdedup: keep smallest id per connected "
                                      "component instead of keep-first"}))
+    add("embed", (("--text-col",), {"default": "text"}),
+        (("--out-col",), {"default": "embedding"}),
+        (("--dim",), {"type": int, "default": 64}))
     add("rename", (("-c", "--columns"), {"required": True}))
     add("create", (("-c", "--columns"), {"required": True}), (("--filter",), {"default": None}))
     add("id", (("--name",), {"default": "id"}), (("--prefix",), {"default": ""}))
@@ -760,12 +768,24 @@ def main(argv: list[str] | None = None) -> int:
         if args.mode == "kmeans":
             out = kmeans(df, args.id_col, args.vec_col, k=args.clusters,
                          iters=args.iters, cosine_col="cosine")
+        elif args.mode == "semdedup-text":
+            from nail_parquet_spark.functions.embed import semantic_dedup_text
+
+            out = semantic_dedup_text(df, args.id_col, args.text_col,
+                                      dim=args.dim, k=args.clusters,
+                                      iters=args.iters, tau=args.tau,
+                                      score_col=args.score_col)
         else:
             out = semantic_dedup(df, args.id_col, args.vec_col,
                                  k=args.clusters, iters=args.iters,
                                  tau=args.tau, score_col=args.score_col,
                                  transitive=args.transitive)
         _out(out, args)
+    elif c == "embed":
+        from nail_parquet_spark.functions.embed import hashed_ngram_embedding
+
+        _out(hashed_ngram_embedding(df, args.text_col, out_col=args.out_col,
+                                    dim=args.dim), args)
     elif c == "rename":
         _out(ops.rename_columns(df, args.columns.split(",")), args)
     elif c == "create":

@@ -40,36 +40,48 @@ def _cast_double(col):
     return F.transform(col, lambda x: x.cast("double"))
 
 
-def _rounded_cosines(vec_col: str, centroids: list[list[float]]):
-    """Array of round(cosine(vec, centroid_i), 6) for every centroid —
-    pure column expressions over literal centroid arrays."""
-    cents = F.array(
-        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
-    )
-    v = _cast_double(F.col(vec_col))
-    return F.transform(
-        cents,
-        lambda c: F.round(
-            _dot_expr(v, c) / (_norm_expr(v) * _norm_expr(c)), 6
-        ),
-    )
-
-
 def kmeans_assign(df: DataFrame, vec_col: str,
                   centroids: list[list[float]],
                   out_col: str = "cluster",
                   cosine_col: str | None = None) -> DataFrame:
     """Attach the pinned-contract cluster id (0-based; rounded-cosine
-    argmax, lowest index on ties) and optionally the winning cosine."""
-    sims = _rounded_cosines(vec_col, centroids)
-    out = df.withColumn("__sims", sims).withColumn(
+    argmax, lowest index on ties) and optionally the winning cosine.
+
+    Staged for one-pass cost: the row vector's double cast and norm are
+    computed ONCE per row (Catalyst does not CSE multi-referenced
+    subexpressions), and each centroid's norm is a driver-computed
+    literal — bit-identical to the engine fold (same sequential IEEE
+    adds over the same literal doubles), so per row the work is k dot
+    products instead of k*(dot + two norms)."""
+    import math
+
+    # same sequential 0.0 + x*x fold the engine's _norm_expr performs,
+    # over the exact literal doubles -> identical IEEE result
+    cnorms = [math.sqrt(sum(x * x for x in c)) for c in centroids]
+    cents = F.array(*[
+        F.struct(
+            F.array(*[F.lit(float(x)) for x in c]).alias("c"),
+            F.lit(float(n)).alias("n"),
+        )
+        for c, n in zip(centroids, cnorms)
+    ])
+    s1 = df.withColumn("__ka_v", _cast_double(F.col(vec_col)))
+    s2 = s1.withColumn("__ka_n", _norm_expr(F.col("__ka_v")))
+    sims = F.transform(
+        cents,
+        lambda cn: F.round(
+            _dot_expr(F.col("__ka_v"), cn["c"]) / (F.col("__ka_n") * cn["n"]),
+            6,
+        ),
+    )
+    out = s2.withColumn("__sims", sims).withColumn(
         out_col,
         (F.array_position(F.col("__sims"), F.array_max("__sims")) - 1)
         .cast("int"),
     )
     if cosine_col is not None:
         out = out.withColumn(cosine_col, F.array_max("__sims"))
-    return out.drop("__sims")
+    return out.drop("__ka_v", "__ka_n", "__sims")
 
 
 def kmeans_centroids(df: DataFrame, id_col: str, vec_col: str,
@@ -162,17 +174,23 @@ def semantic_dedup(df: DataFrame, id_col: str, vec_col: str, k: int = 8,
     """
     cents = kmeans_centroids(df, id_col, vec_col, k=k, iters=iters)
     assigned = kmeans_assign(
-        df.select(F.col(id_col).alias("__kid"), F.col(vec_col).alias("__kv")),
+        df.select(F.col(id_col).alias("__kid"),
+                  _cast_double(F.col(vec_col)).alias("__kv")),
         "__kv", cents,
     )
+    # stage each row's norm ONCE before the pair join (the join would
+    # otherwise recompute both O(dim) norms per PAIR); same fold, same
+    # IEEE result
+    assigned = assigned.withColumn("__kn", _norm_expr(F.col("__kv")))
     a = assigned.select(F.col("__kid").alias("id_a"),
-                        F.col("__kv").alias("__va"), "cluster")
+                        F.col("__kv").alias("__va"),
+                        F.col("__kn").alias("__na"), "cluster")
     b = assigned.select(F.col("__kid").alias("id_b"),
-                        F.col("__kv").alias("__vb"), "cluster")
+                        F.col("__kv").alias("__vb"),
+                        F.col("__kn").alias("__nb"), "cluster")
     cos = F.round(
-        _dot_expr(_cast_double(F.col("__va")), _cast_double(F.col("__vb")))
-        / (_norm_expr(_cast_double(F.col("__va")))
-           * _norm_expr(_cast_double(F.col("__vb")))),
+        _dot_expr(F.col("__va"), F.col("__vb"))
+        / (F.col("__na") * F.col("__nb")),
         6,
     )
     pairs = (

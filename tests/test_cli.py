@@ -768,3 +768,21 @@ def test_cli_search_hybrid_requires_query(spark, tmp_path):
     with pytest.raises(SystemExit):
         run("search", src, "-v", "q", "--hybrid", "--id-col", "doc_id",
             "--query-id", "99")
+
+
+def test_cli_embed_and_semdedup_text(spark, tmp_path):
+    src = str(tmp_path / "docs_embed.parquet")
+    spark.createDataFrame(
+        [(1, "alpha beta"), (2, "alpha beta"), (3, "gamma delta"), (4, None)],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    out = str(tmp_path / "embedded.parquet")
+    run("embed", src, "--dim", "8", "-o", out)
+    got = {r["doc_id"]: r["embedding"]
+           for r in spark.read.parquet(out).collect()}
+    assert got[1] == got[2] != got[3] and got[4] is None
+    out2 = str(tmp_path / "semdedup_text.parquet")
+    run("cluster", src, "--mode", "semdedup-text", "--id-col", "doc_id",
+        "--dim", "8", "-k", "2", "--tau", "0.99", "-o", out2)
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(out2).collect())
+    assert kept == [1, 3, 4]  # dup 2 dropped; NULL-text row always kept
