@@ -476,6 +476,12 @@ def main(argv: list[str] | None = None) -> int:
         (("--near-score-col",), {"default": None,
                                  "help": "keep the HIGHEST-scoring doc per near-dup cluster "
                                          "(implies transitive collapse)"}),
+        (("--semdedup",), {"action": "store_true",
+                           "help": "append a SemDeDup pass (hashed embeddings -> "
+                                   "k-means -> within-cluster cosine drops)"}),
+        (("--semdedup-tau",), {"type": float, "default": 0.9}),
+        (("--semdedup-k",), {"type": int, "default": 64}),
+        (("--semdedup-dim",), {"type": int, "default": 64}),
         (("--boilerplate",), {"action": "store_true",
                               "help": "prepend within-site boilerplate line removal "
                                       "(grouped by registered_domain(url))"}),
@@ -596,6 +602,8 @@ def main(argv: list[str] | None = None) -> int:
             do_near_dedup="near_dedup" not in skip,
             near_threshold=args.threshold, transitive=args.transitive,
             near_score_col=args.near_score_col,
+            do_semdedup=args.semdedup, semdedup_tau=args.semdedup_tau,
+            semdedup_k=args.semdedup_k, semdedup_dim=args.semdedup_dim,
             prior_src=args.prior_path, prior_near_dedup=args.prior_near,
             save_sigs=args.save_sigs,
             dsir_target_src=args.dsir_target,

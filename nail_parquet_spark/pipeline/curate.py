@@ -1,9 +1,10 @@
 """One-call corpus curation: unicode normalization (optional) ->
 within-site boilerplate removal (optional) -> language routing (optional)
 -> quality filter -> C4 line clean -> word blocklist (optional) -> exact
-dedup -> MinHash near-dedup -> benchmark decontamination (optional, off
-unless an eval table is given) -> salted encode, with per-stage
-reject/lineage manifests and stage-level resume (VERDICT r4 #4).
+dedup -> MinHash near-dedup -> SemDeDup semantic dedup (optional) ->
+benchmark decontamination (optional, off unless an eval table is given)
+-> salted encode, with per-stage reject/lineage manifests and stage-level
+resume (VERDICT r4 #4).
 
 This is the integration a 100-TB training-data user actually runs. Every
 stage is an already-oracle-attested operator (functions/quality,
@@ -46,7 +47,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 STAGES = ("extract", "noindex", "normalize", "boilerplate", "lang_filter", "quality",
           "classify", "c4_clean", "badwords", "exact_dedup", "prior_dedup",
-          "near_dedup", "prior_near_dedup", "decontam")
+          "near_dedup", "semantic_dedup", "prior_near_dedup", "decontam")
 
 
 def _reject_dir(out_dir: str, stage: str) -> str:
@@ -78,6 +79,11 @@ def curate_and_encode_corpus(
     shingle_k: int = 3,
     transitive: bool = False,
     near_score_col: str | None = None,
+    do_semdedup: bool = False,
+    semdedup_tau: float = 0.9,
+    semdedup_k: int = 64,
+    semdedup_dim: int = 64,
+    semdedup_iters: int = 1,
     classifier_src: str | None = None,
     classifier_dim: int = 1 << 18,
     classifier_bias: float = 0.0,
@@ -384,6 +390,30 @@ def curate_and_encode_corpus(
             stages.append({"stage": "near_dedup", "threshold": near_threshold,
                            "num_hashes": num_hashes, "bands": bands,
                            "shingle_k": shingle_k, "transitive": transitive,
+                           "score_col": near_score_col})
+
+        if do_semdedup:
+            # SemDeDup pass over what the token-level passes left: hashed
+            # bag-of-words embeddings -> k-means -> within-cluster cosine
+            # drops. Catches paraphrase-grade duplication MinHash misses
+            # (shared vocabulary, different shingles). Runs AFTER
+            # near_dedup so the O(|cluster|^2) pair space sees the
+            # smallest surviving set; semdedup_k scales with corpus size.
+            from nail_parquet_spark.functions.embed import semantic_dedup_text
+
+            kept = semantic_dedup_text(
+                cur, "__doc_id", text_col, dim=semdedup_dim, k=semdedup_k,
+                iters=semdedup_iters, tau=semdedup_tau,
+                score_col=near_score_col)
+            rej = cur.join(kept.select("__doc_id"), "__doc_id", "left_anti")
+            rej.select("__doc_id", url_col).write.mode("overwrite").parquet(
+                _reject_dir(out_dir, "semantic_dedup"))
+            counts["semantic_dedup"] = spark.read.parquet(
+                _reject_dir(out_dir, "semantic_dedup")).count()
+            cur = _pin(kept)
+            stages.append({"stage": "semantic_dedup", "tau": semdedup_tau,
+                           "k": semdedup_k, "dim": semdedup_dim,
+                           "iters": semdedup_iters,
                            "score_col": near_score_col})
 
         if prior_src is not None and prior_near_dedup:

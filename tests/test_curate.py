@@ -374,3 +374,44 @@ def test_curate_dsir_stage(spark, corpus, tmp_path):
         spark, corpus, out2, quality_rules=RULES, near_threshold=0.6,
         units_per_job=4, dsir_target_src=tgt, dsir_keep_frac=0.5)
     assert state2["counts"] == counts
+
+
+def test_curate_semdedup_stage(spark, tmp_path):
+    """--semdedup appends a SemDeDup pass after MinHash near-dedup: two
+    docs sharing a bag of words (paraphrase-grade duplication that 3-token
+    shingles miss) collapse to one; counts conserve; the stage records its
+    params in the lineage."""
+    import datetime
+
+    from nail_parquet_spark.pipeline.curate import curate_and_encode_corpus
+
+    ts = datetime.datetime(2024, 1, 1)
+    a = "alpha beta gamma delta epsilon zeta"
+    # same multiset of words, different order: identical hashed embedding
+    # (cosine 1.0) but no shared 3-shingle run beyond chance
+    b = "zeta epsilon delta gamma beta alpha"
+    other = "totally unrelated subject matter entirely different words"
+    rows = [
+        ("https://h1.example/a", ts, a),
+        ("https://h2.example/b", ts, b),
+        ("https://h3.example/c", ts, other),
+    ]
+    src = str(tmp_path / "src_sem")
+    spark.createDataFrame(rows, "url string, warc_ts timestamp, text string") \
+        .write.parquet(src)
+
+    out = str(tmp_path / "sem_out")
+    state = curate_and_encode_corpus(
+        spark, src, out, do_quality=False, do_c4_clean=False,
+        do_near_dedup=True, near_threshold=0.9,
+        do_semdedup=True, semdedup_tau=0.99, semdedup_k=2,
+        units_per_job=4)
+    c = state["counts"]
+    assert c["rejected"].get("near_dedup", 0) == 0  # shingles differ
+    assert c["rejected"]["semantic_dedup"] == 1     # bag-of-words dup
+    assert c["kept"] == 2
+    assert c["input"] == c["kept"] + sum(c["rejected"].values())
+    sem = [s for s in state["stages"] if s["stage"] == "semantic_dedup"][0]
+    assert sem["tau"] == 0.99 and sem["k"] == 2
+    names = [s["stage"] for s in state["stages"]]
+    assert names.index("near_dedup") < names.index("semantic_dedup")
