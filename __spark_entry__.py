@@ -659,6 +659,19 @@ def q_text_embed(spark, sf_dir):
     ).select("doc_id", "embedding")
 
 
+def q_semantic_overlap(spark, sf_dir):
+    """SEMANTIC benchmark decontamination (functions/decontam.
+    semantic_overlap): per-doc max cosine between hashed bag-of-words
+    embeddings of the corpus and the deterministic eval slice — the
+    paraphrase-leak complement of the 13-gram rule. Eval vectors
+    broadcast; the corpus never shuffles (doc-keyed max is the only
+    exchange)."""
+    from nail_parquet_spark.functions.decontam import semantic_overlap
+
+    d, ev = _docs_eval_split(spark, sf_dir)
+    return semantic_overlap(d, ev, "doc_id", "text", dim=16)
+
+
 def q_encode_roundtrip_embeddings(spark, sf_dir):
     """List-codec path end to end: encode the embeddings table
     (array<float> -> list kind, codec by trial: alp/bss/zstd) and decode
@@ -2030,6 +2043,7 @@ _QUERIES = {
         "semantic_dedup": q_semantic_dedup,
         "hybrid_search_rrf": q_hybrid_search_rrf,
         "text_embed": q_text_embed,
+        "semantic_overlap": q_semantic_overlap,
         "encode_manifest": q_encode_manifest,
         "encode_roundtrip": q_encode_roundtrip,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
@@ -2752,6 +2766,37 @@ def oracle_sql() -> dict[str, str]:
                      FROM dense d JOIN nrm USING (doc_id) GROUP BY d.doc_id)
             SELECT b.doc_id, v.embedding
             FROM base b LEFT JOIN vecs v USING (doc_id)""",
+        # the text_embed hashing contract applied to both sides (eval =
+        # the doc_id % 13 slice, vectors deduped), per-doc max cosine
+        "semantic_overlap": r"""
+            WITH base AS (SELECT doc_id, text, trim(lower(text)) AS t FROM documents),
+            tok AS (SELECT doc_id, unnest(regexp_split_to_array(t, '\s+')) AS token
+                    FROM base WHERE text IS NOT NULL AND t <> ''),
+            bs AS (SELECT doc_id,
+                          ('0x' || substr(md5(token), 1, 7))::BIGINT % 16 AS b,
+                          CASE WHEN ('0x' || substr(md5(token), 8, 1))::BIGINT % 2 = 0
+                               THEN 1.0 ELSE -1.0 END AS s
+                   FROM tok),
+            agg AS (SELECT doc_id, b, sum(s) AS v FROM bs GROUP BY 1, 2),
+            dense AS (SELECT d.doc_id, g.i, coalesce(a.v, 0.0) AS v
+                      FROM (SELECT DISTINCT doc_id FROM bs) d
+                      CROSS JOIN (SELECT unnest(range(0, 16)) AS i) g
+                      LEFT JOIN agg a ON a.doc_id = d.doc_id AND a.b = g.i),
+            nrm AS (SELECT doc_id, sqrt(sum(v * v)) AS n FROM dense GROUP BY 1),
+            vecs AS (SELECT d.doc_id,
+                            list(CASE WHEN nrm.n = 0 THEN d.v
+                                      ELSE round(d.v / nrm.n, 6) END
+                                 ORDER BY d.i) AS ev
+                     FROM dense d JOIN nrm USING (doc_id) GROUP BY d.doc_id),
+            evset AS (SELECT DISTINCT ev FROM vecs WHERE doc_id % 13 = 0),
+            per_doc AS (
+              SELECT v.doc_id,
+                     max(round(list_dot_product(v.ev, e.ev) /
+                         (sqrt(list_dot_product(v.ev, v.ev))
+                          * sqrt(list_dot_product(e.ev, e.ev))), 6)) AS max_cosine
+              FROM vecs v CROSS JOIN evset e GROUP BY 1)
+            SELECT b.doc_id, p.max_cosine
+            FROM base b LEFT JOIN per_doc p USING (doc_id)""",
         # pinned BM25 top-50 and cosine top-50 (query vector = smallest
         # vec_id) over the docs-with-embeddings corpus, fused by RRF k=60
         "hybrid_search_rrf": r"""

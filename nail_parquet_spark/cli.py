@@ -367,7 +367,14 @@ def main(argv: list[str] | None = None) -> int:
         (("--min-hits",), {"type": int, "default": 1}),
         (("--min-frac",), {"type": float, "default": 0.0}),
         (("--report",), {"action": "store_true",
-                         "help": "emit the per-doc overlap report instead of the kept rows"}))
+                         "help": "emit the per-doc overlap report instead of the kept rows"}),
+        (("--semantic",), {"action": "store_true",
+                           "help": "embedding-cosine contamination (hashed "
+                                   "bag-of-words) instead of n-gram overlap"}),
+        (("--tau",), {"type": float, "default": 0.9,
+                      "help": "semantic: max-cosine removal threshold"}),
+        (("--dim",), {"type": int, "default": 64,
+                      "help": "semantic: hashed embedding width"}))
     add("extract", (("-c", "--html-column"), {"default": "html", "dest": "html_column"}),
         (("--mode",), {"default": "text",
                        "choices": ["text", "title", "links", "lang", "all",
@@ -1073,10 +1080,22 @@ def main(argv: list[str] | None = None) -> int:
         _out(out, args, 50)
     elif c == "decontam":
         from nail_parquet_spark.functions.decontam import (
-            decontaminate, ngram_overlap)
+            decontaminate, ngram_overlap, semantic_decontaminate,
+            semantic_overlap)
 
         id_col = args.id_column or df.columns[0]
         eval_df = read_data(spark, args.eval_path)
+        if args.semantic:
+            skw = dict(dim=args.dim, eval_text_col=args.eval_text_column)
+            if args.report:
+                out = semantic_overlap(df, eval_df, id_col,
+                                       args.text_column, **skw)
+            else:
+                out = semantic_decontaminate(df, eval_df, id_col,
+                                             args.text_column,
+                                             tau=args.tau, **skw)
+            _out(out, args, 50)
+            return 0
         kw = dict(n=args.ngram, eval_text_col=args.eval_text_column)
         if args.report:
             out = ngram_overlap(df, eval_df, id_col, args.text_column, **kw)

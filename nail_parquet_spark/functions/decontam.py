@@ -110,3 +110,65 @@ def decontaminate(docs: DataFrame, eval_df: DataFrame, id_col: str,
         (F.col("n_hit") >= min_hits) & (F.col("contam_frac") >= min_frac)
     ).select(id_col)
     return docs.join(bad, id_col, "left_anti")
+
+
+def semantic_overlap(docs: DataFrame, eval_df: DataFrame, id_col: str,
+                     text_col: str, dim: int = 64,
+                     eval_text_col: str | None = None,
+                     broadcast_eval: bool = True) -> DataFrame:
+    """SEMANTIC contamination report: per-doc maximum cosine between the
+    doc's hashed bag-of-words embedding (functions/embed, pinned contract)
+    and ANY eval-set embedding — the complement of :func:`ngram_overlap`
+    for paraphrased benchmark leakage that verbatim n-grams miss.
+
+    Returns (id, max_cosine): ``max_cosine`` is the rounded-6 cosine of
+    the nearest eval vector, NULL when the doc has no embedding
+    (NULL/blank text) or the eval set has none.
+
+    Scale shape (100-TB corpus vs a benchmark set of at most GBs): both
+    sides embed as Exchange-free projections; the eval side reduces to
+    DISTINCT vectors and broadcasts, so the corpus never shuffles — the
+    only exchange is the final doc-keyed max. Norms are staged once per
+    row on both sides (never recomputed per pair).
+    """
+    from nail_parquet_spark.functions.embed import hashed_ngram_embedding
+    from nail_parquet_spark.functions.similarity import _dot_expr, _norm_expr
+
+    d = hashed_ngram_embedding(
+        docs.select(F.col(id_col), F.col(text_col)), text_col,
+        out_col="__dv", dim=dim,
+    ).filter(F.col("__dv").isNotNull()).select(F.col(id_col), "__dv")
+    d = d.withColumn("__dn", _norm_expr(F.col("__dv")))
+    ev = hashed_ngram_embedding(
+        eval_df.select(F.col(eval_text_col or text_col).alias("__etext")),
+        "__etext", out_col="__ev", dim=dim,
+    ).filter(F.col("__ev").isNotNull()).select("__ev").distinct()
+    ev = ev.withColumn("__en", _norm_expr(F.col("__ev")))
+    if broadcast_eval:
+        ev = F.broadcast(ev)
+    cos = F.round(
+        _dot_expr(F.col("__dv"), F.col("__ev"))
+        / (F.col("__dn") * F.col("__en")),
+        6,
+    )
+    per_doc = (
+        d.crossJoin(ev)
+        .select(F.col(id_col), cos.alias("__cos"))
+        .groupBy(id_col)
+        .agg(F.max("__cos").alias("max_cosine"))
+    )
+    return docs.select(id_col).join(per_doc, id_col, "left")
+
+
+def semantic_decontaminate(docs: DataFrame, eval_df: DataFrame, id_col: str,
+                           text_col: str, tau: float = 0.9, dim: int = 64,
+                           eval_text_col: str | None = None,
+                           broadcast_eval: bool = True) -> DataFrame:
+    """Remove documents whose nearest eval embedding sits at cosine
+    >= ``tau`` (left_anti on the flagged ids — original schema and
+    cardinality preserved; NULL-text docs are never flagged)."""
+    rep = semantic_overlap(docs, eval_df, id_col, text_col, dim=dim,
+                           eval_text_col=eval_text_col,
+                           broadcast_eval=broadcast_eval)
+    bad = rep.filter(F.col("max_cosine") >= tau).select(id_col)
+    return docs.join(bad, id_col, "left_anti")

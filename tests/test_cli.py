@@ -786,3 +786,27 @@ def test_cli_embed_and_semdedup_text(spark, tmp_path):
         "--dim", "8", "-k", "2", "--tau", "0.99", "-o", out2)
     kept = sorted(r["doc_id"] for r in spark.read.parquet(out2).collect())
     assert kept == [1, 3, 4]  # dup 2 dropped; NULL-text row always kept
+
+
+def test_cli_decontam_semantic(spark, tmp_path):
+    src = str(tmp_path / "docs_semdc.parquet")
+    spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "delta gamma beta alpha"),
+         (3, "totally different content here")],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    ev = str(tmp_path / "eval_semdc.parquet")
+    spark.createDataFrame(
+        [(9, "alpha beta gamma delta")], "eid long, text string",
+    ).write.parquet(ev)
+    rep = str(tmp_path / "semdc_report.parquet")
+    run("decontam", src, "--eval", ev, "--semantic", "--report",
+        "--id-column", "doc_id", "--dim", "16", "-o", rep)
+    got = {r["doc_id"]: r["max_cosine"]
+           for r in spark.read.parquet(rep).collect()}
+    assert got[1] == 1.0 == got[2]  # same bag of words either order
+    out = str(tmp_path / "semdc_kept.parquet")
+    run("decontam", src, "--eval", ev, "--semantic", "--tau", "0.9",
+        "--id-column", "doc_id", "--dim", "16", "-o", out)
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert kept == [3]

@@ -170,3 +170,51 @@ class TestPerplexityBuckets:
                perplexity_buckets(df, "doc_id", "text", "lang",
                                   n_buckets=2).collect()}
         assert got == {"b0", "b1"}
+
+
+class TestSemanticDecontam:
+    @staticmethod
+    def _fixture(spark):
+        rows = [
+            (1, "alpha beta gamma delta"),
+            (2, "delta gamma beta alpha extra"),   # near-paraphrase of eval
+            (3, "completely unrelated subject matter entirely"),
+            (4, None),
+            (5, "   "),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        ev = spark.createDataFrame(
+            [(100, "alpha beta gamma delta")], "eid long, text string")
+        return docs, ev
+
+    def test_overlap_report(self, spark):
+        from nail_parquet_spark.functions.decontam import semantic_overlap
+
+        docs, ev = self._fixture(spark)
+        got = {r["doc_id"]: r["max_cosine"] for r in
+               semantic_overlap(docs, ev, "doc_id", "text", dim=16).collect()}
+        assert got[1] == 1.0                      # verbatim
+        assert got[2] is not None and 0.8 < got[2] < 1.0   # paraphrase+extra
+        assert got[3] is None or got[3] < 0.8     # unrelated (may share no bucket)
+        assert got[4] is None and got[5] is None  # no embedding -> NULL
+
+    def test_filter_drops_paraphrase_keeps_nulls(self, spark):
+        from nail_parquet_spark.functions.decontam import semantic_decontaminate
+
+        docs, ev = self._fixture(spark)
+        kept = sorted(r["doc_id"] for r in semantic_decontaminate(
+            docs, ev, "doc_id", "text", tau=0.8, dim=16).collect())
+        assert kept == [3, 4, 5]
+        assert semantic_decontaminate(
+            docs, ev, "doc_id", "text", tau=1.1, dim=16).count() == 5
+
+    def test_empty_eval_keeps_everything(self, spark):
+        from nail_parquet_spark.functions.decontam import (
+            semantic_decontaminate, semantic_overlap)
+
+        docs, ev = self._fixture(spark)
+        empty = ev.filter("eid < 0")
+        assert semantic_decontaminate(
+            docs, empty, "doc_id", "text", dim=16).count() == 5
+        rep = semantic_overlap(docs, empty, "doc_id", "text", dim=16)
+        assert all(r["max_cosine"] is None for r in rep.collect())
