@@ -672,6 +672,23 @@ def q_semantic_overlap(spark, sf_dir):
     return semantic_overlap(d, ev, "doc_id", "text", dim=16)
 
 
+def q_eval_span_scrub(spark, sf_dir):
+    """Surgical decontamination (functions/decontam.scrub_eval_spans):
+    remove only the 4-token windows shared with the eval slice (doc_id %
+    13 of the base table) from the corpus-with-duplicates fixture, and
+    rebuild the docs — eval members and their duplicated copies lose
+    their leaked spans, clean docs keep (normalized) text. Same 60-bit
+    window keys and rebuild engine as dup_span_removal, reproduced
+    bit-for-bit by the oracle."""
+    from nail_parquet_spark.functions.decontam import scrub_eval_spans
+
+    d = _docs_with_dups(spark, sf_dir)
+    ev = _t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 13 == 0).select("doc_id", "text")
+    return scrub_eval_spans(d, ev, "doc_id", "text", w=4) \
+        .select("doc_id", "text")
+
+
 def q_encode_roundtrip_embeddings(spark, sf_dir):
     """List-codec path end to end: encode the embeddings table
     (array<float> -> list kind, codec by trial: alp/bss/zstd) and decode
@@ -2044,6 +2061,7 @@ _QUERIES = {
         "hybrid_search_rrf": q_hybrid_search_rrf,
         "text_embed": q_text_embed,
         "semantic_overlap": q_semantic_overlap,
+        "eval_span_scrub": q_eval_span_scrub,
         "encode_manifest": q_encode_manifest,
         "encode_roundtrip": q_encode_roundtrip,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
@@ -2766,6 +2784,50 @@ def oracle_sql() -> dict[str, str]:
                      FROM dense d JOIN nrm USING (doc_id) GROUP BY d.doc_id)
             SELECT b.doc_id, v.embedding
             FROM base b LEFT JOIN vecs v USING (doc_id)""",
+        # dup_span_removal's window/rebuild contract joined against the
+        # eval slice's distinct window hashes instead of corpus dup keys
+        "eval_span_scrub": rf"""
+            WITH dd AS ({_DOCS_DUPS_SQL}),
+            toks AS (
+              SELECT doc_id,
+                     CASE WHEN trim(lower(text)) = ''
+                          THEN CAST([] AS VARCHAR[])
+                          ELSE regexp_split_to_array(trim(lower(text)), '\s+')
+                     END AS a
+              FROM dd WHERE text IS NOT NULL),
+            tok AS (SELECT doc_id, i AS tpos, a[i] AS tok
+                    FROM toks, UNNEST(range(1, len(a) + 1)) AS t(i)),
+            wins AS (
+              SELECT doc_id, i AS pos,
+                     CAST('0x' || substr(md5(array_to_string(a[i:i+3], ' ')),
+                                         1, 15) AS BIGINT) AS h
+              FROM toks, UNNEST(range(1, len(a) - 2)) AS t(i)),
+            etoks AS (
+              SELECT doc_id,
+                     CASE WHEN trim(lower(text)) = ''
+                          THEN CAST([] AS VARCHAR[])
+                          ELSE regexp_split_to_array(trim(lower(text)), '\s+')
+                     END AS a
+              FROM documents WHERE doc_id % 13 = 0 AND text IS NOT NULL),
+            evh AS (
+              SELECT DISTINCT
+                     CAST('0x' || substr(md5(array_to_string(a[i:i+3], ' ')),
+                                         1, 15) AS BIGINT) AS h
+              FROM etoks, UNNEST(range(1, len(a) - 2)) AS t(i)),
+            dpos AS (SELECT doc_id, pos FROM wins JOIN evh USING (h)),
+            cov AS (SELECT DISTINCT doc_id, pos + j AS tpos
+                    FROM dpos, UNNEST(range(0, 4)) AS u(j)),
+            kept AS (
+              SELECT t.doc_id, t.tpos, t.tok
+              FROM tok t LEFT JOIN cov c
+                ON t.doc_id = c.doc_id AND t.tpos = c.tpos
+              WHERE c.doc_id IS NULL),
+            reb AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY tpos) AS t2
+                    FROM kept GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CASE WHEN d.text IS NULL THEN NULL
+                        ELSE coalesce(r.t2, '') END AS text
+            FROM dd d LEFT JOIN reb r USING (doc_id)""",
         # the text_embed hashing contract applied to both sides (eval =
         # the doc_id % 13 slice, vectors deduped), per-doc max cosine
         "semantic_overlap": r"""

@@ -371,6 +371,9 @@ def main(argv: list[str] | None = None) -> int:
         (("--semantic",), {"action": "store_true",
                            "help": "embedding-cosine contamination (hashed "
                                    "bag-of-words) instead of n-gram overlap"}),
+        (("--scrub",), {"action": "store_true",
+                        "help": "surgical mode: remove only the leaked "
+                                "--ngram-token spans and keep the docs"}),
         (("--tau",), {"type": float, "default": 0.9,
                       "help": "semantic: max-cosine removal threshold"}),
         (("--dim",), {"type": int, "default": 64,
@@ -1085,6 +1088,14 @@ def main(argv: list[str] | None = None) -> int:
 
         id_col = args.id_column or df.columns[0]
         eval_df = read_data(spark, args.eval_path)
+        if args.scrub:
+            from nail_parquet_spark.functions.decontam import scrub_eval_spans
+
+            out = scrub_eval_spans(df, eval_df, id_col, args.text_column,
+                                   w=args.ngram,
+                                   eval_text_col=args.eval_text_column)
+            _out(out, args, 50)
+            return 0
         if args.semantic:
             skw = dict(dim=args.dim, eval_text_col=args.eval_text_column)
             if args.report:

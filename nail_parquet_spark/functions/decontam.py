@@ -172,3 +172,44 @@ def semantic_decontaminate(docs: DataFrame, eval_df: DataFrame, id_col: str,
                            broadcast_eval=broadcast_eval)
     bad = rep.filter(F.col("max_cosine") >= tau).select(id_col)
     return docs.join(bad, id_col, "left_anti")
+
+
+def scrub_eval_spans(docs: DataFrame, eval_df: DataFrame, id_col: str,
+                     text_col: str, w: int = 13,
+                     eval_text_col: str | None = None,
+                     broadcast_eval: bool = True) -> DataFrame:
+    """SURGICAL decontamination (the span variant of :func:`decontaminate`):
+    instead of dropping whole contaminated documents, remove only the
+    tokens covered by a w-token window that appears anywhere in the eval
+    set, and rebuild the documents from the survivors — the Lee-et-al
+    exact-substring treatment applied cross-set, keeping the clean bulk of
+    a page whose footer quotes a benchmark question.
+
+    Pinned contract (shared with dedup.remove_duplicate_spans, whose
+    rebuild engine this reuses): module tokenization (trim + lower +
+    split \\s+), windows keyed by the portable 60-bit hash, EVERY covered
+    token drops, the rebuilt text is normalized to lowercase single-space
+    tokens, NULL text passes through, a fully-covered doc comes back ''.
+
+    Scale shape: the eval side reduces to DISTINCT window hashes
+    (broadcast by default); the corpus side ships only (id, pos, 8-byte
+    hash) rows; interval union + rebuild are id-keyed (bounded per-doc
+    state, no global windows).
+    """
+    from nail_parquet_spark.functions.dedup import (
+        _remove_covered_windows, _window_positions)
+
+    ev_tagged = eval_df.select(
+        F.monotonically_increasing_id().alias("__eid"),
+        F.col(eval_text_col or text_col).alias("__etxt"),
+    )
+    evh = _window_positions(ev_tagged, "__eid", "__etxt", w) \
+        .select("h").distinct()
+    if broadcast_eval:
+        evh = F.broadcast(evh)
+    leaked = (
+        _window_positions(docs, id_col, text_col, w)
+        .join(evh, "h")
+        .select("__id", "pos")
+    )
+    return _remove_covered_windows(docs, id_col, text_col, leaked, w)

@@ -502,8 +502,17 @@ def remove_duplicate_spans(df: DataFrame, id_col: str, text_col: str,
     array_sort, array_join) — bounded by document size, no global state.
     """
     dup = _duplicate_positions(df, id_col, text_col, w)
+    return _remove_covered_windows(df, id_col, text_col, dup, w)
+
+
+def _remove_covered_windows(df: DataFrame, id_col: str, text_col: str,
+                            win_positions: DataFrame, w: int) -> DataFrame:
+    """Shared rebuild step: drop every token inside a flagged (__id, pos)
+    w-token window and reassemble the docs (the remove_duplicate_spans
+    contract — normalized rebuild, NULL passthrough, '' when fully
+    covered). Also backs decontam.scrub_eval_spans."""
     covered = (
-        dup.select("__id", F.explode(
+        win_positions.select("__id", F.explode(
             F.expr(f"sequence(pos, pos + {w - 1})")).alias("__tpos"))
         .distinct()
     )

@@ -810,3 +810,20 @@ def test_cli_decontam_semantic(spark, tmp_path):
         "--id-column", "doc_id", "--dim", "16", "-o", out)
     kept = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
     assert kept == [3]
+
+
+def test_cli_decontam_scrub(spark, tmp_path):
+    src = str(tmp_path / "docs_scrub.parquet")
+    spark.createDataFrame(
+        [(1, "intro words then a b c d closing remark")],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    ev = str(tmp_path / "eval_scrub.parquet")
+    spark.createDataFrame(
+        [(9, "quiz a b c d answer")], "eid long, text string",
+    ).write.parquet(ev)
+    out = str(tmp_path / "scrubbed.parquet")
+    run("decontam", src, "--eval", ev, "--scrub", "--ngram", "4",
+        "--id-column", "doc_id", "-o", out)
+    got = spark.read.parquet(out).collect()[0]
+    assert got["text"] == "intro words then closing remark"

@@ -218,3 +218,48 @@ class TestSemanticDecontam:
             docs, empty, "doc_id", "text", dim=16).count() == 5
         rep = semantic_overlap(docs, empty, "doc_id", "text", dim=16)
         assert all(r["max_cosine"] is None for r in rep.collect())
+
+
+class TestScrubEvalSpans:
+    def test_scrubs_only_leaked_spans(self, spark):
+        from nail_parquet_spark.functions.decontam import scrub_eval_spans
+
+        docs = spark.createDataFrame(
+            [(1, "clean words then the secret benchmark answer appears here"),
+             (2, "fully clean document nothing shared at all"),
+             (3, None),
+             (4, "the secret benchmark answer")],   # fully covered
+            "doc_id long, text string")
+        ev = spark.createDataFrame(
+            [(9, "quiz: the secret benchmark answer")], "eid long, text string")
+        got = {r["doc_id"]: r["text"] for r in scrub_eval_spans(
+            docs, ev, "doc_id", "text", w=4).collect()}
+        # doc1: windows 4..7 of the eval text match its tokens 4..7? the
+        # leaked 4-gram "the secret benchmark answer" covers tokens 4-7
+        assert got[1] == "clean words then appears here"
+        assert got[2] == "fully clean document nothing shared at all"
+        assert got[3] is None
+        assert got[4] == ""
+
+    def test_empty_eval_is_identity_normalized(self, spark):
+        from nail_parquet_spark.functions.decontam import scrub_eval_spans
+
+        docs = spark.createDataFrame(
+            [(1, "  Mixed   CASE text ")], "doc_id long, text string")
+        ev = spark.createDataFrame([(9, "zzz")], "eid long, text string") \
+            .filter("eid < 0")
+        got = scrub_eval_spans(docs, ev, "doc_id", "text", w=4).collect()[0]
+        # contract: rebuilt text is normalized even when nothing is scrubbed
+        assert got["text"] == "mixed case text"
+
+    def test_overlapping_windows_union(self, spark):
+        from nail_parquet_spark.functions.decontam import scrub_eval_spans
+
+        # eval has a 5-token run -> two overlapping leaked 4-windows in the
+        # doc; covered union is 5 tokens, not 8
+        docs = spark.createDataFrame(
+            [(1, "x a b c d e y")], "doc_id long, text string")
+        ev = spark.createDataFrame(
+            [(9, "a b c d e")], "eid long, text string")
+        got = scrub_eval_spans(docs, ev, "doc_id", "text", w=4).collect()[0]
+        assert got["text"] == "x y"
