@@ -78,45 +78,107 @@ def decontam_stream(
     min_hits: int = 1,
     min_frac: float = 0.0,
     available_now: bool = True,
+    mode: str = "ngram",
+    tau: float = 0.9,
+    dim: int = 64,
 ):
     """Streaming benchmark decontamination: newly-arriving document files
     are filtered against a STATIC eval set and survivors appended under
-    ``out_dir/ingest_batch=<id>/``.
+    ``out_dir/ingest_batch=<id>/``. Three modes, mirroring the batch
+    operators: ``ngram`` (drop docs by the 13-gram rule), ``scrub``
+    (remove only the leaked spans — decontam.scrub_eval_spans), and
+    ``semantic`` (drop by max embedding cosine >= ``tau`` —
+    decontam.semantic_decontaminate).
 
-    The per-doc hit count is an aggregation, which stream-static joins
+    The per-doc verdict is an aggregation, which stream-static joins
     can't express statelessly — so each micro-batch runs the exact BATCH
     operator via foreachBatch (the encode_stream pattern above): semantics
-    are bit-identical to ``functions.decontam.decontaminate`` per batch,
-    the eval-gram build is done ONCE up front (not per trigger), and the
-    batch-id overwrite keeps replays effectively exactly-once. Contract:
-    decontamination is per-document, so batch boundaries cannot change the
-    verdict — stream output == batch output on the same files (tested).
+    are bit-identical to the batch function per batch, the eval-side
+    reduction (gram hashes / window hashes / embeddings) is done ONCE up
+    front (not per trigger), and the batch-id overwrite keeps replays
+    effectively exactly-once. Contract: every mode's verdict is
+    per-document against a static eval set, so batch boundaries cannot
+    change it — stream output == batch output on the same files (tested).
     """
-    from nail_parquet_spark.functions.decontam import eval_ngram_hashes
-
-    # one eval-gram materialization per JOB, reused every micro-batch
-    ev = eval_ngram_hashes(eval_df, text_col, n).cache()
-    ev.count()
-
     from pyspark.sql import functions as F
 
-    from nail_parquet_spark.functions.dedup import word_shingles
-    from nail_parquet_spark.functions.text import word_hash
+    if mode == "ngram":
+        from nail_parquet_spark.functions.dedup import word_shingles
+        from nail_parquet_spark.functions.decontam import eval_ngram_hashes
+        from nail_parquet_spark.functions.text import word_hash
 
-    def filter_batch(batch_df: DataFrame, batch_id: int) -> None:
-        grams = word_shingles(batch_df, id_col, text_col, k=n).select(
-            F.col(id_col), word_hash(F.col("shingle")).alias("__h"))
-        per_doc = (
-            grams.join(F.broadcast(ev.withColumn("__hit", F.lit(1))), "__h", "left")
-            .groupBy(id_col)
-            .agg(F.count(F.lit(1)).alias("n_grams"),
-                 F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_hit"))
-        )
-        bad = per_doc.filter(
-            (F.col("n_hit") >= min_hits)
-            & (F.col("n_hit") / F.col("n_grams") >= min_frac)).select(id_col)
-        kept = batch_df.join(bad, id_col, "left_anti")
-        kept.write.mode("overwrite").parquet(f"{out_dir}/ingest_batch={batch_id}")
+        # one eval-side materialization per JOB, reused every micro-batch
+        ev = eval_ngram_hashes(eval_df, text_col, n).cache()
+        ev.count()
+
+        def filter_batch(batch_df: DataFrame, batch_id: int) -> None:
+            grams = word_shingles(batch_df, id_col, text_col, k=n).select(
+                F.col(id_col), word_hash(F.col("shingle")).alias("__h"))
+            per_doc = (
+                grams.join(F.broadcast(ev.withColumn("__hit", F.lit(1))),
+                           "__h", "left")
+                .groupBy(id_col)
+                .agg(F.count(F.lit(1)).alias("n_grams"),
+                     F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_hit"))
+            )
+            bad = per_doc.filter(
+                (F.col("n_hit") >= min_hits)
+                & (F.col("n_hit") / F.col("n_grams") >= min_frac)).select(id_col)
+            kept = batch_df.join(bad, id_col, "left_anti")
+            kept.write.mode("overwrite").parquet(
+                f"{out_dir}/ingest_batch={batch_id}")
+    elif mode == "scrub":
+        from nail_parquet_spark.functions.dedup import (
+            _remove_covered_windows, _window_positions)
+
+        evw = _window_positions(
+            eval_df.select(F.monotonically_increasing_id().alias("__eid"),
+                           F.col(text_col).alias("__etxt")),
+            "__eid", "__etxt", n).select("h").distinct().cache()
+        evw.count()
+
+        def filter_batch(batch_df: DataFrame, batch_id: int) -> None:
+            leaked = (
+                _window_positions(batch_df, id_col, text_col, n)
+                .join(F.broadcast(evw), "h").select("__id", "pos")
+            )
+            scrubbed = _remove_covered_windows(
+                batch_df, id_col, text_col, leaked, n)
+            scrubbed.write.mode("overwrite").parquet(
+                f"{out_dir}/ingest_batch={batch_id}")
+    elif mode == "semantic":
+        from nail_parquet_spark.functions.embed import hashed_ngram_embedding
+        from nail_parquet_spark.functions.similarity import _norm_expr
+
+        evv = hashed_ngram_embedding(
+            eval_df.select(F.col(text_col).alias("__etext")), "__etext",
+            out_col="__ev", dim=dim,
+        ).filter(F.col("__ev").isNotNull()).select("__ev").distinct() \
+            .withColumn("__en", _norm_expr(F.col("__ev"))).cache()
+        evv.count()
+
+        def filter_batch(batch_df: DataFrame, batch_id: int) -> None:
+            from nail_parquet_spark.functions.similarity import _dot_expr
+
+            d = hashed_ngram_embedding(
+                batch_df.select(F.col(id_col), F.col(text_col)), text_col,
+                out_col="__dv", dim=dim,
+            ).filter(F.col("__dv").isNotNull()) \
+                .withColumn("__dn", _norm_expr(F.col("__dv")))
+            cos = F.round(
+                _dot_expr(F.col("__dv"), F.col("__ev"))
+                / (F.col("__dn") * F.col("__en")), 6)
+            bad = (
+                d.crossJoin(F.broadcast(evv))
+                .select(F.col(id_col), cos.alias("__cos"))
+                .groupBy(id_col).agg(F.max("__cos").alias("__mc"))
+                .filter(F.col("__mc") >= tau).select(id_col)
+            )
+            kept = batch_df.join(bad, id_col, "left_anti")
+            kept.write.mode("overwrite").parquet(
+                f"{out_dir}/ingest_batch={batch_id}")
+    else:
+        raise ValueError(f"decontam_stream: unknown mode {mode!r}")
 
     stream = spark.readStream.schema(schema).parquet(src_dir)
     writer = (

@@ -501,3 +501,69 @@ def test_curate_stream_lang_badwords_parity(spark, tmp_path):
     assert ({r["url"] for r in dec.collect()}
             == {r["url"] for r in b.collect()}
             == {"https://en.example/1", "https://en.example/4"})
+
+
+def test_stream_decontam_scrub_matches_batch(spark, tmp_path):
+    """decontam_stream(mode='scrub') rebuilds the same scrubbed text the
+    batch scrub_eval_spans produces on the same files."""
+    from nail_parquet_spark.functions.decontam import scrub_eval_spans
+    from nail_parquet_spark.streaming.encode_stream import decontam_stream
+
+    src = str(tmp_path / "in_scrub")
+    rows = [(1, "intro words then a b c d closing remark"),
+            (2, "fully clean nothing shared with the benchmark"),
+            (3, "a b c d")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.coalesce(2).write.parquet(src)
+    ev = spark.createDataFrame([(1, "quiz a b c d answer")],
+                               "qid long, text string").select("text")
+
+    out = str(tmp_path / "out_scrub")
+    decontam_stream(spark, src, out, str(tmp_path / "ck_scrub"),
+                    "doc_id long, text string", ev, "doc_id", "text", n=4,
+                    mode="scrub")
+    got = {r["doc_id"]: r["text"] for r in
+           spark.read.option("recursiveFileLookup", "true").parquet(out).collect()}
+    want = {r["doc_id"]: r["text"] for r in
+            scrub_eval_spans(df, ev, "doc_id", "text", w=4).collect()}
+    assert got == want
+    assert got[1] == "intro words then closing remark" and got[3] == ""
+
+
+def test_stream_decontam_semantic_matches_batch(spark, tmp_path):
+    """decontam_stream(mode='semantic') drops exactly the docs the batch
+    semantic_decontaminate drops on the same files."""
+    from nail_parquet_spark.functions.decontam import semantic_decontaminate
+    from nail_parquet_spark.streaming.encode_stream import decontam_stream
+
+    src = str(tmp_path / "in_sem")
+    rows = [(1, "alpha beta gamma delta"),
+            (2, "delta gamma beta alpha"),
+            (3, "entirely different content here"),
+            (4, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.coalesce(2).write.parquet(src)
+    ev = spark.createDataFrame([(1, "alpha beta gamma delta")],
+                               "qid long, text string").select("text")
+
+    out = str(tmp_path / "out_sem")
+    decontam_stream(spark, src, out, str(tmp_path / "ck_sem"),
+                    "doc_id long, text string", ev, "doc_id", "text",
+                    mode="semantic", tau=0.9, dim=16)
+    got = {r["doc_id"] for r in
+           spark.read.option("recursiveFileLookup", "true").parquet(out).collect()}
+    want = {r["doc_id"] for r in semantic_decontaminate(
+        df, ev, "doc_id", "text", tau=0.9, dim=16).collect()}
+    assert got == want == {3, 4}
+
+
+def test_stream_decontam_rejects_unknown_mode(spark, tmp_path):
+    import pytest as _pytest
+
+    from nail_parquet_spark.streaming.encode_stream import decontam_stream
+
+    ev = spark.createDataFrame([(1, "x")], "qid long, text string")
+    with _pytest.raises(ValueError):
+        decontam_stream(spark, str(tmp_path), str(tmp_path / "o"),
+                        str(tmp_path / "c"), "doc_id long, text string",
+                        ev, "doc_id", "text", mode="nope")
