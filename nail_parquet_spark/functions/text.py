@@ -454,14 +454,20 @@ def bm25_search(df, id_col: str, text_col: str, query: str, k: int = 10,
     terms = sorted({t for t in query.strip().lower().split() if t})
     if not terms:
         raise ValueError("bm25_search: query has no tokens")
-    n_total = df.count()
     t = F.trim(F.lower(F.col(text_col)))
     words = F.when(
         F.col(text_col).isNull() | (t == ""), F.array().cast("array<string>")
     ).otherwise(F.split(t, r"\s+"))
     base = df.select(F.col(id_col).alias("__doc"), words.alias("__w"))
     doclen = base.select("__doc", F.size("__w").alias("__len"))
-    avgdl = (doclen.agg(F.sum("__len")).collect()[0][0] or 0) / n_total
+    # N and sum(len) in ONE scan (doclen is row-preserving, so its count
+    # IS the document count — a separate df.count() would rescan)
+    stats = doclen.agg(F.count(F.lit(1)).alias("__n"),
+                       F.sum("__len").alias("__s")).collect()[0]
+    n_total = stats["__n"]
+    if not n_total:
+        raise ValueError("bm25_search: empty corpus")
+    avgdl = (stats["__s"] or 0) / n_total
     toks = (
         base.select("__doc", F.explode("__w").alias("token"))
         .filter(F.col("token").isin(terms))
