@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "embedding_topk_lsh",
     "semantic_dedup",
     "hybrid_search_rrf",
+    "text_embed",
     "multimodal_meta",
     "encode_roundtrip",
 ]
