@@ -689,6 +689,24 @@ def q_eval_span_scrub(spark, sf_dir):
         .select("doc_id", "text")
 
 
+def q_accent_fold(spark, sf_dir):
+    """Pinned Latin diacritic fold (functions/normalize.strip_accents —
+    the CCNet pre-dedup accent strip). Attests the ENTIRE frozen 177-pair
+    table: every row folds the full ACCENT_SRC alphabet plus a decorated
+    slice of its own text (vowels swapped for accented forms in both
+    engines identically)."""
+    from nail_parquet_spark.functions.normalize import ACCENT_SRC, strip_accents
+
+    d = _t(spark, sf_dir, "documents")
+    dec = F.translate(F.substring(F.col("text"), 1, 60),
+                      "aeiouAEIOU", "àéîöüÀÉÎÖÜ")
+    return d.select(
+        "doc_id",
+        strip_accents(dec).alias("folded_text"),
+        strip_accents(F.lit(ACCENT_SRC)).alias("folded_alphabet"),
+    )
+
+
 def q_encode_roundtrip_embeddings(spark, sf_dir):
     """List-codec path end to end: encode the embeddings table
     (array<float> -> list kind, codec by trial: alp/bss/zstd) and decode
@@ -2062,6 +2080,7 @@ _QUERIES = {
         "text_embed": q_text_embed,
         "semantic_overlap": q_semantic_overlap,
         "eval_span_scrub": q_eval_span_scrub,
+        "accent_fold": q_accent_fold,
         "encode_manifest": q_encode_manifest,
         "encode_roundtrip": q_encode_roundtrip,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
@@ -2382,7 +2401,19 @@ def _mojibake_sql(src_cte: str) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from nail_parquet_spark.functions.normalize import ACCENT_DST, ACCENT_SRC
+
     sql = {
+        # the frozen 177-pair diacritic table, embedded from the module
+        # constants so the two engines can never drift
+        "accent_fold": f"""
+            SELECT doc_id,
+                   translate(translate(substr(text, 1, 60),
+                                       'aeiouAEIOU', 'àéîöüÀÉÎÖÜ'),
+                             '{ACCENT_SRC}', '{ACCENT_DST}') AS folded_text,
+                   translate('{ACCENT_SRC}', '{ACCENT_SRC}',
+                             '{ACCENT_DST}') AS folded_alphabet
+            FROM documents""",
         # html_extract: the oracle states the expected extraction output
         # analytically — title is the raw source (escape+title-decode is
         # the identity), the visible body is title-text || link-text ||

@@ -305,6 +305,9 @@ def main(argv: list[str] | None = None) -> int:
                                "script / mojibake & replacement-char audit / "
                                "word-blocklist verdict (C4-style)"}),
         (("--lowercase",), {"action": "store_true", "help": "text mode: also lowercase"}),
+        (("--accents",), {"action": "store_true",
+                          "help": "text mode: fold Latin diacritics to ASCII "
+                                  "base letters (pinned table)"}),
         (("--words",), {"default": None,
                         "help": "badwords: comma-separated blocklist (letters/digits/'&- only)"}),
         (("--min-dominant-frac",), {"type": float, "default": 0.5,
@@ -1175,7 +1178,8 @@ def main(argv: list[str] | None = None) -> int:
             out = df.withColumn(
                 args.text_column,
                 nm.normalize_text(F.col(args.text_column),
-                                  lowercase=args.lowercase))
+                                  lowercase=args.lowercase,
+                                  accents=args.accents))
         elif args.mode == "scripts":
             out = nm.script_profile_table(
                 df, id_col, args.text_column,

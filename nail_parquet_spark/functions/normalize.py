@@ -58,7 +58,34 @@ _TRANSLATE_DST = (" " * len(SPACE_CHARS) + "'" * len(SINGLE_QUOTES)
                   + '"' * len(DOUBLE_QUOTES) + "-" * len(DASH_CHARS))
 
 
-def normalize_text(col: Column, lowercase: bool = False) -> Column:
+#: pinned Latin diacritic fold (CCNet strips accents before dedup
+#: fingerprinting). Covers every Latin-1 Supplement / Latin Extended-A
+#: letter whose NFD decomposition is a single A-Za-z base, plus the
+#: stroked/dotless forms NFD alone misses (Ø Đ Ħ Ł Ŧ Ŋ ı ſ Ð). The table
+#: is a FROZEN literal (generated once, not computed at import) so the
+#: contract can never drift with the runtime's unicodedata version.
+#: Multi-char decompositions (Æ ß Œ Þ ŉ) are deliberately untouched —
+#: translate is 1:1 and silently mapping them would corrupt words.
+ACCENT_SRC = ("ÀÁÂÃÄÅÇÈÉÊËÌÍÎÏÑÒÓÔÕÖÙÚÛÜÝàáâãäåçèéêëìíîïñòóôõöùúûüýÿ"
+              "ĀāĂăĄąĆćĈĉĊċČčĎďĒēĔĕĖėĘęĚěĜĝĞğĠġĢģĤĥĨĩĪīĬĭĮįİĴĵĶķ"
+              "ĹĺĻļĽľŃńŅņŇňŌōŎŏŐőŔŕŖŗŘřŚśŜŝŞşŠšŢţŤťŨũŪūŬŭŮůŰűŲų"
+              "ŴŵŶŷŸŹźŻżŽžØøĐđĦħŁłŦŧŊŋıſÐð")
+ACCENT_DST = ("AAAAAACEEEEIIIINOOOOOUUUUYaaaaaaceeeeiiiinooooouuuuyy"
+              "AaAaAaCcCcCcCcDdEeEeEeEeEeGgGgGgGgHhIiIiIiIiIJjKk"
+              "LlLlLlNnNnNnOoOoOoRrRrRrSsSsSsSsTtTtUuUuUuUuUuUu"
+              "WwYyYZzZzZzOoDdHhLlTtNnisDd")
+assert len(ACCENT_SRC) == len(ACCENT_DST)
+
+
+def strip_accents(col: Column) -> Column:
+    """Fold Latin diacritics to their ASCII base letters — ONE pinned
+    ``translate`` pass over ``ACCENT_SRC``/``ACCENT_DST`` (Exchange-free,
+    NULL-safe, idempotent)."""
+    return F.translate(col, ACCENT_SRC, ACCENT_DST)
+
+
+def normalize_text(col: Column, lowercase: bool = False,
+                   accents: bool = False) -> Column:
     """Pinned typography/whitespace normalization, in order:
 
     1. one ``translate`` pass: unicode spaces → ' ', curly single/double
@@ -68,10 +95,15 @@ def normalize_text(col: Column, lowercase: bool = False) -> Column:
     3. collapse every run of spaces/tabs to ONE space (newlines preserved);
     4. trim outer ASCII spaces; 5. optional lowercase.
 
+    ``accents=True`` prepends the pinned :func:`strip_accents` fold (its
+    alphabet is disjoint from the typography table, so pass order cannot
+    change the result — pinned anyway: accents first).
+
     Idempotent (re-normalizing is a no-op — pinned by test) and NULL-safe
     (NULL passes through). Exchange-free single projection.
     """
-    c = F.translate(col, _TRANSLATE_SRC, _TRANSLATE_DST)
+    c = strip_accents(col) if accents else col
+    c = F.translate(c, _TRANSLATE_SRC, _TRANSLATE_DST)
     c = F.replace(c, F.lit("…"), F.lit("..."))
     c = F.regexp_replace(c, r"[ \t]+", " ")
     c = F.trim(c)

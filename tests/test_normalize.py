@@ -213,3 +213,47 @@ def test_cli_normalize_modes(spark, tmp_path, capsys):
     run("normalize", p, "--mode", "badwords", "--words", "bad,worse",
         "--remove", "-o", surv)
     assert spark.read.parquet(surv).count() == 2
+
+
+class TestStripAccents:
+    def test_golden(self, spark):
+        from pyspark.sql import functions as F
+
+        from nail_parquet_spark.functions.normalize import strip_accents
+
+        rows = [(1, "café"), (2, "naïve"), (3, "Łódź"), (4, "São Paulo"),
+                (5, "Æsir ßeta Œuvre"),     # multichar decomps untouched
+                (6, None), (7, "plain ascii")]
+        df = spark.createDataFrame(rows, "id long, t string")
+        got = {r["id"]: r["o"] for r in
+               df.select("id", strip_accents(F.col("t")).alias("o")).collect()}
+        assert got[1] == "cafe" and got[2] == "naive"
+        assert got[3] == "Lodz" and got[4] == "Sao Paulo"
+        assert got[5] == "Æsir ßeta Œuvre"
+        assert got[6] is None and got[7] == "plain ascii"
+
+    def test_full_table_folds_to_ascii_letters(self, spark):
+        from pyspark.sql import functions as F
+
+        from nail_parquet_spark.functions.normalize import (
+            ACCENT_DST, ACCENT_SRC, strip_accents)
+
+        assert all("A" <= c <= "z" for c in ACCENT_DST)
+        df = spark.createDataFrame([(1, ACCENT_SRC)], "id long, t string")
+        out = df.select(strip_accents(F.col("t")).alias("o")).collect()[0]["o"]
+        assert out == ACCENT_DST
+        # idempotent: the fold of the fold is the fold
+        df2 = spark.createDataFrame([(1, out)], "id long, t string")
+        assert df2.select(strip_accents(F.col("t")).alias("o")) \
+            .collect()[0]["o"] == out
+
+    def test_normalize_text_accents_flag(self, spark):
+        from pyspark.sql import functions as F
+
+        from nail_parquet_spark.functions.normalize import normalize_text
+
+        df = spark.createDataFrame(
+            [(1, "“café”  — naïve")], "id long, t string")
+        out = df.select(normalize_text(
+            F.col("t"), accents=True).alias("o")).collect()[0]["o"]
+        assert out == '"cafe" - naive'
