@@ -2069,10 +2069,14 @@ _QUERIES = {
         #    in behavior) sit just past the cap — their r04 no_oracle rows
         #    are 1 round old at final judging, within policy.
         # new this session, just past the cap (nothing left in the head is
-        # displaceable within the 2-round rotation policy): fc bit-identity
-        # round-trip, distributed k-means + SemDeDup semantic dedup, and
-        # hybrid BM25+cosine RRF retrieval — all locally value-exact
-        # (CORRECTNESS_LOCAL) + pytest-covered (test_cluster.py)
+        # displaceable within the 2-round rotation policy — 47 slots are
+        # never-attested entries and 3 are r04 entries whose OUTPUT changed
+        # this round): fc bit-identity round-trip, distributed k-means +
+        # SemDeDup semantic dedup (vectors and raw text), hybrid BM25+cosine
+        # RRF retrieval, hashed text embeddings, semantic + surgical-span
+        # decontamination, and the accent fold — ALL value-exact in
+        # CORRECTNESS_LOCAL.json and pytest-covered (test_cluster.py,
+        # test_embed*.py, test_decontam.py, test_normalize.py)
         "encode_roundtrip_fc": q_encode_roundtrip_fc,
         "kmeans_clusters": q_kmeans_clusters,
         "semantic_dedup": q_semantic_dedup,
