@@ -1470,6 +1470,30 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
                                shingle_k=3, threshold=0.5)
 
 
+def q_ngram_containment_pairs(spark, sf_dir):
+    """Asymmetric containment near-dup pairs
+    (functions/dedup.ngram_containment_pairs): |A∩B|/|A| and |A∩B|/|B| per
+    candidate pair, keeping pairs where either direction ≥ 0.8. Catches the
+    shorter-doc-embedded-in-longer-doc case (the '+20000 extended tail'
+    block of _docs_with_dups) that Jaccard's union denominator hides.
+    Same inverted-index candidate generation as ngram_jaccard_pairs."""
+    from nail_parquet_spark.functions.dedup import ngram_containment_pairs
+
+    return ngram_containment_pairs(_docs_with_dups(spark, sf_dir), "doc_id",
+                                   "text", shingle_k=3, threshold=0.8)
+
+
+def q_entropy_stats(spark, sf_dir):
+    """Per-doc char/word Shannon entropy (functions/entropy.entropy_stats):
+    one vectorized mapInArrow pass over the raw UTF-8 buffers; the oracle
+    is DuckDB's native entropy() aggregate over unnested code points /
+    RE2-split tokens — the kernel's contract is pinned to those semantics
+    (module docstring)."""
+    from nail_parquet_spark.functions.entropy import entropy_stats
+
+    return entropy_stats(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
 def q_simhash(spark, sf_dir):
     from nail_parquet_spark.functions.dedup import simhash
 
@@ -2085,6 +2109,10 @@ _QUERIES = {
         "semantic_overlap": q_semantic_overlap,
         "eval_span_scrub": q_eval_span_scrub,
         "accent_fold": q_accent_fold,
+        # this session: asymmetric containment near-dup pairs (value-exact
+        # locally; test_dedup_containment.py) + char/word entropy signals
+        "ngram_containment_pairs": q_ngram_containment_pairs,
+        "entropy_stats": q_entropy_stats,
         "encode_manifest": q_encode_manifest,
         "encode_roundtrip": q_encode_roundtrip,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
@@ -3620,6 +3648,44 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = id_a
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.5""",
+        "ngram_containment_pairs": f"""
+            WITH dd AS ({_DOCS_DUPS_SQL}),
+            {_SHINGLES_SQL},
+            shh AS (
+              SELECT DISTINCT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h
+              FROM sh),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM shh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+              FROM shh a JOIN shh b ON a.h = b.h AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT id_a, id_b,
+                   round(n_inter * 1.0 / sa.n_sh, 6) AS containment_a,
+                   round(n_inter * 1.0 / sb.n_sh, 6) AS containment_b
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE greatest(n_inter * 1.0 / sa.n_sh, n_inter * 1.0 / sb.n_sh) >= 0.8""",
+        "entropy_stats": r"""
+            WITH d AS (SELECT doc_id, text FROM documents),
+            chars AS (SELECT doc_id, unnest(string_split(text, '')) AS c
+                      FROM d WHERE text IS NOT NULL),
+            ce AS (SELECT doc_id, entropy(c) AS ce FROM chars GROUP BY doc_id),
+            toks AS (SELECT doc_id,
+                            unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+                     FROM d WHERE text IS NOT NULL),
+            we AS (SELECT doc_id, count(*) AS nw, entropy(t) AS we
+                   FROM toks GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CASE WHEN d.text IS NULL THEN NULL
+                        ELSE length(d.text) END AS n_chars,
+                   CASE WHEN d.text IS NULL THEN NULL
+                        ELSE round(coalesce(ce.ce, 0.0), 6) END AS char_entropy,
+                   CASE WHEN d.text IS NULL THEN NULL
+                        ELSE coalesce(we.nw, 1) END AS n_words,
+                   CASE WHEN d.text IS NULL THEN NULL
+                        ELSE round(coalesce(we.we, 0.0), 6) END AS word_entropy
+            FROM d LEFT JOIN ce USING (doc_id) LEFT JOIN we USING (doc_id)""",
         "minhash_lsh_pairs": f"""
             WITH dd AS ({_DOCS_DUPS_SQL}),
             {_SHINGLES_SQL},

@@ -155,7 +155,14 @@ def main(argv: list[str] | None = None) -> int:
                                "(adds dup_count/weight; needs --id-col/--text-col)"}),
         (("--id-col",), {"default": None}), (("--text-col",), {"default": "text"}),
         (("--near",), {"action": "store_true",
-                       "help": "with --soft: weight by connected MinHash near-dup cluster"}))
+                       "help": "with --soft: weight by connected MinHash near-dup cluster"}),
+        (("--pairs",), {"default": None, "choices": ["jaccard", "containment"],
+                        "help": "emit the near-dup PAIR audit table instead of "
+                                "deduping: symmetric n-gram Jaccard, or asymmetric "
+                                "containment |A∩B|/|A| (catches a short doc embedded "
+                                "in a longer one; needs --id-col/--text-col)"}),
+        (("--threshold",), {"type": float, "default": None,
+                            "help": "pair threshold (default 0.5 jaccard / 0.8 containment)"}))
     add("merge", (("--right",), {"required": True}), (("-k", "--key"), {"required": True}),
         (("--type",), {"default": None, "dest": "join_type",
                        "help": "inner/left/right, plus semi/anti (existence "
@@ -249,12 +256,14 @@ def main(argv: list[str] | None = None) -> int:
                                    "clean", "dedup-lines", "dedup-paragraphs",
                                    "boilerplate", "corpus-stats", "perplexity",
                                    "bigram-perplexity", "dsir", "ppl-buckets",
-                                   "classify", "span-stats", "dedup-spans"],
+                                   "classify", "span-stats", "dedup-spans",
+                                   "entropy"],
                        "help": "Gopher signals / dup-line stats / top n-gram / composed "
                                "rule filter / C4 line cleaning / corpus-global line dedup / "
                                "within-site boilerplate removal / corpus token totals / "
                                "unigram-LM perplexity / duplicated-span stats or "
-                               "removal (exact-substring dedup)"}),
+                               "removal (exact-substring dedup) / char+word Shannon "
+                               "entropy signals (one vectorized arrow pass)"}),
         (("--group-by",), {"default": None,
                            "help": "group column (corpus-stats, ppl-buckets, boilerplate)"}),
         (("--url-column",), {"default": None,
@@ -817,7 +826,21 @@ def main(argv: list[str] | None = None) -> int:
         specs = [{"col": s.lstrip("-"), "desc": s.startswith("-")} for s in args.columns.split(",")]
         _out(ops.sort_by(df, specs, nulls=args.nulls), args)
     elif c == "dedup":
-        if args.soft:
+        if args.pairs:
+            from nail_parquet_spark.functions.dedup import (
+                ngram_containment_pairs,
+                ngram_jaccard_pairs,
+            )
+
+            if not args.id_col:
+                raise SystemExit("--pairs requires --id-col (a unique document id)")
+            if args.pairs == "containment":
+                _out(ngram_containment_pairs(df, args.id_col, args.text_col,
+                                             threshold=args.threshold or 0.8), args)
+            else:
+                _out(ngram_jaccard_pairs(df, args.id_col, args.text_col,
+                                         threshold=args.threshold or 0.5), args)
+        elif args.soft:
             from nail_parquet_spark.functions.dedup import soft_dedup_weights
 
             if not args.id_col:
@@ -966,6 +989,10 @@ def main(argv: list[str] | None = None) -> int:
 
             out = remove_duplicate_spans(df, id_col, args.text_column,
                                          w=args.window)
+        elif args.mode == "entropy":
+            from nail_parquet_spark.functions.entropy import entropy_stats
+
+            out = entropy_stats(df, id_col, args.text_column)
         elif args.mode == "corpus-stats":
             from nail_parquet_spark.functions.text import corpus_stats
 

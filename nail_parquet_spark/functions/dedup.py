@@ -239,6 +239,56 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     )
 
 
+def ngram_containment_pairs(df: DataFrame, id_col: str, text_col: str,
+                            shingle_k: int = 3, threshold: float = 0.8,
+                            max_doc_freq: int = 1000) -> DataFrame:
+    """Asymmetric n-gram CONTAINMENT near-dup pairs: for each candidate
+    pair, ``containment_a = |A∩B| / |A|`` (the fraction of A's shingle set
+    that also appears in B) and symmetrically ``containment_b``; a pair is
+    emitted when ``greatest(containment_a, containment_b) >= threshold``.
+
+    Why this exists next to :func:`ngram_jaccard_pairs`: Jaccard divides by
+    the UNION, so a short document embedded verbatim inside a much longer
+    one (quote farms, boilerplate-wrapped articles, chapter-in-book — the
+    classic web-corpus subset-duplication case) scores near
+    ``|A|/|B| ≈ 0`` and is invisible to any practical Jaccard threshold,
+    while its containment is 1.0. Broder's containment coefficient is the
+    standard fix (reference parity: the reference ships no near-dup
+    operator at all; this extends the same inverted-index family).
+
+    Candidate generation, document-frequency cap, and the single reused
+    ``(id, md5-60-bit-hash)`` distinct exchange are identical to
+    :func:`ngram_jaccard_pairs` — see that docstring for the 100-TB cost
+    argument; only the final ratio differs. Pairs are oriented
+    ``id_a < id_b``; both directed ratios are returned so callers can pick
+    the containing side (the smaller set is the one with the higher
+    ratio)."""
+    sh = word_shingles(df, id_col, text_col, k=shingle_k)
+    shh = sh.select(F.col(id_col), word_hash(F.col("shingle")).alias("__h")).distinct()
+    freq = (
+        shh.groupBy("__h").agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") <= max_doc_freq)
+    )
+    sh2 = shh.join(freq.select("__h"), "__h")
+    a = sh2.select(F.col(id_col).alias("id_a"), "__h")
+    b = sh2.select(F.col(id_col).alias("id_b"), "__h")
+    inter = (
+        a.join(b, ["__h"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sizes = shh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    return (
+        inter.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+        .withColumn("containment_a", F.round(F.col("n_inter") / F.col("n_a"), 6))
+        .withColumn("containment_b", F.round(F.col("n_inter") / F.col("n_b"), 6))
+        .filter(F.greatest(F.col("containment_a"), F.col("containment_b")) >= threshold)
+        .select("id_a", "id_b", "containment_a", "containment_b")
+    )
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
     """SimHash per doc: sign of per-bit vote over word hashes.
 

@@ -674,6 +674,35 @@ def test_cli_quality_span_modes(spark, tmp_path, capsys):
     assert got2 == {1: "d e", 2: "x y", 3: "q r s"}
 
 
+def test_cli_quality_entropy(spark, tmp_path):
+    p = str(tmp_path / "ent.parquet")
+    spark.createDataFrame(
+        [(1, "aa bb aa"), (2, "")], "doc_id long, text string",
+    ).write.parquet(p)
+    out = str(tmp_path / "ent_out.parquet")
+    run("quality", p, "--mode", "entropy", "--id-column", "doc_id", "-o", out)
+    got = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert got[1]["n_chars"] == 8 and got[1]["char_entropy"] == 1.5
+    assert got[2]["n_words"] == 1 and got[2]["word_entropy"] == 0.0
+
+
+def test_cli_dedup_pairs(spark, tmp_path):
+    src = str(tmp_path / "cdocs.parquet")
+    short = "alpha beta gamma delta epsilon"
+    spark.createDataFrame(
+        [(1, short), (2, short + " " + "tail words " * 20)],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    out = str(tmp_path / "pairs.parquet")
+    run("dedup", src, "--pairs", "containment", "--id-col", "doc_id",
+        "--threshold", "0.9", "-o", out)
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 1 and rows[0]["containment_a"] == 1.0
+    run("dedup", src, "--pairs", "jaccard", "--id-col", "doc_id",
+        "--threshold", "0.9", "-o", out)
+    assert spark.read.parquet(out).count() == 0
+
+
 def test_cli_dedup_soft(spark, tmp_path, capsys):
     src = str(tmp_path / "docs.parquet")
     spark.createDataFrame(
