@@ -1801,6 +1801,32 @@ def q_decode_pushdown_in(spark, sf_dir):
         file_keyed=False)
 
 
+def q_decode_pushdown_or(spark, sf_dir):
+    """Cross-column OR-clause pushdown (codec/decode.decode_table_where_all
+    CNF form): (lang='de' OR n_chars>=500) AND doc_id<400. The OR-clause
+    keeps the UNION of its disjuncts' zone/bloom keep-sets (_prune_clause);
+    the residual CNF filter over the bit-identical decode keeps semantics
+    equal to plain SQL."""
+    from nail_parquet_spark.codec.decode import decode_table_where_all
+    from nail_parquet_spark.codec.encode import encode_table
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "n_chars")
+        .repartition(4)
+        .sortWithinPartitions("lang", "n_chars")
+    )
+    blocks = encode_table(
+        d, codecs={"doc_id": "plain", "lang": "rle", "n_chars": "for_bitpack"},
+        block_rows=2048,
+    )
+    return decode_table_where_all(
+        blocks,
+        [[("lang", "=", "de"), ("n_chars", ">=", 500)],
+         ("doc_id", "<", 400)],
+        file_keyed=False)
+
+
 def q_embedding_topk_lsh(spark, sf_dir):
     from nail_parquet_spark.functions.similarity import cosine_topk_lsh
 
@@ -2113,6 +2139,7 @@ _QUERIES = {
         # locally; test_dedup_containment.py) + char/word entropy signals
         "ngram_containment_pairs": q_ngram_containment_pairs,
         "entropy_stats": q_entropy_stats,
+        "decode_pushdown_or": q_decode_pushdown_or,
         "encode_manifest": q_encode_manifest,
         "encode_roundtrip": q_encode_roundtrip,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
@@ -3076,6 +3103,9 @@ def oracle_sql() -> dict[str, str]:
         "decode_pushdown_in": """
             SELECT doc_id, lang, n_chars FROM documents
             WHERE lang IN ('de', 'fr') AND n_chars >= 200""",
+        "decode_pushdown_or": """
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE (lang = 'de' OR n_chars >= 500) AND doc_id < 400""",
         "decode_bloom_pushdown": """
             SELECT doc_id, source, n_chars FROM documents
             WHERE source = 'src3'""",

@@ -53,6 +53,18 @@ def _infer_literal(raw: str):
             return raw.strip("'\"")
 
 
+def _parse_where_clause(spec: str):
+    """One --where argument -> a CNF clause. ' OR ' (uppercase, spaces)
+    splits the argument into disjuncts pruned/filtered as a unit
+    (cross-column OR, e.g. \"lang=de OR url^=https://a.\"); repeated
+    --where arguments are ANDed as before. A value containing a literal
+    ' OR ' is not expressible here — use --where per predicate instead."""
+    parts = [s for s in spec.split(" OR ") if s.strip()]
+    if len(parts) > 1:
+        return [_parse_where(s) for s in parts]
+    return _parse_where(spec)
+
+
 def _parse_where(spec: str):
     """'col>=value' -> (col, op, value) with numeric literal inference (same
     rules as the filter condition parser: int, then float, then string).
@@ -240,7 +252,9 @@ def main(argv: list[str] | None = None) -> int:
         (("--where",), {"default": None, "dest": "where", "action": "append",
                         "help": "predicate pushdown 'col>=value' (ops: > >= < <= =) — "
                                 "zone-map block pruning skips non-matching groups; "
-                                "repeatable, multiple are ANDed"}),
+                                "repeatable, multiple are ANDed; ' OR ' inside one "
+                                "argument makes a cross-column OR-clause pruned as "
+                                "the union of its disjuncts' keep-sets"}),
         (("--snapshot",), {"type": int, "default": None,
                            "help": "time travel: decode the table as of this "
                                    "snapshot id (encode_resumable out_dir)"}),
@@ -710,10 +724,16 @@ def main(argv: list[str] | None = None) -> int:
             p.error("decode requires -o/--output")
         cols = args.columns.split(",") if args.columns else None
         if getattr(args, "where", None):
-            preds = [_parse_where(w) for w in args.where]
+            preds = [_parse_where_clause(w) for w in args.where]
             dec = decode_table_where_all(df, preds, columns=cols)
             dec.write.mode("overwrite").parquet(args.output)
-            shown = " AND ".join(f"{c}{o}{v!r}" for c, o, v in preds)
+
+            def _shown(p):
+                if isinstance(p[0], tuple):
+                    return "(" + " OR ".join(f"{c}{o}{v!r}" for c, o, v in p) + ")"
+                return f"{p[0]}{p[1]}{p[2]!r}"
+
+            shown = " AND ".join(_shown(p) for p in preds)
             print(f"decoded {dec.count()} rows (pushdown {shown}) -> {args.output}")
         else:
             rows = decode_to_parquet(df, args.output, columns=cols,

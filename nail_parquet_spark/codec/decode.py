@@ -866,33 +866,97 @@ def decode_table_where(blocks: DataFrame, column: str, op: str, value,
         max_groups=max_groups)
 
 
+def _pred_expr(col_: str, op_: str, val_) -> F.Column:
+    """The exact Catalyst expression for one (column, op, value) predicate —
+    the residual filter that keeps pushdown semantics identical to
+    decode-then-filter."""
+    c = F.col(col_)
+    if op_ == "prefix":
+        return c.startswith(val_)
+    if op_ == "in":
+        vals_ = list(val_)
+        return c.isin(vals_) if vals_ else F.lit(False)
+    if op_ == "isnull":
+        return c.isNull()
+    if op_ == "notnull":
+        return c.isNotNull()
+    return {
+        "=": c == val_, "==": c == val_, "!=": c != val_,
+        ">": c > val_, ">=": c >= val_,
+        "<": c < val_, "<=": c <= val_,
+    }[op_]
+
+
+def _as_clause(item) -> list[tuple]:
+    """Normalize a predicate item: a bare (col, op, val) triple is a
+    1-disjunct clause; a list/tuple of triples is an OR-clause."""
+    if (isinstance(item, (list, tuple)) and item
+            and isinstance(item[0], (list, tuple))):
+        return [tuple(p) for p in item]
+    return [tuple(item)]
+
+
+def _prune_one(pruned: DataFrame, col_: str, op_: str, val_,
+               max_groups: int, headers: dict) -> DataFrame:
+    out = prune_blocks(pruned, col_, op_, val_, max_groups, headers=headers)
+    if op_ in ("=", "==", "prefix", "in"):
+        out = prune_blocks_bloom(out, col_, val_, max_groups,
+                                 headers=headers, op=op_)
+    return out
+
+
+def _prune_clause(pruned: DataFrame, clause: list[tuple],
+                  max_groups: int, headers: dict) -> DataFrame:
+    """Prune for an OR-clause: a group survives when ANY disjunct's zone
+    maps / blooms admit it — the UNION of the per-disjunct keep-sets,
+    collected driver-side (O(#groups) per disjunct, same cost class as
+    prune_blocks) and re-applied as literal isin filters. Over
+    ``max_groups`` the clause prunes nothing — never wrong, only
+    unpruned."""
+    if len(clause) == 1:
+        return _prune_one(pruned, *clause[0], max_groups, headers)
+    pairs: set = set()
+    for col_, op_, val_ in clause:
+        f1 = _prune_one(pruned, col_, op_, val_, max_groups, headers)
+        got = (f1.select("part_id", "block_id").distinct()
+               .limit(max_groups + 1).collect())
+        if len(got) > max_groups:
+            return pruned
+        pairs |= {(r["part_id"], r["block_id"]) for r in got}
+        if len(pairs) > max_groups:
+            return pruned
+    parts = sorted({p for p, _ in pairs})
+    bids = sorted({b for _, b in pairs})
+    return pruned.filter(F.col("part_id").isin(parts)
+                         & F.col("block_id").isin(bids))
+
+
 def decode_table_where_all(blocks: DataFrame, predicates,
                            columns: list[str] | None = None,
                            num_partitions: int | None = None,
                            file_keyed: bool = True,
                            max_groups: int = 100_000) -> DataFrame:
-    """AND-of-predicates pushdown decode. ``predicates`` is a list of
-    (column, op, value) conjuncts; each prunes block groups via its own
-    zone maps (keep-set intersection — chaining prune_blocks filters), then
-    ONE decode runs over the surviving groups and the exact conjunction
-    filters residually. Semantics equal
-    decode_table(...).filter(p1 AND p2 AND ...)."""
-    preds = list(predicates)
-    if not preds:
+    """CNF pushdown decode: ``predicates`` is a list of clauses ANDed
+    together, where each clause is either a bare (column, op, value)
+    triple or a LIST of triples ORed together. Each clause prunes block
+    groups via zone maps + blooms (single-disjunct clauses chain exactly
+    as before; OR-clauses keep the union of their disjuncts' keep-sets —
+    see _prune_clause), then ONE decode runs over the surviving groups and
+    the exact CNF expression filters residually. Semantics equal
+    decode_table(...).filter((p11 OR p12 ...) AND (p21 ...) AND ...)."""
+    clauses = [_as_clause(p) for p in predicates]
+    if not clauses:
         raise ValueError("predicates must be non-empty")
     headers, _ = _headers_by_column(blocks)
     out_cols = columns if columns is not None else sorted(headers)
     pruned = blocks
-    for col_, op_, val_ in preds:
-        pruned = prune_blocks(pruned, col_, op_, val_, max_groups,
-                              headers=headers)
-        if op_ in ("=", "==", "prefix", "in"):
-            pruned = prune_blocks_bloom(pruned, col_, val_, max_groups,
-                                        headers=headers, op=op_)
+    for clause in clauses:
+        pruned = _prune_clause(pruned, clause, max_groups, headers)
     use_cols = list(out_cols)
-    for col_, _, _ in preds:
-        if col_ not in use_cols:
-            use_cols.append(col_)
+    for clause in clauses:
+        for col_, _, _ in clause:
+            if col_ not in use_cols:
+                use_cols.append(col_)
     if pruned.limit(1).isEmpty():
         # every group pruned: an empty result with the decoded schema
         schema = _schema_from_headers(headers, out_cols)
@@ -900,22 +964,10 @@ def decode_table_where_all(blocks: DataFrame, predicates,
     dec = decode_table(pruned, columns=use_cols,
                        num_partitions=num_partitions, file_keyed=file_keyed)
     residual = None
-    for col_, op_, val_ in preds:
-        c = F.col(col_)
-        if op_ == "prefix":
-            one = c.startswith(val_)
-        elif op_ == "in":
-            vals_ = list(val_)
-            one = c.isin(vals_) if vals_ else F.lit(False)
-        elif op_ == "isnull":
-            one = c.isNull()
-        elif op_ == "notnull":
-            one = c.isNotNull()
-        else:
-            one = {
-                "=": c == val_, "==": c == val_, "!=": c != val_,
-                ">": c > val_, ">=": c >= val_,
-                "<": c < val_, "<=": c <= val_,
-            }[op_]
+    for clause in clauses:
+        one = None
+        for col_, op_, val_ in clause:
+            e = _pred_expr(col_, op_, val_)
+            one = e if one is None else (one | e)
         residual = one if residual is None else (residual & one)
     return dec.filter(residual).select(*out_cols)

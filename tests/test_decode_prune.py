@@ -348,3 +348,54 @@ def test_cli_where_grammar_extensions(spark, tmp_path):
     out2 = str(tmp_path / "dec2")
     assert cli_main(["decode", enc, "-o", out2, "--where", "m is null"]) == 0
     assert spark.read.parquet(out2).count() == 10
+
+
+def test_decode_where_or_clause(spark, sorted_blocks):
+    from nail_parquet_spark.codec.decode import decode_table_where_all
+
+    df, blocks = sorted_blocks
+    # cross-column OR-clause ANDed with a range conjunct
+    preds = [[("k", "<", 10), ("s", ">=", "v090")], ("k", "!=", 5)]
+    got = decode_table_where_all(blocks, preds).orderBy("k").collect()
+    want = (
+        decode_table(blocks)
+        .filter(((F.col("k") < 10) | (F.col("s") >= "v090"))
+                & (F.col("k") != 5))
+        .orderBy("k")
+        .collect()
+    )
+    assert got == want and len(got) == 19
+    # the OR-clause's keep-set is the UNION of the disjuncts' groups:
+    # k<10 keeps group 0, s>='v090' keeps group 9 -> exactly 2 groups
+    from nail_parquet_spark.codec.decode import _prune_clause, _headers_by_column
+
+    headers, _ = _headers_by_column(blocks)
+    kept = _prune_clause(blocks, [("k", "<", 10), ("s", ">=", "v090")],
+                         100_000, headers)
+    assert n_groups(kept) == 2
+    # an OR-clause with a contradiction on both sides -> empty, schema kept
+    empty = decode_table_where_all(
+        blocks, [[("k", ">", 200), ("k", "<", -1)]])
+    assert empty.count() == 0 and set(empty.columns) == {"k", "s"}
+
+
+def test_cli_decode_where_or(spark, tmp_path):
+    from nail_parquet_spark.cli import _parse_where_clause, main as cli_main
+
+    assert _parse_where_clause("k>=20") == ("k", ">=", 20)
+    assert _parse_where_clause("k<3 OR m=4") == [("k", "<", 3), ("m", "=", 4)]
+    src = (
+        spark.range(50)
+        .select(F.col("id").cast("long").alias("k"),
+                (F.col("id") % 5).cast("long").alias("m"))
+        .repartition(1).sortWithinPartitions("k")
+    )
+    enc = str(tmp_path / "enc")
+    encode_table(src, codecs={"k": "for_bitpack", "m": "for_bitpack"},
+                 block_rows=10).write.parquet(enc)
+    out = str(tmp_path / "dec")
+    assert cli_main(["decode", enc, "-o", out,
+                     "--where", "k<5 OR k>=45", "--where", "m!=0"]) == 0
+    got = {(r["k"], r["m"]) for r in spark.read.parquet(out).collect()}
+    want = {(i, i % 5) for i in range(50) if (i < 5 or i >= 45) and i % 5 != 0}
+    assert got == want
