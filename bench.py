@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     "text_quality",
     "gopher_filter",
     "gopher_filter_arrow",
+    "entropy_stats",
     "html_extract",
     "boilerplate_removal",
     "dedup_lines",

@@ -486,6 +486,10 @@ def main(argv: list[str] | None = None) -> int:
         (("--num-hashes",), {"type": int, "default": 16}),
         (("--shingle-k",), {"type": int, "default": 3}))
     add("curate", (("--rules",), {"default": None, "help": "JSON Gopher threshold overrides"}),
+        (("--entropy",), {"default": None, "dest": "entropy_rules",
+                          "help": 'JSON entropy gate, e.g. {"min_char_entropy": 2.0, '
+                                  '"min_word_entropy": 1.0} (also max_*) — drops '
+                                  "compressibility-extreme docs after the rule/model gates"}),
         (("--skip",), {"default": None,
                        "help": "comma list of stages to skip: quality,c4_clean,exact_dedup,near_dedup"}),
         (("--eval",), {"default": None, "dest": "eval_path",
@@ -632,6 +636,8 @@ def main(argv: list[str] | None = None) -> int:
             classifier_src=args.classifier,
             classifier_dim=args.classifier_dim,
             classifier_threshold=args.classifier_threshold,
+            entropy_rules=(json.loads(args.entropy_rules)
+                           if args.entropy_rules else None),
             do_quality="quality" not in skip,
             do_c4_clean="c4_clean" not in skip,
             do_exact_dedup="exact_dedup" not in skip,

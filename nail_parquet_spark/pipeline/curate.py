@@ -46,7 +46,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 STAGES = ("extract", "noindex", "normalize", "boilerplate", "lang_filter", "quality",
-          "classify", "c4_clean", "badwords", "exact_dedup", "prior_dedup",
+          "classify", "entropy", "c4_clean", "badwords", "exact_dedup", "prior_dedup",
           "near_dedup", "semantic_dedup", "prior_near_dedup", "decontam")
 
 
@@ -88,6 +88,7 @@ def curate_and_encode_corpus(
     classifier_dim: int = 1 << 18,
     classifier_bias: float = 0.0,
     classifier_threshold: float = 0.5,
+    entropy_rules: dict | None = None,
     prior_src: str | None = None,
     prior_text_col: str | None = None,
     prior_near_dedup: bool = False,
@@ -311,6 +312,43 @@ def curate_and_encode_corpus(
             stages.append({"stage": "classify", "weights": classifier_src,
                            "dim": classifier_dim, "bias": classifier_bias,
                            "threshold": classifier_threshold})
+
+        if entropy_rules:
+            # Shannon-entropy gate (after the rule/model gates): drops the
+            # compressibility extremes — char-flood spam (low char entropy)
+            # and keyword-stuffed repetition (low word entropy). Keys:
+            # min/max_char_entropy, min/max_word_entropy (absent = no
+            # bound). One vectorized arrow scan; rejects keep both
+            # entropies in the audit table for threshold replay.
+            from nail_parquet_spark.functions.entropy import entropy_stats
+
+            allowed = {"min_char_entropy", "max_char_entropy",
+                       "min_word_entropy", "max_word_entropy"}
+            bad_keys = set(entropy_rules) - allowed
+            if bad_keys:
+                raise ValueError(f"unknown entropy rules: {sorted(bad_keys)}")
+            ent = entropy_stats(cur, "__doc_id", text_col)
+            keep_e = F.lit(True)
+            if "min_char_entropy" in entropy_rules:
+                keep_e &= F.col("char_entropy") >= entropy_rules["min_char_entropy"]
+            if "max_char_entropy" in entropy_rules:
+                keep_e &= F.col("char_entropy") <= entropy_rules["max_char_entropy"]
+            if "min_word_entropy" in entropy_rules:
+                keep_e &= F.col("word_entropy") >= entropy_rules["min_word_entropy"]
+            if "max_word_entropy" in entropy_rules:
+                keep_e &= F.col("word_entropy") <= entropy_rules["max_word_entropy"]
+            bad_e = ent.filter(~keep_e)
+            rej = (cur.join(bad_e.select("__doc_id", "char_entropy",
+                                         "word_entropy"), "__doc_id")
+                   .select("__doc_id", url_col, "char_entropy", "word_entropy"))
+            rej.write.mode("overwrite").parquet(_reject_dir(out_dir, "entropy"))
+            counts["entropy"] = spark.read.parquet(
+                _reject_dir(out_dir, "entropy")).count()
+            cur = _pin(cur.join(bad_e.select("__doc_id"), "__doc_id",
+                                "left_anti"))
+            stages.append({"stage": "entropy",
+                           "rules": {k: entropy_rules[k]
+                                     for k in sorted(entropy_rules)}})
 
         if do_c4_clean:
             from nail_parquet_spark.functions.quality import c4_clean_text

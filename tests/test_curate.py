@@ -219,6 +219,35 @@ def test_curate_classifier_stage(spark, corpus, tmp_path):
     assert "score" in rej.columns and rej.count() == c["rejected"]["classify"]
 
 
+def test_curate_entropy_stage(spark, corpus, tmp_path):
+    import pytest as _pytest
+
+    from nail_parquet_spark.pipeline.curate import curate_and_encode_corpus
+
+    out = str(tmp_path / "curated_ent")
+    # the synthetic corpus's word entropy spans ~[4.2, 5.5] bits after the
+    # quality gate; capping at 4.5 rejects the richer docs deterministically
+    state = curate_and_encode_corpus(
+        spark, corpus, out, quality_rules=RULES, do_near_dedup=False,
+        do_c4_clean=False, entropy_rules={"max_word_entropy": 4.5},
+        units_per_job=4)
+    c = state["counts"]
+    assert c["rejected"]["entropy"] > 0
+    assert c["input"] == c["kept"] + sum(c["rejected"].values())
+    # the audit table carries both entropies for offline threshold replay
+    rej = spark.read.parquet(os.path.join(out, "_rejects", "stage=entropy"))
+    assert {"char_entropy", "word_entropy"} <= set(rej.columns)
+    assert rej.count() == c["rejected"]["entropy"]
+    assert rej.filter(F.col("word_entropy") <= 4.5).count() == 0
+    # lineage records the effective rules
+    ent = [s for s in state["stages"] if s["stage"] == "entropy"][0]
+    assert ent["rules"] == {"max_word_entropy": 4.5}
+    with _pytest.raises(ValueError, match="unknown entropy rules"):
+        curate_and_encode_corpus(
+            spark, corpus, str(tmp_path / "bad"), quality_rules=RULES,
+            entropy_rules={"min_entropy": 1.0})
+
+
 def test_curate_normalize_stage(spark, tmp_path):
     """--normalize runs before every text-keyed stage: typography variants
     collapse to one exact-dedup fingerprint, invisible-only pages are
