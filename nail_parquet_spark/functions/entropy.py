@@ -122,9 +122,12 @@ def _entropy_from_groups(rows: np.ndarray, counts: np.ndarray, totals: np.ndarra
 def _trim_bounds(data: np.ndarray, ds: np.ndarray, de: np.ndarray):
     """Per-doc bounds after stripping U+0020 (only) from both ends."""
     q = np.flatnonzero(data != 0x20)
+    if not len(q):
+        # every byte in the batch is U+0020: every doc trims to empty
+        return ds, ds.copy()
     fi = np.searchsorted(q, ds)
     li = np.searchsorted(q, de) - 1
-    qf = q[np.minimum(fi, max(len(q) - 1, 0))] if len(q) else np.zeros_like(ds)
+    qf = q[np.minimum(fi, len(q) - 1)]
     has = (fi < len(q)) & (fi <= li) & (qf < de)
     ds2 = np.where(has, qf, ds)
     de2 = np.where(has, q[np.maximum(li, 0)] + 1, ds2)
@@ -217,6 +220,66 @@ def _entropy_of_batch(texts) -> dict[str, np.ndarray]:
     out["n_words"] = n_words
     out["word_entropy"] = _entropy_from_groups(grow, gcnt, n_words, n)
     return out
+
+
+def entropy_columns(df: DataFrame, text_col: str) -> DataFrame:
+    """ALL input columns + (char_entropy, word_entropy) appended in one
+    mapInArrow pass — the stream-shaped form (no id projection, no join
+    back): works identically on batch and streaming DataFrames. Entropies
+    are rounded to 6 decimals in the closing projection, the same values
+    :func:`entropy_stats` reports, so threshold verdicts agree between the
+    batch and streaming gates. NULL text => NULL entropies."""
+    cols = df.columns
+    if text_col not in cols:
+        raise ValueError(f"column {text_col!r} not in {cols}")
+    ti = cols.index(text_col)
+    chunk = 8192
+
+    def run(batches):
+        for batch in batches:
+            for off in range(0, batch.num_rows, chunk):
+                part = batch.slice(off, chunk)
+                texts = part.column(ti)
+                sig = _entropy_of_batch(texts)
+                valid = (np.asarray(texts.is_valid())
+                         if texts.null_count else None)
+                mask = None if valid is None else ~valid
+                arrays = list(part.columns)
+                arrays.append(pa.array(sig["char_entropy"], pa.float64(),
+                                       mask=mask))
+                arrays.append(pa.array(sig["word_entropy"], pa.float64(),
+                                       mask=mask))
+                yield pa.record_batch(
+                    arrays, names=cols + ["char_entropy", "word_entropy"])
+
+    ddl = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
+                    for f in df.schema.fields)
+    ddl += ", char_entropy double, word_entropy double"
+    out = df.mapInArrow(run, schema=ddl)
+    return out.withColumn("char_entropy", F.round("char_entropy", 6)) \
+              .withColumn("word_entropy", F.round("word_entropy", 6))
+
+
+def entropy_keep_expr(rules: dict) -> F.Column:
+    """The keep predicate over (char_entropy, word_entropy) columns for an
+    entropy-rule dict (min/max_char_entropy, min/max_word_entropy). NULL
+    entropies (NULL text) KEEP — the gate only drops provably-bad docs,
+    matching the batch curate stage's anti-join semantics."""
+    allowed = {"min_char_entropy", "max_char_entropy",
+               "min_word_entropy", "max_word_entropy"}
+    bad_keys = set(rules) - allowed
+    if bad_keys:
+        raise ValueError(f"unknown entropy rules: {sorted(bad_keys)}")
+    keep = F.lit(True)
+    if "min_char_entropy" in rules:
+        keep &= F.col("char_entropy") >= rules["min_char_entropy"]
+    if "max_char_entropy" in rules:
+        keep &= F.col("char_entropy") <= rules["max_char_entropy"]
+    if "min_word_entropy" in rules:
+        keep &= F.col("word_entropy") >= rules["min_word_entropy"]
+    if "max_word_entropy" in rules:
+        keep &= F.col("word_entropy") <= rules["max_word_entropy"]
+    return F.coalesce(keep, F.lit(True))
 
 
 def entropy_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -123,6 +123,12 @@ def curate_and_encode_corpus(
     from nail_parquet_spark.pipeline.checkpoint import _atomic_json, encode_resumable
     from nail_parquet_spark.pipeline.partition import host_of, salted_repartition_by_host
 
+    if entropy_rules:
+        # fail fast on a typo'd rule key, before any stage runs
+        from nail_parquet_spark.functions.entropy import entropy_keep_expr
+
+        entropy_keep_expr(entropy_rules)
+
     os.makedirs(out_dir, exist_ok=True)
     staging = os.path.join(out_dir, "_staging")
     state_path = os.path.join(out_dir, "_curation.json")
@@ -320,24 +326,13 @@ def curate_and_encode_corpus(
             # min/max_char_entropy, min/max_word_entropy (absent = no
             # bound). One vectorized arrow scan; rejects keep both
             # entropies in the audit table for threshold replay.
-            from nail_parquet_spark.functions.entropy import entropy_stats
+            from nail_parquet_spark.functions.entropy import (
+                entropy_keep_expr,
+                entropy_stats,
+            )
 
-            allowed = {"min_char_entropy", "max_char_entropy",
-                       "min_word_entropy", "max_word_entropy"}
-            bad_keys = set(entropy_rules) - allowed
-            if bad_keys:
-                raise ValueError(f"unknown entropy rules: {sorted(bad_keys)}")
             ent = entropy_stats(cur, "__doc_id", text_col)
-            keep_e = F.lit(True)
-            if "min_char_entropy" in entropy_rules:
-                keep_e &= F.col("char_entropy") >= entropy_rules["min_char_entropy"]
-            if "max_char_entropy" in entropy_rules:
-                keep_e &= F.col("char_entropy") <= entropy_rules["max_char_entropy"]
-            if "min_word_entropy" in entropy_rules:
-                keep_e &= F.col("word_entropy") >= entropy_rules["min_word_entropy"]
-            if "max_word_entropy" in entropy_rules:
-                keep_e &= F.col("word_entropy") <= entropy_rules["max_word_entropy"]
-            bad_e = ent.filter(~keep_e)
+            bad_e = ent.filter(~entropy_keep_expr(entropy_rules))
             rej = (cur.join(bad_e.select("__doc_id", "char_entropy",
                                          "word_entropy"), "__doc_id")
                    .select("__doc_id", url_col, "char_entropy", "word_entropy"))

@@ -265,6 +265,7 @@ def curate_stream(
     lang_keep: list[str] | None = None,
     badwords: list[str] | None = None,
     do_quality: bool = True,
+    entropy_rules: dict | None = None,
     do_c4_clean: bool = True,
     dedup_watermark: str = "24 hours",
     codecs: dict[str, str] | None = None,
@@ -276,8 +277,8 @@ def curate_stream(
     bounded exact dedup + incremental encode, continuously over a growing
     crawl directory — the Structured-Streaming twin of
     ``pipeline.curate.curate_and_encode_corpus`` for its streamable
-    stages, in the SAME stage order (quality -> C4 clean -> exact dedup ->
-    encode).
+    stages, in the SAME stage order (quality -> entropy gate -> C4 clean
+    -> exact dedup -> encode).
 
     Stage semantics vs the batch pipeline:
     - unicode normalization (``do_normalize``, off by default like the
@@ -335,6 +336,19 @@ def curate_stream(
             F.col("__lang_pred").isin(list(lang_keep))).drop("__lang_pred")
     if do_quality:
         stream = gopher_keep_stream(stream, text_col, quality_rules)
+    if entropy_rules:
+        # Shannon-entropy gate, batch-pipeline stage order (after quality,
+        # before the C4 clean). Stateless all-columns mapInArrow append +
+        # filter; the keep expression and the 6-decimal rounding are shared
+        # with the batch stage, so verdicts match on the same files.
+        from nail_parquet_spark.functions.entropy import (
+            entropy_columns,
+            entropy_keep_expr,
+        )
+
+        stream = (entropy_columns(stream, text_col)
+                  .filter(entropy_keep_expr(entropy_rules))
+                  .drop("char_entropy", "word_entropy"))
     if do_c4_clean:
         stream = stream.withColumn(
             text_col, c4_clean_text(F.coalesce(F.col(text_col), F.lit(""))))

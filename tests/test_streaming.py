@@ -567,3 +567,44 @@ def test_stream_decontam_rejects_unknown_mode(spark, tmp_path):
         decontam_stream(spark, str(tmp_path), str(tmp_path / "o"),
                         str(tmp_path / "c"), "doc_id long, text string",
                         ev, "doc_id", "text", mode="nope")
+
+
+def test_curate_stream_entropy_parity(spark, tmp_path):
+    """The streaming entropy gate matches the batch model's verdicts on
+    the same files (shared keep expression + rounding), keeps NULL-text
+    rows like the batch stage, and drops the compressibility extremes."""
+    import datetime as dt
+
+    from nail_parquet_spark.codec.decode import decode_table
+    from nail_parquet_spark.functions.entropy import (
+        entropy_columns, entropy_keep_expr)
+    from nail_parquet_spark.streaming.encode_stream import curate_stream
+
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "blocks")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "url string, warc_ts timestamp, text string"
+    ts = dt.datetime(2024, 1, 1)
+    rows = [
+        ("https://a.example/1", ts, "x" * 200),                    # char flood
+        ("https://b.example/2", ts, "spam " * 50),                 # 1-word loop
+        ("https://c.example/3", ts,
+         "a rich page with many distinct interesting words in every line"),
+        ("https://d.example/4", ts, None),                          # NULL kept
+    ]
+    rules = {"min_char_entropy": 1.0, "min_word_entropy": 2.0}
+    spark.createDataFrame(rows, schema).write.parquet(src)
+    curate_stream(spark, src, out, ckpt, schema, do_quality=False,
+                  do_c4_clean=False, entropy_rules=rules,
+                  dedup_watermark="2400 hours")
+
+    blocks = spark.read.option("recursiveFileLookup", "true").parquet(out)
+    dec = decode_table(blocks, columns=["url"])
+    got = {r["url"] for r in dec.collect()}
+
+    b = entropy_columns(spark.createDataFrame(rows, schema), "text")
+    b = b.filter(entropy_keep_expr(rules))
+    want = {r["url"] for r in b.collect()}
+    assert got == want
+    assert "https://c.example/3" in got and "https://d.example/4" in got
+    assert "https://a.example/1" not in got and "https://b.example/2" not in got
