@@ -1494,6 +1494,48 @@ def q_entropy_stats(spark, sf_dir):
     return entropy_stats(_t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+def q_mor_delete(spark, sf_dir):
+    """Merge-on-read position delete (codec/deletes.py): rows matching the
+    CNF predicate become a tiny coordinate table (zone-map/bloom pruning
+    decodes only the predicate columns of surviving block groups), and the
+    reader anti-joins the coordinates — no encoded block ever rewrites.
+    Value-exact vs ANSI DELETE semantics: a NULL predicate keeps the row
+    (the oracle's `IS NOT TRUE`). The reference's only deletion path
+    rewrites the whole file (src/commands/drop.rs)."""
+    from nail_parquet_spark.codec.deletes import decode_except, positions_where
+    from nail_parquet_spark.codec.encode import encode_table
+
+    d = _t(spark, sf_dir, "documents").repartition(4)
+    blocks = encode_table(d, policy="balanced")
+    dels = positions_where(
+        blocks, [("lang", "=", "en"), ("n_chars", ">=", 200)])
+    return decode_except(blocks, dels, broadcast_deletes=True)
+
+
+def q_mor_upsert(spark, sf_dir):
+    """Key-upsert semantics over an encoded table (pipeline/deletes.upsert
+    composes the same codec primitives with one atomic snapshot): recrawled
+    docs (every 7th key) position-delete their old rows by key membership
+    and append the new versions. Kept-row side = decode minus the key-probe
+    anti-join; decode touches ONLY the key column for the probe."""
+    from pyspark.sql import functions as F
+
+    from nail_parquet_spark.codec.decode import POS_COLUMNS, decode_table
+    from nail_parquet_spark.codec.deletes import decode_except
+    from nail_parquet_spark.codec.encode import encode_table
+
+    d = _t(spark, sf_dir, "documents").repartition(4)
+    new = d.filter(F.col("doc_id") % 7 == 0).select(
+        "doc_id", "lang", (F.col("n_chars") + 1).alias("n_chars"), "source",
+        F.concat(F.lit("recrawl:"), F.col("text")).alias("text"))
+    blocks = encode_table(d, policy="balanced")
+    probe = decode_table(blocks, columns=["doc_id"], with_positions=True)
+    dels = probe.join(F.broadcast(new.select("doc_id")), "doc_id",
+                      "left_semi").select(*POS_COLUMNS)
+    kept = decode_except(blocks, dels, broadcast_deletes=True)
+    return kept.unionByName(new.select(*kept.columns))
+
+
 def q_simhash(spark, sf_dir):
     from nail_parquet_spark.functions.dedup import simhash
 
@@ -2139,6 +2181,11 @@ _QUERIES = {
         # locally; test_dedup_containment.py) + char/word entropy signals
         "ngram_containment_pairs": q_ngram_containment_pairs,
         "entropy_stats": q_entropy_stats,
+        # this session: Iceberg-v2-style merge-on-read position deletes +
+        # key upsert (codec/deletes.py, pipeline/deletes.py) — value-exact
+        # locally; tests/test_deletes*.py
+        "mor_delete": q_mor_delete,
+        "mor_upsert": q_mor_upsert,
         "decode_pushdown_or": q_decode_pushdown_or,
         "encode_manifest": q_encode_manifest,
         "encode_roundtrip": q_encode_roundtrip,
@@ -3716,6 +3763,20 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN d.text IS NULL THEN NULL
                         ELSE round(coalesce(we.we, 0.0), 6) END AS word_entropy
             FROM d LEFT JOIN ce USING (doc_id) LEFT JOIN we USING (doc_id)""",
+        # merge-on-read delete: kept rows are exactly ANSI DELETE's
+        # complement — predicate IS NOT TRUE keeps NULL-predicate rows
+        "mor_delete": """
+            SELECT doc_id, lang, n_chars, source, text FROM documents
+            WHERE (lang = 'en' AND n_chars >= 200) IS NOT TRUE""",
+        # key upsert: every 7th doc replaced by its recrawled version,
+        # everything else untouched
+        "mor_upsert": """
+            SELECT doc_id, lang, n_chars, source, text FROM documents
+            WHERE (doc_id % 7 = 0) IS NOT TRUE
+            UNION ALL
+            SELECT doc_id, lang, n_chars + 1 AS n_chars, source,
+                   'recrawl:' || text AS text
+            FROM documents WHERE doc_id % 7 = 0""",
         "minhash_lsh_pairs": f"""
             WITH dd AS ({_DOCS_DUPS_SQL}),
             {_SHINGLES_SQL},

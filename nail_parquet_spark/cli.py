@@ -262,7 +262,11 @@ def main(argv: list[str] | None = None) -> int:
                                   "default": "error", "dest": "missing_columns",
                                   "help": "schema evolution: 'null' fills columns "
                                           "absent from older block groups with NULL "
-                                          "instead of erroring"}))
+                                          "instead of erroring"}),
+        (("--no-deletes",), {"action": "store_true", "dest": "no_deletes",
+                             "help": "audit view: decode a snapshot table WITHOUT applying "
+                                     "its committed position deletes (default applies them — "
+                                     "a delete the reader ignores is corruption)"}))
     add("quality", (("-c", "--text-column"), {"default": "text", "dest": "text_column"}),
         (("--id-column",), {"default": None, "help": "doc id column (default: first column)"}),
         (("--mode",), {"default": "filter",
@@ -481,6 +485,23 @@ def main(argv: list[str] | None = None) -> int:
         with_output=False)
     add("compact", (("--num-files",), {"type": int, "default": 32,
                                        "help": "output block-file count"}))
+    add("delete", (("--where",), {"default": None, "action": "append",
+                                  "help": "rows to delete, 'col>=value' (repeatable = AND, "
+                                          "' OR ' inside one = OR-clause; NULL predicates keep "
+                                          "the row, ANSI DELETE semantics)"}),
+        (("--note",), {"default": None, "help": "free-text audit note stored in the snapshot"}),
+        with_output=False)
+    add("upsert", (("--from",), {"dest": "from_path", "required": True,
+                                 "help": "table of new rows (any readable format); must carry "
+                                         "exactly the table's columns"}),
+        (("--key",), {"required": True,
+                      "help": "comma list of key columns — existing rows sharing a new row's "
+                              "key are position-deleted in the SAME snapshot"}),
+        (("--note",), {"default": None}),
+        with_output=False)
+    add("purge", (("--num-files",), {"type": int, "default": 32}),
+        (("--bloom-columns",), {"default": None,
+                                "help": "rebuild blooms on re-encoded groups for these columns"}))
     add("signatures",
         (("-c", "--text-column"), {"default": "text", "dest": "text_column"}),
         (("--num-hashes",), {"type": int, "default": 16}),
@@ -656,6 +677,38 @@ def main(argv: list[str] | None = None) -> int:
             policy=args.policy, units_per_job=args.units_per_job)
         print(json.dumps(state, indent=2))
         return 0
+    if args.cmd == "delete":
+        # merge-on-read position delete: commits a coordinate file + a
+        # kind="delete" snapshot; no data block rewrites (pipeline/deletes.py)
+        from nail_parquet_spark.pipeline.deletes import delete_where
+
+        if not args.where:
+            p.error("delete requires at least one --where")
+        preds = [_parse_where_clause(w) for w in args.where]
+        print(json.dumps(delete_where(spark, args.input, preds,
+                                      note=args.note)))
+        return 0
+    if args.cmd == "upsert":
+        from nail_parquet_spark.pipeline.deletes import upsert as do_upsert
+
+        rows = read_data(spark, args.from_path)
+        keys = [k.strip() for k in args.key.split(",") if k.strip()]
+        print(json.dumps(do_upsert(spark, args.input, rows, keys,
+                                   note=args.note)))
+        return 0
+    if args.cmd == "purge":
+        # apply accumulated deletes physically into a fresh blocks dir;
+        # untouched groups pass through byte-for-byte (pipeline/deletes.py)
+        from nail_parquet_spark.pipeline.deletes import purge_deletes
+
+        if not args.output:
+            p.error("purge requires -o/--output (a dir OUTSIDE the table)")
+        bloom = (args.bloom_columns.split(",") if args.bloom_columns
+                 else None)
+        print(json.dumps(purge_deletes(spark, args.input, args.output,
+                                       num_files=args.num_files,
+                                       bloom_columns=bloom)))
+        return 0
     if args.cmd == "compact":
         # block-table maintenance: merge small block files, re-key groups
         # globally (codec/compact.py) — not a row-table command
@@ -697,15 +750,36 @@ def main(argv: list[str] | None = None) -> int:
 
         if not args.output:
             p.error("decode requires -o/--output")
+        import os as _os
+
+        if (_os.path.isdir(_os.path.join(args.input, "_snapshots"))
+                and not getattr(args, "no_deletes", False)):
+            from nail_parquet_spark.pipeline.deletes import committed_deletes
+
+            if committed_deletes(args.input):
+                p.error("this table has committed position deletes, which the "
+                        "shuffle-free path cannot apply — decode without "
+                        "--shuffle-free, or pass --no-deletes for the raw "
+                        "audit view")
         cols = args.columns.split(",") if args.columns else None
         rows = decode_parquet_dir(spark, args.input, args.output, columns=cols,
                                   missing_columns=args.missing_columns).collect()
         print(f"decoded {sum(r['n_rows'] for r in rows)} rows -> {args.output}")
         return 0
-    if args.cmd == "decode" and getattr(args, "snapshot", None) is not None:
-        from nail_parquet_spark.pipeline.checkpoint import read_blocks_at
+    mor_deletes = None
+    if args.cmd == "decode":
+        import os as _os
 
-        df = read_blocks_at(spark, args.input, args.snapshot)
+        is_snap_table = _os.path.isdir(_os.path.join(args.input, "_snapshots"))
+        if getattr(args, "snapshot", None) is not None or is_snap_table:
+            from nail_parquet_spark.pipeline.checkpoint import read_blocks_at
+            from nail_parquet_spark.pipeline.deletes import read_deletes
+
+            df = read_blocks_at(spark, args.input, args.snapshot)
+            if not getattr(args, "no_deletes", False):
+                mor_deletes = read_deletes(spark, args.input, args.snapshot)
+        else:
+            df = read_data(spark, args.input)
     else:
         df = read_data(spark, args.input)
     c = args.cmd
@@ -731,7 +805,12 @@ def main(argv: list[str] | None = None) -> int:
         cols = args.columns.split(",") if args.columns else None
         if getattr(args, "where", None):
             preds = [_parse_where_clause(w) for w in args.where]
-            dec = decode_table_where_all(df, preds, columns=cols)
+            if mor_deletes is not None:
+                from nail_parquet_spark.codec.deletes import decode_except_where
+
+                dec = decode_except_where(df, mor_deletes, preds, columns=cols)
+            else:
+                dec = decode_table_where_all(df, preds, columns=cols)
             dec.write.mode("overwrite").parquet(args.output)
 
             def _shown(p):
@@ -740,7 +819,15 @@ def main(argv: list[str] | None = None) -> int:
                 return f"{p[0]}{p[1]}{p[2]!r}"
 
             shown = " AND ".join(_shown(p) for p in preds)
-            print(f"decoded {dec.count()} rows (pushdown {shown}) -> {args.output}")
+            mor = " minus committed deletes" if mor_deletes is not None else ""
+            print(f"decoded {dec.count()} rows (pushdown {shown}{mor}) -> {args.output}")
+        elif mor_deletes is not None:
+            from nail_parquet_spark.codec.deletes import decode_except
+
+            dec = decode_except(df, mor_deletes, columns=cols)
+            dec.write.mode("overwrite").parquet(args.output)
+            print(f"decoded {dec.count()} rows (minus committed deletes) "
+                  f"-> {args.output}")
         else:
             rows = decode_to_parquet(df, args.output, columns=cols,
                                      missing_columns=args.missing_columns).collect()

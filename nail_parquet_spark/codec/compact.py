@@ -20,7 +20,20 @@ output file count = ``num_files``.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def rekey_groups(blocks: DataFrame, src: Column) -> DataFrame:
+    """Re-key block groups to globally unique ids: a 95-bit identity from
+    two independently-seeded xxhash64 halves over (src, part_id, block_id).
+    Survives unioning outputs of many jobs (collision needs BOTH halves to
+    collide: ~2^-95 per pair). Both halves are computed in ONE projection so
+    each sees the ORIGINAL key columns."""
+    new_part = F.pmod(
+        F.xxhash64(F.lit(1), src, "part_id", "block_id"), F.lit(1 << 31)
+    ).cast("int")
+    new_block = F.xxhash64(F.lit(2), src, "part_id", "block_id")
+    return blocks.withColumns({"part_id": new_part, "block_id": new_block})
 
 
 def compact_blocks(blocks: DataFrame, out_dir: str,
@@ -73,15 +86,6 @@ def compact_blocks(blocks: DataFrame, out_dir: str,
                 "the job is concurrently reading can lose the table — "
                 "compact into a fresh directory, then swap"
             )
-    src = F.input_file_name()
-    # 95-bit group identity: two independently-seeded xxhash64 halves over
-    # the decoder's group key. Survives unioning outputs of many jobs
-    # (collision needs BOTH halves to collide: ~2^-95 per pair). Both halves
-    # are computed in ONE projection so each sees the ORIGINAL key columns.
-    new_part = F.pmod(
-        F.xxhash64(F.lit(1), src, "part_id", "block_id"), F.lit(1 << 31)
-    ).cast("int")
-    new_block = F.xxhash64(F.lit(2), src, "part_id", "block_id")
     # keep only the canonical block columns: partition-discovery extras
     # (batch=..., unit=...) must not become data columns in the output
     from nail_parquet_spark.codec.encode import BLOCKS_COLUMNS
@@ -94,9 +98,7 @@ def compact_blocks(blocks: DataFrame, out_dir: str,
     missing = [c for c in canon if c not in blocks.columns]
     if missing:
         raise ValueError(f"blocks table is missing columns {missing}")
-    rekeyed = blocks.select(*canon).withColumns(
-        {"part_id": new_part, "block_id": new_block}
-    )
+    rekeyed = rekey_groups(blocks.select(*canon), F.input_file_name())
     (
         rekeyed.repartition(num_files, "part_id", "block_id")
         .write.mode("overwrite")

@@ -163,7 +163,7 @@ def _with_src_key(blocks: DataFrame, file_keyed: bool = True) -> DataFrame:
         return blocks.select(F.lit("").alias("__src"), *base)
 
 
-def _iter_groups(batches, columns, strict: bool = True):
+def _iter_groups(batches, columns, strict: bool = True, with_key: bool = False):
     """Shared group-assembly state machine for the shuffled decode paths:
     rows arrive sorted by (src, part_id, block_id); flush on key transition,
     validate the requested columns per group, and refuse duplicate
@@ -173,7 +173,11 @@ def _iter_groups(batches, columns, strict: bool = True):
 
     ``strict=False`` (schema evolution) skips the completeness check:
     groups encoded before a column existed yield partial dicts and the
-    decoder null-fills them."""
+    decoder null-fills them.
+
+    ``with_key=True`` yields ``(key, grp)`` pairs instead of bare group
+    dicts — the position-decode path needs the (src, part_id, block_id)
+    coordinates to stamp row positions."""
     cur_key = None
     grp: dict[str, tuple[str, bytes]] = {}
 
@@ -187,6 +191,9 @@ def _iter_groups(batches, columns, strict: bool = True):
                 f"{missing}{_GROUP_HINT}"
             )
 
+    def emit(key):
+        return (key, grp) if with_key else grp
+
     for batch in batches:
         srcs = batch.column(0).to_pylist()
         pids = batch.column(1).to_pylist()
@@ -199,7 +206,7 @@ def _iter_groups(batches, columns, strict: bool = True):
             if key != cur_key:
                 if grp:
                     check_complete()
-                    yield grp
+                    yield emit(cur_key)
                 cur_key = key
                 grp = {}
             if cols_[i] in grp:
@@ -211,7 +218,7 @@ def _iter_groups(batches, columns, strict: bool = True):
             grp[cols_[i]] = (hdrs[i], pays[i].as_py())
     if grp:
         check_complete()
-        yield grp
+        yield emit(cur_key)
 
 
 _GROUP_HINT = (
@@ -278,10 +285,18 @@ def _spark_ddl_of(schema: pa.Schema) -> str:
     return ", ".join(parts)
 
 
+# reserved row-coordinate columns appended by decode_table(with_positions=
+# True): the (block-file, part, block, row-offset) address of a decoded row —
+# the same shape as an Iceberg v2 position-delete coordinate (file_path, pos),
+# scoped by the block-group key this table format uses.
+POS_COLUMNS = ["_src_file", "_part_id", "_block_id", "_pos"]
+
+
 def decode_table(blocks: DataFrame, columns: list[str] | None = None,
                  num_partitions: int | None = None,
                  file_keyed: bool = True,
-                 missing_columns: str = "error") -> DataFrame:
+                 missing_columns: str = "error",
+                 with_positions: bool = False) -> DataFrame:
     """Decode an encoded-blocks DataFrame back to the raw table.
 
     ``missing_columns``: ``"error"`` (default) refuses groups that lack a
@@ -314,8 +329,22 @@ def decode_table(blocks: DataFrame, columns: list[str] | None = None,
     if columns is None:
         # the header read already enumerated the columns — no extra job
         columns = sorted(headers)
+    if with_positions:
+        clash = [c for c in columns if c in POS_COLUMNS]
+        if clash:
+            raise ValueError(
+                f"with_positions reserves column names {POS_COLUMNS}; the "
+                f"table already has {clash}"
+            )
     out_schema = _schema_from_headers(headers, columns)
-    ddl = _spark_ddl_of(out_schema)
+    pos_schema = pa.schema(
+        list(out_schema)
+        + [pa.field("_src_file", pa.string()),
+           pa.field("_part_id", pa.int64()),
+           pa.field("_block_id", pa.int64()),
+           pa.field("_pos", pa.int64())]
+    ) if with_positions else out_schema
+    ddl = _spark_ddl_of(pos_schema)
     # xref columns need their reference column's blocks in the group even
     # when the caller didn't request it
     fetch_cols = _fetch_closure(headers, refs, columns)
@@ -336,8 +365,26 @@ def decode_table(blocks: DataFrame, columns: list[str] | None = None,
     fill = missing_columns == "null"
 
     def dec(batches):
-        for grp in _iter_groups(batches, columns, strict=not fill):
-            yield _decode_group(grp, columns, out_schema, fill_missing=fill)
+        if not with_positions:
+            for grp in _iter_groups(batches, columns, strict=not fill):
+                yield _decode_group(grp, columns, out_schema, fill_missing=fill)
+            return
+        import numpy as np
+
+        for key, grp in _iter_groups(batches, columns, strict=not fill,
+                                     with_key=True):
+            rb = _decode_group(grp, columns, out_schema, fill_missing=fill)
+            src, pid, bid = key
+            n = rb.num_rows
+            # run-length-style constant columns: one distinct value each —
+            # arrow repeats cheaply, and Spark sees plain columns
+            coord = [
+                pa.array([src] * n, pa.string()),
+                pa.array(np.full(n, pid, dtype=np.int64)),
+                pa.array(np.full(n, bid, dtype=np.int64)),
+                pa.array(np.arange(n, dtype=np.int64)),
+            ]
+            yield pa.record_batch(list(rb.columns) + coord, schema=pos_schema)
 
     return part.mapInArrow(dec, schema=ddl)
 

@@ -176,24 +176,35 @@ def _snap_dir(out_dir: str) -> str:
     return os.path.join(out_dir, "_snapshots")
 
 
-def _commit_snapshot(out_dir: str, bkey: str, units: list[str]) -> int:
+def _commit_snapshot(out_dir: str, bkey: str, units: list[str],
+                     kind: str = "append", extra: dict | None = None) -> int:
     """Append a snapshot record after a batch commit — the same shape an
     Iceberg snapshot gives: a monotonically increasing id whose state is the
     union of all batches committed at or before it. One atomic file per
     snapshot (no append-interleave on crash); a retried batch gets a NEW
-    snapshot that supersedes the one pointing at its wiped directory."""
+    snapshot that supersedes the one pointing at its wiped directory.
+
+    ``kind`` mirrors Iceberg's snapshot operation: ``append`` (an encode
+    batch), ``delete`` (a position-delete file only — no data dir), or
+    ``upsert`` (one atomic commit carrying BOTH a new data batch and a
+    position-delete file, Iceberg's ``overwrite``). ``extra`` fields (e.g.
+    the delete id) merge into the record. Records written before this field
+    existed read as ``append``."""
     sd = _snap_dir(out_dir)
     os.makedirs(sd, exist_ok=True)
     existing = sorted(int(os.path.basename(p).split(".")[0])
                       for p in glob.glob(os.path.join(sd, "*.json"))
                       if os.path.basename(p).split(".")[0].isdigit())
     snap_id = (existing[-1] + 1) if existing else 1
-    _atomic_json(os.path.join(sd, f"{snap_id}.json"), {
+    rec = {
         "snapshot": snap_id,
         "batch": bkey,
         "units": units,
+        "kind": kind,
         "ts": time.time(),
-    })
+    }
+    rec.update(extra or {})
+    _atomic_json(os.path.join(sd, f"{snap_id}.json"), rec)
     return snap_id
 
 
@@ -252,8 +263,14 @@ def read_blocks_at(spark: SparkSession, out_dir: str,
             f"{snapshot_id}; their original bytes were wiped by the retry, "
             f"so this snapshot is no longer readable"
         )
+    # delete snapshots carry no data directory (their state lives under
+    # _deletes/ and is applied by pipeline.deletes.read_table)
     dirs = sorted({os.path.join(out_dir, f"batch={s['batch']}")
-                   for s in visible})
+                   for s in visible if s.get("kind", "append") != "delete"})
+    if not dirs:
+        raise ValueError(
+            f"snapshot {snapshot_id} holds no data commits (delete-only "
+            f"history) under {out_dir}")
     return spark.read.parquet(*dirs)
 
 
@@ -356,6 +373,11 @@ def remove_orphan_files(
             live_batches.add(m["batch"])
         else:
             live_units.add(m["unit"])
+    # upsert batches commit via a snapshot record alone (no unit markers —
+    # their rows never came from a source parquet unit); keep them live
+    for s in snapshots(out_dir):
+        if s.get("kind", "append") != "delete":
+            live_batches.add(s["batch"])
     now = time.time()
     orphans = []
     for d in glob.glob(os.path.join(out_dir, "batch=*")):

@@ -856,3 +856,62 @@ def test_cli_decontam_scrub(spark, tmp_path):
         "--id-column", "doc_id", "-o", out)
     got = spark.read.parquet(out).collect()[0]
     assert got["text"] == "intro words then closing remark"
+
+
+def test_cli_delete_upsert_purge(spark, tmp_path, capsys):
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "enc")
+    spark.createDataFrame(
+        [(f"https://h{i % 3}.test/p{i}", i, f"body-{i}", "en")
+         for i in range(40)],
+        "url string, k long, text string, lang string",
+    ).coalesce(1).write.parquet(src)
+    from nail_parquet_spark.pipeline.checkpoint import encode_resumable
+
+    encode_resumable(spark, src, out)
+    capsys.readouterr()
+
+    run("delete", out, "--where", "k>=30", "--note", "trim")
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["deleted"] == 10 and rep["committed"]
+
+    # merge-on-read decode applies the delete by default
+    dec = str(tmp_path / "dec")
+    run("decode", out, "-o", dec)
+    assert "minus committed deletes" in capsys.readouterr().out
+    assert spark.read.parquet(dec).count() == 30
+
+    # --no-deletes gives the raw audit view
+    dec2 = str(tmp_path / "dec2")
+    run("decode", out, "--no-deletes", "-o", dec2)
+    capsys.readouterr()
+    assert spark.read.parquet(dec2).count() == 40
+
+    # pushdown + deletes compose
+    dec3 = str(tmp_path / "dec3")
+    run("decode", out, "--where", "k>=20", "-o", dec3)
+    capsys.readouterr()
+    assert spark.read.parquet(dec3).count() == 10
+
+    # shuffle-free refuses a table with live deletes
+    with pytest.raises(SystemExit):
+        run("decode", out, "--shuffle-free", "-o", str(tmp_path / "x"))
+    capsys.readouterr()
+
+    newrows = str(tmp_path / "new")
+    spark.createDataFrame(
+        [("https://h0.test/p0", 0, "recrawled", "en"),
+         ("https://new.test/z", 99, "fresh", "en")],
+        "url string, k long, text string, lang string",
+    ).write.parquet(newrows)
+    run("upsert", out, "--from", newrows, "--key", "url")
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["inserted"] == 2 and rep["replaced"] == 1
+
+    purged = str(tmp_path / "purged")
+    run("purge", out, "-o", purged, "--num-files", "2")
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["rows_after"] == 31  # 40 - 10 deleted - 1 replaced + 2 new
+    from nail_parquet_spark.codec.decode import decode_table
+
+    assert decode_table(spark.read.parquet(purged)).count() == 31
