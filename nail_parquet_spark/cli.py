@@ -489,6 +489,13 @@ def main(argv: list[str] | None = None) -> int:
                                   "help": "rows to delete, 'col>=value' (repeatable = AND, "
                                           "' OR ' inside one = OR-clause; NULL predicates keep "
                                           "the row, ANSI DELETE semantics)"}),
+        (("--keys",), {"default": None,
+                       "help": "equality delete instead: a table of key VALUES (any readable "
+                               "format) — committed with NO table scan; kills only rows from "
+                               "batches committed strictly before it (Iceberg sequence rule)"}),
+        (("--key-columns",), {"default": None,
+                              "help": "with --keys: comma list restricting which of the key "
+                                      "table's columns form the match key (default: all)"}),
         (("--note",), {"default": None, "help": "free-text audit note stored in the snapshot"}),
         with_output=False)
     add("upsert", (("--from",), {"dest": "from_path", "required": True,
@@ -678,12 +685,22 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps(state, indent=2))
         return 0
     if args.cmd == "delete":
-        # merge-on-read position delete: commits a coordinate file + a
-        # kind="delete" snapshot; no data block rewrites (pipeline/deletes.py)
-        from nail_parquet_spark.pipeline.deletes import delete_where
+        # merge-on-read delete: commits a coordinate file (--where) or a
+        # key-value file (--keys, no table scan) + a kind="delete" snapshot;
+        # no data block rewrites (pipeline/deletes.py)
+        from nail_parquet_spark.pipeline.deletes import delete_keys, delete_where
 
-        if not args.where:
-            p.error("delete requires at least one --where")
+        if bool(args.where) == bool(args.keys):
+            p.error("delete requires exactly one of --where / --keys")
+        if args.keys:
+            keys = read_data(spark, args.keys)
+            if args.key_columns:
+                cols = [c.strip() for c in args.key_columns.split(",")
+                        if c.strip()]
+                keys = keys.select(*cols)
+            print(json.dumps(delete_keys(spark, args.input, keys,
+                                         note=args.note)))
+            return 0
         preds = [_parse_where_clause(w) for w in args.where]
         print(json.dumps(delete_where(spark, args.input, preds,
                                       note=args.note)))
@@ -778,6 +795,14 @@ def main(argv: list[str] | None = None) -> int:
             df = read_blocks_at(spark, args.input, args.snapshot)
             if not getattr(args, "no_deletes", False):
                 mor_deletes = read_deletes(spark, args.input, args.snapshot)
+                # equality deletes (delete --keys) resolve to positions so
+                # they compose with the same anti-join / pushdown machinery
+                from nail_parquet_spark.pipeline.deletes import equality_positions
+
+                eq_pos = equality_positions(spark, args.input, args.snapshot)
+                if eq_pos is not None:
+                    mor_deletes = (eq_pos if mor_deletes is None
+                                   else mor_deletes.unionByName(eq_pos))
         else:
             df = read_data(spark, args.input)
     else:

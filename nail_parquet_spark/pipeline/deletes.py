@@ -16,11 +16,21 @@ Iceberg-v2 merge-on-read lifecycle instead:
   anti-joined coordinates of every delete visible at the requested
   snapshot. Time travel composes: deletes committed after the snapshot are
   not applied.
+- ``delete_keys``    commits an *equality delete* (Iceberg v2's second
+  delete flavor): a tiny parquet of key VALUES, written with NO table scan
+  at all — the whole point when the table is 100 TB and the keys arrive
+  from outside (a takedown list, a recrawl feed). Applied at read time
+  with Iceberg's sequence rule: the delete kills only rows whose batch was
+  committed STRICTLY BEFORE the delete's snapshot, so keys re-inserted
+  later survive. Key matching is null-safe (NULL = NULL), Iceberg's
+  equality-delete semantics.
 - ``purge_deletes``  is the maintenance rewrite (Iceberg
   ``rewrite_data_files`` + drop of applied delete files): block groups
   UNTOUCHED by any delete pass through byte-for-byte (re-keyed like
   ``compact_blocks``); only groups with deletes decode → anti-join →
-  re-encode. Output is a fresh plain blocks dir, swap-in like compact's.
+  re-encode (equality deletes are resolved to positions first — see
+  ``equality_positions``). Output is a fresh plain blocks dir, swap-in
+  like compact's.
 
 Coordinate stability contract: a coordinate is
 (_src_file, _part_id, _block_id, _pos) — see codec/deletes.py. It is
@@ -83,25 +93,42 @@ def _next_delete_id(out_dir: str) -> int:
 
 
 def committed_deletes(out_dir: str) -> list[dict]:
-    """Snapshot records that carry a delete file, oldest first."""
+    """Snapshot records that carry a delete file (position OR equality),
+    oldest first."""
     return [s for s in snapshots(out_dir)
             if s.get("kind") in ("delete", "upsert")
             and s.get("delete") is not None]
 
 
-def read_deletes(spark: SparkSession, out_dir: str,
-                 snapshot_id: int | None = None) -> DataFrame | None:
-    """Union of every position-delete file visible at ``snapshot_id``
-    (default: latest), or None when no delete is visible."""
+def _resolve_snapshot(out_dir: str, snapshot_id: int | None) -> int:
     snaps = snapshots(out_dir)
     if snapshot_id is None:
-        snapshot_id = snaps[-1]["snapshot"] if snaps else 0
+        return snaps[-1]["snapshot"] if snaps else 0
+    return snapshot_id
+
+
+def read_deletes(spark: SparkSession, out_dir: str,
+                 snapshot_id: int | None = None) -> DataFrame | None:
+    """Union of every POSITION-delete file visible at ``snapshot_id``
+    (default: latest), or None when no position delete is visible.
+    Equality deletes live in separate key-schema files — see
+    ``equality_delete_records`` / ``equality_positions``."""
+    snapshot_id = _resolve_snapshot(out_dir, snapshot_id)
     dirs = [os.path.join(_deletes_dir(out_dir), str(s["delete"]))
             for s in committed_deletes(out_dir)
-            if s["snapshot"] <= snapshot_id]
+            if s["snapshot"] <= snapshot_id and not s.get("eq_cols")]
     if not dirs:
         return None
     return spark.read.schema(POS_DDL).parquet(*dirs)
+
+
+def equality_delete_records(out_dir: str,
+                            snapshot_id: int | None = None) -> list[dict]:
+    """Equality-delete snapshot records visible at ``snapshot_id``
+    (default: latest), oldest first."""
+    snapshot_id = _resolve_snapshot(out_dir, snapshot_id)
+    return [s for s in committed_deletes(out_dir)
+            if s.get("eq_cols") and s["snapshot"] <= snapshot_id]
 
 
 def _write_delete_file(out_dir: str, pos: DataFrame) -> tuple[int, int]:
@@ -136,21 +163,160 @@ def delete_where(spark: SparkSession, out_dir: str, predicates,
             "committed": True}
 
 
+def delete_keys(spark: SparkSession, out_dir: str, keys: DataFrame,
+                note: str | None = None) -> dict:
+    """Commit an *equality delete*: every row whose values on
+    ``keys.columns`` null-safely match a key row is deleted — but only rows
+    whose batch was committed STRICTLY BEFORE this delete's snapshot
+    (Iceberg v2's sequence rule: data written in a later commit with the
+    same key survives, which is what makes delete-then-reinsert correct).
+
+    Unlike ``delete_where`` this performs NO table scan — the key table is
+    written as-is, so committing a million-key takedown list against a
+    100 TB table costs exactly the key write. The match cost moves to read
+    time (one broadcast join per distinct key-column set) until
+    ``purge_deletes`` applies it physically.
+
+    Returns {deleted_keys, eq_cols, delete_id, snapshot, committed}; an
+    empty key table commits nothing. ``deleted_keys`` counts distinct KEYS,
+    not rows (the rows are not scanned — that is the point)."""
+    blocks = read_blocks_at(spark, out_dir)  # validates the table exists
+    headers, _ = _headers_by_column(blocks)
+    eq_cols = list(keys.columns)
+    missing = [c for c in eq_cols if c not in headers]
+    if missing:
+        raise ValueError(
+            f"equality-delete key columns {missing} are not columns of the "
+            f"table ({sorted(headers)})")
+    k = keys.distinct()
+    did = _next_delete_id(out_dir)
+    path = os.path.join(_deletes_dir(out_dir), str(did))
+    k.write.parquet(path)
+    n = int(spark.read.parquet(path).count())
+    if n == 0:
+        return {"deleted_keys": 0, "eq_cols": eq_cols, "delete_id": None,
+                "snapshot": None, "committed": False}
+    snap = _commit_snapshot(
+        out_dir, f"eqdelete-{did}", [], kind="delete",
+        extra={"delete": did, "eq_cols": eq_cols, "rows": n, "note": note})
+    return {"deleted_keys": n, "eq_cols": eq_cols, "delete_id": did,
+            "snapshot": snap, "committed": True}
+
+
+_EQ_DELETED = "__eq_deleted"
+
+
+def _batch_snapshots(spark: SparkSession, out_dir: str,
+                     snapshot_id: int) -> DataFrame:
+    """Tiny (batch key → commit snapshot) mapping visible at
+    ``snapshot_id`` — the sequence numbers the equality rule compares.
+    Latest commit per batch wins, same as ``read_blocks_at``."""
+    best: dict[str, int] = {}
+    for s in snapshots(out_dir):
+        if s.get("kind", "append") != "delete" and s["snapshot"] <= snapshot_id:
+            best[s["batch"]] = s["snapshot"]
+    return spark.createDataFrame(
+        [(b, s) for b, s in best.items()], "__batch string, __row_snap long")
+
+
+def _mark_equality_deletes(spark: SparkSession, out_dir: str,
+                           dec: DataFrame, recs: list[dict],
+                           snapshot_id: int) -> DataFrame:
+    """Annotate a position-decoded DataFrame (must carry ``_src_file`` and
+    every eq column of ``recs``) with boolean ``__eq_deleted``: true iff
+    some visible equality delete null-safely matches the row's key AND the
+    row's batch committed strictly before that delete. Rows from files
+    outside any committed batch dir (never produced by this layer) map to
+    no sequence number and are never equality-deleted."""
+    from collections import defaultdict
+    from functools import reduce
+
+    dec = dec.withColumn(
+        "__batch", F.regexp_extract("_src_file", r"/batch=([^/]+)/", 1))
+    dec = dec.join(F.broadcast(_batch_snapshots(spark, out_dir, snapshot_id)),
+                   "__batch", "left")
+    dec = dec.withColumn(_EQ_DELETED, F.lit(False))
+    groups: dict[tuple, list[dict]] = defaultdict(list)
+    for r in recs:
+        groups[tuple(r["eq_cols"])].append(r)
+    for eq_cols, rs in groups.items():
+        # one row per key: the LATEST delete snapshot wins (a later delete
+        # of the same key extends the kill window forward)
+        parts = [
+            spark.read.parquet(
+                os.path.join(_deletes_dir(out_dir), str(r["delete"])))
+            .select(*eq_cols)
+            .withColumn("__dsnap", F.lit(int(r["snapshot"])).cast("long"))
+            for r in rs
+        ]
+        ed = reduce(lambda a, b: a.unionByName(b), parts)
+        ed = ed.groupBy(*eq_cols).agg(F.max("__dsnap").alias("__dsnap"))
+        ed = ed.select(
+            *[F.col(c).alias(f"__d_{c}") for c in eq_cols], "__dsnap")
+        cond = reduce(lambda a, b: a & b,
+                      [dec[c].eqNullSafe(F.col(f"__d_{c}"))
+                       for c in eq_cols])
+        dec = dec.join(F.broadcast(ed), on=cond, how="left")
+        dec = dec.withColumn(
+            _EQ_DELETED,
+            F.col(_EQ_DELETED) | (F.col("__dsnap").isNotNull()
+                                  & F.col("__row_snap").isNotNull()
+                                  & (F.col("__row_snap") < F.col("__dsnap"))))
+        dec = dec.drop("__dsnap", *[f"__d_{c}" for c in eq_cols])
+    return dec.drop("__batch", "__row_snap")
+
+
+def equality_positions(spark: SparkSession, out_dir: str,
+                       snapshot_id: int | None = None) -> DataFrame | None:
+    """Resolve every visible equality delete to ROW COORDINATES (the
+    ``POS_COLUMNS`` shape ``decode_except`` consumes), or None when no
+    equality delete is visible. Decodes only the union of key columns.
+    This is how ``purge_deletes`` folds equality deletes into its
+    position-keyed rewrite."""
+    snapshot_id = _resolve_snapshot(out_dir, snapshot_id)
+    recs = equality_delete_records(out_dir, snapshot_id)
+    if not recs:
+        return None
+    eq_all = sorted({c for r in recs for c in r["eq_cols"]})
+    blocks = read_blocks_at(spark, out_dir, snapshot_id)
+    dec = decode_table(blocks, columns=eq_all, with_positions=True)
+    marked = _mark_equality_deletes(spark, out_dir, dec, recs, snapshot_id)
+    return marked.filter(F.col(_EQ_DELETED)).select(*POS_COLUMNS)
+
+
 def read_table(spark: SparkSession, out_dir: str,
                columns: list[str] | None = None,
                snapshot_id: int | None = None,
                num_partitions: int | None = None,
                apply_deletes: bool = True) -> DataFrame:
     """Merge-on-read view of the table at ``snapshot_id`` (default latest):
-    decoded blocks minus every visible position delete.
+    decoded blocks minus every visible position delete, minus every row a
+    visible equality delete kills under the sequence rule.
     ``apply_deletes=False`` gives the raw pre-delete decode (audit view)."""
+    snapshot_id = _resolve_snapshot(out_dir, snapshot_id)
     blocks = read_blocks_at(spark, out_dir, snapshot_id)
-    dels = read_deletes(spark, out_dir, snapshot_id) if apply_deletes else None
-    if dels is None:
+    if not apply_deletes:
         return decode_table(blocks, columns=columns,
                             num_partitions=num_partitions)
-    return decode_except(blocks, dels, columns=columns,
-                         num_partitions=num_partitions)
+    eq_recs = equality_delete_records(out_dir, snapshot_id)
+    pos = read_deletes(spark, out_dir, snapshot_id)
+    if not eq_recs:
+        if pos is None:
+            return decode_table(blocks, columns=columns,
+                                num_partitions=num_partitions)
+        return decode_except(blocks, pos, columns=columns,
+                             num_partitions=num_partitions)
+    headers, _ = _headers_by_column(blocks)
+    out_cols = list(columns) if columns is not None else sorted(headers)
+    eq_all = {c for r in eq_recs for c in r["eq_cols"]}
+    need = sorted(set(out_cols) | eq_all)
+    dec = decode_table(blocks, columns=need,
+                       num_partitions=num_partitions, with_positions=True)
+    if pos is not None:
+        dec = dec.join(pos.select(*POS_COLUMNS), on=POS_COLUMNS,
+                       how="left_anti")
+    dec = _mark_equality_deletes(spark, out_dir, dec, eq_recs, snapshot_id)
+    return dec.filter(~F.col(_EQ_DELETED)).select(*out_cols)
 
 
 def upsert(spark: SparkSession, out_dir: str, rows: DataFrame,
@@ -233,10 +399,15 @@ def purge_deletes(spark: SparkSession, out_dir: str, new_dir: str,
     from nail_parquet_spark.codec.encode import encode_table
 
     dels = read_deletes(spark, out_dir)
-    if dels is None:
+    eq_pos = equality_positions(spark, out_dir)
+    if dels is None and eq_pos is None:
         raise ValueError(
             f"no committed deletes under {out_dir}; for a pure rewrite use "
             "compact_blocks")
+    if dels is None:
+        dels = eq_pos
+    elif eq_pos is not None:
+        dels = dels.unionByName(eq_pos)
     out_norm, new_norm = os.path.abspath(out_dir), os.path.abspath(new_dir)
     if new_norm == out_norm or new_norm.startswith(out_norm + os.sep):
         raise ValueError(

@@ -915,3 +915,37 @@ def test_cli_delete_upsert_purge(spark, tmp_path, capsys):
     from nail_parquet_spark.codec.decode import decode_table
 
     assert decode_table(spark.read.parquet(purged)).count() == 31
+
+
+def test_cli_delete_keys(spark, tmp_path, capsys):
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "enc")
+    spark.createDataFrame(
+        [(f"https://h.test/p{i}", i, f"body-{i}", "en") for i in range(20)],
+        "url string, k long, text string, lang string",
+    ).coalesce(1).write.parquet(src)
+    from nail_parquet_spark.pipeline.checkpoint import encode_resumable
+
+    encode_resumable(spark, src, out)
+    keyfile = str(tmp_path / "takedown.parquet")
+    spark.createDataFrame(
+        [("https://h.test/p3", "x"), ("https://h.test/p5", "x")],
+        "url string, junk string").write.parquet(keyfile)
+    capsys.readouterr()
+    # --key-columns restricts the key table to the matching columns
+    run("delete", out, "--keys", keyfile, "--key-columns", "url",
+        "--note", "takedown list")
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["deleted_keys"] == 2 and rep["eq_cols"] == ["url"]
+    dec = str(tmp_path / "dec")
+    run("decode", out, "-o", dec)
+    capsys.readouterr()
+    got = spark.read.parquet(dec)
+    assert got.count() == 18
+    assert got.filter(got.url == "https://h.test/p3").count() == 0
+    # exactly one of --where / --keys
+    with pytest.raises(SystemExit):
+        run("delete", out)
+    with pytest.raises(SystemExit):
+        run("delete", out, "--where", "k>=5", "--keys", keyfile)
+    capsys.readouterr()

@@ -14,7 +14,10 @@ from nail_parquet_spark.pipeline.checkpoint import (
 )
 from nail_parquet_spark.pipeline.deletes import (
     committed_deletes,
+    delete_keys,
     delete_where,
+    equality_delete_records,
+    equality_positions,
     purge_deletes,
     read_deletes,
     read_table,
@@ -158,6 +161,103 @@ def test_purge_refuses_without_deletes_or_inside_table(spark, table, tmp_path):
     delete_where(spark, out, [("k", "=", 5)])
     with pytest.raises(ValueError, match="OUTSIDE"):
         purge_deletes(spark, out, os.path.join(out, "nested"))
+
+
+def test_delete_keys_sequence_rule(spark, table):
+    """Equality delete kills only rows committed strictly before it;
+    a later re-insert of the same key survives (Iceberg v2 sequence rule)."""
+    df, out = table
+    keys = spark.createDataFrame(
+        [("https://h0.test/p0",), ("https://h1.test/p7",)], "url string")
+    rep = delete_keys(spark, out, keys, note="takedown")
+    assert rep["committed"] and rep["deleted_keys"] == 2
+    assert rep["eq_cols"] == ["url"]
+    got = read_table(spark, out)
+    assert got.count() == 118
+    assert got.filter(F.col("url") == "https://h0.test/p0").count() == 0
+    # time travel before the delete: rows back
+    assert read_table(spark, out, snapshot_id=rep["snapshot"] - 1).count() == 120
+    # re-insert one deleted key via upsert (later snapshot) -> it SURVIVES
+    new = spark.createDataFrame(
+        [("https://h0.test/p0", 0, "reinserted", "9")],
+        "url string, k long, text string, lang string")
+    upsert(spark, out, new, key="url")
+    got2 = read_table(spark, out)
+    assert got2.count() == 119
+    assert got2.filter(F.col("url") == "https://h0.test/p0") \
+               .first().text == "reinserted"
+    # and the other deleted key stays dead
+    assert got2.filter(F.col("url") == "https://h1.test/p7").count() == 0
+    # a SECOND eq delete of the reinserted key kills it again
+    delete_keys(spark, out, spark.createDataFrame(
+        [("https://h0.test/p0",)], "url string"))
+    assert read_table(spark, out).count() == 118
+
+
+def test_delete_keys_null_safe_and_multi_column(spark, table):
+    df, out = table
+    # lang is NULL for k % 11 == 0; NULL = NULL matches (Iceberg semantics)
+    keys = spark.createDataFrame([(None,)], "lang string")
+    rep = delete_keys(spark, out, keys)
+    n_null = df.filter(F.col("lang").isNull()).count()
+    assert n_null > 0
+    assert read_table(spark, out).count() == 120 - n_null
+    # multi-column key: (url, lang) pair must match BOTH null-safely
+    keys2 = spark.createDataFrame(
+        [("https://h1.test/p1", "1"), ("https://h2.test/p2", "0")],
+        "url string, lang string")
+    delete_keys(spark, out, keys2)
+    got = read_table(spark, out)
+    # p1 has lang "1" -> killed; p2 has lang "2" != "0" -> kept
+    assert got.filter(F.col("url") == "https://h1.test/p1").count() == 0
+    assert got.filter(F.col("url") == "https://h2.test/p2").count() == 1
+
+
+def test_delete_keys_guards(spark, table):
+    df, out = table
+    with pytest.raises(ValueError, match="not columns of the table"):
+        delete_keys(spark, out, spark.createDataFrame([(1,)], "nope long"))
+    n_snap = len(snapshots(out))
+    rep = delete_keys(spark, out,
+                      spark.createDataFrame([], "url string"))
+    assert rep == {"deleted_keys": 0, "eq_cols": ["url"], "delete_id": None,
+                   "snapshot": None, "committed": False}
+    assert len(snapshots(out)) == n_snap
+    # duplicate key rows collapse to distinct keys
+    dup = spark.createDataFrame(
+        [("https://h0.test/p0",), ("https://h0.test/p0",)], "url string")
+    assert delete_keys(spark, out, dup)["deleted_keys"] == 1
+
+
+def test_delete_keys_composes_with_positions_and_purge(spark, table, tmp_path):
+    df, out = table
+    delete_where(spark, out, [("k", ">=", 110)])          # position delete
+    delete_keys(spark, out, spark.createDataFrame(
+        [("https://h0.test/p0",), ("https://h0.test/p6",)], "url string"))
+    want = df.filter(F.col("k") < 110).filter(
+        ~F.col("url").isin("https://h0.test/p0", "https://h0.test/p6"))
+    got = read_table(spark, out)
+    assert got.count() == want.count() == 108
+    # column-pruned read still applies the eq delete (keys not in output)
+    assert read_table(spark, out, columns=["k"]).count() == 108
+    # equality_positions resolves to coordinates, one per matched row
+    eq = equality_positions(spark, out)
+    assert eq.count() == 2 and set(eq.columns) == {"_src_file", "_part_id",
+                                                   "_block_id", "_pos"}
+    assert len(equality_delete_records(out)) == 1
+    # position-delete reader never sees the eq file
+    assert read_deletes(spark, out).count() == 10
+    # purge folds BOTH flavors into the physical rewrite
+    new_dir = str(tmp_path / "purged")
+    rep = purge_deletes(spark, out, new_dir, num_files=4)
+    assert rep["rows_deleted"] == 12
+    got_p = decode_table(spark.read.parquet(new_dir))
+
+    def canon(dfr):
+        return sorted(tuple(sorted(r.asDict().items()))
+                      for r in dfr.collect())
+
+    assert canon(got_p) == canon(got)
 
 
 def test_read_blocks_at_skips_delete_snapshots(spark, table):
