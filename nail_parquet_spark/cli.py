@@ -477,6 +477,11 @@ def main(argv: list[str] | None = None) -> int:
                            "help": "only reap orphan dirs idle at least this many seconds "
                                    "(concurrent-writer guard)"}),
         (("--dry-run",), {"action": "store_true", "help": "list orphans without deleting"}),
+        (("--rollback",), {"type": int, "default": None,
+                           "help": "commit a metadata-only rollback: current state becomes "
+                                   "the state as of this snapshot id (later commits stay "
+                                   "time-travelable until expired)"}),
+        (("--note",), {"default": None, "help": "free-text audit note for --rollback"}),
         with_output=False)
     add("metadata", with_output=False)
     add("blockstats", (("-c", "--columns"), {"default": None}),
@@ -589,9 +594,12 @@ def main(argv: list[str] | None = None) -> int:
         # catalog maintenance (Iceberg expireSnapshots/removeOrphanFiles
         # shape) — pure filesystem bookkeeping, no Spark session
         from nail_parquet_spark.pipeline.checkpoint import (
-            expire_snapshots, remove_orphan_files)
+            expire_snapshots, remove_orphan_files, rollback_to)
 
         report: dict = {}
+        if args.rollback is not None:
+            report["rollback"] = rollback_to(args.input, args.rollback,
+                                             note=args.note)
         if args.expire_keep_last is not None or args.expire_older_than is not None:
             report["expire"] = expire_snapshots(
                 args.input, keep_last=args.expire_keep_last,
@@ -600,8 +608,8 @@ def main(argv: list[str] | None = None) -> int:
             report["orphans"] = remove_orphan_files(
                 args.input, dry_run=args.dry_run, older_than_s=args.gc_grace)
         if not report:
-            p.error("maintain needs --expire-keep-last/--expire-older-than "
-                    "and/or --gc-orphans")
+            p.error("maintain needs --rollback, --expire-keep-last/"
+                    "--expire-older-than and/or --gc-orphans")
         print(json.dumps(report, indent=2))
         return 0
 

@@ -219,6 +219,112 @@ def snapshots(out_dir: str) -> list[dict]:
     return sorted(out, key=lambda s: s["snapshot"])
 
 
+def resolve_snapshot_id(out_dir: str, snapshot_id: int | None = None) -> int:
+    """Default ``snapshot_id`` to the latest committed snapshot (0 when the
+    log is empty — the pre-first-commit state)."""
+    if snapshot_id is not None:
+        return snapshot_id
+    snaps = snapshots(out_dir)
+    return snaps[-1]["snapshot"] if snaps else 0
+
+
+def _effective_states(snaps: list[dict]) -> dict[int, list[int]]:
+    """Replay the snapshot log: id -> the list of snapshot ids whose
+    records make up the table state right AFTER that commit.
+
+    Ordinary commits append their own id; a ``kind="rollback"`` record
+    RESTORES the state as of its ``target`` snapshot (Iceberg's
+    ``rollback_to_snapshot``: metadata-only, no data files touched), so
+    every record committed between target and the rollback drops out of
+    the state while remaining in the log for time travel/audit. A
+    rollback whose target record was expired is unreplayable and raises.
+    """
+    states: dict[int, list[int]] = {}
+    vis: list[int] = []
+    for s in snaps:
+        if s.get("kind") == "rollback":
+            t = s["target"]
+            if t not in states:
+                raise ValueError(
+                    f"snapshot {s['snapshot']} rolls back to snapshot {t}, "
+                    "which is not in the log (expired or never committed); "
+                    "the post-rollback state cannot be replayed"
+                )
+            vis = list(states[t])
+        else:
+            vis = vis + [s["snapshot"]]
+        states[s["snapshot"]] = vis
+    return states
+
+
+def visible_snapshots(out_dir: str,
+                      snapshot_id: int | None = None) -> list[dict]:
+    """The snapshot records that make up the table state at
+    ``snapshot_id`` (default latest), oldest first, with rollbacks
+    applied. This — not ``id <= snapshot_id`` — is the visibility rule
+    every reader (blocks, position deletes, equality deletes, sequence
+    numbers) must share once rollbacks exist."""
+    snaps = snapshots(out_dir)
+    if not snaps:
+        return []
+    snapshot_id = resolve_snapshot_id(out_dir, snapshot_id)
+    states = _effective_states(snaps)
+    at = [s["snapshot"] for s in snaps if s["snapshot"] <= snapshot_id]
+    if not at:
+        return []
+    ids = set(states[at[-1]])
+    return [s for s in snaps if s["snapshot"] in ids]
+
+
+def rollback_to(out_dir: str, target: int, note: str | None = None) -> dict:
+    """Commit a metadata-only rollback: the table's current state becomes
+    the state as of snapshot ``target`` (Iceberg ``rollback_to_snapshot``).
+
+    Nothing on disk moves — commits made after ``target`` stay in the log
+    (time travel to them still works until they are expired), they just no
+    longer contribute to the current state. Appending after a rollback
+    builds on the restored state. Refuses targets whose state is no longer
+    physically readable (a constituent batch was wipe-and-rewritten by a
+    later retry, or expiry removed a needed record)."""
+    snaps = snapshots(out_dir)
+    if not snaps:
+        raise ValueError(f"no snapshots committed under {out_dir}")
+    states = _effective_states(snaps)
+    if target not in states:
+        raise ValueError(
+            f"snapshot {target} is not in the log under {out_dir} "
+            f"(ids: {sorted(states)})")
+    current = set(states[snaps[-1]["snapshot"]])
+    restored = set(states[target])
+    by_id = {s["snapshot"]: s for s in snaps}
+    # physical readability: every restored batch dir must still hold the
+    # bytes of its restored commit (latest commit overall for that batch
+    # must itself be restored, else a retry rewrote the directory)
+    latest_by_batch: dict[str, int] = {}
+    for s in snaps:
+        latest_by_batch[s["batch"]] = s["snapshot"]
+    stale = sorted(
+        by_id[i]["batch"] for i in restored
+        if latest_by_batch[by_id[i]["batch"]] not in restored
+        and latest_by_batch[by_id[i]["batch"]] > i)
+    if stale:
+        raise ValueError(
+            f"cannot roll back to snapshot {target}: batches {stale} were "
+            "re-committed after it, so their directories no longer hold "
+            "the bytes that snapshot saw")
+    if not any(by_id[i].get("kind", "append") not in ("delete", "rollback")
+               for i in restored):
+        raise ValueError(
+            f"cannot roll back to snapshot {target}: that state holds no "
+            "data commits")
+    snap = _commit_snapshot(
+        out_dir, f"rollback-{target}", [], kind="rollback",
+        extra={"target": target, "note": note})
+    return {"snapshot": snap, "target": target,
+            "undone": sorted(current - restored),
+            "restored": sorted(restored - current), "committed": True}
+
+
 def read_blocks_at(spark: SparkSession, out_dir: str,
                    snapshot_id: int | None = None):
     """Time travel: the encoded-blocks DataFrame as of ``snapshot_id``
@@ -245,18 +351,22 @@ def read_blocks_at(spark: SparkSession, out_dir: str,
                 f"{t['snapshot']} (batch {t['batch']}) was expired and no "
                 f"surviving commit of that batch is visible at this id"
             )
-    visible = [s for s in snaps if s["snapshot"] <= snapshot_id]
-    if not visible:
+    if not any(s["snapshot"] <= snapshot_id for s in snaps):
         raise ValueError(
             f"snapshot {snapshot_id} predates the first commit "
             f"({snaps[0]['snapshot']})"
         )
+    # rollback-aware visibility: the state is NOT "all commits <= id" but
+    # the effective record set after replaying rollbacks
+    visible = visible_snapshots(out_dir, snapshot_id)
+    vis_ids = {s["snapshot"] for s in visible}
     # latest commit per batch key wins (a batch retried AFTER the requested
     # snapshot has had its directory rewritten — the old bytes are gone, so
     # reading it as of the old snapshot would be a lie; refuse instead)
     latest_by_batch = {s["batch"]: s["snapshot"] for s in snaps}
     stale = [s["batch"] for s in visible
-             if latest_by_batch[s["batch"]] > snapshot_id]
+             if latest_by_batch[s["batch"]] not in vis_ids
+             and latest_by_batch[s["batch"]] > s["snapshot"]]
     if stale:
         raise ValueError(
             f"batches {sorted(set(stale))} were re-committed after snapshot "
@@ -264,7 +374,8 @@ def read_blocks_at(spark: SparkSession, out_dir: str,
             f"so this snapshot is no longer readable"
         )
     # delete snapshots carry no data directory (their state lives under
-    # _deletes/ and is applied by pipeline.deletes.read_table)
+    # _deletes/ and is applied by pipeline.deletes.read_table); rollback
+    # records never enter the visible set at all
     dirs = sorted({os.path.join(out_dir, f"batch={s['batch']}")
                    for s in visible if s.get("kind", "append") != "delete"})
     if not dirs:
@@ -335,6 +446,16 @@ def expire_snapshots(
     protected = {max(s["snapshot"] for s in snaps if s["batch"] == b)
                  for b in {s["batch"] for s in snaps}}
     protected.add(snaps[-1]["snapshot"])
+    # rollback integrity: the log replay (_effective_states) must keep
+    # working — every rollback record, its target, and every record a
+    # rollback's restored state references stays protected, else replay
+    # would silently reconstruct a different (partial) state
+    states = _effective_states(snaps)
+    for s in snaps:
+        if s.get("kind") == "rollback":
+            protected.add(s["snapshot"])
+            protected.add(s["target"])
+            protected.update(states[s["target"]])
     if keep_last is not None:
         protected.update(s["snapshot"] for s in snaps[-keep_last:])
     expired = []

@@ -69,7 +69,9 @@ from nail_parquet_spark.codec.deletes import (
 from nail_parquet_spark.pipeline.checkpoint import (
     _commit_snapshot,
     read_blocks_at,
+    resolve_snapshot_id,
     snapshots,
+    visible_snapshots,
 )
 
 
@@ -100,11 +102,16 @@ def committed_deletes(out_dir: str) -> list[dict]:
             and s.get("delete") is not None]
 
 
-def _resolve_snapshot(out_dir: str, snapshot_id: int | None) -> int:
-    snaps = snapshots(out_dir)
-    if snapshot_id is None:
-        return snaps[-1]["snapshot"] if snaps else 0
-    return snapshot_id
+_resolve_snapshot = resolve_snapshot_id
+
+
+def _visible_deletes(out_dir: str, snapshot_id: int | None) -> list[dict]:
+    """Delete-carrying records in the EFFECTIVE state at ``snapshot_id``
+    (rollbacks applied — a rolled-back delete stops deleting), oldest
+    first."""
+    return [s for s in visible_snapshots(out_dir, snapshot_id)
+            if s.get("kind") in ("delete", "upsert")
+            and s.get("delete") is not None]
 
 
 def read_deletes(spark: SparkSession, out_dir: str,
@@ -113,10 +120,9 @@ def read_deletes(spark: SparkSession, out_dir: str,
     (default: latest), or None when no position delete is visible.
     Equality deletes live in separate key-schema files — see
     ``equality_delete_records`` / ``equality_positions``."""
-    snapshot_id = _resolve_snapshot(out_dir, snapshot_id)
     dirs = [os.path.join(_deletes_dir(out_dir), str(s["delete"]))
-            for s in committed_deletes(out_dir)
-            if s["snapshot"] <= snapshot_id and not s.get("eq_cols")]
+            for s in _visible_deletes(out_dir, snapshot_id)
+            if not s.get("eq_cols")]
     if not dirs:
         return None
     return spark.read.schema(POS_DDL).parquet(*dirs)
@@ -126,9 +132,8 @@ def equality_delete_records(out_dir: str,
                             snapshot_id: int | None = None) -> list[dict]:
     """Equality-delete snapshot records visible at ``snapshot_id``
     (default: latest), oldest first."""
-    snapshot_id = _resolve_snapshot(out_dir, snapshot_id)
-    return [s for s in committed_deletes(out_dir)
-            if s.get("eq_cols") and s["snapshot"] <= snapshot_id]
+    return [s for s in _visible_deletes(out_dir, snapshot_id)
+            if s.get("eq_cols")]
 
 
 def _write_delete_file(out_dir: str, pos: DataFrame) -> tuple[int, int]:
@@ -212,9 +217,9 @@ def _batch_snapshots(spark: SparkSession, out_dir: str,
     ``snapshot_id`` — the sequence numbers the equality rule compares.
     Latest commit per batch wins, same as ``read_blocks_at``."""
     best: dict[str, int] = {}
-    for s in snapshots(out_dir):
-        if s.get("kind", "append") != "delete" and s["snapshot"] <= snapshot_id:
-            best[s["batch"]] = s["snapshot"]
+    for s in visible_snapshots(out_dir, snapshot_id):
+        if s.get("kind", "append") != "delete":
+            best[s["batch"]] = max(s["snapshot"], best.get(s["batch"], 0))
     return spark.createDataFrame(
         [(b, s) for b, s in best.items()], "__batch string, __row_snap long")
 
