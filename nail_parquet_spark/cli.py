@@ -482,6 +482,10 @@ def main(argv: list[str] | None = None) -> int:
                                    "the state as of this snapshot id (later commits stay "
                                    "time-travelable until expired)"}),
         (("--note",), {"default": None, "help": "free-text audit note for --rollback"}),
+        (("--history",), {"action": "store_true",
+                          "help": "print the snapshot log (id, kind, batch, note, whether "
+                                  "the record is in the current effective state) — the ids "
+                                  "--rollback and --snapshot take"}),
         with_output=False)
     add("metadata", with_output=False)
     add("blockstats", (("-c", "--columns"), {"default": None}),
@@ -594,9 +598,19 @@ def main(argv: list[str] | None = None) -> int:
         # catalog maintenance (Iceberg expireSnapshots/removeOrphanFiles
         # shape) — pure filesystem bookkeeping, no Spark session
         from nail_parquet_spark.pipeline.checkpoint import (
-            expire_snapshots, remove_orphan_files, rollback_to)
+            expire_snapshots, remove_orphan_files, rollback_to,
+            snapshots, visible_snapshots)
 
         report: dict = {}
+        if args.history:
+            current = {s["snapshot"] for s in visible_snapshots(args.input)}
+            report["history"] = [
+                {"snapshot": s["snapshot"], "kind": s.get("kind", "append"),
+                 "batch": s["batch"], "ts": s["ts"],
+                 "rows": s.get("rows"), "target": s.get("target"),
+                 "note": s.get("note"),
+                 "in_current_state": s["snapshot"] in current}
+                for s in snapshots(args.input)]
         if args.rollback is not None:
             report["rollback"] = rollback_to(args.input, args.rollback,
                                              note=args.note)
@@ -608,7 +622,7 @@ def main(argv: list[str] | None = None) -> int:
             report["orphans"] = remove_orphan_files(
                 args.input, dry_run=args.dry_run, older_than_s=args.gc_grace)
         if not report:
-            p.error("maintain needs --rollback, --expire-keep-last/"
+            p.error("maintain needs --history, --rollback, --expire-keep-last/"
                     "--expire-older-than and/or --gc-orphans")
         print(json.dumps(report, indent=2))
         return 0

@@ -172,3 +172,11 @@ def test_cli_maintain_rollback(spark, table, capsys):
     rep = json.loads(capsys.readouterr().out)["rollback"]
     assert rep["committed"] and rep["target"] == pre
     assert read_table(spark, out).count() == 120
+    # --history lists the log with effective-state membership
+    assert main(["maintain", out, "--history"]) == 0
+    hist = json.loads(capsys.readouterr().out)["history"]
+    kinds = [h["kind"] for h in hist]
+    assert kinds[-1] == "rollback" and "delete" in kinds
+    assert [h["in_current_state"] for h in hist if h["kind"] == "delete"] \
+        == [False]
+    assert all(h["in_current_state"] for h in hist if h["kind"] == "append")
