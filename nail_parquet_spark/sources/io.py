@@ -43,6 +43,8 @@ def _fmt_of(path: str, fmt: str | None) -> str:
         return "orc"
     if ext in ("xlsx", "xls"):
         return "xlsx"
+    if ext in ("arrow", "feather", "ipc"):
+        return "arrow"
     if path.endswith((".wet", ".wet.gz")):
         return "wet"
     if path.endswith((".warc", ".warc.gz")):
@@ -66,6 +68,8 @@ def _fmt_of(path: str, fmt: str | None) -> str:
         for inner_ext in ("parquet", "orc", "csv", "json"):
             if _visible(f"*.{inner_ext}"):
                 return inner_ext
+        if _visible("*.arrow") or _visible("*.feather"):
+            return "arrow"
         if _visible("*.wet*"):
             return "wet"
         if _visible("*.warc*"):
@@ -85,6 +89,10 @@ def read_data(spark: SparkSession, path: str, fmt: str | None = None) -> DataFra
         # beyond the reference's menu (io.rs has no ORC): Spark-native
         # columnar interchange with Hive/Trino warehouses
         return spark.read.orc(path)
+    if fmt == "arrow":
+        # Arrow IPC / Feather v2 (pandas/polars/duckdb interchange) —
+        # distributed pyarrow scan, Spark ships no IPC datasource
+        return read_arrow_ipc(spark, path)
     if fmt == "warc":
         # Common Crawl archives -> (url, warc_ts, warc_type, html)
         from nail_parquet_spark.sources.warc import read_warc
@@ -212,6 +220,108 @@ def read_parquet_arrow(spark: SparkSession, path: str) -> DataFrame:
     return items.mapInArrow(scan, schema=ddl)
 
 
+def read_arrow_ipc(spark: SparkSession, path: str) -> DataFrame:
+    """Distributed Arrow IPC / Feather-v2 scan (one task per file): the
+    zero-copy interchange format pandas/polars/duckdb exchange. ``path`` is
+    a single ``.arrow``/``.feather`` file or a directory of them (hidden
+    segments skipped, Spark's convention). Record batches stream through
+    ``mapInArrow`` — no JVM row conversion; the first file's schema wins
+    and every batch is cast to it."""
+    import glob as _glob
+
+    import pyarrow.ipc as pi
+
+    from nail_parquet_spark.codec.decode import _spark_ddl_of
+
+    if os.path.isdir(path):
+        files = []
+        for pat in ("*.arrow", "*.feather", "*.ipc"):
+            for f in _glob.glob(os.path.join(path, "**", pat), recursive=True):
+                rel = os.path.relpath(f, path)
+                if not any(seg.startswith(("_", "."))
+                           for seg in rel.split(os.sep)):
+                    files.append(f)
+        files = sorted(files)
+    else:
+        files = [path]
+    if not files:
+        raise ValueError(f"no .arrow/.feather files under {path}")
+    with pi.open_file(files[0]) as rd:
+        schema = rd.schema
+    ddl = _spark_ddl_of(schema)
+    items = spark.createDataFrame([(f,) for f in files],
+                                  "path string").repartition(len(files))
+
+    def scan(batches):
+        import pyarrow as _pa
+        import pyarrow.ipc as _pi
+
+        for batch in batches:
+            for p in batch.column(0).to_pylist():
+                with _pi.open_file(p) as rd:
+                    for i in range(rd.num_record_batches):
+                        tbl = _pa.Table.from_batches([rd.get_batch(i)])
+                        yield from tbl.cast(schema).to_batches()
+
+    return items.mapInArrow(scan, schema=ddl)
+
+
+def write_arrow_ipc(df: DataFrame, path: str, compression: str | None = "zstd",
+                    mode: str = "overwrite") -> list:
+    """Distributed Arrow IPC / Feather-v2 sink: each task writes its
+    partition to one ``part-NNNNN.arrow`` file (attempt-unique temp +
+    atomic rename, same commit pattern as ``write_parquet_arrow``).
+    ``compression`` is the IPC buffer codec (zstd/lz4/None). Returns the
+    (file, n_rows) manifest."""
+    import glob as _glob
+    import re as _re
+    import shutil as _shutil
+
+    import pyarrow as pa
+
+    if compression not in (None, "zstd", "lz4"):
+        raise ValueError(
+            f"arrow ipc compression must be zstd/lz4/None, got {compression!r}")
+    if mode == "overwrite":
+        _shutil.rmtree(path, ignore_errors=True)
+    elif mode != "append":
+        raise ValueError(f"mode must be overwrite/append, got {mode!r}")
+    os.makedirs(path, exist_ok=True)
+
+    def sink(batches):
+        import pyarrow.ipc as _pi
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        tid = ctx.partitionId() if ctx is not None else 0
+        att = ctx.attemptNumber() if ctx is not None else 0
+        out_path = os.path.join(path, f"part-{tid:05d}.arrow")
+        tmp = os.path.join(path, f".part-{tid:05d}.attempt-{att}.inprogress")
+        for stale in _glob.glob(os.path.join(path, f".part-{tid:05d}.attempt-*.inprogress")):
+            m = _re.search(r"attempt-(\d+)\.inprogress$", stale)
+            if m and int(m.group(1)) < att:
+                try:
+                    os.remove(stale)
+                except OSError:
+                    pass
+        writer = None
+        n_rows = 0
+        for batch in batches:
+            if writer is None:
+                opts = _pi.IpcWriteOptions(compression=compression)
+                writer = _pi.new_file(tmp, batch.schema, options=opts)
+            writer.write_batch(batch)
+            n_rows += batch.num_rows
+        if writer is not None:
+            writer.close()
+            os.replace(tmp, out_path)
+            yield pa.record_batch(
+                [pa.array([out_path]), pa.array([n_rows], pa.int64())],
+                names=["file", "n_rows"])
+
+    return df.mapInArrow(sink, schema="file string, n_rows bigint").collect()
+
+
 def write_data(df: DataFrame, path: str, fmt: str | None = None,
                mode: str = "overwrite", single_file: bool = False,
                compression: str | None = None,
@@ -243,6 +353,12 @@ def write_data(df: DataFrame, path: str, fmt: str | None = None,
         if compression:
             w = w.option("compression", compression)
         w.orc(path)
+    elif fmt == "arrow":
+        if mode not in ("overwrite", "append"):
+            raise ValueError(f"arrow ipc supports overwrite/append, got {mode!r}")
+        comp = (None if compression in ("none", "uncompressed")
+                else compression or "zstd")
+        write_arrow_ipc(out, path, compression=comp, mode=mode)
     elif fmt in ("warc", "wet"):
         # WARC/WET export: needs (url, warc_ts, html|text)-shaped columns
         from nail_parquet_spark.sources.warc import write_warc

@@ -93,3 +93,46 @@ def test_orc_roundtrip_and_autodetect(spark, sample, tmp_path):
     write_data(sample, bare, fmt="orc")
     auto = read_data(spark, bare)  # no extension: sniffed from files inside
     assert auto.count() == sample.count()
+
+
+def test_arrow_ipc_roundtrip(spark, sample, tmp_path):
+    """Distributed Arrow IPC / Feather-v2 sink + scan: values, schema, and
+    NULLs survive; autodetect covers extension, directory, and convert."""
+    assert _fmt_of("a.arrow", None) == "arrow"
+    assert _fmt_of("a.feather", None) == "arrow"
+    path = str(tmp_path / "s.arrow")
+    write_data(sample, path)
+    back = read_data(spark, path)
+    assert sorted(back.columns) == sorted(sample.columns)
+    assert sorted(r["name"] for r in back.collect()) == \
+        ["Alice", "Bob", "Charlie", "David", "Eve"]
+    assert dict(back.dtypes) == dict(sample.dtypes)
+    # directory autodetect (no fmt hint)
+    assert _fmt_of(path, None) == "arrow"
+    # a feather reader (pyarrow) can open the part files directly
+    import glob
+
+    import pyarrow.feather as pf
+
+    parts = glob.glob(path + "/part-*.arrow")
+    assert parts
+    assert sum(len(pf.read_table(p)) for p in parts) == 5
+    # convert arrow -> parquet
+    info = convert(spark, path, str(tmp_path / "back.parquet"))
+    assert info == {"rows": 5, "cols": 4}
+
+
+def test_arrow_ipc_compression_and_nulls(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, None), (2, "x"), (None, "y")], "k long, s string")
+    for comp in ("zstd", "lz4", "none"):
+        path = str(tmp_path / f"c_{comp}.arrow")
+        write_data(df, path, compression=comp)
+        got = read_data(spark, path)
+        assert got.count() == 3
+        assert got.filter("k is null").count() == 1
+        assert got.filter("s is null").count() == 1
+    from nail_parquet_spark.sources.io import write_arrow_ipc
+
+    with pytest.raises(ValueError, match="zstd/lz4"):
+        write_arrow_ipc(df, str(tmp_path / "bad"), compression="gzip")
