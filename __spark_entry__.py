@@ -1494,6 +1494,56 @@ def q_entropy_stats(spark, sf_dir):
     return entropy_stats(_t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+def _robots_corpus(spark):
+    """Deterministic 7-host robots corpus: agent-specific group (GPTBot),
+    merged consecutive-UA '*' group, a per-host varying rule, and
+    wildcard / empty / relative rules that the pinned contract drops."""
+    return spark.range(7).select(
+        F.concat(F.lit("h"), F.col("id").cast("string"),
+                 F.lit(".example")).alias("host"),
+        F.concat(
+            F.lit("# synthetic\nUser-agent: GPTBot\nDisallow: /\n\n"
+                  "User-agent: *\nUser-Agent: legacybot\n"
+                  "Disallow: /src0/\nAllow: /src0/p1\nDisallow: /src"),
+            (F.col("id") % 5).cast("string"),
+            F.lit("/\nDisallow: /tmp/*\nAllow:\nCrawl-delay: 5\n"
+                  "Disallow: relative\n"),
+        ).alias("robots_txt"))
+
+
+def q_robots_parse(spark, sf_dir):
+    """robots.txt parsing (functions/robots.parse_robots, pinned RFC 9309
+    subset): per-row Catalyst fold over the line array — group merging
+    across consecutive User-agent lines, '*' vs specific-agent group
+    selection, comment/blank handling, wildcard/empty/relative rule drops.
+    The oracle CONSTRUCTS the rules the contract requires, so any parser
+    deviation hash-mismatches. Zero shuffle: the parse is a projection."""
+    from nail_parquet_spark.functions.robots import parse_robots
+
+    return parse_robots(_robots_corpus(spark))
+
+
+def q_robots_filter(spark, sf_dir):
+    """robots.txt URL filtering (functions/robots.robots_verdict):
+    longest-prefix-wins with allow-on-tie over (host, path), unknown host
+    = allowed — ONE host-keyed join against per-host rule arrays + a
+    per-row fold (the page table is never re-shuffled). URLs are derived
+    from documents (host = doc_id%7, path = /source/p<doc_id>); the oracle
+    states the longest-match outcome analytically, so the parse + join +
+    fold pipeline is value-exact end-to-end."""
+    from nail_parquet_spark.functions.robots import parse_robots, robots_verdict
+
+    d = _t(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id",
+        F.concat(F.lit("https://h"), (F.col("doc_id") % 7).cast("string"),
+                 F.lit(".example/"), F.col("source"), F.lit("/p"),
+                 F.col("doc_id").cast("string")).alias("url"))
+    rules = parse_robots(_robots_corpus(spark))
+    return robots_verdict(docs, rules, broadcast_rules=True) \
+        .select("doc_id", "url", "robots_allowed")
+
+
 def q_mor_delete(spark, sf_dir):
     """Merge-on-read position delete (codec/deletes.py): rows matching the
     CNF predicate become a tiny coordinate table (zone-map/bloom pruning
@@ -2181,6 +2231,11 @@ _QUERIES = {
         # locally; test_dedup_containment.py) + char/word entropy signals
         "ngram_containment_pairs": q_ngram_containment_pairs,
         "entropy_stats": q_entropy_stats,
+        # this session: robots.txt parse + longest-match URL filter
+        # (functions/robots.py) — value-exact locally; tests/test_robots.py
+        # pins the parser against a pure-Python model over 250 random bodies
+        "robots_parse": q_robots_parse,
+        "robots_filter": q_robots_filter,
         # this session: Iceberg-v2-style merge-on-read position deletes +
         # key upsert (codec/deletes.py, pipeline/deletes.py) — value-exact
         # locally; tests/test_deletes*.py
@@ -3743,6 +3798,28 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = id_a
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE greatest(n_inter * 1.0 / sa.n_sh, n_inter * 1.0 / sb.n_sh) >= 0.8""",
+        "robots_parse": """
+            WITH h AS (SELECT 'h' || CAST(i AS VARCHAR) || '.example' AS host,
+                              CAST(i % 5 AS VARCHAR) AS m
+                       FROM range(7) t(i))
+            SELECT host, prefix, allow FROM (
+              SELECT host, '/src0/' AS prefix, false AS allow FROM h
+              UNION ALL SELECT host, '/src0/p1', true FROM h
+              UNION ALL SELECT host, '/src' || m || '/', false FROM h
+            )""",
+        "robots_filter": """
+            WITH d AS (SELECT doc_id, source,
+                              CAST(doc_id % 7 AS VARCHAR) AS hk,
+                              CAST((doc_id % 7) % 5 AS VARCHAR) AS m
+                       FROM documents)
+            SELECT doc_id,
+                   'https://h' || hk || '.example/' || source || '/p'
+                     || CAST(doc_id AS VARCHAR) AS url,
+                   CASE WHEN source = 'src0'
+                          THEN CAST(doc_id AS VARCHAR) LIKE '1%'
+                        WHEN source = 'src' || m THEN false
+                        ELSE true END AS robots_allowed
+            FROM d""",
         "entropy_stats": r"""
             WITH d AS (SELECT doc_id, text FROM documents),
             chars AS (SELECT doc_id, unnest(string_split(text, '')) AS c

@@ -352,14 +352,22 @@ def main(argv: list[str] | None = None) -> int:
         (("--kinds",), {"default": None,
                         "help": "comma subset of email,ipv4,ssn,card,phone (default all)"}))
     add("domains", (("--url-column",), {"default": "url"}),
-        (("--mode",), {"default": "stats", "choices": ["stats", "cap", "block"],
+        (("--mode",), {"default": "stats", "choices": ["stats", "cap", "block", "robots"],
                        "help": "per-registered-domain budget / cap docs per domain / "
-                               "drop domains on a blocklist"}),
+                               "drop domains on a blocklist / drop URLs robots.txt "
+                               "disallows"}),
         (("--blocklist",), {"default": None,
                             "help": "table of blocked domains for --mode block"}),
         (("--blocklist-column",), {"default": "domain"}),
+        (("--robots",), {"default": None,
+                         "help": "robots corpus for --mode robots: a table with (host, "
+                                 "robots_txt) columns, any readable format"}),
+        (("--agent",), {"default": "*",
+                        "help": "user-agent the robots rules are selected for "
+                                "(exact match or *; specific groups beat *)"}),
         (("--invert",), {"action": "store_true",
-                         "help": "block mode: keep ONLY blocked rows (audit)"}),
+                         "help": "block mode: keep ONLY blocked rows; robots mode: "
+                                 "annotate robots_allowed instead of filtering (audit)"}),
         (("--text-column",), {"default": None, "help": "adds char totals to --mode stats"}),
         (("--max-docs",), {"type": int, "default": 1000, "help": "cap for --mode cap"}),
         (("--order-column",), {"default": None,
@@ -1406,6 +1414,17 @@ def main(argv: list[str] | None = None) -> int:
                 df, read_data(spark, args.blocklist),
                 url_col=args.url_column, domain_col=args.blocklist_column,
                 invert=args.invert)
+        elif args.mode == "robots":
+            if not args.robots:
+                p.error("--mode robots requires --robots")
+            from nail_parquet_spark.functions.robots import (
+                parse_robots, robots_filter, robots_verdict)
+            from nail_parquet_spark.sources.io import read_data
+
+            rules = parse_robots(read_data(spark, args.robots),
+                                 agent=args.agent)
+            fn = robots_verdict if args.invert else robots_filter
+            out = fn(df, rules, url_col=args.url_column)
         else:
             out = uf.domain_cap(df, args.url_column, args.max_docs,
                                 order_col=args.order_column)

@@ -1,0 +1,188 @@
+"""robots.txt parse + filter (functions/robots.py, pinned RFC 9309 subset).
+
+The parser is pinned against a direct pure-Python model over 250 seeded
+random bodies (ONE Spark job), plus handcrafted RFC edge cases; the
+longest-match verdict is pinned the same way over random rule sets.
+"""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from nail_parquet_spark.functions.robots import (
+    parse_robots,
+    robots_filter,
+    robots_verdict,
+    url_path,
+)
+
+# ---------------------------------------------------------------------------
+# pure-Python model of the pinned contract
+# ---------------------------------------------------------------------------
+
+
+def _model_parse(body, agent="*"):
+    agent = agent.strip().lower()
+    ua = st = sp = False
+    srul, prul = [], []
+    for raw in (body or "").split("\n"):
+        line = raw.split("#", 1)[0].strip()
+        low = line.lower()
+        if low.startswith("user-agent") and low[10:].lstrip().startswith(":"):
+            name = line.split(":", 1)[1].strip().lower()
+            st = (ua and st) or name == "*"
+            sp = (ua and sp) or name == agent
+            ua = True
+            continue
+        if line == "":
+            continue
+        is_dis = low.startswith("disallow") and low[8:].lstrip().startswith(":")
+        is_alw = low.startswith("allow") and low[5:].lstrip().startswith(":")
+        if is_dis or is_alw:
+            path = line.split(":", 1)[1].strip()
+            if path.startswith("/") and "*" not in path and "$" not in path:
+                if st:
+                    srul.append((path, is_alw))
+                if sp:
+                    prul.append((path, is_alw))
+        ua = False
+    return prul if prul else srul
+
+
+def _model_verdict(path, rules):
+    best = (-1, True)
+    for prefix, allow in rules:
+        if path.startswith(prefix):
+            c = (len(prefix), allow)
+            if c[0] > best[0] or (c[0] == best[0] and allow):
+                best = c
+    return best[1]
+
+
+def _random_body(rng):
+    names = ["*", "GPTBot", "foo", " legacyBot "]
+    paths = ["/a", "/ab", "/a/b", "/x*", "/y$", "relative", "", "/", "/Abc"]
+    lines = []
+    for _ in range(rng.randrange(0, 14)):
+        kind = rng.randrange(6)
+        if kind == 0:
+            lines.append(f"User-agent: {rng.choice(names)}")
+        elif kind == 1:
+            lines.append(f"uSeR-AgEnT :{rng.choice(names)}")
+        elif kind == 2:
+            lines.append(f"Disallow: {rng.choice(paths)}")
+        elif kind == 3:
+            lines.append(f"allow:{rng.choice(paths)}  # trailing comment")
+        elif kind == 4:
+            lines.append(rng.choice(["", "   ", "# comment", "Crawl-delay: 5",
+                                     "Sitemap: https://x/s.xml", "junk line"]))
+        else:
+            lines.append(f"DISALLOW : {rng.choice(paths)}")
+    return "\n".join(lines)
+
+
+def test_parse_matches_model_random(spark):
+    rng = random.Random(42)
+    bodies = [_random_body(rng) for _ in range(250)]
+    df = spark.createDataFrame(
+        [(f"h{i}.example", b) for i, b in enumerate(bodies)],
+        "host string, robots_txt string")
+    for agent in ("*", "GPTBot"):
+        got = {}
+        for r in parse_robots(df, agent=agent).collect():
+            got.setdefault(r["host"], []).append((r["prefix"], r["allow"]))
+        for i, b in enumerate(bodies):
+            want = _model_parse(b, agent)
+            assert got.get(f"h{i}.example", []) == want, (agent, b)
+
+
+def test_parse_edge_cases(spark):
+    body = ("User-agent: GPTBot\nDisallow: /\n\n"
+            "User-agent: *\nUser-Agent: other\n"
+            "Disallow: /src0/\nAllow: /src0/p1\n"
+            "Disallow: /tmp/*\nAllow:\nCrawl-delay: 5\nDisallow: relative\n"
+            "# a comment\nDisallow: /late")
+    df = spark.createDataFrame([("h.example", body), ("n.example", None),
+                                ("e.example", "")],
+                               "host string, robots_txt string")
+    rows = [(r["prefix"], r["allow"]) for r in parse_robots(df).collect()]
+    # consecutive UA lines share a group; unknown directive ends the header
+    # but not the group; wildcard/empty/relative paths dropped
+    assert rows == [("/src0/", False), ("/src0/p1", True), ("/late", False)]
+    # specific agent: only its group, star ignored
+    rows2 = [(r["prefix"], r["allow"])
+             for r in parse_robots(df, agent="gptbot").collect()]
+    assert rows2 == [("/", False)]
+    # NULL/empty bodies parse to no rules (allow-all)
+    hosts = {r["host"] for r in parse_robots(df).collect()}
+    assert hosts == {"h.example"}
+
+
+def test_verdict_matches_model_random(spark):
+    rng = random.Random(7)
+    prefixes = ["/", "/a", "/a/", "/a/b", "/ab", "/c"]
+    rules, docs, model_rules = [], [], {}
+    for h in range(30):
+        host = f"h{h}.example"
+        rs = [(rng.choice(prefixes), rng.random() < 0.5)
+              for _ in range(rng.randrange(0, 5))]
+        model_rules[host] = rs
+        rules += [(host, p, a) for p, a in rs]
+        for d in range(5):
+            path = rng.choice(["/", "/a", "/a/b/c", "/ab/x", "/c", "/zz"])
+            docs.append((h * 10 + d, f"https://{host}{path}", path, host))
+    rules_df = spark.createDataFrame(rules or [("x", "/", True)],
+                                     "host string, prefix string, allow boolean")
+    docs_df = spark.createDataFrame(
+        [(i, u) for i, u, _, _ in docs], "doc_id long, url string")
+    got = {r["doc_id"]: r["robots_allowed"]
+           for r in robots_verdict(docs_df, rules_df).collect()}
+    for i, _, path, host in docs:
+        assert got[i] == _model_verdict(path, model_rules[host]), (path, host)
+
+
+def test_filter_and_helpers(spark):
+    rules = spark.createDataFrame(
+        [("h.example", "/no/", False)], "host string, prefix string, allow boolean")
+    docs = spark.createDataFrame(
+        [(1, "https://h.example/no/x"), (2, "https://h.example/yes"),
+         (3, "https://H.EXAMPLE:8080/no/y"),     # host casing + port
+         (4, "https://u:p@h.example/no/z?q=1"),  # userinfo + query excluded
+         (5, "not a url")],
+        "doc_id long, url string")
+    kept = sorted(r["doc_id"] for r in robots_filter(docs, rules).collect())
+    assert kept == [2, 5]
+    # broadcast variant agrees
+    kept_b = sorted(r["doc_id"] for r in
+                    robots_filter(docs, rules, broadcast_rules=True).collect())
+    assert kept_b == kept
+    got = docs.select(url_path(F.col("url")).alias("p")).collect()
+    assert got[1]["p"] == "/yes" and got[3]["p"] == "/no/z"
+    with pytest.raises(ValueError, match="host, prefix, allow"):
+        robots_verdict(docs, docs)
+
+
+def test_cli_domains_robots(spark, tmp_path, capsys):
+    from nail_parquet_spark.cli import main
+
+    robots = str(tmp_path / "robots.parquet")
+    spark.createDataFrame(
+        [("h.example", "User-agent: *\nDisallow: /no/\n")],
+        "host string, robots_txt string").write.parquet(robots)
+    docs = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(1, "https://h.example/no/x"), (2, "https://h.example/yes")],
+        "doc_id long, url string").write.parquet(docs)
+    out = str(tmp_path / "kept.parquet")
+    assert main(["domains", docs, "--mode", "robots", "--robots", robots,
+                 "-o", out]) == 0
+    kept = spark.read.parquet(out)
+    assert [r["doc_id"] for r in kept.collect()] == [2]
+    # audit variant annotates instead of filtering
+    out2 = str(tmp_path / "audit.parquet")
+    assert main(["domains", docs, "--mode", "robots", "--robots", robots,
+                 "--invert", "-o", out2]) == 0
+    audit = spark.read.parquet(out2)
+    assert audit.count() == 2 and "robots_allowed" in audit.columns
+    capsys.readouterr()
