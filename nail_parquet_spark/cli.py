@@ -576,6 +576,12 @@ def main(argv: list[str] | None = None) -> int:
         (("--drop-noindex",), {"action": "store_true",
                                "help": "drop pages whose robots meta declares "
                                        "noindex/none (raw-crawl input only)"}),
+        (("--robots",), {"default": None, "dest": "robots_src",
+                         "help": "robots corpus (host, robots_txt) — enables the "
+                                 "robots.txt compliance stage (longest-prefix rule, "
+                                 "unknown hosts pass)"}),
+        (("--robots-agent",), {"default": "*",
+                               "help": "user-agent the robots rules apply to"}),
         (("--lang",), {"default": None, "dest": "lang_keep",
                        "help": "comma list of language codes to KEEP "
                                "(stopword-marker lang ID routing, e.g. en,de)"}),
@@ -687,6 +693,8 @@ def main(argv: list[str] | None = None) -> int:
             do_boilerplate=args.boilerplate,
             do_normalize=args.normalize,
             drop_noindex=args.drop_noindex,
+            robots_src=args.robots_src,
+            robots_agent=args.robots_agent,
             lang_keep=([x.strip() for x in args.lang_keep.split(",") if x.strip()]
                        if args.lang_keep else None),
             badwords=([w.strip() for w in args.badwords.split(",") if w.strip()]

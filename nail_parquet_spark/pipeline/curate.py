@@ -67,6 +67,8 @@ def curate_and_encode_corpus(
     boilerplate_min_docs: int = 2,
     do_normalize: bool = False,
     drop_noindex: bool = False,
+    robots_src: str | None = None,
+    robots_agent: str = "*",
     lang_keep: list[str] | None = None,
     badwords: list[str] | None = None,
     do_quality: bool = True,
@@ -206,6 +208,29 @@ def curate_and_encode_corpus(
             cur = _pin(cur.filter(~flag))
             stages.append({"stage": "noindex",
                            "rule": "robots meta noindex/none"})
+
+        if robots_src:
+            # robots.txt compliance (functions/robots.py, pinned RFC 9309
+            # subset): drop URLs the host's robots disallows for
+            # ``robots_agent``. The corpus at ``robots_src`` carries
+            # (host, robots_txt); ONE host-keyed join, longest-prefix
+            # verdict is a per-row fold, unknown hosts pass.
+            from nail_parquet_spark.functions.robots import (
+                parse_robots, robots_verdict)
+            from nail_parquet_spark.sources.io import read_data as _rd
+
+            rules = parse_robots(_rd(spark, robots_src), agent=robots_agent)
+            v = robots_verdict(cur, rules, url_col=url_col)
+            rej = v.filter(~F.col("robots_allowed")).select("__doc_id", url_col)
+            rej.write.mode("overwrite").parquet(_reject_dir(out_dir, "robots"))
+            counts["robots"] = spark.read.parquet(
+                _reject_dir(out_dir, "robots")).count()
+            cur = _pin(v.filter(F.col("robots_allowed"))
+                       .drop("robots_allowed"))
+            stages.append({"stage": "robots", "src": robots_src,
+                           "agent": robots_agent,
+                           "rule": "longest-prefix, allow on tie, "
+                                   "unknown host allowed"})
 
         if do_normalize:
             # typography/whitespace canonicalization BEFORE every

@@ -444,3 +444,35 @@ def test_curate_semdedup_stage(spark, tmp_path):
     assert sem["tau"] == 0.99 and sem["k"] == 2
     names = [s["stage"] for s in state["stages"]]
     assert names.index("near_dedup") < names.index("semantic_dedup")
+
+
+def test_curate_robots_stage(spark, corpus, tmp_path):
+    from nail_parquet_spark.pipeline.curate import curate_and_encode_corpus
+
+    # robots corpus: hosts www.host0/1/2.example.com disallow /page/ for
+    # everyone — every base doc on those hosts must be rejected at the
+    # robots stage; unknown hosts (the rest of the corpus) pass
+    robots = str(tmp_path / "robots")
+    spark.createDataFrame(
+        [(f"www.host{i}.example.com",
+          "User-agent: *\nDisallow: /page/\n") for i in range(3)],
+        "host string, robots_txt string").write.parquet(robots)
+    out = str(tmp_path / "curated_robots")
+    state = curate_and_encode_corpus(
+        spark, corpus, out, quality_rules=RULES, robots_src=robots,
+        do_near_dedup=False, units_per_job=4)
+    assert [s["stage"] for s in state["stages"]][0] == "robots"
+    c = state["counts"]
+    assert c["rejected"]["robots"] > 0
+    assert c["input"] == c["kept"] + sum(c["rejected"].values())
+    staged = spark.read.parquet(os.path.join(out, "_staging"))
+    # the blocked hosts are gone; prefixed variants (dup./near./short.
+    # example hosts that merely EMBED the blocked host in their path)
+    # correctly pass — the verdict keys on the URL's host, not substrings
+    for i in range(3):
+        assert staged.filter(F.col("url").startswith(
+            f"https://www.host{i}.example.com")).count() == 0
+    # reject audit table exists with the doc lineage key
+    rej = spark.read.parquet(os.path.join(out, "_rejects", "stage=robots"))
+    assert rej.count() == c["rejected"]["robots"]
+    assert "__doc_id" in rej.columns
