@@ -419,10 +419,16 @@ def main(argv: list[str] | None = None) -> int:
     add("extract", (("-c", "--html-column"), {"default": "html", "dest": "html_column"}),
         (("--mode",), {"default": "text",
                        "choices": ["text", "title", "links", "lang", "all",
-                                   "link-graph"],
+                                   "link-graph", "charset"],
                        "help": "visible text / <title> / href array / declared "
                                "lang attribute / all of them / domain-level "
-                               "(src,dst,n_links) edge table"}),
+                               "(src,dst,n_links) edge table / declared-charset "
+                               "audit column"}),
+        (("--charset-aware",), {"action": "store_true",
+                                "help": "binary inputs: decode via the declared "
+                                        "charset (windows-1252/latin-1 family "
+                                        "honored, WHATWG-style) instead of lossy "
+                                        "UTF-8"}),
         (("--url-column",), {"default": "url",
                              "help": "page url for --mode link-graph"}),
         (("--into",), {"default": "extracted_text", "help": "output column for --mode text"}),
@@ -1334,7 +1340,15 @@ def main(argv: list[str] | None = None) -> int:
             _out(hf.link_graph(df, url_col=args.url_column, html_col=col),
                  args, 50)
             return 0
-        full = hf.html_to_string(F.col(col)) if dt == "binary" else F.col(col)
+        if args.mode == "charset":
+            _out(df.withColumn("charset", hf.html_charset(F.col(col))),
+                 args, 50)
+            return 0
+        if dt == "binary":
+            full = (hf.html_to_string_charset(F.col(col))
+                    if args.charset_aware else hf.html_to_string(F.col(col)))
+        else:
+            full = F.col(col)
         # text/links restrict to <body> for binary inputs (trailing WARC
         # noise sits outside it); the title lives in <head>, so it always
         # reads the full page (its regex takes the FIRST match, which

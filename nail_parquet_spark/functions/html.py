@@ -173,6 +173,53 @@ def html_to_string(col: Column) -> Column:
     return F.make_valid_utf8(col.cast("string"))
 
 
+# windows-1252's 0x80-0x9F block (the bytes where it differs from
+# ISO-8859-1), built from the codec itself so the table can't drift; the
+# five undefined bytes (0x81 0x8D 0x8F 0x90 0x9D) pass through as C1
+# controls, matching WHATWG decoders
+_CP1252_PAIRS = [(chr(b), bytes([b]).decode("cp1252", "ignore"))
+                 for b in range(0x80, 0xA0)]
+_CP1252_SRC = "".join(s for s, d in _CP1252_PAIRS if d)
+_CP1252_DST = "".join(d for s, d in _CP1252_PAIRS if d)
+
+_CHARSET_SNIFF_RE = r"""(?i)<meta[^>]*charset\s*=\s*["']?\s*([A-Za-z0-9_.:-]+)"""
+
+# pinned alias table (WHATWG-ish): browsers decode declared latin-1 as
+# windows-1252, so both families land on the cp1252 path
+_CHARSET_CP1252 = (
+    "windows-1252", "cp1252", "x-cp1252", "windows1252",
+    "iso-8859-1", "iso8859-1", "latin1", "latin-1", "l1", "csisolatin1",
+)
+_CHARSET_UTF8 = ("utf-8", "utf8", "us-ascii", "ascii", "csutf8")
+
+
+def html_charset(col: Column) -> Column:
+    """Charset declared by the page's ``<meta charset=…>`` /
+    ``<meta http-equiv … content="…; charset=…">``, sniffed from the first
+    2048 chars (HTML5 prescan window), lowercased; empty string when the
+    page declares none. Works on binary or string pages."""
+    head = F.substring(F.make_valid_utf8(col.cast("string")), 1, 2048)
+    return F.lower(F.regexp_extract(head, _CHARSET_SNIFF_RE, 1))
+
+
+def html_to_string_charset(col: Column) -> Column:
+    """Charset-aware decode of an ``html:binary`` column (pinned subset):
+
+    - declared windows-1252 / iso-8859-1 family → ISO-8859-1 byte map
+      (total — every byte is valid) + the cp1252 0x80-0x9F translation,
+      the WHATWG treatment of latin-1-declared pages;
+    - declared UTF-8/ASCII, any OTHER charset, or no declaration →
+      lossy UTF-8 (``html_to_string``), invalid sequences → U+FFFD.
+
+    Entirely JVM expressions (decode/translate/regexp), zero Python, zero
+    shuffle — at crawl scale this is a projection over the page scan, and
+    the sniff reuses the same bytes the decode reads."""
+    cs = html_charset(col)
+    cp1252 = F.translate(F.decode(col, "ISO-8859-1"), _CP1252_SRC, _CP1252_DST)
+    return F.when(cs.isin(*_CHARSET_CP1252), cp1252) \
+            .otherwise(html_to_string(col))
+
+
 def link_graph(df, url_col: str = "url", html_col: str = "html"):
     """Domain-level outlink graph from a page table: harvest every href
     from the page markup (binary columns are lossy-decoded first), map

@@ -255,3 +255,74 @@ def test_html_meta_rejects_unsafe_name(spark):
 
     with _pytest.raises(ValueError):
         html_meta(F.lit("<p/>"), 'x"]|evil')
+
+
+def test_charset_decode_matches_python_model(spark):
+    """html_to_string_charset pinned against Python's codecs over random
+    pages: declared cp1252/latin-1 family decodes via windows-1252 (WHATWG
+    treatment), everything else lossy UTF-8 — one Spark job."""
+    import random
+
+    rng = random.Random(13)
+    # cp1252-representable alphabet incl. the 0x80-0x9F specials and
+    # latin-1 accents; plus a multibyte pool for the utf-8 cases
+    cp_pool = "abc éèü café €•“”‘’–—ŠžŒ ™…ƒ"
+    u_pool = cp_pool + "中文🙂Ωπ"
+    decls = [("windows-1252", "cp1252"), ("ISO-8859-1", "cp1252"),
+             ("Latin1", "cp1252"), ("UTF-8", "utf-8"), (None, "utf-8"),
+             ("shift_jis", "utf-8")]  # undeclared/unsupported -> lossy utf-8
+    rows, want = [], {}
+    for i in range(120):
+        decl, codec = decls[rng.randrange(len(decls))]
+        pool = cp_pool if codec == "cp1252" else u_pool
+        body = "".join(rng.choice(pool) for _ in range(rng.randrange(0, 40)))
+        meta = f'<meta charset="{decl}">' if decl else ""
+        page = f"<html>{meta}<body>{body}</body></html>"
+        enc = "cp1252" if codec == "cp1252" else "utf-8"
+        raw = page.encode(enc)
+        rows.append((i, raw))
+        want[i] = raw.decode("cp1252" if codec == "cp1252" else "utf-8")
+    from pyspark.sql import functions as F
+
+    from nail_parquet_spark.functions.html import (
+        html_charset, html_to_string_charset)
+
+    df = spark.createDataFrame(rows, "i int, html binary")
+    got = df.select("i", html_charset(F.col("html")).alias("cs"),
+                    html_to_string_charset(F.col("html")).alias("t")).collect()
+    for r in got:
+        assert r["t"] == want[r["i"]], (r["i"], r["cs"])
+
+
+def test_charset_undefined_cp1252_bytes_pass_through(spark):
+    # 0x81/0x8D/0x8F/0x90/0x9D are undefined in cp1252: they pass through
+    # as C1 controls (WHATWG decoder behavior), never crash the task
+    from pyspark.sql import functions as F
+
+    from nail_parquet_spark.functions.html import html_to_string_charset
+
+    raw = b'<meta charset="windows-1252">a\x81b\x90c'
+    df = spark.createDataFrame([(raw,)], "html binary")
+    got = df.select(html_to_string_charset(F.col("html")).alias("t")).first()["t"]
+    assert got.endswith("a\x81b\x90c")
+
+
+def test_extract_cli_charset_modes(spark, tmp_path, capsys):
+    from nail_parquet_spark.cli import main
+
+    src = str(tmp_path / "pages.parquet")
+    page = '<meta charset="windows-1252"><body>caf\xe9 €</body>'
+    spark.createDataFrame(
+        [(1, page.encode("cp1252"))], "doc_id long, html binary"
+    ).write.parquet(src)
+    out = str(tmp_path / "audit.parquet")
+    assert main(["extract", src, "--mode", "charset", "-o", out]) == 0
+    assert spark.read.parquet(out).first()["charset"] == "windows-1252"
+    out2 = str(tmp_path / "text.parquet")
+    assert main(["extract", src, "--charset-aware", "-o", out2]) == 0
+    assert spark.read.parquet(out2).first()["extracted_text"] == "café €"
+    # without --charset-aware the cp1252 bytes mojibake to U+FFFD
+    out3 = str(tmp_path / "text_lossy.parquet")
+    assert main(["extract", src, "-o", out3]) == 0
+    assert "�" in spark.read.parquet(out3).first()["extracted_text"]
+    capsys.readouterr()
