@@ -1544,6 +1544,30 @@ def q_robots_filter(spark, sf_dir):
         .select("doc_id", "url", "robots_allowed")
 
 
+def q_charset_decode(spark, sf_dir):
+    """Charset-aware page decode (functions/html.html_to_string_charset):
+    docs gain a pinned cp1252-special suffix (€ “ ” – é), are encoded to
+    REAL windows-1252 bytes (inverse translate + ISO-8859-1 encode), and
+    the decode path must sniff the declared charset and reproduce the
+    original string exactly. The oracle states the expected text
+    analytically, so the sniff + byte-map + translate pipeline is
+    value-exact end-to-end. Exchange-free projection."""
+    from nail_parquet_spark.functions.html import (
+        _CP1252_DST, _CP1252_SRC, html_charset, html_to_string_charset)
+
+    d = _t(spark, sf_dir, "documents")
+    page = F.concat(F.lit('<meta charset="windows-1252"><body>'),
+                    F.col("text"), F.lit(" café €“”–</body>"))
+    # inverse translate maps the specials back to their single-byte
+    # latin-1 stand-ins, so ISO-8859-1 encode yields true cp1252 bytes
+    raw = F.encode(F.translate(page, _CP1252_DST, _CP1252_SRC), "ISO-8859-1")
+    t = d.select("doc_id", raw.alias("html"))
+    return t.select(
+        "doc_id",
+        html_charset(F.col("html")).alias("charset"),
+        html_to_string_charset(F.col("html")).alias("decoded"))
+
+
 def q_mor_delete(spark, sf_dir):
     """Merge-on-read position delete (codec/deletes.py): rows matching the
     CNF predicate become a tiny coordinate table (zone-map/bloom pruning
@@ -2236,6 +2260,7 @@ _QUERIES = {
         # pins the parser against a pure-Python model over 250 random bodies
         "robots_parse": q_robots_parse,
         "robots_filter": q_robots_filter,
+        "charset_decode": q_charset_decode,
         # this session: Iceberg-v2-style merge-on-read position deletes +
         # key upsert (codec/deletes.py, pipeline/deletes.py) — value-exact
         # locally; tests/test_deletes*.py
@@ -3807,6 +3832,11 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT host, '/src0/p1', true FROM h
               UNION ALL SELECT host, '/src' || m || '/', false FROM h
             )""",
+        "charset_decode": """
+            SELECT doc_id, 'windows-1252' AS charset,
+                   '<meta charset="windows-1252"><body>' || text
+                     || ' café €“”–</body>' AS decoded
+            FROM documents""",
         "robots_filter": """
             WITH d AS (SELECT doc_id, source,
                               CAST(doc_id % 7 AS VARCHAR) AS hk,

@@ -588,6 +588,10 @@ def main(argv: list[str] | None = None) -> int:
                                  "unknown hosts pass)"}),
         (("--robots-agent",), {"default": "*",
                                "help": "user-agent the robots rules apply to"}),
+        (("--charset-aware",), {"action": "store_true",
+                                "help": "raw-crawl extract honors declared "
+                                        "windows-1252/latin-1 charsets instead of "
+                                        "lossy UTF-8"}),
         (("--lang",), {"default": None, "dest": "lang_keep",
                        "help": "comma list of language codes to KEEP "
                                "(stopword-marker lang ID routing, e.g. en,de)"}),
@@ -701,6 +705,7 @@ def main(argv: list[str] | None = None) -> int:
             drop_noindex=args.drop_noindex,
             robots_src=args.robots_src,
             robots_agent=args.robots_agent,
+            charset_aware=args.charset_aware,
             lang_keep=([x.strip() for x in args.lang_keep.split(",") if x.strip()]
                        if args.lang_keep else None),
             badwords=([w.strip() for w in args.badwords.split(",") if w.strip()]

@@ -69,6 +69,7 @@ def curate_and_encode_corpus(
     drop_noindex: bool = False,
     robots_src: str | None = None,
     robots_agent: str = "*",
+    charset_aware: bool = False,
     lang_keep: list[str] | None = None,
     badwords: list[str] | None = None,
     do_quality: bool = True,
@@ -148,9 +149,15 @@ def curate_and_encode_corpus(
             # column from the page markup before any text-keyed stage.
             # Extraction is a projection (no Exchange); rows whose pages
             # yield no text are rejected below like c4_clean empties.
-            from nail_parquet_spark.functions.html import html_body_text
+            from nail_parquet_spark.functions.html import (
+                html_body_text, html_to_string_charset)
 
-            df = df.withColumn(text_col, html_body_text(F.col("html")))
+            page = F.col("html")
+            if charset_aware:
+                # honor declared windows-1252/latin-1 before extraction
+                # (WHATWG treatment) instead of lossy UTF-8
+                page = html_to_string_charset(page)
+            df = df.withColumn(text_col, html_body_text(page))
             extracted = True
         doc_id = F.md5(F.concat_ws(
             "|", F.col(url_col), F.col(ts_col).cast("string"),

@@ -476,3 +476,27 @@ def test_curate_robots_stage(spark, corpus, tmp_path):
     rej = spark.read.parquet(os.path.join(out, "_rejects", "stage=robots"))
     assert rej.count() == c["rejected"]["robots"]
     assert "__doc_id" in rej.columns
+
+
+def test_curate_charset_aware_extract(spark, tmp_path):
+    from nail_parquet_spark.pipeline.curate import curate_and_encode_corpus
+
+    # cp1252-declared pages: with charset_aware the extracted text keeps
+    # the real characters; the lossy default would U+FFFD them
+    body = ("the quick brown fox jumps over the lazy dog and the caf\xe9 "
+            "serves coffee for €5 every morning with cream and sugar "
+            "while people read papers and talk about the weather today")
+    page = f'<meta charset="windows-1252"><body><p>{body}</p></body>'
+    rows = [(f"https://cs.example/p{i}", page.encode("cp1252"))
+            for i in range(12)]
+    src = str(tmp_path / "cs_src")
+    df = spark.createDataFrame(rows, "url string, html binary")
+    df = df.withColumn("warc_ts", F.current_timestamp())
+    df.write.parquet(src)
+    out = str(tmp_path / "curated_cs")
+    state = curate_and_encode_corpus(
+        spark, src, out, charset_aware=True, do_quality=False,
+        do_c4_clean=False, do_near_dedup=False, units_per_job=4)
+    staged = spark.read.parquet(os.path.join(out, "_staging"))
+    texts = [r["text"] for r in staged.collect()]
+    assert texts and all("café" in t and "€5" in t for t in texts)
