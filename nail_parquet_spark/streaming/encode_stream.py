@@ -260,7 +260,10 @@ def curate_stream(
     schema: str,
     text_col: str = "text",
     ts_col: str = "warc_ts",
+    url_col: str = "url",
     quality_rules: dict | None = None,
+    robots_src: str | None = None,
+    robots_agent: str = "*",
     do_normalize: bool = False,
     lang_keep: list[str] | None = None,
     badwords: list[str] | None = None,
@@ -281,6 +284,9 @@ def curate_stream(
     -> exact dedup -> encode).
 
     Stage semantics vs the batch pipeline:
+    - robots.txt compliance (``robots_src``) is a per-document verdict
+      against a STATIC rules table (stream-static join, parsed once) —
+      same pinned longest-prefix contract as the batch stage.
     - unicode normalization (``do_normalize``, off by default like the
       batch pipeline) is a per-document stateless rewrite; docs reduced
       to '' are dropped, mirroring the batch stage's reject rule.
@@ -321,6 +327,19 @@ def curate_stream(
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(src_dir)
 
+    if robots_src:
+        # robots.txt compliance, batch-pipeline stage order (first).
+        # Stream-static join: the rules table is parsed ONCE driver-side
+        # from the corpus at robots_src and joined against each
+        # micro-batch; verdicts are per-document, so kept content matches
+        # the batch stage on the same files.
+        from nail_parquet_spark.functions.robots import (parse_robots,
+                                                         robots_filter)
+        from nail_parquet_spark.sources.io import read_data
+
+        rules = parse_robots(read_data(spark, robots_src),
+                             agent=robots_agent)
+        stream = robots_filter(stream, rules, url_col=url_col)
     if do_normalize:
         from nail_parquet_spark.functions.normalize import normalize_text
 

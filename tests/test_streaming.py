@@ -608,3 +608,37 @@ def test_curate_stream_entropy_parity(spark, tmp_path):
     assert got == want
     assert "https://c.example/3" in got and "https://d.example/4" in got
     assert "https://a.example/1" not in got and "https://b.example/2" not in got
+
+
+def test_curate_stream_robots_stage(spark, tmp_path):
+    """robots_src in curate_stream: the stream-static rules join drops the
+    same documents the batch robots_filter drops on the same files."""
+    from nail_parquet_spark.codec.decode import decode_table
+    from nail_parquet_spark.functions.robots import parse_robots, robots_filter
+    from nail_parquet_spark.streaming.encode_stream import curate_stream
+    from nail_parquet_spark.synth import webpages_spark
+
+    src = str(tmp_path / "incoming")
+    out = str(tmp_path / "blocks")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "url string, warc_ts timestamp, html binary, text string, lang string"
+    pages = webpages_spark(spark, 800, seed=21, n_parts=2)
+    pages.write.parquet(src)
+    robots = str(tmp_path / "robots")
+    spark.createDataFrame(
+        [(f"www.host{i}.example.com", "User-agent: *\nDisallow: /page/\n")
+         for i in range(4)],
+        "host string, robots_txt string").write.parquet(robots)
+    curate_stream(spark, src, out, ckpt, schema, robots_src=robots,
+                  do_quality=False, do_c4_clean=False,
+                  dedup_watermark="2400 hours")
+    blocks = spark.read.option("recursiveFileLookup", "true").parquet(out)
+    # the stream also runs its always-on exact-dedup stage, so compare the
+    # kept TEXT set (dedup collapses identical texts, robots does not)
+    dec = decode_table(blocks, columns=["text"]).distinct()
+    rules = parse_robots(spark.read.parquet(robots))
+    want = robots_filter(spark.read.parquet(src), rules) \
+        .select("text").distinct()
+    assert want.count() < pages.select("text").distinct().count()
+    assert dec.count() == want.count()
+    assert dec.subtract(want).count() == 0 and want.subtract(dec).count() == 0
