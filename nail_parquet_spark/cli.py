@@ -1445,10 +1445,11 @@ def main(argv: list[str] | None = None) -> int:
             if not args.robots:
                 p.error("--mode robots requires --robots")
             from nail_parquet_spark.functions.robots import (
-                parse_robots, robots_filter, robots_verdict)
-            from nail_parquet_spark.sources.io import read_data
+                parse_robots, robots_corpus, robots_filter, robots_verdict)
 
-            rules = parse_robots(read_data(spark, args.robots),
+            # robots_corpus autodetects: a raw Common Crawl robots WARC
+            # segment becomes (host, robots_txt) via the capture parser
+            rules = parse_robots(robots_corpus(spark, args.robots),
                                  agent=args.agent)
             fn = robots_verdict if args.invert else robots_filter
             out = fn(df, rules, url_col=args.url_column)

@@ -157,3 +157,35 @@ def robots_filter(df: DataFrame, rules: DataFrame, url_col: str = "url",
     """Keep only the rows robots.txt allows (see ``robots_verdict``)."""
     return (robots_verdict(df, rules, url_col, broadcast_rules)
             .filter(F.col("robots_allowed")).drop("robots_allowed"))
+
+
+def robots_corpus(spark, path: str) -> DataFrame:
+    """Load a robots corpus from ``path``, whatever its shape: a raw WARC
+    robots segment becomes (host, robots_txt) via
+    ``robots_corpus_from_warc``; any other readable format is expected to
+    carry those columns already."""
+    from nail_parquet_spark.sources.io import _fmt_of, read_data
+
+    if _fmt_of(path, None) in ("warc", "wet"):
+        return robots_corpus_from_warc(spark, path)
+    return read_data(spark, path)
+
+
+def robots_corpus_from_warc(spark, path: str) -> DataFrame:
+    """(host, robots_txt) corpus from a WARC directory of robots.txt
+    captures (Common Crawl publishes one robots segment per crawl):
+    response records whose URL path is exactly ``/robots.txt``, body
+    lossy-decoded, LATEST capture per host wins (hosts get re-fetched
+    within a segment). Feed straight into ``parse_robots``."""
+    from nail_parquet_spark.functions.html import html_to_string
+    from nail_parquet_spark.sources.warc import read_warc
+
+    recs = read_warc(spark, path)
+    recs = recs.filter(url_path(F.col("url")) == "/robots.txt")
+    recs = recs.select(url_host(F.col("url")).alias("host"),
+                       F.col("warc_ts"),
+                       html_to_string(F.col("html")).alias("robots_txt"))
+    # latest capture per host: max(struct(ts, body)) needs no window
+    return (recs.groupBy("host")
+            .agg(F.max(F.struct("warc_ts", "robots_txt")).alias("__m"))
+            .select("host", F.col("__m.robots_txt").alias("robots_txt")))

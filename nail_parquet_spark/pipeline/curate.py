@@ -223,10 +223,10 @@ def curate_and_encode_corpus(
             # (host, robots_txt); ONE host-keyed join, longest-prefix
             # verdict is a per-row fold, unknown hosts pass.
             from nail_parquet_spark.functions.robots import (
-                parse_robots, robots_verdict)
-            from nail_parquet_spark.sources.io import read_data as _rd
+                parse_robots, robots_corpus, robots_verdict)
 
-            rules = parse_robots(_rd(spark, robots_src), agent=robots_agent)
+            rules = parse_robots(robots_corpus(spark, robots_src),
+                                 agent=robots_agent)
             v = robots_verdict(cur, rules, url_col=url_col)
             rej = v.filter(~F.col("robots_allowed")).select("__doc_id", url_col)
             rej.write.mode("overwrite").parquet(_reject_dir(out_dir, "robots"))

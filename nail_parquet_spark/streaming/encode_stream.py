@@ -334,10 +334,10 @@ def curate_stream(
         # micro-batch; verdicts are per-document, so kept content matches
         # the batch stage on the same files.
         from nail_parquet_spark.functions.robots import (parse_robots,
+                                                         robots_corpus,
                                                          robots_filter)
-        from nail_parquet_spark.sources.io import read_data
 
-        rules = parse_robots(read_data(spark, robots_src),
+        rules = parse_robots(robots_corpus(spark, robots_src),
                              agent=robots_agent)
         stream = robots_filter(stream, rules, url_col=url_col)
     if do_normalize:

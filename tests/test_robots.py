@@ -186,3 +186,38 @@ def test_cli_domains_robots(spark, tmp_path, capsys):
     audit = spark.read.parquet(out2)
     assert audit.count() == 2 and "robots_allowed" in audit.columns
     capsys.readouterr()
+
+
+def test_robots_corpus_from_warc(spark, tmp_path):
+    """Round trip: robots.txt captures written as a WARC segment come back
+    as a (host, robots_txt) corpus — latest capture per host wins — and
+    feed parse_robots/robots_filter end to end."""
+    import datetime as dt
+
+    from nail_parquet_spark.functions.robots import (
+        parse_robots, robots_corpus_from_warc, robots_filter)
+    from nail_parquet_spark.sources.warc import write_warc
+
+    t0 = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    caps = [
+        ("https://a.example/robots.txt", t0,
+         b"User-agent: *\nDisallow: /old/\n"),
+        ("https://a.example/robots.txt", t0 + dt.timedelta(days=3),
+         b"User-agent: *\nDisallow: /no/\n"),     # latest capture wins
+        ("https://b.example/robots.txt", t0, b"User-agent: *\n"),
+        ("https://a.example/page.html", t0, b"<html>not robots</html>"),
+    ]
+    arc = str(tmp_path / "robots_warc")
+    write_warc(spark.createDataFrame(
+        caps, "url string, warc_ts timestamp, html binary"), arc)
+    corpus = robots_corpus_from_warc(spark, arc)
+    got = {r["host"]: r["robots_txt"] for r in corpus.collect()}
+    assert set(got) == {"a.example", "b.example"}
+    assert "Disallow: /no/" in got["a.example"]
+    assert "Disallow: /old/" not in got["a.example"]
+    docs = spark.createDataFrame(
+        [(1, "https://a.example/no/x"), (2, "https://a.example/ok"),
+         (3, "https://b.example/no/x")], "doc_id long, url string")
+    kept = sorted(r["doc_id"] for r in
+                  robots_filter(docs, parse_robots(corpus)).collect())
+    assert kept == [2, 3]
