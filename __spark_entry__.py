@@ -1507,7 +1507,9 @@ def _robots_corpus(spark):
                   "Disallow: /src0/\nAllow: /src0/p1\nDisallow: /src"),
             (F.col("id") % 5).cast("string"),
             F.lit("/\nDisallow: /tmp/*\nAllow:\nCrawl-delay: 5\n"
-                  "Disallow: relative\n"),
+                  "Disallow: relative\nSitemap: https://h"),
+            F.col("id").cast("string"),
+            F.lit(".example/sitemap.xml\n"),
         ).alias("robots_txt"))
 
 
@@ -1566,6 +1568,20 @@ def q_charset_decode(spark, sf_dir):
         "doc_id",
         html_charset(F.col("html")).alias("charset"),
         html_to_string_charset(F.col("html")).alias("decoded"))
+
+
+def q_robots_directives(spark, sf_dir):
+    """Crawl-politeness directives (functions/robots.robots_directives):
+    group-scoped Crawl-delay (last applicable occurrence wins, specific
+    agent beats '*') and group-independent Sitemap collection, per host.
+    Same fold-over-lines engine as the parser; oracle states the pinned
+    outcome analytically. Sitemaps joined to one string so the value hash
+    is representation-independent."""
+    from nail_parquet_spark.functions.robots import robots_directives
+
+    d = robots_directives(_robots_corpus(spark))
+    return d.select("host", "crawl_delay",
+                    F.array_join("sitemaps", ",").alias("sitemaps_csv"))
 
 
 def q_mor_delete(spark, sf_dir):
@@ -2260,6 +2276,7 @@ _QUERIES = {
         # pins the parser against a pure-Python model over 250 random bodies
         "robots_parse": q_robots_parse,
         "robots_filter": q_robots_filter,
+        "robots_directives": q_robots_directives,
         "charset_decode": q_charset_decode,
         # this session: Iceberg-v2-style merge-on-read position deletes +
         # key upsert (codec/deletes.py, pipeline/deletes.py) — value-exact
@@ -3832,6 +3849,12 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT host, '/src0/p1', true FROM h
               UNION ALL SELECT host, '/src' || m || '/', false FROM h
             )""",
+        "robots_directives": """
+            SELECT 'h' || CAST(i AS VARCHAR) || '.example' AS host,
+                   5.0 AS crawl_delay,
+                   'https://h' || CAST(i AS VARCHAR)
+                     || '.example/sitemap.xml' AS sitemaps_csv
+            FROM range(7) t(i)""",
         "charset_decode": """
             SELECT doc_id, 'windows-1252' AS charset,
                    '<meta charset="windows-1252"><body>' || text

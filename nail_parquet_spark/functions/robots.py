@@ -159,6 +159,61 @@ def robots_filter(df: DataFrame, rules: DataFrame, url_col: str = "url",
             .filter(F.col("robots_allowed")).drop("robots_allowed"))
 
 
+_DELAY_RE = r"(?i)^crawl-delay\s*:\s*([0-9]+(?:\.[0-9]+)?)\s*$"
+_SITEMAP_RE = r"(?i)^sitemap\s*:\s*(\S+)\s*$"
+
+
+def robots_directives(df: DataFrame, host_col: str = "host",
+                      body_col: str = "robots_txt",
+                      agent: str = "*") -> DataFrame:
+    """Crawl-politeness directives per host: ``crawl_delay`` (seconds, the
+    LAST occurrence in the groups that apply to ``agent`` wins,
+    specific-agent groups beating ``*`` — same group semantics as
+    ``parse_robots``; NULL when none declared or non-numeric) and
+    ``sitemaps`` (every ``Sitemap:`` URL in file order — group-INDEPENDENT
+    per RFC 9309 §2.3, so they collect regardless of user-agent). One row
+    per input host, Exchange-free."""
+    agent_lc = agent.strip().lower()
+    lines = F.split(F.coalesce(F.col(body_col), F.lit("")), "\n")
+    init = F.struct(
+        F.lit(False).alias("ua"), F.lit(False).alias("st"),
+        F.lit(False).alias("sp"),
+        F.lit(None).cast("double").alias("sd"),
+        F.lit(None).cast("double").alias("pd"),
+        F.lit(False).alias("anyp"),   # some group named the agent
+    )
+
+    def step(acc, raw):
+        line = F.trim(F.regexp_replace(raw, "#.*", ""))
+        ua_name = F.lower(F.trim(F.regexp_extract(line, _UA_RE, 1)))
+        is_ua = line.rlike(_UA_RE)
+        blank = line == ""
+        new_ua = F.when(is_ua, F.lit(True)).when(blank, acc.ua).otherwise(F.lit(False))
+        new_st = F.when(is_ua, (acc.ua & acc.st) | (ua_name == "*")).otherwise(acc.st)
+        new_sp = F.when(is_ua, (acc.ua & acc.sp) | (ua_name == agent_lc)).otherwise(acc.sp)
+        d = F.regexp_extract(line, _DELAY_RE, 1)
+        has_d = d != ""
+        dv = d.cast("double")
+        return F.struct(
+            new_ua.alias("ua"), new_st.alias("st"), new_sp.alias("sp"),
+            F.when(has_d & acc.st, dv).otherwise(acc.sd).alias("sd"),
+            F.when(has_d & acc.sp, dv).otherwise(acc.pd).alias("pd"),
+            (acc.anyp | (is_ua & (ua_name == agent_lc))).alias("anyp"),
+        )
+
+    delay = F.aggregate(
+        lines, init, step,
+        # specific groups beat '*' whenever the agent is named at all
+        lambda acc: F.when(acc.anyp, acc.pd).otherwise(acc.sd))
+    trimmed = F.transform(lines, lambda x: F.trim(F.regexp_replace(x, "#.*", "")))
+    sitemaps = F.transform(
+        F.filter(trimmed, lambda x: x.rlike(_SITEMAP_RE)),
+        lambda x: F.regexp_extract(x, _SITEMAP_RE, 1))
+    return df.select(F.col(host_col).alias("host"),
+                     delay.alias("crawl_delay"),
+                     sitemaps.alias("sitemaps"))
+
+
 def robots_corpus(spark, path: str) -> DataFrame:
     """Load a robots corpus from ``path``, whatever its shape: a raw WARC
     robots segment becomes (host, robots_txt) via

@@ -221,3 +221,35 @@ def test_robots_corpus_from_warc(spark, tmp_path):
     kept = sorted(r["doc_id"] for r in
                   robots_filter(docs, parse_robots(corpus)).collect())
     assert kept == [2, 3]
+
+
+def test_robots_directives(spark):
+    from nail_parquet_spark.functions.robots import robots_directives
+
+    body = ("Sitemap: https://a.example/s1.xml\n"
+            "User-agent: GPTBot\nCrawl-delay: 10\n\n"
+            "User-agent: *\nCrawl-delay: 2\nCrawl-delay: 3.5\n"  # last wins
+            "sitemap:https://a.example/s2.xml  # comment\n"
+            "Crawl-delay: not-a-number\n")
+    df = spark.createDataFrame(
+        [("a.example", body), ("b.example", "User-agent: *\nDisallow: /\n"),
+         ("c.example", None)],
+        "host string, robots_txt string")
+    got = {r["host"]: r for r in robots_directives(df).collect()}
+    # '*' group: last numeric delay wins; non-numeric line ignored
+    assert got["a.example"]["crawl_delay"] == 3.5
+    # sitemaps are group-independent, file order, comments stripped
+    assert got["a.example"]["sitemaps"] == [
+        "https://a.example/s1.xml", "https://a.example/s2.xml"]
+    assert got["b.example"]["crawl_delay"] is None
+    assert got["b.example"]["sitemaps"] == []
+    assert got["c.example"]["crawl_delay"] is None
+    # specific agent: its group's delay beats '*' whenever it is named
+    got2 = {r["host"]: r["crawl_delay"]
+            for r in robots_directives(df, agent="gptbot").collect()}
+    assert got2["a.example"] == 10.0
+    # agent named with NO delay in its group: '*' must NOT leak in
+    body3 = "User-agent: bot\nDisallow: /x\n\nUser-agent: *\nCrawl-delay: 9\n"
+    df3 = spark.createDataFrame([("d.example", body3)],
+                                "host string, robots_txt string")
+    assert robots_directives(df3, agent="bot").first()["crawl_delay"] is None
