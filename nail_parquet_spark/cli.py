@@ -352,10 +352,13 @@ def main(argv: list[str] | None = None) -> int:
         (("--kinds",), {"default": None,
                         "help": "comma subset of email,ipv4,ssn,card,phone (default all)"}))
     add("domains", (("--url-column",), {"default": "url"}),
-        (("--mode",), {"default": "stats", "choices": ["stats", "cap", "block", "robots"],
+        (("--mode",), {"default": "stats",
+                       "choices": ["stats", "cap", "block", "robots",
+                                   "robots-directives"],
                        "help": "per-registered-domain budget / cap docs per domain / "
                                "drop domains on a blocklist / drop URLs robots.txt "
-                               "disallows"}),
+                               "disallows / per-host crawl-delay + sitemaps "
+                               "(input = the robots corpus itself)"}),
         (("--blocklist",), {"default": None,
                             "help": "table of blocked domains for --mode block"}),
         (("--blocklist-column",), {"default": "domain"}),
@@ -1441,6 +1444,14 @@ def main(argv: list[str] | None = None) -> int:
                 df, read_data(spark, args.blocklist),
                 url_col=args.url_column, domain_col=args.blocklist_column,
                 invert=args.invert)
+        elif args.mode == "robots-directives":
+            # the INPUT is the robots corpus (parquet/... with host +
+            # robots_txt, or a raw robots WARC segment)
+            from nail_parquet_spark.functions.robots import (
+                robots_corpus, robots_directives)
+
+            out = robots_directives(robots_corpus(spark, args.input),
+                                    agent=args.agent)
         elif args.mode == "robots":
             if not args.robots:
                 p.error("--mode robots requires --robots")

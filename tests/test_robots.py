@@ -253,3 +253,20 @@ def test_robots_directives(spark):
     df3 = spark.createDataFrame([("d.example", body3)],
                                 "host string, robots_txt string")
     assert robots_directives(df3, agent="bot").first()["crawl_delay"] is None
+
+
+def test_cli_domains_robots_directives(spark, tmp_path, capsys):
+    from nail_parquet_spark.cli import main
+
+    robots = str(tmp_path / "rb.parquet")
+    spark.createDataFrame(
+        [("h.example",
+          "User-agent: *\nCrawl-delay: 2\nSitemap: https://h.example/s.xml\n")],
+        "host string, robots_txt string").write.parquet(robots)
+    out = str(tmp_path / "dirs.parquet")
+    assert main(["domains", robots, "--mode", "robots-directives",
+                 "-o", out]) == 0
+    r = spark.read.parquet(out).first()
+    assert r["host"] == "h.example" and r["crawl_delay"] == 2.0
+    assert r["sitemaps"] == ["https://h.example/s.xml"]
+    capsys.readouterr()
