@@ -255,9 +255,9 @@ def main(argv: list[str] | None = None) -> int:
                                 "repeatable, multiple are ANDed; ' OR ' inside one "
                                 "argument makes a cross-column OR-clause pruned as "
                                 "the union of its disjuncts' keep-sets"}),
-        (("--snapshot",), {"type": int, "default": None,
+        (("--snapshot",), {"default": None,
                            "help": "time travel: decode the table as of this "
-                                   "snapshot id (encode_resumable out_dir)"}),
+                                   "snapshot id or tag (encode_resumable out_dir)"}),
         (("--missing-columns",), {"choices": ("error", "null"),
                                   "default": "error", "dest": "missing_columns",
                                   "help": "schema evolution: 'null' fills columns "
@@ -494,11 +494,19 @@ def main(argv: list[str] | None = None) -> int:
                            "help": "only reap orphan dirs idle at least this many seconds "
                                    "(concurrent-writer guard)"}),
         (("--dry-run",), {"action": "store_true", "help": "list orphans without deleting"}),
-        (("--rollback",), {"type": int, "default": None,
+        (("--rollback",), {"default": None,
                            "help": "commit a metadata-only rollback: current state becomes "
-                                   "the state as of this snapshot id (later commits stay "
-                                   "time-travelable until expired)"}),
-        (("--note",), {"default": None, "help": "free-text audit note for --rollback"}),
+                                   "the state as of this snapshot id or tag (later commits "
+                                   "stay time-travelable until expired)"}),
+        (("--tag",), {"default": None,
+                      "help": "create/move a named tag at --at (default: latest snapshot); "
+                              "tagged snapshots never expire while the tag exists"}),
+        (("--at",), {"default": None,
+                     "help": "snapshot id or tag the --tag points at"}),
+        (("--delete-tag",), {"default": None, "dest": "delete_tag_name",
+                             "help": "remove a named tag (releases its retention root)"}),
+        (("--note",), {"default": None,
+                       "help": "free-text audit note for --rollback/--tag"}),
         (("--history",), {"action": "store_true",
                           "help": "print the snapshot log (id, kind, batch, note, whether "
                                   "the record is in the current effective state) — the ids "
@@ -506,8 +514,8 @@ def main(argv: list[str] | None = None) -> int:
         with_output=False)
     add("metadata", with_output=False)
     add("blockstats", (("-c", "--columns"), {"default": None}),
-        (("--snapshot",), {"type": int, "default": None,
-                           "help": "time travel: stats as of this snapshot id"}),
+        (("--snapshot",), {"default": None,
+                           "help": "time travel: stats as of this snapshot id or tag"}),
         with_output=False)
     add("compact", (("--num-files",), {"type": int, "default": 32,
                                        "help": "output block-file count"}))
@@ -625,8 +633,8 @@ def main(argv: list[str] | None = None) -> int:
         # catalog maintenance (Iceberg expireSnapshots/removeOrphanFiles
         # shape) — pure filesystem bookkeeping, no Spark session
         from nail_parquet_spark.pipeline.checkpoint import (
-            expire_snapshots, remove_orphan_files, rollback_to,
-            snapshots, visible_snapshots)
+            delete_tag, expire_snapshots, remove_orphan_files, resolve_ref,
+            rollback_to, snapshots, tag_snapshot, tags, visible_snapshots)
 
         report: dict = {}
         if args.history:
@@ -638,9 +646,19 @@ def main(argv: list[str] | None = None) -> int:
                  "note": s.get("note"),
                  "in_current_state": s["snapshot"] in current}
                 for s in snapshots(args.input)]
+            report["tags"] = {n: t["snapshot"]
+                              for n, t in tags(args.input).items()}
+        if args.tag is not None:
+            report["tag"] = tag_snapshot(
+                args.input, args.tag,
+                snapshot_id=resolve_ref(args.input, args.at),
+                note=args.note)
+        if args.delete_tag_name is not None:
+            report["delete_tag"] = delete_tag(args.input, args.delete_tag_name)
         if args.rollback is not None:
-            report["rollback"] = rollback_to(args.input, args.rollback,
-                                             note=args.note)
+            report["rollback"] = rollback_to(
+                args.input, resolve_ref(args.input, args.rollback),
+                note=args.note)
         if args.expire_keep_last is not None or args.expire_older_than is not None:
             report["expire"] = expire_snapshots(
                 args.input, keep_last=args.expire_keep_last,
@@ -649,8 +667,8 @@ def main(argv: list[str] | None = None) -> int:
             report["orphans"] = remove_orphan_files(
                 args.input, dry_run=args.dry_run, older_than_s=args.gc_grace)
         if not report:
-            p.error("maintain needs --history, --rollback, --expire-keep-last/"
-                    "--expire-older-than and/or --gc-orphans")
+            p.error("maintain needs --history, --tag/--delete-tag, --rollback, "
+                    "--expire-keep-last/--expire-older-than and/or --gc-orphans")
         print(json.dumps(report, indent=2))
         return 0
 
@@ -801,9 +819,11 @@ def main(argv: list[str] | None = None) -> int:
         from nail_parquet_spark.codec.inspect import column_stats_pushdown
 
         if getattr(args, "snapshot", None) is not None:
-            from nail_parquet_spark.pipeline.checkpoint import read_blocks_at
+            from nail_parquet_spark.pipeline.checkpoint import (
+                read_blocks_at, resolve_ref)
 
-            blocks = read_blocks_at(spark, args.input, args.snapshot)
+            blocks = read_blocks_at(spark, args.input,
+                                    resolve_ref(args.input, args.snapshot))
         else:
             blocks = (
                 spark.read.option("recursiveFileLookup", "true").parquet(args.input)
@@ -841,17 +861,19 @@ def main(argv: list[str] | None = None) -> int:
 
         is_snap_table = _os.path.isdir(_os.path.join(args.input, "_snapshots"))
         if getattr(args, "snapshot", None) is not None or is_snap_table:
-            from nail_parquet_spark.pipeline.checkpoint import read_blocks_at
+            from nail_parquet_spark.pipeline.checkpoint import (
+                read_blocks_at, resolve_ref)
             from nail_parquet_spark.pipeline.deletes import read_deletes
 
-            df = read_blocks_at(spark, args.input, args.snapshot)
+            snap = resolve_ref(args.input, getattr(args, "snapshot", None))
+            df = read_blocks_at(spark, args.input, snap)
             if not getattr(args, "no_deletes", False):
-                mor_deletes = read_deletes(spark, args.input, args.snapshot)
+                mor_deletes = read_deletes(spark, args.input, snap)
                 # equality deletes (delete --keys) resolve to positions so
                 # they compose with the same anti-join / pushdown machinery
                 from nail_parquet_spark.pipeline.deletes import equality_positions
 
-                eq_pos = equality_positions(spark, args.input, args.snapshot)
+                eq_pos = equality_positions(spark, args.input, snap)
                 if eq_pos is not None:
                     mor_deletes = (eq_pos if mor_deletes is None
                                    else mor_deletes.unionByName(eq_pos))

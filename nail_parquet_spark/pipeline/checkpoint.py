@@ -276,6 +276,65 @@ def visible_snapshots(out_dir: str,
     return [s for s in snaps if s["snapshot"] in ids]
 
 
+def _tags_path(out_dir: str) -> str:
+    return os.path.join(_snap_dir(out_dir), "_tags.json")
+
+
+def tags(out_dir: str) -> dict[str, dict]:
+    """Named snapshot refs: {name: {snapshot, ts, note}} (Iceberg tags)."""
+    p = _tags_path(out_dir)
+    if not os.path.exists(p):
+        return {}
+    with open(p) as f:
+        return json.load(f)["tags"]
+
+
+def tag_snapshot(out_dir: str, name: str, snapshot_id: int | None = None,
+                 note: str | None = None) -> dict:
+    """Create/move a named tag pointing at ``snapshot_id`` (default: the
+    latest snapshot) — Iceberg's ``tag`` ref. Tags are retention roots:
+    ``expire_snapshots`` never expires a tagged snapshot, so the tagged
+    state stays time-travelable until the tag is deleted. Names that look
+    like integers are refused (they would be ambiguous to ``resolve_ref``).
+    """
+    if not name or name.lstrip("-").isdigit():
+        raise ValueError(f"tag name {name!r} must be non-empty and non-numeric")
+    snaps = snapshots(out_dir)
+    if not snaps:
+        raise ValueError(f"no snapshots committed under {out_dir}")
+    sid = resolve_snapshot_id(out_dir, snapshot_id)
+    if sid not in {s["snapshot"] for s in snaps}:
+        raise ValueError(f"snapshot {sid} is not in the log under {out_dir}")
+    t = tags(out_dir)
+    t[name] = {"snapshot": sid, "ts": time.time(), "note": note}
+    _atomic_json(_tags_path(out_dir), {"tags": t})
+    return {"tag": name, "snapshot": sid}
+
+
+def delete_tag(out_dir: str, name: str) -> dict:
+    t = tags(out_dir)
+    if name not in t:
+        raise ValueError(f"no tag {name!r} under {out_dir} "
+                         f"(tags: {sorted(t)})")
+    rec = t.pop(name)
+    _atomic_json(_tags_path(out_dir), {"tags": t})
+    return {"tag": name, "snapshot": rec["snapshot"], "deleted": True}
+
+
+def resolve_ref(out_dir: str, ref: "int | str | None") -> int | None:
+    """Turn a snapshot REF — an id, an id-like string, or a tag name —
+    into a snapshot id (None passes through = latest)."""
+    if ref is None or isinstance(ref, int):
+        return ref
+    s = str(ref).strip()
+    if s.lstrip("-").isdigit():
+        return int(s)
+    t = tags(out_dir)
+    if s not in t:
+        raise ValueError(f"no tag {s!r} under {out_dir} (tags: {sorted(t)})")
+    return int(t[s]["snapshot"])
+
+
 def rollback_to(out_dir: str, target: int, note: str | None = None) -> dict:
     """Commit a metadata-only rollback: the table's current state becomes
     the state as of snapshot ``target`` (Iceberg ``rollback_to_snapshot``).
@@ -446,16 +505,22 @@ def expire_snapshots(
     protected = {max(s["snapshot"] for s in snaps if s["batch"] == b)
                  for b in {s["batch"] for s in snaps}}
     protected.add(snaps[-1]["snapshot"])
+    # tags are retention roots (Iceberg): a tagged snapshot — and every
+    # record its state is made of — never expires while the tag exists
+    states0 = _effective_states(snaps)
+    for t in tags(out_dir).values():
+        if t["snapshot"] in states0:
+            protected.add(t["snapshot"])
+            protected.update(states0[t["snapshot"]])
     # rollback integrity: the log replay (_effective_states) must keep
     # working — every rollback record, its target, and every record a
     # rollback's restored state references stays protected, else replay
     # would silently reconstruct a different (partial) state
-    states = _effective_states(snaps)
     for s in snaps:
         if s.get("kind") == "rollback":
             protected.add(s["snapshot"])
             protected.add(s["target"])
-            protected.update(states[s["target"]])
+            protected.update(states0[s["target"]])
     if keep_last is not None:
         protected.update(s["snapshot"] for s in snaps[-keep_last:])
     expired = []

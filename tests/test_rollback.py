@@ -180,3 +180,51 @@ def test_cli_maintain_rollback(spark, table, capsys):
     assert [h["in_current_state"] for h in hist if h["kind"] == "delete"] \
         == [False]
     assert all(h["in_current_state"] for h in hist if h["kind"] == "append")
+
+
+def test_tags_retention_and_refs(spark, table, capsys):
+    from nail_parquet_spark.cli import main
+    from nail_parquet_spark.pipeline.checkpoint import (
+        delete_tag, expire_snapshots, resolve_ref, tag_snapshot, tags)
+
+    df, out = table
+    pre = snapshots(out)[-1]["snapshot"]
+    rep = tag_snapshot(out, "prod", note="release")
+    assert rep == {"tag": "prod", "snapshot": pre}
+    # churn the log: delete + rollback + upsert
+    delete_where(spark, out, [("k", "<", 30)])
+    tag_snapshot(out, "trimmed")          # points at the delete snapshot
+    rollback_to(out, pre)
+    upsert(spark, out, spark.createDataFrame(
+        [("https://new.test/x", 999, "late", "0")],
+        "url string, k long, text string, lang string"), key="url")
+    # refs resolve: id-like strings and tag names
+    assert resolve_ref(out, "prod") == pre
+    assert resolve_ref(out, str(pre)) == pre and resolve_ref(out, None) is None
+    # time travel by tag through the CLI (decode --snapshot <tag>)
+    assert read_table(spark, out, snapshot_id=resolve_ref(out, "trimmed")) \
+        .count() == 90
+    # expire with keep_last=1: tagged snapshots and their state survive
+    expire_snapshots(out, keep_last=1)
+    assert read_table(spark, out, snapshot_id=resolve_ref(out, "prod")) \
+        .count() == 120
+    assert read_table(spark, out, snapshot_id=resolve_ref(out, "trimmed")) \
+        .count() == 90
+    # rollback by tag name via the CLI; history lists tags
+    assert main(["maintain", out, "--rollback", "trimmed"]) == 0
+    capsys.readouterr()
+    assert read_table(spark, out).count() == 90
+    assert main(["maintain", out, "--history"]) == 0
+    import json as _json
+
+    hist = _json.loads(capsys.readouterr().out)
+    assert hist["tags"] == {"prod": pre, "trimmed": pre + 1}
+    # delete-tag releases the root; guards
+    assert delete_tag(out, "trimmed")["deleted"]
+    assert "trimmed" not in tags(out)
+    with pytest.raises(ValueError, match="no tag"):
+        resolve_ref(out, "nope")
+    with pytest.raises(ValueError, match="non-numeric"):
+        tag_snapshot(out, "123")
+    with pytest.raises(ValueError, match="not in the log"):
+        tag_snapshot(out, "ghost", snapshot_id=999)
