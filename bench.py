@@ -67,6 +67,8 @@ BENCH_QUERIES = [
     "hybrid_search_rrf",
     "text_embed",
     "multimodal_meta",
+    "robots_filter",
+    "charset_decode",
     "encode_roundtrip",
 ]
 
