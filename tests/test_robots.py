@@ -270,3 +270,23 @@ def test_cli_domains_robots_directives(spark, tmp_path, capsys):
     assert r["host"] == "h.example" and r["crawl_delay"] == 2.0
     assert r["sitemaps"] == ["https://h.example/s.xml"]
     capsys.readouterr()
+
+
+def test_robots_verdict_plan_shape(spark):
+    """Scale contract: with broadcast rules the page side never shuffles
+    (BroadcastHashJoin, zero Exchange on the probe side); the verdict is a
+    per-row fold, never a groupBy/window over the page table."""
+    from nail_parquet_spark.plans.explain import global_windows, plan_text
+
+    rules = spark.createDataFrame(
+        [("h.example", "/no/", False)], "host string, prefix string, allow boolean")
+    docs = spark.range(1000).selectExpr(
+        "id as doc_id", "concat('https://h.example/p', id) as url")
+    plan = plan_text(robots_verdict(docs, rules, broadcast_rules=True))
+    assert "BroadcastHashJoin" in plan
+    # the only Exchanges are on the (tiny) rules build side: none of them
+    # hash-partition the page table's output
+    import re
+
+    assert not re.search(r"Exchange hashpartitioning\((doc_id|url)", plan)
+    assert global_windows(robots_verdict(docs, rules)) == []
