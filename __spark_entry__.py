@@ -1494,6 +1494,22 @@ def q_entropy_stats(spark, sf_dir):
     return entropy_stats(_t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+_KMV_COLS = ["doc_id", "lang", "source"]
+_KMV_K = 512
+
+
+def q_approx_distinct_kmv(spark, sf_dir):
+    """KMV distinct-cardinality sketch (functions/sketch.py): one scan,
+    per-partition k-minimum DISTINCT hash sets in mapInArrow, tiny merge —
+    no per-column distinct shuffle (the reference's stats command computes
+    exact distincts only, src/utils/stats.rs). doc_id (10k distinct at
+    sf0.01) exercises the estimator branch; lang/source the exact-below-k
+    branch. Estimate is deterministic, so the oracle is value-exact."""
+    from nail_parquet_spark.functions.sketch import kmv_distinct
+
+    return kmv_distinct(_t(spark, sf_dir, "documents"), _KMV_COLS, k=_KMV_K)
+
+
 def _robots_corpus(spark):
     """Deterministic 7-host robots corpus: agent-specific group (GPTBot),
     merged consecutive-UA '*' group, a per-host varying rule, and
@@ -2278,6 +2294,9 @@ _QUERIES = {
         "robots_filter": q_robots_filter,
         "robots_directives": q_robots_directives,
         "charset_decode": q_charset_decode,
+        # this round (final continuation): KMV cardinality sketch —
+        # value-exact locally (deterministic estimator, tests/test_sketch.py)
+        "approx_distinct_kmv": q_approx_distinct_kmv,
         # this session: Iceberg-v2-style merge-on-read position deletes +
         # key upsert (codec/deletes.py, pipeline/deletes.py) — value-exact
         # locally; tests/test_deletes*.py
@@ -2605,8 +2624,13 @@ def _mojibake_sql(src_cte: str) -> str:
 
 def oracle_sql() -> dict[str, str]:
     from nail_parquet_spark.functions.normalize import ACCENT_DST, ACCENT_SRC
+    from nail_parquet_spark.functions.sketch import kmv_oracle_sql
 
     sql = {
+        # KMV sketch: the SQL twin is generated from the module so the
+        # pinned hash / IEEE expression order can never drift
+        "approx_distinct_kmv": kmv_oracle_sql("documents", _KMV_COLS,
+                                              k=_KMV_K),
         # the frozen 177-pair diacritic table, embedded from the module
         # constants so the two engines can never drift
         "accent_fold": f"""

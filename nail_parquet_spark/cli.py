@@ -196,7 +196,12 @@ def main(argv: list[str] | None = None) -> int:
         (("--value",), {"default": None}),
         (("--group-by",), {"default": None,
                            "help": "group-wise mean/median/mode imputation (comma keys)"}))
-    add("stats", (("-c", "--columns"), {"default": None}), (("--stats-type",), {"default": "basic"}))
+    add("stats", (("-c", "--columns"), {"default": None}), (("--stats-type",), {"default": "basic"}),
+        (("--approx-distinct",), {"action": "store_true",
+                                  "help": "KMV distinct-cardinality sketch per column "
+                                          "(one scan, no distinct shuffle; exact below k)"}),
+        (("--sketch-k",), {"type": int, "default": 1024,
+                           "help": "KMV set size (error ~ 1/sqrt(k-2))"}))
     add("frequency", (("-c", "--columns"), {"required": True}), (("--limit",), {"type": int, "default": None}))
     add("correlations", (("-c", "--columns"), {"default": None}), (("--method",), {"default": "pearson"}),
         (("--matrix",), {"action": "store_true", "help": "n x n wide matrix (stats.rs display shape)"}),
@@ -1121,7 +1126,16 @@ def main(argv: list[str] | None = None) -> int:
         _out(out, args)
     elif c == "stats":
         cols = args.columns.split(",") if args.columns else None
-        _out(ops.stats(df, cols, args.stats_type), args, 50)
+        if args.approx_distinct:
+            from nail_parquet_spark.functions.sketch import kmv_distinct
+
+            if cols is None:
+                ok = {"string", "int", "bigint", "smallint", "tinyint",
+                      "boolean", "date", "long"}
+                cols = [c0 for c0, t in df.dtypes if t.split("(")[0] in ok]
+            _out(kmv_distinct(df, cols, k=args.sketch_k), args, 50)
+        else:
+            _out(ops.stats(df, cols, args.stats_type), args, 50)
     elif c == "frequency":
         _out(ops.frequency(df, args.columns.split(","), args.limit), args, 50)
     elif c == "correlations":
