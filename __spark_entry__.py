@@ -1498,6 +1498,35 @@ _KMV_COLS = ["doc_id", "lang", "source"]
 _KMV_K = 512
 
 
+_QNT_QS = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+_QNT_K = 512
+
+
+def q_approx_distinct_by(spark, sf_dir):
+    """Grouped KMV (functions/sketch.py): approx distinct users per event
+    type — the 'distinct URLs per host' crawl-analytics shape. Local
+    per-(partition, group) k-minimum sets in mapInArrow, so the Exchange
+    carries <= partitions*k rows per group instead of every distinct
+    (key, value) pair. k=64 exercises the estimator branch on the big
+    groups. Deterministic, so the oracle is value-exact."""
+    from nail_parquet_spark.functions.sketch import kmv_distinct_by
+
+    return kmv_distinct_by(_t(spark, sf_dir, "events"), ["event_type"],
+                           "user_id", k=64)
+
+
+def q_approx_quantiles(spark, sf_dir):
+    """Deterministic min-k-sample quantiles (functions/sketch.py): the k
+    smallest pinned-md5 hashes of the unique order key form the sample
+    (TakeOrderedAndProject — no full sort, no global window), then exact
+    interpolated quantiles over it. Spark percentile == DuckDB
+    quantile_cont on doubles, so the estimate is value-exact."""
+    from nail_parquet_spark.functions.sketch import approx_quantiles
+
+    return approx_quantiles(_t(spark, sf_dir, "orders"), "o_orderkey",
+                            ["o_totalprice", "o_custkey"], _QNT_QS, k=_QNT_K)
+
+
 def q_approx_distinct_kmv(spark, sf_dir):
     """KMV distinct-cardinality sketch (functions/sketch.py): one scan,
     per-partition k-minimum DISTINCT hash sets in mapInArrow, tiny merge —
@@ -2297,6 +2326,8 @@ _QUERIES = {
         # this round (final continuation): KMV cardinality sketch —
         # value-exact locally (deterministic estimator, tests/test_sketch.py)
         "approx_distinct_kmv": q_approx_distinct_kmv,
+        "approx_distinct_by": q_approx_distinct_by,
+        "approx_quantiles": q_approx_quantiles,
         # this session: Iceberg-v2-style merge-on-read position deletes +
         # key upsert (codec/deletes.py, pipeline/deletes.py) — value-exact
         # locally; tests/test_deletes*.py
@@ -2624,13 +2655,19 @@ def _mojibake_sql(src_cte: str) -> str:
 
 def oracle_sql() -> dict[str, str]:
     from nail_parquet_spark.functions.normalize import ACCENT_DST, ACCENT_SRC
-    from nail_parquet_spark.functions.sketch import kmv_oracle_sql
+    from nail_parquet_spark.functions.sketch import (
+        kmv_by_oracle_sql, kmv_oracle_sql, quantiles_oracle_sql)
 
     sql = {
-        # KMV sketch: the SQL twin is generated from the module so the
-        # pinned hash / IEEE expression order can never drift
+        # KMV sketch suite: the SQL twins are generated from the module so
+        # the pinned hash / sample rule / IEEE order can never drift
         "approx_distinct_kmv": kmv_oracle_sql("documents", _KMV_COLS,
                                               k=_KMV_K),
+        "approx_distinct_by": kmv_by_oracle_sql("events", ["event_type"],
+                                                "user_id", k=64),
+        "approx_quantiles": quantiles_oracle_sql(
+            "orders", "o_orderkey", ["o_totalprice", "o_custkey"],
+            _QNT_QS, k=_QNT_K),
         # the frozen 177-pair diacritic table, embedded from the module
         # constants so the two engines can never drift
         "accent_fold": f"""

@@ -201,7 +201,16 @@ def main(argv: list[str] | None = None) -> int:
                                   "help": "KMV distinct-cardinality sketch per column "
                                           "(one scan, no distinct shuffle; exact below k)"}),
         (("--sketch-k",), {"type": int, "default": 1024,
-                           "help": "KMV set size (error ~ 1/sqrt(k-2))"}))
+                           "help": "KMV set size (error ~ 1/sqrt(k-2))"}),
+        (("--group-by",), {"default": None,
+                           "help": "with --approx-distinct: per-group distinct "
+                                   "of the single -c column (comma keys)"}),
+        (("--quantiles",), {"default": None,
+                            "help": "comma q-list in [0,1]: deterministic "
+                                    "min-k-sample quantiles of -c columns"}),
+        (("--id-column",), {"default": None,
+                            "help": "unique id hashed for the --quantiles "
+                                    "sample (default: first column)"}))
     add("frequency", (("-c", "--columns"), {"required": True}), (("--limit",), {"type": int, "default": None}))
     add("correlations", (("-c", "--columns"), {"default": None}), (("--method",), {"default": "pearson"}),
         (("--matrix",), {"action": "store_true", "help": "n x n wide matrix (stats.rs display shape)"}),
@@ -1126,7 +1135,26 @@ def main(argv: list[str] | None = None) -> int:
         _out(out, args)
     elif c == "stats":
         cols = args.columns.split(",") if args.columns else None
-        if args.approx_distinct:
+        if args.quantiles:
+            from nail_parquet_spark.functions.sketch import approx_quantiles
+
+            qs = [float(q) for q in args.quantiles.split(",")]
+            if cols is None:
+                num = {"int", "bigint", "smallint", "tinyint", "long",
+                       "float", "double", "decimal"}
+                cols = [c0 for c0, t in df.dtypes if t.split("(")[0] in num]
+            idc = args.id_column or df.columns[0]
+            _out(approx_quantiles(df, idc, cols, qs, k=args.sketch_k),
+                 args, 50)
+        elif args.approx_distinct and args.group_by:
+            from nail_parquet_spark.functions.sketch import kmv_distinct_by
+
+            if not cols or len(cols) != 1:
+                raise SystemExit("stats --approx-distinct --group-by needs "
+                                 "exactly one -c value column")
+            _out(kmv_distinct_by(df, args.group_by.split(","), cols[0],
+                                 k=args.sketch_k), args, 50)
+        elif args.approx_distinct:
             from nail_parquet_spark.functions.sketch import kmv_distinct
 
             if cols is None:

@@ -48,7 +48,9 @@ from typing import Iterator
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import types as T
 
 _HASH_SPACE_BITS = 60
 
@@ -130,6 +132,225 @@ def kmv_distinct(df: DataFrame, columns: list[str], k: int = 1024) -> DataFrame:
                        F.col("n_min"),
                        est.alias("est_distinct"))
             .orderBy("col_name"))
+
+
+def _validate_cols(df: DataFrame, cols: list[str], role: str) -> None:
+    types = dict(df.dtypes)
+    for c in cols:
+        if c not in types:
+            raise ValueError(f"kmv sketch: no such column '{c}'")
+        if types[c].split("(")[0] not in _OK_KINDS:
+            raise ValueError(
+                f"kmv sketch: {role} column '{c}' has type {types[c]}; the "
+                "pinned contract covers string/integer/boolean/date columns "
+                "only (float string casts diverge between engines)")
+
+
+def _adjacent_changed(col: pa.Array) -> np.ndarray:
+    """Null-safe bool[n-1]: does row i+1 differ from row i in this column?
+    (null vs null = unchanged; null vs value = changed)."""
+    n = len(col)
+    a, b = col.slice(0, n - 1), col.slice(1)
+    neq = pc.fill_null(pc.not_equal(a, b), False)
+    flip = pc.xor(pc.is_null(a), pc.is_null(b))
+    return np.asarray(pc.or_(neq, flip))
+
+
+def _group_topk(t: pa.Table, keys: list[str], k: int) -> pa.Table:
+    """k smallest DISTINCT ``h`` per key group — one arrow sort plus
+    vectorized boundary arithmetic; any total order works for grouping, so
+    arrow's native orderings (with nulls at the end) are fine."""
+    n = len(t)
+    if n == 0:
+        return t
+    t = t.sort_by([(c, "ascending") for c in keys] + [("h", "ascending")])
+    new_grp = np.ones(n, dtype=bool)
+    if n > 1:
+        changed = np.zeros(n - 1, dtype=bool)
+        for c in keys:
+            changed |= _adjacent_changed(t.column(c).combine_chunks())
+        new_grp[1:] = changed
+        # distinct (group, h) pairs: h never null, so plain inequality works
+        h = t.column("h").to_numpy()
+        t = t.filter(pa.array(new_grp | np.concatenate(
+            [[True], h[1:] != h[:-1]])))
+        # recompute group starts on the surviving rows
+        n = len(t)
+        new_grp = np.ones(n, dtype=bool)
+        if n > 1:
+            changed = np.zeros(n - 1, dtype=bool)
+            for c in keys:
+                changed |= _adjacent_changed(t.column(c).combine_chunks())
+            new_grp[1:] = changed
+    starts = np.flatnonzero(new_grp)
+    counts = np.diff(np.append(starts, n))
+    rank = np.arange(n) - np.repeat(starts, counts)
+    return t.filter(pa.array(rank < k))
+
+
+def kmv_distinct_by(df: DataFrame, keys: list[str], value: str,
+                    k: int = 1024) -> DataFrame:
+    """Approximate ``COUNT(DISTINCT value)`` per key group — e.g. distinct
+    URLs per host over a crawl — without shuffling every distinct value.
+
+    Same pinned KMV contract as :func:`kmv_distinct`, applied per group:
+    one ``mapInArrow`` pass keeps the k smallest distinct value hashes per
+    (partition, group), so the only Exchange carries <= partitions*k rows
+    PER GROUP (vs the full distinct (key, value) shuffle of an exact
+    grouped count-distinct). The global per-group k-minimum set is exactly
+    the merge of the partition-local ones, so the estimate is deterministic
+    and partitioning-independent. NULL group keys form their own group
+    (SQL GROUP BY semantics); NULL values are excluded.
+
+    Returns ``(*keys, n_min bigint, est_distinct double)`` ordered by keys.
+    """
+    if k < 2:
+        raise ValueError("kmv_distinct_by: k must be >= 2")
+    if not keys:
+        raise ValueError("kmv_distinct_by: need at least one key column")
+    _validate_cols(df, keys, "key")
+    _validate_cols(df, [value], "value")
+
+    hashed = (df.filter(F.col(value).isNotNull())
+              .select(*keys, _hash_expr(value).alias("h")))
+    out_fields = [hashed.schema[c] for c in keys]
+    out_schema = T.StructType(out_fields + [T.StructField("h", T.LongType(),
+                                                          False)])
+    # compact the running per-partition state whenever the accumulated
+    # batches exceed ~1M rows, so memory stays bounded at groups*k + 1M
+    compact_rows = 1 << 20
+
+    def local_topk(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        acc: list[pa.Table] = []
+        nrows = 0
+        for b in batches:
+            acc.append(pa.Table.from_batches([b]))
+            nrows += len(b)
+            if nrows >= compact_rows:
+                acc = [_group_topk(pa.concat_tables(acc), keys, k)]
+                nrows = len(acc[0])
+        if acc:
+            out = _group_topk(pa.concat_tables(acc), keys, k)
+            for ob in out.to_batches():
+                yield ob
+
+    survivors = hashed.mapInArrow(local_topk, schema=out_schema)
+    w = Window.partitionBy(*keys).orderBy("h")
+    top = (survivors.distinct()
+           .withColumn("rn", F.row_number().over(w))
+           .filter(F.col("rn") <= k))
+    agg = top.groupBy(*keys).agg(F.count("*").alias("n_min"),
+                                 F.max("h").alias("kth"))
+    est = (F.when(F.col("n_min") < k, F.col("n_min").cast("double"))
+           .otherwise(F.lit(float(k - 1))
+                      * F.pow(F.lit(2.0), F.lit(float(_HASH_SPACE_BITS)))
+                      / F.col("kth").cast("double")))
+    return (agg.select(*keys, F.col("n_min"), est.alias("est_distinct"))
+            .orderBy(*keys))
+
+
+_NUM_KINDS = {"int", "bigint", "smallint", "tinyint", "long", "float",
+              "double", "decimal"}
+
+
+def approx_quantiles(df: DataFrame, id_col: str, columns: list[str],
+                     qs: list[float], k: int = 4096) -> DataFrame:
+    """Approximate quantiles from a DETERMINISTIC uniform row sample: the k
+    rows with the smallest pinned 60-bit md5 hash of ``id_col``, then exact
+    interpolated quantiles over the sample.
+
+    Why not ``percentile_approx``: Spark's GK sketch is neither mergeable
+    across engines nor reproducible in SQL, so its answers cannot be
+    oracle-attested. Hashing a UNIQUE id gives a uniform sample that both
+    engines derive identically (rank error ~ O(1/sqrt(k)) — ~1.6% at the
+    default k=4096), and Spark's exact ``percentile`` matches DuckDB's
+    ``quantile_cont`` bit-for-bit on doubles (same 1+(n-1)q rank rule).
+
+    Execution: ONE column-pruned scan; ``orderBy(h).limit(k)`` compiles to
+    TakeOrderedAndProject (per-partition top-k, driver merge — no global
+    window, no full sort); the quantile agg then runs over <= k rows.
+    Precondition: ``id_col`` values are unique (the repo-wide id contract) —
+    the hash tie-break makes the sample deterministic only then. NULL
+    values inside sampled rows are excluded per column (SQL semantics).
+
+    Returns ``(col_name string, q double, value double)`` ordered by
+    (col_name, q).
+    """
+    if k < 1:
+        raise ValueError("approx_quantiles: k must be >= 1")
+    if not columns:
+        raise ValueError("approx_quantiles: need at least one column")
+    if not qs or not all(0.0 <= q <= 1.0 for q in qs):
+        raise ValueError("approx_quantiles: quantiles must be in [0, 1]")
+    _validate_cols(df, [id_col], "id")
+    types = dict(df.dtypes)
+    for c in columns:
+        if c not in types:
+            raise ValueError(f"approx_quantiles: no such column '{c}'")
+        if types[c].split("(")[0] not in _NUM_KINDS:
+            raise ValueError(
+                f"approx_quantiles: column '{c}' has type {types[c]}; "
+                "quantiles need a numeric column")
+
+    sample = (df.select(_hash_expr(id_col).alias("__h"),
+                        F.col(id_col).cast("string").alias("__id"),
+                        *columns)
+              .orderBy("__h", "__id").limit(k))
+    aggs = [F.percentile(F.col(c).cast("double"),
+                         F.lit([float(q) for q in qs])).alias(f"p__{c}")
+            for c in columns]
+    wide = sample.agg(*aggs)
+    rows = [F.struct(F.lit(c).alias("col_name"), F.lit(float(q)).alias("q"),
+                     F.col(f"p__{c}")[i].alias("value"))
+            for c in columns for i, q in enumerate(qs)]
+    return (wide.select(F.explode(F.array(*rows)).alias("r"))
+            .select("r.col_name", "r.q", "r.value")
+            .orderBy("col_name", "q"))
+
+
+def kmv_by_oracle_sql(table: str, keys: list[str], value: str,
+                      k: int = 1024) -> str:
+    """DuckDB twin of :func:`kmv_distinct_by` — same pinned hash, per-group
+    k-minimum rule, and IEEE expression order."""
+    ks = ", ".join(keys)
+    # Spark's ascending sort is NULLS FIRST; DuckDB defaults to NULLS LAST
+    order = ", ".join(f"{c} NULLS FIRST" for c in keys)
+    return f"""
+        WITH hs AS (
+          SELECT DISTINCT {ks},
+                 ('0x' || substr(md5(CAST({value} AS VARCHAR)), 1, 15))::BIGINT AS h
+          FROM {table} WHERE {value} IS NOT NULL
+        ),
+        ranked AS (SELECT {ks}, h,
+                          row_number() OVER (PARTITION BY {ks} ORDER BY h) AS rn
+                   FROM hs),
+        agg AS (SELECT {ks}, count(*) AS n_min, max(h) AS kth
+                FROM ranked WHERE rn <= {k} GROUP BY {ks})
+        SELECT {ks}, n_min,
+               CASE WHEN n_min < {k} THEN n_min::DOUBLE
+                    ELSE ({k} - 1)::DOUBLE * pow(2.0, 60) / kth::DOUBLE
+               END AS est_distinct
+        FROM agg ORDER BY {order}"""
+
+
+def quantiles_oracle_sql(table: str, id_col: str, columns: list[str],
+                         qs: list[float], k: int = 4096) -> str:
+    """DuckDB twin of :func:`approx_quantiles` — same pinned hash sample
+    (ORDER BY h, id-string LIMIT k) and the same 1+(n-1)q interpolation
+    (``quantile_cont`` == Spark ``percentile`` on doubles)."""
+    branches = "\n      UNION ALL\n".join(
+        f"      SELECT '{c}' AS col_name, {float(q)}::DOUBLE AS q,"
+        f" quantile_cont({c}::DOUBLE, {float(q)}) AS value FROM smp"
+        for c in columns for q in qs)
+    return f"""
+        WITH smp AS (
+          SELECT * FROM {table}
+          ORDER BY ('0x' || substr(md5(CAST({id_col} AS VARCHAR)), 1, 15))::BIGINT,
+                   CAST({id_col} AS VARCHAR)
+          LIMIT {k}
+        )
+{branches}
+        ORDER BY col_name, q"""
 
 
 def kmv_oracle_sql(table: str, columns: list[str], k: int = 1024) -> str:

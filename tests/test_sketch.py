@@ -78,3 +78,140 @@ class TestKmv:
             kmv_distinct(sample, ["name"], k=1)
         with pytest.raises(ValueError, match="at least one"):
             kmv_distinct(sample, [])
+
+
+class TestKmvGrouped:
+    def _df(self, spark):
+        # group g0: 300 distinct vals (> K=64, estimator), g1: 20 (exact),
+        # null group: 5 (exact) — plus value-nulls that must be excluded
+        rows = [("g0", f"v{i % 300}") for i in range(900)]
+        rows += [("g1", f"w{i % 20}") for i in range(100)]
+        rows += [(None, f"x{i}") for i in range(5)]
+        rows += [("g0", None), (None, None)]
+        return spark.createDataFrame(rows, "g string, v string")
+
+    def test_model_parity_and_null_group(self, spark):
+        from nail_parquet_spark.functions.sketch import kmv_distinct_by
+
+        out = {r["g"]: r for r in
+               kmv_distinct_by(self._df(spark), ["g"], "v", k=K).collect()}
+        want_est, want_n = _model_est([f"v{i}" for i in range(300)])
+        assert out["g0"]["n_min"] == want_n == K
+        assert out["g0"]["est_distinct"] == want_est
+        assert out["g1"]["est_distinct"] == 20.0
+        assert out[None]["est_distinct"] == 5.0  # null key is its own group
+
+    def test_partitioning_independent(self, spark):
+        from nail_parquet_spark.functions.sketch import kmv_distinct_by
+
+        df = self._df(spark)
+        a = kmv_distinct_by(df.repartition(17), ["g"], "v", k=K).collect()
+        b = kmv_distinct_by(df.coalesce(1), ["g"], "v", k=K).collect()
+        assert [r.asDict() for r in a] == [r.asDict() for r in b]
+
+    def test_multi_key_and_int_value(self, spark):
+        from nail_parquet_spark.functions.sketch import kmv_distinct_by
+
+        df = spark.createDataFrame(
+            [("a", i % 2, i % 37) for i in range(500)],
+            "k1 string, k2 long, v long")
+        out = kmv_distinct_by(df, ["k1", "k2"], "v", k=K).collect()
+        assert len(out) == 2
+        # gcd(2, 37) = 1, so each parity class cycles through all 37 residues
+        got = {(r["k1"], r["k2"]): r["est_distinct"] for r in out}
+        assert got[("a", 0)] == 37.0 and got[("a", 1)] == 37.0
+
+    def test_duckdb_twin_matches(self, spark, tmp_path):
+        import duckdb
+
+        from nail_parquet_spark.functions.sketch import (kmv_by_oracle_sql,
+                                                         kmv_distinct_by)
+
+        df = self._df(spark)
+        p = str(tmp_path / "g.parquet")
+        df.coalesce(1).write.parquet(p)
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW t AS SELECT * FROM '{p}/*.parquet'")
+        want = con.execute(kmv_by_oracle_sql("t", ["g"], "v", k=K)).fetchall()
+        got = [(r["g"], r["n_min"], r["est_distinct"])
+               for r in kmv_distinct_by(df, ["g"], "v", k=K).collect()]
+        assert got == [tuple(r) for r in want]
+
+    def test_validation(self, spark, sample):
+        from nail_parquet_spark.functions.sketch import kmv_distinct_by
+
+        with pytest.raises(ValueError, match="value column 'value'"):
+            kmv_distinct_by(sample, ["category"], "value")
+        with pytest.raises(ValueError, match="at least one key"):
+            kmv_distinct_by(sample, [], "name")
+
+
+class TestApproxQuantiles:
+    def test_sample_below_k_is_exact(self, spark):
+        from nail_parquet_spark.functions.sketch import approx_quantiles
+
+        df = spark.createDataFrame([(i, float(10 * i)) for i in range(1, 6)],
+                                   "id long, v double")
+        out = approx_quantiles(df, "id", ["v"], [0.0, 0.5, 1.0], k=100)
+        got = {r["q"]: r["value"] for r in out.collect()}
+        assert got == {0.0: 10.0, 0.5: 30.0, 1.0: 50.0}
+
+    def test_interpolation_matches_rank_rule(self, spark):
+        from nail_parquet_spark.functions.sketch import approx_quantiles
+
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate([10.0, 20.0, 30.0, 40.0, 50.0])],
+            "id long, v double")
+        out = approx_quantiles(df, "id", ["v"], [0.3], k=10).collect()
+        assert out[0]["value"] == 22.0  # rank 1+(5-1)*0.3 = 2.2
+
+    def test_accuracy_band_and_determinism(self, spark):
+        from nail_parquet_spark.functions.sketch import approx_quantiles
+
+        n = 20000
+        df = spark.range(n).select(F.col("id"),
+                                   F.col("id").cast("double").alias("v"))
+        a = approx_quantiles(df.repartition(11), "id", ["v"], [0.5], k=1024)
+        b = approx_quantiles(df.coalesce(1), "id", ["v"], [0.5], k=1024)
+        va, vb = a.collect()[0]["value"], b.collect()[0]["value"]
+        assert va == vb  # deterministic, partitioning-independent
+        assert abs(va - n / 2) / n < 0.05  # rank err ~ 1/sqrt(1024) ~ 3%
+
+    def test_no_global_window_plan(self, spark):
+        from nail_parquet_spark.functions.sketch import approx_quantiles
+
+        df = spark.range(100).select(
+            F.col("id"), F.col("id").cast("double").alias("v"))
+        plan = approx_quantiles(df, "id", ["v"], [0.5], k=10) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
+
+    def test_duckdb_twin_matches(self, spark, tmp_path):
+        import duckdb
+
+        from nail_parquet_spark.functions.sketch import (approx_quantiles,
+                                                         quantiles_oracle_sql)
+
+        df = spark.createDataFrame(
+            [(i, float((i * 37) % 1000) / 7.0, (i * 13) % 50)
+             for i in range(3000)], "id long, a double, b long")
+        p = str(tmp_path / "q.parquet")
+        df.coalesce(1).write.parquet(p)
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW t AS SELECT * FROM '{p}/*.parquet'")
+        qs = [0.1, 0.5, 0.9]
+        want = con.execute(quantiles_oracle_sql("t", "id", ["a", "b"], qs,
+                                                k=256)).fetchall()
+        got = [(r["col_name"], r["q"], r["value"]) for r in
+               approx_quantiles(df, "id", ["a", "b"], qs, k=256).collect()]
+        assert got == [tuple(r) for r in want]
+
+    def test_validation(self, spark, sample):
+        from nail_parquet_spark.functions.sketch import approx_quantiles
+
+        with pytest.raises(ValueError, match="numeric"):
+            approx_quantiles(sample, "id", ["name"], [0.5])
+        with pytest.raises(ValueError, match="in \\[0, 1\\]"):
+            approx_quantiles(sample, "id", ["value"], [1.5])
+        with pytest.raises(ValueError, match="id column 'value'"):
+            approx_quantiles(sample, "value", ["value"], [0.5])
