@@ -1527,6 +1527,23 @@ def q_approx_quantiles(spark, sf_dir):
                             ["o_totalprice", "o_custkey"], _QNT_QS, k=_QNT_K)
 
 
+def q_corpus_overlap_kmv(spark, sf_dir):
+    """KMV set-overlap estimate (functions/sketch.py): distinct custkeys
+    shared by the AUTOMOBILE customer segment and the order fact table —
+    the 'distinct URLs shared by two crawls' shape, computed from two
+    bottom-k sketches (<= 2k hashes shuffled, the corpora are never
+    joined). One side is a strict subset-of-domain filter so the jaccard
+    is a real partial overlap; k=256 < the distinct custkeys at sf0.01,
+    so this exercises the estimator branch; the estimate is deterministic
+    (pinned md5-60-bit hash), so the oracle is value-exact."""
+    from nail_parquet_spark.functions.sketch import kmv_overlap
+
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "AUTOMOBILE")
+    return kmv_overlap(_t(spark, sf_dir, "orders"), "o_custkey",
+                       cust, "c_custkey", k=256)
+
+
 def q_approx_distinct_kmv(spark, sf_dir):
     """KMV distinct-cardinality sketch (functions/sketch.py): one scan,
     per-partition k-minimum DISTINCT hash sets in mapInArrow, tiny merge —
@@ -2328,6 +2345,7 @@ _QUERIES = {
         "approx_distinct_kmv": q_approx_distinct_kmv,
         "approx_distinct_by": q_approx_distinct_by,
         "approx_quantiles": q_approx_quantiles,
+        "corpus_overlap_kmv": q_corpus_overlap_kmv,
         # this session: Iceberg-v2-style merge-on-read position deletes +
         # key upsert (codec/deletes.py, pipeline/deletes.py) — value-exact
         # locally; tests/test_deletes*.py
@@ -2656,7 +2674,8 @@ def _mojibake_sql(src_cte: str) -> str:
 def oracle_sql() -> dict[str, str]:
     from nail_parquet_spark.functions.normalize import ACCENT_DST, ACCENT_SRC
     from nail_parquet_spark.functions.sketch import (
-        kmv_by_oracle_sql, kmv_oracle_sql, quantiles_oracle_sql)
+        kmv_by_oracle_sql, kmv_oracle_sql, kmv_overlap_oracle_sql,
+        quantiles_oracle_sql)
 
     sql = {
         # KMV sketch suite: the SQL twins are generated from the module so
@@ -2668,6 +2687,10 @@ def oracle_sql() -> dict[str, str]:
         "approx_quantiles": quantiles_oracle_sql(
             "orders", "o_orderkey", ["o_totalprice", "o_custkey"],
             _QNT_QS, k=_QNT_K),
+        "corpus_overlap_kmv": kmv_overlap_oracle_sql(
+            "orders", "o_custkey",
+            "(SELECT * FROM customer WHERE c_mktsegment = 'AUTOMOBILE')",
+            "c_custkey", k=256),
         # the frozen 177-pair diacritic table, embedded from the module
         # constants so the two engines can never drift
         "accent_fold": f"""

@@ -249,6 +249,115 @@ def kmv_distinct_by(df: DataFrame, keys: list[str], value: str,
             .orderBy(*keys))
 
 
+def _bottom_k(df: DataFrame, column: str, k: int) -> DataFrame:
+    """The k smallest distinct pinned hashes of ``column`` (one column ``h``).
+    Local per-partition k-minimum sets in mapInArrow, then a tiny
+    TakeOrderedAndProject merge — same shuffle bound as :func:`kmv_distinct`.
+    """
+    hashed = df.select(_hash_expr(column).alias("h0"))
+    out_schema = pa.schema([("h", pa.int64())])
+
+    def local_topk(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        mins = np.empty(0, dtype=np.int64)
+        for b in batches:
+            v = b.column(0).drop_null().to_numpy(zero_copy_only=False)
+            if len(v):
+                mins = np.unique(np.concatenate([mins, v.astype(np.int64)]))[:k]
+        yield pa.RecordBatch.from_arrays([pa.array(mins, pa.int64())],
+                                         schema=out_schema)
+
+    return (hashed.mapInArrow(local_topk, schema="h long")
+            .distinct().orderBy("h").limit(k))
+
+
+def kmv_overlap(df_a: DataFrame, col_a: str, df_b: DataFrame, col_b: str,
+                k: int = 1024) -> DataFrame:
+    """Distinct-set overlap between two corpora from bottom-k sketches —
+    e.g. 'how many distinct URLs do crawl A and crawl B share' — without
+    ever joining or shuffling the value sets (only <= 2k hashes move).
+
+    Estimator (Bar-Yossef et al. / Beyer et al. bottom-k set ops): with
+    SU = the k smallest hashes of the UNION and SA/SB each side's k-minimum
+    set, every member of SU is known to belong to A (it is in SA) or not,
+    so ``jaccard = |{h in SU : h in SA and h in SB}| / |SU|`` and
+    ``est_intersection = jaccard * est_union``. All quantities are exact
+    whenever both sides have fewer than k distinct values. Deterministic
+    (same pinned hash as :func:`kmv_distinct`), hence oracle-attestable.
+
+    Returns ONE row: (n_union bigint, est_a double, est_b double,
+    est_union double, jaccard double, est_intersection double).
+    """
+    if k < 2:
+        raise ValueError("kmv_overlap: k must be >= 2")
+    _validate_cols(df_a, [col_a], "value")
+    _validate_cols(df_b, [col_b], "value")
+    ta = _bottom_k(df_a, col_a, k).cache()
+    tb = _bottom_k(df_b, col_b, k).cache()
+    tu = ta.unionAll(tb).distinct().orderBy("h").limit(k)
+
+    def est(n_col, kth_col):
+        return (F.when(n_col < k, n_col.cast("double"))
+                .otherwise(F.lit(float(k - 1))
+                           * F.pow(F.lit(2.0), F.lit(float(_HASH_SPACE_BITS)))
+                           / kth_col.cast("double")))
+
+    def summary(t, prefix):
+        return t.agg(F.count("*").alias(f"n_{prefix}"),
+                     F.max("h").alias(f"kth_{prefix}"))
+
+    inter = (tu.join(ta, "h", "left_semi").join(tb, "h", "left_semi")
+             .agg(F.count("*").alias("n_inter")))
+    row = (summary(ta, "a").crossJoin(summary(tb, "b"))
+           .crossJoin(summary(tu, "u")).crossJoin(inter))
+    jac = (F.when(F.col("n_u") == 0, F.lit(0.0))
+           .otherwise(F.col("n_inter").cast("double")
+                      / F.col("n_u").cast("double")))
+    return row.select(
+        F.col("n_u").alias("n_union"),
+        est(F.col("n_a"), F.col("kth_a")).alias("est_a"),
+        est(F.col("n_b"), F.col("kth_b")).alias("est_b"),
+        est(F.col("n_u"), F.col("kth_u")).alias("est_union"),
+        jac.alias("jaccard"),
+        (jac * est(F.col("n_u"), F.col("kth_u"))).alias("est_intersection"))
+
+
+def kmv_overlap_oracle_sql(table_a: str, col_a: str, table_b: str,
+                           col_b: str, k: int = 1024) -> str:
+    """DuckDB twin of :func:`kmv_overlap` — same pinned hash, bottom-k
+    rule, and IEEE expression order (jaccard computed before the product).
+    """
+    def side(t, c):
+        return (f"SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) rn"
+                f" FROM (SELECT DISTINCT ('0x' || substr(md5(CAST({c} AS"
+                f" VARCHAR)), 1, 15))::BIGINT AS h FROM {t}"
+                f" WHERE {c} IS NOT NULL)) WHERE rn <= {k}")
+
+    def est(n, kth):
+        return (f"CASE WHEN {n} < {k} THEN {n}::DOUBLE ELSE ({k} - 1)::DOUBLE"
+                f" * pow(2.0, 60) / {kth}::DOUBLE END")
+
+    return f"""
+        WITH ta AS ({side(table_a, col_a)}),
+        tb AS ({side(table_b, col_b)}),
+        tu AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) rn
+                              FROM (SELECT DISTINCT h FROM (SELECT h FROM ta
+                                    UNION ALL SELECT h FROM tb)))
+               WHERE rn <= {k}),
+        sa AS (SELECT count(*) AS n_a, max(h) AS kth_a FROM ta),
+        sb AS (SELECT count(*) AS n_b, max(h) AS kth_b FROM tb),
+        su AS (SELECT count(*) AS n_u, max(h) AS kth_u FROM tu),
+        si AS (SELECT count(*) AS n_inter FROM tu
+               WHERE h IN (SELECT h FROM ta) AND h IN (SELECT h FROM tb)),
+        j AS (SELECT CASE WHEN n_u = 0 THEN 0.0
+                          ELSE n_inter::DOUBLE / n_u::DOUBLE END AS jaccard
+              FROM su, si)
+        SELECT n_u AS n_union, {est('n_a', 'kth_a')} AS est_a,
+               {est('n_b', 'kth_b')} AS est_b,
+               {est('n_u', 'kth_u')} AS est_union, jaccard,
+               jaccard * {est('n_u', 'kth_u')} AS est_intersection
+        FROM sa, sb, su, si, j"""
+
+
 _NUM_KINDS = {"int", "bigint", "smallint", "tinyint", "long", "float",
               "double", "decimal"}
 

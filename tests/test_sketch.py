@@ -146,6 +146,73 @@ class TestKmvGrouped:
             kmv_distinct_by(sample, [], "name")
 
 
+class TestKmvOverlap:
+    def test_exact_below_k(self, spark):
+        from nail_parquet_spark.functions.sketch import kmv_overlap
+
+        a = spark.createDataFrame([(f"u{i}",) for i in range(30)] * 3,
+                                  "u string")
+        b = spark.createDataFrame([(f"u{i}",) for i in range(20, 50)],
+                                  "u string")
+        r = kmv_overlap(a, "u", b, "u", k=K).collect()[0]
+        assert r["est_a"] == 30.0 and r["est_b"] == 30.0
+        assert r["est_union"] == 50.0
+        assert r["jaccard"] == 10.0 / 50.0
+        assert r["est_intersection"] == (10.0 / 50.0) * 50.0
+
+    def test_estimator_band(self, spark):
+        from nail_parquet_spark.functions.sketch import kmv_overlap
+
+        a = spark.range(4000).select(F.concat(F.lit("v"), F.col("id")).alias("u"))
+        b = spark.range(2000, 6000).select(F.concat(F.lit("v"), F.col("id")).alias("u"))
+        r = kmv_overlap(a, "u", b, "u", k=512).collect()[0]
+        assert abs(r["est_union"] - 6000) / 6000 < 0.2
+        assert abs(r["jaccard"] - 2000 / 6000) < 0.1
+        assert abs(r["est_intersection"] - 2000) / 2000 < 0.3
+
+    def test_empty_side(self, spark):
+        from nail_parquet_spark.functions.sketch import kmv_overlap
+
+        a = spark.createDataFrame([("x",), ("y",)], "u string")
+        b = spark.createDataFrame([], "u string")
+        r = kmv_overlap(a, "u", b, "u", k=K).collect()[0]
+        assert r["est_a"] == 2.0 and r["est_b"] == 0.0
+        assert r["est_union"] == 2.0 and r["jaccard"] == 0.0
+        assert r["est_intersection"] == 0.0
+
+    def test_duckdb_twin_matches(self, spark, tmp_path):
+        import duckdb
+
+        from nail_parquet_spark.functions.sketch import (kmv_overlap,
+                                                         kmv_overlap_oracle_sql)
+
+        a = spark.createDataFrame([(i % 700,) for i in range(3000)], "v long")
+        b = spark.createDataFrame([(i % 900 + 400,) for i in range(3000)],
+                                  "v long")
+        pa_, pb_ = str(tmp_path / "a.parquet"), str(tmp_path / "b.parquet")
+        a.coalesce(1).write.parquet(pa_)
+        b.coalesce(1).write.parquet(pb_)
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW ta0 AS SELECT * FROM '{pa_}/*.parquet'")
+        con.execute(f"CREATE VIEW tb0 AS SELECT * FROM '{pb_}/*.parquet'")
+        want = con.execute(
+            kmv_overlap_oracle_sql("ta0", "v", "tb0", "v", k=128)).fetchall()
+        got = [tuple(r) for r in kmv_overlap(a, "v", b, "v", k=128).collect()]
+        assert got == [tuple(r) for r in want]
+
+    def test_partitioning_independent(self, spark):
+        from nail_parquet_spark.functions.sketch import kmv_overlap
+
+        a = spark.createDataFrame([(f"d{i % 400}",) for i in range(2000)],
+                                  "u string")
+        b = spark.createDataFrame([(f"d{i % 300 + 200}",) for i in range(900)],
+                                  "u string")
+        ra = kmv_overlap(a.repartition(9), "u", b.coalesce(1), "u", k=128)
+        rb = kmv_overlap(a.coalesce(1), "u", b.repartition(7), "u", k=128)
+        assert [r.asDict() for r in ra.collect()] == \
+               [r.asDict() for r in rb.collect()]
+
+
 class TestApproxQuantiles:
     def test_sample_below_k_is_exact(self, spark):
         from nail_parquet_spark.functions.sketch import approx_quantiles
