@@ -1544,6 +1544,30 @@ def q_corpus_overlap_kmv(spark, sf_dir):
                        cust, "c_custkey", k=256)
 
 
+def q_distinct_dict_pushdown(spark, sf_dir):
+    """DISTINCT served from per-block dictionary sections only
+    (codec/inspect.distinct_pushdown): encode documents' low-cardinality
+    columns as dict/rle, then read the distinct sets from the block
+    dictionaries — code streams are never unpacked (dict_only=True proves
+    it; a violation raises driver-side from metadata alone). Exact by
+    construction, so the oracle is plain SELECT DISTINCT on the raw
+    table."""
+    from nail_parquet_spark.codec.encode import encode_table
+    from nail_parquet_spark.codec.inspect import distinct_pushdown
+
+    d = _t(spark, sf_dir, "documents").select("lang", "source")
+    blocks = encode_table(
+        d, codecs={"lang": "dict", "source": "rle"}, block_rows=2048)
+    lang = distinct_pushdown(blocks, "lang", dict_only=True)
+    src = distinct_pushdown(blocks, "source", dict_only=True)
+    return (
+        lang.select(F.lit("lang").alias("column_name"),
+                    F.col("lang").alias("value"))
+        .unionAll(src.select(F.lit("source").alias("column_name"),
+                             F.col("source").alias("value")))
+        .orderBy("column_name", "value"))
+
+
 def q_approx_distinct_kmv(spark, sf_dir):
     """KMV distinct-cardinality sketch (functions/sketch.py): one scan,
     per-partition k-minimum DISTINCT hash sets in mapInArrow, tiny merge —
@@ -2346,6 +2370,7 @@ _QUERIES = {
         "approx_distinct_by": q_approx_distinct_by,
         "approx_quantiles": q_approx_quantiles,
         "corpus_overlap_kmv": q_corpus_overlap_kmv,
+        "distinct_dict_pushdown": q_distinct_dict_pushdown,
         # this session: Iceberg-v2-style merge-on-read position deletes +
         # key upsert (codec/deletes.py, pipeline/deletes.py) — value-exact
         # locally; tests/test_deletes*.py
@@ -2691,6 +2716,15 @@ def oracle_sql() -> dict[str, str]:
             "orders", "o_custkey",
             "(SELECT * FROM customer WHERE c_mktsegment = 'AUTOMOBILE')",
             "c_custkey", k=256),
+        # dictionary-section distinct pushdown is exact by construction, so
+        # the oracle is the plain DISTINCT the engine never has to run
+        "distinct_dict_pushdown": """
+            SELECT 'lang' AS column_name, lang AS value
+            FROM (SELECT DISTINCT lang FROM documents)
+            UNION ALL
+            SELECT 'source' AS column_name, source AS value
+            FROM (SELECT DISTINCT source FROM documents)
+            ORDER BY column_name, value""",
         # the frozen 177-pair diacritic table, embedded from the module
         # constants so the two engines can never drift
         "accent_fold": f"""

@@ -530,6 +530,13 @@ def main(argv: list[str] | None = None) -> int:
     add("blockstats", (("-c", "--columns"), {"default": None}),
         (("--snapshot",), {"default": None,
                            "help": "time travel: stats as of this snapshot id or tag"}),
+        (("--distinct",), {"default": None,
+                           "help": "exact DISTINCT values of this column, served from "
+                                   "per-block dictionary sections where the codec allows "
+                                   "(code streams never unpacked)"}),
+        (("--dict-only",), {"action": "store_true",
+                            "help": "with --distinct: error instead of decoding any "
+                                    "non-dictionary block (proves the cheap path)"}),
         with_output=False)
     add("compact", (("--num-files",), {"type": int, "default": 32,
                                        "help": "output block-file count"}))
@@ -842,6 +849,15 @@ def main(argv: list[str] | None = None) -> int:
             blocks = (
                 spark.read.option("recursiveFileLookup", "true").parquet(args.input)
             )
+        if getattr(args, "distinct", None):
+            from nail_parquet_spark.codec.inspect import distinct_pushdown
+
+            vals = distinct_pushdown(
+                blocks, args.distinct,
+                dict_only=getattr(args, "dict_only", False)
+            ).orderBy(args.distinct).collect()
+            print(json.dumps([r[0] for r in vals], default=str))
+            return 0
         cols = args.columns.split(",") if args.columns else None
         stats = column_stats_pushdown(blocks, cols)
         print(json.dumps(stats, indent=2, default=str))

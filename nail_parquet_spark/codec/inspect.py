@@ -67,6 +67,151 @@ def encoding_usage(blocks: DataFrame) -> DataFrame:
     )
 
 
+def distinct_pushdown(blocks: DataFrame, column: str,
+                      dict_only: bool = False) -> DataFrame:
+    """Exact ``SELECT DISTINCT column`` over an encoded blocks table that
+    reads per-block DICTIONARIES instead of decoding code streams wherever
+    the codec allows — the columnar-engine answer to "what languages /
+    sources / hosts are in this corpus" (the reference's distinct-values
+    report, /root/reference/src/utils/stats.rs, needs a full column scan).
+
+    Fast path (dictionary sections only, code streams never unpacked):
+
+    - str/bin ``dict`` / ``rle`` blocks: the Arrow dictionary holds exactly
+      the observed non-null values (nulls never enter it), so the block's
+      distinct set IS the dictionary — decompress ``dict_data``, skip
+      ``codes`` entirely;
+    - int/float ``dict`` blocks with ``null_count == 0``: same, from the
+      ``dict`` section. (With nulls present these dictionaries contain the
+      encoder's null-fill value, which may be spurious → full decode.)
+
+    Every other codec decodes that block and uniquifies it locally — still
+    exact, and only per-block DISTINCT sets ever shuffle (bounded by block
+    cardinality, not rows). NULL membership comes from header null_count
+    metadata. ``dict_only=True`` turns the fallback into a ValueError, so
+    callers can assert the cheap path served every block.
+
+    Scale shape: one narrow scan of the column's blocks, a mapInArrow
+    projection emitting <= distinct-per-block rows, one tiny distinct
+    Exchange. No global decode, no full-width rows anywhere.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from nail_parquet_spark.codec.decode import (_headers_by_column,
+                                                 _spark_ddl_of)
+    from nail_parquet_spark.codec.kernels import _type_from_str
+
+    headers, _ = _headers_by_column(blocks)
+    if column not in headers:
+        raise ValueError(f"column {column!r} not in the blocks table")
+    typ = _type_from_str(headers[column]["type"])
+    out_schema = pa.schema([(column, typ)])
+    mine = blocks.filter(F.col("column") == column)
+
+    # metadata-only pre-scan: xref blocks decode against a sibling column,
+    # so any xref presence routes the whole column through the grouped
+    # decoder (exact, just not dictionary-served)
+    codecs = [r[0] for r in mine.select("codec").distinct().collect()]
+    if any(c.startswith("xref") for c in codecs):
+        if dict_only:
+            raise ValueError(
+                f"column {column!r} has xref-encoded blocks; distinct "
+                "requires decoding against the reference column"
+            )
+        from nail_parquet_spark.codec.decode import decode_table
+
+        return decode_table(blocks, [column]).distinct()
+
+    if dict_only:
+        # codec / null_count are block-table metadata columns, so the
+        # guarantee is checked driver-side from ONE metadata-only scan
+        # (payload pruned) and raises before any decode work is planned
+        kind = headers[column]["kind"]
+        if kind in ("str", "bin"):
+            bad = mine.filter(~F.col("codec").isin("dict", "rle"))
+        elif kind in ("int", "float"):
+            bad = mine.filter((F.col("codec") != "dict")
+                              | (F.col("null_count") > 0))
+        else:
+            bad = mine
+        first = bad.select("codec", "null_count").first()
+        if first is not None:
+            raise ValueError(
+                f"column {column!r} has a {first['codec']!r} block (kind "
+                f"{kind}, null_count={first['null_count']}): distinct not "
+                "servable from dictionary sections alone"
+            )
+
+    typ_str = headers[column]["type"]
+
+    def per_block(batches):
+        import numpy as np
+
+        from nail_parquet_spark.codec.kernels import (EncodedBlock,
+                                                      _restore_int_array,
+                                                      _restore_strbin_array,
+                                                      _type_from_str,
+                                                      decode_array,
+                                                      zstd_decompress,
+                                                      unpack_bits)
+
+        typ_l = _type_from_str(typ_str)
+        for b in batches:
+            hdr_col = b.column(b.schema.get_field_index("header"))
+            pl_col = b.column(b.schema.get_field_index("payload"))
+            outs: list[pa.Array] = []
+            for i in range(b.num_rows):
+                blk = EncodedBlock.from_parts(hdr_col[i].as_py(),
+                                              pl_col[i].as_py())
+                h = blk.header
+                codec, kind, p = h["codec"], h["kind"], h.get("params", {})
+                has_null = h.get("null_count", 0) > 0
+                if kind in ("str", "bin") and codec in ("dict", "rle"):
+                    dlens = unpack_bits(blk.section("dict_lens"),
+                                        p["n_dict"],
+                                        p["dict_len_width"]).astype(np.int64)
+                    doff = np.concatenate(
+                        ([0], np.cumsum(dlens))).astype(np.int64)
+                    ddata = zstd_decompress(blk.section("dict_data"),
+                                            p["dict_raw_len"])
+                    arr = _restore_strbin_array(doff, ddata, None, typ_l)
+                elif kind == "int" and codec == "dict" and not has_null:
+                    uniq = np.frombuffer(
+                        zstd_decompress(blk.section("dict"),
+                                        p["dict_raw_len"]), dtype=np.int64)
+                    arr = _restore_int_array(uniq.copy(), None, typ_l)
+                elif kind == "float" and codec == "dict" and not has_null:
+                    dtype = np.dtype(p["dtype"])
+                    ddt = (np.dtype(f"u{dtype.itemsize}")
+                           if p.get("bitdict") else dtype)
+                    uniq = np.frombuffer(
+                        zstd_decompress(blk.section("dict"),
+                                        p["dict_raw_len"]), dtype=ddt)
+                    arr = pa.array(uniq.view(dtype), type=typ_l)
+                else:
+                    if dict_only:
+                        raise ValueError(
+                            f"column {column!r} block uses codec {codec!r}"
+                            f" (kind {kind}, nulls={has_null}): distinct "
+                            "not servable from dictionary sections alone"
+                        )
+                    arr = pc.unique(decode_array(blk))
+                    has_null = False  # unique() already kept any null
+                if arr.type != typ_l:
+                    arr = arr.cast(typ_l)
+                outs.append(arr)
+                if has_null:
+                    outs.append(pa.nulls(1, typ_l))
+            merged = (pc.unique(pa.concat_arrays(outs)) if outs
+                      else pa.nulls(0, typ_l))
+            yield pa.record_batch([merged], schema=out_schema)
+
+    return (mine.select("header", "payload")
+            .mapInArrow(per_block, schema=_spark_ddl_of(out_schema))
+            .distinct())
+
+
 def column_stats_pushdown(blocks: DataFrame,
                           columns: list[str] | None = None) -> dict[str, dict]:
     """Exact ``count`` / ``null_count`` / ``min`` / ``max`` per column,

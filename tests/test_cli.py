@@ -183,6 +183,18 @@ def test_cli_blockstats(data, tmp_path, capsys):
     assert got["score"]["count"] == 19 and got["score"]["null_count"] == 1
 
 
+def test_cli_blockstats_distinct(data, tmp_path, spark, capsys):
+    blocks = str(tmp_path / "blk_dst")
+    run("optimize", data, "-o", blocks, "--codecs", '{"category": "dict"}')
+    capsys.readouterr()
+    run("blockstats", blocks, "--distinct", "category", "--dict-only")
+    got = json.loads(capsys.readouterr().out)
+    want = sorted(r[0] for r in
+                  spark.read.parquet(data).select("category").distinct()
+                  .collect())
+    assert got == want
+
+
 def test_cli_binning_reference_flags(data, tmp_path, spark):
     out = str(tmp_path / "b.parquet")
     # custom edges via --bins + custom labels + drop-original (binning.rs:22-43)
