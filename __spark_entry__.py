@@ -1568,6 +1568,22 @@ def q_distinct_dict_pushdown(spark, sf_dir):
         .orderBy("column_name", "value"))
 
 
+def q_frequency_pushdown(spark, sf_dir):
+    """GROUP-BY-count aggregate pushdown over encoded blocks
+    (codec/inspect.frequency_pushdown): documents.lang encoded as dict,
+    counts histogrammed from the bit-packed CODES — values materialize
+    only once per block dictionary, never per row, and the encoder's
+    null-fill is subtracted back out from header null_count so the NULL
+    group is exact (dict_only=True proves no block decoded). Exact by
+    construction → plain GROUP BY oracle."""
+    from nail_parquet_spark.codec.encode import encode_table
+    from nail_parquet_spark.codec.inspect import frequency_pushdown
+
+    d = _t(spark, sf_dir, "documents").select("lang")
+    blocks = encode_table(d, codecs={"lang": "dict"}, block_rows=2048)
+    return frequency_pushdown(blocks, "lang", dict_only=True).orderBy("value")
+
+
 def q_approx_distinct_kmv(spark, sf_dir):
     """KMV distinct-cardinality sketch (functions/sketch.py): one scan,
     per-partition k-minimum DISTINCT hash sets in mapInArrow, tiny merge —
@@ -2371,6 +2387,7 @@ _QUERIES = {
         "approx_quantiles": q_approx_quantiles,
         "corpus_overlap_kmv": q_corpus_overlap_kmv,
         "distinct_dict_pushdown": q_distinct_dict_pushdown,
+        "frequency_pushdown": q_frequency_pushdown,
         # this session: Iceberg-v2-style merge-on-read position deletes +
         # key upsert (codec/deletes.py, pipeline/deletes.py) — value-exact
         # locally; tests/test_deletes*.py
@@ -2725,6 +2742,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'source' AS column_name, source AS value
             FROM (SELECT DISTINCT source FROM documents)
             ORDER BY column_name, value""",
+        "frequency_pushdown": """
+            SELECT lang AS value, count(*) AS n FROM documents
+            GROUP BY lang ORDER BY value""",
         # the frozen 177-pair diacritic table, embedded from the module
         # constants so the two engines can never drift
         "accent_fold": f"""

@@ -534,9 +534,14 @@ def main(argv: list[str] | None = None) -> int:
                            "help": "exact DISTINCT values of this column, served from "
                                    "per-block dictionary sections where the codec allows "
                                    "(code streams never unpacked)"}),
+        (("--frequency",), {"default": None,
+                            "help": "exact value counts (GROUP BY count incl. the NULL "
+                                    "group) of this column, histogrammed from dict codes "
+                                    "/ rle run lengths where the codec allows"}),
         (("--dict-only",), {"action": "store_true",
-                            "help": "with --distinct: error instead of decoding any "
-                                    "non-dictionary block (proves the cheap path)"}),
+                            "help": "with --distinct/--frequency: error instead of "
+                                    "decoding any non-dictionary block (proves the "
+                                    "cheap path)"}),
         with_output=False)
     add("compact", (("--num-files",), {"type": int, "default": 32,
                                        "help": "output block-file count"}))
@@ -857,6 +862,18 @@ def main(argv: list[str] | None = None) -> int:
                 dict_only=getattr(args, "dict_only", False)
             ).orderBy(args.distinct).collect()
             print(json.dumps([r[0] for r in vals], default=str))
+            return 0
+        if getattr(args, "frequency", None):
+            from pyspark.sql import functions as F
+
+            from nail_parquet_spark.codec.inspect import frequency_pushdown
+
+            rows = frequency_pushdown(
+                blocks, args.frequency,
+                dict_only=getattr(args, "dict_only", False)
+            ).orderBy(F.desc("n"), "value").collect()
+            print(json.dumps([[r["value"], r["n"]] for r in rows],
+                             default=str))
             return 0
         cols = args.columns.split(",") if args.columns else None
         stats = column_stats_pushdown(blocks, cols)

@@ -212,6 +212,202 @@ def distinct_pushdown(blocks: DataFrame, column: str,
             .distinct())
 
 
+def frequency_pushdown(blocks: DataFrame, column: str,
+                       dict_only: bool = False) -> DataFrame:
+    """Exact ``SELECT column, COUNT(*) GROUP BY column`` over an encoded
+    blocks table — the encoded-native twin of the `frequency` operator
+    (reference: /root/reference/src/commands/frequency.rs) that never
+    materializes the column's values beyond each block's dictionary:
+
+    - ``dict`` blocks: histogram the bit-packed CODES (``np.bincount`` over
+      4-byte ints) and pair counts with dictionary entries;
+    - ``rle`` blocks: sum run LENGTHS per run value — the histogram costs
+      O(#runs), the codes are never even expanded;
+    - the encoder null-fills before coding, so null rows land on one known
+      slot (code 0 for strings, value 0 for numerics) — header null_count
+      subtracts them back out and reports the NULL group exactly;
+    - any other codec decodes that block and value-counts it locally
+      (still exact; ``dict_only=True`` raises instead, checked driver-side
+      from block metadata before any work is planned).
+
+    Returns (value <column type>, n bigint), one row per distinct value
+    incl. the NULL group — ANSI GROUP BY semantics. Scale shape: per-block
+    histograms bounded by block cardinality are the only shuffled rows;
+    one tiny partial-agg Exchange merges them.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from nail_parquet_spark.codec.decode import (_headers_by_column,
+                                                 _spark_ddl_of)
+    from nail_parquet_spark.codec.kernels import _type_from_str
+
+    headers, _ = _headers_by_column(blocks)
+    if column not in headers:
+        raise ValueError(f"column {column!r} not in the blocks table")
+    typ = _type_from_str(headers[column]["type"])
+    out_schema = pa.schema([("value", typ), ("n", pa.int64())])
+    mine = blocks.filter(F.col("column") == column)
+    kind = headers[column]["kind"]
+
+    codecs = [r[0] for r in mine.select("codec").distinct().collect()]
+    if any(c.startswith("xref") for c in codecs):
+        if dict_only:
+            raise ValueError(
+                f"column {column!r} has xref-encoded blocks; frequency "
+                "requires decoding against the reference column"
+            )
+        from nail_parquet_spark.codec.decode import decode_table
+
+        return (decode_table(blocks, [column])
+                .groupBy(F.col(column).alias("value"))
+                .agg(F.count(F.lit(1)).alias("n")))
+
+    if dict_only:
+        servable = (("dict", "rle") if kind in ("str", "bin", "int")
+                    else ("dict",))
+        first = (mine.filter(~F.col("codec").isin(*servable))
+                 .select("codec").first())
+        if first is not None:
+            raise ValueError(
+                f"column {column!r} has a {first['codec']!r} block (kind "
+                f"{kind}): frequency not servable from codes/runs alone"
+            )
+
+    typ_str = headers[column]["type"]
+
+    def per_block(batches):
+        import numpy as np
+
+        from nail_parquet_spark.codec.kernels import (EncodedBlock, _build,
+                                                      _dec_int_for,
+                                                      _dec_int_rle,
+                                                      _restore_int_array,
+                                                      _restore_strbin_array,
+                                                      _type_from_str,
+                                                      decode_array,
+                                                      unpack_bits,
+                                                      zstd_decompress)
+
+        typ_l = _type_from_str(typ_str)
+
+        def emit(vals_arr: pa.Array, counts: np.ndarray,
+                 n_null: int) -> tuple[pa.Array, pa.Array]:
+            keep = counts > 0
+            vals_arr = vals_arr.filter(pa.array(keep)) if not keep.all() \
+                else vals_arr
+            cnts = counts[keep]
+            if n_null > 0:
+                vals_arr = pa.concat_arrays(
+                    [vals_arr.cast(typ_l), pa.nulls(1, typ_l)])
+                cnts = np.concatenate([cnts, [n_null]])
+            return vals_arr, cnts
+
+        for b in batches:
+            hdr_col = b.column(b.schema.get_field_index("header"))
+            pl_col = b.column(b.schema.get_field_index("payload"))
+            v_out: list[pa.Array] = []
+            c_out: list[np.ndarray] = []
+            for i in range(b.num_rows):
+                blk = EncodedBlock.from_parts(hdr_col[i].as_py(),
+                                              pl_col[i].as_py())
+                h = blk.header
+                codec, p = h["codec"], h.get("params", {})
+                n, nnull = h["n"], h.get("null_count", 0)
+                k = h["kind"]
+                if k in ("str", "bin") and codec in ("dict", "rle"):
+                    nd = p["n_dict"]
+                    counts = np.zeros(nd, dtype=np.int64)
+                    if nd:
+                        if codec == "dict":
+                            codes = unpack_bits(blk.section("codes"), n,
+                                                p["width"]).astype(np.int64)
+                            counts = np.bincount(codes, minlength=nd)
+                        else:
+                            rp = p["rle"]
+                            sub = _build({"params": rp["vals"]}, [
+                                ("packed", blk.section("rle_run_vals"))])
+                            run_vals = _dec_int_for(sub, rp["n_runs"])
+                            run_lens = unpack_bits(
+                                blk.section("rle_run_lens"), rp["n_runs"],
+                                rp["len_width"]).astype(np.int64)
+                            np.add.at(counts, run_vals, run_lens)
+                        counts[0] -= nnull  # encoder fill_null(0) codes
+                    dlens = unpack_bits(blk.section("dict_lens"), nd,
+                                        p["dict_len_width"]).astype(np.int64)
+                    doff = np.concatenate(
+                        ([0], np.cumsum(dlens))).astype(np.int64)
+                    ddata = zstd_decompress(blk.section("dict_data"),
+                                            p["dict_raw_len"])
+                    va = _restore_strbin_array(doff, ddata, None, typ_l)
+                    va, cn = emit(va, counts, nnull)
+                elif k == "int" and codec in ("dict", "rle"):
+                    if codec == "dict":
+                        uniq = np.frombuffer(
+                            zstd_decompress(blk.section("dict"),
+                                            p["dict_raw_len"]),
+                            dtype=np.int64)
+                        codes = unpack_bits(blk.section("codes"), n,
+                                            p["width"]).astype(np.int64)
+                        counts = (np.bincount(codes, minlength=len(uniq))
+                                  if len(uniq) else np.zeros(0, np.int64))
+                    else:
+                        nr = p["n_runs"]
+                        sub = _build({"params": p["vals"]}, [
+                            ("packed", blk.section("run_vals"))])
+                        rv = _dec_int_for(sub, nr)
+                        rl = unpack_bits(blk.section("run_lens"), nr,
+                                         p["len_width"]).astype(np.int64)
+                        uniq, inv = np.unique(rv, return_inverse=True)
+                        counts = np.zeros(len(uniq), dtype=np.int64)
+                        np.add.at(counts, inv, rl)
+                    if nnull and len(uniq):
+                        z = np.searchsorted(uniq, 0)  # fill_null(0) values
+                        if z < len(uniq) and uniq[z] == 0:
+                            counts = counts.copy()
+                            counts[z] -= nnull
+                    va = _restore_int_array(uniq.copy(), None, typ_l)
+                    va, cn = emit(va, counts, nnull)
+                elif k == "float" and codec == "dict":
+                    dtype = np.dtype(p["dtype"])
+                    ddt = (np.dtype(f"u{dtype.itemsize}")
+                           if p.get("bitdict") else dtype)
+                    uniq = np.frombuffer(
+                        zstd_decompress(blk.section("dict"),
+                                        p["dict_raw_len"]), dtype=ddt)
+                    codes = unpack_bits(blk.section("codes"), n,
+                                        p["width"]).astype(np.int64)
+                    counts = (np.bincount(codes, minlength=len(uniq))
+                              if len(uniq) else np.zeros(0, np.int64))
+                    if nnull and len(uniq):
+                        fill = (np.zeros(1, dtype).view(ddt)[0]
+                                if p.get("bitdict") else dtype.type(0.0))
+                        z = np.flatnonzero(uniq == fill)
+                        if z.size:
+                            counts = counts.copy()
+                            counts[z[0]] -= nnull
+                    va = pa.array(uniq.view(dtype), type=typ_l)
+                    va, cn = emit(va, counts, nnull)
+                else:
+                    arr = decode_array(blk)
+                    n_null_b = arr.null_count
+                    vc = pc.value_counts(arr.drop_null())
+                    va, cn = emit(vc.field("values"),
+                                  np.asarray(vc.field("counts")), n_null_b)
+                v_out.append(va.cast(typ_l) if va.type != typ_l else va)
+                c_out.append(np.asarray(cn, dtype=np.int64))
+            vals = (pa.concat_arrays(v_out) if v_out
+                    else pa.nulls(0, typ_l))
+            cnts = (np.concatenate(c_out) if c_out
+                    else np.zeros(0, np.int64))
+            yield pa.record_batch(
+                [vals, pa.array(cnts, pa.int64())], schema=out_schema)
+
+    return (mine.select("header", "payload")
+            .mapInArrow(per_block, schema=_spark_ddl_of(out_schema))
+            .groupBy("value").agg(F.sum("n").alias("n")))
+
+
 def column_stats_pushdown(blocks: DataFrame,
                           columns: list[str] | None = None) -> dict[str, dict]:
     """Exact ``count`` / ``null_count`` / ``min`` / ``max`` per column,

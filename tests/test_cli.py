@@ -193,6 +193,11 @@ def test_cli_blockstats_distinct(data, tmp_path, spark, capsys):
                   spark.read.parquet(data).select("category").distinct()
                   .collect())
     assert got == want
+    run("blockstats", blocks, "--frequency", "category", "--dict-only")
+    freq = json.loads(capsys.readouterr().out)
+    want_n = {r[0]: r[1] for r in
+              spark.read.parquet(data).groupBy("category").count().collect()}
+    assert {v: n for v, n in freq} == want_n
 
 
 def test_cli_binning_reference_flags(data, tmp_path, spark):
