@@ -1568,6 +1568,27 @@ def q_distinct_dict_pushdown(spark, sf_dir):
         .orderBy("column_name", "value"))
 
 
+def q_sum_pushdown(spark, sf_dir):
+    """SUM/AVG aggregate pushdown from per-block header sum stats
+    (codec/encode._sum_string + codec/inspect.column_stats_pushdown
+    with_sum=True): lineitem encodes with an exact arbitrary-precision
+    per-block integer sum stamped into each header; count/min/max/sum/avg
+    then answer from metadata alone — payloads never read. Integer sums
+    are exact end-to-end (blocks merge under decimal(38,0)), so the oracle
+    is plain SQL aggregates; avg is pinned to CAST(sum AS DOUBLE)/count in
+    both engines."""
+    from nail_parquet_spark.codec.encode import encode_table
+    from nail_parquet_spark.codec.inspect import column_stats_pushdown
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey")
+    s = column_stats_pushdown(encode_table(li), with_sum=True)["l_orderkey"]
+    return spark.createDataFrame(
+        [(s["count"], int(s["min"]), int(s["max"]), int(s["sum"]),
+          float(s["sum"]) / s["count"])],
+        "n_count bigint, min_v bigint, max_v bigint, sum_v bigint, "
+        "avg_v double")
+
+
 def q_frequency_pushdown(spark, sf_dir):
     """GROUP-BY-count aggregate pushdown over encoded blocks
     (codec/inspect.frequency_pushdown): documents.lang encoded as dict,
@@ -2388,6 +2409,7 @@ _QUERIES = {
         "corpus_overlap_kmv": q_corpus_overlap_kmv,
         "distinct_dict_pushdown": q_distinct_dict_pushdown,
         "frequency_pushdown": q_frequency_pushdown,
+        "sum_pushdown": q_sum_pushdown,
         # this session: Iceberg-v2-style merge-on-read position deletes +
         # key upsert (codec/deletes.py, pipeline/deletes.py) — value-exact
         # locally; tests/test_deletes*.py
@@ -2745,6 +2767,13 @@ def oracle_sql() -> dict[str, str]:
         "frequency_pushdown": """
             SELECT lang AS value, count(*) AS n FROM documents
             GROUP BY lang ORDER BY value""",
+        "sum_pushdown": """
+            SELECT count(l_orderkey) AS n_count,
+                   min(l_orderkey) AS min_v, max(l_orderkey) AS max_v,
+                   CAST(sum(l_orderkey) AS BIGINT) AS sum_v,
+                   CAST(sum(l_orderkey) AS DOUBLE) / count(l_orderkey)
+                       AS avg_v
+            FROM lineitem""",
         # the frozen 177-pair diacritic table, embedded from the module
         # constants so the two engines can never drift
         "accent_fold": f"""

@@ -542,6 +542,9 @@ def main(argv: list[str] | None = None) -> int:
                             "help": "with --distinct/--frequency: error instead of "
                                     "decoding any non-dictionary block (proves the "
                                     "cheap path)"}),
+        (("--with-sum",), {"action": "store_true",
+                           "help": "add exact sum/avg from per-block header sum stats "
+                                   "(numeric columns; payloads still never read)"}),
         with_output=False)
     add("compact", (("--num-files",), {"type": int, "default": 32,
                                        "help": "output block-file count"}))
@@ -876,7 +879,8 @@ def main(argv: list[str] | None = None) -> int:
                              default=str))
             return 0
         cols = args.columns.split(",") if args.columns else None
-        stats = column_stats_pushdown(blocks, cols)
+        stats = column_stats_pushdown(
+            blocks, cols, with_sum=getattr(args, "with_sum", False))
         print(json.dumps(stats, indent=2, default=str))
         return 0
     if args.cmd == "decode" and getattr(args, "shuffle_free", False):

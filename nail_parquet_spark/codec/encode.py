@@ -17,6 +17,7 @@ from __future__ import annotations
 import datetime as _dt_mod
 import re as _re_mod
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 from pyspark.sql import DataFrame
@@ -72,6 +73,34 @@ def _stat_strings(arr: pa.Array) -> tuple[str | None, str | None, int]:
         )
     except Exception:
         return None, None, distinct
+
+
+def _sum_string(arr: pa.Array) -> "str | None":
+    """Exact per-block SUM stamped into the block header (key ``zsum``) so
+    SUM/AVG join count/min/max in the no-payload-scan aggregate pushdown
+    (codec/inspect.column_stats_pushdown ``with_sum``).
+
+    Integers sum in arbitrary precision: the int64 values split into
+    high/low 32-bit halves whose numpy partial sums cannot overflow for
+    any block under 2^30 rows, then recombine as Python ints — the stored
+    decimal string is the true sum, never a wrapped one. Floats carry
+    arrow's pairwise sum (deterministic for the block's content; merged
+    float sums are summation-order-defined, documented at the read side).
+    Non-numeric kinds return None; all-null blocks store the SUM identity
+    (0), which is correct because the reader nulls the global sum when the
+    non-null count is zero."""
+    t = arr.type
+    if pa.types.is_integer(t):
+        v = np.asarray(arr.drop_null(), dtype=np.int64)
+        if v.size == 0:
+            return "0"
+        hi = int((v >> 32).sum(dtype=np.int64))
+        lo = int((v & 0xFFFFFFFF).sum(dtype=np.int64))
+        return str((hi << 32) + lo)
+    if pa.types.is_floating(t):
+        s = pc.sum(arr).as_py()
+        return repr(float(s)) if s is not None else "0.0"
+    return None
 
 
 def choose_codecs_for_df(
@@ -232,6 +261,9 @@ def _encode_chunk(chunk, cols, chosen, with_stats, pid, block_id,
         blk = blks[cname] if blks is not None else _enc_one(cname)
         if with_stats:
             mn, mx, dist = _stat_strings(arr)
+            zs = _sum_string(arr)
+            if zs is not None:
+                blk.header["zsum"] = zs  # before header_json below
         else:
             mn = mx = None
             dist = -1

@@ -409,7 +409,8 @@ def frequency_pushdown(blocks: DataFrame, column: str,
 
 
 def column_stats_pushdown(blocks: DataFrame,
-                          columns: list[str] | None = None) -> dict[str, dict]:
+                          columns: list[str] | None = None,
+                          with_sum: bool = False) -> dict[str, dict]:
     """Exact ``count`` / ``null_count`` / ``min`` / ``max`` per column,
     answered from block zone stats alone — payload bytes are never read
     (the aggregation touches only the metadata columns, so Catalyst prunes
@@ -434,6 +435,19 @@ def column_stats_pushdown(blocks: DataFrame,
     - a numeric/temporal stat that does not parse back via try_cast
       (corrupt or foreign metadata) → raise, because a NULL from a failed
       parse would silently drop that block from the extremes.
+
+    ``with_sum=True`` adds ``sum`` / ``avg`` for integer and float columns
+    from the per-block ``zsum`` header stat (encode.py ``_sum_string``;
+    the header is metadata too — payloads stay unread). Integer sums are
+    EXACT end-to-end: each block's sum is stored in arbitrary precision
+    and the blocks merge under decimal(38,0) (a null merge result with a
+    nonzero count raises instead of silently overflowing). Float sums are
+    deterministic for a fixed block layout but summation-order-defined
+    (per-block arrow pairwise sums merged in any order) — documented, not
+    hidden: a float ``sum`` may differ from a sequential scan in the last
+    ulp. Blocks encoded before this stat existed (or with stats disabled)
+    raise, same contract as min/max; non-numeric columns raise. ``avg`` is
+    ``sum / count`` as double (None when count is 0, ANSI AVG-of-nothing).
 
     Why parsing is otherwise exact: stats are ``str(value)[:64]`` renders
     (encode.py ``_stat_strings``). int64/bool renders always fit and
@@ -475,6 +489,15 @@ def column_stats_pushdown(blocks: DataFrame,
                 "stats; exact min/max requires a decode"
             )
 
+    if with_sum:
+        bad_sum_cols = [c for c in columns
+                        if casts[c] not in ("bigint", "double")]
+        if bad_sum_cols:
+            raise ValueError(
+                f"with_sum: columns {bad_sum_cols} are not int/float; "
+                "SUM pushdown applies to numeric columns only"
+            )
+
     aggs = []
     for c in columns:
         on = F.col("column") == c
@@ -505,6 +528,20 @@ def column_stats_pushdown(blocks: DataFrame,
                 & (F.col("null_count") < F.col("n_rows")), F.lit(1)
             )).alias(f"bad__{c}"),
         ]
+        if with_sum:
+            zs = F.when(on, F.get_json_object(F.col("header"), "$.zsum"))
+            z_t = zs.try_cast(
+                "decimal(38,0)" if casts[c] == "bigint" else "double")
+            aggs += [
+                F.sum(z_t).alias(f"sum__{c}"),
+                # no zsum on a not-all-null block (pre-stat encode or
+                # stats disabled), or a stored sum that fails to parse
+                F.max(F.when(
+                    on & ((zs.isNull()
+                           & (F.col("null_count") < F.col("n_rows")))
+                          | (zs.isNotNull() & z_t.isNull())), F.lit(1)
+                )).alias(f"badsum__{c}"),
+            ]
     row = blocks.agg(*aggs).collect()[0]  # ONE metadata row to the driver
 
     out: dict[str, dict] = {}
@@ -533,4 +570,23 @@ def column_stats_pushdown(blocks: DataFrame,
             "min": row[f"min__{c}"],
             "max": row[f"max__{c}"],
         }
+        if with_sum:
+            if row[f"badsum__{c}"] == 1:
+                raise ValueError(
+                    f"column {c!r} has blocks without a stored sum stat "
+                    "(encoded before sum stats, or stats disabled); exact "
+                    "SUM requires a decode"
+                )
+            if n - nulls == 0:
+                out[c]["sum"] = out[c]["avg"] = None  # SUM of no rows
+            else:
+                s = row[f"sum__{c}"]
+                if s is None:
+                    raise ValueError(
+                        f"column {c!r} SUM overflowed decimal(38,0) in "
+                        "the merge; exact SUM requires a decode"
+                    )
+                s = int(s) if casts[c] == "bigint" else float(s)
+                out[c]["sum"] = s
+                out[c]["avg"] = float(s) / (n - nulls)
     return out

@@ -132,3 +132,62 @@ def test_date_column(spark):
     back = decode_table(blocks, columns=["k", "d"])
     assert back.schema["d"].dataType.simpleString() == "date"
     assert df.exceptAll(back).count() == 0 and back.count() == 100
+
+
+class TestSumPushdown:
+    def test_int_and_float_sums_with_nulls(self, spark, typed_blocks):
+        df, blocks = typed_blocks
+        got = column_stats_pushdown(blocks, ["k", "x", "with_nulls"],
+                                    with_sum=True)
+        truth = df.agg(F.sum("k"), F.sum("x"), F.sum("with_nulls"),
+                       F.avg("with_nulls")).collect()[0]
+        assert got["k"]["sum"] == truth[0]
+        assert got["k"]["avg"] == truth[0] / 1000
+        assert abs(got["x"]["sum"] - truth[1]) < 1e-6  # order-defined FP
+        assert got["with_nulls"]["sum"] == truth[2]
+        assert abs(got["with_nulls"]["avg"] - truth[3]) < 1e-12
+
+    def test_int_sum_is_exact_beyond_wraparound(self, spark):
+        # values near int64 max: per-block hi/lo split sums must not wrap
+        big = (1 << 62) + 12345
+        df = spark.createDataFrame([(big,)] * 8 + [(-3,)] * 2, "v long")
+        blocks = encode_table(df, codecs={"v": "plain"}, block_rows=4)
+        got = column_stats_pushdown(blocks, ["v"], with_sum=True)
+        assert got["v"]["sum"] == big * 8 - 6  # > int64 max, exact anyway
+
+    def test_all_null_column_sum_is_none(self, spark):
+        df = spark.createDataFrame([(None,)] * 30, "v double")
+        blocks = encode_table(df, codecs={"v": "plain"}, block_rows=8)
+        got = column_stats_pushdown(blocks, ["v"], with_sum=True)
+        assert got["v"]["sum"] is None and got["v"]["avg"] is None
+
+    def test_non_numeric_with_sum_raises(self, spark, typed_blocks):
+        _, blocks = typed_blocks
+        with pytest.raises(ValueError, match="not int/float"):
+            column_stats_pushdown(blocks, ["s"], with_sum=True)
+        with pytest.raises(ValueError, match="not int/float"):
+            column_stats_pushdown(blocks, ["b"], with_sum=True)
+
+    def test_pre_stat_blocks_raise(self, spark, typed_blocks):
+        # simulate blocks encoded before the sum stat existed by stripping
+        # zsum out of the header json
+        _, blocks = typed_blocks
+        legacy = blocks.withColumn(
+            "header",
+            F.regexp_replace("header", r',"zsum":"[^"]*"', ""))
+        with pytest.raises(ValueError, match="without a stored sum"):
+            column_stats_pushdown(legacy, ["k"], with_sum=True)
+        # min/max pushdown unaffected by the missing sum stat
+        got = column_stats_pushdown(legacy, ["k"])
+        assert got["k"]["min"] == 0 and got["k"]["max"] == 999
+
+    def test_sum_stat_does_not_break_decode_roundtrip(self, spark):
+        from nail_parquet_spark.codec.decode import decode_table
+
+        df = spark.createDataFrame(
+            [(i, float(i) / 3, f"s{i}") for i in range(500)],
+            "k long, x double, s string")
+        blocks = encode_table(df, block_rows=128)
+        back = decode_table(blocks).select("k", "x", "s")
+        assert back.exceptAll(df).count() == 0
+        assert df.exceptAll(back).count() == 0
