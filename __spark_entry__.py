@@ -1568,6 +1568,32 @@ def q_distinct_dict_pushdown(spark, sf_dir):
         .orderBy("column_name", "value"))
 
 
+def q_count_pushdown(spark, sf_dir):
+    """Predicate COUNT pushdown (codec/inspect.count_where_pushdown):
+    orders sorted-within-partitions on o_totalprice, so zone maps DECIDE
+    almost every block — interior blocks count from metadata
+    (n_rows - null_count), only range-boundary blocks decode the one
+    predicate column, and decode positions pin exact block identity (no
+    double counts through the parts x bids superset filter). Exact by
+    construction; oracle is plain COUNT(*) WHERE."""
+    from nail_parquet_spark.codec.encode import encode_table
+    from nail_parquet_spark.codec.inspect import count_where_pushdown
+
+    o = (_t(spark, sf_dir, "orders")
+         .select("o_orderkey", "o_totalprice")
+         .repartition(4).sortWithinPartitions("o_totalprice"))
+    blocks = encode_table(
+        o, codecs={"o_orderkey": "for_bitpack", "o_totalprice": "plain"},
+        block_rows=4096).cache()
+    c1 = count_where_pushdown(blocks, "o_totalprice", ">=", 400000.0)
+    c2 = count_where_pushdown(blocks, "o_totalprice", "<", 50000.0)
+    c3 = count_where_pushdown(blocks, "o_orderkey", "=", 7)
+    blocks.unpersist()
+    return spark.createDataFrame(
+        [(c1["count"], c2["count"], c3["count"])],
+        "ge_400k bigint, lt_50k bigint, eq_key7 bigint")
+
+
 def q_sum_pushdown(spark, sf_dir):
     """SUM/AVG aggregate pushdown from per-block header sum stats
     (codec/encode._sum_string + codec/inspect.column_stats_pushdown
@@ -2410,6 +2436,7 @@ _QUERIES = {
         "distinct_dict_pushdown": q_distinct_dict_pushdown,
         "frequency_pushdown": q_frequency_pushdown,
         "sum_pushdown": q_sum_pushdown,
+        "count_pushdown": q_count_pushdown,
         # this session: Iceberg-v2-style merge-on-read position deletes +
         # key upsert (codec/deletes.py, pipeline/deletes.py) — value-exact
         # locally; tests/test_deletes*.py
@@ -2767,6 +2794,13 @@ def oracle_sql() -> dict[str, str]:
         "frequency_pushdown": """
             SELECT lang AS value, count(*) AS n FROM documents
             GROUP BY lang ORDER BY value""",
+        "count_pushdown": """
+            SELECT (SELECT count(*) FROM orders WHERE o_totalprice >= 400000.0)
+                       AS ge_400k,
+                   (SELECT count(*) FROM orders WHERE o_totalprice < 50000.0)
+                       AS lt_50k,
+                   (SELECT count(*) FROM orders WHERE o_orderkey = 7)
+                       AS eq_key7""",
         "sum_pushdown": """
             SELECT count(l_orderkey) AS n_count,
                    min(l_orderkey) AS min_v, max(l_orderkey) AS max_v,

@@ -545,6 +545,11 @@ def main(argv: list[str] | None = None) -> int:
         (("--with-sum",), {"action": "store_true",
                            "help": "add exact sum/avg from per-block header sum stats "
                                    "(numeric columns; payloads still never read)"}),
+        (("--count-where",), {"default": None,
+                              "help": "exact COUNT(*) for one predicate 'col>=value' "
+                                      "(same syntax as decode --where): zone maps "
+                                      "decide interior blocks, only boundary blocks "
+                                      "decode"}),
         with_output=False)
     add("compact", (("--num-files",), {"type": int, "default": 32,
                                        "help": "output block-file count"}))
@@ -865,6 +870,12 @@ def main(argv: list[str] | None = None) -> int:
                 dict_only=getattr(args, "dict_only", False)
             ).orderBy(args.distinct).collect()
             print(json.dumps([r[0] for r in vals], default=str))
+            return 0
+        if getattr(args, "count_where", None):
+            from nail_parquet_spark.codec.inspect import count_where_pushdown
+
+            col, op, val = _parse_where(args.count_where)
+            print(json.dumps(count_where_pushdown(blocks, col, op, val)))
             return 0
         if getattr(args, "frequency", None):
             from pyspark.sql import functions as F

@@ -408,6 +408,188 @@ def frequency_pushdown(blocks: DataFrame, column: str,
             .groupBy("value").agg(F.sum("n").alias("n")))
 
 
+def count_where_pushdown(blocks: DataFrame, column: str, op: str, value=None,
+                         max_groups: int = 100_000) -> dict:
+    """Exact ``SELECT COUNT(*) WHERE column op value`` over an encoded
+    blocks table, answered from zone-map metadata for every block the
+    stats can DECIDE and decoding only the undecidable boundary blocks —
+    the min-max-index count optimization (a sorted column's range count
+    touches O(boundary) blocks, not O(data)).
+
+    Per block, from metadata alone (same parse/truncation safety rules as
+    codec/decode.prune_blocks — a stat that cannot be trusted never
+    decides):
+
+    - provably NO row matches → contributes 0 (the prune rule);
+    - provably EVERY non-null row matches (e.g. ``>= v`` with block
+      min >= v; constant blocks for ``=``/``in``; both stats sharing the
+      prefix for ``prefix``, valid even under the 64-char render cap
+      because a truncated render's first chars are exact) → contributes
+      ``n_rows - null_count``, payload never read;
+    - anything else is a boundary block: ONLY the predicate column of
+      those groups decodes (xref references resolve via the group
+      decoder), the exact residual predicate counts rows, and block
+      identity comes from decode positions so metadata-counted groups can
+      never double-count.
+
+    ``isnull`` / ``notnull`` answer 100% from null counters — no decode,
+    ever. NULL rows never match value predicates (ANSI). If the boundary
+    set exceeds ``max_groups`` the whole count falls back to one full
+    predicate-column decode — never wrong, only unpruned.
+
+    Returns ``{"count", "groups_total", "groups_metadata",
+    "groups_decoded"}`` so callers (and benchmarks) can see how much the
+    index actually decided.
+    """
+    import pyarrow as pa
+
+    from nail_parquet_spark.codec.decode import (_PRUNE_OPS,
+                                                 _headers_by_column,
+                                                 _pred_expr, decode_table)
+    from nail_parquet_spark.codec.kernels import _type_from_str
+
+    if op not in _PRUNE_OPS:
+        raise ValueError(f"op must be one of {_PRUNE_OPS}, got {op!r}")
+    headers, _ = _headers_by_column(blocks)
+    if column not in headers:
+        raise ValueError(f"column {column!r} not in the blocks table")
+    mine = blocks.filter(F.col("column") == column)
+    meta = mine.select("part_id", "block_id", "min_val", "max_val",
+                       "n_rows", "null_count")
+
+    if op in ("isnull", "notnull"):
+        matches = (F.col("null_count") if op == "isnull"
+                   else F.col("n_rows") - F.col("null_count"))
+        row = meta.agg(F.sum(matches).alias("c"),
+                       F.count("*").alias("g")).collect()[0]
+        return {"count": int(row["c"] or 0),
+                "groups_total": int(row["g"]),
+                "groups_metadata": int(row["g"]), "groups_decoded": 0}
+
+    t = _type_from_str(headers[column]["type"])
+    is_str = pa.types.is_string(t) or pa.types.is_large_string(t)
+    if op == "prefix" and not is_str:
+        raise ValueError("prefix predicate is only valid on string columns")
+    if pa.types.is_integer(t) or pa.types.is_boolean(t):
+        cast = "bigint"
+    elif pa.types.is_floating(t):
+        cast = "double"
+    elif pa.types.is_timestamp(t) or pa.types.is_date(t):
+        cast = "timestamp"
+    elif is_str:
+        cast = None
+    else:
+        raise ValueError(
+            f"column {column!r} ({headers[column]['type']}) carries no "
+            "zone stats; count requires a full decode"
+        )
+
+    in_vals = list(value) if op == "in" else None
+    if cast is not None:
+        lo = F.col("min_val").try_cast(cast)
+        hi = F.col("max_val").try_cast(cast)
+        v = F.lit(None if in_vals is not None else value).cast(cast)
+        hi_known = hi.isNotNull()
+        lo_known = lo.isNotNull()
+        lits = [F.lit(x).cast(cast) for x in (in_vals or [])]
+    else:
+        lo = F.col("min_val")
+        hi = F.col("max_val")
+        v = F.lit(None if in_vals is not None else value)
+        # same render-cap rules as prune_blocks: a truncated max is only a
+        # prefix of the true max (unusable as a bound); a truncated min is
+        # a valid LOWER bound; startswith stays exact under truncation
+        hi_known = hi.isNotNull() & (F.length("max_val") < 64)
+        lo_known = lo.isNotNull() & (F.length("min_val") < 64)
+        lits = [F.lit(x) for x in (in_vals or [])]
+
+    lo_bound = F.col("min_val").isNotNull() if cast is None else lo.isNotNull()
+    if op == "in":
+        if not lits:
+            g = meta.count()
+            return {"count": 0, "groups_total": int(g),
+                    "groups_metadata": int(g), "groups_decoded": 0}
+        may = F.lit(False)
+        for lv in lits:
+            may = may | ((lo <= lv) & F.when(hi_known, hi >= lv)
+                         .otherwise(F.lit(True)))
+        full = lo_known & hi_known & (lo == hi)
+        in_any = F.lit(False)
+        for lv in lits:
+            in_any = in_any | (lo == lv)
+        full = full & in_any
+    elif op == "!=":
+        may = ~(lo_known & hi_known & (lo == v) & (hi == v))
+        full = lo_known & hi_known & ((hi < v) | (lo > v))
+    elif op == "prefix":
+        may = ((lo <= v) | lo.startswith(v)) & F.when(
+            hi_known, hi >= v).otherwise(F.lit(True))
+        full = (F.col("min_val").isNotNull() & F.col("min_val").startswith(v)
+                & F.col("max_val").startswith(v))
+    elif op in ("=", "=="):
+        may = (lo <= v) & F.when(hi_known, hi >= v).otherwise(F.lit(True))
+        full = lo_known & hi_known & (lo == v) & (hi == v)
+    elif op == ">=":
+        may = F.when(hi_known, hi >= v).otherwise(F.lit(True))
+        full = lo_known & (lo >= v)
+    elif op == ">":
+        may = F.when(hi_known, hi > v).otherwise(F.lit(True))
+        full = lo_known & (lo > v)
+    elif op == "<=":
+        may = lo <= v
+        full = hi_known & (hi <= v)
+    else:  # "<"
+        may = lo < v
+        full = hi_known & (hi < v)
+
+    stats_missing = (~lo_bound) & (F.col("null_count") < F.col("n_rows"))
+    # classification (null-safe: an undecidable comparison is never a
+    # decision): all-null blocks match nothing; missing stats decode
+    safe = lambda c: F.coalesce(c, F.lit(False))  # noqa: E731
+    is_none = (~stats_missing) & (
+        (F.col("null_count") == F.col("n_rows")) | safe(lo_bound & ~may))
+    is_full = (~stats_missing) & safe(lo_bound & may & full) \
+        & (F.col("null_count") < F.col("n_rows"))
+    is_boundary = ~(is_none | is_full)
+
+    agg = meta.agg(
+        F.sum(F.when(is_full, F.col("n_rows") - F.col("null_count"))
+              .otherwise(F.lit(0))).alias("meta_count"),
+        F.count("*").alias("g_total"),
+        F.sum(F.when(is_boundary, 1).otherwise(0)).alias("g_boundary"),
+    ).collect()[0]
+    meta_count = int(agg["meta_count"] or 0)
+    g_total = int(agg["g_total"])
+    g_boundary = int(agg["g_boundary"] or 0)
+    if g_boundary == 0:
+        return {"count": meta_count, "groups_total": g_total,
+                "groups_metadata": g_total, "groups_decoded": 0}
+
+    pred = _pred_expr(column, op, value)
+    if g_boundary > max_groups:
+        cnt = decode_table(blocks, [column]).filter(pred).count()
+        return {"count": int(cnt), "groups_total": g_total,
+                "groups_metadata": 0, "groups_decoded": g_total}
+
+    pairs = (meta.filter(is_boundary).select("part_id", "block_id")
+             .distinct().collect())
+    parts = sorted({r["part_id"] for r in pairs})
+    bids = sorted({r["block_id"] for r in pairs})
+    keys = {f"{r['part_id']}_{r['block_id']}" for r in pairs}
+    # the parts×bids isin filter is a pushdown-friendly SUPERSET; exact
+    # block identity comes from decode positions so full/none groups that
+    # slip through the superset can never be double-counted
+    sub = blocks.filter(F.col("part_id").isin(parts)
+                        & F.col("block_id").isin(bids))
+    dec = decode_table(sub, [column], with_positions=True)
+    cnt_b = (dec.filter(F.concat_ws("_", "_part_id", "_block_id")
+                        .isin(sorted(keys)))
+             .filter(pred).count())
+    return {"count": meta_count + int(cnt_b), "groups_total": g_total,
+            "groups_metadata": g_total - g_boundary,
+            "groups_decoded": g_boundary}
+
+
 def column_stats_pushdown(blocks: DataFrame,
                           columns: list[str] | None = None,
                           with_sum: bool = False) -> dict[str, dict]:

@@ -191,3 +191,89 @@ class TestSumPushdown:
         back = decode_table(blocks).select("k", "x", "s")
         assert back.exceptAll(df).count() == 0
         assert df.exceptAll(back).count() == 0
+
+
+class TestCountWherePushdown:
+    def _check(self, spark, df, blocks, col, op, value, max_decoded=None):
+        from nail_parquet_spark.codec.decode import _pred_expr
+        from nail_parquet_spark.codec.inspect import count_where_pushdown
+
+        got = count_where_pushdown(blocks, col, op, value)
+        want = df.filter(_pred_expr(col, op, value)).count()
+        assert got["count"] == want, (col, op, value, got)
+        assert got["groups_metadata"] + got["groups_decoded"] \
+            == got["groups_total"]
+        if max_decoded is not None:
+            assert got["groups_decoded"] <= max_decoded, got
+        return got
+
+    def test_sorted_range_count_decodes_only_boundaries(self, spark):
+        df = (spark.range(10_000).select(F.col("id").alias("k"))
+              .coalesce(1).sortWithinPartitions("k"))
+        blocks = encode_table(df, codecs={"k": "for_bitpack"},
+                              block_rows=1000).cache()
+        # >= lands inside one block: exactly one boundary decode
+        got = self._check(spark, df, blocks, "k", ">=", 4321, max_decoded=1)
+        assert got["groups_total"] == 10
+        self._check(spark, df, blocks, "k", "<", 2500, max_decoded=1)
+        self._check(spark, df, blocks, "k", "=", 7777, max_decoded=1)
+        # block-aligned bound: zero decodes, pure metadata
+        got = self._check(spark, df, blocks, "k", ">=", 5000, max_decoded=0)
+        assert got["groups_decoded"] == 0
+
+    def test_all_ops_match_ground_truth_unsorted(self, spark):
+        import random
+
+        rnd = random.Random(7)
+        rows = [(rnd.randint(0, 50) if rnd.random() > 0.1 else None,
+                 rnd.choice(["alpha", "beta", "gamma", None]))
+                for _ in range(3000)]
+        df = spark.createDataFrame(rows, "k long, s string").repartition(4)
+        blocks = encode_table(df, block_rows=256).cache()
+        for op, val in [("=", 25), ("!=", 25), (">", 40), (">=", 40),
+                        ("<", 5), ("<=", 5), ("in", [1, 2, 3]),
+                        ("isnull", None), ("notnull", None)]:
+            self._check(spark, df, blocks, "k", op, val)
+        for op, val in [("=", "beta"), ("!=", "beta"),
+                        ("prefix", "ga"), ("<", "b"),
+                        ("in", ["alpha", "zeta"]), ("isnull", None)]:
+            self._check(spark, df, blocks, "s", op, val)
+
+    def test_constant_blocks_answer_equality_from_metadata(self, spark):
+        df = spark.createDataFrame(
+            [("en",)] * 512 + [("fr",)] * 256, "lang string").coalesce(1)
+        blocks = encode_table(df, codecs={"lang": "dict"},
+                              block_rows=256).cache()
+        got = self._check(spark, df, blocks, "lang", "=", "en",
+                          max_decoded=0)
+        assert got["count"] == 512 and got["groups_decoded"] == 0
+        self._check(spark, df, blocks, "lang", "!=", "en", max_decoded=0)
+        self._check(spark, df, blocks, "lang", "in", ["en"], max_decoded=0)
+
+    def test_prefix_full_containment(self, spark):
+        df = spark.createDataFrame(
+            sorted([(f"https://a.example/{i:04d}",) for i in range(600)]
+                   + [(f"https://b.example/{i:04d}",) for i in range(600)]),
+            "url string").coalesce(1).sortWithinPartitions("url")
+        blocks = encode_table(df, codecs={"url": "fc"},
+                              block_rows=200).cache()
+        got = self._check(spark, df, blocks, "url", "prefix",
+                          "https://a.example/", max_decoded=0)
+        assert got["count"] == 600
+
+    def test_all_null_and_empty_in(self, spark):
+        from nail_parquet_spark.codec.inspect import count_where_pushdown
+
+        df = spark.createDataFrame([(None,)] * 100, "k long")
+        blocks = encode_table(df, codecs={"k": "plain"}, block_rows=32)
+        assert count_where_pushdown(blocks, "k", "=", 5)["count"] == 0
+        assert count_where_pushdown(blocks, "k", "isnull")["count"] == 100
+        assert count_where_pushdown(blocks, "k", "in", [])["count"] == 0
+
+    def test_binary_column_raises(self, spark):
+        from nail_parquet_spark.codec.inspect import count_where_pushdown
+
+        df = spark.createDataFrame([(b"ab",)] * 10, "b binary")
+        blocks = encode_table(df, codecs={"b": "plain"}, block_rows=4)
+        with pytest.raises(ValueError, match="no zone stats"):
+            count_where_pushdown(blocks, "b", "=", b"ab")

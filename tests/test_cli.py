@@ -198,6 +198,11 @@ def test_cli_blockstats_distinct(data, tmp_path, spark, capsys):
     want_n = {r[0]: r[1] for r in
               spark.read.parquet(data).groupBy("category").count().collect()}
     assert {v: n for v, n in freq} == want_n
+    run("blockstats", blocks, "--count-where", "value>=150")
+    cw = json.loads(capsys.readouterr().out)
+    want_c = spark.read.parquet(data).filter("value >= 150").count()
+    assert cw["count"] == want_c
+    assert cw["groups_metadata"] + cw["groups_decoded"] == cw["groups_total"]
 
 
 def test_cli_binning_reference_flags(data, tmp_path, spark):
