@@ -1544,6 +1544,22 @@ def q_corpus_overlap_kmv(spark, sf_dir):
                        cust, "c_custkey", k=256)
 
 
+def q_corpus_overlap_by_lang(spark, sf_dir):
+    """Grouped KMV set-overlap (functions/sketch.kmv_overlap_by): per
+    language, how many distinct doc lengths two source partitions of the
+    corpus share — the 'per-lang distinct-URL overlap of crawl A vs crawl
+    B' shape. Per group only <= 2k bottom hashes shuffle; the corpora
+    never join. k=64 is below the per-lang distinct n_chars at sf0.01, so
+    the estimator branch runs; the pinned md5-60-bit hash makes the
+    estimate deterministic -> value-exact oracle."""
+    from nail_parquet_spark.functions.sketch import kmv_overlap_by
+
+    d = _t(spark, sf_dir, "documents")
+    early = F.col("source").isin("src0", "src1", "src2", "src3")
+    return kmv_overlap_by(d.filter(early), ["lang"], "n_chars",
+                          d.filter(~early), "n_chars", k=64)
+
+
 def q_distinct_dict_pushdown(spark, sf_dir):
     """DISTINCT served from per-block dictionary sections only
     (codec/inspect.distinct_pushdown): encode documents' low-cardinality
@@ -2433,6 +2449,7 @@ _QUERIES = {
         "approx_distinct_by": q_approx_distinct_by,
         "approx_quantiles": q_approx_quantiles,
         "corpus_overlap_kmv": q_corpus_overlap_kmv,
+        "corpus_overlap_by_lang": q_corpus_overlap_by_lang,
         "distinct_dict_pushdown": q_distinct_dict_pushdown,
         "frequency_pushdown": q_frequency_pushdown,
         "sum_pushdown": q_sum_pushdown,
@@ -2765,8 +2782,8 @@ def _mojibake_sql(src_cte: str) -> str:
 def oracle_sql() -> dict[str, str]:
     from nail_parquet_spark.functions.normalize import ACCENT_DST, ACCENT_SRC
     from nail_parquet_spark.functions.sketch import (
-        kmv_by_oracle_sql, kmv_oracle_sql, kmv_overlap_oracle_sql,
-        quantiles_oracle_sql)
+        kmv_by_oracle_sql, kmv_oracle_sql, kmv_overlap_by_oracle_sql,
+        kmv_overlap_oracle_sql, quantiles_oracle_sql)
 
     sql = {
         # KMV sketch suite: the SQL twins are generated from the module so
@@ -2782,6 +2799,11 @@ def oracle_sql() -> dict[str, str]:
             "orders", "o_custkey",
             "(SELECT * FROM customer WHERE c_mktsegment = 'AUTOMOBILE')",
             "c_custkey", k=256),
+        "corpus_overlap_by_lang": kmv_overlap_by_oracle_sql(
+            "(SELECT * FROM documents WHERE source IN "
+            "('src0', 'src1', 'src2', 'src3'))", ["lang"], "n_chars",
+            "(SELECT * FROM documents WHERE source NOT IN "
+            "('src0', 'src1', 'src2', 'src3'))", "n_chars", k=64),
         # dictionary-section distinct pushdown is exact by construction, so
         # the oracle is the plain DISTINCT the engine never has to run
         "distinct_dict_pushdown": """

@@ -70,6 +70,10 @@ BENCH_QUERIES = [
     "robots_filter",
     "charset_decode",
     "encode_roundtrip",
+    # encoded-analytics pushdowns (round-5 close): aggregates answered from
+    # block metadata / dictionary sections instead of decoding rows
+    "frequency_pushdown",
+    "count_pushdown",
 ]
 
 

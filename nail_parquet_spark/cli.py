@@ -210,7 +210,15 @@ def main(argv: list[str] | None = None) -> int:
                                     "min-k-sample quantiles of -c columns"}),
         (("--id-column",), {"default": None,
                             "help": "unique id hashed for the --quantiles "
-                                    "sample (default: first column)"}))
+                                    "sample (default: first column)"}),
+        (("--overlap-with",), {"default": None,
+                               "help": "second table (any readable format): KMV "
+                                       "bottom-k set overlap of the single -c column "
+                                       "(jaccard + est intersection; per --group-by "
+                                       "group if given; <= 2k hashes move per group)"}),
+        (("--overlap-column",), {"default": None,
+                                 "help": "with --overlap-with: the second table's "
+                                         "value column (default: same as -c)"}))
     add("frequency", (("-c", "--columns"), {"required": True}), (("--limit",), {"type": int, "default": None}))
     add("correlations", (("-c", "--columns"), {"default": None}), (("--method",), {"default": "pearson"}),
         (("--matrix",), {"action": "store_true", "help": "n x n wide matrix (stats.rs display shape)"}),
@@ -1183,7 +1191,23 @@ def main(argv: list[str] | None = None) -> int:
         _out(out, args)
     elif c == "stats":
         cols = args.columns.split(",") if args.columns else None
-        if args.quantiles:
+        if getattr(args, "overlap_with", None):
+            from nail_parquet_spark.functions.sketch import (kmv_overlap,
+                                                             kmv_overlap_by)
+            from nail_parquet_spark.sources.io import read_data
+
+            if not cols or len(cols) != 1:
+                raise SystemExit("stats --overlap-with needs exactly one "
+                                 "-c value column")
+            other = read_data(spark, args.overlap_with)
+            ocol = args.overlap_column or cols[0]
+            if args.group_by:
+                out = kmv_overlap_by(df, args.group_by.split(","), cols[0],
+                                     other, ocol, k=args.sketch_k)
+            else:
+                out = kmv_overlap(df, cols[0], other, ocol, k=args.sketch_k)
+            _out(out, args, 50)
+        elif args.quantiles:
             from nail_parquet_spark.functions.sketch import approx_quantiles
 
             qs = [float(q) for q in args.quantiles.split(",")]

@@ -358,6 +358,146 @@ def kmv_overlap_oracle_sql(table_a: str, col_a: str, table_b: str,
         FROM sa, sb, su, si, j"""
 
 
+def _grouped_bottom_k(df: DataFrame, keys: list[str], column: str,
+                      k: int) -> DataFrame:
+    """Per-group k smallest distinct pinned hashes of ``column`` (columns
+    ``keys + [h]``). One distinct on (keys, h) then a keyed window rank —
+    both shuffles are keyed, no global window, rows bounded by
+    groups * min(k, distinct)."""
+    h = (df.select(*keys, _hash_expr(column).alias("h"))
+         .filter(F.col("h").isNotNull()))
+    for kcol in keys:
+        h = h.filter(F.col(kcol).isNotNull())
+    h = h.distinct()
+    w = Window.partitionBy(*keys).orderBy("h")
+    return (h.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k).drop("rn"))
+
+
+def kmv_overlap_by(df_a: DataFrame, keys: list[str], col_a: str,
+                   df_b: DataFrame, col_b: str, k: int = 1024) -> DataFrame:
+    """Per-group distinct-set overlap between two corpora from grouped
+    bottom-k sketches — 'per language (or per host, per crawl segment),
+    how many distinct URLs do crawl A and crawl B share'. The grouped form
+    of :func:`kmv_overlap`: per group only <= 2k hashes ever meet, the
+    value sets themselves never join or shuffle across groups.
+
+    Both frames must carry the ``keys`` columns under the same names.
+    Rows with a NULL group key are EXCLUDED (pinned: the group joins are
+    null-strict, mirrored in the oracle); NULL values are excluded as
+    everywhere in this module. Estimator and IEEE operation order are
+    exactly :func:`kmv_overlap`'s, per group; groups present on one side
+    only report est=0 for the missing side and jaccard 0 when nothing
+    intersects. Deterministic -> oracle-attestable.
+
+    Returns one row per group: (*keys, n_union bigint, est_a, est_b,
+    est_union, jaccard, est_intersection double), ordered by keys.
+    """
+    if k < 2:
+        raise ValueError("kmv_overlap_by: k must be >= 2")
+    if not keys:
+        raise ValueError("kmv_overlap_by: keys must be non-empty "
+                         "(use kmv_overlap for the ungrouped form)")
+    _validate_cols(df_a, keys + [col_a], "value")
+    _validate_cols(df_b, keys + [col_b], "value")
+    ta = _grouped_bottom_k(df_a, keys, col_a, k).cache()
+    tb = _grouped_bottom_k(df_b, keys, col_b, k).cache()
+    w = Window.partitionBy(*keys).orderBy("h")
+    tu = (ta.unionAll(tb).distinct()
+          .withColumn("rn", F.row_number().over(w))
+          .filter(F.col("rn") <= k).drop("rn"))
+
+    def summary(t, prefix):
+        return t.groupBy(*keys).agg(
+            F.count("*").alias(f"n_{prefix}"),
+            F.max("h").alias(f"kth_{prefix}"))
+
+    si = (tu.join(ta, keys + ["h"], "left_semi")
+          .join(tb, keys + ["h"], "left_semi")
+          .groupBy(*keys).agg(F.count("*").alias("n_inter")))
+    base = (summary(tu, "u")
+            .join(summary(ta, "a"), keys, "left")
+            .join(summary(tb, "b"), keys, "left")
+            .join(si, keys, "left"))
+
+    def est(n_col, kth_col):
+        n0 = F.coalesce(n_col, F.lit(0))
+        return (F.when(n0 < k, n0.cast("double"))
+                .otherwise(F.lit(float(k - 1))
+                           * F.pow(F.lit(2.0), F.lit(float(_HASH_SPACE_BITS)))
+                           / kth_col.cast("double")))
+
+    jac = (F.when(F.col("n_u") == 0, F.lit(0.0))
+           .otherwise(F.coalesce(F.col("n_inter"), F.lit(0)).cast("double")
+                      / F.col("n_u").cast("double")))
+    stage = base.select(
+        *keys,
+        F.col("n_u").alias("n_union"),
+        est(F.col("n_a"), F.col("kth_a")).alias("est_a"),
+        est(F.col("n_b"), F.col("kth_b")).alias("est_b"),
+        est(F.col("n_u"), F.col("kth_u")).alias("est_union"),
+        jac.alias("jaccard"))
+    return (stage
+            .withColumn("est_intersection",
+                        F.col("jaccard") * F.col("est_union"))
+            .orderBy(*keys))
+
+
+def kmv_overlap_by_oracle_sql(table_a: str, keys: list[str], col_a: str,
+                              table_b: str, col_b: str,
+                              k: int = 1024) -> str:
+    """DuckDB twin of :func:`kmv_overlap_by` — same pinned hash, grouped
+    bottom-k rule, null-strict keys, and IEEE expression order (jaccard
+    and est_union named in a subquery, product taken outside)."""
+    ks = ", ".join(keys)
+    knn = " AND ".join(f"{x} IS NOT NULL" for x in keys)
+
+    def side(t, c):
+        return (f"SELECT {ks}, h FROM (SELECT {ks}, h, row_number() OVER "
+                f"(PARTITION BY {ks} ORDER BY h) rn FROM (SELECT DISTINCT "
+                f"{ks}, ('0x' || substr(md5(CAST({c} AS VARCHAR)), 1, 15))"
+                f"::BIGINT AS h FROM {t} WHERE {c} IS NOT NULL AND {knn}))"
+                f" WHERE rn <= {k}")
+
+    def est(n, kth):
+        return (f"CASE WHEN coalesce({n}, 0) < {k} "
+                f"THEN coalesce({n}, 0)::DOUBLE "
+                f"ELSE ({k} - 1)::DOUBLE * pow(2.0, 60) / {kth}::DOUBLE END")
+
+    uks = ", ".join(f"u.{x}" for x in keys)
+    return f"""
+        WITH ta AS ({side(table_a, col_a)}),
+        tb AS ({side(table_b, col_b)}),
+        tu AS (SELECT {ks}, h FROM (SELECT {ks}, h, row_number() OVER
+                   (PARTITION BY {ks} ORDER BY h) rn
+               FROM (SELECT DISTINCT {ks}, h FROM
+                     (SELECT {ks}, h FROM ta
+                      UNION ALL SELECT {ks}, h FROM tb)))
+               WHERE rn <= {k}),
+        sa AS (SELECT {ks}, count(*) AS n_a, max(h) AS kth_a
+               FROM ta GROUP BY {ks}),
+        sb AS (SELECT {ks}, count(*) AS n_b, max(h) AS kth_b
+               FROM tb GROUP BY {ks}),
+        su AS (SELECT {ks}, count(*) AS n_u, max(h) AS kth_u
+               FROM tu GROUP BY {ks}),
+        si AS (SELECT {uks}, count(*) AS n_inter
+               FROM tu u
+               JOIN ta USING ({ks}, h) JOIN tb USING ({ks}, h)
+               GROUP BY {uks})
+        SELECT {ks}, n_union, est_a, est_b, est_union, jaccard,
+               jaccard * est_union AS est_intersection
+        FROM (SELECT {ks}, n_u AS n_union,
+                     {est('n_a', 'kth_a')} AS est_a,
+                     {est('n_b', 'kth_b')} AS est_b,
+                     {est('n_u', 'kth_u')} AS est_union,
+                     CASE WHEN n_u = 0 THEN 0.0
+                          ELSE coalesce(n_inter, 0)::DOUBLE / n_u::DOUBLE
+                     END AS jaccard
+              FROM su LEFT JOIN sa USING ({ks}) LEFT JOIN sb USING ({ks})
+              LEFT JOIN si USING ({ks}))
+        ORDER BY {ks}"""
+
+
 _NUM_KINDS = {"int", "bigint", "smallint", "tinyint", "long", "float",
               "double", "decimal"}
 

@@ -277,3 +277,34 @@ class TestCountWherePushdown:
         blocks = encode_table(df, codecs={"b": "plain"}, block_rows=4)
         with pytest.raises(ValueError, match="no zone stats"):
             count_where_pushdown(blocks, "b", "=", b"ab")
+
+
+def test_pushdown_metadata_paths_never_read_payload(spark, tmp_path):
+    """The metadata-deciding stages of the round-5 pushdowns must prune
+    `payload` out of the parquet scan on the PRODUCTION layout: the sum
+    merge reads header (metadata) but never payload; count_where's
+    zero-boundary case plans no payload read at all."""
+    from nail_parquet_spark.codec.inspect import count_where_pushdown
+    from nail_parquet_spark.plans.explain import plan_text
+
+    df = (spark.range(4000).select(F.col("id").alias("k"))
+          .coalesce(1).sortWithinPartitions("k"))
+    p = str(tmp_path / "blocks")
+    encode_table(df, codecs={"k": "for_bitpack"},
+                 block_rows=500).write.parquet(p)
+    disk = spark.read.parquet(p)
+
+    # sum pushdown: one agg over metadata + header only
+    zs = F.get_json_object(F.col("header"), "$.zsum")
+    agg = disk.agg(F.sum(F.when(F.col("column") == "k", zs)
+                         .try_cast("decimal(38,0)")))
+    lines = [ln for ln in plan_text(agg).splitlines() if "ReadSchema" in ln]
+    assert lines and all("payload" not in ln for ln in lines)
+    got = column_stats_pushdown(disk, ["k"], with_sum=True)
+    assert got["k"]["sum"] == 4000 * 3999 // 2
+
+    # count_where on a block-aligned bound: zero boundary decodes — the
+    # answer comes from the metadata scan alone
+    r = count_where_pushdown(disk, "k", ">=", 2000)
+    assert r == {"count": 2000, "groups_total": 8,
+                 "groups_metadata": 8, "groups_decoded": 0}

@@ -971,3 +971,19 @@ def test_cli_delete_keys(spark, tmp_path, capsys):
     with pytest.raises(SystemExit):
         run("delete", out, "--where", "k>=5", "--keys", keyfile)
     capsys.readouterr()
+
+
+def test_cli_stats_overlap(data, data2, capsys):
+    # ungrouped: ids 1..20 vs 1..10 -> jaccard 0.5, intersection 10 (exact,
+    # both below k)
+    run("stats", data, "-c", "id", "--overlap-with", data2, "--sketch-k",
+        "64")
+    out = capsys.readouterr().out
+    assert "jaccard" in out and "0.5" in out
+    # grouped self-overlap: per-category jaccard is exactly 1.0 (keys must
+    # exist in BOTH tables, so group against the same file)
+    run("stats", data, "-c", "id", "--overlap-with", data,
+        "--overlap-column", "id", "--group-by", "category", "--sketch-k",
+        "64")
+    out = capsys.readouterr().out
+    assert "est_intersection" in out and "1.0" in out

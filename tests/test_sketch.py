@@ -282,3 +282,82 @@ class TestApproxQuantiles:
             approx_quantiles(sample, "id", ["value"], [1.5])
         with pytest.raises(ValueError, match="id column 'value'"):
             approx_quantiles(sample, "value", ["value"], [0.5])
+
+
+class TestKmvOverlapBy:
+    def test_exact_below_k_per_group(self, spark):
+        from nail_parquet_spark.functions.sketch import kmv_overlap_by
+
+        a = spark.createDataFrame(
+            [("en", f"u{i}") for i in range(30)]
+            + [("fr", f"u{i}") for i in range(10)], "g string, u string")
+        b = spark.createDataFrame(
+            [("en", f"u{i}") for i in range(20, 50)]
+            + [("de", "x0")], "g string, u string")
+        rows = {r["g"]: r for r in
+                kmv_overlap_by(a, ["g"], "u", b, "u", k=K).collect()}
+        assert set(rows) == {"en", "fr", "de"}
+        en = rows["en"]
+        assert en["est_a"] == 30.0 and en["est_b"] == 30.0
+        assert en["est_union"] == 50.0 and en["jaccard"] == 10.0 / 50.0
+        fr = rows["fr"]  # B-side absent
+        assert fr["est_a"] == 10.0 and fr["est_b"] == 0.0
+        assert fr["jaccard"] == 0.0 and fr["est_intersection"] == 0.0
+        de = rows["de"]  # A-side absent
+        assert de["est_a"] == 0.0 and de["est_b"] == 1.0
+
+    def test_matches_ungrouped_per_group(self, spark):
+        from nail_parquet_spark.functions.sketch import (kmv_overlap,
+                                                         kmv_overlap_by)
+
+        a = spark.range(3000).select(
+            (F.col("id") % 3).cast("string").alias("g"),
+            F.concat(F.lit("v"), F.col("id")).alias("u"))
+        b = spark.range(1500, 4500).select(
+            (F.col("id") % 3).cast("string").alias("g"),
+            F.concat(F.lit("v"), F.col("id")).alias("u"))
+        grouped = {r["g"]: r for r in
+                   kmv_overlap_by(a, ["g"], "u", b, "u", k=128).collect()}
+        for g in ("0", "1", "2"):
+            single = kmv_overlap(a.filter(F.col("g") == g), "u",
+                                 b.filter(F.col("g") == g), "u",
+                                 k=128).collect()[0]
+            got = grouped[g]
+            for f in ("n_union", "est_a", "est_b", "est_union",
+                      "jaccard", "est_intersection"):
+                assert got[f] == single[f if f != "n_union" else "n_union"], \
+                    (g, f)
+
+    def test_null_keys_excluded_and_duckdb_twin(self, spark, tmp_path):
+        import duckdb
+
+        from nail_parquet_spark.functions.sketch import (
+            kmv_overlap_by, kmv_overlap_by_oracle_sql)
+
+        a = spark.createDataFrame(
+            [((i % 4) if i % 11 else None, i % 700) for i in range(3000)],
+            "g int, v long")
+        b = spark.createDataFrame(
+            [((i % 4) if i % 13 else None, i % 900 + 350)
+             for i in range(3000)], "g int, v long")
+        pa_, pb_ = str(tmp_path / "a.parquet"), str(tmp_path / "b.parquet")
+        a.coalesce(1).write.parquet(pa_)
+        b.coalesce(1).write.parquet(pb_)
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW ta0 AS SELECT * FROM '{pa_}/*.parquet'")
+        con.execute(f"CREATE VIEW tb0 AS SELECT * FROM '{pb_}/*.parquet'")
+        want = con.execute(kmv_overlap_by_oracle_sql(
+            "ta0", ["g"], "v", "tb0", "v", k=64)).fetchall()
+        got = [tuple(r) for r in
+               kmv_overlap_by(a, ["g"], "v", b, "v", k=64).collect()]
+        assert got == [tuple(r) for r in want]
+        assert all(r[0] is not None for r in got)  # NULL group excluded
+
+    def test_validation(self, spark):
+        from nail_parquet_spark.functions.sketch import kmv_overlap_by
+
+        df = spark.createDataFrame([("a", 1)], "g string, v long")
+        with pytest.raises(ValueError, match="non-empty"):
+            kmv_overlap_by(df, [], "v", df, "v")
+        with pytest.raises(ValueError, match="no such column"):
+            kmv_overlap_by(df, ["nope"], "v", df, "v")
