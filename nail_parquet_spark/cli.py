@@ -328,6 +328,11 @@ def main(argv: list[str] | None = None) -> int:
         (("--ngram",), {"type": int, "default": 2, "help": "n for --mode top-ngram"}),
         (("--window",), {"type": int, "default": 5,
                          "help": "token-window width for --mode span-stats/dedup-spans"}),
+        (("--keep-first",), {"action": "store_true", "dest": "keep_first",
+                             "help": "dedup-spans: Lee-et-al keep-one policy — each "
+                                     "duplicated window's smallest (doc id, position) "
+                                     "occurrence survives, only the others are cut "
+                                     "(default cuts every occurrence)"}),
         (("--rules",), {"default": None, "help": 'JSON threshold overrides, e.g. {"min_words": 20}'}),
         (("--remove",), {"action": "store_true", "help": "emit the surviving rows instead of the verdict table"}),
         (("--explain",), {"action": "store_true", "help": "add per-rule fail_<rule> columns to the verdict"}),
@@ -1313,8 +1318,9 @@ def main(argv: list[str] | None = None) -> int:
         elif args.mode == "dedup-spans":
             from nail_parquet_spark.functions.dedup import remove_duplicate_spans
 
-            out = remove_duplicate_spans(df, id_col, args.text_column,
-                                         w=args.window)
+            out = remove_duplicate_spans(
+                df, id_col, args.text_column, w=args.window,
+                keep="first" if args.keep_first else "none")
         elif args.mode == "entropy":
             from nail_parquet_spark.functions.entropy import entropy_stats
 

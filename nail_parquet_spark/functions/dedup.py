@@ -530,8 +530,8 @@ def duplicate_span_stats(df: DataFrame, id_col: str, text_col: str,
 
 
 def remove_duplicate_spans(df: DataFrame, id_col: str, text_col: str,
-                           w: int = 5) -> DataFrame:
-    """Drop EVERY token covered by a corpus-duplicated w-token window and
+                           w: int = 5, keep: str = "none") -> DataFrame:
+    """Drop tokens covered by a corpus-duplicated w-token window and
     rebuild each document from its surviving tokens in order.
 
     Pinned contract:
@@ -539,10 +539,18 @@ def remove_duplicate_spans(df: DataFrame, id_col: str, text_col: str,
       rebuilt text is normalized to lowercase single-space tokens — span
       arithmetic on un-normalized text would be ambiguous (the window rule
       itself is defined on normalized tokens).
-    - every occurrence drops (like remove_boilerplate_lines; a duplicated
-      span has no privileged first copy under parallel evaluation — Lee et
-      al.'s keep-one variant needs a global occurrence order, available
-      here by composing with dedup_lines_global-style winner selection).
+    - ``keep='none'`` (default): every occurrence drops (like
+      remove_boilerplate_lines — the conservative policy when no copy is
+      privileged).
+    - ``keep='first'``: Lee et al. 2021's keep-one rule ('Deduplicating
+      Training Data Makes Language Models Better' §4.1) — each duplicated
+      window elects ONE winner occurrence, the smallest (doc id, position),
+      and only the loser occurrences are cut. The winner occurrence is
+      never marked, but its tokens can still be cut by OTHER duplicated
+      windows overlapping it — the same property the suffix-array
+      formulation has (duplicated text is removed, not documents). Winner
+      election is deterministic (total order on (id, pos)), so the result
+      is layout-independent and oracle-attestable.
     - NULL text passes through as NULL; a fully-covered doc comes back ''.
 
     Scale shape: covered token positions come from exploding each dup
@@ -550,8 +558,26 @@ def remove_duplicate_spans(df: DataFrame, id_col: str, text_col: str,
     the surviving-token gather is one left_anti join on (id, pos), and the
     rebuild is one id-keyed groupBy (collect_list of (pos, token) structs,
     array_sort, array_join) — bounded by document size, no global state.
+    ``keep='first'`` replaces the duplicate-key semi join with ONE
+    hash-keyed groupBy (count + min(struct) partial-aggregate map-side)
+    and the same-key join back — the suffix array is never built.
     """
-    dup = _duplicate_positions(df, id_col, text_col, w)
+    if keep == "none":
+        dup = _duplicate_positions(df, id_col, text_col, w)
+    elif keep == "first":
+        wins = _window_positions(df, id_col, text_col, w)
+        elect = wins.groupBy("h").agg(
+            F.count(F.lit(1)).alias("__c"),
+            F.min(F.struct("__id", "pos")).alias("__w"),
+        )
+        dup = (
+            wins.join(elect.filter(F.col("__c") > 1), "h")
+            .filter(~((F.col("__id") == F.col("__w.__id"))
+                      & (F.col("pos") == F.col("__w.pos"))))
+            .select("__id", "pos")
+        )
+    else:
+        raise ValueError(f"keep must be 'none' or 'first', got {keep!r}")
     return _remove_covered_windows(df, id_col, text_col, dup, w)
 
 

@@ -694,6 +694,11 @@ def test_cli_quality_span_modes(spark, tmp_path, capsys):
     run("quality", p, "--mode", "dedup-spans", "--window", "3", "-o", out2)
     got2 = {r["doc_id"]: r["text"] for r in spark.read.parquet(out2).collect()}
     assert got2 == {1: "d e", 2: "x y", 3: "q r s"}
+    out3 = str(tmp_path / "span_keep.parquet")
+    run("quality", p, "--mode", "dedup-spans", "--window", "3",
+        "--keep-first", "-o", out3)
+    got3 = {r["doc_id"]: r["text"] for r in spark.read.parquet(out3).collect()}
+    assert got3 == {1: "a b c d e", 2: "x y", 3: "q r s"}
 
 
 def test_cli_quality_entropy(spark, tmp_path):

@@ -151,3 +151,46 @@ def test_span_plans_scale_shape(span_docs):
         assert "__win" not in first_line
     rm = remove_duplicate_spans(span_docs, "doc_id", "text", w=3)
     assert global_windows(rm) == []
+
+def test_span_keep_first_hand_computed(span_docs):
+    rows = {r["doc_id"]: r["text"] for r in
+            remove_duplicate_spans(span_docs, "doc_id", "text", w=3,
+                                   keep="first").collect()}
+    # "a b c" dup: winner is (1, pos 1) -> doc 1 keeps everything, doc 2
+    # loses tokens 2-4
+    assert rows[1] == "a b c d e"
+    assert rows[2] == "x y"
+    assert rows[3] == "q r s"
+    # doc 4 "m n o p m n o p": dup hashes at (1,5),(2,6); winners (4,1),(4,2)
+    # -> losers (4,5),(4,6) cover tokens 5-8; first copy survives
+    assert rows[4] == "m n o p"
+    assert rows[5] is None
+    assert rows[6] == ""
+    assert rows[7] == "a b"
+
+
+def test_span_keep_first_winner_can_still_lose_overlap(spark):
+    """The winner occurrence is never marked, but OTHER duplicated windows'
+    losers overlapping it still cut tokens (documented contract)."""
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c"), (3, "b c d")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r["text"] for r in
+            remove_duplicate_spans(df, "doc_id", "text", w=3,
+                                   keep="first").collect()}
+    # "a b c" winner (1,1); "b c d" winner (1,2) -> losers (2,1),(3,1)
+    assert rows[1] == "a b c d"
+    assert rows[2] == "" and rows[3] == ""
+
+
+def test_span_keep_first_validation(span_docs):
+    with pytest.raises(ValueError, match="keep must be"):
+        remove_duplicate_spans(span_docs, "doc_id", "text", keep="last")
+
+
+def test_span_keep_first_no_global_window(span_docs):
+    from nail_parquet_spark.plans.explain import global_windows
+
+    rm = remove_duplicate_spans(span_docs, "doc_id", "text", w=3,
+                                keep="first")
+    assert global_windows(rm) == []
