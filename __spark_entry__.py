@@ -1763,6 +1763,53 @@ def q_robots_directives(spark, sf_dir):
                     F.array_join("sitemaps", ",").alias("sitemaps_csv"))
 
 
+def q_heavy_hitters(spark, sf_dir):
+    """Exact top-k frequent values via distributed Misra-Gries candidate
+    generation + semi-join-restricted exact verify
+    (functions/sketch.heavy_hitters): the full distinct set never
+    shuffles — only <= capacity*partitions candidate values and their
+    exact counts move. Unconditionally exact (guard falls back to the
+    plain groupBy when the k-th count can't beat n/(c+1)), so the oracle
+    is the plain exact top-k with the pinned (count desc, value asc)
+    tie rule. The reference's frequency command (src/utils/stats.rs)
+    always does the full groupBy."""
+    from nail_parquet_spark.functions.sketch import heavy_hitters
+
+    d = _t(spark, sf_dir, "documents")
+    return heavy_hitters(d, "lang", k=5)
+
+
+def q_split_group(spark, sf_dir):
+    """Leakage-safe grouped split (operators/rows.split_by_group): every
+    row sharing a group key lands in ONE slice, so near-duplicate pages of
+    a site never straddle the train/test boundary. Pure projection (no
+    shuffle, plan-tested); the group's uniform draw is the pinned portable
+    60-bit md5 lane, so the oracle reproduces the assignment exactly.
+    Returns the train slice's ids + group for the 80/20 split by source."""
+    from nail_parquet_spark.operators import split_by_group
+
+    d = _t(spark, sf_dir, "documents")
+    train, _test = split_by_group(d, "source", [0.8, 0.2], seed=1)
+    return train.select("doc_id", "source")
+
+
+def q_dedup_sentences(spark, sf_dir):
+    """Corpus-global SENTENCE dedup keep-first
+    (functions/quality.dedup_sentences_global) — C4 §2.2's span unit:
+    templated sentences repeat across unrelated pages even when their
+    surrounding lines differ. Sentence text derives from documents by
+    turning ' the ' into '. ' so the synthetic corpus gains real
+    boundaries; the RE2-safe splitter (mark [.!?]+ runs then split) is
+    reproduced verbatim in the oracle."""
+    from nail_parquet_spark.functions.quality import dedup_sentences_global
+
+    d = _t(spark, sf_dir, "documents")
+    dd = d.select(
+        "doc_id",
+        F.replace(F.col("text"), F.lit(" the "), F.lit(". ")).alias("text"))
+    return dedup_sentences_global(dd, "doc_id", "text")
+
+
 def q_mor_delete(spark, sf_dir):
     """Merge-on-read position delete (codec/deletes.py): rows matching the
     CNF predicate become a tiny coordinate table (zone-map/bloom pruning
@@ -2474,6 +2521,12 @@ _QUERIES = {
         # locally; tests/test_deletes*.py
         "mor_delete": q_mor_delete,
         "mor_upsert": q_mor_upsert,
+        # this session: Misra-Gries exact heavy hitters, leakage-safe
+        # grouped split, sentence-unit corpus dedup — value-exact locally;
+        # tests/test_sketch_heavy.py, test_split_group.py, test_sentences.py
+        "heavy_hitters": q_heavy_hitters,
+        "split_group": q_split_group,
+        "dedup_sentences": q_dedup_sentences,
         "decode_pushdown_or": q_decode_pushdown_or,
         "encode_manifest": q_encode_manifest,
         "encode_roundtrip": q_encode_roundtrip,
@@ -4169,6 +4222,41 @@ def oracle_sql() -> dict[str, str]:
             FROM d LEFT JOIN ce USING (doc_id) LEFT JOIN we USING (doc_id)""",
         # merge-on-read delete: kept rows are exactly ANSI DELETE's
         # complement — predicate IS NOT TRUE keeps NULL-predicate rows
+        "heavy_hitters": """
+            SELECT lang, count(*) AS count
+            FROM documents WHERE lang IS NOT NULL
+            GROUP BY lang
+            ORDER BY count DESC, lang ASC
+            LIMIT 5""",
+        "split_group": """
+            SELECT doc_id, source FROM documents
+            WHERE ('0x' || substr(md5(coalesce(source, chr(0)) || ':1'), 1, 15))::BIGINT
+                  / pow(2.0, 60) < 0.8""",
+        "dedup_sentences": r"""
+            WITH src AS (
+              SELECT doc_id, replace(text, ' the ', '. ') AS text
+              FROM documents),
+            marked AS (
+              SELECT doc_id,
+                     regexp_replace(text, '([.!?]+)\s+', '\1' || chr(30), 'g') AS m
+              FROM src),
+            sent AS (
+              SELECT doc_id, i - 1 AS pos, ss[i] AS s
+              FROM (SELECT doc_id,
+                           list_filter(
+                             list_transform(string_split(m, chr(30)),
+                                            p -> regexp_replace(p, '^\s+|\s+$', '', 'g')),
+                             p -> p <> '') AS ss
+                    FROM marked),
+                   UNNEST(range(1, len(ss) + 1)) AS t(i)),
+            win AS (SELECT s, min(struct_pack(doc_id := doc_id, pos := pos)) AS w
+                    FROM sent GROUP BY s),
+            kept AS (SELECT p.doc_id, p.pos, p.s FROM sent p JOIN win ON p.s = win.s
+                     WHERE p.doc_id = win.w.doc_id AND p.pos = win.w.pos),
+            reb AS (SELECT doc_id, string_agg(s, ' ' ORDER BY pos) AS text
+                    FROM kept GROUP BY doc_id)
+            SELECT s.doc_id, coalesce(r.text, '') AS text
+            FROM src s LEFT JOIN reb r USING (doc_id)""",
         "mor_delete": """
             SELECT doc_id, lang, n_chars, source, text FROM documents
             WHERE (lang = 'en' AND n_chars >= 200) IS NOT TRUE""",

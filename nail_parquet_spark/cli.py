@@ -184,6 +184,9 @@ def main(argv: list[str] | None = None) -> int:
     add("append", (("--others",), {"required": True}), (("--ignore-schema",), {"action": "store_true"}))
     add("split", (("--ratios",), {"default": "0.8,0.2"}), (("--seed",), {"type": int, "default": None}),
         (("--stratify-by",), {"default": None}),
+        (("--group-by",), {"default": None,
+                           "help": "leakage-safe split: all rows sharing this "
+                                   "key land in one slice (host/domain/user)"}),
         (("--names",), {"default": None, "help": "output file names, comma-separated (split.rs:17)"}),
         (("--prefix",), {"default": "split", "help": "auto-name prefix (split.rs:20)"}),
         (("--output-dir",), {"default": None, "help": "directory for split files (split.rs:23)"}))
@@ -219,7 +222,11 @@ def main(argv: list[str] | None = None) -> int:
         (("--overlap-column",), {"default": None,
                                  "help": "with --overlap-with: the second table's "
                                          "value column (default: same as -c)"}))
-    add("frequency", (("-c", "--columns"), {"required": True}), (("--limit",), {"type": int, "default": None}))
+    add("frequency", (("-c", "--columns"), {"required": True}), (("--limit",), {"type": int, "default": None}),
+        (("--heavy",), {"action": "store_true",
+                        "help": "exact top-k via distributed Misra-Gries "
+                                "candidates + exact verify (one column; "
+                                "never shuffles the full distinct set)"}))
     add("correlations", (("-c", "--columns"), {"default": None}), (("--method",), {"default": "pearson"}),
         (("--matrix",), {"action": "store_true", "help": "n x n wide matrix (stats.rs display shape)"}),
         (("--tests",), {"action": "store_true", "help": "include p-values (correlations.rs:31)"}),
@@ -294,6 +301,7 @@ def main(argv: list[str] | None = None) -> int:
         (("--mode",), {"default": "filter",
                        "choices": ["signals", "repetition", "top-ngram", "filter",
                                    "clean", "dedup-lines", "dedup-paragraphs",
+                                   "dedup-sentences",
                                    "boilerplate", "corpus-stats", "perplexity",
                                    "bigram-perplexity", "dsir", "ppl-buckets",
                                    "classify", "span-stats", "dedup-spans",
@@ -1150,7 +1158,15 @@ def main(argv: list[str] | None = None) -> int:
         import os as _os
 
         ratios = [float(x) for x in args.ratios.split(",")]
-        parts = ops.split_by_ratio(df, ratios, args.seed, args.stratify_by)
+        if args.group_by and args.stratify_by:
+            p.error("--group-by and --stratify-by are mutually exclusive "
+                    "(stratification balances rows across slices; group "
+                    "splitting deliberately does not)")
+        if args.group_by:
+            parts = ops.split_by_group(df, args.group_by, ratios,
+                                       args.seed or 0)
+        else:
+            parts = ops.split_by_ratio(df, ratios, args.seed, args.stratify_by)
         from nail_parquet_spark.sources.io import write_data
 
         names = args.names.split(",") if args.names else None
@@ -1242,7 +1258,15 @@ def main(argv: list[str] | None = None) -> int:
         else:
             _out(ops.stats(df, cols, args.stats_type), args, 50)
     elif c == "frequency":
-        _out(ops.frequency(df, args.columns.split(","), args.limit), args, 50)
+        if args.heavy:
+            cols = args.columns.split(",")
+            if len(cols) != 1:
+                p.error("--heavy takes exactly one column")
+            from nail_parquet_spark.functions.sketch import heavy_hitters
+
+            _out(heavy_hitters(df, cols[0], k=args.limit or 10), args, 50)
+        else:
+            _out(ops.frequency(df, args.columns.split(","), args.limit), args, 50)
     elif c == "correlations":
         from pyspark.sql import functions as F
 
@@ -1282,6 +1306,9 @@ def main(argv: list[str] | None = None) -> int:
             out = df.drop(args.text_column).join(cleaned, id_col)
         elif args.mode == "dedup-paragraphs":
             cleaned = qf.dedup_paragraphs_global(df, id_col, args.text_column)
+            out = df.drop(args.text_column).join(cleaned, id_col)
+        elif args.mode == "dedup-sentences":
+            cleaned = qf.dedup_sentences_global(df, id_col, args.text_column)
             out = df.drop(args.text_column).join(cleaned, id_col)
         elif args.mode == "boilerplate":
             work, grp = df, args.group_by

@@ -468,6 +468,50 @@ def dedup_paragraphs_global(df: DataFrame, id_col: str,
                                _paragraphs(F.col(text_col)), "\n\n")
 
 
+# Sentence-boundary mark (RS, U+001E): the splitter is RE2-safe by design —
+# DuckDB's regexp engine has no lookbehind, so instead of splitting on
+# "(?<=[.!?])\s+" the boundary is MARKED with a capture-group replace
+# ("([.!?]+)\s+" -> "$1<RS>") and then split on the literal mark. Both
+# engines support capture references in replacements, neither needs
+# lookaround. A literal U+001E in the input would add a spurious boundary;
+# pinned as out of contract for plain-text corpora (it is a control byte).
+_SENT_MARK = "\x1e"
+
+
+def _sentences(col: Column) -> Column:
+    """Pinned sentence splitter: a boundary is a run of sentence
+    terminators ``[.!?]+`` followed by whitespace; the terminator run stays
+    with the left sentence, the boundary whitespace is consumed, each
+    sentence is whitespace-trimmed, empties dropped. A final sentence
+    without trailing whitespace needs no boundary. Deliberately simple
+    (no abbreviation/quote handling) so the DuckDB oracle can reproduce it
+    byte-for-byte."""
+    marked = F.regexp_replace(col, r"([.!?]+)\s+", "$1" + _SENT_MARK)
+    return F.filter(
+        F.transform(F.split(marked, _SENT_MARK),
+                    lambda s: F.regexp_replace(s, r"^\s+|\s+$", "")),
+        lambda s: s != "",
+    )
+
+
+def dedup_sentences_global(df: DataFrame, id_col: str,
+                           text_col: str) -> DataFrame:
+    """Corpus-global SENTENCE dedup — the exact granularity of C4 §2.2's
+    "three-sentence span" rule's unit: templated sentences (legal
+    disclaimers, share-this prompts) repeat across unrelated pages even
+    when their surrounding lines differ, so line/paragraph dedup misses
+    them.
+
+    Same keep-smallest-(doc, position) winner rule, same keyed-shuffle
+    scale shape as :func:`dedup_lines_global` (shared engine — posexplode,
+    one winner groupBy on the sentence hash, one same-key join back, one
+    doc-keyed rebuild); documents are rebuilt joining surviving sentences
+    with a single space (the boundary whitespace is normalized, pinned).
+    Precondition: ``id_col`` unique per document."""
+    return _dedup_units_global(df, id_col, text_col,
+                               _sentences(F.col(text_col)), " ")
+
+
 # Gopher rule book: (signal, op, threshold) — the published defaults.
 GOPHER_RULES = {
     "min_words": 50,

@@ -625,3 +625,127 @@ def kmv_oracle_sql(table: str, columns: list[str], k: int = 1024) -> str:
                     ELSE ({k} - 1)::DOUBLE * pow(2.0, 60) / kth::DOUBLE
                END AS est_distinct
         FROM agg ORDER BY col_name"""
+
+
+def heavy_hitters(df: DataFrame, column: str, k: int = 10,
+                  capacity: int | None = None) -> DataFrame:
+    """EXACT top-k most frequent values via distributed Misra-Gries
+    candidate generation + exact verification — the frequent-items answer
+    that never shuffles the full column.
+
+    Why: ``GROUP BY col ORDER BY count DESC LIMIT k`` shuffles every
+    distinct value; at 100 TB a high-cardinality column (url, host) makes
+    that the job's dominant Exchange even though only ~k keys matter.
+    Misra-Gries (1982) keeps a ``c``-entry summary per partition in one
+    streaming pass; the UNION of per-partition summaries provably contains
+    every value with global count > n/(c+1): if a value is absent from a
+    partition's final summary, each of its occurrences there was cancelled
+    by a decrement event that simultaneously removed mass from c other
+    keys, so its count in that partition is <= n_p/(c+1) — summing over
+    partitions bounds the global count. Candidates are then counted
+    EXACTLY with a semi-join-restricted groupBy (only candidate rows'
+    keys shuffle, map-side partially aggregated).
+
+    Exactness guard (makes the operator unconditionally exact, never
+    approximate): the top-k of the candidate counts is provably the global
+    top-k iff the k-th candidate count > n/(c+1) (no value outside the
+    candidate set can reach it). When the guard fails — a pathologically
+    flat distribution, or fewer than k candidates — the function falls
+    back to the plain full groupBy. The sketch is purely a shuffle
+    optimization; results are identical either way (pinned by test on
+    adversarial layouts).
+
+    Pinned contract: NULLs excluded; ties broken by value ascending
+    (string cast order is NOT used — the native column orders); returns
+    (``column``, count bigint) ordered count desc, value asc, <= k rows.
+    Driver pull is bounded: <= capacity * n_partitions candidate values +
+    <= that many exact counts (tiny structured rows, never corpus data).
+    Column kinds: same portable set as :func:`kmv_distinct`.
+
+    ``capacity`` defaults to ``8 * k`` (guard headroom ~n/(8k+1)).
+    """
+    if k < 1:
+        raise ValueError("heavy_hitters: k must be >= 1")
+    c = int(capacity) if capacity is not None else 8 * k
+    if c < k:
+        raise ValueError("heavy_hitters: capacity must be >= k")
+    types = dict(df.dtypes)
+    if column not in types:
+        raise ValueError(f"heavy_hitters: no such column '{column}'")
+    base = types[column].split("(")[0]
+    if base not in _OK_KINDS:
+        raise ValueError(
+            f"heavy_hitters: column '{column}' has type {types[column]}; "
+            "supported kinds: string/integer/boolean/date (exact value "
+            "round-trip through the candidate set is required)")
+
+    src = df.select(F.col(column).alias("v")).filter(F.col("v").isNotNull())
+    spark = df.sparkSession
+    vtype = src.schema[0].dataType
+    from pyspark.sql.pandas.types import to_arrow_type
+    pa_type = to_arrow_type(vtype)
+
+    def local_mg(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        counts: dict = {}
+        n_p = 0
+        for b in batches:
+            col = b.column(0)
+            n_p += len(col)
+            vals, cnts = np.unique(col.to_numpy(zero_copy_only=False),
+                                   return_counts=True)
+            for v, cnt in zip(vals.tolist(), cnts.tolist()):
+                if v in counts:
+                    counts[v] += cnt
+                else:
+                    counts[v] = cnt
+                    if len(counts) > c:
+                        # weighted decrement: subtract the min from every
+                        # key at once, drop the zeros (>=1 key drops, so
+                        # size returns to <= c in one step)
+                        m = min(counts.values())
+                        counts = {kk: vv - m for kk, vv in counts.items()
+                                  if vv > m}
+        ks = list(counts.keys())
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(ks + [None], type=pa_type),
+             pa.array([None] * len(ks) + [n_p], pa.int64())],
+            names=["v", "np"])
+
+    schema = T.StructType([T.StructField("v", vtype, True),
+                           T.StructField("np", T.LongType(), True)])
+    summary = src.mapInArrow(local_mg, schema=schema).collect()
+    n_total = sum(r.np for r in summary if r.np is not None)
+    cands = sorted({r.v for r in summary if r.v is not None})
+
+    exact_full = (df.filter(F.col(column).isNotNull())
+                  .groupBy(column).agg(F.count(F.lit(1)).alias("count"))
+                  .orderBy(F.desc("count"), F.col(column).asc())
+                  .limit(k))
+    if not cands:
+        return exact_full  # empty input: both paths return 0 rows
+
+    cand_df = spark.createDataFrame([(v,) for v in cands],
+                                    T.StructType([T.StructField("v", vtype)]))
+    top_rows = (df.join(F.broadcast(cand_df),
+                        df[column] == cand_df["v"], "left_semi")
+                .groupBy(column).agg(F.count(F.lit(1)).alias("count"))
+                .orderBy(F.desc("count"), F.col(column).asc())
+                .limit(k).collect())
+    # guard: k-th candidate count must beat the max possible count of any
+    # value that evaded every partition summary
+    if len(top_rows) == k and top_rows[-1]["count"] * (c + 1) > n_total:
+        return spark.createDataFrame(top_rows, schema=T.StructType([
+            T.StructField(column, vtype, True),
+            T.StructField("count", T.LongType(), False)]))
+    return exact_full
+
+
+def heavy_hitters_oracle_sql(table: str, column: str, k: int = 10) -> str:
+    """DuckDB twin of :func:`heavy_hitters`: the plain exact top-k with the
+    same pinned tie rule — the sketch path must agree with this exactly."""
+    return f"""
+        SELECT {column}, count(*) AS count
+        FROM {table} WHERE {column} IS NOT NULL
+        GROUP BY {column}
+        ORDER BY count DESC, {column} ASC
+        LIMIT {k}"""

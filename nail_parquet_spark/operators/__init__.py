@@ -22,6 +22,7 @@ from nail_parquet_spark.operators.rows import (  # noqa: F401
     search_rows,
     search_value,
     shuffle_rows,
+    split_by_group,
     split_by_ratio,
     tail,
 )

@@ -225,6 +225,55 @@ def split_by_ratio(df: DataFrame, ratios: list[float], seed: int | None = None,
     return out
 
 
+def split_by_group(df: DataFrame, group_col: str, ratios: list[float],
+                   seed: int = 0) -> list[DataFrame]:
+    """Leakage-safe split: every row sharing a group key lands in the SAME
+    slice. Row-level splits leak at training time — near-duplicate pages
+    from one site (or one user's events) straddle the train/test boundary
+    and inflate eval scores — so web corpora split by host/domain/user.
+
+    The group's uniform draw is pinned and portable (no Spark-private
+    hash): ``u = int(md5(group_str || ':' || seed)[:15 hex]) / 2^60`` —
+    the same 60-bit md5 lane every other cross-engine operator in this
+    repo uses — and the slice is the cumulative-ratio bucket containing
+    ``u``. Deterministic across engines, layouts, and partition counts;
+    re-running with a different seed re-deals groups. NULL groups take the
+    sentinel ``'\\x00'`` string and land together in one slice (pinned).
+
+    Scale shape: a pure per-row projection — no shuffle, no group
+    materialization, no window; the group never needs to be collected or
+    counted. Slice sizes converge to the ratios in GROUPS (not rows):
+    a hot host with millions of pages moves as one unit, which is the
+    point.
+    """
+    if not ratios or any(r <= 0 for r in ratios):
+        raise ValueError("split_by_group: ratios must be positive")
+    s = float(sum(ratios))
+    gs = F.coalesce(F.col(group_col).cast("string"), F.lit("\x00"))
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.encode(F.concat(gs, F.lit(":" + str(int(seed)))),
+                               "UTF-8")),
+                1, 15),
+            16, 10,
+        ).cast("bigint").cast("double")
+        / float(1 << 60)
+    )
+    tagged = df.withColumn("__u", u)
+    out = []
+    lo = 0.0
+    acc = 0.0
+    for i, r in enumerate(ratios):
+        acc += r / s
+        hi = acc if i < len(ratios) - 1 else 1.0 + 1e-12
+        out.append(
+            tagged.filter((F.col("__u") >= lo) & (F.col("__u") < hi))
+            .drop("__u"))
+        lo = acc
+    return out
+
+
 def preview(df: DataFrame, n: int = 10, seed: int | None = None):
     """Seeded random preview rows (preview.rs:42-100, sans TUI)."""
     return sample_random(df, n, seed)

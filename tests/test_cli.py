@@ -992,3 +992,39 @@ def test_cli_stats_overlap(data, data2, capsys):
         "64")
     out = capsys.readouterr().out
     assert "est_intersection" in out and "1.0" in out
+
+
+def test_cli_split_group(spark, data, tmp_path):
+    d = str(tmp_path / "splits")
+    run("split", data, "--ratios", "0.7,0.3", "--group-by", "category",
+        "--output-dir", d, "--prefix", "g")
+    a = spark.read.parquet(os.path.join(d, "g_0.parquet"))
+    b = spark.read.parquet(os.path.join(d, "g_1.parquet"))
+    ca = {r.category for r in a.select("category").distinct().collect()}
+    cb = {r.category for r in b.select("category").distinct().collect()}
+    assert not (ca & cb) and a.count() + b.count() == 20
+
+
+def test_cli_split_group_stratify_conflict(data, tmp_path):
+    with pytest.raises(SystemExit):
+        main(["split", data, "--group-by", "category",
+              "--stratify-by", "category",
+              "--output-dir", str(tmp_path / "x")])
+
+
+def test_cli_frequency_heavy(data, capsys):
+    run("frequency", data, "-c", "category", "--heavy", "--limit", "2")
+    out = capsys.readouterr().out
+    assert "A" in out and "B" in out
+
+
+def test_cli_quality_dedup_sentences(spark, tmp_path):
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(1, "Buy now! Keep one."), (2, "Buy now! Keep two.")],
+        "doc_id long, text string").write.parquet(src)
+    out = str(tmp_path / "clean.parquet")
+    run("quality", src, "--mode", "dedup-sentences",
+        "--id-column", "doc_id", "-o", out)
+    got = {r.doc_id: r.text for r in spark.read.parquet(out).collect()}
+    assert got == {1: "Buy now! Keep one.", 2: "Keep two."}
