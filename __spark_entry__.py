@@ -1810,6 +1810,27 @@ def q_dedup_sentences(spark, sf_dir):
     return dedup_sentences_global(dd, "doc_id", "text")
 
 
+def q_dedup_sentence_spans(spark, sf_dir):
+    """The literal C4 §2.2 rule (functions/quality.
+    dedup_sentence_spans_global): every duplicated three-sentence span
+    keeps its smallest-(doc, start) occurrence; all other occurrences'
+    covered sentences are removed. Text derives by doubling each document
+    (text || '. ' || text) and turning ' the ' into '. ', so every doc
+    carries guaranteed self-repeat spans and exact-dup docs collide
+    cross-corpus; the span/window accounting is reproduced verbatim in
+    the oracle (span text as the key — md5 on the Spark side is only a
+    shuffle-width optimization of the same equivalence)."""
+    from nail_parquet_spark.functions.quality import (
+        dedup_sentence_spans_global)
+
+    d = _t(spark, sf_dir, "documents")
+    dd = d.select(
+        "doc_id",
+        F.replace(F.concat(F.col("text"), F.lit(". "), F.col("text")),
+                  F.lit(" the "), F.lit(". ")).alias("text"))
+    return dedup_sentence_spans_global(dd, "doc_id", "text")
+
+
 def q_mor_delete(spark, sf_dir):
     """Merge-on-read position delete (codec/deletes.py): rows matching the
     CNF predicate become a tiny coordinate table (zone-map/bloom pruning
@@ -2527,6 +2548,7 @@ _QUERIES = {
         "heavy_hitters": q_heavy_hitters,
         "split_group": q_split_group,
         "dedup_sentences": q_dedup_sentences,
+        "dedup_sentence_spans": q_dedup_sentence_spans,
         "decode_pushdown_or": q_decode_pushdown_or,
         "encode_manifest": q_encode_manifest,
         "encode_roundtrip": q_encode_roundtrip,
@@ -4253,6 +4275,39 @@ def oracle_sql() -> dict[str, str]:
                     FROM sent GROUP BY s),
             kept AS (SELECT p.doc_id, p.pos, p.s FROM sent p JOIN win ON p.s = win.s
                      WHERE p.doc_id = win.w.doc_id AND p.pos = win.w.pos),
+            reb AS (SELECT doc_id, string_agg(s, ' ' ORDER BY pos) AS text
+                    FROM kept GROUP BY doc_id)
+            SELECT s.doc_id, coalesce(r.text, '') AS text
+            FROM src s LEFT JOIN reb r USING (doc_id)""",
+        "dedup_sentence_spans": r"""
+            WITH src AS (
+              SELECT doc_id,
+                     list_filter(
+                       list_transform(
+                         string_split(
+                           regexp_replace(
+                             replace(text || '. ' || text, ' the ', '. '),
+                             '([.!?]+)\s+', '\1' || chr(30), 'g'),
+                           chr(30)),
+                         p -> regexp_replace(p, '^\s+|\s+$', '', 'g')),
+                       p -> p <> '') AS ss
+              FROM documents),
+            spans AS (
+              SELECT doc_id, i - 1 AS pos,
+                     array_to_string(ss[i:i+2], chr(31)) AS key
+              FROM src, UNNEST(range(1, greatest(len(ss) - 2, 0) + 1)) AS t(i)),
+            win AS (SELECT key, min(struct_pack(doc_id := doc_id, pos := pos)) AS w
+                    FROM spans GROUP BY key),
+            bad AS (
+              SELECT DISTINCT s.doc_id, UNNEST(range(s.pos, s.pos + 3)) AS pos
+              FROM spans s JOIN win ON s.key = win.key
+              WHERE NOT (s.doc_id = win.w.doc_id AND s.pos = win.w.pos)),
+            sent AS (
+              SELECT doc_id, i - 1 AS pos, ss[i] AS s
+              FROM src, UNNEST(range(1, len(ss) + 1)) AS t(i)),
+            kept AS (
+              SELECT sent.doc_id, sent.pos, sent.s
+              FROM sent ANTI JOIN bad USING (doc_id, pos)),
             reb AS (SELECT doc_id, string_agg(s, ' ' ORDER BY pos) AS text
                     FROM kept GROUP BY doc_id)
             SELECT s.doc_id, coalesce(r.text, '') AS text

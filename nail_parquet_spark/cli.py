@@ -301,7 +301,7 @@ def main(argv: list[str] | None = None) -> int:
         (("--mode",), {"default": "filter",
                        "choices": ["signals", "repetition", "top-ngram", "filter",
                                    "clean", "dedup-lines", "dedup-paragraphs",
-                                   "dedup-sentences",
+                                   "dedup-sentences", "dedup-sentence-spans",
                                    "boilerplate", "corpus-stats", "perplexity",
                                    "bigram-perplexity", "dsir", "ppl-buckets",
                                    "classify", "span-stats", "dedup-spans",
@@ -334,6 +334,9 @@ def main(argv: list[str] | None = None) -> int:
         (("--threshold",), {"type": float, "default": 0.5,
                             "help": "classify --remove: keep score >= this"}),
         (("--ngram",), {"type": int, "default": 2, "help": "n for --mode top-ngram"}),
+        (("--span",), {"type": int, "default": 3,
+                       "help": "sentence-window width for --mode "
+                               "dedup-sentence-spans (C4's rule uses 3)"}),
         (("--window",), {"type": int, "default": 5,
                          "help": "token-window width for --mode span-stats/dedup-spans"}),
         (("--keep-first",), {"action": "store_true", "dest": "keep_first",
@@ -1309,6 +1312,11 @@ def main(argv: list[str] | None = None) -> int:
             out = df.drop(args.text_column).join(cleaned, id_col)
         elif args.mode == "dedup-sentences":
             cleaned = qf.dedup_sentences_global(df, id_col, args.text_column)
+            out = df.drop(args.text_column).join(cleaned, id_col)
+        elif args.mode == "dedup-sentence-spans":
+            cleaned = qf.dedup_sentence_spans_global(df, id_col,
+                                                     args.text_column,
+                                                     span=args.span)
             out = df.drop(args.text_column).join(cleaned, id_col)
         elif args.mode == "boilerplate":
             work, grp = df, args.group_by

@@ -494,6 +494,71 @@ def _sentences(col: Column) -> Column:
     )
 
 
+def dedup_sentence_spans_global(df: DataFrame, id_col: str, text_col: str,
+                                span: int = 3) -> DataFrame:
+    """The literal C4 §2.2 dedup rule: "we removed any three-sentence span
+    that occurred more than once" — for every duplicated ``span``-sentence
+    window, ONE occurrence (smallest ``(doc id, start position)``, pinned)
+    keeps its sentences; every other occurrence's covered sentences are
+    removed, and documents are rebuilt from the survivors in order.
+
+    Differences from :func:`dedup_sentences_global` (single-sentence unit):
+    a sentence is only removed when it sits inside a REPEATED multi-sentence
+    run, so short formulaic sentences that legitimately recur ("Thanks!")
+    survive unless a whole span around them repeats. Docs with fewer than
+    ``span`` sentences contribute no spans and pass through rebuilt.
+
+    Removal semantics (pinned): an occurrence is the span STARTING at
+    position p; losing occurrences mark positions p..p+span-1; a sentence
+    survives iff NO losing occurrence covers it (a sentence of a winning
+    span can still be removed if a different, losing span also covers it —
+    occurrence-level accounting, exactly reproducible in the oracle).
+
+    Scale shape: sentence arrays stay in-row (``_sentences`` projection);
+    spans explode as (hash, doc, start) — the span TEXT never shuffles,
+    only its md5 — one winner groupBy on the hash, one same-key join back,
+    one covered-position explode + distinct, one ``(doc, pos)`` anti-join,
+    and the shared doc-keyed rebuild. No windows, no driver state.
+    Precondition: ``id_col`` unique per document.
+    """
+    if span < 1:
+        raise ValueError("dedup_sentence_spans_global: span must be >= 1")
+    sents = df.select(
+        F.col(id_col).alias("__doc"),
+        _sentences(F.col(text_col)).alias("__ss"),
+    )
+    # in-row span hashes: start positions 0..n-span; US (U+001F) joins the
+    # span's sentences so ("a b", "c") never collides with ("a", "b c")
+    spans = sents.filter(F.size("__ss") >= int(span)).select(
+        "__doc",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("__ss") - F.lit(int(span))),
+                lambda i: F.md5(F.encode(
+                    F.array_join(F.slice("__ss", i + 1, int(span)), "\x1f"),
+                    "UTF-8")),
+            )
+        ).alias("pos", "__h"),
+    )
+    winners = spans.groupBy("__h").agg(
+        F.min(F.struct("__doc", "pos")).alias("__w"))
+    losers = (
+        spans.join(winners, "__h")
+        .filter(~((F.col("__doc") == F.col("__w.__doc"))
+                  & (F.col("pos") == F.col("__w.pos"))))
+        .select("__doc", "pos")
+    )
+    bad = losers.select(
+        "__doc",
+        F.explode(F.sequence(F.col("pos"),
+                             F.col("pos") + F.lit(int(span) - 1))).alias("pos"),
+    ).distinct()
+    lines = sents.select(
+        "__doc", F.posexplode("__ss").alias("pos", "line"))
+    kept = lines.join(bad, ["__doc", "pos"], "left_anti")
+    return _rebuild_docs(df, id_col, text_col, kept, " ")
+
+
 def dedup_sentences_global(df: DataFrame, id_col: str,
                            text_col: str) -> DataFrame:
     """Corpus-global SENTENCE dedup — the exact granularity of C4 §2.2's
