@@ -936,6 +936,35 @@ def q_url_normalize(spark, sf_dir):
     ).filter(F.col("o_orderkey") <= 2000)
 
 
+def q_url_quality(spark, sf_dir):
+    """URL-level quality gate (functions/urls.url_quality_filter —
+    RefinedWeb-style first-stage filtering BEFORE fetch/extract): length,
+    digit fraction, path depth, query-param count, banned asset
+    extensions, as one Exchange-free projection. Input URLs are
+    constructed from orders so every rule trips on a known key residue
+    (deep paths %15, .pdf %7, digit blobs %13, param floods %5/%12); the
+    oracle constructs the identical strings and re-derives every signal
+    with the pinned twin expressions."""
+    from nail_parquet_spark.functions.urls import url_quality_filter
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 3000)
+    k = F.col("o_orderkey")
+    url = F.concat(
+        F.lit("https://www.h"), (F.col("o_custkey") % 20).cast("string"),
+        F.lit(".example.com/"),
+        F.expr("repeat('d/', CAST(o_orderkey % 15 AS INT))"),
+        F.lit("p"), k.cast("string"),
+        F.when(k % 13 == 0, F.lit("9" * 200)).otherwise(F.lit("")),
+        F.when(k % 7 == 0, F.lit(".pdf")).otherwise(F.lit(".html")),
+        F.when(k % 5 == 0,
+               F.concat(F.lit("?"),
+                        F.expr("repeat('a=1&', CAST(o_orderkey % 12 AS INT))"),
+                        F.lit("z=9"))).otherwise(F.lit("")),
+    )
+    return url_quality_filter(o.select("o_orderkey", url.alias("url")),
+                              "o_orderkey")
+
+
 def q_c4_line_filter(spark, sf_dir):
     """C4 line-level cleaning (functions/quality.c4_clean_text) over a
     derived multi-line text (documents are single-line in the driver
@@ -2549,6 +2578,7 @@ _QUERIES = {
         "split_group": q_split_group,
         "dedup_sentences": q_dedup_sentences,
         "dedup_sentence_spans": q_dedup_sentence_spans,
+        "url_quality": q_url_quality,
         "decode_pushdown_or": q_decode_pushdown_or,
         "encode_manifest": q_encode_manifest,
         "encode_roundtrip": q_encode_roundtrip,
@@ -2867,6 +2897,50 @@ def _mojibake_sql(src_cte: str) -> str:
             SELECT doc_id, replacement_chars, mojibake_hits,
                    (replacement_chars > 0 OR mojibake_hits > 0) AS suspect
             FROM m"""
+
+
+
+def _url_quality_sql() -> str:
+    from nail_parquet_spark.functions.urls import BANNED_EXTENSIONS
+
+    exts = ", ".join(f"'{e}'" for e in BANNED_EXTENSIONS)
+    return rf"""
+        WITH u AS (
+          SELECT o_orderkey,
+                 'https://www.h' || CAST(o_custkey % 20 AS VARCHAR) || '.example.com/' ||
+                 repeat('d/', CAST(o_orderkey % 15 AS INT)) ||
+                 'p' || CAST(o_orderkey AS VARCHAR) ||
+                 CASE WHEN o_orderkey % 13 = 0 THEN repeat('9', 200) ELSE '' END ||
+                 CASE WHEN o_orderkey % 7 = 0 THEN '.pdf' ELSE '.html' END ||
+                 CASE WHEN o_orderkey % 5 = 0
+                      THEN '?' || repeat('a=1&', CAST(o_orderkey % 12 AS INT)) || 'z=9'
+                      ELSE '' END AS url
+          FROM orders WHERE o_orderkey <= 3000),
+        p AS (
+          SELECT o_orderkey, url,
+                 regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)', 1) AS path,
+                 regexp_extract(string_split(url, '#')[1], '\?(.*)', 1) AS q
+          FROM u),
+        sig AS (
+          SELECT o_orderkey,
+                 length(url) AS url_len,
+                 CASE WHEN length(url) > 0
+                      THEN length(regexp_replace(url, '[^0-9]', '', 'g'))::DOUBLE
+                           / length(url)::DOUBLE ELSE 0.0 END AS digit_frac,
+                 length(path) - length(replace(path, '/', '')) AS path_depth,
+                 CASE WHEN q = '' THEN 0
+                      ELSE length(q) - length(replace(q, '&', '')) + 1 END AS n_query_params,
+                 lower(regexp_extract(path, '\.([A-Za-z0-9]{{1,5}})$', 1)) AS extension
+          FROM p)
+        SELECT o_orderkey,
+               url_len <= 2048 AS ok_len,
+               digit_frac <= 0.5 AS ok_digits,
+               path_depth <= 12 AS ok_depth,
+               n_query_params <= 8 AS ok_params,
+               extension NOT IN ({exts}) AS ok_extension,
+               (url_len <= 2048 AND digit_frac <= 0.5 AND path_depth <= 12
+                AND n_query_params <= 8 AND extension NOT IN ({exts})) AS passes
+        FROM sig"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4279,6 +4353,7 @@ def oracle_sql() -> dict[str, str]:
                     FROM kept GROUP BY doc_id)
             SELECT s.doc_id, coalesce(r.text, '') AS text
             FROM src s LEFT JOIN reb r USING (doc_id)""",
+        "url_quality": _url_quality_sql(),
         "dedup_sentence_spans": r"""
             WITH src AS (
               SELECT doc_id,

@@ -392,11 +392,16 @@ def main(argv: list[str] | None = None) -> int:
     add("domains", (("--url-column",), {"default": "url"}),
         (("--mode",), {"default": "stats",
                        "choices": ["stats", "cap", "block", "robots",
-                                   "robots-directives"],
+                                   "robots-directives", "url-quality"],
                        "help": "per-registered-domain budget / cap docs per domain / "
                                "drop domains on a blocklist / drop URLs robots.txt "
                                "disallows / per-host crawl-delay + sitemaps "
-                               "(input = the robots corpus itself)"}),
+                               "(input = the robots corpus itself) / per-URL "
+                               "quality signal verdicts (len, digits, depth, "
+                               "params, banned extensions)"}),
+        (("--id-column",), {"default": None, "dest": "id_column",
+                            "help": "doc id for --mode url-quality "
+                                    "(default: first column)"}),
         (("--blocklist",), {"default": None,
                             "help": "table of blocked domains for --mode block"}),
         (("--blocklist-column",), {"default": "domain"}),
@@ -1612,6 +1617,14 @@ def main(argv: list[str] | None = None) -> int:
 
         if args.mode == "stats":
             out = uf.domain_stats(df, args.url_column, args.text_column)
+        elif args.mode == "url-quality":
+            id_col = args.id_column or df.columns[0]
+            verdict = uf.url_quality_filter(df, id_col, args.url_column)
+            if args.invert:
+                out = verdict            # audit table
+            else:                        # keep passing rows, cardinality-safe
+                out = df.join(verdict.filter("passes").select(id_col),
+                              id_col, "left_semi")
         elif args.mode == "block":
             if not args.blocklist:
                 p.error("--mode block requires --blocklist")

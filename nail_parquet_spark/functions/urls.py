@@ -172,3 +172,107 @@ def filter_blocked_domains(df, blocklist, url_col: str = "url",
     how = "left_semi" if invert else "left_anti"
     key = registered_domain(F.col(url_col))
     return df.join(F.broadcast(b), key == F.col("__blocked"), how)
+
+
+# ---------------------------------------------------------------------------
+# URL-level quality signals (RefinedWeb §3.1-style first-stage filtering)
+# ---------------------------------------------------------------------------
+
+# asset/binary extensions a text pipeline drops before ever fetching the
+# body (pinned set — the oracle and filter must agree byte-for-byte)
+BANNED_EXTENSIONS = (
+    "jpg", "jpeg", "png", "gif", "webp", "svg", "ico", "bmp", "tiff",
+    "css", "js", "woff", "woff2", "ttf", "eot",
+    "mp3", "mp4", "avi", "mov", "mkv", "wav", "flac", "ogg", "webm",
+    "zip", "gz", "tar", "rar", "7z", "bz2",
+    "exe", "dmg", "apk", "msi", "iso", "bin",
+    "pdf", "doc", "docx", "xls", "xlsx", "ppt", "pptx",
+)
+
+# pinned rule book (documented defaults; override per call)
+URL_QUALITY_RULES = {
+    "max_url_len": 2048,       # no real page; crawler artifacts
+    "max_digit_frac": 0.5,     # session ids / hashes dominating the URL
+    "max_path_depth": 12,      # calendar/faceted-navigation traps
+    "max_query_params": 8,     # tracking / infinite facet spaces
+    "ban_extensions": True,    # BANNED_EXTENSIONS on the path
+}
+
+
+def _url_path(col: Column) -> Column:
+    """Path component: after ``scheme://authority``, before '?'/'#'.
+    Relative URLs (no prefix) expose their pre-query part as the path."""
+    with_prefix = F.regexp_extract(
+        col, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)", 1)
+    return F.when(col.rlike(r"^[A-Za-z][A-Za-z0-9+.\-]*://"), with_prefix) \
+        .otherwise(F.split(F.split(col, r"\?").getItem(0), "#").getItem(0))
+
+
+def url_signals_table(df, id_col: str, url_col: str = "url"):
+    """Per-URL quality signals as ONE Exchange-free projection (id, url_len,
+    digit_frac, path_depth, n_query_params, subdomain_depth, extension):
+
+    - ``url_len``          total characters
+    - ``digit_frac``       decimal digits / length (0.0 for empty)
+    - ``path_depth``       '/' count in the path component
+    - ``n_query_params``   0 when no '?', else 1 + '&' count in the query
+    - ``subdomain_depth``  '.' count in the host ("www.x.com" -> 2)
+    - ``extension``        lowercased final path extension (<=5 alnum
+                           chars after the last '.'), '' when none
+
+    All Catalyst expressions with exact DuckDB twins (tests pin parity);
+    floats divide as ``digits / len`` in double precision — mirror the
+    same division in any oracle.
+    """
+    url = F.col(url_col)
+    path = _url_path(url)
+    host = url_host(url)
+    # fragment cut FIRST: a '?' inside '#frag?x' is fragment text, not a
+    # query (RFC 3986 order) — pinned, mirrored in the oracle
+    q = F.regexp_extract(F.split(url, "#").getItem(0), r"\?(.*)", 1)
+    digits = F.length(F.regexp_replace(url, r"[^0-9]", ""))
+    return df.select(
+        F.col(id_col),
+        F.length(url).alias("url_len"),
+        F.when(F.length(url) > 0,
+               digits.cast("double") / F.length(url).cast("double"))
+        .otherwise(F.lit(0.0)).alias("digit_frac"),
+        (F.length(path) - F.length(F.regexp_replace(path, "/", "")))
+        .alias("path_depth"),
+        F.when(q == "", F.lit(0)).otherwise(
+            F.length(q) - F.length(F.regexp_replace(q, "&", "")) + F.lit(1))
+        .cast("int").alias("n_query_params"),
+        (F.length(host) - F.length(F.regexp_replace(host, r"\.", "")))
+        .alias("subdomain_depth"),
+        F.lower(F.regexp_extract(path, r"\.([A-Za-z0-9]{1,5})$", 1))
+        .alias("extension"),
+    )
+
+
+def url_quality_filter(df, id_col: str, url_col: str = "url",
+                       rules: dict | None = None):
+    """Composed URL-rule verdict table (id, passes boolean + one boolean
+    per rule) — the crawl-frontier/ingest gate run BEFORE fetching or
+    extracting a body. Rules from :data:`URL_QUALITY_RULES` (overridable
+    per call); a NULL url fails every rule (pinned). One Exchange-free
+    projection; compose with ``df.join(verdict.filter('passes'), id,
+    'left_semi')`` to keep cardinality (ADVICE r4)."""
+    r = dict(URL_QUALITY_RULES)
+    r.update(rules or {})
+    sig = url_signals_table(df, id_col, url_col)
+    checks = {
+        "ok_len": F.col("url_len") <= int(r["max_url_len"]),
+        "ok_digits": F.col("digit_frac") <= float(r["max_digit_frac"]),
+        "ok_depth": F.col("path_depth") <= int(r["max_path_depth"]),
+        "ok_params": F.col("n_query_params") <= int(r["max_query_params"]),
+    }
+    if r["ban_extensions"]:
+        checks["ok_extension"] = ~F.col("extension").isin(*BANNED_EXTENSIONS)
+    out = sig.select(
+        F.col(id_col),
+        *[F.coalesce(c, F.lit(False)).alias(name)
+          for name, c in checks.items()])
+    passes = None
+    for name in checks:
+        passes = F.col(name) if passes is None else passes & F.col(name)
+    return out.withColumn("passes", passes)

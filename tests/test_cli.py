@@ -1028,3 +1028,20 @@ def test_cli_quality_dedup_sentences(spark, tmp_path):
         "--id-column", "doc_id", "-o", out)
     got = {r.doc_id: r.text for r in spark.read.parquet(out).collect()}
     assert got == {1: "Buy now! Keep one.", 2: "Keep two."}
+
+
+def test_cli_domains_url_quality(spark, tmp_path, capsys):
+    src = str(tmp_path / "urls.parquet")
+    spark.createDataFrame(
+        [(1, "https://ok.example.com/page.html"),
+         (2, "https://bad.example.com/logo.png")],
+        "id long, url string").write.parquet(src)
+    out = str(tmp_path / "kept.parquet")
+    run("domains", src, "--mode", "url-quality", "--id-column", "id",
+        "-o", out)
+    kept = spark.read.parquet(out)
+    assert [r.id for r in kept.collect()] == [1]
+    # audit verdict table via --invert
+    run("domains", src, "--mode", "url-quality", "--id-column", "id",
+        "--invert")
+    assert "passes" in capsys.readouterr().out
