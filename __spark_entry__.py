@@ -2140,6 +2140,30 @@ def q_encode_roundtrip(spark, sf_dir):
     )
 
 
+def q_decode_topk(spark, sf_dir):
+    """ORDER BY ... LIMIT k pushdown (codec/decode.decode_topk): zone maps
+    pick only the block groups that can hold a top-k row (greedy k-row
+    bound + beats-the-bound keep rule, prune_blocks_topk), then the exact
+    sort-limit runs on the decoded remainder as TakeOrderedAndProject.
+    Value-exact because decode is bit-identical and the doc_id tiebreak
+    pins boundary order. Input sorted within partitions so the zones are
+    selective, as a real ingest layout would be."""
+    from nail_parquet_spark.codec.decode import decode_topk
+    from nail_parquet_spark.codec.encode import encode_table
+
+    o = (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .repartition(4)
+        .sortWithinPartitions("o_totalprice")
+    )
+    blocks = encode_table(
+        o, codecs={"o_orderkey": "for_bitpack", "o_totalprice": "plain"},
+        block_rows=4096,
+    )
+    return decode_topk(blocks, "o_totalprice", 100, tiebreak="o_orderkey")
+
+
 def q_decode_pushdown(spark, sf_dir):
     """Encode orders into block tables, then decode WITH zone-map predicate
     pushdown (codec/decode.decode_table_where: block groups whose min/max
@@ -2579,6 +2603,7 @@ _QUERIES = {
         "dedup_sentences": q_dedup_sentences,
         "dedup_sentence_spans": q_dedup_sentence_spans,
         "url_quality": q_url_quality,
+        "decode_topk": q_decode_topk,
         "decode_pushdown_or": q_decode_pushdown_or,
         "encode_manifest": q_encode_manifest,
         "encode_roundtrip": q_encode_roundtrip,
@@ -4354,6 +4379,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT s.doc_id, coalesce(r.text, '') AS text
             FROM src s LEFT JOIN reb r USING (doc_id)""",
         "url_quality": _url_quality_sql(),
+        "decode_topk": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            WHERE o_totalprice IS NOT NULL
+            ORDER BY o_totalprice DESC, o_orderkey ASC
+            LIMIT 100""",
         "dedup_sentence_spans": r"""
             WITH src AS (
               SELECT doc_id,

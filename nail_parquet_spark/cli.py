@@ -295,7 +295,15 @@ def main(argv: list[str] | None = None) -> int:
         (("--no-deletes",), {"action": "store_true", "dest": "no_deletes",
                              "help": "audit view: decode a snapshot table WITHOUT applying "
                                      "its committed position deletes (default applies them — "
-                                     "a delete the reader ignores is corruption)"}))
+                                     "a delete the reader ignores is corruption)"}),
+        (("--top",), {"default": None,
+                      "help": "'col:k[:asc|desc]' — ORDER BY col LIMIT k with "
+                              "zone-map block pruning (only groups that can "
+                              "hold a top-k row are read; default desc; NULLs "
+                              "never rank)"}),
+        (("--tiebreak",), {"default": None,
+                           "help": "secondary ascending sort column for --top "
+                                   "boundary determinism"}))
     add("quality", (("-c", "--text-column"), {"default": "text", "dest": "text_column"}),
         (("--id-column",), {"default": None, "help": "doc id column (default: first column)"}),
         (("--mode",), {"default": "filter",
@@ -993,7 +1001,23 @@ def main(argv: list[str] | None = None) -> int:
         if not args.output:
             p.error("decode requires -o/--output")
         cols = args.columns.split(",") if args.columns else None
-        if getattr(args, "where", None):
+        if getattr(args, "top", None):
+            from nail_parquet_spark.codec.decode import decode_topk
+
+            bits = args.top.split(":")
+            if len(bits) not in (2, 3) or (len(bits) == 3
+                                           and bits[2] not in ("asc", "desc")):
+                p.error("--top expects 'col:k[:asc|desc]'")
+            if getattr(args, "where", None) or mor_deletes is not None:
+                p.error("--top does not compose with --where/--no-deletes "
+                        "snapshot deletes yet — decode then sort instead")
+            dec = decode_topk(df, bits[0], int(bits[1]),
+                              tiebreak=args.tiebreak,
+                              descending=(len(bits) < 3 or bits[2] == "desc"),
+                              columns=cols)
+            dec.write.mode("overwrite").parquet(args.output)
+            print(f"decoded top-{bits[1]} by {bits[0]} -> {args.output}")
+        elif getattr(args, "where", None):
             preds = [_parse_where_clause(w) for w in args.where]
             if mor_deletes is not None:
                 from nail_parquet_spark.codec.deletes import decode_except_where

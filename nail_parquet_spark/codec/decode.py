@@ -1018,3 +1018,163 @@ def decode_table_where_all(blocks: DataFrame, predicates,
             one = e if one is None else (one | e)
         residual = one if residual is None else (residual & one)
     return dec.filter(residual).select(*out_cols)
+
+
+def prune_blocks_topk(blocks: DataFrame, column: str, k: int,
+                      descending: bool = True,
+                      max_groups: int = 100_000,
+                      headers: dict[str, dict] | None = None) -> DataFrame:
+    """Zone-map pruning for ``ORDER BY column [DESC|ASC] LIMIT k``: keep
+    only block groups that can contain a top-k row.
+
+    Metadata algorithm (driver-side, O(#groups), reads NO data):
+    1. collect per-group (min, max, n_rows, null_count) for ``column``;
+    2. sort bound-known groups by their best-possible value (max for
+       desc, min for asc);
+    3. take groups greedily until the taken groups' non-null rows reach
+       ``k``; the bound L = the worst value GUARANTEED inside the taken
+       set (min of taken mins for desc, max of taken maxes for asc) —
+       at least k rankable rows are at-or-better-than L;
+    4. additionally keep every group whose best side beats-or-ties L.
+       Any row outside the keep-set is strictly worse than L <= the true
+       k-th value, so it cannot rank; boundary ties all live inside the
+       keep-set, where the exact residual sort resolves them.
+
+    Safety degradations (never wrong, only unpruned):
+    - groups with missing stats (min NULL, not all-null) are always kept
+      and never contribute to the bound;
+    - string stats at the 64-char render cap: a truncated MAX is unknown
+      (treated as +inf: kept in desc mode, bars the bound in asc mode);
+      a truncated MIN is a valid lower bound (prefix <= true min) —
+      usable for the desc bound, and only ever keeps extra in asc;
+    - all-null groups are dropped (NULL never ranks — see decode_topk);
+    - over ``max_groups``, or when bounded groups hold fewer than k
+      rankable rows, pruning is skipped entirely.
+
+    Supported stat kinds: integer/boolean, float, string (the zone stats
+    are str()-rendered; timestamp renders are not total-order-safe under
+    truncation, so they raise — decode then sort for those).
+    """
+    if k < 1:
+        raise ValueError("prune_blocks_topk: k must be >= 1")
+    from nail_parquet_spark.codec.kernels import _type_from_str
+
+    if headers is None:
+        headers, _ = _headers_by_column(blocks)
+    if column not in headers:
+        raise ValueError(f"column {column!r} not in the blocks table")
+    t = _type_from_str(headers[column]["type"])
+    if pa.types.is_integer(t) or pa.types.is_boolean(t):
+        parse, is_str = int, False
+    elif pa.types.is_floating(t):
+        parse, is_str = float, False
+    elif pa.types.is_string(t) or pa.types.is_large_string(t):
+        parse, is_str = str, True
+    else:
+        raise ValueError(
+            f"top-k pruning needs integer/float/string zone stats; column "
+            f"{column!r} has type {headers[column]['type']}")
+
+    meta = (blocks.filter(F.col("column") == column)
+            .select("part_id", "block_id", "min_val", "max_val",
+                    "n_rows", "null_count")
+            .limit(max_groups + 1).collect())
+    if len(meta) > max_groups:
+        return blocks
+
+    always: list[tuple] = []     # kept unconditionally, no bound available
+    bounded: list[tuple] = []    # (best, worst, nn, part, block)
+    for r in meta:
+        nn = int(r["n_rows"]) - int(r["null_count"])
+        if nn <= 0:
+            continue  # all-null group: NULL never ranks
+        key = (r["part_id"], r["block_id"])
+        lo_s, hi_s = r["min_val"], r["max_val"]
+        if lo_s is None or hi_s is None:
+            always.append(key)
+            continue
+        try:
+            lo, hi = parse(lo_s), parse(hi_s)
+        except (TypeError, ValueError):
+            always.append(key)
+            continue
+        lo_trunc = is_str and len(lo_s) >= 64
+        hi_trunc = is_str and len(hi_s) >= 64
+        if descending:
+            # best = hi (+inf when truncated -> unconditional keep);
+            # worst-guarantee = lo (truncated lo is still a lower bound)
+            if hi_trunc:
+                always.append(key)
+            else:
+                bounded.append((hi, lo, nn, key))
+        else:
+            # best = lo (truncated lo only ever sorts the group earlier
+            # and weakens nothing); worst-guarantee = hi, unusable when
+            # truncated -> unconditional keep
+            if hi_trunc:
+                always.append(key)
+            else:
+                bounded.append((lo, hi, nn, key))
+
+    if sum(nn for _, _, nn, _ in bounded) < k:
+        return blocks  # cannot form a k-row guarantee: no pruning
+
+    bounded.sort(key=lambda g: g[0], reverse=descending)
+    taken = 0
+    bound = None
+    keep = set(always)
+    for i, (best, worst, nn, key) in enumerate(bounded):
+        keep.add(key)
+        taken += nn
+        if taken >= k:
+            worsts = [g[1] for g in bounded[: i + 1]]
+            bound = min(worsts) if descending else max(worsts)
+            rest = bounded[i + 1:]
+            break
+    for best, _, _, key in rest:
+        ok = (best >= bound) if descending else (best <= bound)
+        if ok:
+            keep.add(key)
+    parts = sorted({p for p, _ in keep})
+    bids = sorted({b for _, b in keep})
+    return blocks.filter(F.col("part_id").isin(parts)
+                         & F.col("block_id").isin(bids))
+
+
+def decode_topk(blocks: DataFrame, column: str, k: int,
+                tiebreak: str | None = None, descending: bool = True,
+                columns: list[str] | None = None,
+                num_partitions: int | None = None,
+                file_keyed: bool = True,
+                max_groups: int = 100_000) -> DataFrame:
+    """``ORDER BY column [DESC|ASC][, tiebreak ASC] LIMIT k`` served with
+    zone-map block pruning (:func:`prune_blocks_topk`): only groups that
+    can contain a top-k row are read and decoded, then the exact global
+    sort-limit runs on the decoded remainder (Spark plans it as
+    TakeOrderedAndProject — per-partition heaps, no full sort).
+
+    Pinned semantics: rows with NULL in ``column`` never rank (excluded —
+    engines disagree on default null ordering, the contract removes the
+    divergence); pass ``tiebreak`` (sorted ascending) whenever boundary
+    determinism matters. Semantics equal
+    ``decode_table(blocks, columns).filter(col.isNotNull())
+    .orderBy(col [desc], tiebreak).limit(k)``.
+    """
+    headers, _ = _headers_by_column(blocks)
+    out_cols = columns if columns is not None else sorted(headers)
+    use_cols = list(out_cols)
+    for extra in (column, tiebreak):
+        if extra is not None and extra not in use_cols:
+            use_cols.append(extra)
+    pruned = prune_blocks_topk(blocks, column, k, descending=descending,
+                               max_groups=max_groups, headers=headers)
+    if pruned.limit(1).isEmpty():
+        schema = _schema_from_headers(headers, out_cols)
+        return blocks.sparkSession.createDataFrame([], _spark_ddl_of(schema))
+    dec = decode_table(pruned, columns=use_cols,
+                       num_partitions=num_partitions, file_keyed=file_keyed)
+    order = [F.col(column).desc() if descending else F.col(column).asc()]
+    if tiebreak is not None:
+        order.append(F.col(tiebreak).asc())
+    return (dec.filter(F.col(column).isNotNull())
+            .orderBy(*order).limit(int(k)).select(*out_cols))

@@ -1,0 +1,155 @@
+"""Top-k pushdown from zone maps (prune_blocks_topk / decode_topk)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from nail_parquet_spark.codec.decode import (
+    decode_table,
+    decode_topk,
+    prune_blocks_topk,
+)
+from nail_parquet_spark.codec.encode import encode_table
+
+
+@pytest.fixture(scope="module")
+def sorted_blocks(spark):
+    df = (
+        spark.range(100)
+        .select(
+            F.col("id").cast("long").alias("k"),
+            F.concat(F.lit("v"), F.format_string("%03d", F.col("id"))).alias("s"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("k")
+    )
+    blocks = encode_table(df, codecs={"k": "for_bitpack", "s": "zstd"},
+                          block_rows=10)
+    return df, blocks.cache()
+
+
+def n_groups(blocks):
+    return blocks.select("part_id", "block_id").distinct().count()
+
+
+def expect(df, col, k, desc=True, tiebreak="k"):
+    order = [F.col(col).desc() if desc else F.col(col).asc()]
+    if tiebreak:
+        order.append(F.col(tiebreak).asc())
+    return [tuple(r) for r in
+            df.filter(F.col(col).isNotNull()).orderBy(*order).limit(k).collect()]
+
+
+def test_desc_prunes_to_tail_blocks(spark, sorted_blocks):
+    df, blocks = sorted_blocks
+    pruned = prune_blocks_topk(blocks, "k", 10, descending=True)
+    # ids 90..99 live in ONE block; the bound keeps exactly it
+    assert n_groups(pruned) == 1
+    got = [tuple(r) for r in
+           decode_topk(blocks, "k", 10, tiebreak="s",
+                       columns=["k", "s"]).collect()]
+    assert got == expect(df.select("k", "s"), "k", 10, desc=True, tiebreak="s")
+
+
+def test_asc_prunes_to_head_blocks(spark, sorted_blocks):
+    df, blocks = sorted_blocks
+    pruned = prune_blocks_topk(blocks, "k", 25, descending=False)
+    assert n_groups(pruned) == 3  # 25 rows span blocks 0,1,2
+    got = [tuple(r) for r in
+           decode_topk(blocks, "k", 25, tiebreak="s", descending=False,
+                       columns=["k", "s"]).collect()]
+    assert got == expect(df.select("k", "s"), "k", 25, desc=False, tiebreak="s")
+
+
+def test_string_column_topk(spark, sorted_blocks):
+    df, blocks = sorted_blocks
+    got = [tuple(r) for r in
+           decode_topk(blocks, "s", 7, tiebreak="k",
+                       columns=["k", "s"]).collect()]
+    assert got == expect(df.select("k", "s"), "s", 7, tiebreak="k")
+    assert n_groups(prune_blocks_topk(blocks, "s", 7)) == 1
+
+
+def test_boundary_ties_all_kept(spark):
+    # value 5 repeats across two blocks at the k-th boundary: both blocks
+    # must stay so the tiebreak resolves exactly
+    rows = [(i, v) for i, v in enumerate([5, 5, 5, 1, 1, 5, 5, 9, 2, 2])]
+    df = spark.createDataFrame(rows, "id long, v long") \
+        .repartition(1).sortWithinPartitions("id")
+    blocks = encode_table(df, codecs={"id": "plain", "v": "plain"},
+                          block_rows=5)
+    got = [tuple(r) for r in
+           decode_topk(blocks, "v", 3, tiebreak="id",
+                       columns=["id", "v"]).collect()]
+    assert got == expect(df, "v", 3, tiebreak="id")
+    assert got == [(7, 9), (0, 5), (1, 5)]
+
+
+def test_nulls_never_rank(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, 10), (3, None), (4, 7)], "id long, v long") \
+        .repartition(1)
+    blocks = encode_table(df, codecs={"id": "plain", "v": "plain"},
+                          block_rows=2)
+    got = [tuple(r) for r in
+           decode_topk(blocks, "v", 3, tiebreak="id",
+                       columns=["id", "v"]).collect()]
+    assert got == [(2, 10), (4, 7)]
+
+
+def test_k_exceeds_rows(spark, sorted_blocks):
+    df, blocks = sorted_blocks
+    got = [tuple(r) for r in
+           decode_topk(blocks, "k", 1000, tiebreak="s",
+                       columns=["k", "s"]).collect()]
+    assert got == expect(df.select("k", "s"), "k", 1000)
+
+
+def test_unsupported_kind_raises(spark):
+    df = spark.createDataFrame([(1, b"x")], "id long, b binary").repartition(1)
+    blocks = encode_table(df, codecs={"id": "plain", "b": "zstd"})
+    with pytest.raises(ValueError, match="zone stats"):
+        prune_blocks_topk(blocks, "b", 1)
+    with pytest.raises(ValueError, match="k must be"):
+        prune_blocks_topk(blocks, "id", 0)
+
+
+def test_matches_full_decode_random_layout(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, rng.randrange(1000)) for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, v long").repartition(4)
+    blocks = encode_table(df, codecs={"id": "plain", "v": "plain"},
+                          block_rows=32).cache()
+    full = decode_table(blocks, columns=["id", "v"])
+    for desc in (True, False):
+        got = [tuple(r) for r in
+               decode_topk(blocks, "v", 20, tiebreak="id", descending=desc,
+                           columns=["id", "v"]).collect()]
+        assert got == expect(full, "v", 20, desc=desc, tiebreak="id")
+
+
+def test_cli_decode_top(spark, tmp_path, capsys):
+    from nail_parquet_spark.cli import main
+
+    src = str(tmp_path / "src.parquet")
+    spark.createDataFrame([(i, i * 3 % 17) for i in range(60)],
+                          "id long, v long") \
+        .repartition(1).write.parquet(src)
+    enc = str(tmp_path / "enc")
+    assert main(["optimize", src, "-o", enc]) == 0
+    out = str(tmp_path / "top.parquet")
+    assert main(["decode", enc, "--top", "v:5", "--tiebreak", "id",
+                 "-o", out]) == 0
+    got = [tuple(r) for r in spark.read.parquet(out)
+           .orderBy(F.desc("v"), "id").collect()]
+    want = [tuple(r) for r in spark.read.parquet(src)
+            .orderBy(F.desc("v"), "id").limit(5).collect()]
+    assert sorted(got) == sorted(want)
+    out2 = str(tmp_path / "bottom.parquet")
+    assert main(["decode", enc, "--top", "v:5:asc", "--tiebreak", "id",
+                 "-o", out2]) == 0
+    want2 = [tuple(r) for r in spark.read.parquet(src)
+             .orderBy("v", "id").limit(5).collect()]
+    assert sorted(tuple(r) for r in spark.read.parquet(out2).collect()) \
+        == sorted(want2)
