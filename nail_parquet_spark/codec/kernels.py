@@ -13,6 +13,8 @@ Codecs
   for_bitpack  frame-of-reference: min-subtract then bit-pack (ints/ts)
   delta_bitpack zigzag(diff) then bit-pack — for sorted-ish ints/ts
                (cf. warc_ts per-host crawl deltas, SURVEY.md §7.2 M2)
+  dod_bitpack  delta-of-delta (Gorilla family): zigzag(diff(diff)) then
+               bit-pack — near-regular sequences (clock ticks, sweeps)
   rle          run-length over values (ints) or dict codes (strings):
                run codes bit-packed + run lengths bit-packed
   dict         dictionary encode: distinct values (zstd) + bit-packed codes
@@ -368,6 +370,46 @@ def _dec_int_delta(block: EncodedBlock, n: int) -> np.ndarray:
     out = np.empty(n, dtype=np.int64)
     out[0] = p["first"]
     with np.errstate(over="ignore"):
+        np.cumsum(d, out=out[1:])
+        out[1:] += p["first"]
+    return out
+
+
+def _enc_int_dod(vals: np.ndarray) -> tuple[dict, list[tuple[str, bytes]]]:
+    """Delta-of-delta (Gorilla / time-series family): zigzag the SECOND
+    differences and bit-pack. Near-regular sequences — clock ticks, crawl
+    sweeps, auto-increment ids with gaps — have ~constant first deltas, so
+    the second deltas concentrate at 0 and pack to a couple of bits where
+    plain delta still pays the full step width every row."""
+    if len(vals) == 0:
+        return {"first": 0, "d0": 0, "width": 0}, [("packed", b"")]
+    first = int(vals[0])
+    with np.errstate(over="ignore"):
+        d = np.diff(vals.astype(np.int64))
+    if len(d) == 0:
+        return {"first": first, "d0": 0, "width": 0}, [("packed", b"")]
+    d0 = int(d[0])
+    with np.errstate(over="ignore"):
+        z = _zigzag(np.diff(d))
+    width = bit_width(int(z.max())) if len(z) else 0
+    return ({"first": first, "d0": d0, "width": width},
+            [("packed", pack_bits(z, width))])
+
+
+def _dec_int_dod(block: EncodedBlock, n: int) -> np.ndarray:
+    p = block.header["params"]
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    out = np.empty(n, dtype=np.int64)
+    out[0] = p["first"]
+    if n == 1:
+        return out
+    z = unpack_bits(block.section("packed"), n - 2, p["width"])
+    d = np.empty(n - 1, dtype=np.int64)
+    d[0] = p["d0"]
+    with np.errstate(over="ignore"):
+        np.cumsum(_unzigzag(z), out=d[1:])
+        d[1:] += p["d0"]
         np.cumsum(d, out=out[1:])
         out[1:] += p["first"]
     return out
@@ -1173,6 +1215,8 @@ def encode_array(arr: pa.Array, codec: str, ref_arr: pa.Array | None = None) -> 
             params, secs = _enc_int_for(vals)
         elif codec == "delta_bitpack":
             params, secs = _enc_int_delta(vals)
+        elif codec == "dod_bitpack":
+            params, secs = _enc_int_dod(vals)
         elif codec == "rle":
             params, secs = _enc_int_rle(vals)
         elif codec == "dict":
@@ -1334,6 +1378,8 @@ def decode_array(block: EncodedBlock, ref_arr: pa.Array | None = None) -> pa.Arr
             vals = _dec_int_for(block, n)
         elif codec == "delta_bitpack":
             vals = _dec_int_delta(block, n)
+        elif codec == "dod_bitpack":
+            vals = _dec_int_dod(block, n)
         elif codec == "rle":
             vals = _dec_int_rle(block, n)
         elif codec == "dict":
@@ -1459,7 +1505,8 @@ def _type_from_str(s: str) -> pa.DataType:
 
 
 VALID_CODECS = {
-    "int": ["plain", "zstd", "brotli", "lz4", "gzip", "for_bitpack", "delta_bitpack", "rle", "dict"],
+    "int": ["plain", "zstd", "brotli", "lz4", "gzip", "for_bitpack",
+            "delta_bitpack", "dod_bitpack", "rle", "dict"],
     "float": ["plain", "zstd", "brotli", "lz4", "gzip", "dict", "alp", "bss"],
     "str": ["plain", "zstd", "brotli", "lz4", "gzip", "fsst", "dict", "rle", "wdict", "fc"],
     "bin": ["plain", "zstd", "brotli", "lz4", "gzip", "fsst", "dict", "rle", "wdict", "fc"],
@@ -1467,7 +1514,8 @@ VALID_CODECS = {
     # name, so any codec valid for the child kind is valid here (not xref:
     # the child rows don't align with any same-block reference column)
     "list": ["plain", "zstd", "brotli", "lz4", "gzip", "alp", "bss", "dict",
-             "rle", "for_bitpack", "delta_bitpack", "fsst", "wdict", "fc"],
+             "rle", "for_bitpack", "delta_bitpack", "dod_bitpack", "fsst",
+             "wdict", "fc"],
     # "xref:<ref>[:level]" is also valid for str/bin but needs a same-block
     # reference array, so the single-column test matrices exclude it
     # (tests/test_xref.py covers it end to end)

@@ -130,6 +130,9 @@ def candidate_codecs(kind: str, st: ColumnStats) -> list[str]:
             cands.append("dict")
         if st.sorted_frac >= 0.9:
             cands.append("delta_bitpack")
+            # delta-of-delta: the trial keeps it only when second
+            # differences genuinely pack tighter (near-regular steps)
+            cands.append("dod_bitpack")
         cands.append("for_bitpack")
         cands.append("zstd")
     elif kind == "float":
@@ -208,6 +211,7 @@ CODEC_SPEED_MBPS = {
     "rle": 60.0,
     "for_bitpack": 130.0,
     "delta_bitpack": 130.0,
+    "dod_bitpack": 125.0,
     "alp": 150.0,
     "bss": 160.0,  # byte transpose + zstd over mostly-skewed planes
     "fsst": 5.0,

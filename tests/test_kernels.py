@@ -243,3 +243,28 @@ class TestFrontCoding:
         for codec in ("fc", "fc:1", "fc:6"):
             blk = encode_array(arr, codec)
             assert decode_array(blk).equals(arr)
+
+
+def test_dod_beats_delta_on_regular_ticks():
+    import numpy as np
+
+    from nail_parquet_spark.codec.kernels import decode_array, encode_array
+
+    rng = np.random.default_rng(3)
+    ticks = np.cumsum(rng.integers(995, 1006, 20_000)) + 1_700_000_000_000
+    arr = pa.array(ticks.tolist(), pa.int64())
+    dod = encode_array(arr, "dod_bitpack")
+    delta = encode_array(arr, "delta_bitpack")
+    assert decode_array(dod).equals(arr)
+    assert len(dod.payload) < 0.6 * len(delta.payload)
+
+
+def test_selector_reaches_dod_on_near_regular():
+    import numpy as np
+
+    from nail_parquet_spark.codec.select import choose_codec
+
+    ticks = np.arange(50_000) * 250 + 42  # perfectly regular
+    arr = pa.array(ticks.tolist(), pa.int64())
+    codec, _ = choose_codec(arr, policy="ratio")
+    assert codec == "dod_bitpack"
