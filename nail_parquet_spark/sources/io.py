@@ -39,6 +39,13 @@ def _fmt_of(path: str, fmt: str | None) -> str:
         return "csv"
     if ext in ("json", "jsonl", "ndjson"):
         return "json"
+    # compressed text interchange (the corpus-export convention:
+    # shard-00000.jsonl.gz): format from the inner extension, the gzip
+    # codec is applied by write_data / inferred by Spark's reader
+    if path.endswith((".jsonl.gz", ".json.gz", ".ndjson.gz")):
+        return "json"
+    if path.endswith(".csv.gz"):
+        return "csv"
     if ext == "orc":
         return "orc"
     if ext in ("xlsx", "xls"):
@@ -370,11 +377,15 @@ def write_data(df: DataFrame, path: str, fmt: str | None = None,
                    or compression in (None, "gzip"))
     elif fmt == "csv":
         w = out.write.mode(mode).option("header", True)
+        if compression is None and path.endswith(".gz"):
+            compression = "gzip"  # .csv.gz convention
         if compression:
             w = w.option("compression", compression)
         w.csv(path)
     elif fmt == "json":
         w = out.write.mode(mode)
+        if compression is None and path.endswith(".gz"):
+            compression = "gzip"  # .jsonl.gz convention
         if compression:
             w = w.option("compression", compression)
         w.json(path)

@@ -136,3 +136,29 @@ def test_arrow_ipc_compression_and_nulls(spark, tmp_path):
 
     with pytest.raises(ValueError, match="zstd/lz4"):
         write_arrow_ipc(df, str(tmp_path / "bad"), compression="gzip")
+
+
+def test_jsonl_gz_roundtrip(spark, tmp_path):
+    """.jsonl.gz — the corpus-export interchange convention: write_data
+    infers json format + gzip codec from the suffix; read autodetects."""
+    import glob
+
+    from nail_parquet_spark.sources.io import read_data, write_data
+
+    df = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "gamma")], "id long, text string")
+    out = str(tmp_path / "shard-00000.jsonl.gz")
+    write_data(df, out)
+    assert glob.glob(out + "/*.json.gz")  # gzip part files
+    back = read_data(spark, out)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_csv_gz_roundtrip(spark, tmp_path):
+    from nail_parquet_spark.sources.io import read_data, write_data
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+    out = str(tmp_path / "dump.csv.gz")
+    write_data(df, out)
+    back = read_data(spark, out)
+    assert back.count() == 2
