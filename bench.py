@@ -69,6 +69,10 @@ BENCH_QUERIES = [
     "multimodal_meta",
     "robots_filter",
     "charset_decode",
+    "heavy_hitters",
+    "dedup_sentence_spans",
+    "url_quality",
+    "decode_topk",
     "encode_roundtrip",
     # encoded-analytics pushdowns (round-5 close): aggregates answered from
     # block metadata / dictionary sections instead of decoding rows
