@@ -15,6 +15,8 @@ Codecs
                (cf. warc_ts per-host crawl deltas, SURVEY.md §7.2 M2)
   dod_bitpack  delta-of-delta (Gorilla family): zigzag(diff(diff)) then
                bit-pack — near-regular sequences (clock ticks, sweeps)
+  sparse_for   null-suppressed FOR: non-null slots only, scattered back
+               through the validity bitmap — mostly-null columns
   rle          run-length over values (ints) or dict codes (strings):
                run codes bit-packed + run lengths bit-packed
   dict         dictionary encode: distinct values (zstd) + bit-packed codes
@@ -372,6 +374,37 @@ def _dec_int_delta(block: EncodedBlock, n: int) -> np.ndarray:
     with np.errstate(over="ignore"):
         np.cumsum(d, out=out[1:])
         out[1:] += p["first"]
+    return out
+
+
+def _enc_int_sparse_for(vals: np.ndarray,
+                        valid: np.ndarray | None
+                        ) -> tuple[dict, list[tuple[str, bytes]]]:
+    """Null-suppressed frame-of-reference: only the NON-NULL slots' values
+    are stored (FOR bitpack over the compacted array); decode scatters
+    them back through the validity bitmap every block already carries.
+    A mostly-null column stops paying width bits for every null slot, and
+    the encoder's zero-fill stops dragging ref/width (a block of
+    [10^9, null x 9] packs ~0 payload bits instead of 10 x 30)."""
+    present = vals if valid is None else vals[valid]
+    params, secs = _enc_int_for(present)
+    params = dict(params)
+    params["n_present"] = int(len(present))
+    return params, secs
+
+
+def _dec_int_sparse_for(block: EncodedBlock, n: int,
+                        valid: np.ndarray | None) -> np.ndarray:
+    p = block.header["params"]
+    m = p["n_present"]
+    deltas = unpack_bits(block.section("packed"), m, p["width"])
+    mu = np.array([p["ref"]], dtype=np.int64).view(np.uint64)[0]
+    with np.errstate(over="ignore"):
+        present = (deltas + mu).view(np.int64)
+    if valid is None:
+        return present  # m == n: nothing was suppressed
+    out = np.zeros(n, dtype=np.int64)
+    out[valid] = present
     return out
 
 
@@ -1217,6 +1250,8 @@ def encode_array(arr: pa.Array, codec: str, ref_arr: pa.Array | None = None) -> 
             params, secs = _enc_int_delta(vals)
         elif codec == "dod_bitpack":
             params, secs = _enc_int_dod(vals)
+        elif codec == "sparse_for":
+            params, secs = _enc_int_sparse_for(vals, valid)
         elif codec == "rle":
             params, secs = _enc_int_rle(vals)
         elif codec == "dict":
@@ -1380,6 +1415,8 @@ def decode_array(block: EncodedBlock, ref_arr: pa.Array | None = None) -> pa.Arr
             vals = _dec_int_delta(block, n)
         elif codec == "dod_bitpack":
             vals = _dec_int_dod(block, n)
+        elif codec == "sparse_for":
+            vals = _dec_int_sparse_for(block, n, valid)
         elif codec == "rle":
             vals = _dec_int_rle(block, n)
         elif codec == "dict":
@@ -1506,7 +1543,7 @@ def _type_from_str(s: str) -> pa.DataType:
 
 VALID_CODECS = {
     "int": ["plain", "zstd", "brotli", "lz4", "gzip", "for_bitpack",
-            "delta_bitpack", "dod_bitpack", "rle", "dict"],
+            "delta_bitpack", "dod_bitpack", "sparse_for", "rle", "dict"],
     "float": ["plain", "zstd", "brotli", "lz4", "gzip", "dict", "alp", "bss"],
     "str": ["plain", "zstd", "brotli", "lz4", "gzip", "fsst", "dict", "rle", "wdict", "fc"],
     "bin": ["plain", "zstd", "brotli", "lz4", "gzip", "fsst", "dict", "rle", "wdict", "fc"],
@@ -1514,8 +1551,8 @@ VALID_CODECS = {
     # name, so any codec valid for the child kind is valid here (not xref:
     # the child rows don't align with any same-block reference column)
     "list": ["plain", "zstd", "brotli", "lz4", "gzip", "alp", "bss", "dict",
-             "rle", "for_bitpack", "delta_bitpack", "dod_bitpack", "fsst",
-             "wdict", "fc"],
+             "rle", "for_bitpack", "delta_bitpack", "dod_bitpack",
+             "sparse_for", "fsst", "wdict", "fc"],
     # "xref:<ref>[:level]" is also valid for str/bin but needs a same-block
     # reference array, so the single-column test matrices exclude it
     # (tests/test_xref.py covers it end to end)

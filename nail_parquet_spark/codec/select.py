@@ -124,6 +124,10 @@ def column_stats(arr: pa.Array) -> ColumnStats:
 def candidate_codecs(kind: str, st: ColumnStats) -> list[str]:
     cands: list[str] = []
     if kind == "int":
+        if st.null_frac >= 0.5:
+            # null-suppressed FOR: mostly-null columns stop paying width
+            # bits per null slot (trial arbitrates vs rle/dict as usual)
+            cands.append("sparse_for")
         if st.avg_run_len >= 3:
             cands.append("rle")
         if st.distinct_ratio <= 0.2:
@@ -212,6 +216,7 @@ CODEC_SPEED_MBPS = {
     "for_bitpack": 130.0,
     "delta_bitpack": 130.0,
     "dod_bitpack": 125.0,
+    "sparse_for": 140.0,
     "alp": 150.0,
     "bss": 160.0,  # byte transpose + zstd over mostly-skewed planes
     "fsst": 5.0,

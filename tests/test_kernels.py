@@ -268,3 +268,32 @@ def test_selector_reaches_dod_on_near_regular():
     arr = pa.array(ticks.tolist(), pa.int64())
     codec, _ = choose_codec(arr, policy="ratio")
     assert codec == "dod_bitpack"
+
+
+def test_sparse_for_wins_on_mostly_null():
+    import numpy as np
+
+    from nail_parquet_spark.codec.kernels import decode_array, encode_array
+
+    rng = np.random.default_rng(5)
+    vals = [int(rng.integers(10**9, 2 * 10**9)) if rng.random() < 0.1 else None
+            for _ in range(20_000)]
+    arr = pa.array(vals, pa.int64())
+    sp = encode_array(arr, "sparse_for")
+    fo = encode_array(arr, "for_bitpack")
+    assert decode_array(sp).equals(arr)
+    assert len(sp.payload) < 0.25 * len(fo.payload)
+
+
+def test_selector_reaches_sparse_for_on_mostly_null():
+    import numpy as np
+
+    from nail_parquet_spark.codec.select import choose_codec
+
+    rng = np.random.default_rng(9)
+    vals = [int(rng.integers(0, 2**40)) if i % 10 == 0 else None
+            for i in range(50_000)]
+    arr = pa.array(vals, pa.int64())
+    codec, st = choose_codec(arr, policy="ratio")
+    assert st.null_frac > 0.8
+    assert codec == "sparse_for"
