@@ -70,12 +70,15 @@ def _parse_where(spec: str):
     rules as the filter condition parser: int, then float, then string).
     'col^=prefix' is the string-prefix predicate (zone-map range prune),
     'col@=a,b,c' is the IN-list predicate (zone + bloom OR-prune),
+    'col*=substr' is the substring (contains) predicate — pruned only by
+    n-gram bloom bitmaps (--bloom-columns col:gN at encode), exact residual
+    filter either way,
     'col!=value' excludes a value (prunes only value-constant blocks), and
     'col IS [NOT] NULL' prunes from the per-block null counters alone."""
     m = re.match(r"(?is)^\s*([\w.]+)\s+is\s+(not\s+)?null\s*$", spec)
     if m:
         return m.group(1), ("notnull" if m.group(2) else "isnull"), None
-    for op in ("^=", ">=", "<=", "!=", "@=", "==", "=", ">", "<"):
+    for op in ("^=", "*=", ">=", "<=", "!=", "@=", "==", "=", ">", "<"):
         if op in spec:
             col, _, raw = spec.partition(op)
             col, raw = col.strip(), raw.strip()
@@ -83,12 +86,14 @@ def _parse_where(spec: str):
                 break
             if op == "^=":
                 return col, "prefix", raw.strip("'\"")
+            if op == "*=":
+                return col, "contains", raw.strip("'\"")
             if op == "@=":
                 return col, "in", [_infer_literal(x.strip())
                                    for x in raw.split(",") if x.strip()]
             return col, ("=" if op == "==" else op), _infer_literal(raw)
     raise SystemExit(
-        f"bad --where {spec!r}: expected col(^=|@=|>=|<=|!=|>|<|=)value "
+        f"bad --where {spec!r}: expected col(^=|*=|@=|>=|<=|!=|>|<|=)value "
         "or 'col IS [NOT] NULL'")
 
 
@@ -265,7 +270,10 @@ def main(argv: list[str] | None = None) -> int:
                                 "help": "comma list of str/int columns to index with per-block "
                                         "bloom bitmaps (equality pushdown in decode --where); "
                                         "'col:<P>' also inserts P-byte prefix keys so "
-                                        "--where \"col^=...\" prunes by bloom too"}),
+                                        "--where \"col^=...\" prunes by bloom too; "
+                                        "'col:g<N>' inserts N-gram keys so "
+                                        "--where \"col*=substr\" (contains) prunes; "
+                                        "'col:<P>:g<N>' does both"}),
         (("--bucket-by",), {"default": None, "help": "save as a bucketed table on this key (zero-shuffle future joins)"}),
         (("--buckets",), {"type": int, "default": 64}),
         (("--table",), {"default": None, "help": "catalog table name for --bucket-by"}),

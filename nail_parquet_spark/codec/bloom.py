@@ -57,6 +57,17 @@ _LANE_MASK = (1 << 57) - 1
 # only, never false negatives).
 _PREFIX_FLAG = 0x80
 _PREFIX_TAG = b"\x01p\x01"
+# n-gram-key support: with ``ngram_len=N``, every length-N byte window of
+# every distinct value is ALSO inserted (tagged) — a ``contains`` predicate
+# with len(query) >= N then requires ALL of the query's own N-grams, each a
+# substring of any containing value, so ANDing their probes prunes blocks
+# soundly (false positives only). Flag 0x40 in byte 0; N rides as a
+# trailing byte AFTER the prefix byte when both are present (pinned order:
+# [P if prefix][N if ngram]) — the bitmap stays at offset 5 regardless.
+_NGRAM_FLAG = 0x40
+_NGRAM_TAG = b"\x01n\x01"
+_FLAGS_MASK = _PREFIX_FLAG | _NGRAM_FLAG
+_NGRAM_PROBE_CAP = 8  # AND at most this many evenly-strided query grams
 
 
 def bloom_lanes(value_bytes: bytes) -> tuple[int, int]:
@@ -82,7 +93,8 @@ def canonical_bytes(value, kind: str) -> bytes | None:
 
 
 def bloom_build(arr: pa.Array, bits_per_key: int = DEFAULT_BITS_PER_KEY,
-                k: int = DEFAULT_K, prefix_len: int | None = None) -> bytes | None:
+                k: int = DEFAULT_K, prefix_len: int | None = None,
+                ngram_len: int | None = None) -> bytes | None:
     """Build one block's bloom bitmap over the DISTINCT non-null values of
     ``arr``. Returns None for unsupported types or empty input (an all-null
     block gets an empty-domain bloom so equality prunes it).
@@ -91,7 +103,15 @@ def bloom_build(arr: pa.Array, bits_per_key: int = DEFAULT_BITS_PER_KEY,
     prefix of every distinct value, enabling ``prefix`` pushdown for query
     prefixes of at least P bytes. URLs share hosts, so the extra key count
     is typically a small fraction of the value count; sizing uses the
-    ACTUAL total inserted keys either way."""
+    ACTUAL total inserted keys either way.
+
+    ``ngram_len``: str columns only — also insert every tagged length-N
+    byte window of every distinct value, enabling ``contains`` (substring)
+    pushdown for queries of at least N bytes. Write amplification is real
+    (~len(value)-N+1 keys per distinct value; the bitmap is sized to the
+    actual key count, so expect ~value-bytes x bits_per_key/8 of bloom per
+    block) — opt in only on the column you grep at scale. Values shorter
+    than N insert no gram keys (they cannot contain such a query)."""
     from nail_parquet_spark.codec.kernels import kind_of
 
     kind = kind_of(arr.type)
@@ -102,10 +122,20 @@ def bloom_build(arr: pa.Array, bits_per_key: int = DEFAULT_BITS_PER_KEY,
             f"prefix_len must be 1..255 on a string column, got {prefix_len!r} "
             f"on kind {kind!r}"
         )
+    if ngram_len is not None and (kind != "str" or not 2 <= ngram_len <= 255):
+        raise ValueError(
+            f"ngram_len must be 2..255 on a string column, got {ngram_len!r} "
+            f"on kind {kind!r}"
+        )
     distinct = pc.unique(arr.drop_null())
     keys = [canonical_bytes(v, kind) for v in distinct.to_pylist()]
+    vals_only = list(keys)
     if prefix_len:
-        keys.extend({_PREFIX_TAG + b[:prefix_len] for b in keys})
+        keys.extend({_PREFIX_TAG + b[:prefix_len] for b in vals_only})
+    if ngram_len:
+        keys.extend({_NGRAM_TAG + b[i:i + ngram_len]
+                     for b in vals_only
+                     for i in range(len(b) - ngram_len + 1)})
     n = len(keys)
     m_bits = max(64, ((bits_per_key * max(n, 1) + 7) // 8) * 8)
     bits = np.zeros(m_bits // 8, dtype=np.uint8)
@@ -118,14 +148,22 @@ def bloom_build(arr: pa.Array, bits_per_key: int = DEFAULT_BITS_PER_KEY,
                 pos[i] = (h1 + j * h2) % m_bits
                 i += 1
         np.bitwise_or.at(bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
-    flag = _PREFIX_FLAG if prefix_len else 0
-    tail = bytes([prefix_len]) if prefix_len else b""
+    flag = (_PREFIX_FLAG if prefix_len else 0) | (_NGRAM_FLAG if ngram_len else 0)
+    tail = (bytes([prefix_len]) if prefix_len else b"") + \
+        (bytes([ngram_len]) if ngram_len else b"")
     return bytes([k | flag]) + int(m_bits).to_bytes(4, "big") + bits.tobytes() + tail
 
 
 def bloom_prefix_len_of(bloom: bytes) -> int | None:
     """The prefix-key length a bitmap was built with, or None."""
     if bloom is None or not bloom[0] & _PREFIX_FLAG:
+        return None
+    return bloom[-2] if bloom[0] & _NGRAM_FLAG else bloom[-1]
+
+
+def bloom_ngram_len_of(bloom: bytes) -> int | None:
+    """The n-gram-key length a bitmap was built with, or None."""
+    if bloom is None or not bloom[0] & _NGRAM_FLAG:
         return None
     return bloom[-1]
 
@@ -147,7 +185,13 @@ def bloom_might_contain(bloom: bytes, value, kind: str,
         if plen is None or len(b) < plen:
             return True
         b = _PREFIX_TAG + b[:plen]
-    k = bloom[0] & ~_PREFIX_FLAG
+    elif op == "contains":
+        nlen = bloom_ngram_len_of(bloom)
+        if nlen is None or len(b) < nlen:
+            return True
+        grams = [b[i:i + nlen] for i in range(len(b) - nlen + 1)]
+        return all(_probe_raw(bloom, _NGRAM_TAG + g) for g in grams)
+    k = bloom[0] & ~_FLAGS_MASK
     m_bits = int.from_bytes(bloom[1:5], "big")
     h1, h2 = bloom_lanes(b)
     for j in range(k):
@@ -155,6 +199,65 @@ def bloom_might_contain(bloom: bytes, value, kind: str,
         if not (bloom[5 + (p >> 3)] >> (p & 7)) & 1:
             return False
     return True
+
+
+def _probe_raw(bloom: bytes, key: bytes) -> bool:
+    """Raw key membership probe against one bitmap (no canonicalization)."""
+    k = bloom[0] & ~_FLAGS_MASK
+    m_bits = int.from_bytes(bloom[1:5], "big")
+    h1, h2 = bloom_lanes(key)
+    for j in range(k):
+        p = (h1 + j * h2) % m_bits
+        if not (bloom[5 + (p >> 3)] >> (p & 7)) & 1:
+            return False
+    return True
+
+
+def _strided_grams(b: bytes, n: int, cap: int = _NGRAM_PROBE_CAP) -> list:
+    """Up to ``cap`` evenly-strided length-n windows of ``b`` (pinned:
+    indices i*(g-1)//(cap-1) for g windows — always includes the first and
+    last gram). ANDing a SUBSET of the necessary grams is still sound."""
+    g = len(b) - n + 1
+    if g <= 0:
+        return []
+    if g <= cap:
+        idx = range(g)
+    else:
+        idx = sorted({i * (g - 1) // (cap - 1) for i in range(cap)})
+    return [b[i:i + n] for i in idx]
+
+
+def bloom_ngram_probe_sql(bloom_col: str, value, nlens: list[int],
+                          k: int = DEFAULT_K) -> "str | None":
+    """Catalyst SQL boolean: might ``bloom_col`` contain a value with
+    ``value`` as a SUBSTRING?
+
+    ``nlens``: the stored n-gram-key lengths present in the table (mixed
+    dirs are legal — each block probes with its OWN N via a CASE on the
+    trailing byte). A block with no gram keys, or whose N exceeds the
+    query length, stays un-pruned. Each arm ANDs the probes of up to
+    ``_NGRAM_PROBE_CAP`` evenly-strided query grams — a subset of the
+    necessary conditions, so capping is sound. Returns None when no
+    stored N is usable."""
+    vb = canonical_bytes(value, "str")
+    if vb is None:
+        return None
+    usable = sorted({n for n in nlens if 2 <= n <= len(vb)})
+    if not usable:
+        return None
+    flag = (f"(cast(conv(hex(substring({bloom_col}, 1, 1)), 16, 10) as int)"
+            f" & {_NGRAM_FLAG}) != 0")
+    nlen = f"cast(conv(hex(substring({bloom_col}, -1, 1)), 16, 10) as int)"
+    arms = " ".join(
+        "WHEN {n} THEN ({probes})".format(
+            n=n,
+            probes=" AND ".join(
+                _probe_conjunction(bloom_col, _NGRAM_TAG + g, k)
+                for g in _strided_grams(vb, n)),
+        )
+        for n in usable
+    )
+    return f"(NOT ({flag}) OR (CASE {nlen} {arms} ELSE true END))"
 
 
 def _probe_conjunction(bloom_col: str, key: bytes, k: int) -> str:
@@ -187,9 +290,12 @@ def bloom_prefix_probe_sql(bloom_col: str, value, plens: list[int],
     usable = sorted({p for p in plens if 1 <= p <= len(vb)})
     if not usable:
         return None
-    flag = (f"(cast(conv(hex(substring({bloom_col}, 1, 1)), 16, 10) as int)"
-            f" & {_PREFIX_FLAG}) != 0")
-    plen = f"cast(conv(hex(substring({bloom_col}, -1, 1)), 16, 10) as int)"
+    b0 = f"cast(conv(hex(substring({bloom_col}, 1, 1)), 16, 10) as int)"
+    flag = f"({b0} & {_PREFIX_FLAG}) != 0"
+    # P rides before the N byte when gram keys are also present (pinned
+    # tail order [P][N])
+    ppos = f"(CASE WHEN ({b0} & {_NGRAM_FLAG}) != 0 THEN -2 ELSE -1 END)"
+    plen = f"cast(conv(hex(substring({bloom_col}, {ppos}, 1)), 16, 10) as int)"
     arms = " ".join(
         f"WHEN {p} THEN {_probe_conjunction(bloom_col, _PREFIX_TAG + vb[:p], k)}"
         for p in usable
@@ -213,23 +319,34 @@ def bloom_probe_sql(bloom_col: str, value, kind: str,
     return _probe_conjunction(bloom_col, vb, k)
 
 
-def parse_bloom_spec(specs) -> dict[str, "int | None"]:
-    """Normalize bloom column specs to {column: prefix_len_or_None}.
+def parse_bloom_spec(specs) -> dict[str, "tuple[int | None, int | None]"]:
+    """Normalize bloom column specs to {column: (prefix_len, ngram_len)}.
 
-    Accepts a dict (returned as-is), or an iterable of "col" /
-    "col:<prefix_len>" strings — the CLI's ``--bloom-columns url:16,id``
-    form."""
+    Accepts a dict of {col: (P, N)} / {col: P} / {col: None} (normalized),
+    or an iterable of strings — the CLI's ``--bloom-columns`` grammar:
+    "col" (equality only), "col:<P>" (+prefix keys), "col:g<N>" (+n-gram
+    keys for ``contains``), "col:<P>:g<N>" (both)."""
     if specs is None:
         return {}
+    out: dict[str, tuple[int | None, int | None]] = {}
     if isinstance(specs, dict):
-        return dict(specs)
-    out: dict[str, int | None] = {}
+        for name, v in specs.items():
+            if v is None:
+                out[name] = (None, None)
+            elif isinstance(v, tuple):
+                out[name] = (v[0], v[1])
+            else:
+                out[name] = (int(v), None)
+        return out
     for s in specs:
-        if ":" in s:
-            name, p = s.split(":", 1)
-            out[name] = int(p)
-        else:
-            out[s] = None
+        parts = s.split(":")
+        name, prefix, ngram = parts[0], None, None
+        for p in parts[1:]:
+            if p.startswith("g"):
+                ngram = int(p[1:])
+            else:
+                prefix = int(p)
+        out[name] = (prefix, ngram)
     return out
 
 

@@ -848,7 +848,8 @@ def prune_blocks_bloom(blocks: DataFrame, column: str, value,
     if "bloom" not in blocks.columns:
         return blocks
     from nail_parquet_spark.codec.bloom import (
-        _PREFIX_FLAG, bloom_prefix_probe_sql, bloom_probe_sql)
+        _NGRAM_FLAG, _PREFIX_FLAG, bloom_ngram_probe_sql,
+        bloom_prefix_probe_sql, bloom_probe_sql)
     from nail_parquet_spark.codec.kernels import _type_from_str
 
     if headers is None:
@@ -867,17 +868,33 @@ def prune_blocks_bloom(blocks: DataFrame, column: str, value,
     if op == "prefix":
         if kind != "str":
             return blocks
-        # discover the stored prefix-key lengths (trailing byte of flagged
-        # bitmaps): one encode run uses one P, so this driver pull is a
+        # discover the stored prefix-key lengths (tail byte of flagged
+        # bitmaps — P rides BEFORE the N byte when gram keys are also
+        # present): one encode run uses one P, so this driver pull is a
         # handful of tiny rows — then each block probes with its own P
-        flag = (F.conv(F.hex(F.substring("bloom", 1, 1)), 16, 10)
-                .cast("int").bitwiseAND(_PREFIX_FLAG) != 0)
+        b0 = F.conv(F.hex(F.substring("bloom", 1, 1)), 16, 10).cast("int")
+        flag = b0.bitwiseAND(_PREFIX_FLAG) != 0
+        ppos = F.when(b0.bitwiseAND(_NGRAM_FLAG) != 0, F.lit(-2)) \
+            .otherwise(F.lit(-1))
         plens = [
             int(r[0]) for r in meta.filter(F.col("bloom").isNotNull() & flag)
+            .select(F.conv(F.hex(F.substring(F.col("bloom"), ppos, F.lit(1))),
+                           16, 10).cast("int")).distinct().limit(64).collect()
+        ]
+        probe = bloom_prefix_probe_sql("bloom", value, plens)
+    elif op == "contains":
+        if kind != "str":
+            return blocks
+        # discover the stored n-gram-key lengths (always the LAST tail
+        # byte of 0x40-flagged bitmaps); each block probes its own N
+        b0 = F.conv(F.hex(F.substring("bloom", 1, 1)), 16, 10).cast("int")
+        nflag = b0.bitwiseAND(_NGRAM_FLAG) != 0
+        nlens = [
+            int(r[0]) for r in meta.filter(F.col("bloom").isNotNull() & nflag)
             .select(F.conv(F.hex(F.substring("bloom", -1, 1)), 16, 10)
                     .cast("int")).distinct().limit(64).collect()
         ]
-        probe = bloom_prefix_probe_sql("bloom", value, plens)
+        probe = bloom_ngram_probe_sql("bloom", value, nlens)
     elif op == "in":
         # OR of per-value probes: a block survives if ANY listed value may
         # be present. Any unprobable value (or an oversized list) keeps the
@@ -920,6 +937,8 @@ def _pred_expr(col_: str, op_: str, val_) -> F.Column:
     c = F.col(col_)
     if op_ == "prefix":
         return c.startswith(val_)
+    if op_ == "contains":
+        return c.contains(val_)
     if op_ == "in":
         vals_ = list(val_)
         return c.isin(vals_) if vals_ else F.lit(False)
@@ -945,6 +964,11 @@ def _as_clause(item) -> list[tuple]:
 
 def _prune_one(pruned: DataFrame, col_: str, op_: str, val_,
                max_groups: int, headers: dict) -> DataFrame:
+    if op_ == "contains":
+        # zone maps cannot bound a substring predicate — only the n-gram
+        # bloom prunes; the exact residual filter handles the rest
+        return prune_blocks_bloom(pruned, col_, val_, max_groups,
+                                  headers=headers, op=op_)
     out = prune_blocks(pruned, col_, op_, val_, max_groups, headers=headers)
     if op_ in ("=", "==", "prefix", "in"):
         out = prune_blocks_bloom(out, col_, val_, max_groups,

@@ -283,8 +283,9 @@ def _encode_chunk(chunk, cols, chosen, with_stats, pid, block_id,
         if cname in bloom_cols:
             from nail_parquet_spark.codec.bloom import bloom_build
 
-            plen = _parse_bloom(bloom_cols).get(cname)
-            out["bloom"].append(bloom_build(arr, prefix_len=plen))
+            plen, nlen = _parse_bloom(bloom_cols).get(cname) or (None, None)
+            out["bloom"].append(
+                bloom_build(arr, prefix_len=plen, ngram_len=nlen))
         else:
             out["bloom"].append(None)
     return pa.record_batch(

@@ -184,3 +184,128 @@ def test_prefix_bloom_end_to_end_pruning(spark):
                               columns=["id"], file_keyed=False)
     assert out2.count() == 0
     blocks.unpersist()
+
+
+class TestNgramKeys:
+    """contains-pushdown n-gram keys (flag 0x40, tail byte N after P)."""
+
+    def test_build_probe_and_tail_layout(self):
+        from nail_parquet_spark.codec.bloom import (
+            bloom_build, bloom_might_contain, bloom_ngram_len_of,
+            bloom_prefix_len_of)
+
+        vals = pa.array([f"https://h{i}.example.com/p{i}" for i in range(300)])
+        dual = bloom_build(vals, prefix_len=10, ngram_len=4)
+        assert bloom_prefix_len_of(dual) == 10
+        assert bloom_ngram_len_of(dual) == 4
+        only_n = bloom_build(vals, ngram_len=5)
+        assert bloom_prefix_len_of(only_n) is None
+        assert bloom_ngram_len_of(only_n) == 5
+        assert bloom_might_contain(dual, "example.com", "str", op="contains")
+        assert not bloom_might_contain(dual, "zzqx987", "str", op="contains")
+        assert bloom_might_contain(dual, "zzq", "str", op="contains")  # < N
+        # prefix + eq probes still exact on the dual-flag bitmap
+        assert bloom_might_contain(dual, "https://h7.e", "str", op="prefix")
+        assert not bloom_might_contain(dual, "ftp://nothing", "str",
+                                       op="prefix")
+        # query prefix shorter than the stored P cannot probe: no prune
+        assert bloom_might_contain(dual, "ftp://no", "str", op="prefix")
+        assert bloom_might_contain(
+            dual, "https://h3.example.com/p3", "str")
+        assert not bloom_might_contain(dual, "absent", "str")
+
+    def test_short_values_insert_no_grams_and_validation(self):
+        import pytest
+
+        from nail_parquet_spark.codec.bloom import (
+            bloom_build, bloom_might_contain)
+
+        b = bloom_build(pa.array(["ab", "cd"]), ngram_len=6)
+        # no value can contain a 6-byte query: every probe must prune
+        assert not bloom_might_contain(b, "abcdef", "str", op="contains")
+        with pytest.raises(ValueError, match="ngram_len"):
+            bloom_build(pa.array([1, 2], pa.int64()), ngram_len=4)
+        with pytest.raises(ValueError, match="ngram_len"):
+            bloom_build(pa.array(["x"]), ngram_len=1)
+
+    def test_sql_probe_matches_python_twin(self, spark):
+        from nail_parquet_spark.codec.bloom import (
+            bloom_build, bloom_might_contain, bloom_ngram_probe_sql)
+
+        vals = pa.array([f"doc-{i:04d}-tail" for i in range(200)])
+        blooms = [bloom_build(vals, ngram_len=4),
+                  bloom_build(vals, prefix_len=3, ngram_len=4),
+                  bloom_build(vals),            # no gram keys: never prunes
+                  None]
+        queries = ["0042-tail", "doc-01", "zzzzzz", "-tail", "0199"]
+        df = spark.createDataFrame([(i, b) for i, b in enumerate(blooms)],
+                                   "i int, bloom binary")
+        for q in queries:
+            sql = bloom_ngram_probe_sql("bloom", q, [4])
+            got = {r.i: bool(r.m) for r in df.selectExpr(
+                "i", f"coalesce(bloom IS NULL OR {sql}, true) AS m").collect()}
+            for i, b in enumerate(blooms):
+                want = bloom_might_contain(b, q, "str", op="contains")
+                assert got[i] == want, (i, q)
+
+    def test_strided_gram_cap(self):
+        from nail_parquet_spark.codec.bloom import _strided_grams
+
+        grams = _strided_grams(b"0123456789abcdef", 4)
+        assert len(grams) <= 8
+        assert grams[0] == b"0123" and grams[-1] == b"cdef"
+        assert _strided_grams(b"abc", 4) == []
+
+    def test_e2e_contains_prune_and_exact(self, spark):
+        from pyspark.sql import functions as F
+
+        from nail_parquet_spark.codec.decode import (
+            decode_table_where, prune_blocks_bloom)
+        from nail_parquet_spark.codec.encode import encode_table
+
+        df = (spark.range(2000)
+              .select(F.col("id").alias("k"),
+                      F.concat(F.lit("row-"),
+                               F.format_string("%04d", F.col("id")),
+                               F.when(F.col("id") % 500 == 0,
+                                      F.lit("-NEEDLE"))
+                               .otherwise(F.lit(""))).alias("u"))
+              .repartition(1).sortWithinPartitions("k"))
+        blocks = encode_table(df, codecs={"k": "for_bitpack", "u": "zstd"},
+                              block_rows=100,
+                              bloom_columns=["u:g6"]).cache()
+
+        def ng(b):
+            return b.select("part_id", "block_id").distinct().count()
+
+        pruned = prune_blocks_bloom(blocks, "u", "NEEDLE", op="contains")
+        assert ng(pruned) < ng(blocks)
+        got = decode_table_where(blocks, "u", "contains", "NEEDLE").collect()
+        want = df.filter(F.col("u").contains("NEEDLE")).collect()
+        assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+        # sub-N query: no pruning, still exact
+        got2 = decode_table_where(blocks, "u", "contains", "-00").collect()
+        want2 = df.filter(F.col("u").contains("-00")).collect()
+        assert sorted(map(tuple, got2)) == sorted(map(tuple, want2))
+        # prefix pushdown still prunes on the SAME dual-capable spec path
+        blocks2 = encode_table(df, codecs={"k": "for_bitpack", "u": "zstd"},
+                               block_rows=100,
+                               bloom_columns=["u:5:g6"]).cache()
+        got3 = decode_table_where(blocks2, "u", "prefix", "row-19").collect()
+        want3 = df.filter(F.col("u").startswith("row-19")).collect()
+        assert sorted(map(tuple, got3)) == sorted(map(tuple, want3))
+
+    def test_cli_where_contains(self, spark, tmp_path, capsys):
+        from nail_parquet_spark.cli import main
+
+        src = str(tmp_path / "s.parquet")
+        spark.createDataFrame(
+            [(i, f"val-{i:03d}" + ("-HIT" if i % 40 == 0 else ""))
+             for i in range(200)],
+            "k long, u string").repartition(1).write.parquet(src)
+        enc = str(tmp_path / "enc")
+        assert main(["optimize", src, "-o", enc,
+                     "--bloom-columns", "u:g4"]) == 0
+        out = str(tmp_path / "hits.parquet")
+        assert main(["decode", enc, "--where", "u*=-HIT", "-o", out]) == 0
+        assert spark.read.parquet(out).count() == 5
