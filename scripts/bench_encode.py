@@ -205,9 +205,13 @@ def main():
             dec[key] = round(warm_raw / best / 1e9, 4)
         shutil.rmtree(dec_dir, ignore_errors=True)
 
-    # 7 interleaved pairs: the min/min estimator needs enough reps to catch
-    # a quiet sub-window on this 2-3x-noise host (round-2 protocol)
-    reps = int(os.environ.get("BENCH_REPS", "7"))
+    # 9 interleaved pairs: the min/min estimator needs enough reps to catch
+    # a quiet sub-window AT BOTH parallelism levels on this 2-3x-noise host
+    # (round-2 protocol; raised 7->9 in round 5 after a window where the
+    # 1-task min caught a fast sub-window the 4-task reps never saw,
+    # printing 0.77 min/min against a 0.89 median-pair and 0.86-0.91 host
+    # probes — more pairs tightens the estimator, nothing else changes)
+    reps = int(os.environ.get("BENCH_REPS", "9"))
     walls = {N_LO: [], N_HI: []}
     pairs = []
     raw = enc = nb = 0
