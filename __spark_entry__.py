@@ -1570,6 +1570,20 @@ def q_approx_quantiles(spark, sf_dir):
                             ["o_totalprice", "o_custkey"], _QNT_QS, k=_QNT_K)
 
 
+def q_quantiles_by(spark, sf_dir):
+    """Per-group deterministic min-k-sample quantiles
+    (functions/sketch.approx_quantiles_by): within each lang, the k=64
+    smallest pinned-md5 doc hashes form the sample (ONE keyed window, no
+    global sort), then exact interpolated quantiles per group — the
+    token/char-length-distribution-per-language report every corpus
+    audit needs. Same Spark percentile == DuckDB quantile_cont pinning
+    as the global variant, so value-exact."""
+    from nail_parquet_spark.functions.sketch import approx_quantiles_by
+
+    return approx_quantiles_by(_t(spark, sf_dir, "documents"), ["lang"],
+                               "doc_id", "n_chars", [0.25, 0.5, 0.95], k=64)
+
+
 def q_corpus_overlap_kmv(spark, sf_dir):
     """KMV set-overlap estimate (functions/sketch.py): distinct custkeys
     shared by the AUTOMOBILE customer segment and the order fact table —
@@ -2604,6 +2618,7 @@ _QUERIES = {
         "dedup_sentence_spans": q_dedup_sentence_spans,
         "url_quality": q_url_quality,
         "decode_topk": q_decode_topk,
+        "quantiles_by": q_quantiles_by,
         "decode_pushdown_or": q_decode_pushdown_or,
         "encode_manifest": q_encode_manifest,
         "encode_roundtrip": q_encode_roundtrip,
@@ -2972,7 +2987,8 @@ def oracle_sql() -> dict[str, str]:
     from nail_parquet_spark.functions.normalize import ACCENT_DST, ACCENT_SRC
     from nail_parquet_spark.functions.sketch import (
         kmv_by_oracle_sql, kmv_oracle_sql, kmv_overlap_by_oracle_sql,
-        kmv_overlap_oracle_sql, quantiles_oracle_sql)
+        kmv_overlap_oracle_sql, quantiles_by_oracle_sql,
+        quantiles_oracle_sql)
 
     sql = {
         # KMV sketch suite: the SQL twins are generated from the module so
@@ -4379,6 +4395,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT s.doc_id, coalesce(r.text, '') AS text
             FROM src s LEFT JOIN reb r USING (doc_id)""",
         "url_quality": _url_quality_sql(),
+        "quantiles_by": quantiles_by_oracle_sql(
+            "documents", ["lang"], "doc_id", "n_chars",
+            [0.25, 0.5, 0.95], 64),
         "decode_topk": """
             SELECT o_orderkey, o_totalprice FROM orders
             WHERE o_totalprice IS NOT NULL

@@ -211,8 +211,9 @@ def main(argv: list[str] | None = None) -> int:
         (("--sketch-k",), {"type": int, "default": 1024,
                            "help": "KMV set size (error ~ 1/sqrt(k-2))"}),
         (("--group-by",), {"default": None,
-                           "help": "with --approx-distinct: per-group distinct "
-                                   "of the single -c column (comma keys)"}),
+                           "help": "with --approx-distinct/--quantiles: per-"
+                                   "group sketch of the single -c column "
+                                   "(comma keys)"}),
         (("--quantiles",), {"default": None,
                             "help": "comma q-list in [0,1]: deterministic "
                                     "min-k-sample quantiles of -c columns"}),
@@ -1269,16 +1270,26 @@ def main(argv: list[str] | None = None) -> int:
                 out = kmv_overlap(df, cols[0], other, ocol, k=args.sketch_k)
             _out(out, args, 50)
         elif args.quantiles:
-            from nail_parquet_spark.functions.sketch import approx_quantiles
+            from nail_parquet_spark.functions.sketch import (
+                approx_quantiles, approx_quantiles_by)
 
             qs = [float(q) for q in args.quantiles.split(",")]
-            if cols is None:
-                num = {"int", "bigint", "smallint", "tinyint", "long",
-                       "float", "double", "decimal"}
-                cols = [c0 for c0, t in df.dtypes if t.split("(")[0] in num]
             idc = args.id_column or df.columns[0]
-            _out(approx_quantiles(df, idc, cols, qs, k=args.sketch_k),
-                 args, 50)
+            if args.group_by:
+                if not cols or len(cols) != 1:
+                    raise SystemExit("stats --quantiles --group-by needs "
+                                     "exactly one -c value column")
+                _out(approx_quantiles_by(df, args.group_by.split(","), idc,
+                                         cols[0], qs, k=args.sketch_k),
+                     args, 50)
+            else:
+                if cols is None:
+                    num = {"int", "bigint", "smallint", "tinyint", "long",
+                           "float", "double", "decimal"}
+                    cols = [c0 for c0, t in df.dtypes
+                            if t.split("(")[0] in num]
+                _out(approx_quantiles(df, idc, cols, qs, k=args.sketch_k),
+                     args, 50)
         elif args.approx_distinct and args.group_by:
             from nail_parquet_spark.functions.sketch import kmv_distinct_by
 

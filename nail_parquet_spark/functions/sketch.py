@@ -749,3 +749,89 @@ def heavy_hitters_oracle_sql(table: str, column: str, k: int = 10) -> str:
         GROUP BY {column}
         ORDER BY count DESC, {column} ASC
         LIMIT {k}"""
+
+
+def approx_quantiles_by(df: DataFrame, keys: list[str], id_col: str,
+                        column: str, qs: list[float],
+                        k: int = 4096) -> DataFrame:
+    """Per-group approximate quantiles (token-length p50/p95 per lang, doc
+    size per domain) from DETERMINISTIC per-group samples: within each
+    group, the k rows with the smallest pinned 60-bit md5 hash of
+    ``id_col``, then exact interpolated quantiles over each sample — the
+    grouped form of :func:`approx_quantiles` with the same portability
+    rationale (Spark's ``percentile_approx`` GK sketch is not
+    SQL-reproducible; a pinned hash sample + exact ``percentile`` is).
+
+    Execution shape: ONE column-pruned scan, one KEYED window rank over
+    (keys, hash) — no global window; the quantile agg then runs over
+    <= groups * k rows with map-side partial aggregation. Groups with
+    fewer than k rows are computed EXACTLY (their sample is the whole
+    group).
+
+    Pinned contract (mirrored in :func:`quantiles_by_oracle_sql`): rows
+    with NULL group keys are excluded (the kmv_by family rule); sampled
+    rows with NULL ``column`` values stay in the sample but are ignored
+    by the quantile (SQL aggregate semantics — a group whose sample is
+    all-null yields NULL); interpolation is the 1+(n-1)q rank rule
+    (Spark ``percentile`` == DuckDB ``quantile_cont`` on doubles).
+    Precondition: ``id_col`` unique (repo-wide id contract).
+
+    Returns ``keys + (q double, value double)`` ordered by (keys, q).
+    """
+    if k < 1:
+        raise ValueError("approx_quantiles_by: k must be >= 1")
+    if not keys:
+        raise ValueError("approx_quantiles_by: need at least one key")
+    if not qs or not all(0.0 <= q <= 1.0 for q in qs):
+        raise ValueError("approx_quantiles_by: quantiles must be in [0, 1]")
+    _validate_cols(df, [id_col], "id")
+    types = dict(df.dtypes)
+    if column not in types:
+        raise ValueError(f"approx_quantiles_by: no such column '{column}'")
+    if types[column].split("(")[0] not in _NUM_KINDS:
+        raise ValueError(
+            f"approx_quantiles_by: column '{column}' has type "
+            f"{types[column]}; quantiles need a numeric column")
+
+    src = df.select(*keys, _hash_expr(id_col).alias("__h"),
+                    F.col(id_col).cast("string").alias("__id"),
+                    F.col(column).cast("double").alias("__v"))
+    for kcol in keys:
+        src = src.filter(F.col(kcol).isNotNull())
+    w = Window.partitionBy(*keys).orderBy("__h", "__id")
+    smp = src.withColumn("__rn", F.row_number().over(w)) \
+        .filter(F.col("__rn") <= int(k))
+    wide = smp.groupBy(*keys).agg(
+        F.percentile(F.col("__v"), F.lit([float(q) for q in qs])).alias("__p"))
+    rows = [F.struct(F.lit(float(q)).alias("q"),
+                     F.col("__p")[i].alias("value"))
+            for i, q in enumerate(qs)]
+    return (wide.select(*keys, F.explode(F.array(*rows)).alias("r"))
+            .select(*keys, "r.q", "r.value")
+            .orderBy(*keys, "q"))
+
+
+def quantiles_by_oracle_sql(table: str, keys: list[str], id_col: str,
+                            column: str, qs: list[float],
+                            k: int = 4096) -> str:
+    """DuckDB twin of :func:`approx_quantiles_by` — same pinned per-group
+    hash sample (keyed row_number over (hash, id-string)) and the same
+    1+(n-1)q interpolation."""
+    ks = ", ".join(keys)
+    nn = " AND ".join(f"{c} IS NOT NULL" for c in keys)
+    branches = "\n      UNION ALL\n".join(
+        f"      SELECT {ks}, {float(q)}::DOUBLE AS q,"
+        f" quantile_cont(v, {float(q)}) AS value"
+        f" FROM smp WHERE rn <= {k} GROUP BY {ks}"
+        for q in qs)
+    return f"""
+        WITH smp AS (
+          SELECT {ks}, {column}::DOUBLE AS v,
+                 row_number() OVER (
+                   PARTITION BY {ks}
+                   ORDER BY ('0x' || substr(md5(CAST({id_col} AS VARCHAR)), 1, 15))::BIGINT,
+                            CAST({id_col} AS VARCHAR)) AS rn
+          FROM {table} WHERE {nn}
+        )
+{branches}
+        ORDER BY {ks}, q"""

@@ -1045,3 +1045,10 @@ def test_cli_domains_url_quality(spark, tmp_path, capsys):
     run("domains", src, "--mode", "url-quality", "--id-column", "id",
         "--invert")
     assert "passes" in capsys.readouterr().out
+
+
+def test_cli_stats_quantiles_grouped(data, capsys):
+    run("stats", data, "--quantiles", "0.5", "-c", "value",
+        "--group-by", "category", "--id-column", "id")
+    out = capsys.readouterr().out
+    assert "0.5" in out and ("A" in out and "B" in out)

@@ -361,3 +361,75 @@ class TestKmvOverlapBy:
             kmv_overlap_by(df, [], "v", df, "v")
         with pytest.raises(ValueError, match="no such column"):
             kmv_overlap_by(df, ["nope"], "v", df, "v")
+
+
+class TestQuantilesBy:
+    """Per-group deterministic min-k-sample quantiles."""
+
+    def test_exact_below_k_and_duckdb_parity(self, spark):
+        import duckdb
+
+        from nail_parquet_spark.functions.sketch import (
+            approx_quantiles_by, quantiles_by_oracle_sql)
+
+        src = "/root/testdata/sf0.001/documents.parquet"
+        df = spark.read.parquet(src)
+        got = [(r.lang, r.q, None if r.value is None else round(r.value, 6))
+               for r in approx_quantiles_by(
+                   df, ["lang"], "doc_id", "n_chars",
+                   [0.0, 0.5, 1.0], k=10_000).collect()]
+        # k >= group size: the sample IS the group -> exact quantiles
+        want = [(a, b, None if c is None else round(c, 6))
+                for a, b, c in duckdb.sql(quantiles_by_oracle_sql(
+                    f"'{src}'", ["lang"], "doc_id", "n_chars",
+                    [0.0, 0.5, 1.0], 10_000)).fetchall()]
+        assert got == want
+        exact = duckdb.sql(
+            f"SELECT lang, quantile_cont(n_chars::DOUBLE, 0.5) FROM '{src}' "
+            "GROUP BY lang ORDER BY lang").fetchall()
+        med = [(g, v) for g, q, v in got if q == 0.5]
+        assert med == [(a, round(b, 6)) for a, b in exact]
+
+    def test_sampled_path_parity_and_determinism(self, spark):
+        import duckdb
+
+        from nail_parquet_spark.functions.sketch import (
+            approx_quantiles_by, quantiles_by_oracle_sql)
+
+        src = "/root/testdata/sf0.001/documents.parquet"
+        df = spark.read.parquet(src)
+        a = [tuple(r) for r in approx_quantiles_by(
+            df, ["lang"], "doc_id", "n_chars", [0.5, 0.95], k=16).collect()]
+        b = [tuple(r) for r in approx_quantiles_by(
+            df.repartition(13), ["lang"], "doc_id", "n_chars",
+            [0.5, 0.95], k=16).collect()]
+        assert a == b  # layout-independent
+        want = duckdb.sql(quantiles_by_oracle_sql(
+            f"'{src}'", ["lang"], "doc_id", "n_chars", [0.5, 0.95],
+            16)).fetchall()
+        assert [(g, q, round(v, 9)) for g, q, v in a] \
+            == [(g, q, round(v, 9)) for g, q, v in want]
+
+    def test_null_keys_excluded_and_null_values_ignored(self, spark):
+        from nail_parquet_spark.functions.sketch import approx_quantiles_by
+
+        df = spark.createDataFrame(
+            [(1, "a", 10.0), (2, "a", None), (3, None, 99.0),
+             (4, "b", None), (5, "b", None)],
+            "id long, g string, v double")
+        got = {(r.g, r.q): r.value for r in approx_quantiles_by(
+            df, ["g"], "id", "v", [0.5], k=10).collect()}
+        assert got == {("a", 0.5): 10.0, ("b", 0.5): None}
+
+    def test_validation(self, spark):
+        import pytest
+
+        from nail_parquet_spark.functions.sketch import approx_quantiles_by
+
+        df = spark.createDataFrame([(1, "a", "x")], "id long, g string, s string")
+        with pytest.raises(ValueError, match="numeric"):
+            approx_quantiles_by(df, ["g"], "id", "s", [0.5])
+        with pytest.raises(ValueError, match="key"):
+            approx_quantiles_by(df, [], "id", "id", [0.5])
+        with pytest.raises(ValueError, match="\\[0, 1\\]"):
+            approx_quantiles_by(df, ["g"], "id", "id", [1.5])
