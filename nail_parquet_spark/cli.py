@@ -256,6 +256,13 @@ def main(argv: list[str] | None = None) -> int:
     add("convert")
     add("optimize", (("--policy",), {"default": "balanced"}),
         (("--codecs",), {"default": None, "help": 'JSON {"col": "codec"} overrides'}),
+        (("--advise",), {"action": "store_true",
+                         "help": "dry run: run the codec auto-selector on a "
+                                 "driver-side sample and print one JSON line "
+                                 "per column (codec, predicted ratio, stats) "
+                                 "without encoding or writing anything"}),
+        (("--advise-rows",), {"type": int, "default": 65_536,
+                              "help": "sample size for --advise"}),
         (("--sort-by",), {"default": None}), (("--validate",), {"action": "store_true"}),
         (("--zorder-by",), {"default": None,
                             "help": "comma list: cluster blocks by the Morton code of these "
@@ -1751,6 +1758,37 @@ def main(argv: list[str] | None = None) -> int:
         from nail_parquet_spark.codec.inspect import size_summary
 
         src = df
+        if args.advise:
+            import pyarrow as _pa  # noqa: F401
+
+            from nail_parquet_spark.codec.kernels import encode_array
+            from nail_parquet_spark.codec.select import (
+                choose_codec, raw_bytes_of)
+
+            t = src.limit(args.advise_rows).toArrow()
+            for name in t.column_names:
+                arr = t.column(name).combine_chunks()
+                if isinstance(arr, _pa.ChunkedArray):  # older pyarrow
+                    arr = (arr.chunk(0) if arr.num_chunks
+                           else _pa.array([], type=arr.type))
+                codec, st = choose_codec(arr, policy=args.policy)
+                raw = raw_bytes_of(arr) or 1
+                try:
+                    enc = len(encode_array(arr, codec).payload)
+                except Exception:
+                    enc = raw
+                print(json.dumps({
+                    "column": name, "codec": codec,
+                    "sample_rows": len(arr),
+                    "raw_bytes": raw, "enc_bytes": enc,
+                    "ratio": round(raw / max(enc, 1), 4),
+                    "distinct_ratio": round(st.distinct_ratio, 4),
+                    "null_frac": round(st.null_frac, 4),
+                    "avg_run_len": round(st.avg_run_len, 2),
+                    "byte_entropy": round(st.byte_entropy, 3),
+                    "note": "xref cross-column upgrade is encode-time only",
+                }))
+            return 0
         if args.quality:
             from pyspark.sql import functions as F
 

@@ -1052,3 +1052,21 @@ def test_cli_stats_quantiles_grouped(data, capsys):
         "--group-by", "category", "--id-column", "id")
     out = capsys.readouterr().out
     assert "0.5" in out and ("A" in out and "B" in out)
+
+
+def test_cli_optimize_advise(spark, tmp_path, capsys):
+    src = str(tmp_path / "adv.parquet")
+    spark.createDataFrame(
+        [(i, "en" if i % 3 else "de", float(i) + 0.25) for i in range(500)],
+        "id long, lang string, score double").repartition(1).write.parquet(src)
+    run("optimize", src, "--advise")
+    lines = [json.loads(l) for l in capsys.readouterr().out.splitlines()
+             if l.startswith("{")]
+    by_col = {r["column"]: r for r in lines}
+    assert set(by_col) == {"id", "lang", "score"}
+    for r in lines:
+        assert r["ratio"] >= 1.0 and r["codec"]
+    assert by_col["lang"]["distinct_ratio"] < 0.05
+    # dry run: nothing written anywhere
+    import glob
+    assert not glob.glob(str(tmp_path / "adv.parquet") + "_*")
