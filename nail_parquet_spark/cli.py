@@ -680,6 +680,12 @@ def main(argv: list[str] | None = None) -> int:
         (("--drop-noindex",), {"action": "store_true",
                                "help": "drop pages whose robots meta declares "
                                        "noindex/none (raw-crawl input only)"}),
+        (("--url-quality",), {"action": "store_true", "dest": "url_quality",
+                              "help": "URL-rule gate FIRST (len/digits/depth/"
+                                      "params/banned extensions) — drops asset "
+                                      "links and crawler traps before extraction"}),
+        (("--url-quality-rules",), {"default": None, "dest": "url_quality_rules",
+                                    "help": 'JSON overrides, e.g. {"max_path_depth": 8}'}),
         (("--robots",), {"default": None, "dest": "robots_src",
                          "help": "robots corpus (host, robots_txt) — enables the "
                                  "robots.txt compliance stage (longest-prefix rule, "
@@ -811,6 +817,9 @@ def main(argv: list[str] | None = None) -> int:
             do_boilerplate=args.boilerplate,
             do_normalize=args.normalize,
             drop_noindex=args.drop_noindex,
+            do_url_quality=args.url_quality,
+            url_quality_rules=(json.loads(args.url_quality_rules)
+                               if args.url_quality_rules else None),
             robots_src=args.robots_src,
             robots_agent=args.robots_agent,
             charset_aware=args.charset_aware,

@@ -45,7 +45,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-STAGES = ("extract", "noindex", "normalize", "boilerplate", "lang_filter", "quality",
+STAGES = ("url_quality", "extract", "noindex", "normalize", "boilerplate", "lang_filter", "quality",
           "classify", "entropy", "c4_clean", "badwords", "exact_dedup", "prior_dedup",
           "near_dedup", "semantic_dedup", "prior_near_dedup", "decontam")
 
@@ -67,6 +67,8 @@ def curate_and_encode_corpus(
     boilerplate_min_docs: int = 2,
     do_normalize: bool = False,
     drop_noindex: bool = False,
+    do_url_quality: bool = False,
+    url_quality_rules: dict | None = None,
     robots_src: str | None = None,
     robots_agent: str = "*",
     charset_aware: bool = False,
@@ -181,6 +183,27 @@ def curate_and_encode_corpus(
         n_input = cur.count()
         counts: dict[str, int] = {}
         stages: list[dict] = []
+
+        if do_url_quality:
+            # cheapest gate FIRST (RefinedWeb §3.1 ordering): URL-level
+            # rules need no body, no extraction, no join — one
+            # Exchange-free projection drops asset links, crawler traps,
+            # and session-id URLs before anything touches the text.
+            from nail_parquet_spark.functions.urls import url_quality_filter
+
+            v = url_quality_filter(cur, "__doc_id", url_col,
+                                   rules=url_quality_rules)
+            rej = cur.join(v.filter(~F.col("passes")).select("__doc_id"),
+                           "__doc_id", "left_semi").select("__doc_id", url_col)
+            rej.write.mode("overwrite").parquet(
+                _reject_dir(out_dir, "url_quality"))
+            counts["url_quality"] = spark.read.parquet(
+                _reject_dir(out_dir, "url_quality")).count()
+            cur = _pin(cur.join(v.filter("passes").select("__doc_id"),
+                                "__doc_id", "left_semi"))
+            stages.append({"stage": "url_quality",
+                           "rules": url_quality_rules or "defaults",
+                           "rule": "len/digits/depth/params/extensions"})
 
         if extracted:
             emptied = cur.filter(F.coalesce(F.col(text_col), F.lit("")) == "")

@@ -500,3 +500,32 @@ def test_curate_charset_aware_extract(spark, tmp_path):
     staged = spark.read.parquet(os.path.join(out, "_staging"))
     texts = [r["text"] for r in staged.collect()]
     assert texts and all("café" in t and "€5" in t for t in texts)
+
+
+def test_curate_url_quality_stage(spark, corpus, tmp_path):
+    from nail_parquet_spark.pipeline.curate import curate_and_encode_corpus
+
+    # poison a deterministic slice of URLs with a banned asset extension:
+    # the URL gate must reject exactly those BEFORE any text stage runs
+    src = str(tmp_path / "src_urlq")
+    base = spark.read.parquet(corpus)
+    bucket = F.pmod(F.xxhash64("url"), F.lit(10))
+    poisoned = base.withColumn(
+        "url",
+        F.when(bucket == 0, F.concat(F.col("url"), F.lit("/logo.png")))
+        .otherwise(F.col("url")))
+    poisoned.write.parquet(src)
+    n_bad = poisoned.filter(F.col("url").endswith(".png")).count()
+    assert n_bad > 0
+    out = str(tmp_path / "curated_urlq")
+    state = curate_and_encode_corpus(
+        spark, src, out, quality_rules=RULES, do_url_quality=True,
+        do_near_dedup=False, units_per_job=4)
+    assert [s["stage"] for s in state["stages"]][0] == "url_quality"
+    c = state["counts"]
+    assert c["rejected"]["url_quality"] == n_bad
+    assert c["input"] == c["kept"] + sum(c["rejected"].values())
+    staged = spark.read.parquet(os.path.join(out, "_staging"))
+    assert staged.filter(F.col("url").endswith(".png")).count() == 0
+    rej = spark.read.parquet(os.path.join(out, "_rejects", "stage=url_quality"))
+    assert rej.count() == n_bad and "__doc_id" in rej.columns
