@@ -224,29 +224,63 @@ def url_signals_table(df, id_col: str, url_col: str = "url"):
     floats divide as ``digits / len`` in double precision — mirror the
     same division in any oracle.
     """
-    url = F.col(url_col)
+    sig = url_signal_exprs(F.col(url_col))
+    return df.select(F.col(id_col),
+                     *[c.alias(name) for name, c in sig.items()])
+
+
+def url_signal_exprs(url: Column) -> dict[str, Column]:
+    """The six signal expressions as pure Columns over a url Column —
+    shared by :func:`url_signals_table` (batch verdict table) and
+    :func:`url_quality_keep_expr` (streaming/stateless filter form)."""
     path = _url_path(url)
     host = url_host(url)
     # fragment cut FIRST: a '?' inside '#frag?x' is fragment text, not a
     # query (RFC 3986 order) — pinned, mirrored in the oracle
     q = F.regexp_extract(F.split(url, "#").getItem(0), r"\?(.*)", 1)
     digits = F.length(F.regexp_replace(url, r"[^0-9]", ""))
-    return df.select(
-        F.col(id_col),
-        F.length(url).alias("url_len"),
-        F.when(F.length(url) > 0,
-               digits.cast("double") / F.length(url).cast("double"))
-        .otherwise(F.lit(0.0)).alias("digit_frac"),
-        (F.length(path) - F.length(F.regexp_replace(path, "/", "")))
-        .alias("path_depth"),
-        F.when(q == "", F.lit(0)).otherwise(
+    return {
+        "url_len": F.length(url),
+        "digit_frac": F.when(
+            F.length(url) > 0,
+            digits.cast("double") / F.length(url).cast("double"))
+        .otherwise(F.lit(0.0)),
+        "path_depth": (F.length(path)
+                       - F.length(F.regexp_replace(path, "/", ""))),
+        "n_query_params": F.when(q == "", F.lit(0)).otherwise(
             F.length(q) - F.length(F.regexp_replace(q, "&", "")) + F.lit(1))
-        .cast("int").alias("n_query_params"),
-        (F.length(host) - F.length(F.regexp_replace(host, r"\.", "")))
-        .alias("subdomain_depth"),
-        F.lower(F.regexp_extract(path, r"\.([A-Za-z0-9]{1,5})$", 1))
-        .alias("extension"),
-    )
+        .cast("int"),
+        "subdomain_depth": (F.length(host)
+                            - F.length(F.regexp_replace(host, r"\.", ""))),
+        "extension": F.lower(
+            F.regexp_extract(path, r"\.([A-Za-z0-9]{1,5})$", 1)),
+    }
+
+
+def _url_checks(sig: dict, r: dict) -> dict:
+    checks = {
+        "ok_len": sig["url_len"] <= int(r["max_url_len"]),
+        "ok_digits": sig["digit_frac"] <= float(r["max_digit_frac"]),
+        "ok_depth": sig["path_depth"] <= int(r["max_path_depth"]),
+        "ok_params": sig["n_query_params"] <= int(r["max_query_params"]),
+    }
+    if r["ban_extensions"]:
+        checks["ok_extension"] = ~sig["extension"].isin(*BANNED_EXTENSIONS)
+    return checks
+
+
+def url_quality_keep_expr(url: Column, rules: dict | None = None) -> Column:
+    """The composed URL rule book as ONE boolean Column (NULL url ->
+    false) — the stateless filter form for Structured Streaming stages
+    and inline gates; same pinned rules as :func:`url_quality_filter`."""
+    r = dict(URL_QUALITY_RULES)
+    r.update(rules or {})
+    checks = _url_checks(url_signal_exprs(url), r)
+    keep = None
+    for c in checks.values():
+        c = F.coalesce(c, F.lit(False))
+        keep = c if keep is None else keep & c
+    return keep
 
 
 def url_quality_filter(df, id_col: str, url_col: str = "url",
@@ -259,16 +293,8 @@ def url_quality_filter(df, id_col: str, url_col: str = "url",
     'left_semi')`` to keep cardinality (ADVICE r4)."""
     r = dict(URL_QUALITY_RULES)
     r.update(rules or {})
-    sig = url_signals_table(df, id_col, url_col)
-    checks = {
-        "ok_len": F.col("url_len") <= int(r["max_url_len"]),
-        "ok_digits": F.col("digit_frac") <= float(r["max_digit_frac"]),
-        "ok_depth": F.col("path_depth") <= int(r["max_path_depth"]),
-        "ok_params": F.col("n_query_params") <= int(r["max_query_params"]),
-    }
-    if r["ban_extensions"]:
-        checks["ok_extension"] = ~F.col("extension").isin(*BANNED_EXTENSIONS)
-    out = sig.select(
+    checks = _url_checks(url_signal_exprs(F.col(url_col)), r)
+    out = df.select(
         F.col(id_col),
         *[F.coalesce(c, F.lit(False)).alias(name)
           for name, c in checks.items()])

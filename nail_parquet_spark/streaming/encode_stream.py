@@ -262,6 +262,8 @@ def curate_stream(
     ts_col: str = "warc_ts",
     url_col: str = "url",
     quality_rules: dict | None = None,
+    do_url_quality: bool = False,
+    url_quality_rules: dict | None = None,
     robots_src: str | None = None,
     robots_agent: str = "*",
     do_normalize: bool = False,
@@ -284,6 +286,8 @@ def curate_stream(
     -> exact dedup -> encode).
 
     Stage semantics vs the batch pipeline:
+    - the URL rule gate (``do_url_quality``) is a pure per-document
+      boolean — identical verdicts to the batch ``url_quality`` stage.
     - robots.txt compliance (``robots_src``) is a per-document verdict
       against a STATIC rules table (stream-static join, parsed once) —
       same pinned longest-prefix contract as the batch stage.
@@ -327,6 +331,15 @@ def curate_stream(
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(src_dir)
 
+    if do_url_quality:
+        # URL rule gate, batch-pipeline stage order (FIRST — cheapest,
+        # needs no body): a pure per-document boolean expression, so the
+        # streaming verdict is identical to the batch stage's on the
+        # same files.
+        from nail_parquet_spark.functions.urls import url_quality_keep_expr
+
+        stream = stream.filter(
+            url_quality_keep_expr(F.col(url_col), url_quality_rules))
     if robots_src:
         # robots.txt compliance, batch-pipeline stage order (first).
         # Stream-static join: the rules table is parsed ONCE driver-side

@@ -642,3 +642,38 @@ def test_curate_stream_robots_stage(spark, tmp_path):
     assert want.count() < pages.select("text").distinct().count()
     assert dec.count() == want.count()
     assert dec.subtract(want).count() == 0 and want.subtract(dec).count() == 0
+
+
+def test_curate_stream_url_quality_stage(spark, tmp_path):
+    """The streaming URL gate is a pure per-document boolean: kept content
+    equals the batch url_quality verdict on the same files."""
+    from nail_parquet_spark.codec.decode import decode_table
+    from nail_parquet_spark.functions.urls import url_quality_keep_expr
+    from nail_parquet_spark.streaming.encode_stream import curate_stream
+    from nail_parquet_spark.synth import webpages_spark
+
+    src = str(tmp_path / "incoming")
+    out = str(tmp_path / "blocks")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "url string, warc_ts timestamp, html binary, text string, lang string"
+    pages = webpages_spark(spark, 800, seed=21, n_parts=2)
+    bucket = F.pmod(F.xxhash64("url"), F.lit(8))
+    poisoned = pages.withColumn(
+        "url", F.when(bucket == 0, F.concat("url", F.lit("/asset.css")))
+        .otherwise(F.col("url")))
+    poisoned.write.parquet(src)
+    curate_stream(spark, src, out, ckpt, schema, do_url_quality=True,
+                  do_quality=False, do_c4_clean=False,
+                  dedup_watermark="2400 hours")
+    blocks = spark.read.option("recursiveFileLookup", "true").parquet(out)
+    dec = decode_table(blocks, columns=["url", "text"])
+    rows = dec.collect()
+    # the remaining streaming stage is exact text dedup (keep one per
+    # distinct text) — compare kept CONTENT, the stage's contract
+    got = sorted({r.text for r in rows})
+    allp = spark.read.parquet(src)
+    kept = allp.filter(url_quality_keep_expr(F.col("url")))
+    want = sorted({r.text for r in kept.select("text").collect()})
+    assert got == want
+    assert not any(r.url.endswith(".css") for r in rows)
+    assert len(rows) < poisoned.count()
