@@ -413,6 +413,16 @@ def main(argv: list[str] | None = None) -> int:
                        "help": "mask PII in place / per-doc counts / corpus audit"}),
         (("--kinds",), {"default": None,
                         "help": "comma subset of email,ipv4,ssn,card,phone (default all)"}))
+    add("audit", (("-c", "--text-column"), {"default": "text", "dest": "text_column"}),
+        (("--id-column",), {"default": None}),
+        (("--url-column",), {"default": None, "dest": "audit_url_column",
+                             "help": "adds URL pass rate + approx host count"}),
+        (("--lang-column",), {"default": None,
+                              "help": "adds the top-language histogram"}),
+        (("--rules",), {"default": None,
+                        "help": "JSON Gopher threshold overrides for the "
+                                "pass-rate section"}),
+        with_output=False)
     add("domains", (("--url-column",), {"default": "url"}),
         (("--mode",), {"default": "stats",
                        "choices": ["stats", "cap", "block", "robots",
@@ -1671,6 +1681,14 @@ def main(argv: list[str] | None = None) -> int:
         else:
             out = pf.pii_stats(df, args.text_column)
         _out(out, args, 50)
+    elif c == "audit":
+        from nail_parquet_spark.functions.audit import corpus_audit
+
+        report = corpus_audit(
+            df, args.id_column or df.columns[0], args.text_column,
+            url_col=args.audit_url_column, lang_col=args.lang_column,
+            quality_rules=json.loads(args.rules) if args.rules else None)
+        print(json.dumps(report, indent=1, default=str))
     elif c == "domains":
         from nail_parquet_spark.functions import urls as uf
 
