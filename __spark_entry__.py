@@ -2178,6 +2178,33 @@ def q_decode_topk(spark, sf_dir):
     return decode_topk(blocks, "o_totalprice", 100, tiebreak="o_orderkey")
 
 
+def q_decode_topk_group(spark, sf_dir):
+    """Per-group ORDER BY ... LIMIT k pushdown (codec/decode.decode_topk_by):
+    the ingest layout clusters by the group column, so every block is a
+    single-group "point block" and grouped zone-map pruning keeps only the
+    blocks that can hold a top-k row of SOME group; the exact per-group
+    row_number window runs on the decoded remainder (keyed window — never a
+    global one). Value-exact because decode is bit-identical and the
+    o_orderkey tiebreak pins boundary order; NULL group/value rows never
+    rank by pinned contract (none exist in TPC-H orders)."""
+    from nail_parquet_spark.codec.decode import decode_topk_by
+    from nail_parquet_spark.codec.encode import encode_table
+
+    o = (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .repartition(4)
+        .sortWithinPartitions("o_orderstatus", "o_totalprice")
+    )
+    blocks = encode_table(
+        o, codecs={"o_orderkey": "for_bitpack", "o_orderstatus": "dict",
+                   "o_totalprice": "plain"},
+        block_rows=4096,
+    )
+    return decode_topk_by(blocks, "o_orderstatus", "o_totalprice", 50,
+                          tiebreak="o_orderkey")
+
+
 def q_decode_pushdown(spark, sf_dir):
     """Encode orders into block tables, then decode WITH zone-map predicate
     pushdown (codec/decode.decode_table_where: block groups whose min/max
@@ -2618,6 +2645,7 @@ _QUERIES = {
         "dedup_sentence_spans": q_dedup_sentence_spans,
         "url_quality": q_url_quality,
         "decode_topk": q_decode_topk,
+        "decode_topk_group": q_decode_topk_group,
         "quantiles_by": q_quantiles_by,
         "decode_pushdown_or": q_decode_pushdown_or,
         "encode_manifest": q_encode_manifest,
@@ -4403,6 +4431,16 @@ def oracle_sql() -> dict[str, str]:
             WHERE o_totalprice IS NOT NULL
             ORDER BY o_totalprice DESC, o_orderkey ASC
             LIMIT 100""",
+        "decode_topk_group": """
+            SELECT o_orderkey, o_orderstatus, o_totalprice FROM (
+              SELECT o_orderkey, o_orderstatus, o_totalprice,
+                     row_number() OVER (PARTITION BY o_orderstatus
+                                        ORDER BY o_totalprice DESC,
+                                                 o_orderkey ASC) AS rn
+              FROM orders
+              WHERE o_orderstatus IS NOT NULL
+                AND o_totalprice IS NOT NULL) t
+            WHERE rn <= 50""",
         "dedup_sentence_spans": r"""
             WITH src AS (
               SELECT doc_id,

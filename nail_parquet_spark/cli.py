@@ -319,7 +319,13 @@ def main(argv: list[str] | None = None) -> int:
                               "never rank)"}),
         (("--tiebreak",), {"default": None,
                            "help": "secondary ascending sort column for --top "
-                                   "boundary determinism"}))
+                                   "boundary determinism"}),
+        (("--top-group",), {"default": None, "dest": "top_group",
+                            "help": "with --top: per-group top-k (row_number() "
+                                    "OVER (PARTITION BY this column) <= k) with "
+                                    "grouped zone-map pruning — single-group "
+                                    "'point blocks' prune independently per "
+                                    "group; NULL groups never rank"}))
     add("quality", (("-c", "--text-column"), {"default": "text", "dest": "text_column"}),
         (("--id-column",), {"default": None, "help": "doc id column (default: first column)"}),
         (("--mode",), {"default": "filter",
@@ -1046,6 +1052,18 @@ def main(argv: list[str] | None = None) -> int:
             if getattr(args, "where", None) or mor_deletes is not None:
                 p.error("--top does not compose with --where/--no-deletes "
                         "snapshot deletes yet — decode then sort instead")
+            if getattr(args, "top_group", None):
+                from nail_parquet_spark.codec.decode import decode_topk_by
+
+                dec = decode_topk_by(
+                    df, args.top_group, bits[0], int(bits[1]),
+                    tiebreak=args.tiebreak,
+                    descending=(len(bits) < 3 or bits[2] == "desc"),
+                    columns=cols)
+                dec.write.mode("overwrite").parquet(args.output)
+                print(f"decoded top-{bits[1]} by {bits[0]} per "
+                      f"{args.top_group} -> {args.output}")
+                return 0
             dec = decode_topk(df, bits[0], int(bits[1]),
                               tiebreak=args.tiebreak,
                               descending=(len(bits) < 3 or bits[2] == "desc"),

@@ -1044,6 +1044,24 @@ def decode_table_where_all(blocks: DataFrame, predicates,
     return dec.filter(residual).select(*out_cols)
 
 
+def _stats_parser(headers: dict[str, dict], column: str):
+    """(parse, is_str) for reading a column's str()-rendered zone stats back
+    into a totally-ordered python value. Raises for stat kinds whose renders
+    are not truncation-order-safe (timestamps) — callers decode-then-sort."""
+    from nail_parquet_spark.codec.kernels import _type_from_str
+
+    t = _type_from_str(headers[column]["type"])
+    if pa.types.is_integer(t) or pa.types.is_boolean(t):
+        return int, False
+    if pa.types.is_floating(t):
+        return float, False
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return str, True
+    raise ValueError(
+        f"top-k pruning needs integer/float/string zone stats; column "
+        f"{column!r} has type {headers[column]['type']}")
+
+
 def prune_blocks_topk(blocks: DataFrame, column: str, k: int,
                       descending: bool = True,
                       max_groups: int = 100_000,
@@ -1081,23 +1099,11 @@ def prune_blocks_topk(blocks: DataFrame, column: str, k: int,
     """
     if k < 1:
         raise ValueError("prune_blocks_topk: k must be >= 1")
-    from nail_parquet_spark.codec.kernels import _type_from_str
-
     if headers is None:
         headers, _ = _headers_by_column(blocks)
     if column not in headers:
         raise ValueError(f"column {column!r} not in the blocks table")
-    t = _type_from_str(headers[column]["type"])
-    if pa.types.is_integer(t) or pa.types.is_boolean(t):
-        parse, is_str = int, False
-    elif pa.types.is_floating(t):
-        parse, is_str = float, False
-    elif pa.types.is_string(t) or pa.types.is_large_string(t):
-        parse, is_str = str, True
-    else:
-        raise ValueError(
-            f"top-k pruning needs integer/float/string zone stats; column "
-            f"{column!r} has type {headers[column]['type']}")
+    parse, is_str = _stats_parser(headers, column)
 
     meta = (blocks.filter(F.col("column") == column)
             .select("part_id", "block_id", "min_val", "max_val",
@@ -1202,3 +1208,203 @@ def decode_topk(blocks: DataFrame, column: str, k: int,
         order.append(F.col(tiebreak).asc())
     return (dec.filter(F.col(column).isNotNull())
             .orderBy(*order).limit(int(k)).select(*out_cols))
+
+
+def prune_blocks_topk_by(blocks: DataFrame, group_col: str, column: str,
+                         k: int, descending: bool = True,
+                         max_groups: int = 100_000,
+                         headers: dict[str, dict] | None = None) -> DataFrame:
+    """Zone-map pruning for a per-group top-k (``row_number() OVER
+    (PARTITION BY group_col ORDER BY column [DESC|ASC]) <= k``): keep only
+    block groups that can contain a top-k row of SOME group.
+
+    The reference has no grouped pushdown at all (`nail-parquet` decodes
+    then sorts, src/commands/data.rs); this is the lakehouse-native shape:
+    when the ingest layout clusters by the group column (sort / Z-order by
+    lang or domain — exactly what ``optimize --sort-by`` produces), most
+    blocks are single-group "point blocks" and the single-column greedy
+    bound of :func:`prune_blocks_topk` applies independently per group.
+
+    Metadata algorithm (driver-side, O(#groups), reads NO payloads):
+    - a block whose group zone is a single parseable untruncated value
+      ("point block") joins that group's greedy bound: sort the group's
+      point blocks by best value, take until the guaranteed rankable-row
+      count reaches k, then additionally keep every point block whose best
+      side beats-or-ties the resulting bound;
+    - a block whose group zone spans values (or is unparseable/truncated)
+      is ALWAYS kept — its rows may belong to any group, including groups
+      living only in spanning blocks, so no per-group bound can drop it;
+    - guaranteed rankable rows per block = n_rows - group nulls - value
+      nulls (conservative under joint nulls: understating only prunes
+      less); a block certainly empty of rankable rows (all-null group or
+      all-null value) is dropped — NULLs never rank in either column;
+    - value-side truncation rules are exactly prune_blocks_topk's (a
+      truncated MAX bars the bound side it backs; a truncated MIN is a
+      valid lower bound).
+
+    Supported stat kinds for BOTH columns: integer/boolean, float, string
+    (timestamp renders are not truncation-order-safe and raise). Over
+    ``max_groups`` metadata rows per column, pruning is skipped.
+    """
+    if k < 1:
+        raise ValueError("prune_blocks_topk_by: k must be >= 1")
+    if group_col == column:
+        raise ValueError("group_col and column must differ")
+    if headers is None:
+        headers, _ = _headers_by_column(blocks)
+    for c in (group_col, column):
+        if c not in headers:
+            raise ValueError(f"column {c!r} not in the blocks table")
+    vparse, v_str = _stats_parser(headers, column)
+    gparse, g_str = _stats_parser(headers, group_col)
+
+    meta = (blocks.filter(F.col("column").isin([group_col, column]))
+            .select("column", "part_id", "block_id", "min_val", "max_val",
+                    "n_rows", "null_count")
+            .limit(2 * max_groups + 1).collect())
+    if len(meta) > 2 * max_groups:
+        return blocks
+    gstats: dict[tuple, object] = {}
+    vstats: dict[tuple, object] = {}
+    for r in meta:
+        key = (r["part_id"], r["block_id"])
+        (gstats if r["column"] == group_col else vstats)[key] = r
+
+    always: set[tuple] = set()
+    # gval -> {"always": [key], "bounded": [(best, worst, nn, key)]}
+    per_group: dict[object, dict] = {}
+    for key, gr in gstats.items():
+        vr = vstats.get(key)
+        if vr is None:
+            always.add(key)  # value stats missing: keep unconditionally
+            continue
+        n = int(gr["n_rows"])
+        if int(gr["null_count"]) >= n or int(vr["null_count"]) >= n:
+            continue  # certainly no rankable row in this block
+        glo_s, ghi_s = gr["min_val"], gr["max_val"]
+        if glo_s is None or ghi_s is None:
+            always.add(key)
+            continue
+        if g_str and (len(glo_s) >= 64 or len(ghi_s) >= 64):
+            always.add(key)  # truncated render: point-ness unknowable
+            continue
+        try:
+            glo, ghi = gparse(glo_s), gparse(ghi_s)
+        except (TypeError, ValueError):
+            always.add(key)
+            continue
+        if glo != ghi:
+            always.add(key)  # spanning block: may hold any group
+            continue
+        nn = max(0, n - int(gr["null_count"]) - int(vr["null_count"]))
+        bucket = per_group.setdefault(glo, {"always": [], "bounded": []})
+        vlo_s, vhi_s = vr["min_val"], vr["max_val"]
+        if vlo_s is None or vhi_s is None:
+            bucket["always"].append(key)
+            continue
+        try:
+            vlo, vhi = vparse(vlo_s), vparse(vhi_s)
+        except (TypeError, ValueError):
+            bucket["always"].append(key)
+            continue
+        hi_trunc = v_str and len(vhi_s) >= 64
+        if descending:
+            if hi_trunc:
+                bucket["always"].append(key)  # best side unknown: +inf
+            else:
+                bucket["bounded"].append((vhi, vlo, nn, key))
+        else:
+            if hi_trunc:
+                bucket["always"].append(key)  # worst-guarantee unusable
+            else:
+                bucket["bounded"].append((vlo, vhi, nn, key))
+
+    keep = set(always)
+    for bucket in per_group.values():
+        keep.update(bucket["always"])
+        bounded = bucket["bounded"]
+        if sum(nn for _, _, nn, _ in bounded) < k:
+            keep.update(key for _, _, _, key in bounded)
+            continue
+        bounded.sort(key=lambda g: g[0], reverse=descending)
+        taken = 0
+        rest: list = []
+        bound = None
+        for i, (best, worst, nn, key) in enumerate(bounded):
+            keep.add(key)
+            taken += nn
+            if taken >= k:
+                worsts = [g[1] for g in bounded[: i + 1]]
+                bound = min(worsts) if descending else max(worsts)
+                rest = bounded[i + 1:]
+                break
+        for best, _, _, key in rest:
+            ok = (best >= bound) if descending else (best <= bound)
+            if ok:
+                keep.add(key)
+
+    if not keep:
+        return blocks.filter(F.lit(False))
+    # exact (part_id, block_id) pair filter — grouped pruning keeps
+    # DIFFERENT blocks in different parts, so the parts x bids superset
+    # filter of prune_blocks_topk would undo most of the work here
+    if len(keep) <= 4096:
+        sep_key = F.concat_ws("#", F.col("part_id").cast("string"),
+                              F.col("block_id").cast("string"))
+        return blocks.filter(sep_key.isin([f"{p}#{b}" for p, b in keep]))
+    spark = blocks.sparkSession
+    keys_df = spark.createDataFrame(
+        sorted(keep), "part_id long, block_id long")
+    return blocks.join(F.broadcast(keys_df), ["part_id", "block_id"],
+                       "left_semi")
+
+
+def decode_topk_by(blocks: DataFrame, group_col: str, column: str, k: int,
+                   tiebreak: str | None = None, descending: bool = True,
+                   columns: list[str] | None = None,
+                   num_partitions: int | None = None,
+                   file_keyed: bool = True,
+                   max_groups: int = 100_000) -> DataFrame:
+    """Per-group ``ORDER BY column [DESC|ASC][, tiebreak ASC] LIMIT k``
+    (top-k rows for EVERY distinct group_col value) served with grouped
+    zone-map block pruning (:func:`prune_blocks_topk_by`), then the exact
+    per-group window on the decoded remainder — a keyed window
+    (PARTITION BY group_col), never a global one.
+
+    Pinned semantics: rows with NULL in ``group_col`` OR ``column`` never
+    rank (engines disagree on null partitions/ordering; the contract
+    removes the divergence). Equal to::
+
+        decode_table(blocks, columns)
+          .filter(g.isNotNull() & v.isNotNull())
+          .withColumn(rn, row_number().over(
+              Window.partitionBy(g).orderBy(v [desc], tiebreak)))
+          .filter(rn <= k)
+
+    Pass ``tiebreak`` whenever boundary determinism matters.
+    """
+    from pyspark.sql import Window
+
+    headers, _ = _headers_by_column(blocks)
+    out_cols = columns if columns is not None else sorted(headers)
+    use_cols = list(out_cols)
+    for extra in (group_col, column, tiebreak):
+        if extra is not None and extra not in use_cols:
+            use_cols.append(extra)
+    pruned = prune_blocks_topk_by(blocks, group_col, column, k,
+                                  descending=descending,
+                                  max_groups=max_groups, headers=headers)
+    if pruned.limit(1).isEmpty():
+        schema = _schema_from_headers(headers, out_cols)
+        return blocks.sparkSession.createDataFrame([], _spark_ddl_of(schema))
+    dec = decode_table(pruned, columns=use_cols,
+                       num_partitions=num_partitions, file_keyed=file_keyed)
+    order = [F.col(column).desc() if descending else F.col(column).asc()]
+    if tiebreak is not None:
+        order.append(F.col(tiebreak).asc())
+    w = Window.partitionBy(group_col).orderBy(*order)
+    return (dec.filter(F.col(group_col).isNotNull()
+                       & F.col(column).isNotNull())
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= int(k))
+            .select(*out_cols))

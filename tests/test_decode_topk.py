@@ -153,3 +153,176 @@ def test_cli_decode_top(spark, tmp_path, capsys):
              .orderBy("v", "id").limit(5).collect()]
     assert sorted(tuple(r) for r in spark.read.parquet(out2).collect()) \
         == sorted(want2)
+
+
+# ---- grouped top-k (prune_blocks_topk_by / decode_topk_by) ----
+
+from nail_parquet_spark.codec.decode import (  # noqa: E402
+    decode_topk_by,
+    prune_blocks_topk_by,
+)
+
+
+def expect_by(df, g, col, k, desc=True, tiebreak=None):
+    from pyspark.sql import Window
+
+    order = [F.col(col).desc() if desc else F.col(col).asc()]
+    if tiebreak:
+        order.append(F.col(tiebreak).asc())
+    w = Window.partitionBy(g).orderBy(*order)
+    out = (df.filter(F.col(g).isNotNull() & F.col(col).isNotNull())
+           .withColumn("__rn", F.row_number().over(w))
+           .filter(F.col("__rn") <= k).drop("__rn"))
+    return sorted(tuple(r) for r in out.collect())
+
+
+@pytest.fixture(scope="module")
+def grouped_blocks(spark):
+    # 3 langs x 40 rows, clustered by (lang, score): every block is a
+    # single-lang point block — the layout optimize --sort-by produces
+    rows = [(lang, i, 40 * li + i) for li, lang in enumerate("abc")
+            for i in range(40)]
+    df = (spark.createDataFrame(rows, "lang string, score long, id long")
+          .repartition(1).sortWithinPartitions("lang", "score"))
+    blocks = encode_table(
+        df, codecs={"lang": "dict", "score": "plain", "id": "plain"},
+        block_rows=10)
+    return df, blocks.cache()
+
+
+def test_grouped_prunes_per_group_tail(spark, grouped_blocks):
+    df, blocks = grouped_blocks
+    # 12 blocks total (4 per lang); top-10 desc needs exactly the last
+    # block of each lang
+    assert n_groups(blocks) == 12
+    pruned = prune_blocks_topk_by(blocks, "lang", "score", 10)
+    assert n_groups(pruned) == 3
+    got = sorted(tuple(r) for r in
+                 decode_topk_by(blocks, "lang", "score", 10, tiebreak="id",
+                                columns=["lang", "score", "id"]).collect())
+    assert got == expect_by(df.select("lang", "score", "id"),
+                            "lang", "score", 10, tiebreak="id")
+
+
+def test_grouped_asc(spark, grouped_blocks):
+    df, blocks = grouped_blocks
+    pruned = prune_blocks_topk_by(blocks, "lang", "score", 10,
+                                  descending=False)
+    assert n_groups(pruned) == 3
+    got = sorted(tuple(r) for r in
+                 decode_topk_by(blocks, "lang", "score", 10, tiebreak="id",
+                                descending=False,
+                                columns=["lang", "score", "id"]).collect())
+    assert got == expect_by(df.select("lang", "score", "id"),
+                            "lang", "score", 10, desc=False, tiebreak="id")
+
+
+def test_grouped_spanning_blocks_always_kept(spark):
+    # interleaved layout: every block spans langs -> zero pruning, but the
+    # answer stays exact
+    rows = [("ab"[i % 2], i, i) for i in range(100)]
+    df = (spark.createDataFrame(rows, "lang string, score long, id long")
+          .repartition(1).sortWithinPartitions("score"))
+    blocks = encode_table(
+        df, codecs={"lang": "dict", "score": "plain", "id": "plain"},
+        block_rows=10).cache()
+    pruned = prune_blocks_topk_by(blocks, "lang", "score", 5)
+    assert n_groups(pruned) == n_groups(blocks)
+    got = sorted(tuple(r) for r in
+                 decode_topk_by(blocks, "lang", "score", 5, tiebreak="id",
+                                columns=["lang", "score", "id"]).collect())
+    assert got == expect_by(df, "lang", "score", 5, tiebreak="id")
+
+
+def test_grouped_nulls_never_rank(spark):
+    rows = [(None, 99, 0), ("a", None, 1), ("a", 7, 2), ("a", 3, 3),
+            ("b", 5, 4), ("b", 8, 5)]
+    df = (spark.createDataFrame(rows, "lang string, score long, id long")
+          .repartition(1))
+    blocks = encode_table(
+        df, codecs={"lang": "dict", "score": "plain", "id": "plain"},
+        block_rows=2)
+    got = sorted(tuple(r) for r in
+                 decode_topk_by(blocks, "lang", "score", 1, tiebreak="id",
+                                columns=["lang", "score", "id"]).collect())
+    assert got == [("a", 7, 2), ("b", 8, 5)]
+
+
+def test_grouped_allnull_blocks_dropped(spark):
+    # a block whose score column is entirely NULL can never rank: dropped
+    rows = ([("a", None, i) for i in range(10)]
+            + [("a", i, 10 + i) for i in range(10)])
+    df = (spark.createDataFrame(rows, "lang string, score long, id long")
+          .repartition(1).sortWithinPartitions("id"))
+    blocks = encode_table(
+        df, codecs={"lang": "dict", "score": "plain", "id": "plain"},
+        block_rows=10).cache()
+    assert n_groups(blocks) == 2
+    pruned = prune_blocks_topk_by(blocks, "lang", "score", 5)
+    assert n_groups(pruned) == 1
+    got = sorted(tuple(r) for r in
+                 decode_topk_by(blocks, "lang", "score", 5, tiebreak="id",
+                                columns=["lang", "score", "id"]).collect())
+    assert got == expect_by(df, "lang", "score", 5, tiebreak="id")
+
+
+def test_grouped_boundary_ties_kept(spark):
+    # k-th value ties across two point blocks of the same group: both stay
+    rows = [("a", v, i) for i, v in enumerate([9, 5, 5, 1, 5, 5, 2, 2])]
+    df = (spark.createDataFrame(rows, "lang string, score long, id long")
+          .repartition(1).sortWithinPartitions("id"))
+    blocks = encode_table(
+        df, codecs={"lang": "dict", "score": "plain", "id": "plain"},
+        block_rows=4)
+    got = sorted(tuple(r) for r in
+                 decode_topk_by(blocks, "lang", "score", 3, tiebreak="id",
+                                columns=["lang", "score", "id"]).collect())
+    assert got == expect_by(df, "lang", "score", 3, tiebreak="id")
+    assert got == [("a", 5, 1), ("a", 5, 2), ("a", 9, 0)]
+
+
+def test_grouped_matches_full_decode_random(spark):
+    import random
+
+    rng = random.Random(13)
+    rows = [(rng.choice("wxyz"), rng.randrange(200), i) for i in range(400)]
+    df = (spark.createDataFrame(rows, "g string, v long, id long")
+          .repartition(4).sortWithinPartitions("g", "v"))
+    blocks = encode_table(
+        df, codecs={"g": "dict", "v": "plain", "id": "plain"},
+        block_rows=32).cache()
+    full = decode_table(blocks, columns=["g", "v", "id"])
+    for desc in (True, False):
+        got = sorted(tuple(r) for r in
+                     decode_topk_by(blocks, "g", "v", 7, tiebreak="id",
+                                    descending=desc,
+                                    columns=["g", "v", "id"]).collect())
+        assert got == expect_by(full, "g", "v", 7, desc=desc, tiebreak="id")
+
+
+def test_grouped_validation(spark, grouped_blocks):
+    _, blocks = grouped_blocks
+    with pytest.raises(ValueError, match="must differ"):
+        prune_blocks_topk_by(blocks, "score", "score", 1)
+    with pytest.raises(ValueError, match="k must be"):
+        prune_blocks_topk_by(blocks, "lang", "score", 0)
+    with pytest.raises(ValueError, match="not in the blocks"):
+        prune_blocks_topk_by(blocks, "nope", "score", 1)
+
+
+def test_cli_decode_top_group(spark, tmp_path):
+    from nail_parquet_spark.cli import main
+
+    src = str(tmp_path / "gsrc.parquet")
+    rows = [("ab"[i % 2], i * 7 % 23, i) for i in range(60)]
+    (spark.createDataFrame(rows, "g string, v long, id long")
+     .repartition(1).sortWithinPartitions("g", "v").write.parquet(src))
+    enc = str(tmp_path / "genc")
+    assert main(["optimize", src, "-o", enc]) == 0
+    out = str(tmp_path / "gtop.parquet")
+    assert main(["decode", enc, "--top", "v:4", "--top-group", "g",
+                 "--tiebreak", "id", "-o", out]) == 0
+    got = sorted(tuple(r) for r in
+                 spark.read.parquet(out).select("g", "v", "id").collect())
+    want = expect_by(spark.read.parquet(src), "g", "v", 4, tiebreak="id")
+    assert got == want
