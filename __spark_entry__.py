@@ -2205,6 +2205,37 @@ def q_decode_topk_group(spark, sf_dir):
                           tiebreak="o_orderkey")
 
 
+def q_decode_semijoin(spark, sf_dir):
+    """Late-materialization lookup join (codec/decode.decode_semijoin):
+    WHERE o_custkey IN (SELECT c_custkey ...) against an ENCODED table.
+    Stage 1 prunes blocks via zone maps + blooms when the probe inlines;
+    stage 2 decodes ONLY the key column (with row coordinates) and
+    semi-joins the probe; stage 3 decodes full payloads solely for block
+    groups holding a match and keeps exact rows by coordinate semi-join.
+    Value-exact because decode is bit-identical and semi-join cardinality
+    is pinned (each table row at most once; NULL keys never match)."""
+    from nail_parquet_spark.codec.decode import decode_semijoin
+    from nail_parquet_spark.codec.encode import encode_table
+
+    o = (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .repartition(4)
+        .sortWithinPartitions("o_custkey")
+    )
+    blocks = encode_table(
+        o, codecs={"o_orderkey": "plain", "o_custkey": "for_bitpack",
+                   "o_totalprice": "plain"},
+        block_rows=4096,
+    )
+    probe = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("o_custkey"))
+    )
+    return decode_semijoin(blocks, probe, "o_custkey")
+
+
 def q_decode_pushdown(spark, sf_dir):
     """Encode orders into block tables, then decode WITH zone-map predicate
     pushdown (codec/decode.decode_table_where: block groups whose min/max
@@ -2646,6 +2677,7 @@ _QUERIES = {
         "url_quality": q_url_quality,
         "decode_topk": q_decode_topk,
         "decode_topk_group": q_decode_topk_group,
+        "decode_semijoin": q_decode_semijoin,
         "quantiles_by": q_quantiles_by,
         "decode_pushdown_or": q_decode_pushdown_or,
         "encode_manifest": q_encode_manifest,
@@ -4441,6 +4473,10 @@ def oracle_sql() -> dict[str, str]:
               WHERE o_orderstatus IS NOT NULL
                 AND o_totalprice IS NOT NULL) t
             WHERE rn <= 50""",
+        "decode_semijoin": """
+            SELECT o_custkey, o_orderkey, o_totalprice FROM orders
+            WHERE o_custkey IN (SELECT c_custkey FROM customer
+                                WHERE c_mktsegment = 'BUILDING')""",
         "dedup_sentence_spans": r"""
             WITH src AS (
               SELECT doc_id,

@@ -325,7 +325,15 @@ def main(argv: list[str] | None = None) -> int:
                                     "OVER (PARTITION BY this column) <= k) with "
                                     "grouped zone-map pruning — single-group "
                                     "'point blocks' prune independently per "
-                                    "group; NULL groups never rank"}))
+                                    "group; NULL groups never rank"}),
+        (("--semi-join",), {"default": None, "dest": "semi_join",
+                            "help": "'col@path' — decode only rows whose col "
+                                    "appears in the probe table at path (WHERE "
+                                    "col IN (SELECT ...)): late materialization "
+                                    "— the key column decodes first, payloads "
+                                    "decode only for matching block groups; "
+                                    "small probe sets also prune via zone maps "
+                                    "+ blooms; NULL keys never match"}))
     add("quality", (("-c", "--text-column"), {"default": "text", "dest": "text_column"}),
         (("--id-column",), {"default": None, "help": "doc id column (default: first column)"}),
         (("--mode",), {"default": "filter",
@@ -1042,6 +1050,22 @@ def main(argv: list[str] | None = None) -> int:
         if not args.output:
             p.error("decode requires -o/--output")
         cols = args.columns.split(",") if args.columns else None
+        if getattr(args, "semi_join", None):
+            from nail_parquet_spark.codec.decode import decode_semijoin
+
+            if "@" not in args.semi_join:
+                p.error("--semi-join expects 'col@path'")
+            key_col, probe_path = args.semi_join.split("@", 1)
+            if getattr(args, "top", None) or getattr(args, "where", None) \
+                    or mor_deletes is not None:
+                p.error("--semi-join does not compose with --top/--where/"
+                        "snapshot deletes yet")
+            probe = read_data(spark, probe_path)
+            dec = decode_semijoin(df, probe, key_col, columns=cols)
+            dec.write.mode("overwrite").parquet(args.output)
+            print(f"decoded {dec.count()} rows with {key_col} in "
+                  f"{probe_path} -> {args.output}")
+            return 0
         if getattr(args, "top", None):
             from nail_parquet_spark.codec.decode import decode_topk
 

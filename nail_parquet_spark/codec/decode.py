@@ -1343,20 +1343,7 @@ def prune_blocks_topk_by(blocks: DataFrame, group_col: str, column: str,
             if ok:
                 keep.add(key)
 
-    if not keep:
-        return blocks.filter(F.lit(False))
-    # exact (part_id, block_id) pair filter — grouped pruning keeps
-    # DIFFERENT blocks in different parts, so the parts x bids superset
-    # filter of prune_blocks_topk would undo most of the work here
-    if len(keep) <= 4096:
-        sep_key = F.concat_ws("#", F.col("part_id").cast("string"),
-                              F.col("block_id").cast("string"))
-        return blocks.filter(sep_key.isin([f"{p}#{b}" for p, b in keep]))
-    spark = blocks.sparkSession
-    keys_df = spark.createDataFrame(
-        sorted(keep), "part_id long, block_id long")
-    return blocks.join(F.broadcast(keys_df), ["part_id", "block_id"],
-                       "left_semi")
+    return _filter_block_pairs(blocks, keep)
 
 
 def decode_topk_by(blocks: DataFrame, group_col: str, column: str, k: int,
@@ -1407,4 +1394,111 @@ def decode_topk_by(blocks: DataFrame, group_col: str, column: str, k: int,
                        & F.col(column).isNotNull())
             .withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") <= int(k))
+            .select(*out_cols))
+
+
+def _filter_block_pairs(blocks: DataFrame, pairs: set[tuple]) -> DataFrame:
+    """Restrict a blocks table to an exact (part_id, block_id) pair set —
+    NOT the parts x bids superset filter: callers here keep DIFFERENT
+    blocks in different parts, which the superset would undo. Small sets
+    apply as a literal isin on a concat key (pushed into the scan); larger
+    ones as a broadcast semi-join."""
+    if not pairs:
+        return blocks.filter(F.lit(False))
+    if len(pairs) <= 4096:
+        sep_key = F.concat_ws("#", F.col("part_id").cast("string"),
+                              F.col("block_id").cast("string"))
+        return blocks.filter(sep_key.isin([f"{p}#{b}" for p, b in pairs]))
+    keys_df = blocks.sparkSession.createDataFrame(
+        sorted(pairs), "part_id long, block_id long")
+    return blocks.join(F.broadcast(keys_df), ["part_id", "block_id"],
+                       "left_semi")
+
+
+def decode_semijoin(blocks: DataFrame, keys: DataFrame, key_col: str,
+                    columns: list[str] | None = None,
+                    num_partitions: int | None = None,
+                    file_keyed: bool = True,
+                    max_groups: int = 100_000,
+                    inline_keys_max: int = 64) -> DataFrame:
+    """Late-materialization lookup join: the rows of the encoded table whose
+    ``key_col`` value appears in the ``keys`` DataFrame — SQL
+    ``WHERE key_col IN (SELECT key_col FROM keys)``. NULL keys never match
+    (IN semantics); semi-join cardinality (each table row at most once,
+    duplicate probe keys don't duplicate output).
+
+    The reference can only decode-everything-then-filter
+    (/root/reference/src/commands/data.rs); this is the columnar-native
+    plan, staged so payload bytes it can rule out are NEVER read:
+
+    1. a small probe set (<= ``inline_keys_max`` distinct values, found via
+       a limit probe) prunes blocks first through zone maps + equality
+       blooms (the ``'in'`` op of prune_blocks/prune_blocks_bloom);
+    2. ONLY ``key_col`` decodes (with row coordinates) and semi-joins the
+       probe to find matching coordinates — for a web corpus this touches
+       the dict/FSST url blocks, never the text/html payloads;
+    3. block groups holding at least one match decode fully
+       (:func:`_filter_block_pairs` — exact pair filter), and a coordinate
+       semi-join on ``POS_COLUMNS`` keeps exactly the matching rows.
+
+    ``keys`` must either contain ``key_col`` or be a single-column frame
+    (renamed). Above ``max_groups`` matching groups, stage 3's block filter
+    is skipped (decode-all + coordinate semi-join — correct, unpruned).
+    To enrich probe rows instead of filtering the table, join the returned
+    frame back to ``keys`` on ``key_col``.
+    """
+    headers, _ = _headers_by_column(blocks)
+    if key_col not in headers:
+        raise ValueError(f"column {key_col!r} not in the blocks table")
+    if key_col in keys.columns:
+        probe = keys.select(key_col)
+    elif len(keys.columns) == 1:
+        probe = keys.select(F.col(keys.columns[0]).alias(key_col))
+    else:
+        raise ValueError(
+            f"keys frame (columns {keys.columns}) has no {key_col!r} column "
+            "and is not single-column")
+    probe = probe.filter(F.col(key_col).isNotNull()).distinct()
+
+    out_cols = columns if columns is not None else sorted(headers)
+    use_cols = list(out_cols)
+    if key_col not in use_cols:
+        use_cols.append(key_col)
+
+    def empty():
+        schema = _schema_from_headers(headers, out_cols)
+        return blocks.sparkSession.createDataFrame([], _spark_ddl_of(schema))
+
+    # stage 1: inline-able probe -> metadata-only block pruning
+    pruned = blocks
+    sample = [r[0] for r in probe.limit(inline_keys_max + 1).collect()]
+    if not sample:
+        return empty()
+    if len(sample) <= inline_keys_max:
+        try:
+            pruned = _prune_one(blocks, key_col, "in", sample,
+                                max_groups, headers)
+        except ValueError:
+            pruned = blocks  # kind without zone stats: no pruning
+        if pruned.limit(1).isEmpty():
+            return empty()
+
+    # stage 2: key-column-only decode -> matching row coordinates
+    keydec = decode_table(pruned, columns=[key_col], with_positions=True,
+                          num_partitions=num_partitions,
+                          file_keyed=file_keyed)
+    coords = keydec.join(probe, key_col, "left_semi").select(*POS_COLUMNS)
+
+    # stage 3: decode only block groups holding a match, keep exact rows
+    got = (coords.select("_part_id", "_block_id").distinct()
+           .limit(max_groups + 1).collect())
+    hit = pruned
+    if len(got) <= max_groups:
+        if not got:
+            return empty()
+        hit = _filter_block_pairs(
+            pruned, {(r["_part_id"], r["_block_id"]) for r in got})
+    full = decode_table(hit, columns=use_cols, with_positions=True,
+                        num_partitions=num_partitions, file_keyed=file_keyed)
+    return (full.join(coords, on=POS_COLUMNS, how="left_semi")
             .select(*out_cols))
