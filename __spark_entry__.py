@@ -2205,6 +2205,40 @@ def q_decode_topk_group(spark, sf_dir):
                           tiebreak="o_orderkey")
 
 
+def q_table_changes(spark, sf_dir):
+    """Snapshot changelog scan (pipeline/changelog.table_changes): NET
+    row-level CDC between two snapshots of an encoded table, computed from
+    the snapshot log (new batches decode as insert candidates; window
+    position-delete coordinates late-materialize only the blocks they hit;
+    equality kills resolve through the same sequence-rule marking the MOR
+    reader uses). History synthesized here: commit docs with doc_id%3!=0,
+    position-delete lang='en', append the doc_id%3==0 remainder — window
+    (s1..s3] must show exactly the en-deletes and the appended inserts.
+    Value-exact vs the set algebra in SQL."""
+    import tempfile
+
+    from nail_parquet_spark.pipeline.changelog import table_changes
+    from nail_parquet_spark.pipeline.checkpoint import (
+        encode_resumable, snapshots)
+    from nail_parquet_spark.pipeline.deletes import delete_where
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    tmp = tempfile.mkdtemp(prefix="nps_changes_")
+    src1 = f"{tmp}/c1"
+    src2 = f"{tmp}/c2"
+    d.filter(F.col("doc_id") % 3 != 0).repartition(2).write.parquet(src1)
+    d.filter(F.col("doc_id") % 3 == 0).repartition(2).write.parquet(src2)
+    out = f"{tmp}/enc"
+    encode_resumable(spark, src1, out)
+    s1 = snapshots(out)[-1]["snapshot"]
+    delete_where(spark, out, [("lang", "=", "en")])
+    encode_resumable(spark, src2, out)
+    s3 = snapshots(out)[-1]["snapshot"]
+    return table_changes(spark, out, s1, s3,
+                         columns=["doc_id", "lang", "n_chars"]) \
+        .select("doc_id", "lang", "n_chars", "_change_type")
+
+
 def q_decode_semijoin(spark, sf_dir):
     """Late-materialization lookup join (codec/decode.decode_semijoin):
     WHERE o_custkey IN (SELECT c_custkey ...) against an ENCODED table.
@@ -2678,6 +2712,7 @@ _QUERIES = {
         "decode_topk": q_decode_topk,
         "decode_topk_group": q_decode_topk_group,
         "decode_semijoin": q_decode_semijoin,
+        "table_changes": q_table_changes,
         "quantiles_by": q_quantiles_by,
         "decode_pushdown_or": q_decode_pushdown_or,
         "encode_manifest": q_encode_manifest,
@@ -4477,6 +4512,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_custkey, o_orderkey, o_totalprice FROM orders
             WHERE o_custkey IN (SELECT c_custkey FROM customer
                                 WHERE c_mktsegment = 'BUILDING')""",
+        "table_changes": """
+            SELECT doc_id, lang, n_chars, 'delete' AS _change_type
+            FROM documents WHERE doc_id % 3 <> 0 AND lang = 'en'
+            UNION ALL
+            SELECT doc_id, lang, n_chars, 'insert' AS _change_type
+            FROM documents WHERE doc_id % 3 = 0""",
         "dedup_sentence_spans": r"""
             WITH src AS (
               SELECT doc_id,

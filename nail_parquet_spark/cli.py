@@ -326,6 +326,14 @@ def main(argv: list[str] | None = None) -> int:
                                     "grouped zone-map pruning — single-group "
                                     "'point blocks' prune independently per "
                                     "group; NULL groups never rank"}),
+        (("--changes",), {"default": None,
+                          "help": "'FROM[..TO]' — CDC changelog scan: NET "
+                                  "row-level diff between the merge-on-read "
+                                  "states at two snapshot ids/tags (FROM "
+                                  "exclusive, TO inclusive, default latest); "
+                                  "emits _change_type insert|delete and "
+                                  "_commit_snapshot; input must be a "
+                                  "snapshot table (encode --resume out_dir)"}),
         (("--semi-join",), {"default": None, "dest": "semi_join",
                             "help": "'col@path' — decode only rows whose col "
                                     "appears in the probe table at path (WHERE "
@@ -1050,6 +1058,28 @@ def main(argv: list[str] | None = None) -> int:
         if not args.output:
             p.error("decode requires -o/--output")
         cols = args.columns.split(",") if args.columns else None
+        if getattr(args, "changes", None):
+            from pyspark.sql import functions as F
+
+            from nail_parquet_spark.pipeline.changelog import table_changes
+            from nail_parquet_spark.pipeline.checkpoint import resolve_ref
+
+            if not is_snap_table:
+                p.error("--changes requires a snapshot table "
+                        "(an encode --resume out_dir with _snapshots/)")
+            spec = args.changes
+            frm_s, _, to_s = spec.partition("..")
+            frm = resolve_ref(args.input, frm_s) if frm_s not in ("0", "") \
+                else 0
+            to = resolve_ref(args.input, to_s) if to_s else None
+            ch = table_changes(spark, args.input, frm, to, columns=cols)
+            ch.write.mode("overwrite").parquet(args.output)
+            agg = {r["_change_type"]: r["n"] for r in
+                   ch.groupBy("_change_type").agg(
+                       F.count("*").alias("n")).collect()}
+            print(f"changelog {spec}: {agg.get('insert', 0)} inserts, "
+                  f"{agg.get('delete', 0)} deletes -> {args.output}")
+            return 0
         if getattr(args, "semi_join", None):
             from nail_parquet_spark.codec.decode import decode_semijoin
 

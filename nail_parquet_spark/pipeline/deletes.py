@@ -209,6 +209,7 @@ def delete_keys(spark: SparkSession, out_dir: str, keys: DataFrame,
 
 
 _EQ_DELETED = "__eq_deleted"
+_EQ_SNAP = "__eq_dsnap"
 
 
 def _batch_snapshots(spark: SparkSession, out_dir: str,
@@ -241,6 +242,9 @@ def _mark_equality_deletes(spark: SparkSession, out_dir: str,
     dec = dec.join(F.broadcast(_batch_snapshots(spark, out_dir, snapshot_id)),
                    "__batch", "left")
     dec = dec.withColumn(_EQ_DELETED, F.lit(False))
+    # changelog attribution: the LATEST matching delete's snapshot (same
+    # latest-wins rule the kill window uses); NULL on rows no eq delete kills
+    dec = dec.withColumn(_EQ_SNAP, F.lit(None).cast("long"))
     groups: dict[tuple, list[dict]] = defaultdict(list)
     for r in recs:
         groups[tuple(r["eq_cols"])].append(r)
@@ -262,11 +266,14 @@ def _mark_equality_deletes(spark: SparkSession, out_dir: str,
                       [dec[c].eqNullSafe(F.col(f"__d_{c}"))
                        for c in eq_cols])
         dec = dec.join(F.broadcast(ed), on=cond, how="left")
+        killed_now = (F.col("__dsnap").isNotNull()
+                      & F.col("__row_snap").isNotNull()
+                      & (F.col("__row_snap") < F.col("__dsnap")))
         dec = dec.withColumn(
-            _EQ_DELETED,
-            F.col(_EQ_DELETED) | (F.col("__dsnap").isNotNull()
-                                  & F.col("__row_snap").isNotNull()
-                                  & (F.col("__row_snap") < F.col("__dsnap"))))
+            _EQ_SNAP,
+            F.when(killed_now, F.greatest(F.col(_EQ_SNAP), F.col("__dsnap")))
+            .otherwise(F.col(_EQ_SNAP)))
+        dec = dec.withColumn(_EQ_DELETED, F.col(_EQ_DELETED) | killed_now)
         dec = dec.drop("__dsnap", *[f"__d_{c}" for c in eq_cols])
     return dec.drop("__batch", "__row_snap")
 
