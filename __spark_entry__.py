@@ -2239,6 +2239,37 @@ def q_table_changes(spark, sf_dir):
         .select("doc_id", "lang", "n_chars", "_change_type")
 
 
+def q_group_stats_pushdown(spark, sf_dir):
+    """Grouped aggregate pushdown (codec/inspect.group_stats_pushdown):
+    GROUP BY lang count/sum/min/max/avg of n_chars answered from block
+    metadata — single-group "point blocks" contribute n_rows / null
+    counters / zone min-max / the zsum header sum without reading payload
+    bytes; only group-spanning or group-null blocks decode residually,
+    and the two sides merge under one keyed groupBy. Input clustered by
+    lang so the metadata path dominates, as optimize --sort-by lays out.
+    Value-exact: integer sums merge in decimal(38,0) (cast back to bigint
+    here), zone stats round-trip by the str-render contract."""
+    from nail_parquet_spark.codec.encode import encode_table
+    from nail_parquet_spark.codec.inspect import group_stats_pushdown
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("lang", "n_chars")
+        .repartition(2)
+        .sortWithinPartitions("lang", "n_chars")
+    )
+    blocks = encode_table(
+        d, codecs={"lang": "dict", "n_chars": "for_bitpack"},
+        block_rows=2048,
+    )
+    out = group_stats_pushdown(blocks, "lang", "n_chars")
+    return out.select(
+        "lang", "n_rows", "n_vals",
+        F.col("sum_val").cast("long").alias("sum_val"),
+        "min_val", "max_val", "avg_val",
+    )
+
+
 def q_decode_semijoin(spark, sf_dir):
     """Late-materialization lookup join (codec/decode.decode_semijoin):
     WHERE o_custkey IN (SELECT c_custkey ...) against an ENCODED table.
@@ -2713,6 +2744,7 @@ _QUERIES = {
         "decode_topk_group": q_decode_topk_group,
         "decode_semijoin": q_decode_semijoin,
         "table_changes": q_table_changes,
+        "group_stats_pushdown": q_group_stats_pushdown,
         "quantiles_by": q_quantiles_by,
         "decode_pushdown_or": q_decode_pushdown_or,
         "encode_manifest": q_encode_manifest,
@@ -4518,6 +4550,17 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT doc_id, lang, n_chars, 'insert' AS _change_type
             FROM documents WHERE doc_id % 3 = 0""",
+        "group_stats_pushdown": """
+            SELECT lang,
+                   count(*) AS n_rows,
+                   count(n_chars) AS n_vals,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_val,
+                   min(n_chars) AS min_val,
+                   max(n_chars) AS max_val,
+                   CASE WHEN count(n_chars) > 0
+                        THEN CAST(sum(n_chars) AS DOUBLE) / count(n_chars)
+                   END AS avg_val
+            FROM documents GROUP BY lang""",
         "dedup_sentence_spans": r"""
             WITH src AS (
               SELECT doc_id,

@@ -635,6 +635,11 @@ def main(argv: list[str] | None = None) -> int:
                                       "(same syntax as decode --where): zone maps "
                                       "decide interior blocks, only boundary blocks "
                                       "decode"}),
+        (("--group-stats",), {"default": None, "dest": "group_stats",
+                              "help": "'g:v' — exact GROUP BY g count/sum/min/max/avg "
+                                      "of numeric v: single-group 'point blocks' "
+                                      "answer from metadata + zsum header sums; only "
+                                      "group-spanning / group-null blocks decode"}),
         with_output=False)
     add("compact", (("--num-files",), {"type": int, "default": 32,
                                        "help": "output block-file count"}))
@@ -970,6 +975,15 @@ def main(argv: list[str] | None = None) -> int:
 
             col, op, val = _parse_where(args.count_where)
             print(json.dumps(count_where_pushdown(blocks, col, op, val)))
+            return 0
+        if getattr(args, "group_stats", None):
+            from nail_parquet_spark.codec.inspect import group_stats_pushdown
+
+            if ":" not in args.group_stats:
+                p.error("--group-stats expects 'group_col:value_col'")
+            gcol, vcol = args.group_stats.split(":", 1)
+            group_stats_pushdown(blocks, gcol, vcol) \
+                .orderBy(gcol).show(100, truncate=False)
             return 0
         if getattr(args, "frequency", None):
             from pyspark.sql import functions as F

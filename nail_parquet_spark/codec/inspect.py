@@ -772,3 +772,176 @@ def column_stats_pushdown(blocks: DataFrame,
                 out[c]["sum"] = s
                 out[c]["avg"] = float(s) / (n - nulls)
     return out
+
+
+def group_stats_pushdown(blocks: DataFrame, group_col: str, value_col: str,
+                         num_partitions: int | None = None,
+                         max_groups: int = 100_000) -> DataFrame:
+    """Exact ``GROUP BY group_col`` aggregates of a numeric ``value_col``
+    — count / non-null count / sum / min / max / avg — served from block
+    metadata wherever the layout allows, decoding ONLY the blocks it must.
+
+    The hybrid rule, per block group:
+
+    - a block whose ``group_col`` zone is one parseable untruncated value
+      with zero group nulls ("point block") contributes its aggregates
+      from metadata alone: n_rows, value null_count, zone min/max, and
+      the ``zsum`` header sum stat — payload bytes never read;
+    - every other block (group zone spans values, group nulls present,
+      value stats/zsum missing or unparseable, string stats at the
+      64-char render cap) decodes RESIDUALLY, and only (group, value)
+      columns of it;
+    - the two sides merge under one final keyed groupBy. NULL groups are
+      grouped (SQL GROUP BY semantics): null-group rows only ever live in
+      residual blocks, so they are always exact.
+
+    On a layout clustered by ``group_col`` (``optimize --sort-by`` /
+    Z-order — the ingest shape this engine produces), the residual set is
+    empty or tiny: GROUP BY over 100 TB costs a metadata aggregation.
+    The reference computes grouped stats only by full scans
+    (src/utils/stats.rs); this is the lakehouse-native shape.
+
+    Output columns: ``group_col``, ``n_rows`` (COUNT(*)), ``n_vals``
+    (COUNT(value)), ``sum_val``, ``min_val``, ``max_val``, ``avg_val``.
+    Integer sums merge in decimal(38,0): a ``sum_val`` NULL while
+    ``n_vals > 0`` signals decimal overflow (documented, never silent
+    wraparound). Over ``max_groups`` residual block groups the whole
+    table decodes (correct, unpruned). Value column must be integer or
+    float; the group column integer / boolean / float / string.
+    """
+    import pyarrow as pa
+
+    from nail_parquet_spark.codec.decode import (
+        _filter_block_pairs,
+        _headers_by_column,
+        _stats_parser,
+        decode_table,
+    )
+    from nail_parquet_spark.codec.kernels import _type_from_str
+
+    if group_col == value_col:
+        raise ValueError("group_col and value_col must differ")
+    headers, _ = _headers_by_column(blocks)
+    for c in (group_col, value_col):
+        if c not in headers:
+            raise ValueError(f"column {c!r} not in the blocks table")
+    _, g_is_str = _stats_parser(headers, group_col)  # validates the kind
+    vt = _type_from_str(headers[value_col]["type"])
+    if pa.types.is_integer(vt):
+        vcast, scast = "bigint", "decimal(38,0)"
+    elif pa.types.is_floating(vt):
+        vcast, scast = "double", "double"
+    else:
+        raise ValueError(
+            f"value column {value_col!r} ({headers[value_col]['type']}) "
+            "is not integer/float; grouped SUM pushdown is numeric-only")
+    gt = _type_from_str(headers[group_col]["type"])
+    if pa.types.is_boolean(gt):
+        gcast = "boolean"
+    elif pa.types.is_integer(gt):
+        gcast = "bigint"
+    elif pa.types.is_floating(gt):
+        gcast = "double"
+    else:
+        gcast = None  # string: zone stats are the values themselves
+
+    gm = (blocks.filter(F.col("column") == group_col)
+          .select("part_id", "block_id", "n_rows",
+                  F.col("null_count").alias("g_nulls"),
+                  F.col("min_val").alias("g_min"),
+                  F.col("max_val").alias("g_max")))
+    if gcast is None:
+        g_point = (F.col("g_min").isNotNull()
+                   & (F.col("g_min") == F.col("g_max"))
+                   & (F.length("g_min") < 64))
+        gval = F.col("g_min")
+    else:
+        g_lo = F.col("g_min").try_cast(gcast)
+        g_hi = F.col("g_max").try_cast(gcast)
+        g_point = g_lo.isNotNull() & g_hi.isNotNull() & (g_lo == g_hi)
+        gval = g_lo
+    gm = gm.select("part_id", "block_id", "n_rows", "g_nulls",
+                   gval.alias("g_val"),
+                   ((F.col("g_nulls") == 0) & g_point).alias("g_ok"))
+
+    vm = (blocks.filter(F.col("column") == value_col)
+          .select("part_id", "block_id",
+                  F.col("n_rows").alias("v_rows"),
+                  F.col("null_count").alias("v_nulls"),
+                  F.col("min_val").try_cast(vcast).alias("v_min"),
+                  F.col("max_val").try_cast(vcast).alias("v_max"),
+                  F.col("min_val").isNotNull().alias("v_has_stats"),
+                  F.get_json_object("header", "$.zsum").try_cast(scast)
+                  .alias("v_sum"),
+                  F.get_json_object("header", "$.zsum").isNotNull()
+                  .alias("v_has_sum")))
+    # value side is metadata-eligible when the block is all-null (sum 0,
+    # no extremes) OR every stat is present and parsed back
+    v_all_null = F.col("v_nulls") == F.col("v_rows")
+    v_ok = v_all_null | (F.col("v_has_stats")
+                         & F.col("v_min").isNotNull()
+                         & F.col("v_max").isNotNull()
+                         & F.col("v_has_sum")
+                         & F.col("v_sum").isNotNull())
+
+    # FULL outer: a block group missing either column (heterogeneous
+    # batches under schema evolution) must fall to the residual decode,
+    # never silently out of the answer
+    meta = gm.join(vm.withColumn("v_ok", v_ok), ["part_id", "block_id"],
+                   "full_outer")
+    ok = (F.coalesce(F.col("g_ok"), F.lit(False))
+          & F.coalesce(F.col("v_ok"), F.lit(False)))
+    eligible = meta.filter(ok)
+    residual_pairs_df = meta.filter(~ok).select("part_id", "block_id")
+    got = residual_pairs_df.distinct().limit(max_groups + 1).collect()
+    if len(got) > max_groups:
+        # residual set too large to enumerate: full decode, still exact
+        dec = decode_table(blocks, columns=[group_col, value_col],
+                           num_partitions=num_partitions)
+        v = F.col(value_col).cast(scast)
+        return (dec.groupBy(group_col)
+                .agg(F.count(F.lit(1)).alias("n_rows"),
+                     F.count(value_col).alias("n_vals"),
+                     F.sum(v).alias("sum_val"),
+                     F.min(value_col).alias("min_val"),
+                     F.max(value_col).alias("max_val"))
+                .withColumn("avg_val",
+                            F.col("sum_val").cast("double")
+                            / F.col("n_vals")))
+
+    mside = (eligible.groupBy("g_val")
+             .agg(F.sum("n_rows").alias("n_rows"),
+                  F.sum(F.col("v_rows") - F.col("v_nulls")).alias("n_vals"),
+                  F.sum(F.when(v_all_null, F.lit(0).cast(scast))
+                        .otherwise(F.col("v_sum"))).alias("sum_val"),
+                  F.min("v_min").alias("min_val"),
+                  F.max("v_max").alias("max_val"))
+             .withColumnRenamed("g_val", group_col))
+
+    pairs = {(r["part_id"], r["block_id"]) for r in got}
+    sides = [mside]
+    if pairs:
+        rdec = decode_table(_filter_block_pairs(blocks, pairs),
+                            columns=[group_col, value_col],
+                            num_partitions=num_partitions)
+        rside = (rdec.groupBy(group_col)
+                 .agg(F.count(F.lit(1)).alias("n_rows"),
+                      F.count(value_col).alias("n_vals"),
+                      F.sum(F.col(value_col).cast(scast)).alias("sum_val"),
+                      F.min(value_col).cast(vcast).alias("min_val"),
+                      F.max(value_col).cast(vcast).alias("max_val")))
+        sides.append(rside.select(*mside.columns))
+    merged = sides[0] if len(sides) == 1 else sides[0].unionByName(sides[1])
+    out = (merged.groupBy(group_col)
+           .agg(F.sum("n_rows").alias("n_rows"),
+                F.sum("n_vals").alias("n_vals"),
+                F.sum("sum_val").alias("sum_val"),
+                F.min("min_val").alias("min_val"),
+                F.max("max_val").alias("max_val")))
+    return (out.withColumn(
+        "sum_val", F.when(F.col("n_vals") > 0, F.col("sum_val")))
+        .withColumn("min_val", F.when(F.col("n_vals") > 0, F.col("min_val")))
+        .withColumn("max_val", F.when(F.col("n_vals") > 0, F.col("max_val")))
+        .withColumn("avg_val", F.when(
+            F.col("n_vals") > 0,
+            F.col("sum_val").cast("double") / F.col("n_vals"))))
