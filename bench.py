@@ -78,6 +78,12 @@ BENCH_QUERIES = [
     # block metadata / dictionary sections instead of decoding rows
     "frequency_pushdown",
     "count_pushdown",
+    # round-5 final session: grouped top-k / late-materialization lookup /
+    # grouped metadata aggregates / snapshot CDC over encoded tables
+    "decode_topk_group",
+    "decode_semijoin",
+    "group_stats_pushdown",
+    "table_changes",
 ]
 
 

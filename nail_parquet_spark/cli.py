@@ -1100,10 +1100,13 @@ def main(argv: list[str] | None = None) -> int:
             if "@" not in args.semi_join:
                 p.error("--semi-join expects 'col@path'")
             key_col, probe_path = args.semi_join.split("@", 1)
-            if getattr(args, "top", None) or getattr(args, "where", None) \
-                    or mor_deletes is not None:
-                p.error("--semi-join does not compose with --top/--where/"
-                        "snapshot deletes yet")
+            if getattr(args, "top", None) or getattr(args, "where", None):
+                p.error("--semi-join does not compose with --top/--where yet")
+            if mor_deletes is not None:
+                p.error("--semi-join on a snapshot table with committed "
+                        "deletes would resurface deleted rows — purge the "
+                        "deletes first (or pass --no-deletes to audit the "
+                        "raw pre-delete blocks)")
             probe = read_data(spark, probe_path)
             dec = decode_semijoin(df, probe, key_col, columns=cols)
             dec.write.mode("overwrite").parquet(args.output)

@@ -275,3 +275,58 @@ def table_changes(spark: SparkSession, out_dir: str, from_snapshot: int,
             .filter(F.col(CHANGE_TYPE).isNotNull())
             .withColumn(COMMIT_SNAPSHOT, commit)
             .select(*out_cols, CHANGE_TYPE, COMMIT_SNAPSHOT))
+
+
+def _read_cursor(cursor_path: str) -> int:
+    import json
+
+    if not os.path.exists(cursor_path):
+        return 0
+    with open(cursor_path) as f:
+        return int(json.load(f)["snapshot"])
+
+
+def poll_changes(spark: SparkSession, out_dir: str, cursor_path: str,
+                 columns: list[str] | None = None,
+                 num_partitions: int | None = None):
+    """Incremental changelog consumer, at-least-once: changes committed
+    since the cursor's snapshot, plus an ack token.
+
+    Returns ``(changes_df | None, token)`` where ``changes_df`` is
+    :func:`table_changes` over ``(cursor, latest]`` (None when the log
+    has nothing new) and ``token = {"from", "to"}``. The cursor file only
+    advances when the consumer calls :func:`ack_changes` AFTER durably
+    processing the batch — a crash in between re-delivers the same window
+    (at-least-once; the NET semantics make redelivery idempotent for
+    upsert-shaped consumers keyed on the row identity).
+
+    A rollback committed past the cursor makes the window unrenderable
+    and :func:`table_changes` raises — reset the cursor (delete the file
+    or ack an explicit earlier token) after reconciling downstream.
+
+    This is the polling analogue of an Iceberg incremental read; wire it
+    into ``foreachBatch`` or a scheduler loop for streaming-shaped
+    downstream pipelines (the snapshot log is the source of truth, no
+    extra message bus).
+    """
+    last = _read_cursor(cursor_path)
+    to = resolve_snapshot_id(out_dir)
+    token = {"from": last, "to": to}
+    if to <= last:
+        return None, token
+    return (table_changes(spark, out_dir, last, to, columns=columns,
+                          num_partitions=num_partitions), token)
+
+
+def ack_changes(cursor_path: str, token: dict) -> None:
+    """Advance the cursor to ``token['to']`` — call only after the polled
+    batch is durably processed. Atomic write (tmp + rename)."""
+    import json
+
+    tmp = cursor_path + ".tmp"
+    d = os.path.dirname(cursor_path)
+    if d:
+        os.makedirs(d, exist_ok=True)
+    with open(tmp, "w") as f:
+        json.dump({"snapshot": int(token["to"])}, f)
+    os.replace(tmp, cursor_path)

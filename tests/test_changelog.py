@@ -204,3 +204,29 @@ def test_cli_decode_changes(spark, table, tmp_path):
                  .select("k", "text", "_change_type").collect())
     assert got == _model(spark, out, s1, s2)
     assert len(got) == 5 and all(t[-1] == "delete" for t in got)
+
+
+def test_poll_ack_cursor(spark, table, tmp_path):
+    from nail_parquet_spark.pipeline.changelog import ack_changes, poll_changes
+
+    out, tmp = table
+    cur = str(tmp_path / "cursor.json")
+    # first poll: everything since genesis
+    ch, tok = poll_changes(spark, out, cur, columns=COLS)
+    assert tok["from"] == 0 and ch.count() == 40
+    # unacked: the same window re-delivers
+    ch2, tok2 = poll_changes(spark, out, cur, columns=COLS)
+    assert tok2 == tok and ch2.count() == 40
+    ack_changes(cur, tok)
+    # acked + no new commits: nothing
+    ch3, tok3 = poll_changes(spark, out, cur, columns=COLS)
+    assert ch3 is None and tok3["from"] == tok["to"]
+    # new commit: only the delta
+    delete_where(spark, out, [("k", "<", 3)])
+    ch4, tok4 = poll_changes(spark, out, cur, columns=COLS)
+    got = sorted(tuple(r) for r in
+                 ch4.select(*COLS, "_change_type").collect())
+    assert got == _model(spark, out, tok4["from"], tok4["to"])
+    assert len(got) == 3 and all(t[-1] == "delete" for t in got)
+    ack_changes(cur, tok4)
+    assert poll_changes(spark, out, cur, columns=COLS)[0] is None
