@@ -1102,13 +1102,12 @@ def main(argv: list[str] | None = None) -> int:
             key_col, probe_path = args.semi_join.split("@", 1)
             if getattr(args, "top", None) or getattr(args, "where", None):
                 p.error("--semi-join does not compose with --top/--where yet")
-            if mor_deletes is not None:
-                p.error("--semi-join on a snapshot table with committed "
-                        "deletes would resurface deleted rows — purge the "
-                        "deletes first (or pass --no-deletes to audit the "
-                        "raw pre-delete blocks)")
             probe = read_data(spark, probe_path)
-            dec = decode_semijoin(df, probe, key_col, columns=cols)
+            # mor_deletes (position + resolved equality coordinates) are
+            # anti-joined out before materialization: the lookup sees the
+            # same merge-on-read view every other reader does
+            dec = decode_semijoin(df, probe, key_col, columns=cols,
+                                  deletes=mor_deletes)
             dec.write.mode("overwrite").parquet(args.output)
             print(f"decoded {dec.count()} rows with {key_col} in "
                   f"{probe_path} -> {args.output}")

@@ -1420,7 +1420,8 @@ def decode_semijoin(blocks: DataFrame, keys: DataFrame, key_col: str,
                     num_partitions: int | None = None,
                     file_keyed: bool = True,
                     max_groups: int = 100_000,
-                    inline_keys_max: int = 64) -> DataFrame:
+                    inline_keys_max: int = 64,
+                    deletes: DataFrame | None = None) -> DataFrame:
     """Late-materialization lookup join: the rows of the encoded table whose
     ``key_col`` value appears in the ``keys`` DataFrame — SQL
     ``WHERE key_col IN (SELECT key_col FROM keys)``. NULL keys never match
@@ -1446,6 +1447,12 @@ def decode_semijoin(blocks: DataFrame, keys: DataFrame, key_col: str,
     is skipped (decode-all + coordinate semi-join — correct, unpruned).
     To enrich probe rows instead of filtering the table, join the returned
     frame back to ``keys`` on ``key_col``.
+
+    ``deletes`` (optional): committed row coordinates in the ``POS_COLUMNS``
+    shape (position deletes, or equality deletes resolved via
+    ``pipeline.deletes.equality_positions``) — matching coordinates are
+    anti-joined out BEFORE full materialization, so a snapshot table's
+    merge-on-read view composes without resurfacing deleted rows.
     """
     headers, _ = _headers_by_column(blocks)
     if key_col not in headers:
@@ -1488,6 +1495,9 @@ def decode_semijoin(blocks: DataFrame, keys: DataFrame, key_col: str,
                           num_partitions=num_partitions,
                           file_keyed=file_keyed)
     coords = keydec.join(probe, key_col, "left_semi").select(*POS_COLUMNS)
+    if deletes is not None:
+        coords = coords.join(deletes.select(*POS_COLUMNS),
+                             on=POS_COLUMNS, how="left_anti")
 
     # stage 3: decode only block groups holding a match, keep exact rows
     got = (coords.select("_part_id", "_block_id").distinct()

@@ -125,3 +125,37 @@ def test_cli_decode_semijoin(spark, tmp_path):
     got = sorted(tuple(r) for r in
                  spark.read.parquet(out).select("k", "s").collect())
     assert got == [(7, "s7"), (31, "s31")]
+
+
+def test_semijoin_applies_deletes(spark, enc):
+    from nail_parquet_spark.codec.deletes import positions_where
+
+    df, blocks = enc
+    dels = positions_where(blocks, [("k", "<", 10)])
+    probe = spark.createDataFrame([(5,), (42,)], "k long")
+    got = rows_of(decode_semijoin(blocks, probe, "k", deletes=dels))
+    # k=5 is deleted, only k=42 survives
+    want = rows_of(df.filter(F.col("k") == 42))
+    assert got == want
+
+
+def test_cli_semijoin_snapshot_table_mor(spark, tmp_path):
+    from nail_parquet_spark.cli import main
+    from nail_parquet_spark.pipeline.checkpoint import encode_resumable
+    from nail_parquet_spark.pipeline.deletes import delete_where
+
+    src = str(tmp_path / "ssrc")
+    (spark.createDataFrame([(i, f"s{i}") for i in range(30)],
+                           "k long, s string")
+     .repartition(1).sortWithinPartitions("k").write.parquet(src))
+    out = str(tmp_path / "senc")
+    encode_resumable(spark, src, out)
+    delete_where(spark, out, [("k", "=", 7)])
+    probe_path = str(tmp_path / "probe.parquet")
+    spark.createDataFrame([(7,), (8,)], "k long").write.parquet(probe_path)
+    dst = str(tmp_path / "hits.parquet")
+    assert main(["decode", out, "--semi-join", f"k@{probe_path}",
+                 "-o", dst]) == 0
+    got = [tuple(r) for r in spark.read.parquet(dst)
+           .select("k", "s").collect()]
+    assert got == [(8, "s8")]  # the deleted k=7 row must NOT resurface
