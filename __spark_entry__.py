@@ -2239,6 +2239,30 @@ def q_table_changes(spark, sf_dir):
         .select("doc_id", "lang", "n_chars", "_change_type")
 
 
+def q_decode_sample(spark, sf_dir):
+    """Key-stable sample with late materialization
+    (codec/decode.decode_sample): only the key column decodes everywhere;
+    rows are picked by the repo's pinned portable 60-bit md5 lane (same
+    arithmetic in DuckDB), and payload blocks decode only where a picked
+    row lives. Value-exact: the lane is engine-independent and decode is
+    bit-identical; same key => same draw across layouts and runs."""
+    from nail_parquet_spark.codec.decode import decode_sample
+    from nail_parquet_spark.codec.encode import encode_table
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "n_chars")
+        .repartition(4)
+        .sortWithinPartitions("doc_id")
+    )
+    blocks = encode_table(
+        d, codecs={"doc_id": "for_bitpack", "lang": "dict",
+                   "n_chars": "for_bitpack"},
+        block_rows=2048,
+    )
+    return decode_sample(blocks, "doc_id", 0.1, seed=0)
+
+
 def q_group_stats_pushdown(spark, sf_dir):
     """Grouped aggregate pushdown (codec/inspect.group_stats_pushdown):
     GROUP BY lang count/sum/min/max/avg of n_chars answered from block
@@ -2745,6 +2769,7 @@ _QUERIES = {
         "decode_semijoin": q_decode_semijoin,
         "table_changes": q_table_changes,
         "group_stats_pushdown": q_group_stats_pushdown,
+        "decode_sample": q_decode_sample,
         "quantiles_by": q_quantiles_by,
         "decode_pushdown_or": q_decode_pushdown_or,
         "encode_manifest": q_encode_manifest,
@@ -4561,6 +4586,10 @@ def oracle_sql() -> dict[str, str]:
                         THEN CAST(sum(n_chars) AS DOUBLE) / count(n_chars)
                    END AS avg_val
             FROM documents GROUP BY lang""",
+        "decode_sample": """
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':0'),
+                                  1, 15))::BIGINT / pow(2.0, 60) < 0.1""",
         "dedup_sentence_spans": r"""
             WITH src AS (
               SELECT doc_id,

@@ -334,6 +334,14 @@ def main(argv: list[str] | None = None) -> int:
                                   "emits _change_type insert|delete and "
                                   "_commit_snapshot; input must be a "
                                   "snapshot table (encode --resume out_dir)"}),
+        (("--sample-keys",), {"default": None, "dest": "sample_keys",
+                              "help": "'col:fraction[:seed]' — key-stable "
+                                      "deterministic sample via the pinned "
+                                      "60-bit md5 lane: only the key column "
+                                      "decodes everywhere, payloads decode "
+                                      "only for block groups holding a picked "
+                                      "row; same key => same draw across "
+                                      "engines/layouts/runs"}),
         (("--semi-join",), {"default": None, "dest": "semi_join",
                             "help": "'col@path' — decode only rows whose col "
                                     "appears in the probe table at path (WHERE "
@@ -1093,6 +1101,23 @@ def main(argv: list[str] | None = None) -> int:
                        F.count("*").alias("n")).collect()}
             print(f"changelog {spec}: {agg.get('insert', 0)} inserts, "
                   f"{agg.get('delete', 0)} deletes -> {args.output}")
+            return 0
+        if getattr(args, "sample_keys", None):
+            from nail_parquet_spark.codec.decode import decode_sample
+
+            bits = args.sample_keys.split(":")
+            if len(bits) not in (2, 3):
+                p.error("--sample-keys expects 'col:fraction[:seed]'")
+            if getattr(args, "top", None) or getattr(args, "where", None) \
+                    or getattr(args, "semi_join", None):
+                p.error("--sample-keys does not compose with "
+                        "--top/--where/--semi-join yet")
+            dec = decode_sample(df, bits[0], float(bits[1]),
+                                seed=int(bits[2]) if len(bits) == 3 else 0,
+                                columns=cols, deletes=mor_deletes)
+            dec.write.mode("overwrite").parquet(args.output)
+            print(f"decoded {dec.count()} sampled rows "
+                  f"(key {bits[0]}, fraction {bits[1]}) -> {args.output}")
             return 0
         if getattr(args, "semi_join", None):
             from nail_parquet_spark.codec.decode import decode_semijoin

@@ -1500,15 +1500,93 @@ def decode_semijoin(blocks: DataFrame, keys: DataFrame, key_col: str,
                              on=POS_COLUMNS, how="left_anti")
 
     # stage 3: decode only block groups holding a match, keep exact rows
+    return _materialize_coords(pruned, coords, out_cols, use_cols, empty,
+                               num_partitions, file_keyed, max_groups)
+
+
+def _materialize_coords(blocks: DataFrame, coords: DataFrame,
+                        out_cols: list[str], use_cols: list[str],
+                        empty, num_partitions, file_keyed,
+                        max_groups: int) -> DataFrame:
+    """Late-materialization tail shared by the coordinate-driven decodes:
+    decode full payloads ONLY for block groups holding at least one
+    coordinate (exact pair filter, driver pull capped at ``max_groups`` —
+    over the cap the filter is skipped, correct but unpruned), then keep
+    exactly the addressed rows by coordinate semi-join."""
     got = (coords.select("_part_id", "_block_id").distinct()
            .limit(max_groups + 1).collect())
-    hit = pruned
+    hit = blocks
     if len(got) <= max_groups:
         if not got:
             return empty()
         hit = _filter_block_pairs(
-            pruned, {(r["_part_id"], r["_block_id"]) for r in got})
+            blocks, {(r["_part_id"], r["_block_id"]) for r in got})
     full = decode_table(hit, columns=use_cols, with_positions=True,
                         num_partitions=num_partitions, file_keyed=file_keyed)
     return (full.join(coords, on=POS_COLUMNS, how="left_semi")
             .select(*out_cols))
+
+
+def decode_sample(blocks: DataFrame, key_col: str, fraction: float,
+                  seed: int = 0,
+                  columns: list[str] | None = None,
+                  num_partitions: int | None = None,
+                  file_keyed: bool = True,
+                  max_groups: int = 100_000,
+                  deletes: DataFrame | None = None) -> DataFrame:
+    """Key-stable deterministic sample of an encoded table with late
+    materialization: ONLY ``key_col`` decodes first, rows are picked by
+    the repo's pinned portable 60-bit md5 lane
+    (``int(md5(key_str || ':' || seed)[:15 hex]) / 2^60 < fraction`` —
+    the same lane split_by_group/weighted_sample use, reproducible in any
+    engine), and full payloads decode only for block groups holding a
+    picked row. For a web corpus that means sampling 1% of 100 TB reads
+    the key blocks plus ~1% of the payload blocks, never the rest.
+
+    Key-stable: the same key always draws the same uniform — re-encodes,
+    re-layouts, and re-runs pick the same rows, and duplicate-key rows
+    move as one unit (the dedup-friendly shape). NULL keys take the
+    pinned ``'\\x00'`` sentinel (all-or-none together, matching
+    split_by_group). ``seed`` re-deals. ``deletes`` composes the
+    merge-on-read view exactly as :func:`decode_semijoin`.
+
+    The reference samples only via full scans (src/commands/sample.rs);
+    a block-granular shortcut would bias toward co-located rows — this
+    keeps row-exact semantics AND block-level IO.
+    """
+    if not (0.0 <= fraction <= 1.0):
+        raise ValueError("decode_sample: fraction must be in [0, 1]")
+    headers, _ = _headers_by_column(blocks)
+    if key_col not in headers:
+        raise ValueError(f"column {key_col!r} not in the blocks table")
+    out_cols = columns if columns is not None else sorted(headers)
+    use_cols = list(out_cols)
+    if key_col not in use_cols:
+        use_cols.append(key_col)
+
+    def empty():
+        schema = _schema_from_headers(headers, out_cols)
+        return blocks.sparkSession.createDataFrame([], _spark_ddl_of(schema))
+
+    if fraction == 0.0:
+        return empty()
+    keydec = decode_table(blocks, columns=[key_col], with_positions=True,
+                          num_partitions=num_partitions,
+                          file_keyed=file_keyed)
+    ks = F.coalesce(F.col(key_col).cast("string"), F.lit("\x00"))
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.encode(F.concat(ks, F.lit(":" + str(int(seed)))),
+                               "UTF-8")),
+                1, 15),
+            16, 10,
+        ).cast("bigint").cast("double")
+        / float(1 << 60)
+    )
+    coords = keydec.filter(u < float(fraction)).select(*POS_COLUMNS)
+    if deletes is not None:
+        coords = coords.join(deletes.select(*POS_COLUMNS),
+                             on=POS_COLUMNS, how="left_anti")
+    return _materialize_coords(blocks, coords, out_cols, use_cols, empty,
+                               num_partitions, file_keyed, max_groups)

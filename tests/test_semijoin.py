@@ -20,7 +20,7 @@ def enc(spark):
 
 
 def rows_of(df, cols=("k", "u", "v")):
-    return sorted(tuple(r) for r in df.select(*cols).collect())
+    return sorted((tuple(r) for r in df.select(*cols).collect()), key=repr)
 
 
 def test_semijoin_int_key(spark, enc):
@@ -159,3 +159,84 @@ def test_cli_semijoin_snapshot_table_mor(spark, tmp_path):
     got = [tuple(r) for r in spark.read.parquet(dst)
            .select("k", "s").collect()]
     assert got == [(8, "s8")]  # the deleted k=7 row must NOT resurface
+
+
+# ---- key-stable sample with late materialization (decode_sample) ----
+
+from nail_parquet_spark.codec.decode import decode_sample, decode_table  # noqa: E402
+
+
+def lane(df, key, seed=0):
+    ks = F.coalesce(F.col(key).cast("string"), F.lit("\x00"))
+    return (F.conv(F.substring(
+        F.md5(F.encode(F.concat(ks, F.lit(f":{seed}")), "UTF-8")), 1, 15),
+        16, 10).cast("bigint").cast("double") / float(1 << 60))
+
+
+def test_sample_matches_lane_model(spark, enc):
+    df, blocks = enc
+    got = rows_of(decode_sample(blocks, "k", 0.2, seed=3))
+    want = rows_of(df.filter(lane(df, "k", 3) < 0.2))
+    assert got == want and 0 < len(got) < 200
+
+
+def test_sample_deterministic_and_seed_redeals(spark, enc):
+    _, blocks = enc
+    a = rows_of(decode_sample(blocks, "k", 0.15, seed=1))
+    b = rows_of(decode_sample(blocks, "k", 0.15, seed=1))
+    c = rows_of(decode_sample(blocks, "k", 0.15, seed=2))
+    assert a == b and a != c
+
+
+def test_sample_key_stable_duplicates_move_together(spark):
+    rows = [(i % 5, f"s{i}") for i in range(50)]
+    df = spark.createDataFrame(rows, "k long, s string").repartition(2)
+    blocks = encode_table(df, codecs={"k": "plain", "s": "zstd"},
+                          block_rows=8).cache()
+    got = decode_sample(blocks, "k", 0.5, seed=0, columns=["k"])
+    counts = {r["k"]: r["n"] for r in
+              got.groupBy("k").agg(F.count("*").alias("n")).collect()}
+    # every picked key brings ALL 10 of its rows
+    assert counts and all(n == 10 for n in counts.values())
+
+
+def test_sample_null_keys_move_together(spark):
+    rows = [(None, f"s{i}") for i in range(6)] + [(1, "x"), (2, "y")]
+    df = spark.createDataFrame(rows, "k long, s string").repartition(1)
+    blocks = encode_table(df, codecs={"k": "plain", "s": "zstd"},
+                          block_rows=4).cache()
+    full = decode_table(blocks, columns=["k", "s"])
+    for seed in range(4):
+        got = decode_sample(blocks, "k", 0.5, seed=seed)
+        n_null = got.filter(F.col("k").isNull()).count()
+        assert n_null in (0, 6)
+        want = rows_of(full.filter(lane(full, "k", seed) < 0.5),
+                       cols=("k", "s"))
+        assert rows_of(got, cols=("k", "s")) == want
+
+
+def test_sample_fraction_bounds(spark, enc):
+    df, blocks = enc
+    assert decode_sample(blocks, "k", 0.0).count() == 0
+    assert decode_sample(blocks, "k", 1.0).count() == 200
+    with pytest.raises(ValueError, match="fraction"):
+        decode_sample(blocks, "k", 1.5)
+
+
+def test_cli_decode_sample(spark, tmp_path):
+    from nail_parquet_spark.cli import main
+
+    src = str(tmp_path / "src2.parquet")
+    df = spark.createDataFrame([(i, f"s{i}") for i in range(100)],
+                               "k long, s string").repartition(1)
+    df.write.parquet(src)
+    enc_dir = str(tmp_path / "enc2")
+    assert main(["optimize", src, "-o", enc_dir]) == 0
+    out = str(tmp_path / "sampled.parquet")
+    assert main(["decode", enc_dir, "--sample-keys", "k:0.3:7",
+                 "-o", out]) == 0
+    got = sorted(tuple(r) for r in
+                 spark.read.parquet(out).select("k", "s").collect())
+    want = sorted(tuple(r) for r in
+                  df.filter(lane(df, "k", 7) < 0.3).collect())
+    assert got == want
