@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "decode_semijoin",
     "group_stats_pushdown",
     "table_changes",
+    "decode_sample",
 ]
 
 
