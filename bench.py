@@ -147,7 +147,8 @@ def run_encode_scaling() -> dict:
     """
     pair = os.environ.get("BENCH_SCALE_PAIR", "1,4")
     env = dict(os.environ)
-    env.setdefault("BENCH_REPS", "7")
+    # reps default lives in scripts/bench_encode.py (raised 7 -> 9 after
+    # the §22 estimator-variance window); only an explicit env overrides
     r = subprocess.run(
         [sys.executable, "scripts/bench_encode.py", pair, str(ENCODE_ROWS)],
         capture_output=True, text=True, cwd="/root/repo", env=env, timeout=3600,
