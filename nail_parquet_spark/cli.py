@@ -617,7 +617,15 @@ def main(argv: list[str] | None = None) -> int:
         (("--history",), {"action": "store_true",
                           "help": "print the snapshot log (id, kind, batch, note, whether "
                                   "the record is in the current effective state) — the ids "
-                                  "--rollback and --snapshot take"}),
+                                  "--rollback and --snapshot take; staged (write-audit-"
+                                  "publish) batches are listed alongside"}),
+        (("--publish",), {"default": None,
+                          "help": "write-audit-publish: commit staged batches as snapshots "
+                                  "('all' or comma batch keys); metadata-only"}),
+        (("--discard-staged",), {"default": None, "dest": "discard_staged",
+                                 "help": "drop staged batches the audit rejected ('all' or "
+                                         "comma batch keys): removes dirs + markers so the "
+                                         "next encode re-processes the units"}),
         with_output=False)
     add("metadata", with_output=False)
     add("blockstats", (("-c", "--columns"), {"default": None}),
@@ -686,6 +694,10 @@ def main(argv: list[str] | None = None) -> int:
                                   "compressibility-extreme docs after the rule/model gates"}),
         (("--skip",), {"default": None,
                        "help": "comma list of stages to skip: quality,c4_clean,exact_dedup,near_dedup"}),
+        (("--stage",), {"action": "store_true",
+                        "help": "write-audit-publish: encode the curated corpus "
+                                "as STAGED batches (invisible to readers) — audit "
+                                "then `maintain --publish all` to commit"}),
         (("--eval",), {"default": None, "dest": "eval_path",
                        "help": "eval/benchmark table — enables the decontamination stage"}),
         (("--dsir-target",), {"default": None, "dest": "dsir_target",
@@ -786,6 +798,11 @@ def main(argv: list[str] | None = None) -> int:
                 for s in snapshots(args.input)]
             report["tags"] = {n: t["snapshot"]
                               for n, t in tags(args.input).items()}
+            from nail_parquet_spark.pipeline.checkpoint import staged_batches
+
+            report["staged"] = [
+                {"batch": r["batch"], "units": len(r["units"])}
+                for r in staged_batches(args.input)]
         if args.tag is not None:
             report["tag"] = tag_snapshot(
                 args.input, args.tag,
@@ -804,9 +821,22 @@ def main(argv: list[str] | None = None) -> int:
         if args.gc_orphans:
             report["orphans"] = remove_orphan_files(
                 args.input, dry_run=args.dry_run, older_than_s=args.gc_grace)
+        if getattr(args, "publish", None) is not None:
+            from nail_parquet_spark.pipeline.checkpoint import publish_staged
+
+            sel = None if args.publish == "all" else args.publish.split(",")
+            report["publish"] = publish_staged(args.input, batches=sel,
+                                               note=args.note)
+        if getattr(args, "discard_staged", None) is not None:
+            from nail_parquet_spark.pipeline.checkpoint import discard_staged
+
+            sel = (None if args.discard_staged == "all"
+                   else args.discard_staged.split(","))
+            report["discard_staged"] = discard_staged(args.input, batches=sel)
         if not report:
             p.error("maintain needs --history, --tag/--delete-tag, --rollback, "
-                    "--expire-keep-last/--expire-older-than and/or --gc-orphans")
+                    "--expire-keep-last/--expire-older-than, --gc-orphans, "
+                    "--publish and/or --discard-staged")
         print(json.dumps(report, indent=2))
         return 0
 
@@ -892,7 +922,8 @@ def main(argv: list[str] | None = None) -> int:
             dsir_buckets=args.dsir_buckets,
             eval_src=args.eval_path, decontam_ngram=args.decontam_ngram,
             codecs=json.loads(args.codecs) if args.codecs else None,
-            policy=args.policy, units_per_job=args.units_per_job)
+            policy=args.policy, units_per_job=args.units_per_job,
+            stage=getattr(args, "stage", False))
         print(json.dumps(state, indent=2))
         return 0
     if args.cmd == "delete":
@@ -959,12 +990,26 @@ def main(argv: list[str] | None = None) -> int:
         # never read (codec/inspect.column_stats_pushdown)
         from nail_parquet_spark.codec.inspect import column_stats_pushdown
 
-        if getattr(args, "snapshot", None) is not None:
+        import os as _os
+
+        if (getattr(args, "snapshot", None) is not None
+                or _os.path.isdir(_os.path.join(args.input, "_snapshots"))):
+            # snapshot tables ALWAYS route through the visibility rule — a
+            # raw recursive read would sweep in superseded batch dirs and
+            # the _deletes coordinate files
             from nail_parquet_spark.pipeline.checkpoint import (
                 read_blocks_at, resolve_ref)
+            from nail_parquet_spark.pipeline.deletes import _visible_deletes
 
-            blocks = read_blocks_at(spark, args.input,
-                                    resolve_ref(args.input, args.snapshot))
+            snap = resolve_ref(args.input, getattr(args, "snapshot", None))
+            if _visible_deletes(args.input, snap):
+                p.error(
+                    "this snapshot has committed row deletes; blockstats "
+                    "pushdowns read block metadata only and would count "
+                    "deleted rows (a delete the reader ignores is "
+                    "corruption) — purge deletes first, or aggregate a "
+                    "merge-on-read decode instead")
+            blocks = read_blocks_at(spark, args.input, snap)
         else:
             blocks = (
                 spark.read.option("recursiveFileLookup", "true").parquet(args.input)

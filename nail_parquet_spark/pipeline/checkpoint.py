@@ -58,13 +58,22 @@ def encode_resumable(
     policy: str = "balanced",
     max_units: int | None = None,
     units_per_job: int = 32,
+    stage: bool = False,
 ) -> dict:
     """Encode src parquet into out_dir, batch-of-units at a time, resumably.
 
     Returns {completed, skipped, total} unit counts. Killing the job midway
     and re-invoking continues where it left off; committed units are never
     re-encoded (idempotence gate = the per-unit marker file, written only
-    after the whole batch's output is durable)."""
+    after the whole batch's output is durable).
+
+    ``stage=True`` is the write-audit-publish flow (Iceberg WAP): batches
+    encode fully but commit a STAGED record instead of a snapshot — the
+    data is durable and auditable (:func:`read_staged`) yet invisible to
+    every reader until :func:`publish_staged` turns the staged records
+    into snapshots (or :func:`discard_staged` wipes them for re-encode).
+    Staged batches count as done for resume purposes, so a re-invocation
+    never re-encodes them while the audit is pending."""
     from nail_parquet_spark.codec.encode import choose_codecs_for_df, encode_parquet_dir
 
     os.makedirs(out_dir, exist_ok=True)
@@ -158,13 +167,112 @@ def encode_resumable(
             "wall_s": round(time.time() - t0, 3),
             "codecs": codecs,
         })
+        if stage:
+            # staged record BEFORE the markers: a crash in between leaves
+            # unmarked units, so the batch re-encodes whole (wiping the
+            # dir and rewriting this record) — never a marked-but-
+            # unreachable batch
+            _atomic_json(os.path.join(_staged_dir(out_dir), f"{bkey}.json"),
+                         {"batch": bkey, "units": keys, "ts": time.time()})
         # per-unit markers LAST: they are the idempotence gate
         for key, u in zip(keys, batch):
             _atomic_json(os.path.join(done_dir, f"{key}.json"),
                          {"unit": key, "src": u, "batch": bkey})
-        _commit_snapshot(out_dir, bkey, keys)
+        if not stage:
+            _commit_snapshot(out_dir, bkey, keys)
         completed += len(batch)
     return {"completed": completed, "skipped": skipped, "total": len(units)}
+
+
+# ---------------------------------------------------------------------------
+# write-audit-publish staging (Iceberg WAP shape)
+# ---------------------------------------------------------------------------
+
+
+def _staged_dir(out_dir: str) -> str:
+    d = os.path.join(_snap_dir(out_dir), "_staged")
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def staged_batches(out_dir: str) -> list[dict]:
+    """Records of encoded-but-unpublished batches, oldest first."""
+    out = []
+    for p in glob.glob(os.path.join(_snap_dir(out_dir), "_staged", "*.json")):
+        with open(p) as f:
+            out.append(json.load(f))
+    return sorted(out, key=lambda r: (r.get("ts", 0), r["batch"]))
+
+
+def read_staged(spark: SparkSession, out_dir: str,
+                batch: str | None = None):
+    """Blocks DataFrame of staged (unpublished) batches — the audit
+    surface between write and publish. Pass ``batch`` for one batch."""
+    recs = staged_batches(out_dir)
+    if batch is not None:
+        recs = [r for r in recs if r["batch"] == batch]
+    if not recs:
+        raise ValueError(f"no staged batches"
+                         + (f" named {batch!r}" if batch else "")
+                         + f" under {out_dir}")
+    dirs = sorted(os.path.join(out_dir, f"batch={r['batch']}") for r in recs)
+    return spark.read.parquet(*dirs)
+
+
+def publish_staged(out_dir: str, batches: list[str] | None = None,
+                   note: str | None = None) -> dict:
+    """Turn staged batches into committed snapshots (the PUBLISH step of
+    write-audit-publish), oldest staged first. Metadata-only — no data
+    bytes move. Returns {published: [{batch, snapshot}], remaining}."""
+    recs = staged_batches(out_dir)
+    if batches is not None:
+        want = set(batches)
+        missing = want - {r["batch"] for r in recs}
+        if missing:
+            raise ValueError(f"batches {sorted(missing)} are not staged "
+                             f"under {out_dir}")
+        recs = [r for r in recs if r["batch"] in want]
+    published = []
+    for r in recs:
+        extra = {"note": note} if note else None
+        sid = _commit_snapshot(out_dir, r["batch"], r["units"], extra=extra)
+        os.remove(os.path.join(_snap_dir(out_dir), "_staged",
+                               f"{r['batch']}.json"))
+        published.append({"batch": r["batch"], "snapshot": sid})
+    return {"published": published, "remaining": len(staged_batches(out_dir))}
+
+
+def discard_staged(out_dir: str, batches: list[str] | None = None) -> dict:
+    """Drop staged batches the audit rejected: remove the staged record,
+    the batch directory and manifest, and the unit markers — the next
+    ``encode_resumable`` run re-encodes those units from source."""
+    import shutil as _shutil
+
+    recs = staged_batches(out_dir)
+    if batches is not None:
+        want = set(batches)
+        missing = want - {r["batch"] for r in recs}
+        if missing:
+            raise ValueError(f"batches {sorted(missing)} are not staged "
+                             f"under {out_dir}")
+        recs = [r for r in recs if r["batch"] in want]
+    dropped = []
+    for r in recs:
+        bkey = r["batch"]
+        # markers first: if we crash mid-discard the batch re-encodes
+        # whole (unmarked units), which rewrites dir + staged record anyway
+        for k in r["units"]:
+            mp = os.path.join(out_dir, "_manifests", f"{k}.json")
+            if os.path.exists(mp):
+                os.remove(mp)
+        bp = os.path.join(out_dir, "_manifests_batch", f"{bkey}.json")
+        if os.path.exists(bp):
+            os.remove(bp)
+        _shutil.rmtree(os.path.join(out_dir, f"batch={bkey}"),
+                       ignore_errors=True)
+        os.remove(os.path.join(_snap_dir(out_dir), "_staged", f"{bkey}.json"))
+        dropped.append(bkey)
+    return {"discarded": dropped, "remaining": len(staged_batches(out_dir))}
 
 
 # ---------------------------------------------------------------------------

@@ -111,6 +111,7 @@ def curate_and_encode_corpus(
     n_partitions: int | None = None,
     units_per_job: int = 32,
     max_units: int | None = None,
+    stage: bool = False,
 ) -> dict:
     """Run the full curation pipeline over the parquet table at ``src`` and
     encode the survivors into ``out_dir``. Returns the lineage summary dict
@@ -641,9 +642,11 @@ def curate_and_encode_corpus(
                                "shingle_k": shingle_k}
         _atomic_json(state_path, state)
 
+    # stage=True = write-audit-publish: the curated corpus encodes durably
+    # but stays invisible until `maintain --publish` (checkpoint.py WAP)
     enc = encode_resumable(
         spark, staging, out_dir, codecs=codecs, policy=policy,
-        units_per_job=units_per_job, max_units=max_units)
+        units_per_job=units_per_job, max_units=max_units, stage=stage)
     state["encode"] = enc
     _atomic_json(state_path, state)
     return state

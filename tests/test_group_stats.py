@@ -116,3 +116,27 @@ def test_cli_blockstats_group(spark, tmp_path, capsys):
     assert main(["blockstats", enc, "--group-stats", "g:v"]) == 0
     got = capsys.readouterr().out
     assert "n_rows" in got and "sum_val" in got
+
+
+def test_cli_blockstats_snapshot_table_routing(spark, tmp_path, capsys):
+    """blockstats on a snapshot table must use the visibility rule (not a
+    raw recursive read that would sweep _deletes files and superseded
+    batches), and must REFUSE once row deletes are visible — metadata
+    pushdowns would count deleted rows."""
+    import pytest as _pytest
+
+    from nail_parquet_spark.cli import main
+    from nail_parquet_spark.pipeline.checkpoint import encode_resumable
+    from nail_parquet_spark.pipeline.deletes import delete_where
+
+    src = str(tmp_path / "snap_src")
+    (spark.createDataFrame([(i, i * 2) for i in range(40)], "k long, v long")
+     .repartition(1).write.parquet(src))
+    out = str(tmp_path / "snap_enc")
+    encode_resumable(spark, src, out)
+    # no --snapshot flag: still routed through the snapshot log
+    assert main(["blockstats", out, "--group-stats", "k:v"]) == 0
+    assert "n_rows" in capsys.readouterr().out
+    delete_where(spark, out, [("k", "<", 5)])
+    with _pytest.raises(SystemExit):
+        main(["blockstats", out, "--group-stats", "k:v"])

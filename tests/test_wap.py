@@ -1,0 +1,143 @@
+"""Write-audit-publish staging (pipeline/checkpoint: stage=True,
+read_staged / publish_staged / discard_staged)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from nail_parquet_spark.pipeline.checkpoint import (
+    discard_staged,
+    encode_resumable,
+    publish_staged,
+    read_blocks_at,
+    read_staged,
+    remove_orphan_files,
+    snapshots,
+    staged_batches,
+)
+from nail_parquet_spark.pipeline.deletes import read_table
+
+
+def _mk(spark, path, lo, hi):
+    (spark.range(lo, hi).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("t"), F.col("id").cast("string")).alias("text"))
+     .repartition(1).write.parquet(path))
+
+
+def test_stage_publish_lifecycle(spark, tmp_path):
+    out = str(tmp_path / "enc")
+    _mk(spark, str(tmp_path / "s1"), 0, 30)
+    rep = encode_resumable(spark, str(tmp_path / "s1"), out, stage=True)
+    assert rep["completed"] > 0
+    # staged: durable + auditable, but invisible to readers
+    assert len(staged_batches(out)) >= 1
+    assert snapshots(out) == []
+    with pytest.raises(ValueError, match="no snapshots"):
+        read_blocks_at(spark, out)
+    audit = read_staged(spark, out)
+    assert audit.agg(F.sum("n_rows")).first()[0] >= 30  # blocks table shape
+    # resume while staged: nothing re-encodes
+    rep2 = encode_resumable(spark, str(tmp_path / "s1"), out, stage=True)
+    assert rep2["completed"] == 0 and rep2["skipped"] == rep["completed"]
+    # orphan GC must not reap a staged batch
+    assert remove_orphan_files(out, dry_run=True)["orphans"] == []
+    # publish: metadata-only commit, data becomes visible
+    pub = publish_staged(out)
+    assert len(pub["published"]) >= 1 and pub["remaining"] == 0
+    assert read_table(spark, out).count() == 30
+    assert len(snapshots(out)) == len(pub["published"])
+
+
+def test_discard_staged_reencodes(spark, tmp_path):
+    out = str(tmp_path / "enc")
+    _mk(spark, str(tmp_path / "s1"), 0, 20)
+    encode_resumable(spark, str(tmp_path / "s1"), out, stage=True)
+    recs = staged_batches(out)
+    assert len(recs) == 1
+    rep = discard_staged(out)
+    assert rep["discarded"] == [recs[0]["batch"]] and rep["remaining"] == 0
+    import glob
+    import os
+
+    assert glob.glob(os.path.join(out, "batch=*")) == []
+    # the units are unmarked again: a later run re-encodes them
+    rep2 = encode_resumable(spark, str(tmp_path / "s1"), out)
+    assert rep2["completed"] > 0
+    assert read_table(spark, out).count() == 20
+
+
+def test_publish_subset_and_order(spark, tmp_path):
+    out = str(tmp_path / "enc")
+    _mk(spark, str(tmp_path / "s1"), 0, 10)
+    _mk(spark, str(tmp_path / "s2"), 10, 25)
+    encode_resumable(spark, str(tmp_path / "s1"), out, stage=True)
+    encode_resumable(spark, str(tmp_path / "s2"), out, stage=True)
+    recs = staged_batches(out)
+    assert len(recs) == 2
+    second = recs[1]["batch"]
+    pub = publish_staged(out, batches=[second])
+    assert pub["remaining"] == 1
+    assert read_table(spark, out).count() == 15
+    pub2 = publish_staged(out)
+    assert pub2["remaining"] == 0
+    assert read_table(spark, out).count() == 25
+    with pytest.raises(ValueError, match="not staged"):
+        publish_staged(out, batches=["nope"])
+
+
+def test_mixed_staged_and_committed(spark, tmp_path):
+    out = str(tmp_path / "enc")
+    _mk(spark, str(tmp_path / "s1"), 0, 10)
+    _mk(spark, str(tmp_path / "s2"), 10, 30)
+    encode_resumable(spark, str(tmp_path / "s1"), out)          # committed
+    encode_resumable(spark, str(tmp_path / "s2"), out, stage=True)
+    assert read_table(spark, out).count() == 10   # staged part invisible
+    publish_staged(out)
+    assert read_table(spark, out).count() == 30
+
+
+def test_cli_maintain_publish(spark, tmp_path, capsys):
+    import json
+
+    from nail_parquet_spark.cli import main
+
+    out = str(tmp_path / "enc")
+    _mk(spark, str(tmp_path / "s1"), 0, 12)
+    encode_resumable(spark, str(tmp_path / "s1"), out, stage=True)
+    assert main(["maintain", out, "--history"]) == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert len(rep["staged"]) == 1 and rep["history"] == []
+    assert main(["maintain", out, "--publish", "all",
+                 "--note", "audit passed"]) == 0
+    rep2 = json.loads(capsys.readouterr().out)
+    assert rep2["publish"]["remaining"] == 0
+    assert read_table(spark, out).count() == 12
+    assert snapshots(out)[-1]["note"] == "audit passed"
+
+
+def test_curate_stage_flow(spark, tmp_path):
+    """curate --stage: the curated corpus encodes staged; publish commits."""
+    from nail_parquet_spark.pipeline.curate import curate_and_encode_corpus
+
+    src = str(tmp_path / "docs")
+    import random
+
+    rng = random.Random(5)
+    # stopword-bearing varied prose: passes the Gopher rule book while
+    # staying distinct per doc (the staging gate is not under test here)
+    words = ("the and of to in that with for was on alpha bravo charlie "
+             "delta echo foxtrot golf hotel india juliet kilo lima").split()
+    rows = [(f"https://h{i % 3}.test/p{i}",
+             " ".join(rng.choice(words) for _ in range(120)) + ".")
+            for i in range(12)]
+    (spark.createDataFrame(rows, "url string, text string")
+     .withColumn("warc_ts", F.current_timestamp())
+     .repartition(1).write.parquet(src))
+    out = str(tmp_path / "enc")
+    state = curate_and_encode_corpus(
+        spark, src, out, do_near_dedup=False, do_semdedup=False,
+        stage=True)
+    assert state["encode"]["completed"] > 0
+    assert snapshots(out) == [] and len(staged_batches(out)) >= 1
+    publish_staged(out, note="curate audit ok")
+    assert read_table(spark, out).count() == state["counts"]["kept"]
