@@ -334,6 +334,12 @@ def main(argv: list[str] | None = None) -> int:
                                   "emits _change_type insert|delete and "
                                   "_commit_snapshot; input must be a "
                                   "snapshot table (encode --resume out_dir)"}),
+        (("--changes-cursor",), {"default": None, "dest": "changes_cursor",
+                                 "help": "incremental CDC consume: poll changes "
+                                         "since the cursor file's snapshot, write "
+                                         "them to -o, then ack (advance the "
+                                         "cursor) — at-least-once; nothing new "
+                                         "writes an empty delta"}),
         (("--sample-keys",), {"default": None, "dest": "sample_keys",
                               "help": "'col:fraction[:seed]' — key-stable "
                                       "deterministic sample via the pinned "
@@ -1125,6 +1131,25 @@ def main(argv: list[str] | None = None) -> int:
         if not args.output:
             p.error("decode requires -o/--output")
         cols = args.columns.split(",") if args.columns else None
+        if getattr(args, "changes_cursor", None):
+            from nail_parquet_spark.pipeline.changelog import (
+                ack_changes, poll_changes)
+
+            if not is_snap_table:
+                p.error("--changes-cursor requires a snapshot table")
+            if getattr(args, "changes", None):
+                p.error("--changes-cursor and --changes are exclusive")
+            ch, tok = poll_changes(spark, args.input, args.changes_cursor,
+                                   columns=cols)
+            if ch is None:
+                print(f"changelog cursor at {tok['from']}: nothing new")
+                return 0
+            ch.write.mode("overwrite").parquet(args.output)
+            n = spark.read.parquet(args.output).count()
+            ack_changes(args.changes_cursor, tok)
+            print(f"consumed {n} changes ({tok['from']}..{tok['to']}] -> "
+                  f"{args.output}; cursor advanced")
+            return 0
         if getattr(args, "changes", None):
             from pyspark.sql import functions as F
 

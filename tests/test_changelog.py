@@ -230,3 +230,24 @@ def test_poll_ack_cursor(spark, table, tmp_path):
     assert len(got) == 3 and all(t[-1] == "delete" for t in got)
     ack_changes(cur, tok4)
     assert poll_changes(spark, out, cur, columns=COLS)[0] is None
+
+
+def test_cli_changes_cursor(spark, table, tmp_path):
+    from nail_parquet_spark.cli import main
+
+    out, tmp = table
+    cur = str(tmp_path / "cursor.json")
+    dst = str(tmp_path / "delta.parquet")
+    # first consume: everything since genesis, cursor advances
+    assert main(["decode", out, "--changes-cursor", cur, "-o", dst]) == 0
+    assert spark.read.parquet(dst).count() == 40
+    # nothing new: no write, exit 0
+    assert main(["decode", out, "--changes-cursor", cur, "-o",
+                 str(tmp_path / "d2.parquet")]) == 0
+    # a new delete: only the delta consumed
+    delete_where(spark, out, [("k", "=", 1)])
+    dst3 = str(tmp_path / "d3.parquet")
+    assert main(["decode", out, "--changes-cursor", cur, "-o", dst3]) == 0
+    got = [tuple(r) for r in spark.read.parquet(dst3)
+           .select("k", "_change_type").collect()]
+    assert got == [(1, "delete")]
