@@ -1166,9 +1166,11 @@ def main(argv: list[str] | None = None) -> int:
             to = resolve_ref(args.input, to_s) if to_s else None
             ch = table_changes(spark, args.input, frm, to, columns=cols)
             ch.write.mode("overwrite").parquet(args.output)
+            # count from the written files — re-aggregating `ch` would
+            # re-run the whole changelog DAG
             agg = {r["_change_type"]: r["n"] for r in
-                   ch.groupBy("_change_type").agg(
-                       F.count("*").alias("n")).collect()}
+                   spark.read.parquet(args.output).groupBy("_change_type")
+                   .agg(F.count("*").alias("n")).collect()}
             print(f"changelog {spec}: {agg.get('insert', 0)} inserts, "
                   f"{agg.get('delete', 0)} deletes -> {args.output}")
             return 0
@@ -1186,7 +1188,8 @@ def main(argv: list[str] | None = None) -> int:
                                 seed=int(bits[2]) if len(bits) == 3 else 0,
                                 columns=cols, deletes=mor_deletes)
             dec.write.mode("overwrite").parquet(args.output)
-            print(f"decoded {dec.count()} sampled rows "
+            n = spark.read.parquet(args.output).count()
+            print(f"decoded {n} sampled rows "
                   f"(key {bits[0]}, fraction {bits[1]}) -> {args.output}")
             return 0
         if getattr(args, "semi_join", None):
@@ -1204,9 +1207,12 @@ def main(argv: list[str] | None = None) -> int:
             dec = decode_semijoin(df, probe, key_col, columns=cols,
                                   deletes=mor_deletes)
             dec.write.mode("overwrite").parquet(args.output)
-            print(f"decoded {dec.count()} rows with {key_col} in "
+            n = spark.read.parquet(args.output).count()
+            print(f"decoded {n} rows with {key_col} in "
                   f"{probe_path} -> {args.output}")
             return 0
+        if getattr(args, "top_group", None) and not getattr(args, "top", None):
+            p.error("--top-group requires --top 'col:k[:asc|desc]'")
         if getattr(args, "top", None):
             from nail_parquet_spark.codec.decode import decode_topk
 

@@ -163,6 +163,22 @@ def _with_src_key(blocks: DataFrame, file_keyed: bool = True) -> DataFrame:
         return blocks.select(F.lit("").alias("__src"), *base)
 
 
+def _src_expr_frame(blocks: DataFrame) -> DataFrame:
+    """``blocks`` plus a ``__src`` source-file column (empty string when
+    ``input_file_name()`` is unavailable — in-memory encode output or
+    multi-source plans, where a single job's (part, block) is unique
+    anyway). Metadata-side analogue of :func:`_with_src_key`, keeping all
+    original columns."""
+    try:
+        out = blocks.withColumn("__src", F.input_file_name())
+        out.schema  # force analysis: MULTI_SOURCES_UNSUPPORTED surfaces here
+        return out
+    except Exception as e:
+        if "MULTI_SOURCES" not in str(e) and "input_file_name" not in str(e):
+            raise
+        return blocks.withColumn("__src", F.lit(""))
+
+
 def _iter_groups(batches, columns, strict: bool = True, with_key: bool = False):
     """Shared group-assembly state machine for the shuffled decode paths:
     rows arrive sorted by (src, part_id, block_id); flush on key transition,
@@ -1258,16 +1274,22 @@ def prune_blocks_topk_by(blocks: DataFrame, group_col: str, column: str,
     vparse, v_str = _stats_parser(headers, column)
     gparse, g_str = _stats_parser(headers, group_col)
 
-    meta = (blocks.filter(F.col("column").isin([group_col, column]))
-            .select("column", "part_id", "block_id", "min_val", "max_val",
-                    "n_rows", "null_count")
+    # physical-block identity is (source file, part_id, block_id): encode
+    # jobs restart part ids at 0, so the bare pair COLLIDES across the
+    # batch=* dirs a snapshot table unions — keying stats by the pair
+    # alone would overwrite one batch's block with another's and could
+    # prune rows that hold a group's true top-k
+    meta = (_src_expr_frame(blocks)
+            .filter(F.col("column").isin([group_col, column]))
+            .select("__src", "column", "part_id", "block_id", "min_val",
+                    "max_val", "n_rows", "null_count")
             .limit(2 * max_groups + 1).collect())
     if len(meta) > 2 * max_groups:
         return blocks
     gstats: dict[tuple, object] = {}
     vstats: dict[tuple, object] = {}
     for r in meta:
-        key = (r["part_id"], r["block_id"])
+        key = (r["__src"], r["part_id"], r["block_id"])
         (gstats if r["column"] == group_col else vstats)[key] = r
 
     always: set[tuple] = set()
@@ -1343,7 +1365,11 @@ def prune_blocks_topk_by(blocks: DataFrame, group_col: str, column: str,
             if ok:
                 keep.add(key)
 
-    return _filter_block_pairs(blocks, keep)
+    if not keep:
+        return blocks.filter(F.lit(False))
+    # project physical keys back to (part, block) pairs: the pair filter
+    # keeps every physical block sharing a kept pair — a superset, sound
+    return _filter_block_pairs(blocks, {(p, b) for _, p, b in keep})
 
 
 def decode_topk_by(blocks: DataFrame, group_col: str, column: str, k: int,

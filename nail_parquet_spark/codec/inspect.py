@@ -845,8 +845,15 @@ def group_stats_pushdown(blocks: DataFrame, group_col: str, value_col: str,
     else:
         gcast = None  # string: zone stats are the values themselves
 
-    gm = (blocks.filter(F.col("column") == group_col)
-          .select("part_id", "block_id", "n_rows",
+    # physical-block identity is (source file, part_id, block_id): encode
+    # jobs restart part ids at 0, so on a snapshot table's union of
+    # batch=* dirs the bare pair collides — joining g/v metadata on it
+    # would many-to-many multiply and double-count rows
+    from nail_parquet_spark.codec.decode import _src_expr_frame
+
+    srcb = _src_expr_frame(blocks)
+    gm = (srcb.filter(F.col("column") == group_col)
+          .select("__src", "part_id", "block_id", "n_rows",
                   F.col("null_count").alias("g_nulls"),
                   F.col("min_val").alias("g_min"),
                   F.col("max_val").alias("g_max")))
@@ -860,12 +867,12 @@ def group_stats_pushdown(blocks: DataFrame, group_col: str, value_col: str,
         g_hi = F.col("g_max").try_cast(gcast)
         g_point = g_lo.isNotNull() & g_hi.isNotNull() & (g_lo == g_hi)
         gval = g_lo
-    gm = gm.select("part_id", "block_id", "n_rows", "g_nulls",
+    gm = gm.select("__src", "part_id", "block_id", "n_rows", "g_nulls",
                    gval.alias("g_val"),
                    ((F.col("g_nulls") == 0) & g_point).alias("g_ok"))
 
-    vm = (blocks.filter(F.col("column") == value_col)
-          .select("part_id", "block_id",
+    vm = (srcb.filter(F.col("column") == value_col)
+          .select("__src", "part_id", "block_id",
                   F.col("n_rows").alias("v_rows"),
                   F.col("null_count").alias("v_nulls"),
                   F.col("min_val").try_cast(vcast).alias("v_min"),
@@ -887,13 +894,17 @@ def group_stats_pushdown(blocks: DataFrame, group_col: str, value_col: str,
     # FULL outer: a block group missing either column (heterogeneous
     # batches under schema evolution) must fall to the residual decode,
     # never silently out of the answer
-    meta = gm.join(vm.withColumn("v_ok", v_ok), ["part_id", "block_id"],
-                   "full_outer")
+    meta = gm.join(vm.withColumn("v_ok", v_ok),
+                   ["__src", "part_id", "block_id"], "full_outer")
     ok = (F.coalesce(F.col("g_ok"), F.lit(False))
           & F.coalesce(F.col("v_ok"), F.lit(False)))
-    eligible = meta.filter(ok)
-    residual_pairs_df = meta.filter(~ok).select("part_id", "block_id")
-    got = residual_pairs_df.distinct().limit(max_groups + 1).collect()
+    # residual decode can only target (part, block) PAIRS, so a pair with
+    # ANY ineligible physical block goes residual entirely — its eligible
+    # siblings are demoted too, else they'd be counted on both sides
+    bad_pairs = meta.filter(~ok).select("part_id", "block_id").distinct()
+    eligible = meta.filter(ok).join(bad_pairs, ["part_id", "block_id"],
+                                    "left_anti")
+    got = bad_pairs.limit(max_groups + 1).collect()
     if len(got) > max_groups:
         # residual set too large to enumerate: full decode, still exact
         dec = decode_table(blocks, columns=[group_col, value_col],
@@ -932,16 +943,22 @@ def group_stats_pushdown(blocks: DataFrame, group_col: str, value_col: str,
                       F.max(value_col).cast(vcast).alias("max_val")))
         sides.append(rside.select(*mside.columns))
     merged = sides[0] if len(sides) == 1 else sides[0].unionByName(sides[1])
+    # a NULL partial sum with n_vals > 0 means decimal overflow on that
+    # side; F.sum would silently SKIP it, so carry an explicit flag and
+    # NULL the merged total instead (the documented overflow signal)
+    ovf = F.max(F.when(F.col("sum_val").isNull() & (F.col("n_vals") > 0),
+                       F.lit(1)).otherwise(F.lit(0))).alias("__ovf")
     out = (merged.groupBy(group_col)
            .agg(F.sum("n_rows").alias("n_rows"),
                 F.sum("n_vals").alias("n_vals"),
                 F.sum("sum_val").alias("sum_val"),
                 F.min("min_val").alias("min_val"),
-                F.max("max_val").alias("max_val")))
-    return (out.withColumn(
-        "sum_val", F.when(F.col("n_vals") > 0, F.col("sum_val")))
+                F.max("max_val").alias("max_val"),
+                ovf))
+    good_sum = (F.col("n_vals") > 0) & (F.col("__ovf") == 0)
+    return (out.withColumn("sum_val", F.when(good_sum, F.col("sum_val")))
         .withColumn("min_val", F.when(F.col("n_vals") > 0, F.col("min_val")))
         .withColumn("max_val", F.when(F.col("n_vals") > 0, F.col("max_val")))
         .withColumn("avg_val", F.when(
-            F.col("n_vals") > 0,
-            F.col("sum_val").cast("double") / F.col("n_vals"))))
+            good_sum, F.col("sum_val").cast("double") / F.col("n_vals")))
+        .drop("__ovf"))

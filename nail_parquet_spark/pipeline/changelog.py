@@ -216,10 +216,17 @@ def table_changes(spark: SparkSession, out_dir: str, from_snapshot: int,
                        num_partitions=num_partitions)
 
     # ---- alive-at-from / alive-at-to flags on the one decoded frame ----
-    # batch membership + commit snapshot (broadcast of the tiny log map)
+    # batch membership + commit snapshot (broadcast of the tiny log map).
+    # Latest commit per batch wins (same rule as read_blocks_at /
+    # _batch_snapshots): a batch with TWO visible commit records (a
+    # marker-loss retry) must map to ONE row or the join duplicates every
+    # decoded row of that batch; its dir holds the latest commit's bytes.
+    latest: dict[str, int] = {}
+    for s in _data_records(at_to):
+        latest[s["batch"]] = max(int(s["snapshot"]),
+                                 latest.get(s["batch"], 0))
     bmap = spark.createDataFrame(
-        [(s["batch"], int(s["snapshot"]), s["snapshot"] in from_ids)
-         for s in _data_records(at_to)],
+        [(b, snap, snap in from_ids) for b, snap in latest.items()],
         "__cbatch string, __bsnap long, __in_from boolean")
     dec = dec.withColumn(
         "__cbatch", F.regexp_extract("_src_file", r"/batch=([^/]+)/", 1))

@@ -234,6 +234,11 @@ def publish_staged(out_dir: str, batches: list[str] | None = None,
         recs = [r for r in recs if r["batch"] in want]
     published = []
     for r in recs:
+        if not os.path.isdir(os.path.join(out_dir, f"batch={r['batch']}")):
+            raise ValueError(
+                f"staged batch {r['batch']!r} has no data directory under "
+                f"{out_dir} (reaped or never completed) — discard_staged it "
+                "and re-encode instead of committing a dangling snapshot")
         extra = {"note": note} if note else None
         sid = _commit_snapshot(out_dir, r["batch"], r["units"], extra=extra)
         os.remove(os.path.join(_snap_dir(out_dir), "_staged",
@@ -672,6 +677,11 @@ def remove_orphan_files(
     for s in snapshots(out_dir):
         if s.get("kind", "append") != "delete":
             live_batches.add(s["batch"])
+    # staged (write-audit-publish) batches are referenced by their staged
+    # record even in the crash window before markers land — never reap a
+    # directory a later publish would commit a snapshot for
+    for r in staged_batches(out_dir):
+        live_batches.add(r["batch"])
     now = time.time()
     orphans = []
     for d in glob.glob(os.path.join(out_dir, "batch=*")):

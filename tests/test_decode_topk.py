@@ -326,3 +326,31 @@ def test_cli_decode_top_group(spark, tmp_path):
                  spark.read.parquet(out).select("g", "v", "id").collect())
     want = expect_by(spark.read.parquet(src), "g", "v", 4, tiebreak="id")
     assert got == want
+
+
+def test_grouped_multibatch_pair_collision_exact(spark, tmp_path):
+    """Two batch dirs both expose block (0,0); the physical block whose
+    surviving stats said 'all-null, drop' must not shadow the other
+    batch's block that holds a group's true top-k. Regression for the
+    src-keyed stats map in prune_blocks_topk_by."""
+    from nail_parquet_spark.pipeline.checkpoint import (
+        encode_resumable, read_blocks_at)
+
+    (spark.createDataFrame([("a", i, i) for i in range(10)],
+                           "g string, v long, id long")
+     .repartition(1).write.parquet(str(tmp_path / "s1")))
+    (spark.createDataFrame([("b", None, 100 + i) for i in range(10)],
+                           "g string, v long, id long")
+     .repartition(1).write.parquet(str(tmp_path / "s2")))
+    out = str(tmp_path / "enc")
+    encode_resumable(spark, str(tmp_path / "s1"), out)
+    encode_resumable(spark, str(tmp_path / "s2"), out)
+    # NOT cached: input_file_name() is undefined over an InMemoryRelation,
+    # and physical-block identity needs the source file on multi-batch dirs
+    blocks = read_blocks_at(spark, out)
+    got = sorted(tuple(r) for r in
+                 decode_topk_by(blocks, "g", "v", 3, tiebreak="id",
+                                columns=["g", "v", "id"]).collect())
+    full = decode_table(blocks, columns=["g", "v", "id"])
+    assert got == expect_by(full, "g", "v", 3, tiebreak="id")
+    assert {t[0] for t in got} == {"a"}  # b is all-null: never ranks

@@ -141,3 +141,29 @@ def test_curate_stage_flow(spark, tmp_path):
     assert snapshots(out) == [] and len(staged_batches(out)) >= 1
     publish_staged(out, note="curate audit ok")
     assert read_table(spark, out).count() == state["counts"]["kept"]
+
+
+def test_staged_crash_window_gc_and_publish_guard(spark, tmp_path):
+    """Crash between the staged record and the unit markers: the staged
+    dir must survive --gc-orphans (the record keeps it live), and publish
+    must refuse a staged batch whose directory is gone."""
+    import glob
+    import os
+    import shutil
+
+    out = str(tmp_path / "enc")
+    _mk(spark, str(tmp_path / "s1"), 0, 15)
+    encode_resumable(spark, str(tmp_path / "s1"), out, stage=True)
+    rec = staged_batches(out)[0]
+    # simulate the crash window: markers never landed
+    for m in glob.glob(os.path.join(out, "_manifests", "*.json")):
+        os.remove(m)
+    rep = remove_orphan_files(out, dry_run=False)
+    assert rep["orphans"] == []  # staged record keeps the dir live
+    assert os.path.isdir(os.path.join(out, f"batch={rec['batch']}"))
+    # now the dir really disappears: publish must refuse, not commit a
+    # dangling snapshot
+    shutil.rmtree(os.path.join(out, f"batch={rec['batch']}"))
+    with pytest.raises(ValueError, match="no data directory"):
+        publish_staged(out)
+    assert snapshots(out) == []
