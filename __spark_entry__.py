@@ -2239,6 +2239,63 @@ def q_table_changes(spark, sf_dir):
         .select("doc_id", "lang", "n_chars", "_change_type")
 
 
+def q_wap_publish(spark, sf_dir):
+    """Write-audit-publish lifecycle (pipeline/checkpoint stage=True /
+    read_staged / publish_staged): the corpus encodes durably but stays
+    invisible — the entry PROVES it by counting snapshots while staged —
+    then publish is a metadata-only commit and the merge-on-read reader
+    sees exactly the input rows. Value-exact vs plain SQL on the source
+    slice because decode is bit-identical and the lifecycle adds/loses
+    nothing."""
+    import tempfile
+
+    from nail_parquet_spark.pipeline.checkpoint import (
+        encode_resumable, publish_staged, snapshots)
+    from nail_parquet_spark.pipeline.deletes import read_table
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars") \
+        .filter(F.col("doc_id") % 2 == 0)
+    tmp = tempfile.mkdtemp(prefix="nps_wap_")
+    src = f"{tmp}/src"
+    out = f"{tmp}/enc"
+    d.repartition(2).write.parquet(src)
+    encode_resumable(spark, src, out, stage=True)
+    n_snaps_while_staged = len(snapshots(out))  # must be 0: invisible
+    publish_staged(out, note="entry audit")
+    return (read_table(spark, out)
+            .withColumn("staged_snapshots", F.lit(n_snaps_while_staged))
+            .select("doc_id", "lang", "n_chars", "staged_snapshots"))
+
+
+def q_changes_cursor(spark, sf_dir):
+    """Incremental CDC consumer (pipeline/changelog.poll_changes/
+    ack_changes): first poll consumes the genesis window and acks; a
+    delete commits; the second poll returns ONLY the delta — the rows
+    the window deleted, tagged 'delete'. At-least-once semantics pinned
+    by the explicit ack. Value-exact vs the set algebra in SQL."""
+    import tempfile
+
+    from nail_parquet_spark.pipeline.changelog import ack_changes, poll_changes
+    from nail_parquet_spark.pipeline.checkpoint import encode_resumable
+    from nail_parquet_spark.pipeline.deletes import delete_where
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    tmp = tempfile.mkdtemp(prefix="nps_cursor_")
+    src = f"{tmp}/src"
+    out = f"{tmp}/enc"
+    cur = f"{tmp}/cursor.json"
+    d.repartition(2).write.parquet(src)
+    encode_resumable(spark, src, out)
+    first, tok = poll_changes(spark, out, cur,
+                              columns=["doc_id", "lang", "n_chars"])
+    first.count()  # "durably processed"
+    ack_changes(cur, tok)
+    delete_where(spark, out, [("lang", "=", "en")])
+    delta, tok2 = poll_changes(spark, out, cur,
+                               columns=["doc_id", "lang", "n_chars"])
+    return delta.select("doc_id", "lang", "n_chars", "_change_type")
+
+
 def q_decode_sample(spark, sf_dir):
     """Key-stable sample with late materialization
     (codec/decode.decode_sample): only the key column decodes everywhere;
@@ -2770,6 +2827,8 @@ _QUERIES = {
         "table_changes": q_table_changes,
         "group_stats_pushdown": q_group_stats_pushdown,
         "decode_sample": q_decode_sample,
+        "wap_publish": q_wap_publish,
+        "changes_cursor": q_changes_cursor,
         "quantiles_by": q_quantiles_by,
         "decode_pushdown_or": q_decode_pushdown_or,
         "encode_manifest": q_encode_manifest,
@@ -4590,6 +4649,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, n_chars FROM documents
             WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':0'),
                                   1, 15))::BIGINT / pow(2.0, 60) < 0.1""",
+        "wap_publish": """
+            SELECT doc_id, lang, n_chars, 0 AS staged_snapshots
+            FROM documents WHERE doc_id % 2 = 0""",
+        "changes_cursor": """
+            SELECT doc_id, lang, n_chars, 'delete' AS _change_type
+            FROM documents WHERE lang = 'en'""",
         "dedup_sentence_spans": r"""
             WITH src AS (
               SELECT doc_id,
