@@ -1131,6 +1131,11 @@ def main(argv: list[str] | None = None) -> int:
         if not args.output:
             p.error("decode requires -o/--output")
         cols = args.columns.split(",") if args.columns else None
+        # flag-combination guards BEFORE any early-return branch, so a
+        # meaningless combination never silently degrades to a different
+        # decode shape
+        if getattr(args, "top_group", None) and not getattr(args, "top", None):
+            p.error("--top-group requires --top 'col:k[:asc|desc]'")
         if getattr(args, "changes_cursor", None):
             from nail_parquet_spark.pipeline.changelog import (
                 ack_changes, poll_changes)
@@ -1211,8 +1216,6 @@ def main(argv: list[str] | None = None) -> int:
             print(f"decoded {n} rows with {key_col} in "
                   f"{probe_path} -> {args.output}")
             return 0
-        if getattr(args, "top_group", None) and not getattr(args, "top", None):
-            p.error("--top-group requires --top 'col:k[:asc|desc]'")
         if getattr(args, "top", None):
             from nail_parquet_spark.codec.decode import decode_topk
 

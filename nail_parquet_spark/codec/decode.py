@@ -145,30 +145,17 @@ def _with_src_key(blocks: DataFrame, file_keyed: bool = True) -> DataFrame:
     base = ["part_id", "block_id", "column", "header", "payload"]
     if not file_keyed:
         return blocks.select(F.lit("").alias("__src"), *base)
-    try:
-        out = blocks.select(F.input_file_name().alias("__src"), *base)
-        out.schema  # force analysis: MULTI_SOURCES_UNSUPPORTED surfaces here
-        return out
-    except Exception as e:
-        if "MULTI_SOURCES" not in str(e) and "input_file_name" not in str(e):
-            raise  # unrelated analysis error (e.g. missing column): surface it
-        import warnings
-
-        warnings.warn(
-            "decode: input_file_name() is unavailable for this blocks plan "
-            "(multi-source); falling back to non-file-keyed grouping — only "
-            "safe when ALL blocks come from one encode job",
-            stacklevel=3,
-        )
-        return blocks.select(F.lit("").alias("__src"), *base)
+    return _src_expr_frame(blocks, warn=True).select("__src", *base)
 
 
-def _src_expr_frame(blocks: DataFrame) -> DataFrame:
-    """``blocks`` plus a ``__src`` source-file column (empty string when
-    ``input_file_name()`` is unavailable — in-memory encode output or
-    multi-source plans, where a single job's (part, block) is unique
-    anyway). Metadata-side analogue of :func:`_with_src_key`, keeping all
-    original columns."""
+def _src_expr_frame(blocks: DataFrame, warn: bool = False) -> DataFrame:
+    """``blocks`` plus a ``__src`` source-file column — empty string when
+    ``input_file_name()`` is unavailable (in-memory encode output, cached
+    relations, multi-source plans). An empty ``__src`` means physical-block
+    identity degrades to the bare (part, block) pair, which can collide
+    across encode jobs: metadata-side callers MUST detect duplicate keys
+    and fall back (the decode side's _iter_groups refuses duplicates
+    loudly). Keeps all original columns."""
     try:
         out = blocks.withColumn("__src", F.input_file_name())
         out.schema  # force analysis: MULTI_SOURCES_UNSUPPORTED surfaces here
@@ -176,6 +163,16 @@ def _src_expr_frame(blocks: DataFrame) -> DataFrame:
     except Exception as e:
         if "MULTI_SOURCES" not in str(e) and "input_file_name" not in str(e):
             raise
+        if warn:
+            import warnings
+
+            warnings.warn(
+                "decode: input_file_name() is unavailable for this blocks "
+                "plan (multi-source); falling back to non-file-keyed "
+                "grouping — only safe when ALL blocks come from one encode "
+                "job",
+                stacklevel=4,
+            )
         return blocks.withColumn("__src", F.lit(""))
 
 
@@ -1290,7 +1287,14 @@ def prune_blocks_topk_by(blocks: DataFrame, group_col: str, column: str,
     vstats: dict[tuple, object] = {}
     for r in meta:
         key = (r["__src"], r["part_id"], r["block_id"])
-        (gstats if r["column"] == group_col else vstats)[key] = r
+        side = gstats if r["column"] == group_col else vstats
+        if key in side:
+            # physical identity collapsed (empty __src over a union of
+            # in-memory encode jobs): stats would shadow each other, so
+            # prune NOTHING — the decode layer's duplicate-group refusal
+            # then decides loudly whether the table is even readable
+            return blocks
+        side[key] = r
 
     always: set[tuple] = set()
     # gval -> {"always": [key], "bounded": [(best, worst, nn, key)]}
@@ -1365,10 +1369,9 @@ def prune_blocks_topk_by(blocks: DataFrame, group_col: str, column: str,
             if ok:
                 keep.add(key)
 
-    if not keep:
-        return blocks.filter(F.lit(False))
     # project physical keys back to (part, block) pairs: the pair filter
     # keeps every physical block sharing a kept pair — a superset, sound
+    # (an empty keep-set short-circuits to filter(False) inside the helper)
     return _filter_block_pairs(blocks, {(p, b) for _, p, b in keep})
 
 

@@ -852,6 +852,26 @@ def group_stats_pushdown(blocks: DataFrame, group_col: str, value_col: str,
     from nail_parquet_spark.codec.decode import _src_expr_frame
 
     srcb = _src_expr_frame(blocks)
+    # duplicate physical identities (empty __src over a union of in-memory
+    # encode jobs) would double-count through the metadata join: fall back
+    # to the full decode, whose group-assembly refuses duplicates LOUDLY
+    # instead of silently merging
+    dup = (srcb.filter(F.col("column").isin([group_col, value_col]))
+           .groupBy("__src", "part_id", "block_id", "column")
+           .count().filter(F.col("count") > 1).limit(1).count())
+    if dup:
+        dec = decode_table(blocks, columns=[group_col, value_col],
+                           num_partitions=num_partitions)
+        v = F.col(value_col).cast(scast)
+        return (dec.groupBy(group_col)
+                .agg(F.count(F.lit(1)).alias("n_rows"),
+                     F.count(value_col).alias("n_vals"),
+                     F.sum(v).alias("sum_val"),
+                     F.min(value_col).alias("min_val"),
+                     F.max(value_col).alias("max_val"))
+                .withColumn("avg_val",
+                            F.col("sum_val").cast("double")
+                            / F.col("n_vals")))
     gm = (srcb.filter(F.col("column") == group_col)
           .select("__src", "part_id", "block_id", "n_rows",
                   F.col("null_count").alias("g_nulls"),

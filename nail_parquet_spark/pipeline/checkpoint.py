@@ -232,13 +232,19 @@ def publish_staged(out_dir: str, batches: list[str] | None = None,
             raise ValueError(f"batches {sorted(missing)} are not staged "
                              f"under {out_dir}")
         recs = [r for r in recs if r["batch"] in want]
+    # validate EVERY directory before committing ANY snapshot: a missing
+    # dir mid-loop would abort a multi-batch publish half-applied and the
+    # caller would lose the list of batches that did publish
+    gone = [r["batch"] for r in recs
+            if not os.path.isdir(os.path.join(out_dir,
+                                              f"batch={r['batch']}"))]
+    if gone:
+        raise ValueError(
+            f"staged batches {gone} have no data directory under "
+            f"{out_dir} (reaped or never completed) — discard_staged them "
+            "and re-encode instead of committing dangling snapshots")
     published = []
     for r in recs:
-        if not os.path.isdir(os.path.join(out_dir, f"batch={r['batch']}")):
-            raise ValueError(
-                f"staged batch {r['batch']!r} has no data directory under "
-                f"{out_dir} (reaped or never completed) — discard_staged it "
-                "and re-encode instead of committing a dangling snapshot")
         extra = {"note": note} if note else None
         sid = _commit_snapshot(out_dir, r["batch"], r["units"], extra=extra)
         os.remove(os.path.join(_snap_dir(out_dir), "_staged",

@@ -354,3 +354,18 @@ def test_grouped_multibatch_pair_collision_exact(spark, tmp_path):
     full = decode_table(blocks, columns=["g", "v", "id"])
     assert got == expect_by(full, "g", "v", 3, tiebreak="id")
     assert {t[0] for t in got} == {"a"}  # b is all-null: never ranks
+
+
+def test_grouped_union_identity_collapse_skips_pruning(spark):
+    """Colliding physical identities over a union of in-memory encode
+    jobs: the grouped pruner must prune NOTHING (stats would shadow each
+    other) and leave readability to the decode layer's duplicate guard."""
+    d1 = spark.createDataFrame([("a", i, i) for i in range(8)],
+                               "g string, v long, id long").repartition(1)
+    d2 = spark.createDataFrame([("b", 10 + i, 100 + i) for i in range(8)],
+                               "g string, v long, id long").repartition(1)
+    b1 = encode_table(d1, codecs={"g": "dict", "v": "plain", "id": "plain"})
+    b2 = encode_table(d2, codecs={"g": "dict", "v": "plain", "id": "plain"})
+    blocks = b1.unionByName(b2)
+    pruned = prune_blocks_topk_by(blocks, "g", "v", 2)
+    assert n_groups(pruned) == n_groups(blocks)

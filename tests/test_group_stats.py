@@ -171,3 +171,19 @@ def test_multibatch_pair_collision_exact(spark, tmp_path):
     assert got == want
     by_g = {t[0]: t for t in got}
     assert by_g["a"][1] == 10 and by_g["b"][1] == 10  # not doubled
+
+
+def test_union_identity_collapse_is_loud_not_silent(spark):
+    """A union of two in-memory encode jobs has no file identity and the
+    bare pairs collide: the pushdown must NOT silently double-count — it
+    falls back to the full decode, whose group assembly refuses the
+    ambiguous duplicate groups loudly."""
+    d1 = spark.createDataFrame([("a", i) for i in range(8)],
+                               "g string, v long").repartition(1)
+    d2 = spark.createDataFrame([("b", 10 + i) for i in range(8)],
+                               "g string, v long").repartition(1)
+    b1 = encode_table(d1, codecs={"g": "dict", "v": "plain"})
+    b2 = encode_table(d2, codecs={"g": "dict", "v": "plain"})
+    blocks = b1.unionByName(b2)
+    with pytest.raises(Exception, match="duplicate|distinct groups"):
+        group_stats_pushdown(blocks, "g", "v").collect()

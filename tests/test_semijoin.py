@@ -240,3 +240,21 @@ def test_cli_decode_sample(spark, tmp_path):
     want = sorted(tuple(r) for r in
                   df.filter(lane(df, "k", 7) < 0.3).collect())
     assert got == want
+
+
+def test_cli_top_group_guard_fires_before_other_branches(spark, tmp_path):
+    from nail_parquet_spark.cli import main
+
+    src = str(tmp_path / "g2.parquet")
+    spark.createDataFrame([(1, "a")], "k long, s string") \
+        .repartition(1).write.parquet(src)
+    enc_dir = str(tmp_path / "g2enc")
+    assert main(["optimize", src, "-o", enc_dir]) == 0
+    out = str(tmp_path / "g2out.parquet")
+    # --top-group without --top must error even when another early-return
+    # branch (--sample-keys) would otherwise swallow it
+    with pytest.raises(SystemExit):
+        main(["decode", enc_dir, "--sample-keys", "k:0.5",
+              "--top-group", "s", "-o", out])
+    with pytest.raises(SystemExit):
+        main(["decode", enc_dir, "--top-group", "s", "-o", out])

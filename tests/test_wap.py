@@ -167,3 +167,22 @@ def test_staged_crash_window_gc_and_publish_guard(spark, tmp_path):
     with pytest.raises(ValueError, match="no data directory"):
         publish_staged(out)
     assert snapshots(out) == []
+
+
+def test_publish_is_atomic_on_missing_dirs(spark, tmp_path):
+    """One of two staged dirs is gone: publish must commit NOTHING, so a
+    retry after repair sees the exact state it expects."""
+    import os
+    import shutil
+
+    out = str(tmp_path / "enc")
+    _mk(spark, str(tmp_path / "s1"), 0, 10)
+    _mk(spark, str(tmp_path / "s2"), 10, 20)
+    encode_resumable(spark, str(tmp_path / "s1"), out, stage=True)
+    encode_resumable(spark, str(tmp_path / "s2"), out, stage=True)
+    recs = staged_batches(out)
+    shutil.rmtree(os.path.join(out, f"batch={recs[0]['batch']}"))
+    with pytest.raises(ValueError, match="no data directory"):
+        publish_staged(out)
+    assert snapshots(out) == []               # nothing half-applied
+    assert len(staged_batches(out)) == 2      # both records intact
