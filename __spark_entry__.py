@@ -589,8 +589,10 @@ def q_encode_roundtrip_fc(spark, sf_dir):
         )
         .orderBy("url")
     )
-    return decode_table(encode_table(pages, codecs={"url": "fc"}),
-                        columns=["url", "doc_id"])
+    # cache: decode_table's header read + the decode are separate actions —
+    # without it each one re-runs the whole encode (r06 measure-first pass)
+    blocks = encode_table(pages, codecs={"url": "fc"}).cache()
+    return decode_table(blocks, columns=["url", "doc_id"])
 
 
 def q_kmeans_clusters(spark, sf_dir):
@@ -717,7 +719,8 @@ def q_encode_roundtrip_embeddings(spark, sf_dir):
     from nail_parquet_spark.codec.encode import encode_table
 
     emb = _t(spark, sf_dir, "embeddings")
-    return decode_table(encode_table(emb), columns=emb.columns)
+    blocks = encode_table(emb).cache()  # one encode across the decode's jobs
+    return decode_table(blocks, columns=emb.columns)
 
 
 def q_encoded_stats_pushdown(spark, sf_dir):
@@ -733,7 +736,9 @@ def q_encoded_stats_pushdown(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_quantity", "l_extendedprice", "l_shipdate",
         "l_linestatus")
-    s = column_stats_pushdown(encode_table(li))
+    blocks = encode_table(li).cache()  # header read + stats agg share 1 encode
+    s = column_stats_pushdown(blocks)
+    blocks.unpersist()
     row = {
         "cnt_qty": s["l_quantity"]["count"],
         "min_qty": float(s["l_quantity"]["min"]),
@@ -1630,7 +1635,7 @@ def q_distinct_dict_pushdown(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents").select("lang", "source")
     blocks = encode_table(
-        d, codecs={"lang": "dict", "source": "rle"}, block_rows=2048)
+        d, codecs={"lang": "dict", "source": "rle"}, block_rows=2048).cache()
     lang = distinct_pushdown(blocks, "lang", dict_only=True)
     src = distinct_pushdown(blocks, "source", dict_only=True)
     return (
@@ -1649,6 +1654,7 @@ def q_count_pushdown(spark, sf_dir):
     predicate column, and decode positions pin exact block identity (no
     double counts through the parts x bids superset filter). Exact by
     construction; oracle is plain COUNT(*) WHERE."""
+    from nail_parquet_spark.codec.decode import _headers_by_column
     from nail_parquet_spark.codec.encode import encode_table
     from nail_parquet_spark.codec.inspect import count_where_pushdown
 
@@ -1658,9 +1664,13 @@ def q_count_pushdown(spark, sf_dir):
     blocks = encode_table(
         o, codecs={"o_orderkey": "for_bitpack", "o_totalprice": "plain"},
         block_rows=4096).cache()
-    c1 = count_where_pushdown(blocks, "o_totalprice", ">=", 400000.0)
-    c2 = count_where_pushdown(blocks, "o_totalprice", "<", 50000.0)
-    c3 = count_where_pushdown(blocks, "o_orderkey", "=", 7)
+    hd, rf = _headers_by_column(blocks)  # one header job for all 3 counts
+    c1 = count_where_pushdown(blocks, "o_totalprice", ">=", 400000.0,
+                              headers=hd, refs=rf)
+    c2 = count_where_pushdown(blocks, "o_totalprice", "<", 50000.0,
+                              headers=hd, refs=rf)
+    c3 = count_where_pushdown(blocks, "o_orderkey", "=", 7,
+                              headers=hd, refs=rf)
     blocks.unpersist()
     return spark.createDataFrame(
         [(c1["count"], c2["count"], c3["count"])],
@@ -1680,7 +1690,9 @@ def q_sum_pushdown(spark, sf_dir):
     from nail_parquet_spark.codec.inspect import column_stats_pushdown
 
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey")
-    s = column_stats_pushdown(encode_table(li), with_sum=True)["l_orderkey"]
+    blocks = encode_table(li).cache()  # header read + stats agg share 1 encode
+    s = column_stats_pushdown(blocks, with_sum=True)["l_orderkey"]
+    blocks.unpersist()
     return spark.createDataFrame(
         [(s["count"], int(s["min"]), int(s["max"]), int(s["sum"]),
           float(s["sum"]) / s["count"])],
@@ -1700,7 +1712,8 @@ def q_frequency_pushdown(spark, sf_dir):
     from nail_parquet_spark.codec.inspect import frequency_pushdown
 
     d = _t(spark, sf_dir, "documents").select("lang")
-    blocks = encode_table(d, codecs={"lang": "dict"}, block_rows=2048)
+    blocks = encode_table(d, codecs={"lang": "dict"},
+                          block_rows=2048).cache()
     return frequency_pushdown(blocks, "lang", dict_only=True).orderBy("value")
 
 
@@ -2145,9 +2158,11 @@ def q_encode_roundtrip(spark, sf_dir):
     from nail_parquet_spark.codec.encode import encode_table
 
     d = _t(spark, sf_dir, "documents").repartition(4)
-    blocks = encode_table(d, policy="ratio")
+    # cache: header read + verify agg are separate actions over the blocks
+    blocks = encode_table(d, policy="ratio").cache()
     dec = decode_table(blocks, columns=d.columns)
     res = verify_roundtrip(d, dec, key="doc_id")
+    blocks.unpersist()
     return spark.createDataFrame(
         [(res["joined_rows"], res["total_mismatches"])],
         "joined_rows long, total_mismatches long",
@@ -2174,7 +2189,7 @@ def q_decode_topk(spark, sf_dir):
     blocks = encode_table(
         o, codecs={"o_orderkey": "for_bitpack", "o_totalprice": "plain"},
         block_rows=4096,
-    )
+    ).cache()  # header/prune/decode jobs share one encode
     return decode_topk(blocks, "o_totalprice", 100, tiebreak="o_orderkey")
 
 
@@ -2200,7 +2215,7 @@ def q_decode_topk_group(spark, sf_dir):
         o, codecs={"o_orderkey": "for_bitpack", "o_orderstatus": "dict",
                    "o_totalprice": "plain"},
         block_rows=4096,
-    )
+    ).cache()  # header/prune/decode jobs share one encode
     return decode_topk_by(blocks, "o_orderstatus", "o_totalprice", 50,
                           tiebreak="o_orderkey")
 
@@ -2316,7 +2331,7 @@ def q_decode_sample(spark, sf_dir):
         d, codecs={"doc_id": "for_bitpack", "lang": "dict",
                    "n_chars": "for_bitpack"},
         block_rows=2048,
-    )
+    ).cache()  # header/key-decode/payload jobs share one encode
     return decode_sample(blocks, "doc_id", 0.1, seed=0)
 
 
@@ -2342,7 +2357,7 @@ def q_group_stats_pushdown(spark, sf_dir):
     blocks = encode_table(
         d, codecs={"lang": "dict", "n_chars": "for_bitpack"},
         block_rows=2048,
-    )
+    ).cache()  # header/dup-check/residual jobs share one encode
     out = group_stats_pushdown(blocks, "lang", "n_chars")
     return out.select(
         "lang", "n_rows", "n_vals",
@@ -2373,7 +2388,7 @@ def q_decode_semijoin(spark, sf_dir):
         o, codecs={"o_orderkey": "plain", "o_custkey": "for_bitpack",
                    "o_totalprice": "plain"},
         block_rows=4096,
-    )
+    ).cache()  # 3-stage late materialization shares one encode
     probe = (
         _t(spark, sf_dir, "customer")
         .filter(F.col("c_mktsegment") == "BUILDING")
@@ -2401,7 +2416,7 @@ def q_decode_pushdown(spark, sf_dir):
     blocks = encode_table(
         o, codecs={"o_orderkey": "for_bitpack", "o_totalprice": "plain"},
         block_rows=4096,
-    )
+    ).cache()  # header/prune/decode jobs share one encode
     return decode_table_where(blocks, "o_totalprice", ">=", 400000.0)
 
 
@@ -2421,7 +2436,8 @@ def q_decode_bloom_pushdown(spark, sf_dir):
         .repartition(4)
         .sortWithinPartitions("source")
     )
-    blocks = encode_table(d, block_rows=2048, bloom_columns=["source"])
+    blocks = encode_table(d, block_rows=2048,
+                          bloom_columns=["source"]).cache()
     return decode_table_where(blocks, "source", "=", "src3",
                               file_keyed=False)
 
@@ -2445,7 +2461,7 @@ def q_decode_pushdown_in(spark, sf_dir):
     blocks = encode_table(
         d, codecs={"doc_id": "plain", "lang": "rle", "n_chars": "for_bitpack"},
         block_rows=2048,
-    )
+    ).cache()
     return decode_table_where_all(
         blocks, [("lang", "in", ["de", "fr"]), ("n_chars", ">=", 200)],
         file_keyed=False)
@@ -2469,7 +2485,7 @@ def q_decode_pushdown_or(spark, sf_dir):
     blocks = encode_table(
         d, codecs={"doc_id": "plain", "lang": "rle", "n_chars": "for_bitpack"},
         block_rows=2048,
-    )
+    ).cache()
     return decode_table_where_all(
         blocks,
         [[("lang", "=", "de"), ("n_chars", ">=", 500)],

@@ -26,26 +26,47 @@ def _headers_by_column(blocks: DataFrame) -> tuple[dict[str, dict], dict[str, se
     different references): the fetch closure must see EVERY reference any
     block of a column uses. The blocks `codec` column holds the normalized
     name ('xref', no ref), so the ref is pulled from the header JSON."""
+    headers, refs, _ = _headers_refs_codecs(blocks)
+    return headers, refs
+
+
+def _headers_refs_codecs(
+    blocks: DataFrame,
+) -> tuple[dict[str, dict], dict[str, set], dict[str, dict]]:
+    """:func:`_headers_by_column` plus per-column codec metadata, all from
+    the SAME single metadata job (r06: the dictionary-pushdown operators
+    previously ran a second ``codec.distinct`` job and a third eligibility
+    probe for facts this grouped read already held).
+
+    Third element: ``{column: {codec: {"max_null": int}}}`` — every codec
+    any block of the column uses, with the max per-block null_count seen
+    under that codec (the int/float dictionary-distinct eligibility rule
+    needs "has any dict block with nulls", not just the codec set)."""
     import json
 
     rows = (
         blocks.select(
             "column", "codec",
             F.get_json_object("header", "$.params.ref").alias("__ref"),
-            "header",
+            "header", "null_count",
         )
         .groupBy("column", "codec", "__ref")
-        .agg(F.first("header").alias("header"))
+        .agg(F.first("header").alias("header"),
+             F.max("null_count").alias("max_null"))
         .collect()
     )
     headers: dict[str, dict] = {}
     refs: dict[str, set] = {}
+    codecs: dict[str, dict] = {}
     for r in rows:
         h = json.loads(r["header"])
         headers.setdefault(r["column"], h)
+        cmeta = codecs.setdefault(r["column"], {})
+        prev = cmeta.setdefault(r["codec"], {"max_null": 0})
+        prev["max_null"] = max(prev["max_null"], int(r["max_null"] or 0))
         if h.get("codec") == "xref":
             refs.setdefault(r["column"], set()).add(h["params"]["ref"])
-    return headers, refs
+    return headers, refs, codecs
 
 
 # Above this file count, decode_parquet_dir derives headers with a Spark job
@@ -309,7 +330,9 @@ def decode_table(blocks: DataFrame, columns: list[str] | None = None,
                  num_partitions: int | None = None,
                  file_keyed: bool = True,
                  missing_columns: str = "error",
-                 with_positions: bool = False) -> DataFrame:
+                 with_positions: bool = False,
+                 headers: dict[str, dict] | None = None,
+                 refs: dict[str, set] | None = None) -> DataFrame:
     """Decode an encoded-blocks DataFrame back to the raw table.
 
     ``missing_columns``: ``"error"`` (default) refuses groups that lack a
@@ -335,10 +358,19 @@ def decode_table(blocks: DataFrame, columns: list[str] | None = None,
     of a sampling shuffle (``repartitionByRange``'s boundaries re-draw per
     action) can shift rows between groups across those jobs and corrupt
     results. This is Spark's own repeatability contract, restated here
-    because the failure is silent."""
+    because the failure is silent.
+
+    ``headers``/``refs`` (optional, r06): pass the pair a caller already
+    collected via ``_headers_by_column(blocks)`` to skip this function's
+    own header job — the pushdown operators run several metadata jobs over
+    the same blocks plan, and each redundant header read re-evaluates an
+    uncached plan end to end. They must describe THIS blocks table (or a
+    superset); an empty-after-pruning blocks frame then also decodes to an
+    empty typed frame instead of raising on absent headers."""
     if missing_columns not in ("error", "null"):
         raise ValueError("missing_columns must be 'error' or 'null'")
-    headers, refs = _headers_by_column(blocks)
+    if headers is None or refs is None:
+        headers, refs = _headers_by_column(blocks)
     if columns is None:
         # the header read already enumerated the columns — no extra job
         columns = sorted(headers)
@@ -1031,7 +1063,7 @@ def decode_table_where_all(blocks: DataFrame, predicates,
     clauses = [_as_clause(p) for p in predicates]
     if not clauses:
         raise ValueError("predicates must be non-empty")
-    headers, _ = _headers_by_column(blocks)
+    headers, refs = _headers_by_column(blocks)
     out_cols = columns if columns is not None else sorted(headers)
     pruned = blocks
     for clause in clauses:
@@ -1041,12 +1073,11 @@ def decode_table_where_all(blocks: DataFrame, predicates,
         for col_, _, _ in clause:
             if col_ not in use_cols:
                 use_cols.append(col_)
-    if pruned.limit(1).isEmpty():
-        # every group pruned: an empty result with the decoded schema
-        schema = _schema_from_headers(headers, out_cols)
-        return blocks.sparkSession.createDataFrame([], _spark_ddl_of(schema))
+    # headers pass through: an all-pruned frame decodes to an empty typed
+    # frame, so the emptiness probe job is gone (r06)
     dec = decode_table(pruned, columns=use_cols,
-                       num_partitions=num_partitions, file_keyed=file_keyed)
+                       num_partitions=num_partitions, file_keyed=file_keyed,
+                       headers=headers, refs=refs)
     residual = None
     for clause in clauses:
         one = None
@@ -1203,7 +1234,7 @@ def decode_topk(blocks: DataFrame, column: str, k: int,
     ``decode_table(blocks, columns).filter(col.isNotNull())
     .orderBy(col [desc], tiebreak).limit(k)``.
     """
-    headers, _ = _headers_by_column(blocks)
+    headers, refs = _headers_by_column(blocks)
     out_cols = columns if columns is not None else sorted(headers)
     use_cols = list(out_cols)
     for extra in (column, tiebreak):
@@ -1211,11 +1242,12 @@ def decode_topk(blocks: DataFrame, column: str, k: int,
             use_cols.append(extra)
     pruned = prune_blocks_topk(blocks, column, k, descending=descending,
                                max_groups=max_groups, headers=headers)
-    if pruned.limit(1).isEmpty():
-        schema = _schema_from_headers(headers, out_cols)
-        return blocks.sparkSession.createDataFrame([], _spark_ddl_of(schema))
+    # headers pass through, so an all-pruned frame decodes to an empty typed
+    # frame directly — no emptiness probe job (r06: each extra action over
+    # an uncached blocks plan re-ran the whole upstream encode)
     dec = decode_table(pruned, columns=use_cols,
-                       num_partitions=num_partitions, file_keyed=file_keyed)
+                       num_partitions=num_partitions, file_keyed=file_keyed,
+                       headers=headers, refs=refs)
     order = [F.col(column).desc() if descending else F.col(column).asc()]
     if tiebreak is not None:
         order.append(F.col(tiebreak).asc())
@@ -1401,7 +1433,7 @@ def decode_topk_by(blocks: DataFrame, group_col: str, column: str, k: int,
     """
     from pyspark.sql import Window
 
-    headers, _ = _headers_by_column(blocks)
+    headers, refs = _headers_by_column(blocks)
     out_cols = columns if columns is not None else sorted(headers)
     use_cols = list(out_cols)
     for extra in (group_col, column, tiebreak):
@@ -1410,11 +1442,10 @@ def decode_topk_by(blocks: DataFrame, group_col: str, column: str, k: int,
     pruned = prune_blocks_topk_by(blocks, group_col, column, k,
                                   descending=descending,
                                   max_groups=max_groups, headers=headers)
-    if pruned.limit(1).isEmpty():
-        schema = _schema_from_headers(headers, out_cols)
-        return blocks.sparkSession.createDataFrame([], _spark_ddl_of(schema))
+    # headers pass through: no emptiness probe job (see decode_topk)
     dec = decode_table(pruned, columns=use_cols,
-                       num_partitions=num_partitions, file_keyed=file_keyed)
+                       num_partitions=num_partitions, file_keyed=file_keyed,
+                       headers=headers, refs=refs)
     order = [F.col(column).desc() if descending else F.col(column).asc()]
     if tiebreak is not None:
         order.append(F.col(tiebreak).asc())
@@ -1483,7 +1514,7 @@ def decode_semijoin(blocks: DataFrame, keys: DataFrame, key_col: str,
     anti-joined out BEFORE full materialization, so a snapshot table's
     merge-on-read view composes without resurfacing deleted rows.
     """
-    headers, _ = _headers_by_column(blocks)
+    headers, refs = _headers_by_column(blocks)
     if key_col not in headers:
         raise ValueError(f"column {key_col!r} not in the blocks table")
     if key_col in keys.columns:
@@ -1516,13 +1547,13 @@ def decode_semijoin(blocks: DataFrame, keys: DataFrame, key_col: str,
                                 max_groups, headers)
         except ValueError:
             pruned = blocks  # kind without zone stats: no pruning
-        if pruned.limit(1).isEmpty():
-            return empty()
+        # no emptiness probe job: with headers passed through, an all-
+        # pruned frame flows to empty coords -> empty() in the tail (r06)
 
     # stage 2: key-column-only decode -> matching row coordinates
     keydec = decode_table(pruned, columns=[key_col], with_positions=True,
                           num_partitions=num_partitions,
-                          file_keyed=file_keyed)
+                          file_keyed=file_keyed, headers=headers, refs=refs)
     coords = keydec.join(probe, key_col, "left_semi").select(*POS_COLUMNS)
     if deletes is not None:
         coords = coords.join(deletes.select(*POS_COLUMNS),
@@ -1530,13 +1561,16 @@ def decode_semijoin(blocks: DataFrame, keys: DataFrame, key_col: str,
 
     # stage 3: decode only block groups holding a match, keep exact rows
     return _materialize_coords(pruned, coords, out_cols, use_cols, empty,
-                               num_partitions, file_keyed, max_groups)
+                               num_partitions, file_keyed, max_groups,
+                               headers=headers, refs=refs)
 
 
 def _materialize_coords(blocks: DataFrame, coords: DataFrame,
                         out_cols: list[str], use_cols: list[str],
                         empty, num_partitions, file_keyed,
-                        max_groups: int) -> DataFrame:
+                        max_groups: int,
+                        headers: dict[str, dict] | None = None,
+                        refs: dict[str, set] | None = None) -> DataFrame:
     """Late-materialization tail shared by the coordinate-driven decodes:
     decode full payloads ONLY for block groups holding at least one
     coordinate (exact pair filter, driver pull capped at ``max_groups`` —
@@ -1551,7 +1585,8 @@ def _materialize_coords(blocks: DataFrame, coords: DataFrame,
         hit = _filter_block_pairs(
             blocks, {(r["_part_id"], r["_block_id"]) for r in got})
     full = decode_table(hit, columns=use_cols, with_positions=True,
-                        num_partitions=num_partitions, file_keyed=file_keyed)
+                        num_partitions=num_partitions, file_keyed=file_keyed,
+                        headers=headers, refs=refs)
     return (full.join(coords, on=POS_COLUMNS, how="left_semi")
             .select(*out_cols))
 
@@ -1585,7 +1620,7 @@ def decode_sample(blocks: DataFrame, key_col: str, fraction: float,
     """
     if not (0.0 <= fraction <= 1.0):
         raise ValueError("decode_sample: fraction must be in [0, 1]")
-    headers, _ = _headers_by_column(blocks)
+    headers, refs = _headers_by_column(blocks)
     if key_col not in headers:
         raise ValueError(f"column {key_col!r} not in the blocks table")
     out_cols = columns if columns is not None else sorted(headers)
@@ -1601,7 +1636,7 @@ def decode_sample(blocks: DataFrame, key_col: str, fraction: float,
         return empty()
     keydec = decode_table(blocks, columns=[key_col], with_positions=True,
                           num_partitions=num_partitions,
-                          file_keyed=file_keyed)
+                          file_keyed=file_keyed, headers=headers, refs=refs)
     ks = F.coalesce(F.col(key_col).cast("string"), F.lit("\x00"))
     u = (
         F.conv(
@@ -1618,4 +1653,5 @@ def decode_sample(blocks: DataFrame, key_col: str, fraction: float,
         coords = coords.join(deletes.select(*POS_COLUMNS),
                              on=POS_COLUMNS, how="left_anti")
     return _materialize_coords(blocks, coords, out_cols, use_cols, empty,
-                               num_partitions, file_keyed, max_groups)
+                               num_partitions, file_keyed, max_groups,
+                               headers=headers, refs=refs)

@@ -98,21 +98,24 @@ def distinct_pushdown(blocks: DataFrame, column: str,
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    from nail_parquet_spark.codec.decode import (_headers_by_column,
+    from nail_parquet_spark.codec.decode import (_headers_refs_codecs,
                                                  _spark_ddl_of)
     from nail_parquet_spark.codec.kernels import _type_from_str
 
-    headers, _ = _headers_by_column(blocks)
+    # ONE metadata job serves headers, xref refs, AND the per-codec
+    # eligibility facts (r06: the codec.distinct job + the per-block
+    # eligibility probe repeated work this grouped read already held)
+    headers, refs, codec_meta = _headers_refs_codecs(blocks)
     if column not in headers:
         raise ValueError(f"column {column!r} not in the blocks table")
     typ = _type_from_str(headers[column]["type"])
     out_schema = pa.schema([(column, typ)])
     mine = blocks.filter(F.col("column") == column)
 
-    # metadata-only pre-scan: xref blocks decode against a sibling column,
-    # so any xref presence routes the whole column through the grouped
+    # metadata pre-check: xref blocks decode against a sibling column, so
+    # any xref presence routes the whole column through the grouped
     # decoder (exact, just not dictionary-served)
-    codecs = [r[0] for r in mine.select("codec").distinct().collect()]
+    codecs = sorted(codec_meta.get(column, {}))
     if any(c.startswith("xref") for c in codecs):
         if dict_only:
             raise ValueError(
@@ -121,25 +124,27 @@ def distinct_pushdown(blocks: DataFrame, column: str,
             )
         from nail_parquet_spark.codec.decode import decode_table
 
-        return decode_table(blocks, [column]).distinct()
+        return decode_table(blocks, [column],
+                            headers=headers, refs=refs).distinct()
 
     if dict_only:
-        # codec / null_count are block-table metadata columns, so the
-        # guarantee is checked driver-side from ONE metadata-only scan
-        # (payload pruned) and raises before any decode work is planned
+        # the guarantee is checked driver-side from the header read's
+        # per-codec metadata and raises before any decode work is planned
         kind = headers[column]["kind"]
         if kind in ("str", "bin"):
-            bad = mine.filter(~F.col("codec").isin("dict", "rle"))
+            bad = [(c, m["max_null"]) for c, m in codec_meta[column].items()
+                   if c not in ("dict", "rle")]
         elif kind in ("int", "float"):
-            bad = mine.filter((F.col("codec") != "dict")
-                              | (F.col("null_count") > 0))
+            bad = [(c, m["max_null"]) for c, m in codec_meta[column].items()
+                   if c != "dict" or m["max_null"] > 0]
         else:
-            bad = mine
-        first = bad.select("codec", "null_count").first()
-        if first is not None:
+            bad = [(c, m["max_null"])
+                   for c, m in codec_meta[column].items()]
+        if bad:
+            bc, bn = sorted(bad)[0]
             raise ValueError(
-                f"column {column!r} has a {first['codec']!r} block (kind "
-                f"{kind}, null_count={first['null_count']}): distinct not "
+                f"column {column!r} has a {bc!r} block (kind "
+                f"{kind}, null_count={bn}): distinct not "
                 "servable from dictionary sections alone"
             )
 
@@ -238,11 +243,13 @@ def frequency_pushdown(blocks: DataFrame, column: str,
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    from nail_parquet_spark.codec.decode import (_headers_by_column,
+    from nail_parquet_spark.codec.decode import (_headers_refs_codecs,
                                                  _spark_ddl_of)
     from nail_parquet_spark.codec.kernels import _type_from_str
 
-    headers, _ = _headers_by_column(blocks)
+    # ONE metadata job serves headers, refs, and the codec set (r06: the
+    # codec.distinct job and the dict_only probe are folded into it)
+    headers, refs, codec_meta = _headers_refs_codecs(blocks)
     if column not in headers:
         raise ValueError(f"column {column!r} not in the blocks table")
     typ = _type_from_str(headers[column]["type"])
@@ -250,7 +257,7 @@ def frequency_pushdown(blocks: DataFrame, column: str,
     mine = blocks.filter(F.col("column") == column)
     kind = headers[column]["kind"]
 
-    codecs = [r[0] for r in mine.select("codec").distinct().collect()]
+    codecs = sorted(codec_meta.get(column, {}))
     if any(c.startswith("xref") for c in codecs):
         if dict_only:
             raise ValueError(
@@ -259,18 +266,17 @@ def frequency_pushdown(blocks: DataFrame, column: str,
             )
         from nail_parquet_spark.codec.decode import decode_table
 
-        return (decode_table(blocks, [column])
+        return (decode_table(blocks, [column], headers=headers, refs=refs)
                 .groupBy(F.col(column).alias("value"))
                 .agg(F.count(F.lit(1)).alias("n")))
 
     if dict_only:
         servable = (("dict", "rle") if kind in ("str", "bin", "int")
                     else ("dict",))
-        first = (mine.filter(~F.col("codec").isin(*servable))
-                 .select("codec").first())
-        if first is not None:
+        bad_codecs = [c for c in codecs if c not in servable]
+        if bad_codecs:
             raise ValueError(
-                f"column {column!r} has a {first['codec']!r} block (kind "
+                f"column {column!r} has a {bad_codecs[0]!r} block (kind "
                 f"{kind}): frequency not servable from codes/runs alone"
             )
 
@@ -409,7 +415,9 @@ def frequency_pushdown(blocks: DataFrame, column: str,
 
 
 def count_where_pushdown(blocks: DataFrame, column: str, op: str, value=None,
-                         max_groups: int = 100_000) -> dict:
+                         max_groups: int = 100_000,
+                         headers: dict | None = None,
+                         refs: dict | None = None) -> dict:
     """Exact ``SELECT COUNT(*) WHERE column op value`` over an encoded
     blocks table, answered from zone-map metadata for every block the
     stats can DECIDE and decoding only the undecidable boundary blocks —
@@ -440,6 +448,10 @@ def count_where_pushdown(blocks: DataFrame, column: str, op: str, value=None,
     Returns ``{"count", "groups_total", "groups_metadata",
     "groups_decoded"}`` so callers (and benchmarks) can see how much the
     index actually decided.
+
+    ``headers``/``refs`` (optional, r06): a caller issuing several counts
+    over the same blocks table passes the pair from ``_headers_by_column``
+    once instead of paying a header job per call.
     """
     import pyarrow as pa
 
@@ -450,7 +462,8 @@ def count_where_pushdown(blocks: DataFrame, column: str, op: str, value=None,
 
     if op not in _PRUNE_OPS:
         raise ValueError(f"op must be one of {_PRUNE_OPS}, got {op!r}")
-    headers, _ = _headers_by_column(blocks)
+    if headers is None or refs is None:
+        headers, refs = _headers_by_column(blocks)
     if column not in headers:
         raise ValueError(f"column {column!r} not in the blocks table")
     mine = blocks.filter(F.col("column") == column)
@@ -552,27 +565,51 @@ def count_where_pushdown(blocks: DataFrame, column: str, op: str, value=None,
         & (F.col("null_count") < F.col("n_rows"))
     is_boundary = ~(is_none | is_full)
 
-    agg = meta.agg(
-        F.sum(F.when(is_full, F.col("n_rows") - F.col("null_count"))
-              .otherwise(F.lit(0))).alias("meta_count"),
-        F.count("*").alias("g_total"),
-        F.sum(F.when(is_boundary, 1).otherwise(0)).alias("g_boundary"),
-    ).collect()[0]
-    meta_count = int(agg["meta_count"] or 0)
-    g_total = int(agg["g_total"])
-    g_boundary = int(agg["g_boundary"] or 0)
-    if g_boundary == 0:
-        return {"count": meta_count, "groups_total": g_total,
-                "groups_metadata": g_total, "groups_decoded": 0}
-
+    # r06 fusion: ONE collect of classified per-block rows (the
+    # classification expressions are the SAME Catalyst exprs as before, so
+    # try_cast/ANSI semantics are unchanged) replaces the old aggregate job
+    # + the separate boundary-pair collect — each extra action over an
+    # uncached blocks plan re-ran the whole upstream encode. Bounded by the
+    # same ``max_groups`` cap the pair collect already imposed.
+    rows = (meta.select(
+        "part_id", "block_id",
+        (F.col("n_rows") - F.col("null_count")).alias("__nn"),
+        is_full.alias("__full"), is_boundary.alias("__boundary"))
+        .limit(max_groups + 1).collect())
     pred = _pred_expr(column, op, value)
-    if g_boundary > max_groups:
-        cnt = decode_table(blocks, [column]).filter(pred).count()
-        return {"count": int(cnt), "groups_total": g_total,
-                "groups_metadata": 0, "groups_decoded": g_total}
+    if len(rows) > max_groups:
+        # block count exceeds the driver-side enumeration cap: keep the
+        # PRE-r06 two-job flow unchanged (aggregate for the totals; the
+        # boundary cap applies to boundary blocks only, so a huge table
+        # with a thin boundary still decodes only its boundary)
+        agg = meta.agg(
+            F.sum(F.when(is_full, F.col("n_rows") - F.col("null_count"))
+                  .otherwise(F.lit(0))).alias("meta_count"),
+            F.count("*").alias("g_total"),
+            F.sum(F.when(is_boundary, 1).otherwise(0)).alias("g_boundary"),
+        ).collect()[0]
+        meta_count = int(agg["meta_count"] or 0)
+        g_total = int(agg["g_total"])
+        g_boundary = int(agg["g_boundary"] or 0)
+        if g_boundary == 0:
+            return {"count": meta_count, "groups_total": g_total,
+                    "groups_metadata": g_total, "groups_decoded": 0}
+        if g_boundary > max_groups:
+            cnt = decode_table(blocks, [column], headers=headers,
+                               refs=refs).filter(pred).count()
+            return {"count": int(cnt), "groups_total": g_total,
+                    "groups_metadata": 0, "groups_decoded": g_total}
+        pairs = (meta.filter(is_boundary).select("part_id", "block_id")
+                 .distinct().collect())
+    else:
+        g_total = len(rows)
+        meta_count = sum(int(r["__nn"]) for r in rows if r["__full"])
+        pairs = [r for r in rows if r["__boundary"]]
+        g_boundary = len(pairs)
+        if g_boundary == 0:
+            return {"count": meta_count, "groups_total": g_total,
+                    "groups_metadata": g_total, "groups_decoded": 0}
 
-    pairs = (meta.filter(is_boundary).select("part_id", "block_id")
-             .distinct().collect())
     parts = sorted({r["part_id"] for r in pairs})
     bids = sorted({r["block_id"] for r in pairs})
     keys = {f"{r['part_id']}_{r['block_id']}" for r in pairs}
@@ -581,7 +618,8 @@ def count_where_pushdown(blocks: DataFrame, column: str, op: str, value=None,
     # slip through the superset can never be double-counted
     sub = blocks.filter(F.col("part_id").isin(parts)
                         & F.col("block_id").isin(bids))
-    dec = decode_table(sub, [column], with_positions=True)
+    dec = decode_table(sub, [column], with_positions=True,
+                       headers=headers, refs=refs)
     cnt_b = (dec.filter(F.concat_ws("_", "_part_id", "_block_id")
                         .isin(sorted(keys)))
              .filter(pred).count())
@@ -821,7 +859,7 @@ def group_stats_pushdown(blocks: DataFrame, group_col: str, value_col: str,
 
     if group_col == value_col:
         raise ValueError("group_col and value_col must differ")
-    headers, _ = _headers_by_column(blocks)
+    headers, refs = _headers_by_column(blocks)
     for c in (group_col, value_col):
         if c not in headers:
             raise ValueError(f"column {c!r} not in the blocks table")
@@ -861,7 +899,8 @@ def group_stats_pushdown(blocks: DataFrame, group_col: str, value_col: str,
            .count().filter(F.col("count") > 1).limit(1).count())
     if dup:
         dec = decode_table(blocks, columns=[group_col, value_col],
-                           num_partitions=num_partitions)
+                           num_partitions=num_partitions,
+                           headers=headers, refs=refs)
         v = F.col(value_col).cast(scast)
         return (dec.groupBy(group_col)
                 .agg(F.count(F.lit(1)).alias("n_rows"),
@@ -928,7 +967,8 @@ def group_stats_pushdown(blocks: DataFrame, group_col: str, value_col: str,
     if len(got) > max_groups:
         # residual set too large to enumerate: full decode, still exact
         dec = decode_table(blocks, columns=[group_col, value_col],
-                           num_partitions=num_partitions)
+                           num_partitions=num_partitions,
+                           headers=headers, refs=refs)
         v = F.col(value_col).cast(scast)
         return (dec.groupBy(group_col)
                 .agg(F.count(F.lit(1)).alias("n_rows"),
@@ -954,7 +994,8 @@ def group_stats_pushdown(blocks: DataFrame, group_col: str, value_col: str,
     if pairs:
         rdec = decode_table(_filter_block_pairs(blocks, pairs),
                             columns=[group_col, value_col],
-                            num_partitions=num_partitions)
+                            num_partitions=num_partitions,
+                            headers=headers, refs=refs)
         rside = (rdec.groupBy(group_col)
                  .agg(F.count(F.lit(1)).alias("n_rows"),
                       F.count(value_col).alias("n_vals"),
