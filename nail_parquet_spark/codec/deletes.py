@@ -67,7 +67,7 @@ def positions_where(blocks: DataFrame, predicates,
     clauses = [_as_clause(p) for p in predicates]
     if not clauses:
         raise ValueError("predicates must be non-empty")
-    headers, _ = _headers_by_column(blocks)
+    headers, refs = _headers_by_column(blocks)
     pred_cols: list[str] = []
     for clause in clauses:
         for col_, _, _ in clause:
@@ -79,10 +79,10 @@ def positions_where(blocks: DataFrame, predicates,
     pruned = blocks
     for clause in clauses:
         pruned = _prune_clause(pruned, clause, max_groups, headers)
-    if pruned.limit(1).isEmpty():
-        return blocks.sparkSession.createDataFrame([], POS_DDL)
+    # headers pass through: an all-pruned frame decodes to zero coordinate
+    # rows directly, so the emptiness probe job is gone (r06)
     dec = decode_table(pruned, columns=pred_cols, file_keyed=file_keyed,
-                       with_positions=True)
+                       with_positions=True, headers=headers, refs=refs)
     return dec.filter(_cnf_expr(clauses)).select(*POS_COLUMNS)
 
 
@@ -98,14 +98,15 @@ def decode_except_where(blocks: DataFrame, deletes: DataFrame, predicates,
     clauses = [_as_clause(p) for p in predicates]
     if not clauses:
         raise ValueError("predicates must be non-empty")
-    headers, _ = _headers_by_column(blocks)
+    headers, refs = _headers_by_column(blocks)
     pruned = blocks
     for clause in clauses:
         pruned = _prune_clause(pruned, clause, max_groups, headers)
     out_cols = list(columns) if columns is not None else sorted(headers)
     kept = decode_except(pruned, deletes, columns=out_cols,
                          file_keyed=file_keyed,
-                         broadcast_deletes=broadcast_deletes)
+                         broadcast_deletes=broadcast_deletes,
+                         headers=headers, refs=refs)
     return kept.filter(_cnf_expr(clauses))
 
 
@@ -113,7 +114,9 @@ def decode_except(blocks: DataFrame, deletes: DataFrame,
                   columns: list[str] | None = None,
                   num_partitions: int | None = None,
                   file_keyed: bool = True,
-                  broadcast_deletes: bool = False) -> DataFrame:
+                  broadcast_deletes: bool = False,
+                  headers: dict | None = None,
+                  refs: dict | None = None) -> DataFrame:
     """``decode_table(blocks, columns)`` minus the rows named by ``deletes``.
 
     ``deletes`` must carry the 4 ``POS_COLUMNS`` (extra columns are
@@ -123,11 +126,12 @@ def decode_except(blocks: DataFrame, deletes: DataFrame,
     plan can't see its size (e.g. an in-memory ``positions_where`` result —
     a mapInArrow plan has no stats, and a sort-merge anti-join would
     shuffle every decoded row)."""
-    headers, _ = _headers_by_column(blocks)
+    if headers is None or refs is None:
+        headers, refs = _headers_by_column(blocks)
     out_cols = list(columns) if columns is not None else sorted(headers)
     dec = decode_table(blocks, columns=out_cols,
                        num_partitions=num_partitions, file_keyed=file_keyed,
-                       with_positions=True)
+                       with_positions=True, headers=headers, refs=refs)
     d = deletes.select(*POS_COLUMNS)
     if broadcast_deletes:
         d = F.broadcast(d)

@@ -249,7 +249,15 @@ def top_ngram_char_frac(df: DataFrame, id_col: str, text_col: str,
     """
     if n < 1:
         raise ValueError("n must be >= 1")
-    words = _words(F.col(text_col))
+    # the word array is STAGED through its own projection (word_shingles
+    # rule): referenced inside the per-gram lambda, an inlined split would
+    # re-evaluate once per gram element — O(words²) per row
+    staged = df.select(
+        F.col(id_col).alias("__doc"),
+        F.length(F.col(text_col)).alias("__chars"),
+        _words(F.col(text_col)).alias("__tngf_w"),
+    )
+    words = F.col("__tngf_w")
     # sequence(1, 0) DESCENDS in Spark, so docs with < n words must short-
     # circuit to an empty gram array (their rows re-enter via the anti-join).
     grams = F.when(
@@ -259,10 +267,8 @@ def top_ngram_char_frac(df: DataFrame, id_col: str, text_col: str,
             lambda i: F.concat_ws(" ", F.slice(words, i, n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    ex = df.select(
-        F.col(id_col).alias("__doc"),
-        F.length(F.col(text_col)).alias("__chars"),
-        F.explode(grams).alias("ngram"),
+    ex = staged.select(
+        "__doc", "__chars", F.explode(grams).alias("ngram"),
     ).filter(F.col("ngram") != "")
     counted = ex.groupBy("__doc", "__chars", "ngram").agg(
         F.count(F.lit(1)).alias("cnt")

@@ -132,7 +132,7 @@ def table_changes(spark: SparkSession, out_dir: str, from_snapshot: int,
     new_batches = {s["batch"] for s in window_data}
 
     headers_blocks = read_blocks_at(spark, out_dir, to_snapshot)
-    headers, _ = _headers_by_column(headers_blocks)
+    headers, refs = _headers_by_column(headers_blocks)
     out_cols = columns if columns is not None else sorted(headers)
     clash = [c for c in out_cols if c in (CHANGE_TYPE, COMMIT_SNAPSHOT)]
     if clash:
@@ -213,7 +213,8 @@ def table_changes(spark: SparkSession, out_dir: str, from_snapshot: int,
         if c not in use_cols:
             use_cols.append(c)
     dec = decode_table(blocks, columns=use_cols, with_positions=True,
-                       num_partitions=num_partitions)
+                       num_partitions=num_partitions,
+                       headers=headers, refs=refs)
 
     # ---- alive-at-from / alive-at-to flags on the one decoded frame ----
     # batch membership + commit snapshot (broadcast of the tiny log map).

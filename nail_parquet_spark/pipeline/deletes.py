@@ -318,12 +318,13 @@ def read_table(spark: SparkSession, out_dir: str,
                                 num_partitions=num_partitions)
         return decode_except(blocks, pos, columns=columns,
                              num_partitions=num_partitions)
-    headers, _ = _headers_by_column(blocks)
+    headers, refs = _headers_by_column(blocks)
     out_cols = list(columns) if columns is not None else sorted(headers)
     eq_all = {c for r in eq_recs for c in r["eq_cols"]}
     need = sorted(set(out_cols) | eq_all)
     dec = decode_table(blocks, columns=need,
-                       num_partitions=num_partitions, with_positions=True)
+                       num_partitions=num_partitions, with_positions=True,
+                       headers=headers, refs=refs)
     if pos is not None:
         dec = dec.join(pos.select(*POS_COLUMNS), on=POS_COLUMNS,
                        how="left_anti")
@@ -350,7 +351,7 @@ def upsert(spark: SparkSession, out_dir: str, rows: DataFrame,
 
     keys = [key] if isinstance(key, str) else list(key)
     blocks = read_blocks_at(spark, out_dir)
-    headers, _ = _headers_by_column(blocks)
+    headers, refs = _headers_by_column(blocks)
     if set(rows.columns) != set(headers):
         raise ValueError(
             f"upsert rows columns {sorted(rows.columns)} must equal the "
@@ -359,14 +360,21 @@ def upsert(spark: SparkSession, out_dir: str, rows: DataFrame,
     missing = [k for k in keys if k not in rows.columns]
     if missing:
         raise ValueError(f"key columns not in rows: {missing}")
-    n_rows = rows.count()
-    if rows.select(*keys).distinct().count() != n_rows:
+    # ONE job answers both "how many rows" and "is the key unique": total
+    # rows + max per-key multiplicity (groupBy keeps NULL keys as a group,
+    # unlike count_distinct, so NULL-keyed duplicates are still refused)
+    stat = (rows.groupBy(*keys).agg(F.count(F.lit(1)).alias("__n"))
+            .agg(F.sum("__n").alias("n"),
+                 F.max("__n").alias("mx")).collect()[0])
+    n_rows = int(stat["n"] or 0)
+    if (stat["mx"] or 0) > 1:
         raise ValueError(
             "upsert rows are not unique on the key — two new rows with the "
             "same key have no defined winner")
 
     # old rows to retire: key-membership probe over key columns only
-    dec = decode_table(blocks, columns=keys, with_positions=True)
+    dec = decode_table(blocks, columns=keys, with_positions=True,
+                       headers=headers, refs=refs)
     dels = dec.join(F.broadcast(rows.select(*keys).distinct()),
                     on=keys, how="left_semi").select(*POS_COLUMNS)
     did, n_del = _write_delete_file(out_dir, dels)
