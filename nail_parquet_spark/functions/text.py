@@ -298,11 +298,7 @@ def unigram_logprob(df, id_col: str, text_col: str,
     whole-stage codegen; rounding pins cross-engine float identity.
     """
     if vocab_df is None:
-        # cache: the total-tokens collect below and the scoring action both
-        # need the vocab counts — uncached, the corpus-wide explode+groupBy
-        # runs twice (r06). The vocab is dimension-scale by the same
-        # assumption that lets probs broadcast.
-        vocab_df = vocabulary(df, id_col, text_col).cache()
+        vocab_df = vocabulary(df, id_col, text_col)
     total = vocab_df.agg(F.sum("tf")).collect()[0][0] or 1
     probs = vocab_df.select(
         "token", (F.log(F.col("tf") / F.lit(float(total)))).alias("__lp")
@@ -542,10 +538,7 @@ def bigram_logprob(df, id_col: str, text_col: str,
             .select("__doc", F.col("__t.v").alias("__v"), F.col("__t.w").alias("__wn"))
         )
 
-    # cache: the total collect and the p1 broadcast both need the unigram
-    # counts — uncached, the corpus explode+groupBy runs twice (r06); the
-    # vocab is dimension-scale by the same assumption that lets p1 broadcast
-    uni = vocabulary(train_df, id_col, text_col).select("token", "tf").cache()
+    uni = vocabulary(train_df, id_col, text_col).select("token", "tf")
     total = uni.agg(F.sum("tf")).collect()[0][0] or 1
     p1 = uni.select("token", (F.col("tf") / F.lit(float(total))).alias("__p1"))
     c2 = transitions(train_df).groupBy("__v", "__wn").agg(
@@ -617,18 +610,10 @@ def dsir_weights(df, target_df, id_col: str, text_col: str,
         )
 
     def dist(frame):
-        # the count table is bounded by ``buckets`` rows, so ONE collect
-        # serves both the total (summed driver-side — integer-exact, same
-        # value as the old agg job) and the ratio table (rebuilt as a local
-        # DataFrame with the identical schema): the scoring action no
-        # longer re-runs the corpus-wide explode+groupBy per side (r06)
-        rows = (bucketed(frame).groupBy("__b")
-                .agg(F.count(F.lit(1)).alias("__c")).collect())
-        total = sum(int(r["__c"]) for r in rows) or 0
+        counts = bucketed(frame).groupBy("__b").agg(
+            F.count(F.lit(1)).alias("__c"))
+        total = counts.agg(F.sum("__c")).collect()[0][0] or 0
         denom = float(total + alpha * buckets)
-        counts = frame.sparkSession.createDataFrame(
-            [(int(r["__b"]), int(r["__c"])) for r in rows],
-            "__b bigint, __c bigint")
         return counts, denom
 
     tgt, tgt_denom = dist(target_df)
