@@ -592,7 +592,8 @@ def q_encode_roundtrip_fc(spark, sf_dir):
     # cache: decode_table's header read + the decode are separate actions —
     # without it each one re-runs the whole encode (r06 measure-first pass)
     blocks = encode_table(pages, codecs={"url": "fc"}).cache()
-    return decode_table(blocks, columns=["url", "doc_id"])
+    return decode_table(blocks, columns=["url", "doc_id"],
+                        pre_grouped=True)
 
 
 def q_kmeans_clusters(spark, sf_dir):
@@ -720,7 +721,7 @@ def q_encode_roundtrip_embeddings(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     blocks = encode_table(emb).cache()  # one encode across the decode's jobs
-    return decode_table(blocks, columns=emb.columns)
+    return decode_table(blocks, columns=emb.columns, pre_grouped=True)
 
 
 def q_encoded_stats_pushdown(spark, sf_dir):
@@ -1666,11 +1667,11 @@ def q_count_pushdown(spark, sf_dir):
         block_rows=4096).cache()
     hd, rf = _headers_by_column(blocks)  # one header job for all 3 counts
     c1 = count_where_pushdown(blocks, "o_totalprice", ">=", 400000.0,
-                              headers=hd, refs=rf)
+                              headers=hd, refs=rf, pre_grouped=True)
     c2 = count_where_pushdown(blocks, "o_totalprice", "<", 50000.0,
-                              headers=hd, refs=rf)
+                              headers=hd, refs=rf, pre_grouped=True)
     c3 = count_where_pushdown(blocks, "o_orderkey", "=", 7,
-                              headers=hd, refs=rf)
+                              headers=hd, refs=rf, pre_grouped=True)
     blocks.unpersist()
     return spark.createDataFrame(
         [(c1["count"], c2["count"], c3["count"])],
@@ -2160,7 +2161,7 @@ def q_encode_roundtrip(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").repartition(4)
     # cache: header read + verify agg are separate actions over the blocks
     blocks = encode_table(d, policy="ratio").cache()
-    dec = decode_table(blocks, columns=d.columns)
+    dec = decode_table(blocks, columns=d.columns, pre_grouped=True)
     res = verify_roundtrip(d, dec, key="doc_id")
     blocks.unpersist()
     return spark.createDataFrame(
@@ -2190,7 +2191,10 @@ def q_decode_topk(spark, sf_dir):
         o, codecs={"o_orderkey": "for_bitpack", "o_totalprice": "plain"},
         block_rows=4096,
     ).cache()  # header/prune/decode jobs share one encode
-    return decode_topk(blocks, "o_totalprice", 100, tiebreak="o_orderkey")
+    # pre_grouped: in-memory encode output is block-adjacent, so the
+    # decode runs shuffle-free (the payload Exchange is gone — r06)
+    return decode_topk(blocks, "o_totalprice", 100, tiebreak="o_orderkey",
+                       pre_grouped=True)
 
 
 def q_decode_topk_group(spark, sf_dir):
@@ -2217,7 +2221,7 @@ def q_decode_topk_group(spark, sf_dir):
         block_rows=4096,
     ).cache()  # header/prune/decode jobs share one encode
     return decode_topk_by(blocks, "o_orderstatus", "o_totalprice", 50,
-                          tiebreak="o_orderkey")
+                          tiebreak="o_orderkey", pre_grouped=True)
 
 
 def q_table_changes(spark, sf_dir):
@@ -2332,7 +2336,7 @@ def q_decode_sample(spark, sf_dir):
                    "n_chars": "for_bitpack"},
         block_rows=2048,
     ).cache()  # header/key-decode/payload jobs share one encode
-    return decode_sample(blocks, "doc_id", 0.1, seed=0)
+    return decode_sample(blocks, "doc_id", 0.1, seed=0, pre_grouped=True)
 
 
 def q_group_stats_pushdown(spark, sf_dir):
@@ -2358,7 +2362,8 @@ def q_group_stats_pushdown(spark, sf_dir):
         d, codecs={"lang": "dict", "n_chars": "for_bitpack"},
         block_rows=2048,
     ).cache()  # header/dup-check/residual jobs share one encode
-    out = group_stats_pushdown(blocks, "lang", "n_chars")
+    out = group_stats_pushdown(blocks, "lang", "n_chars",
+                               pre_grouped=True)
     return out.select(
         "lang", "n_rows", "n_vals",
         F.col("sum_val").cast("long").alias("sum_val"),
@@ -2394,7 +2399,7 @@ def q_decode_semijoin(spark, sf_dir):
         .filter(F.col("c_mktsegment") == "BUILDING")
         .select(F.col("c_custkey").alias("o_custkey"))
     )
-    return decode_semijoin(blocks, probe, "o_custkey")
+    return decode_semijoin(blocks, probe, "o_custkey", pre_grouped=True)
 
 
 def q_decode_pushdown(spark, sf_dir):
@@ -2417,7 +2422,8 @@ def q_decode_pushdown(spark, sf_dir):
         o, codecs={"o_orderkey": "for_bitpack", "o_totalprice": "plain"},
         block_rows=4096,
     ).cache()  # header/prune/decode jobs share one encode
-    return decode_table_where(blocks, "o_totalprice", ">=", 400000.0)
+    return decode_table_where(blocks, "o_totalprice", ">=", 400000.0,
+                              pre_grouped=True)
 
 
 def q_decode_bloom_pushdown(spark, sf_dir):
@@ -2439,7 +2445,7 @@ def q_decode_bloom_pushdown(spark, sf_dir):
     blocks = encode_table(d, block_rows=2048,
                           bloom_columns=["source"]).cache()
     return decode_table_where(blocks, "source", "=", "src3",
-                              file_keyed=False)
+                              file_keyed=False, pre_grouped=True)
 
 
 def q_decode_pushdown_in(spark, sf_dir):
@@ -2464,7 +2470,7 @@ def q_decode_pushdown_in(spark, sf_dir):
     ).cache()
     return decode_table_where_all(
         blocks, [("lang", "in", ["de", "fr"]), ("n_chars", ">=", 200)],
-        file_keyed=False)
+        file_keyed=False, pre_grouped=True)
 
 
 def q_decode_pushdown_or(spark, sf_dir):
@@ -2490,7 +2496,7 @@ def q_decode_pushdown_or(spark, sf_dir):
         blocks,
         [[("lang", "=", "de"), ("n_chars", ">=", 500)],
          ("doc_id", "<", 400)],
-        file_keyed=False)
+        file_keyed=False, pre_grouped=True)
 
 
 def q_embedding_topk_lsh(spark, sf_dir):

@@ -332,7 +332,8 @@ def decode_table(blocks: DataFrame, columns: list[str] | None = None,
                  missing_columns: str = "error",
                  with_positions: bool = False,
                  headers: dict[str, dict] | None = None,
-                 refs: dict[str, set] | None = None) -> DataFrame:
+                 refs: dict[str, set] | None = None,
+                 pre_grouped: bool = False) -> DataFrame:
     """Decode an encoded-blocks DataFrame back to the raw table.
 
     ``missing_columns``: ``"error"`` (default) refuses groups that lack a
@@ -366,7 +367,22 @@ def decode_table(blocks: DataFrame, columns: list[str] | None = None,
     the same blocks plan, and each redundant header read re-evaluates an
     uncached plan end to end. They must describe THIS blocks table (or a
     superset); an empty-after-pruning blocks frame then also decodes to an
-    empty typed frame instead of raising on absent headers."""
+    empty typed frame instead of raising on absent headers.
+
+    ``pre_grouped=True`` (r06) skips the co-locating repartition + sort:
+    valid when every block group's rows are already ADJACENT within one
+    partition — true by construction for ``encode_table`` output and any
+    narrow transformation of it (filters, pair filters, broadcast
+    semi-joins, ``.cache()``), i.e. the in-memory encode→pushdown→decode
+    pipeline shape. It removes the one Exchange that carries payload
+    bytes (the decode becomes a pure map stage). NOT valid for blocks
+    read back from disk (file splitting can cut a group in half) or any
+    plan with a shuffle between encode and decode. Safety: a violated
+    adjacency assumption splits a group into fragments that are each
+    missing columns, so the strict group assembly REFUSES loudly
+    (``missing_columns='error'``, the default) instead of mis-decoding;
+    combining ``pre_grouped=True`` with ``missing_columns='null'`` puts
+    that contract on the caller."""
     if missing_columns not in ("error", "null"):
         raise ValueError("missing_columns must be 'error' or 'null'")
     if headers is None or refs is None:
@@ -400,12 +416,16 @@ def decode_table(blocks: DataFrame, columns: list[str] | None = None,
     # is judged PER GROUP against the requested columns — so batches encoded
     # by different jobs with different column sets or codecs each decode by
     # their own dependencies instead of a global column count.
+    # pre_grouped: encode output already satisfies the adjacency the
+    # shuffle+sort would establish — skip the payload Exchange entirely.
     part = _with_src_key(blocks, file_keyed).filter(F.col("column").isin(fetch_cols))
-    if num_partitions:
-        part = part.repartition(num_partitions, "__src", "part_id", "block_id")
-    else:
-        part = part.repartition("__src", "part_id", "block_id")
-    part = part.sortWithinPartitions("__src", "part_id", "block_id")
+    if not pre_grouped:
+        if num_partitions:
+            part = part.repartition(num_partitions, "__src", "part_id",
+                                    "block_id")
+        else:
+            part = part.repartition("__src", "part_id", "block_id")
+        part = part.sortWithinPartitions("__src", "part_id", "block_id")
 
     fill = missing_columns == "null"
 
@@ -964,7 +984,8 @@ def decode_table_where(blocks: DataFrame, column: str, op: str, value,
                        columns: list[str] | None = None,
                        num_partitions: int | None = None,
                        file_keyed: bool = True,
-                       max_groups: int = 100_000) -> DataFrame:
+                       max_groups: int = 100_000,
+                       pre_grouped: bool = False) -> DataFrame:
     """decode_table with predicate pushdown: zone-map block pruning
     (prune_blocks) + the exact residual row filter after decode. Semantics
     equal decode_table(blocks, columns).filter(column op value); cost skips
@@ -972,7 +993,7 @@ def decode_table_where(blocks: DataFrame, column: str, op: str, value,
     return decode_table_where_all(
         blocks, [(column, op, value)], columns=columns,
         num_partitions=num_partitions, file_keyed=file_keyed,
-        max_groups=max_groups)
+        max_groups=max_groups, pre_grouped=pre_grouped)
 
 
 def _pred_expr(col_: str, op_: str, val_) -> F.Column:
@@ -1051,7 +1072,8 @@ def decode_table_where_all(blocks: DataFrame, predicates,
                            columns: list[str] | None = None,
                            num_partitions: int | None = None,
                            file_keyed: bool = True,
-                           max_groups: int = 100_000) -> DataFrame:
+                           max_groups: int = 100_000,
+                           pre_grouped: bool = False) -> DataFrame:
     """CNF pushdown decode: ``predicates`` is a list of clauses ANDed
     together, where each clause is either a bare (column, op, value)
     triple or a LIST of triples ORed together. Each clause prunes block
@@ -1077,7 +1099,7 @@ def decode_table_where_all(blocks: DataFrame, predicates,
     # frame, so the emptiness probe job is gone (r06)
     dec = decode_table(pruned, columns=use_cols,
                        num_partitions=num_partitions, file_keyed=file_keyed,
-                       headers=headers, refs=refs)
+                       headers=headers, refs=refs, pre_grouped=pre_grouped)
     residual = None
     for clause in clauses:
         one = None
@@ -1220,7 +1242,8 @@ def decode_topk(blocks: DataFrame, column: str, k: int,
                 columns: list[str] | None = None,
                 num_partitions: int | None = None,
                 file_keyed: bool = True,
-                max_groups: int = 100_000) -> DataFrame:
+                max_groups: int = 100_000,
+                pre_grouped: bool = False) -> DataFrame:
     """``ORDER BY column [DESC|ASC][, tiebreak ASC] LIMIT k`` served with
     zone-map block pruning (:func:`prune_blocks_topk`): only groups that
     can contain a top-k row are read and decoded, then the exact global
@@ -1247,7 +1270,7 @@ def decode_topk(blocks: DataFrame, column: str, k: int,
     # an uncached blocks plan re-ran the whole upstream encode)
     dec = decode_table(pruned, columns=use_cols,
                        num_partitions=num_partitions, file_keyed=file_keyed,
-                       headers=headers, refs=refs)
+                       headers=headers, refs=refs, pre_grouped=pre_grouped)
     order = [F.col(column).desc() if descending else F.col(column).asc()]
     if tiebreak is not None:
         order.append(F.col(tiebreak).asc())
@@ -1412,7 +1435,8 @@ def decode_topk_by(blocks: DataFrame, group_col: str, column: str, k: int,
                    columns: list[str] | None = None,
                    num_partitions: int | None = None,
                    file_keyed: bool = True,
-                   max_groups: int = 100_000) -> DataFrame:
+                   max_groups: int = 100_000,
+                   pre_grouped: bool = False) -> DataFrame:
     """Per-group ``ORDER BY column [DESC|ASC][, tiebreak ASC] LIMIT k``
     (top-k rows for EVERY distinct group_col value) served with grouped
     zone-map block pruning (:func:`prune_blocks_topk_by`), then the exact
@@ -1445,7 +1469,7 @@ def decode_topk_by(blocks: DataFrame, group_col: str, column: str, k: int,
     # headers pass through: no emptiness probe job (see decode_topk)
     dec = decode_table(pruned, columns=use_cols,
                        num_partitions=num_partitions, file_keyed=file_keyed,
-                       headers=headers, refs=refs)
+                       headers=headers, refs=refs, pre_grouped=pre_grouped)
     order = [F.col(column).desc() if descending else F.col(column).asc()]
     if tiebreak is not None:
         order.append(F.col(tiebreak).asc())
@@ -1481,7 +1505,8 @@ def decode_semijoin(blocks: DataFrame, keys: DataFrame, key_col: str,
                     file_keyed: bool = True,
                     max_groups: int = 100_000,
                     inline_keys_max: int = 64,
-                    deletes: DataFrame | None = None) -> DataFrame:
+                    deletes: DataFrame | None = None,
+                    pre_grouped: bool = False) -> DataFrame:
     """Late-materialization lookup join: the rows of the encoded table whose
     ``key_col`` value appears in the ``keys`` DataFrame — SQL
     ``WHERE key_col IN (SELECT key_col FROM keys)``. NULL keys never match
@@ -1553,7 +1578,8 @@ def decode_semijoin(blocks: DataFrame, keys: DataFrame, key_col: str,
     # stage 2: key-column-only decode -> matching row coordinates
     keydec = decode_table(pruned, columns=[key_col], with_positions=True,
                           num_partitions=num_partitions,
-                          file_keyed=file_keyed, headers=headers, refs=refs)
+                          file_keyed=file_keyed, headers=headers, refs=refs,
+                          pre_grouped=pre_grouped)
     coords = keydec.join(probe, key_col, "left_semi").select(*POS_COLUMNS)
     if deletes is not None:
         coords = coords.join(deletes.select(*POS_COLUMNS),
@@ -1562,7 +1588,8 @@ def decode_semijoin(blocks: DataFrame, keys: DataFrame, key_col: str,
     # stage 3: decode only block groups holding a match, keep exact rows
     return _materialize_coords(pruned, coords, out_cols, use_cols, empty,
                                num_partitions, file_keyed, max_groups,
-                               headers=headers, refs=refs)
+                               headers=headers, refs=refs,
+                               pre_grouped=pre_grouped)
 
 
 def _materialize_coords(blocks: DataFrame, coords: DataFrame,
@@ -1570,7 +1597,8 @@ def _materialize_coords(blocks: DataFrame, coords: DataFrame,
                         empty, num_partitions, file_keyed,
                         max_groups: int,
                         headers: dict[str, dict] | None = None,
-                        refs: dict[str, set] | None = None) -> DataFrame:
+                        refs: dict[str, set] | None = None,
+                        pre_grouped: bool = False) -> DataFrame:
     """Late-materialization tail shared by the coordinate-driven decodes:
     decode full payloads ONLY for block groups holding at least one
     coordinate (exact pair filter, driver pull capped at ``max_groups`` —
@@ -1586,7 +1614,7 @@ def _materialize_coords(blocks: DataFrame, coords: DataFrame,
             blocks, {(r["_part_id"], r["_block_id"]) for r in got})
     full = decode_table(hit, columns=use_cols, with_positions=True,
                         num_partitions=num_partitions, file_keyed=file_keyed,
-                        headers=headers, refs=refs)
+                        headers=headers, refs=refs, pre_grouped=pre_grouped)
     return (full.join(coords, on=POS_COLUMNS, how="left_semi")
             .select(*out_cols))
 
@@ -1597,7 +1625,8 @@ def decode_sample(blocks: DataFrame, key_col: str, fraction: float,
                   num_partitions: int | None = None,
                   file_keyed: bool = True,
                   max_groups: int = 100_000,
-                  deletes: DataFrame | None = None) -> DataFrame:
+                  deletes: DataFrame | None = None,
+                  pre_grouped: bool = False) -> DataFrame:
     """Key-stable deterministic sample of an encoded table with late
     materialization: ONLY ``key_col`` decodes first, rows are picked by
     the repo's pinned portable 60-bit md5 lane
@@ -1636,7 +1665,8 @@ def decode_sample(blocks: DataFrame, key_col: str, fraction: float,
         return empty()
     keydec = decode_table(blocks, columns=[key_col], with_positions=True,
                           num_partitions=num_partitions,
-                          file_keyed=file_keyed, headers=headers, refs=refs)
+                          file_keyed=file_keyed, headers=headers, refs=refs,
+                          pre_grouped=pre_grouped)
     ks = F.coalesce(F.col(key_col).cast("string"), F.lit("\x00"))
     u = (
         F.conv(
@@ -1654,4 +1684,5 @@ def decode_sample(blocks: DataFrame, key_col: str, fraction: float,
                              on=POS_COLUMNS, how="left_anti")
     return _materialize_coords(blocks, coords, out_cols, use_cols, empty,
                                num_partitions, file_keyed, max_groups,
-                               headers=headers, refs=refs)
+                               headers=headers, refs=refs,
+                               pre_grouped=pre_grouped)

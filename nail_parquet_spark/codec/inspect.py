@@ -417,7 +417,8 @@ def frequency_pushdown(blocks: DataFrame, column: str,
 def count_where_pushdown(blocks: DataFrame, column: str, op: str, value=None,
                          max_groups: int = 100_000,
                          headers: dict | None = None,
-                         refs: dict | None = None) -> dict:
+                         refs: dict | None = None,
+                         pre_grouped: bool = False) -> dict:
     """Exact ``SELECT COUNT(*) WHERE column op value`` over an encoded
     blocks table, answered from zone-map metadata for every block the
     stats can DECIDE and decoding only the undecidable boundary blocks —
@@ -596,7 +597,8 @@ def count_where_pushdown(blocks: DataFrame, column: str, op: str, value=None,
                     "groups_metadata": g_total, "groups_decoded": 0}
         if g_boundary > max_groups:
             cnt = decode_table(blocks, [column], headers=headers,
-                               refs=refs).filter(pred).count()
+                               refs=refs,
+                               pre_grouped=pre_grouped).filter(pred).count()
             return {"count": int(cnt), "groups_total": g_total,
                     "groups_metadata": 0, "groups_decoded": g_total}
         pairs = (meta.filter(is_boundary).select("part_id", "block_id")
@@ -619,7 +621,7 @@ def count_where_pushdown(blocks: DataFrame, column: str, op: str, value=None,
     sub = blocks.filter(F.col("part_id").isin(parts)
                         & F.col("block_id").isin(bids))
     dec = decode_table(sub, [column], with_positions=True,
-                       headers=headers, refs=refs)
+                       headers=headers, refs=refs, pre_grouped=pre_grouped)
     cnt_b = (dec.filter(F.concat_ws("_", "_part_id", "_block_id")
                         .isin(sorted(keys)))
              .filter(pred).count())
@@ -814,7 +816,8 @@ def column_stats_pushdown(blocks: DataFrame,
 
 def group_stats_pushdown(blocks: DataFrame, group_col: str, value_col: str,
                          num_partitions: int | None = None,
-                         max_groups: int = 100_000) -> DataFrame:
+                         max_groups: int = 100_000,
+                         pre_grouped: bool = False) -> DataFrame:
     """Exact ``GROUP BY group_col`` aggregates of a numeric ``value_col``
     — count / non-null count / sum / min / max / avg — served from block
     metadata wherever the layout allows, decoding ONLY the blocks it must.
@@ -900,7 +903,8 @@ def group_stats_pushdown(blocks: DataFrame, group_col: str, value_col: str,
     if dup:
         dec = decode_table(blocks, columns=[group_col, value_col],
                            num_partitions=num_partitions,
-                           headers=headers, refs=refs)
+                           headers=headers, refs=refs,
+                           pre_grouped=pre_grouped)
         v = F.col(value_col).cast(scast)
         return (dec.groupBy(group_col)
                 .agg(F.count(F.lit(1)).alias("n_rows"),
@@ -968,7 +972,8 @@ def group_stats_pushdown(blocks: DataFrame, group_col: str, value_col: str,
         # residual set too large to enumerate: full decode, still exact
         dec = decode_table(blocks, columns=[group_col, value_col],
                            num_partitions=num_partitions,
-                           headers=headers, refs=refs)
+                           headers=headers, refs=refs,
+                           pre_grouped=pre_grouped)
         v = F.col(value_col).cast(scast)
         return (dec.groupBy(group_col)
                 .agg(F.count(F.lit(1)).alias("n_rows"),
@@ -995,7 +1000,8 @@ def group_stats_pushdown(blocks: DataFrame, group_col: str, value_col: str,
         rdec = decode_table(_filter_block_pairs(blocks, pairs),
                             columns=[group_col, value_col],
                             num_partitions=num_partitions,
-                            headers=headers, refs=refs)
+                            headers=headers, refs=refs,
+                            pre_grouped=pre_grouped)
         rside = (rdec.groupBy(group_col)
                  .agg(F.count(F.lit(1)).alias("n_rows"),
                       F.count(value_col).alias("n_vals"),
