@@ -482,9 +482,15 @@ def _duplicate_positions(df: DataFrame, id_col: str, text_col: str,
                          w: int) -> DataFrame:
     """(__id, pos) of every window whose hash occurs >= 2 times corpus-wide
     (a doc repeating a span internally counts — both occurrences are
-    duplicated). One hash-keyed groupBy (map-side partial count) + one
-    same-key join back; AQE reuses the exchange."""
-    wins = _window_positions(df, id_col, text_col, w)
+    duplicated). The window table is materialized ONCE via an explicit
+    hash repartition on ``h`` feeding both the duplicate-count aggregate
+    and the join probe: without it the two consumers' exchanges differ
+    (partial-agg vs plain project), ReuseExchange cannot fire, and the
+    expensive window-string + md5 build ran twice over the corpus (the
+    same single-materialization pattern ngram_jaccard_pairs documents).
+    Rows are 16-byte (id, pos, hash) — the extra unaggregated shuffle
+    volume is the same class as the probe side that always shuffled."""
+    wins = _window_positions(df, id_col, text_col, w).repartition("h")
     dup_keys = (wins.groupBy("h").agg(F.count(F.lit(1)).alias("__c"))
                 .filter(F.col("__c") > 1).select("h"))
     return wins.join(dup_keys, "h").select("__id", "pos")
@@ -575,7 +581,9 @@ def remove_duplicate_spans(df: DataFrame, id_col: str, text_col: str,
     if keep == "none":
         dup = _duplicate_positions(df, id_col, text_col, w)
     elif keep == "first":
-        wins = _window_positions(df, id_col, text_col, w)
+        # same single-materialization rule as _duplicate_positions: one
+        # hash repartition shared by the election aggregate and the probe
+        wins = _window_positions(df, id_col, text_col, w).repartition("h")
         elect = wins.groupBy("h").agg(
             F.count(F.lit(1)).alias("__c"),
             F.min(F.struct("__id", "pos")).alias("__w"),

@@ -335,13 +335,19 @@ def _dedup_units_global(df: DataFrame, id_col: str, text_col: str,
         F.col(id_col).alias("__doc"),
         F.posexplode(units).alias("pos", "line"),
     ).withColumn("__h", F.md5(F.encode(F.col("line"), "UTF-8")))
-    winners = lines.groupBy("__h").agg(
-        F.min(F.struct("__doc", "pos")).alias("__w")
-    )
+    # The winner element carries its unit text THROUGH the aggregation:
+    # (__doc, pos) is unique per exploded row, so min over (__doc, pos,
+    # line) structs elects exactly the same smallest-(doc, pos) occurrence
+    # as min over (__doc, pos) — the text field never tie-breaks. This
+    # removes the join back to `lines` (whose probe side re-evaluated the
+    # entire corpus explode) and one hash-keyed exchange: the explode now
+    # runs once and the survivors fall straight out of the aggregate.
     kept = (
-        lines.join(winners, "__h")
-        .filter((F.col("__doc") == F.col("__w.__doc")) & (F.col("pos") == F.col("__w.pos")))
-        .select("__doc", "pos", "line")
+        lines.groupBy("__h")
+        .agg(F.min(F.struct("__doc", "pos", "line")).alias("__w"))
+        .select(F.col("__w.__doc").alias("__doc"),
+                F.col("__w.pos").alias("pos"),
+                F.col("__w.line").alias("line"))
     )
     return _rebuild_docs(df, id_col, text_col, kept, sep)
 
@@ -351,7 +357,14 @@ def _rebuild_docs(df: DataFrame, id_col: str, text_col: str,
     """Rebuild one row per input document from surviving ``(__doc, pos,
     line)`` units, joined with ``sep`` in position order; documents whose
     units were ALL removed (or that had none) come back as ``''`` via the
-    anti-join branch. One doc-keyed shuffle."""
+    left-join coalesce. One doc-keyed shuffle.
+
+    Shape note: one LEFT join from the doc-id spine, not union(rebuilt,
+    anti-join) — the anti-join's build side re-evaluated the whole
+    ``kept`` subtree (a second corpus explode, merely column-pruned); the
+    left join consumes the rebuilt aggregate exactly once and fills the
+    all-units-removed docs with '' via coalesce (array_join never yields
+    NULL, so a NULL right side IS the anti-join membership test)."""
     rebuilt = kept.groupBy("__doc").agg(
         F.array_join(
             F.transform(
@@ -361,12 +374,12 @@ def _rebuild_docs(df: DataFrame, id_col: str, text_col: str,
             sep,
         ).alias(text_col)
     )
-    untouched = (
+    return (
         df.select(F.col(id_col).alias("__doc"))
-        .join(rebuilt.select("__doc"), "__doc", "left_anti")
-        .select("__doc", F.lit("").alias(text_col))
+        .join(rebuilt, "__doc", "left")
+        .select("__doc", F.coalesce(F.col(text_col), F.lit("")).alias(text_col))
+        .withColumnRenamed("__doc", id_col)
     )
-    return rebuilt.unionByName(untouched).withColumnRenamed("__doc", id_col)
 
 
 def dedup_lines_global(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -377,10 +390,11 @@ def dedup_lines_global(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     surviving lines in order (possibly the empty string).
 
     Scale shape: posexplode -> one groupBy on the 64-bit-keyed line hash
-    (md5 text keeps the oracle portable) to pick winners, one same-key join
-    back, one groupBy on doc id to rebuild — every shuffle is keyed on line
-    hash or doc id, partial-aggregating map-side; no windows, no driver
-    state. Text is normalized to its trimmed non-blank lines (same rule as
+    (md5 text keeps the oracle portable) whose min-struct winner carries
+    its line text out of the aggregate (no join back — the corpus explodes
+    once), one groupBy on doc id to rebuild — every shuffle is keyed on
+    line hash or doc id, partial-aggregating map-side; no windows, no
+    driver state. Text is normalized to its trimmed non-blank lines (same rule as
     every operator in this module); docs left with no surviving lines come
     back as '' via the anti-join branch.
     Precondition: ``id_col`` unique per document (see repetition_stats).
@@ -522,9 +536,11 @@ def dedup_sentence_spans_global(df: DataFrame, id_col: str, text_col: str,
 
     Scale shape: sentence arrays stay in-row (``_sentences`` projection);
     spans explode as (hash, doc, start) — the span TEXT never shuffles,
-    only its md5 — one winner groupBy on the hash, one same-key join back,
-    one covered-position explode + distinct, one ``(doc, pos)`` anti-join,
-    and the shared doc-keyed rebuild. No windows, no driver state.
+    only its md5 — ONE materialized hash repartition feeds both the winner
+    groupBy and the same-key join back (the split + span-md5 build runs
+    once), one covered-position explode + distinct, one ``(doc, pos)``
+    anti-join, and the shared doc-keyed rebuild. No windows, no driver
+    state.
     Precondition: ``id_col`` unique per document.
     """
     if span < 1:
@@ -545,7 +561,11 @@ def dedup_sentence_spans_global(df: DataFrame, id_col: str, text_col: str,
                     "UTF-8")),
             )
         ).alias("pos", "__h"),
-    )
+    # one hash repartition materializes the span table for BOTH the winner
+    # aggregate and the join probe (partial-agg vs project subtrees would
+    # otherwise defeat ReuseExchange and the sentence-split + span-md5
+    # build would run twice over the corpus — _duplicate_positions' rule)
+    ).repartition("__h")
     winners = spans.groupBy("__h").agg(
         F.min(F.struct("__doc", "pos")).alias("__w"))
     losers = (

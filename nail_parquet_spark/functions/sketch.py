@@ -691,9 +691,15 @@ def heavy_hitters(df: DataFrame, column: str, k: int = 10,
         for b in batches:
             col = b.column(0)
             n_p += len(col)
-            vals, cnts = np.unique(col.to_numpy(zero_copy_only=False),
-                                   return_counts=True)
-            for v, cnt in zip(vals.tolist(), cnts.tolist()):
+            # value_counts runs in Arrow C++ (np.unique on a string column
+            # degrades to an object-array sort); the weighted-MG guarantee
+            # — any value absent from the summary has count <= n_p/(c+1) —
+            # holds for every arrival order, and the exact verification +
+            # guard below make the OUTPUT identical regardless of the
+            # batch-internal iteration order.
+            vc = pc.value_counts(col)
+            for v, cnt in zip(vc.field("values").to_pylist(),
+                              vc.field("counts").to_pylist()):
                 if v in counts:
                     counts[v] += cnt
                 else:

@@ -7,8 +7,6 @@ the DuckDB oracle can verify them value-for-value at any scale.
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import Column, functions as F
 
 # stopword markers per language for the n-gram/stopword language-ID heuristic
@@ -299,22 +297,30 @@ def unigram_logprob(df, id_col: str, text_col: str,
     """
     if vocab_df is None:
         vocab_df = vocabulary(df, id_col, text_col)
-    total = vocab_df.agg(F.sum("tf")).collect()[0][0] or 1
-    probs = vocab_df.select(
-        "token", (F.log(F.col("tf") / F.lit(float(total)))).alias("__lp")
-    )
+    # Total tokens ride a 1-row aggregate joined into the scoring plan —
+    # NOT a driver collect: the collect was its own action, so the vocab
+    # subtree ran twice (once for the total, once inside the broadcast
+    # build). In-plan, exchange reuse shares the vocab aggregation between
+    # the probs broadcast and the total. log(coalesce(tf,1)/total) is
+    # IEEE-identical to the old coalesce(log(tf/total), log(1/total)):
+    # same double division, same Math.log, factored through the coalesce.
+    tot = vocab_df.agg(
+        F.coalesce(F.sum("tf"), F.lit(1)).cast("double").alias("__tot"))
+    probs = vocab_df.select("token", F.col("tf").alias("__tf"))
     words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     toks = (
         df.select(F.col(id_col), F.explode(words).alias("token"))
         .filter(F.col("token") != "")
     )
-    floor = F.log(F.lit(1.0) / F.lit(float(total)))
+    lp = F.log(
+        F.coalesce(F.col("__tf").cast("double"), F.lit(1.0)) / F.col("__tot"))
     per_doc = (
         toks.join(F.broadcast(probs), "token", "left")
+        .crossJoin(F.broadcast(tot))
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.avg(F.coalesce(F.col("__lp"), floor)).alias("__mlp"),
+            F.avg(lp).alias("__mlp"),
         )
     )
     return (
@@ -539,23 +545,30 @@ def bigram_logprob(df, id_col: str, text_col: str,
         )
 
     uni = vocabulary(train_df, id_col, text_col).select("token", "tf")
-    total = uni.agg(F.sum("tf")).collect()[0][0] or 1
-    p1 = uni.select("token", (F.col("tf") / F.lit(float(total))).alias("__p1"))
+    # Unigram total as a 1-row in-plan aggregate instead of a collect
+    # (same reasoning as unigram_logprob: the collect action re-ran the
+    # whole vocabulary job). coalesce(tf,1)/total factors the old
+    # coalesce(p1, 1/total) through the shared division — IEEE-identical.
+    tot = uni.agg(
+        F.coalesce(F.sum("tf"), F.lit(1)).cast("double").alias("__tot"))
+    p1 = uni.select("token", F.col("tf").alias("__utf"))
     c2 = transitions(train_df).groupBy("__v", "__wn").agg(
         F.count(F.lit(1)).alias("__c2"))
     c1 = c2.groupBy("__v").agg(F.sum("__c2").alias("__cpred"))
     p2 = c2.join(c1, "__v").select(
         "__v", "__wn", (F.col("__c2") / F.col("__cpred")).alias("__p2"))
 
-    floor = F.lit(1.0) / F.lit(float(total))
+    p1v = (F.coalesce(F.col("__utf").cast("double"), F.lit(1.0))
+           / F.col("__tot"))
     lp = F.log(
         F.lit(lam) * F.coalesce(F.col("__p2"), F.lit(0.0))
-        + F.lit(1.0 - lam) * F.coalesce(F.col("__p1"), floor)
+        + F.lit(1.0 - lam) * p1v
     )
     per_doc = (
         transitions(df)
         .join(p2, ["__v", "__wn"], "left")
         .join(F.broadcast(p1), F.col("__wn") == F.col("token"), "left")
+        .crossJoin(F.broadcast(tot))
         .groupBy("__doc")
         .agg(F.count(F.lit(1)).alias("n_transitions"), F.avg(lp).alias("__mlp"))
     )
@@ -610,34 +623,55 @@ def dsir_weights(df, target_df, id_col: str, text_col: str,
         )
 
     def dist(frame):
-        counts = bucketed(frame).groupBy("__b").agg(
+        return bucketed(frame).groupBy("__b").agg(
             F.count(F.lit(1)).alias("__c"))
-        total = counts.agg(F.sum("__c")).collect()[0][0] or 0
-        denom = float(total + alpha * buckets)
-        return counts, denom
 
-    tgt, tgt_denom = dist(target_df)
-    raw, raw_denom = dist(df)
+    tgt = dist(target_df)
+    raw = dist(df)
+    # Denominators and the unseen-bucket fallback ride ONE broadcast row
+    # instead of two driver collects: each collect was its own action that
+    # re-ran its corpus bucket pass (the ratio join then ran both again).
+    # In-plan, exchange reuse shares each counts subtree between the ratio
+    # join side and its total. Arithmetic is unchanged — same double adds
+    # and divisions; the unseen fallback log(alpha/denom) moves from
+    # Python's math.log to the engine's Math.log (identical IEEE inputs,
+    # sub-ulp difference, and the result rounds to 6 decimals).
+    ab = float(alpha * buckets)
+    denoms = (
+        tgt.agg(F.coalesce(F.sum("__c"), F.lit(0)).cast("double").alias("__t"))
+        .crossJoin(raw.agg(
+            F.coalesce(F.sum("__c"), F.lit(0)).cast("double").alias("__r")))
+        .select(
+            (F.col("__t") + F.lit(ab)).alias("__td"),
+            (F.col("__r") + F.lit(ab)).alias("__rd"),
+        )
+        .select(
+            "__td", "__rd",
+            (F.log(F.lit(float(alpha)) / F.col("__td"))
+             - F.log(F.lit(float(alpha)) / F.col("__rd"))).alias("__ulr"),
+        )
+    )
     ratio = (
         tgt.select(F.col("__b"), F.col("__c").alias("__ct"))
         .join(raw.select(F.col("__b"), F.col("__c").alias("__cr")), "__b", "full")
+        .crossJoin(F.broadcast(denoms.select("__td", "__rd")))
         .select(
             "__b",
-            (F.log((F.coalesce(F.col("__ct"), F.lit(0)) + alpha) / tgt_denom)
-             - F.log((F.coalesce(F.col("__cr"), F.lit(0)) + alpha) / raw_denom)
+            (F.log((F.coalesce(F.col("__ct"), F.lit(0)) + alpha) / F.col("__td"))
+             - F.log((F.coalesce(F.col("__cr"), F.lit(0)) + alpha) / F.col("__rd"))
              ).alias("__lr"),
         )
     )
-    unseen_lr = math.log(alpha / tgt_denom) - math.log(alpha / raw_denom)
     per_doc = (
         df.select(F.col(id_col).alias("__doc"), words.alias("__w"))
         .select("__doc", F.explode("__w").alias("token"))
         .select("__doc", (word_hash(F.col("token")) % buckets).alias("__b"))
         .join(F.broadcast(ratio), "__b", "left")
+        .crossJoin(F.broadcast(denoms.select("__ulr")))
         .groupBy("__doc")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.sum(F.coalesce(F.col("__lr"), F.lit(unseen_lr))).alias("__s"),
+            F.sum(F.coalesce(F.col("__lr"), F.col("__ulr"))).alias("__s"),
         )
     )
     return (
