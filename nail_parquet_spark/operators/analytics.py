@@ -23,7 +23,6 @@ All functions stay JVM-side end-to-end — no Python UDFs.
 
 from __future__ import annotations
 
-from functools import reduce
 
 from pyspark.sql import DataFrame, Window, functions as F
 
@@ -102,15 +101,20 @@ def funnel(
     counts = base.agg(
         *[F.count(F.col(f"__t{i}")).alias(f"__c{i}") for i in range(1, len(steps) + 1)]
     )
+    # one explode over a struct array, NOT a union of per-step selects:
+    # each union branch carried its own copy of the whole join-chain +
+    # aggregate subtree (plan-size and, when exchange reuse misses, full
+    # re-execution per step); the explode evaluates the 1-row aggregate
+    # once and emits the same rows in the same order
     rows = [
-        counts.select(
+        F.struct(
             F.lit(i).cast("int").alias("step"),
             F.lit(step).alias("event_type"),
             F.col(f"__c{i}").cast("long").alias("users"),
         )
         for i, step in enumerate(steps, start=1)
     ]
-    return reduce(DataFrame.unionByName, rows)
+    return counts.select(F.explode(F.array(*rows)).alias("__r")).select("__r.*")
 
 
 def funnel_durations(
@@ -152,6 +156,8 @@ def funnel_durations(
         aggs.append(F.round(F.max(d), 6).alias(f"__max{i}"))
     stats = base.agg(*aggs)
     rows = []
+    # explode-of-structs instead of a union of per-transition selects —
+    # same single-evaluation reasoning as funnel() above
     for i, step in enumerate(steps[1:], start=2):
         cols = [
             F.lit(i).cast("int").alias("step"),
@@ -163,8 +169,8 @@ def funnel_durations(
             pname = f"p{int(q * 100)}_seconds"
             cols.append(F.col(f"__p{i}_{int(q * 100)}").alias(pname))
         cols.append(F.col(f"__max{i}").alias("max_seconds"))
-        rows.append(stats.select(*cols))
-    return reduce(DataFrame.unionByName, rows)
+        rows.append(F.struct(*cols))
+    return stats.select(F.explode(F.array(*rows)).alias("__r")).select("__r.*")
 
 
 def retention(
