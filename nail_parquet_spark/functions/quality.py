@@ -100,7 +100,11 @@ def gopher_signals(col: Column) -> list[Column]:
     lines = _lines(col)
     n_lines = F.size(lines)
 
-    word_chars = F.length(F.regexp_replace(col, r"\s", ""))
+    # length - regexp_count, NOT length(regexp_replace(.., "")): the
+    # replace form allocates a stripped copy of every document just to
+    # take its length; \s matches exactly one code point so the counts
+    # are identical (pinned by the table/columns identity test)
+    word_chars = F.length(col) - F.regexp_count(col, F.lit(r"\s"))
     alpha_words = F.regexp_count(col, F.lit(r"\S*[A-Za-z]\S*"))
     stop_hits = F.size(
         F.array_intersect(words, F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]))
@@ -146,7 +150,7 @@ def gopher_signals_table(df: DataFrame, id_col: str, text_col: str,
         col.alias("__text"),
         F.split(F.lower(F.trim(col)), r"\s+").alias("__words"),
         _lines(col).alias("__lines"),
-        F.length(F.regexp_replace(col, r"\s", "")).alias("__word_chars"),
+        (F.length(col) - F.regexp_count(col, F.lit(r"\s"))).alias("__word_chars"),
         F.regexp_count(col, F.lit(r"\S*[A-Za-z]\S*")).alias("__alpha_words"),
         (F.trim(col) == "").alias("__blank"),
     )
@@ -685,7 +689,7 @@ def gopher_keep_stream(df: DataFrame, text_col: str,
         *orig,
         F.split(F.lower(F.trim(col)), r"\s+").alias("__q_words"),
         _lines(col).alias("__q_lines"),
-        F.length(F.regexp_replace(col, r"\s", "")).alias("__q_wc"),
+        (F.length(col) - F.regexp_count(col, F.lit(r"\s"))).alias("__q_wc"),
         F.regexp_count(col, F.lit(r"\S*[A-Za-z]\S*")).alias("__q_aw"),
         (F.trim(col) == "").alias("__q_blank"),
         _symbol_count(col).alias("__q_sym"),

@@ -133,9 +133,13 @@ def quality_metrics(col: Column) -> list[Column]:
     — the usual web-text quality-filter features."""
     n = F.length(col)
     nonempty = n > 0
-    digits = F.length(col) - F.length(F.regexp_replace(col, r"[0-9]", ""))
-    punct = F.length(col) - F.length(F.regexp_replace(col, r"[^\w\s]", ""))
-    spaces = F.length(col) - F.length(F.regexp_replace(col, r"\s", ""))
+    # regexp_count, NOT length - length(regexp_replace(.., "")): the
+    # replace form allocates a stripped copy of the document per class
+    # (three copies per doc here); each class matches exactly one code
+    # point, so the counts are identical
+    digits = F.regexp_count(col, F.lit(r"[0-9]"))
+    punct = F.regexp_count(col, F.lit(r"[^\w\s]"))
+    spaces = F.regexp_count(col, F.lit(r"\s"))
     toks = token_count(col)
     return [
         n.cast("long").alias("n_chars"),
@@ -159,9 +163,9 @@ def quality_metrics_table(df, id_col: str, text_col: str):
         F.col(id_col),
         F.length(col).alias("__n"),
         token_count(col).alias("__toks"),
-        (F.length(col) - F.length(F.regexp_replace(col, r"[0-9]", ""))).alias("__digits"),
-        (F.length(col) - F.length(F.regexp_replace(col, r"[^\w\s]", ""))).alias("__punct"),
-        (F.length(col) - F.length(F.regexp_replace(col, r"\s", ""))).alias("__spaces"),
+        F.regexp_count(col, F.lit(r"[0-9]")).alias("__digits"),
+        F.regexp_count(col, F.lit(r"[^\w\s]")).alias("__punct"),
+        F.regexp_count(col, F.lit(r"\s")).alias("__spaces"),
     )
     n, toks = F.col("__n"), F.col("__toks")
     nonempty = n > 0
