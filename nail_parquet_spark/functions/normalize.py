@@ -139,8 +139,10 @@ def script_counts(col: Column) -> list[Column]:
     out = [F.regexp_count(col, F.lit(java)).cast("long").alias(f"{name}_chars")
            for name, (java, _) in SCRIPT_CLASSES.items()]
     out.append(
-        (F.length(col)
-         - F.length(F.regexp_replace(col, _SPACE_DENOM_CLASS, "")))
+        # regexp_count, not length - length(regexp_replace(.., "")): no
+        # stripped copy of the document; the class matches one code point
+        # per hit so the count is identical
+        F.regexp_count(col, F.lit(_SPACE_DENOM_CLASS))
         .cast("long").alias("space_chars"))
     return out
 
