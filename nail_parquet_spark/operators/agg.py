@@ -315,8 +315,12 @@ def binning(df: DataFrame, column: str, bins: int = 10, method: str = "equal-wid
         cuts = [mn + i * step for i in range(1, bins)]
     elif method == "equal-frequency":
         qs = [i / bins for i in range(1, bins)]
-        cuts = df.agg(F.percentile_approx(column, qs)).collect()[0][0]
-        mn, mx = df.agg(F.min(column), F.max(column)).collect()[0]
+        # one action for cuts + min/max (was two collects = two full
+        # passes over the column); values identical, the aggregates are
+        # independent of each other
+        cuts, mn, mx = df.agg(
+            F.percentile_approx(column, qs), F.min(column), F.max(column)
+        ).collect()[0]
     elif method == "custom":
         if not edges or len(edges) < 2:
             raise ValueError("custom binning needs >= 2 edges")

@@ -181,6 +181,19 @@ def test_binning_and_outliers(sample):
     assert removed.count() < 5  # range heuristic always flags extremes
 
 
+def test_binning_equal_frequency_fused_action(sample, spark):
+    """equal-frequency computes cuts + min/max in ONE aggregation action
+    (was two collects = two full column passes); on small data
+    percentile_approx is exact: cuts for 1..100 are (25, 50, 75) and the
+    half-open [lo, hi) intervals pin the per-bin counts exactly."""
+    df = spark.range(1, 101).select(F.col("id").cast("double").alias("v"))
+    b = ops.binning(df, "v", bins=4, method="equal-frequency", labels="index")
+    counts = {r["v_bin"]: r["n"]
+              for r in b.groupBy("v_bin").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # [1,25) [25,50) [50,75) [75,100] — last bin closed on the max
+    assert counts == {"bin_1": 24, "bin_2": 25, "bin_3": 25, "bin_4": 26}
+
+
 def test_outliers_zscore_threshold_honored(sample):
     """Regression: an explicit threshold of 1.5 must flag >= rows than 3.0
     (the old API silently remapped factor=1.5 to 3.0)."""
