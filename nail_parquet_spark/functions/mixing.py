@@ -101,8 +101,9 @@ def weighted_sample(df: DataFrame, id_col: str, weight_col: str,
     Expected kept fraction = ``target_frac`` exactly when no p_i clips at
     1; heavier rows are proportionally more likely to survive.
 
-    Scale shape: ONE scalar aggregate (the mean, driver-side O(1)) + one
-    no-shuffle projection/filter. Pinned for oracle exactness: the mean is
+    Scale shape: the scalar mean rides a 1-row in-plan aggregate
+    (broadcast) feeding one no-shuffle projection/filter — a single
+    action, one corpus pass. Pinned for oracle exactness: the mean is
     rounded to 6 dp and p_i to 9 dp before the compare, so engines whose
     float summation order differs in the last ulp still keep the identical
     row set.
@@ -111,15 +112,25 @@ def weighted_sample(df: DataFrame, id_col: str, weight_col: str,
         raise ValueError(f"target_frac must be >= 0, got {target_frac}")
     w = F.greatest(F.coalesce(F.col(weight_col).cast("double"), F.lit(0.0)),
                    F.lit(0.0))
-    row = df.agg(F.round(F.avg(F.pow(w, F.lit(power))), 6).alias("mu")).collect()[0]
-    mu = row["mu"]
-    if mu is None or mu <= 0:
-        return df.filter(F.lit(False))
-    p = F.least(F.round(F.lit(target_frac) * F.pow(w, F.lit(power)) / F.lit(mu), 9),
-                F.lit(1.0))
+    # The mean rides a 1-row in-plan aggregate (broadcast crossJoin), NOT
+    # a driver collect: the collect was its own action — a second full
+    # corpus pass before the filter pass. Same rounded-6dp double, same
+    # division. The when() guard reproduces the old driver-side
+    # "mu NULL or <= 0 -> empty result" branch exactly (when's condition
+    # on a NULL mu falls to otherwise(False); a plain least() would
+    # silently skip the NULL and keep everything).
+    mu_row = df.agg(
+        F.round(F.avg(F.pow(w, F.lit(power))), 6).alias("__mu"))
+    p = F.least(
+        F.round(F.lit(target_frac) * F.pow(w, F.lit(power)) / F.col("__mu"), 9),
+        F.lit(1.0))
     u = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10) \
          .cast("double")
-    return df.filter(u < p * F.lit(float(HEX_SPACE)))
+    keep = F.when(F.col("__mu") > 0,
+                  u < p * F.lit(float(HEX_SPACE))).otherwise(F.lit(False))
+    return (df.crossJoin(F.broadcast(mu_row))
+            .filter(keep)
+            .select(*[F.col(c) for c in df.columns]))
 
 
 def mix_stats(df: DataFrame, mixed: DataFrame, group_col: str) -> DataFrame:

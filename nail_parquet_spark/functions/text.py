@@ -256,17 +256,26 @@ def keywords_tfidf(df, id_col: str, text_col: str, k: int = 3):
         df.select(F.col(id_col).alias("__doc"), F.explode(words).alias("token"))
         .filter(F.col("token") != "")
     )
-    n_total = df.count()
+    # N rides a 1-row in-plan aggregate instead of a driver count() — the
+    # count was its own action (a full pass when df is a filtered frame).
+    # lit(N) + 1.0 and col(N) + 1.0 are the same long-to-double add.
+    n_total = df.agg(F.count(F.lit(1)).cast("double").alias("__n"))
     doc_tf = toks.groupBy("__doc", "token").agg(F.count(F.lit(1)).alias("tf"))
     docfreq = toks.select("__doc", "token").distinct().groupBy("token").agg(
         F.count(F.lit(1)).alias("n_docs")
     )
-    scored = doc_tf.join(F.broadcast(docfreq), "token").withColumn(
-        "tfidf",
-        F.round(
-            F.col("tf") * (F.log((F.lit(n_total) + 1.0) / (F.col("n_docs") + 1.0)) + 1.0),
-            6,
-        ),
+    scored = (
+        doc_tf.join(F.broadcast(docfreq), "token")
+        .crossJoin(F.broadcast(n_total))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("__n") + 1.0) / (F.col("n_docs") + 1.0)) + 1.0),
+                6,
+            ),
+        )
+        .drop("__n")
     )
     w = Window.partitionBy("__doc").orderBy(
         F.col("tfidf").desc(), F.col("token").asc()

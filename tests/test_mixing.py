@@ -114,6 +114,11 @@ def test_weighted_sample_edge_weights(spark):
     assert [r["doc_id"] for r in kept.collect()] == [4]
     zeros = df.withColumn("w", F.lit(0.0))
     assert weighted_sample(zeros, "doc_id", "w", 0.5).count() == 0
+    # empty input -> NULL mean; the in-plan when() guard must yield an
+    # empty frame with the input schema (the old driver-branch contract)
+    empty = df.filter(F.lit(False))
+    out = weighted_sample(empty, "doc_id", "w", 0.5)
+    assert out.columns == df.columns and out.count() == 0
 
 
 def test_weighted_sample_matches_duckdb(spark):
