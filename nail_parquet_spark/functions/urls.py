@@ -122,15 +122,19 @@ def domain_stats(df, url_col: str = "url", text_col: "str | None" = None):
         aggs.append(F.sum(F.length(text_col)).cast("bigint").alias("n_chars"))
         aggs.append(F.avg(F.length(text_col)).alias("mean_chars"))
     out = df.select(dom, *([text_col] if text_col else [])).groupBy("domain").agg(*aggs)
-    # the total is the sum of the per-domain counts (every row lands in
-    # exactly one group, NULL domains included), so it rides a 1-row
-    # aggregate of the already-small domain table — the old df.count()
-    # was a separate action and, on a filtered input, a second full
-    # corpus pass. Same integers, same double division.
-    tot = out.agg(F.sum("n_docs").cast("double").alias("__tot"))
-    return (out.crossJoin(F.broadcast(tot))
-            .withColumn("share", F.col("n_docs") / F.col("__tot"))
-            .drop("__tot"))
+    # The total is the sum of the per-domain counts (every row lands in
+    # exactly one group, NULL domains included), so it comes from a
+    # global window over the ALREADY-AGGREGATED domain table — one corpus
+    # pass total. The old df.count() was a separate action and, on a
+    # filtered/derived input, a second full corpus pass; a broadcast
+    # 1-row aggregate would re-run the groupBy subtree (no exchange
+    # reuse, verified in the plan). The window's single partition holds
+    # one row per DOMAIN (not per document) — bounded at corpus scale.
+    # Same integers, same double division.
+    from pyspark.sql import Window
+
+    tot = F.sum("n_docs").over(Window.partitionBy()).cast("double")
+    return out.withColumn("share", F.col("n_docs") / tot)
 
 
 def domain_cap(df, url_col: str = "url", max_docs: int = 1000,
