@@ -1009,12 +1009,26 @@ def main(argv: list[str] | None = None) -> int:
 
             snap = resolve_ref(args.input, getattr(args, "snapshot", None))
             if _visible_deletes(args.input, snap):
-                p.error(
-                    "this snapshot has committed row deletes; blockstats "
-                    "pushdowns read block metadata only and would count "
-                    "deleted rows (a delete the reader ignores is "
-                    "corruption) — purge deletes first, or aggregate a "
-                    "merge-on-read decode instead")
+                # the refusal is scoped to the LOGICAL aggregates — they
+                # read block metadata only and would count deleted rows (a
+                # delete the reader ignores is corruption). The flagless
+                # per-column listing describes the physical blocks as
+                # stored and stays available, with a warning.
+                if any(getattr(args, f, None) for f in
+                       ("distinct", "count_where", "group_stats",
+                        "frequency")):
+                    p.error(
+                        "this snapshot has committed row deletes; "
+                        "blockstats pushdowns read block metadata only and "
+                        "would count deleted rows (a delete the reader "
+                        "ignores is corruption) — purge deletes first, or "
+                        "aggregate a merge-on-read decode instead")
+                print(
+                    "warning: this snapshot has committed row deletes; the "
+                    "listing below describes the physical blocks as stored "
+                    "— row counts INCLUDE deleted rows (use a "
+                    "merge-on-read decode for logical counts)",
+                    file=sys.stderr)
             blocks = read_blocks_at(spark, args.input, snap)
         else:
             blocks = (
@@ -1136,6 +1150,21 @@ def main(argv: list[str] | None = None) -> int:
         # decode shape
         if getattr(args, "top_group", None) and not getattr(args, "top", None):
             p.error("--top-group requires --top 'col:k[:asc|desc]'")
+        # the changes branches emit CHANGELOG rows, not table rows — any
+        # row-shaping flag would be silently ignored, so refuse the combo
+        # (same exclusivity rule as --sample-keys/--semi-join below)
+        if getattr(args, "changes", None) or getattr(args, "changes_cursor", None):
+            _chflag = "--changes-cursor" if getattr(args, "changes_cursor", None) \
+                else "--changes"
+            for _name, _val in (("--where", getattr(args, "where", None)),
+                                ("--top", getattr(args, "top", None)),
+                                ("--top-group", getattr(args, "top_group", None)),
+                                ("--sample-keys", getattr(args, "sample_keys", None)),
+                                ("--semi-join", getattr(args, "semi_join", None))):
+                if _val:
+                    p.error(f"{_chflag} does not compose with {_name}: the "
+                            "changelog is emitted whole (filter/shape the "
+                            "written output instead)")
         if getattr(args, "changes_cursor", None):
             from nail_parquet_spark.pipeline.changelog import (
                 ack_changes, poll_changes)

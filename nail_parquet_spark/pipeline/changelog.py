@@ -87,6 +87,18 @@ def table_changes(spark: SparkSession, out_dir: str, from_snapshot: int,
     for deletes the position-delete's snapshot, or the latest matching
     equality delete's — the same latest-wins rule the MOR reader applies).
 
+    Attribution when MULTIPLE deletes hit the same row inside the window
+    (pinned, deliberately split by delete kind): position deletes
+    attribute to the EARLIEST coordinate hit (the first commit that
+    killed the physical row — later coordinate re-deletes are no-ops),
+    while equality deletes attribute to the LATEST matching predicate
+    (the rule the merge-on-read reader uses to decide whether a key is
+    dead, so the changelog names the same snapshot the reader acts on).
+    When both kinds hit one row, the position coordinate wins (it names a
+    physical row; the equality match is derived). Consumers that need a
+    single rule should treat ``_commit_snapshot`` for deletes as "the
+    snapshot after which the row is gone", which both rules satisfy.
+
     Pinned contract:
 
     - NET semantics: rows both inserted and deleted inside the window

@@ -180,6 +180,16 @@ def encode_resumable(
                          {"unit": key, "src": u, "batch": bkey})
         if not stage:
             _commit_snapshot(out_dir, bkey, keys)
+            # a stage=True run that crashed between its staged record and
+            # the unit markers leaves a stale _staged/{bkey}.json; this
+            # non-staged commit supersedes it — drop it so staged_batches
+            # never reports a phantom and publish_staged can never commit
+            # a duplicate snapshot for the batch (removed AFTER the
+            # commit: a crash in between leaves the record, which the
+            # already-visible guard in publish_staged then skips)
+            sp = os.path.join(_staged_dir(out_dir), f"{bkey}.json")
+            if os.path.exists(sp):
+                os.remove(sp)
         completed += len(batch)
     return {"completed": completed, "skipped": skipped, "total": len(units)}
 
@@ -243,8 +253,18 @@ def publish_staged(out_dir: str, batches: list[str] | None = None,
             f"staged batches {gone} have no data directory under "
             f"{out_dir} (reaped or never completed) — discard_staged them "
             "and re-encode instead of committing dangling snapshots")
+    # a batch whose append/upsert is ALREADY visible (e.g. a stale staged
+    # record left by a crashed stage=True run that a non-staged rerun then
+    # committed) must not be committed again — publishing it would append
+    # a duplicate snapshot for the same data directory
+    already = {s["batch"] for s in visible_snapshots(out_dir)
+               if s.get("kind", "append") in ("append", "upsert")}
     published = []
     for r in recs:
+        if r["batch"] in already:
+            os.remove(os.path.join(_snap_dir(out_dir), "_staged",
+                                   f"{r['batch']}.json"))
+            continue
         extra = {"note": note} if note else None
         sid = _commit_snapshot(out_dir, r["batch"], r["units"], extra=extra)
         os.remove(os.path.join(_snap_dir(out_dir), "_staged",

@@ -206,6 +206,27 @@ def test_cli_decode_changes(spark, table, tmp_path):
     assert len(got) == 5 and all(t[-1] == "delete" for t in got)
 
 
+def test_cli_changes_rejects_row_shaping_flags(spark, table, tmp_path):
+    """--changes/--changes-cursor emit changelog rows whole; any
+    row-shaping flag used to be silently ignored — now it must refuse
+    (ADVICE r5 #1)."""
+    import pytest as _pytest
+
+    from nail_parquet_spark.cli import main
+
+    out, tmp = table
+    s1 = snap(out)
+    dst = str(tmp_path / "x.parquet")
+    cur = str(tmp_path / "cur.json")
+    for extra in (["--where", "k>=0"], ["--top", "k:3"],
+                  ["--sample-keys", "k:0.5:7"],
+                  ["--semi-join", f"k@{out}"]):
+        with _pytest.raises(SystemExit):
+            main(["decode", out, "--changes", f"0..{s1}", "-o", dst] + extra)
+        with _pytest.raises(SystemExit):
+            main(["decode", out, "--changes-cursor", cur, "-o", dst] + extra)
+
+
 def test_poll_ack_cursor(spark, table, tmp_path):
     from nail_parquet_spark.pipeline.changelog import ack_changes, poll_changes
 

@@ -140,6 +140,14 @@ def test_cli_blockstats_snapshot_table_routing(spark, tmp_path, capsys):
     delete_where(spark, out, [("k", "<", 5)])
     with _pytest.raises(SystemExit):
         main(["blockstats", out, "--group-stats", "k:v"])
+    # the refusal is scoped to the LOGICAL aggregates; the flagless
+    # physical listing stays available with a warning (ADVICE r5 #4)
+    capsys.readouterr()
+    assert main(["blockstats", out]) == 0
+    captured = capsys.readouterr()
+    assert "committed row deletes" in captured.err
+    # physical listing: per-column count/min/max JSON, pre-delete counts
+    assert '"count": 40' in captured.out
 
 
 def test_multibatch_pair_collision_exact(spark, tmp_path):

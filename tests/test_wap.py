@@ -169,6 +169,44 @@ def test_staged_crash_window_gc_and_publish_guard(spark, tmp_path):
     assert snapshots(out) == []
 
 
+def test_stale_staged_record_never_double_commits(spark, tmp_path):
+    """A stage=True run that crashes between the staged record and the
+    unit markers leaves _staged/{bkey}.json behind; a stage=False rerun
+    re-encodes and commits the batch for real. The stale record must not
+    linger as a phantom staged batch, and publish_staged must never
+    commit a duplicate snapshot for the already-visible batch."""
+    import glob
+    import json as _json
+    import os
+
+    out = str(tmp_path / "enc")
+    _mk(spark, str(tmp_path / "s1"), 0, 15)
+    encode_resumable(spark, str(tmp_path / "s1"), out, stage=True)
+    rec = staged_batches(out)[0]
+    # simulate the crash window: markers never landed, record did
+    for m in glob.glob(os.path.join(out, "_manifests", "*.json")):
+        os.remove(m)
+    # non-staged rerun: re-encodes the batch whole and commits a snapshot
+    encode_resumable(spark, str(tmp_path / "s1"), out, stage=False)
+    snaps = snapshots(out)
+    assert [s["batch"] for s in snaps] == [rec["batch"]]
+    # the stale staged record is gone; publish has nothing to do
+    assert staged_batches(out) == []
+    assert publish_staged(out)["published"] == []
+    assert len(snapshots(out)) == 1  # no duplicate commit
+    # belt-and-braces: even a hand-resurrected stale record for a visible
+    # batch is skipped and cleaned, never committed again
+    sd = os.path.join(out, "_snapshots", "_staged")
+    os.makedirs(sd, exist_ok=True)
+    with open(os.path.join(sd, f"{rec['batch']}.json"), "w") as f:
+        _json.dump(rec, f)
+    rep = publish_staged(out)
+    assert rep["published"] == [] and rep["remaining"] == 0
+    assert len(snapshots(out)) == 1
+    # the table still reads exactly once-committed data
+    assert read_table(spark, out).count() == 15
+
+
 def test_publish_is_atomic_on_missing_dirs(spark, tmp_path):
     """One of two staged dirs is gone: publish must commit NOTHING, so a
     retry after repair sees the exact state it expects."""
