@@ -121,20 +121,19 @@ def domain_stats(df, url_col: str = "url", text_col: "str | None" = None):
     if text_col is not None:
         aggs.append(F.sum(F.length(text_col)).cast("bigint").alias("n_chars"))
         aggs.append(F.avg(F.length(text_col)).alias("mean_chars"))
+    # MEASURED DEAD END (r06): replacing this count() with an in-plan
+    # total was tried four ways and every gate-compliant variant LOST —
+    # broadcast 1-row agg re-runs the groupBy subtree (no exchange reuse,
+    # 6 jobs / 3.14 s vs 5 / 3.07), an explicit repartition
+    # materialization point still didn't reuse across the broadcast
+    # boundary (6 / 3.91), localCheckpoint costs more than it saves
+    # (5 / 3.65), and the only variant that won (global window over the
+    # domain table, 4 / 2.94) is banned by the single-partition-window
+    # straggler gate. The two-action shape stays; at scale the second
+    # pass is the count of an already-projected frame.
     out = df.select(dom, *([text_col] if text_col else [])).groupBy("domain").agg(*aggs)
-    # The total is the sum of the per-domain counts (every row lands in
-    # exactly one group, NULL domains included), so it comes from a
-    # global window over the ALREADY-AGGREGATED domain table — one corpus
-    # pass total. The old df.count() was a separate action and, on a
-    # filtered/derived input, a second full corpus pass; a broadcast
-    # 1-row aggregate would re-run the groupBy subtree (no exchange
-    # reuse, verified in the plan). The window's single partition holds
-    # one row per DOMAIN (not per document) — bounded at corpus scale.
-    # Same integers, same double division.
-    from pyspark.sql import Window
-
-    tot = F.sum("n_docs").over(Window.partitionBy()).cast("double")
-    return out.withColumn("share", F.col("n_docs") / tot)
+    total = df.count()
+    return out.withColumn("share", F.col("n_docs") / F.lit(float(total)))
 
 
 def domain_cap(df, url_col: str = "url", max_docs: int = 1000,
