@@ -202,3 +202,50 @@ def test_kmeans_assign_plan_no_shuffle(spark, vecs):
     out = kmeans_assign(vecs, "v", cents)
     plan = plan_text(out)
     assert "Exchange" not in plan, plan
+
+
+def test_pair_dots_arrow_matches_hof_join(spark):
+    """The Arrow pair-dot pass (r06 optimization) must reproduce the old
+    cluster-keyed self-join + HOF-fold cosine bit-for-bit — including
+    zip_with's null-padding semantics (ragged pair / NULL element -> NULL
+    dot -> pair dropped) and empty vectors (dot 0.0)."""
+    from nail_parquet_spark.functions.cluster import _pair_dots_arrow
+    from nail_parquet_spark.functions.similarity import _dot_expr
+
+    rows = [
+        (0, [1.0, 0.25, -0.5], 0),
+        (1, [0.99, 0.24, -0.51], 0),
+        (2, [1.0, 0.25, -0.5, 0.1], 0),    # ragged: pairs with 0/1 NULL out
+        (3, [0.5, None, 0.25], 0),          # NULL element: all pairs NULL out
+        (4, [0.123456789, 1e-9, 7.5], 1),
+        (5, [0.123456788, -1e-9, 7.5], 1),
+        (6, [], 2),
+        (7, [], 2),                         # empty pair: dot 0.0, norm 0.0
+        (8, [2.0, 3.0], 3),                 # singleton cluster: no pairs
+    ]
+    df = spark.createDataFrame(rows, "__kid long, __kv array<double>, cluster int")
+    assigned = df.withColumn(
+        "__kn",
+        F.sqrt(F.aggregate(F.transform("__kv", lambda x: x * x),
+                           F.lit(0.0), lambda a, b: a + b)))
+    a = assigned.select(F.col("__kid").alias("id_a"), F.col("__kv").alias("__va"),
+                        F.col("__kn").alias("__na"), "cluster")
+    b = assigned.select(F.col("__kid").alias("id_b"), F.col("__kv").alias("__vb"),
+                        F.col("__kn").alias("__nb"), "cluster")
+    # compare at the dot level (the helper's contract); na*nb is the
+    # orientation-invariant norm product the cosine divides by
+    old = (a.join(b, "cluster").filter(F.col("id_a") < F.col("id_b"))
+           .select("id_a", "id_b",
+                   _dot_expr(F.col("__va"), F.col("__vb")).alias("dot"),
+                   (F.col("__na") * F.col("__nb")).alias("nprod")))
+    raw = _pair_dots_arrow(assigned)
+    new = (raw.filter(F.col("__xid") != F.col("__yid"))
+           .select(F.least("__xid", "__yid").alias("id_a"),
+                   F.greatest("__xid", "__yid").alias("id_b"),
+                   F.col("__dot").alias("dot"),
+                   (F.col("__na") * F.col("__nb")).alias("nprod")))
+    assert new.exceptAll(old).count() == 0
+    assert old.exceptAll(new).count() == 0
+    # the NULL-dot pairs (ragged 2x, null-element 3x) survive as NULL
+    assert new.filter(F.col("dot").isNull()).count() == \
+        old.filter(F.col("dot").isNull()).count() == 5
