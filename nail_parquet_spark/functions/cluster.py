@@ -33,7 +33,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from nail_parquet_spark.functions.similarity import _dot_expr, _norm_expr
+from nail_parquet_spark.functions.similarity import (
+    _dot_expr, _norm_expr, lit_double_array)
 
 
 def _cast_double(col):
@@ -58,9 +59,12 @@ def kmeans_assign(df: DataFrame, vec_col: str,
     # same sequential 0.0 + x*x fold the engine's _norm_expr performs,
     # over the exact literal doubles -> identical IEEE result
     cnorms = [math.sqrt(sum(x * x for x in c)) for c in centroids]
+    # lit_double_array: one py4j call per centroid instead of one per
+    # element (same CreateArray(Literal...) expression, ~60x less driver
+    # latency building the plan)
     cents = F.array(*[
         F.struct(
-            F.array(*[F.lit(float(x)) for x in c]).alias("c"),
+            lit_double_array(c).alias("c"),
             F.lit(float(n)).alias("n"),
         )
         for c, n in zip(centroids, cnorms)

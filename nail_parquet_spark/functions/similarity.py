@@ -8,8 +8,58 @@ space before the exact rerank — the standard recipe when n² won't fit.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def lit_double_array(values) -> Column:
+    """A literal ``array<double>`` column built in ONE py4j call.
+
+    Element-wise ``F.array(*[F.lit(x) ...])`` pays one JVM roundtrip per
+    element (~1 ms each on the driver) — a 64-dim vector literal costs
+    ~70 ms of pure Python-side latency, and the LSH/centroid expression
+    builders create dozens per query (measured ~1 s of driver time for a
+    12x64 plane set). Parsing one SQL array literal is a single call and
+    yields the IDENTICAL CreateArray(Literal...) expression: ``repr``
+    round-trips every finite double exactly and the SQL parser reads the
+    decimal string back to the same bits (pinned by
+    test_lit_double_array_bit_identity); non-finite values go through
+    CAST, which parses to the same NaN/±Infinity doubles.
+    """
+    vals = [float(x) for x in values]
+    if not vals:
+        return F.expr("CAST(array() AS ARRAY<DOUBLE>)")
+    return F.expr("array(" + ",".join(_fmt_double(x) for x in vals) + ")")
+
+
+def _fmt_double(x: float) -> str:
+    """SQL literal text that parses back to exactly the double ``x``."""
+    if math.isnan(x):
+        return "CAST('NaN' AS DOUBLE)"
+    if math.isinf(x):
+        return "CAST('%sInfinity' AS DOUBLE)" % ("-" if x < 0 else "")
+    return repr(x) + "D"
+
+
+def _plane_sig_sql(vec_col: str, planes: list[list[float]]) -> str:
+    """SQL text of the sign-of-projection LSH signature over ``planes``.
+
+    Value-identical to the chained Column form (same left-to-right
+    bigint sum of CASE WHEN dot > 0 terms, same aggregate/zip_with dot
+    fold), but the WHOLE chain parses in ONE py4j call — the Column
+    builder paid ~8 JVM roundtrips per plane for the lambda plumbing,
+    which at 12-56 planes per signature was a measurable driver stall
+    (~0.5-1 s per bucketing pass)."""
+    terms = ["CAST(0 AS BIGINT)"]
+    for j, p in enumerate(planes):
+        arr = "array(" + ",".join(_fmt_double(float(x)) for x in p) + ")"
+        dot = (f"aggregate(zip_with(`{vec_col}`, {arr}, (x, y) -> x * y), "
+               "0.0D, (acc, v) -> acc + v)")
+        terms.append(
+            f"(CASE WHEN {dot} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)")
+    return " + ".join(terms)
 
 
 def _dot_expr(a, b):
@@ -57,12 +107,7 @@ def random_hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> list[lis
 def lsh_bucket(df: DataFrame, vec_col: str, planes: list[list[float]]) -> DataFrame:
     """Sign-of-projection LSH signature: one int bucket per row. Pure
     relational expressions (no UDF), so codegen applies."""
-    sig = F.lit(0).cast("bigint")
-    for j, plane in enumerate(planes):
-        arr = F.array(*[F.lit(float(x)) for x in plane])
-        dot = _dot_expr(F.col(vec_col), arr)
-        sig = sig + F.when(dot > 0, F.lit(1 << j).cast("bigint")).otherwise(0)
-    return df.withColumn("lsh_bucket", sig)
+    return df.withColumn("lsh_bucket", F.expr(_plane_sig_sql(vec_col, planes)))
 
 
 def cosine_topk_lsh(df: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
@@ -131,11 +176,8 @@ def embedding_lsh_candidates(df: DataFrame, id_col: str, vec_col: str,
     base = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
 
     def band_bucket(b: int):
-        sig = F.lit(0).cast("bigint")
-        for j in range(planes_per_band):
-            arr = F.array(*[F.lit(float(x)) for x in planes[b * planes_per_band + j]])
-            sig = sig + F.when(_dot_expr(F.col("__v"), arr) > 0,
-                               F.lit(1 << j).cast("bigint")).otherwise(0)
+        sig = F.expr(_plane_sig_sql(
+            "__v", planes[b * planes_per_band:(b + 1) * planes_per_band]))
         return F.concat_ws(":", F.lit(str(b)), sig.cast("string"))
 
     buckets = base.select(
@@ -191,7 +233,7 @@ def ivf_assign(df: DataFrame, vec_col: str, centroids: list[list[float]],
     """Assign each row to its nearest centroid (by cosine) — one streaming
     pass, centroids broadcast as a literal array-of-arrays; pure column
     expressions so codegen applies."""
-    cents = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+    cents = F.array(*[lit_double_array(c) for c in centroids])
     sims = F.transform(
         cents,
         lambda c: _dot_expr(F.col(vec_col), c) / (_norm_expr(F.col(vec_col)) * _norm_expr(c)),
@@ -291,7 +333,7 @@ def cosine_topk_ivf(df: DataFrame, queries: DataFrame, id_col: str, vec_col: str
     centroids = ivf_centroids(df, vec_col, k=n_clusters, seed=seed)
     c = ivf_assign(df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")),
                    "__cv", centroids)
-    cents = F.array(*[F.array(*[F.lit(float(x)) for x in cc]) for cc in centroids])
+    cents = F.array(*[lit_double_array(cc) for cc in centroids])
     sims = F.transform(
         cents,
         lambda cc: _dot_expr(F.col("__qv"), cc) / (_norm_expr(F.col("__qv")) * _norm_expr(cc)),

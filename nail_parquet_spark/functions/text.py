@@ -729,11 +729,12 @@ def hybrid_search_rrf(df, id_col: str, text_col: str, vec_col: str,
     """
     from pyspark.sql import Window
 
-    from nail_parquet_spark.functions.similarity import _dot_expr, _norm_expr
+    from nail_parquet_spark.functions.similarity import (
+        _dot_expr, _norm_expr, lit_double_array)
 
     if not query_vec:
         raise ValueError("hybrid_search_rrf: empty query vector")
-    qv = F.array(*[F.lit(float(x)) for x in query_vec])
+    qv = lit_double_array(query_vec)
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     cos = F.round(_dot_expr(v, qv) / (_norm_expr(v) * _norm_expr(qv)), 6)
     # bounded-input windows: both branches are <= k_each rows post-limit.

@@ -249,3 +249,44 @@ def test_pair_dots_arrow_matches_hof_join(spark):
     # the NULL-dot pairs (ragged 2x, null-element 3x) survive as NULL
     assert new.filter(F.col("dot").isNull()).count() == \
         old.filter(F.col("dot").isNull()).count() == 5
+
+
+def test_lit_double_array_bit_identity(spark):
+    """The one-call SQL-literal array builder must reproduce per-element
+    F.lit bit-for-bit across the double range (repr round-trip + parser),
+    including subnormals, extremes, negative zero and non-finite values."""
+    import math
+    import struct
+
+    from nail_parquet_spark.functions.similarity import lit_double_array
+
+    vals = [0.0, -0.0, 1.0, -1.5, 1e-300, 5e-324, 1.7976931348623157e+308,
+            2.2250738585072014e-308, 0.1 + 0.2, 1 / 3, -7.123456789e-9,
+            math.pi, float("nan"), float("inf"), float("-inf")]
+    df = spark.range(1)
+    old = df.select(F.array(*[F.lit(float(x)) for x in vals]).alias("a")).first()["a"]
+    new = df.select(lit_double_array(vals).alias("a")).first()["a"]
+    assert [struct.pack("d", v) for v in old] == [struct.pack("d", v) for v in new]
+    empty = df.select(lit_double_array([]).alias("a")).first()["a"]
+    assert empty == []
+
+
+def test_plane_sig_sql_matches_column_form(spark):
+    """The one-call SQL signature must equal the old chained Column form
+    value-for-value (same buckets for every row)."""
+    from nail_parquet_spark.functions.similarity import (
+        _dot_expr, _plane_sig_sql, lsh_bucket, random_hyperplanes)
+
+    planes = random_hyperplanes(6, 12, seed=7)
+    rows = [(i, [float(i) * 0.1 - 0.3, -1.0, 0.5, 2.0, -0.25, float(i)])
+            for i in range(50)]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    sig = F.lit(0).cast("bigint")
+    for j, plane in enumerate(planes):
+        arr = F.array(*[F.lit(float(x)) for x in plane])
+        dot = _dot_expr(F.col("v"), arr)
+        sig = sig + F.when(dot > 0, F.lit(1 << j).cast("bigint")).otherwise(0)
+    old = df.withColumn("lsh_bucket", sig).select("id", "lsh_bucket")
+    new = lsh_bucket(df, "v", planes).select("id", "lsh_bucket")
+    assert new.exceptAll(old).count() == 0
+    assert old.exceptAll(new).count() == 0
