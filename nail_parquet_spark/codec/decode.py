@@ -797,21 +797,32 @@ def prune_blocks(blocks: DataFrame, column: str, op: str, value,
     """
     if op not in _PRUNE_OPS:
         raise ValueError(f"op must be one of {_PRUNE_OPS}, got {op!r}")
-    from nail_parquet_spark.codec.kernels import _type_from_str
-
     if headers is None:
         headers, _ = _headers_by_column(blocks)
     if column not in headers:
         raise ValueError(f"column {column!r} not in the blocks table")
+    may = _zone_may_expr(column, op, value, headers)
+    if may is None:
+        return blocks
+    meta = blocks.filter(F.col("column") == column).select(
+        "part_id", "block_id", "min_val", "max_val", "n_rows", "null_count")
+    return _keep_groups(blocks, meta, may, max_groups)
+
+
+def _zone_may_expr(column: str, op: str, value, headers: dict):
+    """The zone-map may-keep Column for ``column op value`` over a blocks
+    metadata row, or None when stats cannot prune this column/op (binary
+    columns, an oversized IN list). The expression references only
+    min_val/max_val/n_rows/null_count — all prune rules and safety notes
+    of :func:`prune_blocks` live here."""
+    from nail_parquet_spark.codec.kernels import _type_from_str
+
     if op in ("isnull", "notnull"):
         # null predicates need only the null counters, recorded for EVERY
         # column type (binary included): isnull keeps blocks with any null,
         # notnull keeps blocks with any non-null row
-        meta = blocks.filter(F.col("column") == column).select(
-            "part_id", "block_id", "n_rows", "null_count")
-        may = (F.col("null_count") > 0) if op == "isnull" else (
+        return (F.col("null_count") > 0) if op == "isnull" else (
             F.col("null_count") < F.col("n_rows"))
-        return _keep_groups(blocks, meta, may, max_groups)
     t = _type_from_str(headers[column]["type"])
     is_str = pa.types.is_string(t) or pa.types.is_large_string(t)
     if op == "prefix" and not is_str:
@@ -825,16 +836,13 @@ def prune_blocks(blocks: DataFrame, column: str, op: str, value,
     elif is_str:
         cast = None
     else:
-        return blocks  # binary etc.: no usable stats
+        return None  # binary etc.: no usable stats
 
-    meta = blocks.filter(F.col("column") == column).select(
-        "part_id", "block_id", "min_val", "max_val", "n_rows", "null_count"
-    )
     in_vals: list | None = None
     if op == "in":
         in_vals = list(value)
         if len(in_vals) > _IN_PRUNE_CAP:
-            return blocks
+            return None
     if cast is not None:
         lo = F.col("min_val").try_cast(cast)
         hi = F.col("max_val").try_cast(cast)
@@ -854,7 +862,7 @@ def prune_blocks(blocks: DataFrame, column: str, op: str, value,
     if op == "in":
         if not lits:
             # empty IN-list matches no row anywhere — prune every group
-            return _keep_groups(blocks, meta, F.lit(False), max_groups)
+            return F.lit(False)
         cond = F.lit(False)
         for lv in lits:
             cond = cond | ((lo <= lv) & F.when(hi_known, hi >= lv)
@@ -885,8 +893,7 @@ def prune_blocks(blocks: DataFrame, column: str, op: str, value,
     else:  # "<"
         cond = lo < v
     stats_missing = lo.isNull() & (F.col("null_count") < F.col("n_rows"))
-    may = stats_missing | ((~lo.isNull()) & cond)
-    return _keep_groups(blocks, meta, may, max_groups)
+    return stats_missing | ((~lo.isNull()) & cond)
 
 
 def prune_blocks_bloom(blocks: DataFrame, column: str, value,
@@ -912,27 +919,42 @@ def prune_blocks_bloom(blocks: DataFrame, column: str, value,
     projection reads (part_id, block_id, bloom) only."""
     if "bloom" not in blocks.columns:
         return blocks
+    if headers is None:
+        headers, _ = _headers_by_column(blocks)
+    if column not in headers:
+        raise ValueError(f"column {column!r} not in the blocks table")
+    meta = blocks.filter(F.col("column") == column).select(
+        "part_id", "block_id", "bloom")
+    may = _bloom_may_expr(meta, column, value, headers, op)
+    if may is None:
+        return blocks
+    return _keep_groups(blocks, meta, may, max_groups)
+
+
+def _bloom_may_expr(meta: DataFrame, column: str, value, headers: dict,
+                    op: str = "="):
+    """The bloom may-keep Column for ``column op value`` over a blocks
+    metadata row carrying a ``bloom`` column, or None when bitmaps cannot
+    prune (unsupported column kind, unprobable value, oversized IN list).
+    ``meta`` must be the column-filtered metadata frame — the
+    prefix/contains paths pull their stored key lengths from it. All
+    probe rules and safety notes of :func:`prune_blocks_bloom` live
+    here."""
     from nail_parquet_spark.codec.bloom import (
         _NGRAM_FLAG, _PREFIX_FLAG, bloom_ngram_probe_sql,
         bloom_prefix_probe_sql, bloom_probe_sql)
     from nail_parquet_spark.codec.kernels import _type_from_str
 
-    if headers is None:
-        headers, _ = _headers_by_column(blocks)
-    if column not in headers:
-        raise ValueError(f"column {column!r} not in the blocks table")
     t = _type_from_str(headers[column]["type"])
     if pa.types.is_integer(t) or pa.types.is_boolean(t):
         kind = "int"
     elif pa.types.is_string(t) or pa.types.is_large_string(t):
         kind = "str"
     else:
-        return blocks
-    meta = blocks.filter(F.col("column") == column).select(
-        "part_id", "block_id", "bloom")
+        return None
     if op == "prefix":
         if kind != "str":
-            return blocks
+            return None
         # discover the stored prefix-key lengths (tail byte of flagged
         # bitmaps — P rides BEFORE the N byte when gram keys are also
         # present): one encode run uses one P, so this driver pull is a
@@ -949,7 +971,7 @@ def prune_blocks_bloom(blocks: DataFrame, column: str, value,
         probe = bloom_prefix_probe_sql("bloom", value, plens)
     elif op == "contains":
         if kind != "str":
-            return blocks
+            return None
         # discover the stored n-gram-key lengths (always the LAST tail
         # byte of 0x40-flagged bitmaps); each block probes its own N
         b0 = F.conv(F.hex(F.substring("bloom", 1, 1)), 16, 10).cast("int")
@@ -966,18 +988,16 @@ def prune_blocks_bloom(blocks: DataFrame, column: str, value,
         # whole thing unpruned — never wrong.
         vals = list(value)
         if not vals or len(vals) > _IN_PRUNE_CAP:
-            return blocks if vals else _keep_groups(
-                blocks, meta, F.lit(False), max_groups)
+            return None if vals else F.lit(False)
         probes = [bloom_probe_sql("bloom", x, kind) for x in vals]
         if any(p is None for p in probes):
-            return blocks
+            return None
         probe = " OR ".join(f"({p})" for p in probes)
     else:
         probe = bloom_probe_sql("bloom", value, kind)
     if probe is None:
-        return blocks
-    may = F.col("bloom").isNull() | F.expr(probe)
-    return _keep_groups(blocks, meta, may, max_groups)
+        return None
+    return F.col("bloom").isNull() | F.expr(probe)
 
 
 def decode_table_where(blocks: DataFrame, column: str, op: str, value,
@@ -1030,16 +1050,41 @@ def _as_clause(item) -> list[tuple]:
 
 def _prune_one(pruned: DataFrame, col_: str, op_: str, val_,
                max_groups: int, headers: dict) -> DataFrame:
-    if op_ == "contains":
-        # zone maps cannot bound a substring predicate — only the n-gram
-        # bloom prunes; the exact residual filter handles the rest
-        return prune_blocks_bloom(pruned, col_, val_, max_groups,
-                                  headers=headers, op=op_)
-    out = prune_blocks(pruned, col_, op_, val_, max_groups, headers=headers)
-    if op_ in ("=", "==", "prefix", "in"):
-        out = prune_blocks_bloom(out, col_, val_, max_groups,
-                                 headers=headers, op=op_)
-    return out
+    """Zone-map + bloom pruning for one predicate in ONE metadata job:
+    the two may-keep expressions AND together over the same
+    column-filtered metadata frame, so the keep-set collect runs once
+    where the chained prune_blocks -> prune_blocks_bloom form ran two
+    (r06 — at corpus scale each collect is a full metadata-table job).
+    The combined keep-set equals the sequential composition's; the only
+    divergence is at the max_groups cap, where either form may simply
+    prune less — never wrong, the residual row filter keeps semantics
+    exact."""
+    if op_ not in _PRUNE_OPS and op_ != "contains":
+        raise ValueError(
+            f"op must be one of {_PRUNE_OPS + ('contains',)}, got {op_!r}")
+    if col_ not in headers:
+        raise ValueError(f"column {col_!r} not in the blocks table")
+    mays = []
+    if op_ != "contains":
+        # zone maps cannot bound a substring predicate
+        z = _zone_may_expr(col_, op_, val_, headers)
+        if z is not None:
+            mays.append(z)
+    meta_cols = ["part_id", "block_id", "min_val", "max_val",
+                 "n_rows", "null_count"]
+    if "bloom" in pruned.columns:
+        meta_cols.append("bloom")
+    meta = pruned.filter(F.col("column") == col_).select(*meta_cols)
+    if op_ in ("=", "==", "prefix", "in", "contains") and "bloom" in meta_cols:
+        b = _bloom_may_expr(meta, col_, val_, headers, op_)
+        if b is not None:
+            mays.append(b)
+    if not mays:
+        return pruned
+    may = mays[0]
+    for m in mays[1:]:
+        may = may & m
+    return _keep_groups(pruned, meta, may, max_groups)
 
 
 def _prune_clause(pruned: DataFrame, clause: list[tuple],
