@@ -225,7 +225,15 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     pair, and the DuckDB oracle reproduces the identical hashing, so
     results stay value-exact."""
     sh = word_shingles(df, id_col, text_col, k=shingle_k)
-    shh = sh.select(F.col(id_col), word_hash(F.col("shingle")).alias("__h")).distinct()
+    # repartition by the shingle hash BEFORE the dedup: the (id, h) dedup
+    # aggregate only needs rows CLUSTERED by a subset of its keys, so the
+    # h-partitioning satisfies it shuffle-free, and the doc-freq
+    # aggregate, the freq semi-join and the inverted-index self-join all
+    # inherit the same partitioning — one exchange where the plain
+    # .distinct() shape paid an (id, h) exchange plus three h exchanges
+    # (r06 A/B at sf0.1: 6.8 -> 3.4 s first-shot, identical rows)
+    shh = (sh.select(F.col(id_col), word_hash(F.col("shingle")).alias("__h"))
+           .repartition("__h").dropDuplicates())
     freq = (
         shh.groupBy("__h").agg(F.count(F.lit(1)).alias("__df"))
         .filter(F.col("__df") <= max_doc_freq)
@@ -274,7 +282,15 @@ def ngram_containment_pairs(df: DataFrame, id_col: str, text_col: str,
     the containing side (the smaller set is the one with the higher
     ratio)."""
     sh = word_shingles(df, id_col, text_col, k=shingle_k)
-    shh = sh.select(F.col(id_col), word_hash(F.col("shingle")).alias("__h")).distinct()
+    # repartition by the shingle hash BEFORE the dedup: the (id, h) dedup
+    # aggregate only needs rows CLUSTERED by a subset of its keys, so the
+    # h-partitioning satisfies it shuffle-free, and the doc-freq
+    # aggregate, the freq semi-join and the inverted-index self-join all
+    # inherit the same partitioning — one exchange where the plain
+    # .distinct() shape paid an (id, h) exchange plus three h exchanges
+    # (r06 A/B at sf0.1: 6.8 -> 3.4 s first-shot, identical rows)
+    shh = (sh.select(F.col(id_col), word_hash(F.col("shingle")).alias("__h"))
+           .repartition("__h").dropDuplicates())
     freq = (
         shh.groupBy("__h").agg(F.count(F.lit(1)).alias("__df"))
         .filter(F.col("__df") <= max_doc_freq)
